@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Relational surface of the engine: scans, filters (pushdown), projections,
+  * aggregations, joins (broadcast where one side is a dim), sorts/limits,
+  * distinct, windows, and gap sessionization.
+  *
+  * Mirrors SURVEY.md §2.2 (P1-P12), §2.4 (J/O), §2.5 (A), §2.6 (W1-W4) on the
+  * driver-provided relational tables.
+  */
+object Relational extends QueryModule {
+
+  /** exact integer cents of a 2-decimal double column (see QueryModule). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-style grouped aggregation over the fact table (TPC-H Q1 flavor).
+    // Partial (map-side) agg + final agg: 2-col group key keeps shuffle tiny.
+    "q01_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(round($"l_quantity").cast("long")).as("sum_qty"),
+          sum(cents($"l_extendedprice")).as("sum_base_cents"),
+          sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("sum_disc_e4"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // P1/P4/T7-style predicate+projection pushdown (TPC-H Q6 flavor):
+    // filters and the 3-column projection reach the parquet scan.
+    "q02_filter_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .filter(
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" <  lit("1997-01-01").cast("timestamp") &&
+          $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(
+          sum(cents($"l_extendedprice") * cents($"l_discount")).as("revenue_e4"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // Multi-way join with broadcast dims (nation/region tiny, customer small):
+    // fact-side shuffle only on o_custkey; dims never shuffle.
+    "q03_join_agg" -> ((s, dir) => {
+      import s.implicits._
+      val orders   = Tables(s, dir, "orders")
+      val customer = Tables(s, dir, "customer")
+      val nation   = Tables(s, dir, "nation")
+      val region   = Tables(s, dir, "region")
+      orders
+        .join(broadcast(customer), $"o_custkey" === $"c_custkey")
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          sum(cents($"o_totalprice")).as("sum_price_cents"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // O1/O2 global sort + limit with unique tie-break (top-k pattern:
+    // per-partition top-k then merge — Spark TakeOrderedAndProject).
+    "q04_top_orders" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(25)
+        .select($"o_orderkey", $"o_custkey", cents($"o_totalprice").as("price_cents"))
+    }),
+
+    // O3 distinct + distinct-aggregation.
+    "q05_distinct" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          countDistinct($"user_id").as("n_users"),
+          count(lit(1)).as("n_events"))
+    }),
+
+    // W1-W3 gap sessionization (the reference's overpass detection,
+    // satbucket/analysis.py:41-110 re-expressed): lag + running-sum window.
+    // Window is partitioned by user_id — no single-task global sort at scale.
+    "q06_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val gapUs = 30L * 60 * 1000000 // 30 min in microseconds
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+        .withColumn("new_sess",
+          when($"prev_us".isNull || $"ts_us" - $"prev_us" > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"ts_us").as("start_us"),
+          max($"ts_us").as("end_us"))
+    }),
+
+    // W4/J2-style analytic windows: running sum + row_number per key
+    // (count-over-partition replaces the reference's group+join-back).
+    "q07_running_window" -> ((s, dir) => {
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(byUser))
+        .withColumn("running_cents",
+          sum(cents($"value")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n_user_events",
+          count(lit(1)).over(Window.partitionBy($"user_id")))
+        .filter($"rn" <= 3)
+        .select($"user_id", $"rn", $"event_id", $"running_cents", $"n_user_events")
+    }),
+
+    // W8-style time bucketing (tumbling window batch analogue).
+    "q08_hourly_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(cents($"value")).as("sum_cents"))
+    }),
+
+    // Range-predicate join (P8 interval-overlap flavor): lineitem shipped
+    // within 90 days of its order date. Equi-join on orderkey + range refine;
+    // orders side is the smaller, broadcast at small SF, shuffle-hash at scale.
+    "q09_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables(s, dir, "lineitem")
+      val o  = Tables(s, dir, "orders")
+      li.join(o, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" >= $"o_orderdate" &&
+          $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lineitems"),
+             countDistinct($"o_orderkey").as("n_orders"))
+    }),
+
+    // O2 top-k per group via ranking window (reference max_overpass cap).
+    "q10_topk_per_group" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc, $"c_custkey".asc)
+      Tables(s, dir, "customer")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 5)
+        .select($"c_mktsegment", $"rk", $"c_custkey", cents($"c_acctbal").as("acctbal_cents"))
+    }),
+
+    // Left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with and
+    // without urgent orders.
+    "q11_semi_anti" -> ((s, dir) => {
+      import s.implicits._
+      val c = Tables(s, dir, "customer")
+      val urgent = Tables(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      val withU = c.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_with_urgent"))
+      val without = c.join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_without_urgent"))
+      withU.join(without, Seq("c_nationkey"), "full_outer")
+        .select($"c_nationkey",
+          coalesce($"n_with_urgent", lit(0L)).as("n_with_urgent"),
+          coalesce($"n_without_urgent", lit(0L)).as("n_without_urgent"))
+    }),
+
+    // A4/A2 global + per-group min/max over event time.
+    "q12_minmax_time" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(
+          min(unix_micros($"ts")).as("min_us"),
+          max(unix_micros($"ts")).as("max_us"),
+          max($"user_id").as("max_user"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+        SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+        SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+        SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_e4,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus""",
+
+    "q02_filter_pushdown" -> """
+      SELECT
+        SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS revenue_e4,
+        COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q03_join_agg" -> """
+      SELECT r_name, n_name,
+        SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_price_cents,
+        COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name""",
+
+    "q04_top_orders" -> """
+      SELECT o_orderkey, o_custkey,
+        CAST(round(o_totalprice*100) AS BIGINT) AS price_cents
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 25""",
+
+    "q05_distinct" -> """
+      SELECT event_type,
+        COUNT(DISTINCT user_id) AS n_users,
+        COUNT(*) AS n_events
+      FROM events GROUP BY event_type""",
+
+    "q06_sessionize" -> """
+      WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, ts_us,
+          SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM t)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      FROM m GROUP BY user_id, session_id""",
+
+    "q07_running_window" -> """
+      WITH t AS (
+        SELECT user_id, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          SUM(CAST(round(value*100) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+          COUNT(*) OVER (PARTITION BY user_id) AS n_user_events
+        FROM events)
+      SELECT user_id, rn, event_id, running_cents, n_user_events
+      FROM t WHERE rn <= 3""",
+
+    "q08_hourly_rollup" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+        COUNT(*) AS n,
+        SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+      FROM events GROUP BY 1, 2""",
+
+    "q09_range_join" -> """
+      SELECT o_orderpriority,
+        COUNT(*) AS n_lineitems,
+        COUNT(DISTINCT o_orderkey) AS n_orders
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+        AND l_shipdate >= o_orderdate
+        AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      GROUP BY o_orderpriority""",
+
+    "q10_topk_per_group" -> """
+      WITH t AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+          row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+        FROM customer)
+      SELECT c_mktsegment, rk, c_custkey,
+        CAST(round(c_acctbal*100) AS BIGINT) AS acctbal_cents
+      FROM t WHERE rk <= 5""",
+
+    "q11_semi_anti" -> """
+      WITH urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+      w AS (
+        SELECT c_nationkey, COUNT(*) AS n_with_urgent FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM urgent) GROUP BY c_nationkey),
+      wo AS (
+        SELECT c_nationkey, COUNT(*) AS n_without_urgent FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM urgent) GROUP BY c_nationkey)
+      SELECT COALESCE(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+        COALESCE(n_with_urgent, 0) AS n_with_urgent,
+        COALESCE(n_without_urgent, 0) AS n_without_urgent
+      FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey""",
+
+    "q12_minmax_time" -> """
+      SELECT event_type,
+        MIN(epoch_us(ts)) AS min_us,
+        MAX(epoch_us(ts)) AS max_us,
+        MAX(user_id) AS max_user
+      FROM events GROUP BY event_type"""
+  )
+}
