@@ -9,7 +9,8 @@ import graft.queries._
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    Relational
+    Relational,
+    Spatial
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WGS84 ellipsoidal inverse distance (meters).
+  *
+  * The reference computes point-to-rows distance with an ellipsoidal inverse
+  * (pyproj Geod(ellps="WGS84"), satbucket/filters.py:43-48). We implement
+  * the classic Vincenty (1975) inverse iteration — agreement with the
+  * Karney/GeographicLib solution is sub-millimeter except for the
+  * near-antipodal pairs where Vincenty fails to converge; there we fall
+  * back to a spherical great-circle distance on the mean radius (relative
+  * error <0.6%, and irrelevant for radius queries: antipodal points are
+  * ~20,000 km away, never inside a query radius).
+  *
+  * Published from-scratch implementation of the public formulae; no code
+  * copied from any geodesy library.
+  */
+object Geodesic {
+  private val A = 6378137.0               // WGS84 semi-major axis
+  private val F = 1.0 / 298.257223563     // flattening
+  private val B = A * (1 - F)             // semi-minor axis
+
+  /** Inverse geodesic distance in meters between two lon/lat points. */
+  def inverse(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    if (lon1 == lon2 && lat1 == lat2) return 0.0
+    val l = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1 - F) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1 - F) * math.tan(math.toRadians(lat2)))
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+
+    var lambda = l
+    var iter = 0
+    var converged = false
+    var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
+    var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
+    while (iter < 100 && !converged) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      sinSigma = math.sqrt(
+        math.pow(cosU2 * sinL, 2) +
+        math.pow(cosU1 * sinU2 - sinU1 * cosU2 * cosL, 2))
+      if (sinSigma == 0.0) return 0.0 // coincident
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0.0) 0.0
+                   else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val c = F / 16 * cosSqAlpha * (4 + F * (4 - 3 * cosSqAlpha))
+      val lambdaPrev = lambda
+      lambda = l + (1 - c) * F * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma *
+          (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      if (math.abs(lambda - lambdaPrev) < 1e-12) converged = true
+      iter += 1
+    }
+    if (!converged) return sphericalFallback(lon1, lat1, lon2, lat2)
+
+    val uSq = cosSqAlpha * (A * A - B * B) / (B * B)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 *
+      (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+       bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) *
+         (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    B * bigA * (sigma - deltaSigma)
+  }
+
+  private def sphericalFallback(lon1: Double, lat1: Double,
+                                lon2: Double, lat2: Double): Double = {
+    val r = (2 * A + B) / 3
+    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
+    val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
+    val h = math.pow(math.sin(dp / 2), 2) +
+      math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
+    2 * r * math.asin(math.min(1.0, math.sqrt(h)))
+  }
+
+  /** Register the `geodesic_distance(lon, lat, lon0, lat0)` UDF once per
+    * session and return a Column computing distance (m) to a fixed point. */
+  def distanceToPoint(spark: SparkSession, lon: Column, lat: Column,
+                      pointLon: Double, pointLat: Double): Column = {
+    val f = udf((ln: Double, lt: Double, pl: Double, pt: Double) =>
+      inverse(ln, lt, pl, pt))
+    f(lon, lat, lit(pointLon), lit(pointLat))
+  }
+
+  /** Spherical haversine distance (m) to a fixed point as a pure built-in
+    * Column expression — codegen'd, no UDF; used where an exact
+    * SQL-mirrorable formula is preferable to the ellipsoidal UDF (e.g.
+    * oracle-checked queries). Operand order is fixed so an SQL transcription
+    * reproduces the same doubles bit-for-bit:
+    *   2.0 * R * ASIN(LEAST(1, SQRT(
+    *     SIN(RADIANS(lat-lat0)/2)^2(by mult)
+    *     + COS(RADIANS(lat0)) * COS(RADIANS(lat)) * SIN(RADIANS(lon-lon0)/2)^2)))
+    */
+  def haversineCol(lon: Column, lat: Column,
+                   lon0: Column, lat0: Column): Column = {
+    val sLat = sin(radians(lat - lat0) / 2)
+    val sLon = sin(radians(lon - lon0) / 2)
+    val h = sLat * sLat + cos(radians(lat0)) * cos(radians(lat)) * sLon * sLon
+    lit(2.0) * lit(6371008.8) * asin(least(lit(1.0), sqrt(h)))
+  }
+}

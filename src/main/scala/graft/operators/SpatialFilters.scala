@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Geodesic
+import graft.partitioning.Extent
+
+/** Row-level spatial refinement filters (reference satbucket/filters.py).
+  * These run *inside* partitions after directory-level pruning; Catalyst
+  * additionally pushes the box predicates to parquet row-group skipping.
+  */
+object SpatialFilters {
+
+  /** Closed bounding-box predicate (filter_by_extent, filters.py:66-77). */
+  def extentPredicate(x: Column, y: Column, e: Extent): Column =
+    x.between(e.xmin, e.xmax) && y.between(e.ymin, e.ymax)
+
+  def filterByExtent(df: DataFrame, e: Extent,
+                     x: String = "lon", y: String = "lat"): DataFrame =
+    df.where(extentPredicate(col(x), col(y), e))
+
+  /** Geodesic point-radius filter: appends a `distance` column (meters,
+    * WGS84 ellipsoidal) and keeps rows with distance <= d
+    * (filter_around_point, filters.py:43-63). */
+  def filterAroundPoint(spark: SparkSession, df: DataFrame,
+                        lon: Double, lat: Double, distance: Double,
+                        x: String = "lon", y: String = "lat"): DataFrame =
+    df.withColumn("distance",
+        Geodesic.distanceToPoint(spark, col(x), col(y), lon, lat))
+      .where(col("distance") <= distance)
+}

@@ -1,0 +1,535 @@
+package graft.partitioning
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rectangular extent [xmin, xmax, ymin, ymax]. */
+final case class Extent(xmin: Double, xmax: Double, ymin: Double, ymax: Double) {
+  require(xmin < xmax, s"xmin must be < xmax: $this")
+  require(ymin < ymax, s"ymin must be < ymax: $this")
+  def asSeq: Seq[Double] = Seq(xmin, xmax, ymin, ymax)
+  def clampTo(other: Extent): Extent = Extent(
+    math.max(xmin, other.xmin), math.min(xmax, other.xmax),
+    math.max(ymin, other.ymin), math.min(ymax, other.ymax))
+}
+
+object Extent {
+  def apply(s: Seq[Double]): Extent = Extent(s(0), s(1), s(2), s(3))
+}
+
+/** Core 1-D binning math shared by all partitionings.
+  *
+  * Semantics contract (reference: satbucket/partitioning.py:237-296,
+  * satbucket/dataframe.py:37-58): bin edges are `arange(vmin, vmax, size)`
+  * with a forced final edge at `vmax` (the last bin may be narrower);
+  * value→index uses right-closed intervals `(b_i, b_{i+1}]` with the first
+  * bin closed on both sides (pd.cut `right=True, include_lowest=True`);
+  * NaN / null / out-of-extent values map to null.
+  */
+object Binning {
+
+  /** Bin edges: `arange(vmin, vmax, size)` + forced final `vmax` edge. */
+  def bounds(vmin: Double, vmax: Double, size: Double): Array[Double] = {
+    // numpy arange length = ceil((stop-start)/step) evaluated in doubles
+    val n = math.ceil((vmax - vmin) / size).toInt
+    val base = Array.tabulate(n)(i => vmin + i * size)
+    if (base.nonEmpty && base.last == vmax) base else base :+ vmax
+  }
+
+  /** Centroids = midpoints of consecutive bounds (add-then-halve, matching
+    * the reference's `(bounds[:-1]+bounds[1:])/2` float arithmetic). */
+  def centroids(bounds: Array[Double]): Array[Double] =
+    Array.tabulate(bounds.length - 1)(i => (bounds(i) + bounds(i + 1)) / 2.0)
+
+  /** Executor-side value→bin-index Column with pd.cut semantics.
+    *
+    * Uses the O(1) uniform-bin division formula plus a ±1 comparison
+    * correction against the exact `vmin + k*size` edges, so results match
+    * edge-comparison binning bit-for-bit even when the division lands on a
+    * representable boundary. Codegen-friendly (builtins only, no UDF).
+    */
+  def binIndex(value: Column, vmin: Double, vmax: Double, size: Double, n: Int): Column = {
+    val v = value.cast("double")
+    val raw = (ceil((v - lit(vmin)) / lit(size)) - 1).cast("int")
+    val k0 = least(greatest(raw, lit(0)), lit(n - 1))
+    // exact left edge of bin k and of bin k+1 (the reference's arange values)
+    val edgeK = lit(vmin) + k0.cast("double") * lit(size)
+    val edgeK1 = lit(vmin) + (k0 + 1).cast("double") * lit(size)
+    val adjusted =
+      when(k0 > 0 && v <= edgeK, k0 - 1)
+        .when(k0 < n - 1 && v > edgeK1, k0 + 1)
+        .otherwise(k0)
+    when(v.isNull || isnan(v) || v < vmin || v > vmax, lit(null).cast("int"))
+      .otherwise(adjusted)
+  }
+
+  /** Centroid of bin `k` as a Column (last bin midpoint uses the forced
+    * `vmax` edge, all others the uniform formula — identical doubles to
+    * `centroids(bounds)` values). */
+  def centroidOfIndex(k: Column, vmin: Double, vmax: Double, size: Double, n: Int): Column = {
+    val lastCentroid = ((vmin + (n - 1) * size) + vmax) / 2.0
+    val kd = k.cast("double")
+    when(k.isNull, lit(null).cast("double"))
+      .when(k === n - 1, lit(lastCentroid))
+      .otherwise((lit(vmin) + kd * lit(size) + (lit(vmin) + (kd + 1) * lit(size))) / 2.0)
+  }
+
+  /** Number of decimals in the shortest decimal representation of `size`
+    * (reference get_n_decimals, satbucket/partitioning.py:279-288). */
+  def nDecimals(size: Double): Int = {
+    val s = size.toString // shortest round-trip repr, same as Python str()
+    val i = s.indexOf('.')
+    if (i < 0) 0
+    else if (s.endsWith(".0")) 1 // "1.0" has one decimal char
+    else s.length - i - 1
+  }
+}
+
+/** Base of the three partitioning schemes. Pure driver-side metadata (small
+  * arrays) exposing executor-side Column builders; the Spark analogue of
+  * the reference's Base2DPartitioning (satbucket/partitioning.py:366-823).
+  *
+  * `flavor`: "hive" → `level=label/` directory names (Spark-native
+  * partitionBy layout); null/"directory" → bare `label/` names.
+  */
+sealed trait Partitioning2D extends Serializable {
+  def extent: Extent
+  def levels: Seq[String]
+  def order: Seq[String]
+  def flavor: Option[String]
+  def xBounds: Array[Double]
+  def yBounds: Array[Double]
+
+  /** Called from concrete-class constructors (trait body runs before
+    * subclass vals are initialized, so the checks can't live here). */
+  protected def validateBase(): Unit = {
+    require(order.sorted == levels.sorted,
+      s"order $order must be a permutation of levels $levels")
+    require(flavor.forall(f => f == "hive" || f == "directory"),
+      s"invalid flavor $flavor")
+  }
+
+  lazy val xCentroids: Array[Double] = Binning.centroids(xBounds)
+  lazy val yCentroids: Array[Double] = Binning.centroids(yBounds)
+  def nX: Int = xCentroids.length
+  def nY: Int = yCentroids.length
+  /** (n_y, n_x) like the reference's `shape`. */
+  def shape: (Int, Int) = (nY, nX)
+  def nPartitions: Int = nX * nY
+  def nLevels: Int = levels.length
+
+  /** Default centroid column names for addCentroids. */
+  def xCoord: String = "x_c"
+  def yCoord: String = "y_c"
+
+  def xSize: Double
+  def ySize: Double
+
+  def xIndexCol(x: Column): Column =
+    Binning.binIndex(x, extent.xmin, extent.xmax, xSize, nX)
+  def yIndexCol(y: Column): Column =
+    Binning.binIndex(y, extent.ymin, extent.ymax, ySize, nY)
+
+  def xCentroidCol(x: Column): Column =
+    Binning.centroidOfIndex(xIndexCol(x), extent.xmin, extent.xmax, xSize, nX)
+  def yCentroidCol(y: Column): Column =
+    Binning.centroidOfIndex(yIndexCol(y), extent.ymin, extent.ymax, ySize, nY)
+
+  /** Per-level label Columns for coordinates (x, y) — null for invalid rows. */
+  def labelCols(x: Column, y: Column): Seq[(String, Column)] =
+    labelsByIndices(xIndexCol(x), yIndexCol(y))
+
+  /** Per-level label Columns from precomputed bin indices. */
+  def labelsByIndices(xIdx: Column, yIdx: Column): Seq[(String, Column)]
+
+  /** Label strings of partition (i, j) — driver-side, for pruning. */
+  def labelsOfIndices(i: Int, j: Int): Seq[String]
+
+  /** Append one column per level; drop (default) or reject invalid rows
+    * (reference add_labels, satbucket/partitioning.py:637-679). */
+  def addLabels(df: DataFrame, x: String, y: String,
+                removeInvalidRows: Boolean = true): DataFrame = {
+    val withCols = labelCols(col(x), col(y)).foldLeft(df) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }
+    val firstLevel = levels.head
+    if (removeInvalidRows) withCols.where(col(firstLevel).isNotNull)
+    else {
+      val nBad = withCols.where(col(firstLevel).isNull).count()
+      if (nBad > 0) throw new IllegalArgumentException(
+        s"$nBad rows have coordinates outside the partitioning extent")
+      withCols
+    }
+  }
+
+  /** Append centroid columns (reference add_centroids, :681-732). */
+  def addCentroids(df: DataFrame, x: String, y: String,
+                   xCoordName: String = null, yCoordName: String = null,
+                   removeInvalidRows: Boolean = true): DataFrame = {
+    val xc = Option(xCoordName).getOrElse(xCoord)
+    val yc = Option(yCoordName).getOrElse(yCoord)
+    val out = df
+      .withColumn(xc, xCentroidCol(col(x)))
+      .withColumn(yc, yCentroidCol(col(y)))
+    if (removeInvalidRows) out.where(col(xc).isNotNull && col(yc).isNotNull)
+    else {
+      val nBad = out.where(col(xc).isNull || col(yc).isNull).count()
+      if (nBad > 0) throw new IllegalArgumentException(
+        s"$nBad rows have coordinates outside the partitioning extent")
+      out
+    }
+  }
+
+  /** (x indices, y indices) of partitions intersecting `queryExtent`
+    * (reference get_partitions_by_extent, :599-620: clamp the extent, map
+    * its corners to centroids, take every centroid in that closed range). */
+  def partitionIndicesByExtent(queryExtent: Extent): (Array[Int], Array[Int]) = {
+    val q = queryExtent.clampTo(extent)
+    def idx(v: Double, vmin: Double, vmax: Double, size: Double, n: Int): Int = {
+      val raw = math.ceil((v - vmin) / size).toInt - 1
+      val k0 = math.min(math.max(raw, 0), n - 1)
+      if (k0 > 0 && v <= vmin + k0 * size) k0 - 1
+      else if (k0 < n - 1 && v > vmin + (k0 + 1) * size) k0 + 1
+      else k0
+    }
+    val cxMin = xCentroids(idx(q.xmin, extent.xmin, extent.xmax, xSize, nX))
+    val cxMax = xCentroids(idx(q.xmax, extent.xmin, extent.xmax, xSize, nX))
+    val cyMin = yCentroids(idx(q.ymin, extent.ymin, extent.ymax, ySize, nY))
+    val cyMax = yCentroids(idx(q.ymax, extent.ymin, extent.ymax, ySize, nY))
+    val xs = xCentroids.indices.filter(i => xCentroids(i) >= cxMin && xCentroids(i) <= cxMax)
+    val ys = yCentroids.indices.filter(j => yCentroids(j) >= cyMin && yCentroids(j) <= cyMax)
+    (xs.toArray, ys.toArray)
+  }
+
+  /** level → distinct labels intersecting the extent. For 2-level schemes
+    * this is the per-axis label sets whose cross-product covers the query;
+    * for 1-level tile ids it is the exact id list. */
+  def partitionsByExtent(queryExtent: Extent): Map[String, Seq[String]]
+
+  /** Catalyst pruning predicate over the partition label columns: Catalyst
+    * turns `level.isin(labels)` into directory-level partition pruning. */
+  def prunePredicate(queryExtent: Extent): Column = {
+    val dict = partitionsByExtent(queryExtent)
+    dict.map { case (level, labels) =>
+      col(level).isin(labels: _*)
+    }.reduce(_ && _)
+  }
+
+  /** Directory trees (relative) for the labels dict, obeying order+flavor
+    * (reference _directories / get_directories, :253-272). */
+  def directoriesByExtent(queryExtent: Extent): Seq[String] = {
+    val (xs, ys) = partitionIndicesByExtent(queryExtent)
+    for {
+      j <- ys.toSeq
+      i <- xs.toSeq
+    } yield directoryOf(i, j)
+  }
+
+  def directoryOf(i: Int, j: Int): String = {
+    val byLevel = levels.zip(labelsOfIndices(i, j)).toMap
+    order.map { lvl =>
+      val lab = byLevel(lvl)
+      if (flavor.contains("hive")) s"$lvl=$lab" else lab
+    }.mkString("/")
+  }
+
+  /** Serializable settings (reference to_dict) for the bucket manifest. */
+  def toDict: Map[String, Any]
+}
+
+object Partitioning2D {
+  /** Reflective-factory analogue of the reference's manifest round-trip
+    * (satbucket/io.py:42-49) — rebuild from `toDict` output. */
+  def fromDict(d: Map[String, Any]): Partitioning2D = {
+    def seqD(k: String): Seq[Double] =
+      d(k).asInstanceOf[Seq[Any]].map(v => v.toString.toDouble)
+    def seqS(k: String): Seq[String] =
+      d(k).asInstanceOf[Seq[Any]].map(_.toString)
+    def optS(k: String): Option[String] =
+      d.get(k).flatMap(v => Option(v)).map(_.toString).filter(_ != "null")
+    val size = seqD("size")
+    val extent = Extent(seqD("extent"))
+    d("class").toString match {
+      case "XYPartitioning" =>
+        XYPartitioning(size = (size(0), size(1)), extent = extent,
+          levels = seqS("levels"), order = seqS("order"), flavor = optS("flavor"),
+          labelsDecimals = d.get("labels_decimals").map(_.asInstanceOf[Seq[Any]]
+            .map(_.toString.toDouble.toInt)).map(s => (s(0), s(1))))
+      case "LonLatPartitioning" =>
+        LonLatPartitioning(size = (size(0), size(1)), extent = extent,
+          levels = seqS("levels"), order = seqS("order"), flavor = optS("flavor"),
+          labelsDecimals = d.get("labels_decimals").map(_.asInstanceOf[Seq[Any]]
+            .map(_.toString.toDouble.toInt)).map(s => (s(0), s(1))))
+      case "TilePartitioning" =>
+        TilePartitioning(size = (size(0), size(1)), extent = extent,
+          nLevels = d("n_levels").toString.toDouble.toInt,
+          levels = seqS("levels"), order = seqS("order"), flavor = optS("flavor"),
+          origin = d("origin").toString, direction = d("direction").toString,
+          justify = d("justify").toString.toBoolean)
+      case other => throw new IllegalArgumentException(s"unknown partitioning class $other")
+    }
+  }
+}
+
+/** Regular x/y binning with centroid-string labels
+  * (reference XYPartitioning, satbucket/partitioning.py:825-957).
+  *
+  * Label contract (B5): label = str(round(centroid, labels_decimals)),
+  * with int cast first when decimals == 0 — byte-identical to the
+  * reference so directory names (and on-disk layout) match.
+  */
+class XYPartitioning(
+    val size: (Double, Double),
+    val extent: Extent,
+    val levels: Seq[String],
+    orderOpt: Option[Seq[String]],
+    val flavor: Option[String],
+    labelsDecimalsOpt: Option[(Int, Int)]
+) extends Partitioning2D {
+
+  val order: Seq[String] = orderOpt.getOrElse(levels)
+  val labelsDecimals: (Int, Int) = labelsDecimalsOpt.getOrElse(
+    (Binning.nDecimals(size._1) + 1, Binning.nDecimals(size._2) + 1))
+
+  def xSize: Double = size._1
+  def ySize: Double = size._2
+  val xBounds: Array[Double] = Binning.bounds(extent.xmin, extent.xmax, size._1)
+  val yBounds: Array[Double] = Binning.bounds(extent.ymin, extent.ymax, size._2)
+  validateBase()
+
+  def labelsByIndices(xIdx: Column, yIdx: Column): Seq[(String, Column)] = {
+    val xc = Binning.centroidOfIndex(xIdx, extent.xmin, extent.xmax, xSize, nX)
+    val yc = Binning.centroidOfIndex(yIdx, extent.ymin, extent.ymax, ySize, nY)
+    Seq(
+      levels(0) -> centroidLabelCol(xc, labelsDecimals._1),
+      levels(1) -> centroidLabelCol(yc, labelsDecimals._2))
+  }
+
+  /** Column version of the label formatting (see labelString).
+    * np.round is scaled-rint (half-even on the scaled double); double→string
+    * uses the shortest-round-trip repr in both the JVM and Python. */
+  private def centroidLabelCol(centroid: Column, decimals: Int): Column =
+    if (decimals == 0) {
+      // np.round(c, 0) (half-even) then astype(int) (truncate) then str —
+      // after rint the value is integral so the truncation is exact.
+      val r = rintCol(centroid)
+      when(centroid.isNull, lit(null).cast("string"))
+        .otherwise(r.cast("long").cast("string"))
+    } else {
+      val scale = math.pow(10.0, decimals)
+      val r = rintCol(centroid * lit(scale)) / lit(scale)
+      when(centroid.isNull, lit(null).cast("string"))
+        .otherwise(r.cast("string"))
+    }
+
+  /** Math.rint as a Column (round-half-even, matches np.rint). */
+  private def rintCol(c: Column): Column = {
+    // bround on doubles goes through decimal repr; rint must stay in float
+    // space to match numpy. floor(x+0.5) with half-even correction:
+    val f = floor(c + lit(0.5))
+    when((c + lit(0.5)) === f && (f % 2.0) =!= 0.0, f - 1.0).otherwise(f)
+  }
+
+  /** Driver-side label of centroid value (exactly the executor formula). */
+  def labelString(centroid: Double, decimals: Int): String =
+    if (decimals == 0) math.rint(centroid).toLong.toString
+    else {
+      val scale = math.pow(10.0, decimals)
+      (math.rint(centroid * scale) / scale).toString
+    }
+
+  def labelsOfIndices(i: Int, j: Int): Seq[String] = Seq(
+    labelString(xCentroids(i), labelsDecimals._1),
+    labelString(yCentroids(j), labelsDecimals._2))
+
+  def xLabels: Array[String] =
+    xCentroids.map(c => labelString(c, labelsDecimals._1))
+  def yLabels: Array[String] =
+    yCentroids.map(c => labelString(c, labelsDecimals._2))
+
+  def partitionsByExtent(queryExtent: Extent): Map[String, Seq[String]] = {
+    val (xs, ys) = partitionIndicesByExtent(queryExtent)
+    Map(
+      levels(0) -> xs.map(i => labelString(xCentroids(i), labelsDecimals._1)).toSeq,
+      levels(1) -> ys.map(j => labelString(yCentroids(j), labelsDecimals._2)).toSeq)
+  }
+
+  def toDict: Map[String, Any] = Map(
+    "class" -> className,
+    "extent" -> extent.asSeq,
+    "size" -> Seq(size._1, size._2),
+    "levels" -> levels,
+    "order" -> order,
+    "flavor" -> flavor.orNull,
+    "labels_decimals" -> Seq(labelsDecimals._1, labelsDecimals._2))
+
+  protected def className: String = "XYPartitioning"
+}
+
+object XYPartitioning {
+  def apply(size: (Double, Double), extent: Extent,
+            levels: Seq[String] = Seq("xbin", "ybin"),
+            order: Seq[String] = null, flavor: Option[String] = None,
+            labelsDecimals: Option[(Int, Int)] = None): XYPartitioning =
+    new XYPartitioning(size, extent, levels, Option(order), flavor, labelsDecimals)
+}
+
+/** Geographic partitioning over lon/lat (reference LonLatPartitioning,
+  * satbucket/partitioning.py:1089-1190). Default hive flavor and
+  * whole-Earth extent; centroid columns named lon_c/lat_c. */
+class LonLatPartitioning(
+    size: (Double, Double), extent: Extent, levels: Seq[String],
+    orderOpt: Option[Seq[String]], flavor: Option[String],
+    labelsDecimalsOpt: Option[(Int, Int)]
+) extends XYPartitioning(size, extent, levels, orderOpt, flavor, labelsDecimalsOpt) {
+  override def xCoord: String = "lon_c"
+  override def yCoord: String = "lat_c"
+  override protected def className: String = "LonLatPartitioning"
+
+  /** Partitions within `distance` meters (or a `sizeDeg`-wide box) of a
+    * point — geographic extent math, then extent pruning. */
+  def partitionsAroundPoint(lon: Double, lat: Double,
+                            distance: Double = Double.NaN,
+                            sizeDeg: Double = Double.NaN): Map[String, Seq[String]] =
+    partitionsByExtent(GeoExtent.aroundPoint(lon, lat, distance, sizeDeg))
+}
+
+object LonLatPartitioning {
+  def apply(size: (Double, Double),
+            extent: Extent = Extent(-180, 180, -90, 90),
+            levels: Seq[String] = Seq("lon_bin", "lat_bin"),
+            order: Seq[String] = null, flavor: Option[String] = Some("hive"),
+            labelsDecimals: Option[(Int, Int)] = None): LonLatPartitioning =
+    new LonLatPartitioning(size, extent, levels, Option(order), flavor, labelsDecimals)
+}
+
+/** Tile partitioning: integer tile labels, 1-level (flat id) or 2-level
+  * (x,y), with origin flip and optional zero-justify (reference
+  * TilePartitioning, satbucket/partitioning.py:960-1086 and
+  * get_tile_*_labels :310-348). */
+class TilePartitioning(
+    val size: (Double, Double),
+    val extent: Extent,
+    val nLevelsParam: Int,
+    val levels: Seq[String],
+    orderOpt: Option[Seq[String]],
+    val flavor: Option[String],
+    val origin: String,
+    val direction: String,
+    val justify: Boolean
+) extends Partitioning2D {
+  require(nLevelsParam == 1 || nLevelsParam == 2, "n_levels must be 1 or 2")
+  require(levels.length == nLevelsParam,
+    s"$nLevelsParam levels expected, got ${levels.length}")
+  require(origin == "top" || origin == "bottom", s"invalid origin $origin")
+  require(direction == "x" || direction == "y", s"invalid direction $direction")
+
+  val order: Seq[String] = orderOpt.getOrElse(levels)
+  def xSize: Double = size._1
+  def ySize: Double = size._2
+  val xBounds: Array[Double] = Binning.bounds(extent.xmin, extent.xmax, size._1)
+  val yBounds: Array[Double] = Binning.bounds(extent.ymin, extent.ymax, size._2)
+  validateBase()
+
+  private def justifyCol(c: Column, width: Int): Column =
+    if (justify) lpad(c, width, "0") else c
+
+  private def flipY(yIdx: Column): Column =
+    if (origin == "top") yIdx else lit(nY - 1) - yIdx
+
+  private def flipY(j: Int): Int = if (origin == "top") j else nY - 1 - j
+
+  def labelsByIndices(xIdx: Column, yIdx: Column): Seq[(String, Column)] = {
+    if (nLevelsParam == 2) {
+      val xLab = justifyCol(xIdx.cast("string"), nX.toString.length)
+      val yLab = justifyCol(flipY(yIdx).cast("string"), nY.toString.length)
+      Seq(levels(0) -> xLab, levels(1) -> yLab)
+    } else {
+      // ravel_multi_index((yFlipped, x), (nY, nX), order = C for
+      // direction "x" (row-major), F for "y" (column-major))
+      val flat =
+        if (direction == "x") flipY(yIdx) * nX + xIdx
+        else xIdx * nY + flipY(yIdx)
+      val lab = justifyCol(flat.cast("string"), (nX.toLong * nY).toString.length)
+      Seq(levels(0) -> lab)
+    }
+  }
+
+  def labelsOfIndices(i: Int, j: Int): Seq[String] = {
+    if (nLevelsParam == 2) {
+      val x = i.toString
+      val y = flipY(j).toString
+      if (justify) Seq(
+        ("0" * (nX.toString.length - x.length)) + x,
+        ("0" * (nY.toString.length - y.length)) + y)
+      else Seq(x, y)
+    } else {
+      val flat =
+        if (direction == "x") flipY(j).toLong * nX + i
+        else i.toLong * nY + flipY(j)
+      val s = flat.toString
+      val w = (nX.toLong * nY).toString.length
+      Seq(if (justify) ("0" * math.max(0, w - s.length)) + s else s)
+    }
+  }
+
+  def partitionsByExtent(queryExtent: Extent): Map[String, Seq[String]] = {
+    val (xs, ys) = partitionIndicesByExtent(queryExtent)
+    if (nLevelsParam == 2) Map(
+      levels(0) -> xs.map(i => labelsOfIndices(i, 0).head).toSeq.distinct,
+      levels(1) -> ys.map(j => labelsOfIndices(0, j)(1)).toSeq.distinct)
+    else Map(
+      levels(0) -> (for { j <- ys.toSeq; i <- xs.toSeq }
+        yield labelsOfIndices(i, j).head))
+  }
+
+  def toDict: Map[String, Any] = Map(
+    "class" -> "TilePartitioning",
+    "extent" -> extent.asSeq,
+    "size" -> Seq(size._1, size._2),
+    "n_levels" -> nLevelsParam,
+    "levels" -> levels,
+    "origin" -> origin,
+    "direction" -> direction,
+    "justify" -> justify,
+    "order" -> order,
+    "flavor" -> flavor.orNull)
+}
+
+object TilePartitioning {
+  def apply(size: (Double, Double), extent: Extent, nLevels: Int,
+            levels: Seq[String] = null, order: Seq[String] = null,
+            flavor: Option[String] = None, origin: String = "bottom",
+            direction: String = "x", justify: Boolean = false): TilePartitioning = {
+    val lv = Option(levels).getOrElse(
+      if (nLevels == 1) Seq("tile") else Seq("x", "y"))
+    new TilePartitioning(size, extent, nLevels, lv, Option(order), flavor,
+      origin, direction, justify)
+  }
+}
+
+/** Geographic extent helpers (reference gpm-api extent-around-point math,
+  * used by LonLatPartitioning.get_partitions_around_point). Spherical
+  * approximation, slightly inflated so pruning stays a superset — final
+  * row-level filters decide exact membership. */
+object GeoExtent {
+  private val EarthRadiusM = 6371008.8
+
+  def aroundPoint(lon: Double, lat: Double,
+                  distance: Double = Double.NaN,
+                  sizeDeg: Double = Double.NaN): Extent = {
+    if (!distance.isNaN) {
+      val dLat = math.toDegrees(distance / EarthRadiusM) * 1.02
+      val cosLat = math.max(math.cos(math.toRadians(lat)), 1e-9)
+      val dLon = math.min(math.toDegrees(distance / (EarthRadiusM * cosLat)) * 1.02, 360.0)
+      Extent(
+        math.max(lon - dLon, -180), math.min(lon + dLon, 180),
+        math.max(lat - dLat, -90), math.min(lat + dLat, 90))
+    } else {
+      require(!sizeDeg.isNaN, "provide distance (m) or sizeDeg (degrees)")
+      Extent(
+        math.max(lon - sizeDeg / 2, -180), math.min(lon + sizeDeg / 2, 180),
+        math.max(lat - sizeDeg / 2, -90), math.min(lat + sizeDeg / 2, 90))
+    }
+  }
+}

@@ -1,0 +1,192 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.Geodesic
+import graft.partitioning._
+import graft.sources.{BucketReader, BucketWriter}
+
+/** Spatial engine surface wired to the driver tables: the relational tables
+  * carry no coordinates, so deterministic lon/lat are synthesized from
+  * integer keys with exact double arithmetic (identical in Spark and
+  * DuckDB), and every binning/label formula is mirrored verbatim in the
+  * oracle SQL — this hash-checks the pd.cut bin semantics, the label
+  * formatting, tile id raveling, the bucket write→read round trip, and the
+  * haversine radius filter.
+  */
+object Spatial extends QueryModule {
+
+  /** lon in [-180, 179.9], lat in [-90, 89.9], 0.1-degree steps. */
+  private def synthLon(id: Column): Column = (id % 3600).cast("double") / 10.0 - 180.0
+  private def synthLat(id: Column): Column = ((id * 7) % 1800).cast("double") / 10.0 - 90.0
+
+  private val synthSql =
+    """SELECT *,
+      |  CAST(event_id % 3600 AS DOUBLE)/10.0 - 180.0 AS lon,
+      |  CAST((event_id*7) % 1800 AS DOUBLE)/10.0 - 90.0 AS lat
+      |FROM events""".stripMargin
+
+  /** SQL mirror of Binning.binIndex (pd.cut right-closed + include_lowest
+    * + null out-of-bounds) — arithmetic identical to the Scala Column. */
+  private def binIdxSql(v: String, vmin: Double, size: Double, vmax: Double, n: Int): String = {
+    val k0 = s"LEAST(GREATEST(CAST(CEIL(($v - $vmin)/$size) AS BIGINT) - 1, 0), ${n - 1})"
+    s"""(CASE WHEN $v IS NULL OR isnan($v) OR $v < $vmin OR $v > $vmax THEN NULL
+       |  WHEN $k0 > 0 AND $v <= $vmin + $k0*$size THEN $k0 - 1
+       |  WHEN $k0 < ${n - 1} AND $v > $vmin + ($k0+1)*$size THEN $k0 + 1
+       |  ELSE $k0 END)""".stripMargin
+  }
+
+  /** SQL mirror of the centroid formula (uniform bins, no short last bin
+    * in the configs used here). */
+  private def centroidSql(k: String, vmin: Double, size: Double): String =
+    s"(($vmin + $k*$size) + ($vmin + ($k+1)*$size))/2"
+
+  /** SQL mirror of rint (round-half-even in float space). */
+  private def rintSql(x: String): String =
+    s"""(CASE WHEN ($x + 0.5) = FLOOR($x + 0.5) AND FLOOR($x + 0.5) % 2 <> 0
+       | THEN FLOOR($x + 0.5) - 1 ELSE FLOOR($x + 0.5) END)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // B2/B5/B10: XY binning of lineitem (discount, tax) — values sit exactly
+    // on bin edges, exercising right-closed + include_lowest semantics.
+    "q20_xy_bin_agg" -> ((s, dir) => {
+      import s.implicits._
+      val p = XYPartitioning(size = (0.02, 0.02), extent = Extent(0, 0.1, 0, 0.1))
+      p.addLabels(Tables(s, dir, "lineitem"), "l_discount", "l_tax")
+        .groupBy($"xbin", $"ybin")
+        .agg(count(lit(1)).as("n"),
+             sum(round($"l_quantity").cast("long")).as("sum_qty"))
+    }),
+
+    // S11+S1: full bucket round trip — write a LonLat hive bucket from
+    // synthesized coords, read back through the manifest with extent
+    // pruning + refinement, and hash-compare against a plain SQL filter.
+    "q21_bucket_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val events = Tables(s, dir, "events")
+        .withColumn("lon", synthLon($"event_id"))
+        .withColumn("lat", synthLat($"event_id"))
+        .select($"event_id", $"user_id", $"lon", $"lat")
+      val bucketDir = s"/tmp/graft_bucket_${dir.hashCode.toHexString}"
+      val p = LonLatPartitioning(size = (10, 10))
+      BucketWriter.writeBucket(events, bucketDir, p, mode = "overwrite")
+      BucketReader.read(s, bucketDir,
+          query = BucketReader.ByExtent(Extent(-30, 25, -15, 40)))
+        .select($"event_id", $"user_id", $"lon", $"lat",
+                $"lon_bin", $"lat_bin")
+    }),
+
+    // B8/B9: 1-level tile ids (C-order ravel, origin bottom) + counts.
+    "q22_tile_agg" -> ((s, dir) => {
+      import s.implicits._
+      val p = TilePartitioning(size = (30, 30), extent = Extent(-180, 180, -90, 90),
+        nLevels = 1)
+      val ev = Tables(s, dir, "events")
+        .withColumn("lon", synthLon($"event_id"))
+        .withColumn("lat", synthLat($"event_id"))
+      p.addLabels(ev, "lon", "lat")
+        .groupBy($"tile")
+        .agg(count(lit(1)).as("n"), max($"event_id").as("max_id"))
+    }),
+
+    // P5 (SQL-mirrorable variant): haversine point-radius filter, distance
+    // appended and rounded to whole meters.
+    "q23_point_radius" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .withColumn("lon", synthLon($"event_id"))
+        .withColumn("lat", synthLat($"event_id"))
+      ev.withColumn("dist_m",
+          Geodesic.haversineCol($"lon", $"lat", lit(12.5), lit(41.9)))
+        .where($"dist_m" <= 2000000.0)
+        .select($"event_id", $"lon", $"lat",
+          round($"dist_m").cast("long").as("dist_m_round"))
+    }),
+
+    // P5 exact-parity variant: WGS84 ellipsoidal (Vincenty) radius query
+    // through the bucket path — no SQL oracle (rows-only driver check);
+    // unit tests pin the distance values instead.
+    "q24_geodesic_radius" -> ((s, dir) => {
+      import s.implicits._
+      val bucketDir = s"/tmp/graft_bucket_${dir.hashCode.toHexString}"
+      // reuse the q21 bucket if present, else build it
+      if (!new java.io.File(s"$bucketDir/_bucket_info.json").exists()) {
+        val events = Tables(s, dir, "events")
+          .withColumn("lon", synthLon($"event_id"))
+          .withColumn("lat", synthLat($"event_id"))
+          .select($"event_id", $"user_id", $"lon", $"lat")
+        BucketWriter.writeBucket(events, bucketDir,
+          LonLatPartitioning(size = (10, 10)), mode = "overwrite")
+      }
+      BucketReader.read(s, bucketDir,
+          query = BucketReader.AroundPoint(12.5, 41.9, distance = 1500000.0))
+        .select($"event_id", $"lon", $"lat",
+          round($"distance").cast("long").as("dist_m_round"))
+    })
+  )
+
+  private val xyBinOracle: String = {
+    val xi = binIdxSql("l_discount", 0, 0.02, 0.1, 5)
+    val yi = binIdxSql("l_tax", 0, 0.02, 0.1, 5)
+    // labels_decimals = nDecimals(0.02)+1 = 3 → rint(c*1000)/1000 → varchar
+    def lab(c: String) = s"CAST(${rintSql(s"($c)*1000.0")}/1000.0 AS VARCHAR)"
+    s"""WITH b AS (
+       |  SELECT $xi AS xi, $yi AS yi, l_quantity FROM lineitem),
+       |v AS (
+       |  SELECT ${lab(centroidSql("xi", 0, 0.02))} AS xbin,
+       |         ${lab(centroidSql("yi", 0, 0.02))} AS ybin, l_quantity
+       |  FROM b WHERE xi IS NOT NULL AND yi IS NOT NULL)
+       |SELECT xbin, ybin, COUNT(*) AS n,
+       |  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+       |FROM v GROUP BY xbin, ybin""".stripMargin
+  }
+
+  private val bucketRoundtripOracle: String = {
+    val xi = binIdxSql("lon", -180, 10, 180, 36)
+    val yi = binIdxSql("lat", -90, 10, 90, 18)
+    def lab(c: String) = s"CAST(${rintSql(s"($c)*100.0")}/100.0 AS VARCHAR)"
+    s"""WITH s AS ($synthSql),
+       |f AS (SELECT event_id, user_id, lon, lat FROM s
+       |      WHERE lon BETWEEN -30 AND 25 AND lat BETWEEN -15 AND 40),
+       |b AS (SELECT *, $xi AS xi, $yi AS yi FROM f)
+       |SELECT event_id, user_id, lon, lat,
+       |  ${lab(centroidSql("xi", -180, 10))} AS lon_bin,
+       |  ${lab(centroidSql("yi", -90, 10))} AS lat_bin
+       |FROM b""".stripMargin
+  }
+
+  private val tileOracle: String = {
+    val xi = binIdxSql("lon", -180, 30, 180, 12)
+    val yi = binIdxSql("lat", -90, 30, 90, 6)
+    s"""WITH s AS ($synthSql),
+       |b AS (SELECT event_id, $xi AS xi, $yi AS yi FROM s),
+       |t AS (SELECT event_id,
+       |  CAST((5 - yi) * 12 + xi AS VARCHAR) AS tile
+       |  FROM b WHERE xi IS NOT NULL AND yi IS NOT NULL)
+       |SELECT tile, COUNT(*) AS n, MAX(event_id) AS max_id
+       |FROM t GROUP BY tile""".stripMargin
+  }
+
+  private val pointRadiusOracle: String =
+    s"""WITH s AS ($synthSql),
+       |d AS (SELECT event_id, lon, lat,
+       |  2.0 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+       |    SIN(RADIANS(lat - 41.9)/2) * SIN(RADIANS(lat - 41.9)/2)
+       |    + COS(RADIANS(41.9)) * COS(RADIANS(lat))
+       |      * SIN(RADIANS(lon - 12.5)/2) * SIN(RADIANS(lon - 12.5)/2)))) AS dist_m
+       |  FROM s)
+       |SELECT event_id, lon, lat,
+       |  CAST(round(dist_m) AS BIGINT) AS dist_m_round
+       |FROM d WHERE dist_m <= 2000000.0""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q20_xy_bin_agg" -> xyBinOracle,
+    "q21_bucket_roundtrip" -> bucketRoundtripOracle,
+    "q22_tile_agg" -> tileOracle,
+    "q23_point_radius" -> pointRadiusOracle
+    // q24_geodesic_radius: intentionally no oracle (ellipsoidal distance
+    // is not SQL-expressible) — driver records rows-only check.
+  )
+}

@@ -1,0 +1,69 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.partitioning.Partitioning2D
+
+/** Bucket manifest round-trip (reference bucket_info.yaml,
+  * satbucket/io.py:35-73). We store JSON (`bucket_info.json`): the
+  * partitioning class name + ctor kwargs plus the optional temporal
+  * partitioning, and rebuild the partitioning via a small factory.
+  */
+object BucketInfo {
+  // underscore prefix: Spark's file index treats it as metadata and skips
+  // it during parquet discovery (like _SUCCESS / _metadata)
+  val FileName = "_bucket_info.json"
+
+  def write(bucketDir: String, partitioning: Partitioning2D,
+            temporalPartitioning: Option[String] = None): Unit = {
+    val dict: Map[String, Any] = partitioning.toDict ++
+      temporalPartitioning.map("temporal_partitioning" -> _).toMap
+    Files.createDirectories(Paths.get(bucketDir))
+    Files.writeString(Paths.get(bucketDir, FileName), toJson(dict))
+  }
+
+  def read(bucketDir: String): Map[String, Any] = {
+    val p = Paths.get(bucketDir, FileName)
+    require(Files.exists(p), s"no $FileName in $bucketDir — not a bucket?")
+    fromJson(Files.readString(p))
+  }
+
+  def readPartitioning(bucketDir: String): Partitioning2D =
+    Partitioning2D.fromDict(read(bucketDir))
+
+  def readTemporalPartitioning(bucketDir: String): Option[String] =
+    read(bucketDir).get("temporal_partitioning").map(_.toString)
+
+  private def toJson(m: Map[String, Any]): String = {
+    def conv(v: Any): JValue = v match {
+      case null => JNull
+      case s: String => JString(s)
+      case i: Int => JInt(i)
+      case l: Long => JInt(l)
+      case d: Double => JDouble(d)
+      case b: Boolean => JBool(b)
+      case s: Seq[_] => JArray(s.map(conv).toList)
+      case m: Map[_, _] =>
+        JObject(m.map { case (k, vv) => k.toString -> conv(vv) }.toList)
+      case other => JString(other.toString)
+    }
+    JsonMethods.pretty(JsonMethods.render(conv(m)))
+  }
+
+  private def fromJson(s: String): Map[String, Any] = {
+    def conv(v: JValue): Any = v match {
+      case JNull | JNothing => null
+      case JString(x) => x
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case JDouble(x) => x
+      case JDecimal(x) => x.toDouble
+      case JBool(x) => x
+      case JArray(xs) => xs.map(conv)
+      case JObject(fields) => fields.map { case (k, vv) => k -> conv(vv) }.toMap
+      case other => other.toString
+    }
+    conv(JsonMethods.parse(s)).asInstanceOf[Map[String, Any]]
+  }
+}

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.parallel.CollectionConverters._
+import scala.util.{Try, Failure, Success}
+import graft.partitioning.Partitioning2D
+
+/** Bucket ETL writers (reference write_bucket / write_granule_bucket /
+  * write_granules_bucket, satbucket/routines.py:66-318, and the sink core
+  * satbucket/writers.py).
+  *
+  * Spark-native layout decision: buckets are written hive-flavor via
+  * `partitionBy(order)` — Catalyst prunes these directories from label
+  * predicates for free. File sizing maps the reference's "500MB"-style
+  * row-group targets onto `maxRecordsPerFile` + `parquet.block.size`
+  * estimated from sampled bytes/row (writers.py:95-112).
+  */
+object BucketWriter {
+
+  /** "200MB"/"2GB"-style size string → bytes (writers.py:39-92). */
+  def parseSize(s: String): Long = {
+    val m = "(?i)^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*(B|KB|MB|GB|TB)?\\s*$".r
+    s match {
+      case m(num, unit) =>
+        val mult = Option(unit).map(_.toUpperCase) match {
+          case None | Some("B") => 1L
+          case Some("KB") => 1L << 10
+          case Some("MB") => 1L << 20
+          case Some("GB") => 1L << 30
+          case Some("TB") => 1L << 40
+        }
+        (num.toDouble * mult).toLong
+      case _ => throw new IllegalArgumentException(s"cannot parse size '$s'")
+    }
+  }
+
+  /** Estimate rows that fit in `sizeBytes` from a sample's in-memory size
+    * (reference estimate_row_group_size, writers.py:95-112). */
+  def estimateRowsForSize(df: DataFrame, sizeBytes: Long,
+                          sampleRows: Int = 10000): Long = {
+    val sample = df.limit(sampleRows)
+    val n = sample.count()
+    if (n == 0) return 1L
+    // Arrow/pandas-style memory estimate: sum of column widths; strings
+    // sampled by actual length.
+    val schema = sample.schema
+    val widths = schema.fields.map { f =>
+      f.dataType.defaultSize.toDouble
+    }.sum
+    val bytesPerRow = math.max(widths, 8.0)
+    math.max((sizeBytes / bytesPerRow).toLong, 1L)
+  }
+
+  /** Write a single dataframe as a spatially partitioned bucket
+    * (reference write_bucket, routines.py:255-318). */
+  def writeBucket(df: DataFrame, bucketDir: String, p: Partitioning2D,
+                  x: String = "lon", y: String = "lat",
+                  rowGroupSize: String = "500MB",
+                  maxFileSize: String = "2GB",
+                  compression: String = "snappy",
+                  mode: String = "append",
+                  removeInvalidRows: Boolean = true): Unit = {
+    val labeled = p.addLabels(df, x, y, removeInvalidRows)
+    val maxRecords = estimateRowsForSize(df, parseSize(maxFileSize))
+    labeled.write
+      .mode(mode)
+      .partitionBy(p.order: _*)
+      .option("compression", compression)
+      .option("maxRecordsPerFile", maxRecords)
+      .option("parquet.block.size", parseSize(rowGroupSize))
+      .parquet(bucketDir)
+    // after the data: "overwrite" clears the directory first, which would
+    // delete a manifest written up front
+    BucketInfo.write(bucketDir, p)
+  }
+
+  /** User extension point: filepath → rows (reference granule_to_df_func,
+    * routines.py:66-125). Return None to skip (e.g. no AOI intersection). */
+  trait GranuleReader extends Serializable {
+    def read(spark: SparkSession, path: String): Option[DataFrame]
+  }
+
+  /** Per-granule fan-out ETL (reference write_granules_bucket,
+    * routines.py:143-250): driver-parallel loop, per-file error capture,
+    * collision-free append (Spark generates unique part-file names, so the
+    * reference's filename-prefix machinery is unnecessary).
+    *
+    * Returns (path, error) for each failed granule — failures don't abort
+    * the run, matching the reference's error-capture contract.
+    */
+  def writeGranulesBucket(spark: SparkSession, filepaths: Seq[String],
+                          bucketDir: String, p: Partitioning2D,
+                          reader: GranuleReader,
+                          x: String = "lon", y: String = "lat",
+                          parallelism: Int = 4,
+                          rowGroupSize: String = "500MB"): Seq[(String, String)] = {
+    BucketInfo.write(bucketDir, p)
+    val par = filepaths.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(parallelism))
+    par.flatMap { path =>
+      Try {
+        reader.read(spark, path).foreach { df =>
+          val labeled = p.addLabels(df, x, y, removeInvalidRows = true)
+          labeled.write
+            .mode("append")
+            .partitionBy(p.order: _*)
+            .option("compression", "snappy")
+            .option("parquet.block.size", parseSize(rowGroupSize))
+            .parquet(bucketDir)
+        }
+      } match {
+        case Success(_) => None
+        case Failure(e) => Some(path -> String.valueOf(e.getMessage))
+      }
+    }.seq.toSeq
+  }
+}
