@@ -10,7 +10,8 @@ object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
     Relational,
-    Spatial
+    Spatial,
+    AnalysisQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

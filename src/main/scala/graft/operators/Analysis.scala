@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / swath analysis operators (reference satbucket/analysis.py
+  * and satbucket/utils/time.py), re-expressed as window/join plans.
+  *
+  * Scale note: the reference's operators sort *all* timesteps on one
+  * machine. Every window here takes optional partition keys (e.g. spatial
+  * cell, user id) so the plan shuffles by key instead of collapsing to a
+  * single-task global sort; with no keys given we match the reference's
+  * global semantics (fine for a regional subset, the documented use).
+  */
+object Analysis {
+
+  /** W3: gap-based session id per row (add_overpass_id, analysis.py:258-280;
+    * default gap 2 min). The reference's Python loop over `diff` becomes a
+    * lag + running-sum window. */
+  def addOverpassId(df: DataFrame, gapSeconds: Long = 120,
+                    time: String = "time",
+                    partitionBy: Seq[String] = Nil,
+                    idCol: String = "overpass_id"): DataFrame = {
+    val w = if (partitionBy.isEmpty) Window.orderBy(col(time))
+            else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(time))
+    val gapUs = gapSeconds * 1000000L
+    df.withColumn("__ts_us", unix_micros(col(time)))
+      .withColumn("__prev", lag("__ts_us", 1).over(w))
+      .withColumn(idCol,
+        sum(when(col("__prev").isNull || col("__ts_us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L)).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+      .drop("__ts_us", "__prev")
+  }
+
+  /** W1: distinct-timestep sessionization → (overpass_id, start, end)
+    * (get_list_overpass_time, analysis.py:41-94; default gap 60 min). */
+  def listOverpassTimes(df: DataFrame, gapSeconds: Long = 3600,
+                        time: String = "time",
+                        partitionBy: Seq[String] = Nil): DataFrame = {
+    val distinct = df.select((partitionBy :+ time).map(col): _*).distinct()
+    addOverpassId(distinct, gapSeconds, time, partitionBy)
+      .groupBy((partitionBy :+ "overpass_id").map(col): _*)
+      .agg(min(col(time)).as("start_time"), max(col(time)).as("end_time"))
+  }
+
+  /** W4: per-session row count joined back — expressed as a count-over-
+    * partition window, no join (count_overpass_occurence, analysis.py:283-288). */
+  def countOverpassOccurrence(df: DataFrame, gapSeconds: Long = 120,
+                              time: String = "time",
+                              partitionBy: Seq[String] = Nil): DataFrame = {
+    val withId = addOverpassId(df, gapSeconds, time, partitionBy)
+    withId.withColumn("count_overpass_occurence",
+      count(lit(1)).over(
+        Window.partitionBy((partitionBy :+ "overpass_id").map(col): _*)))
+  }
+
+  /** W5: contiguous along-track re-indexing across granules
+    * (get_swath_indices, analysis.py:113-182). `gpm_id` = "granule-along";
+    * each granule's along-track block is shifted so blocks are contiguous:
+    * offset(g) = Σ widths of granules before g (granule-id order);
+    * x_index = along - min_along(g) + offset(g). Window-only, no collect.
+    */
+  def swathIndices(df: DataFrame, xIndex: String = "gpm_id",
+                   yIndex: String = "gpm_cross_track_id"): DataFrame = {
+    val parsed = df
+      .withColumn("__granule", split(col(xIndex), "-").getItem(0).cast("long"))
+      .withColumn("__along", split(col(xIndex), "-").getItem(1).cast("long"))
+    val perGranule = Window.partitionBy(col("__granule"))
+    val withBounds = parsed
+      .withColumn("__min_along", min("__along").over(perGranule))
+      .withColumn("__max_along", max("__along").over(perGranule))
+      .withColumn("__width", col("__max_along") - col("__min_along") + 1)
+    // running offset over granules in granule-id order; granule count is
+    // small (bounded by orbit segments in the overpass) so a rangeBetween
+    // window over distinct granules stays cheap
+    val granules = withBounds.select("__granule", "__width").distinct()
+    val offsetW = Window.orderBy("__granule")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = granules.withColumn("__offset",
+      coalesce(sum("__width").over(offsetW), lit(0L)))
+    withBounds
+      .join(broadcast(offsets.select("__granule", "__offset")), Seq("__granule"))
+      .withColumn("x_index", col("__along") - col("__min_along") + col("__offset"))
+      .withColumn("y_index", col(yIndex).cast("long"))
+      .drop("__granule", "__along", "__min_along", "__max_along", "__width", "__offset")
+  }
+
+  /** W6/J1/J3/O4: dense 2-D swath grid — re-index, dedup, and left-join the
+    * full (x_index × y_index) product so missing footprints appear as null
+    * rows (overpass_to_dataset, analysis.py:185-255). The full grid is
+    * generated with `spark.range` and broadcast (a single overpass is
+    * 10^4-10^5 cells). */
+  def overpassToGrid(spark: SparkSession, dfOverpass: DataFrame,
+                     xIndex: String = "gpm_id",
+                     yIndex: String = "gpm_cross_track_id"): DataFrame = {
+    val indexed = swathIndices(dfOverpass, xIndex, yIndex)
+      .dropDuplicates("x_index", "y_index")
+    val xr = indexed.agg(min("x_index"), max("x_index"),
+      min("y_index"), max("y_index")).head()
+    val (x0, x1, y0, y1) = (xr.getLong(0), xr.getLong(1), xr.getLong(2), xr.getLong(3))
+    val fullGrid = spark.range(0, x1 + 1).select(col("id").as("x_index"))
+      .crossJoin(spark.range(y0, y1 + 1).select(col("id").as("y_index")))
+    broadcast(fullGrid).join(indexed, Seq("x_index", "y_index"), "left")
+  }
+
+  /** A5: first non-null value per group (xr_first analogue). */
+  def firstNonNull(c: Column): Column = first(c, ignoreNulls = true)
+
+  /** W8: snap an (already aggregated) time series onto a uniform time grid,
+    * filling holes (regularize_dataset, utils/time.py:279-332). Generates
+    * the full axis with sequence+explode, left-joins (broadcast: the axis
+    * is tiny relative to data), and coalesces fill values per column. */
+  def regularizeTime(df: DataFrame, freqSeconds: Long,
+                     time: String = "time",
+                     fillValues: Map[String, Any] = Map.empty): DataFrame = {
+    val r = df.agg(min(col(time)), max(col(time))).head()
+    val (t0, t1) = (r.getTimestamp(0), r.getTimestamp(1))
+    val axis = df.sparkSession.range(1).select(
+      explode(sequence(
+        lit(t0), lit(t1),
+        expr(s"INTERVAL $freqSeconds SECONDS"))).as(time))
+    val joined = broadcast(axis).join(df, Seq(time), "left")
+    fillValues.foldLeft(joined) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), lit(v)))
+    }
+  }
+
+  /** W7: linearly interpolate missing values in an ordered series, inside
+    * gaps of at most `limit` consecutive nulls (interpolate_nat /
+    * infill_timesteps, utils/time.py:132-201). Window-based: previous and
+    * next non-null anchor + linear blend on row offsets. */
+  def interpolateLinear(df: DataFrame, valueCol: String, orderCol: String,
+                        limit: Int = Int.MaxValue,
+                        partitionBy: Seq[String] = Nil): DataFrame = {
+    val base = if (partitionBy.isEmpty) Window.orderBy(col(orderCol))
+               else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
+    val back = base.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = base.rowsBetween(0, Window.unboundedFollowing)
+    val rn = row_number().over(base)
+    val v = col(valueCol).cast("double")
+    val df1 = df
+      .withColumn("__rn", rn)
+      .withColumn("__pv", last(when(v.isNotNull, v), ignoreNulls = true).over(back))
+      .withColumn("__pr", last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(back))
+      .withColumn("__nv", first(when(v.isNotNull, v), ignoreNulls = true).over(fwd))
+      .withColumn("__nr", first(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(fwd))
+    val gap = col("__nr") - col("__pr") - 1
+    val interp = col("__pv") +
+      (col("__nv") - col("__pv")) *
+        (col("__rn") - col("__pr")).cast("double") / (col("__nr") - col("__pr")).cast("double")
+    df1.withColumn(valueCol,
+        when(v.isNotNull, v)
+          .when(col("__pv").isNotNull && col("__nv").isNotNull && gap <= limit, interp)
+          .otherwise(lit(null).cast("double")))
+      .drop("__rn", "__pv", "__pr", "__nv", "__nr")
+  }
+
+  /** A1+J1: the data-cube pivot (to_xarray analogue, partitioning.py:734-813):
+    * left-join an aggregated dataframe onto the full centroid grid so every
+    * cell exists, with nulls where no data fell. Returns the dense long-form
+    * grid; callers needing a 2-D array collect it driver-side (grids are
+    * ≤64,800 cells at 1°). */
+  def toGridCube(spark: SparkSession, agg: DataFrame,
+                 p: graft.partitioning.Partitioning2D,
+                 xCoord: String = null, yCoord: String = null): DataFrame = {
+    val xc = Option(xCoord).getOrElse(p.xCoord)
+    val yc = Option(yCoord).getOrElse(p.yCoord)
+    import spark.implicits._
+    val xs = p.xCentroids.toSeq.toDF(xc)
+    val ys = p.yCentroids.toSeq.toDF(yc)
+    broadcast(xs.crossJoin(ys)).join(agg, Seq(xc, yc), "left")
+  }
+}

@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Analysis
+import graft.partitioning._
+import graft.sources.{BucketReader, BucketWriter, Merge}
+
+/** Analysis + compaction operators wired to the driver gate: overpass
+  * sessionization (W1-W4) and the merge path (S12) are hash-checked against
+  * SQL mirrors; swath/grid operators are covered by ScalaTest (their output
+  * shape is dataframe-with-null-holes, SQL-expressible too — see q28).
+  */
+object AnalysisQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W1: distinct-timestep gap sessionization per user via the library op.
+    "q25_overpass_times" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").select($"user_id", $"ts".as("time"))
+      Analysis.listOverpassTimes(ev, gapSeconds = 1800,
+          partitionBy = Seq("user_id"))
+        .select($"user_id", $"overpass_id",
+          unix_micros($"start_time").as("start_us"),
+          unix_micros($"end_time").as("end_us"))
+    }),
+
+    // W4: per-row session occurrence count (window, no join-back).
+    "q26_overpass_count" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts".as("time"))
+      Analysis.countOverpassOccurrence(ev, gapSeconds = 600,
+          partitionBy = Seq("user_id"))
+        .select($"event_id", $"user_id", $"overpass_id",
+          $"count_overpass_occurence")
+    }),
+
+    // S12/T8: full compaction round trip — granule-style bucket → merge
+    // (month periods, {prefix}_{i}.parquet naming) → read back through the
+    // merged bucket; hash-compared against plain SQL on the raw table.
+    "q27_merge_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val src = s"/tmp/graft_merge_src_${dir.hashCode.toHexString}"
+      val dst = s"/tmp/graft_merge_dst_${dir.hashCode.toHexString}"
+      val ev = Tables(s, dir, "events")
+        .withColumn("lon", (($"event_id" % 3600).cast("double") / 10.0) - 180.0)
+        .withColumn("lat", ((($"event_id" * 7) % 1800).cast("double") / 10.0) - 90.0)
+        .select($"event_id", $"lon", $"lat", $"ts".as("time"), $"value")
+      BucketWriter.writeBucket(ev, src, LonLatPartitioning(size = (20, 20)),
+        mode = "overwrite")
+      Merge.mergeGranuleBuckets(s, src, dst, temporalPartitioning = "month")
+      BucketReader.read(s, dst,
+          query = BucketReader.ByExtent(Extent(-60, 60, -45, 45)))
+        .select($"event_id", $"lon", $"lat", unix_micros($"time").as("t_us"),
+          round($"value" * 100).cast("long").as("value_cents"),
+          $"lon_bin", $"lat_bin")
+    }),
+
+    // W6-shaped dense grid: aggregate events into a coarse LonLat grid and
+    // left-join the full centroid mesh so empty cells surface as nulls.
+    "q28_grid_cube" -> ((s, dir) => {
+      import s.implicits._
+      val p = LonLatPartitioning(size = (30, 30))
+      val ev = Tables(s, dir, "events")
+        .withColumn("lon", (($"event_id" % 3600).cast("double") / 10.0) - 180.0)
+        .withColumn("lat", ((($"event_id" * 7) % 1800).cast("double") / 10.0) - 90.0)
+      val agg = p.addCentroids(ev, "lon", "lat")
+        .groupBy($"lon_c", $"lat_c")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("sum_cents"))
+      Analysis.toGridCube(s, agg, p)
+        .select($"lon_c", $"lat_c",
+          coalesce($"n", lit(0L)).as("n"),
+          coalesce($"sum_cents", lit(0L)).as("sum_cents"))
+    })
+  )
+
+  private val synthSql = OracleSql.synthEvents
+
+  def oracle: Map[String, String] = Map(
+    "q25_overpass_times" -> """
+      WITH d AS (SELECT DISTINCT user_id, ts FROM events),
+      t AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        FROM d),
+      m AS (
+        SELECT user_id, ts_us,
+          SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS overpass_id
+        FROM t)
+      SELECT user_id, overpass_id,
+        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      FROM m GROUP BY user_id, overpass_id""",
+
+    "q26_overpass_count" -> """
+      WITH t AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        FROM events),
+      m AS (
+        SELECT event_id, user_id,
+          SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 600000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts_us
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS overpass_id
+        FROM t)
+      SELECT event_id, user_id, overpass_id,
+        COUNT(*) OVER (PARTITION BY user_id, overpass_id) AS count_overpass_occurence
+      FROM m""",
+
+    "q27_merge_roundtrip" -> s"""
+      WITH s AS ($synthSql)
+      SELECT event_id, lon, lat, epoch_us(ts) AS t_us,
+        CAST(round(value*100) AS BIGINT) AS value_cents,
+        ${OracleSql.axisLabel("lon", -180, 20, 180, 18, 2)} AS lon_bin,
+        ${OracleSql.axisLabel("lat", -90, 20, 90, 9, 2)} AS lat_bin
+      FROM s
+      WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -45 AND 45""",
+
+    "q28_grid_cube" -> s"""
+      WITH s AS ($synthSql),
+      b AS (SELECT
+        ${OracleSql.centroid(OracleSql.binIdx("lon", -180, 30, 180, 12), -180, 30)} AS lon_c,
+        ${OracleSql.centroid(OracleSql.binIdx("lat", -90, 30, 90, 6), -90, 30)} AS lat_c,
+        value FROM s),
+      agg AS (SELECT lon_c, lat_c, COUNT(*) AS n,
+        SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        FROM b GROUP BY lon_c, lat_c),
+      mesh AS (
+        SELECT ${OracleSql.centroid("x", -180, 30)} AS lon_c,
+               ${OracleSql.centroid("y", -90, 30)} AS lat_c
+        FROM generate_series(0, 11) AS gx(x), generate_series(0, 5) AS gy(y))
+      SELECT m.lon_c, m.lat_c,
+        COALESCE(agg.n, 0) AS n, COALESCE(agg.sum_cents, 0) AS sum_cents
+      FROM mesh m LEFT JOIN agg ON m.lon_c = agg.lon_c AND m.lat_c = agg.lat_c"""
+  )
+}

@@ -21,31 +21,12 @@ object Spatial extends QueryModule {
   private def synthLon(id: Column): Column = (id % 3600).cast("double") / 10.0 - 180.0
   private def synthLat(id: Column): Column = ((id * 7) % 1800).cast("double") / 10.0 - 90.0
 
-  private val synthSql =
-    """SELECT *,
-      |  CAST(event_id % 3600 AS DOUBLE)/10.0 - 180.0 AS lon,
-      |  CAST((event_id*7) % 1800 AS DOUBLE)/10.0 - 90.0 AS lat
-      |FROM events""".stripMargin
-
-  /** SQL mirror of Binning.binIndex (pd.cut right-closed + include_lowest
-    * + null out-of-bounds) — arithmetic identical to the Scala Column. */
-  private def binIdxSql(v: String, vmin: Double, size: Double, vmax: Double, n: Int): String = {
-    val k0 = s"LEAST(GREATEST(CAST(CEIL(($v - $vmin)/$size) AS BIGINT) - 1, 0), ${n - 1})"
-    s"""(CASE WHEN $v IS NULL OR isnan($v) OR $v < $vmin OR $v > $vmax THEN NULL
-       |  WHEN $k0 > 0 AND $v <= $vmin + $k0*$size THEN $k0 - 1
-       |  WHEN $k0 < ${n - 1} AND $v > $vmin + ($k0+1)*$size THEN $k0 + 1
-       |  ELSE $k0 END)""".stripMargin
-  }
-
-  /** SQL mirror of the centroid formula (uniform bins, no short last bin
-    * in the configs used here). */
+  private val synthSql = OracleSql.synthEvents
+  private def binIdxSql(v: String, vmin: Double, size: Double, vmax: Double, n: Int): String =
+    OracleSql.binIdx(v, vmin, size, vmax, n)
   private def centroidSql(k: String, vmin: Double, size: Double): String =
-    s"(($vmin + $k*$size) + ($vmin + ($k+1)*$size))/2"
-
-  /** SQL mirror of rint (round-half-even in float space). */
-  private def rintSql(x: String): String =
-    s"""(CASE WHEN ($x + 0.5) = FLOOR($x + 0.5) AND FLOOR($x + 0.5) % 2 <> 0
-       | THEN FLOOR($x + 0.5) - 1 ELSE FLOOR($x + 0.5) END)""".stripMargin
+    OracleSql.centroid(k, vmin, size)
+  private def rintSql(x: String): String = OracleSql.rint(x)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,104 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Analysis
+import graft.partitioning.{Extent, XYPartitioning}
+
+class AnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("addOverpassId: gap-based session ids (W3)") {
+    val df = Seq(
+      ts("2021-01-01 00:00:00"), ts("2021-01-01 00:01:00"),
+      ts("2021-01-01 00:02:30"), ts("2021-01-01 02:00:00"),
+      ts("2021-01-01 02:01:00"), ts("2021-01-02 00:00:00")
+    ).toDF("time")
+    val got = Analysis.addOverpassId(df, gapSeconds = 120)
+      .orderBy("time").select("overpass_id").as[Long].collect().toSeq
+    assert(got == Seq(0, 0, 0, 1, 1, 2))
+  }
+
+  test("listOverpassTimes: distinct sessionized periods (W1)") {
+    val df = Seq(
+      ts("2021-01-01 00:00:00"), ts("2021-01-01 00:30:00"),
+      ts("2021-01-01 00:30:00"), // duplicate timestep
+      ts("2021-01-01 05:00:00")
+    ).toDF("time")
+    val got = Analysis.listOverpassTimes(df, gapSeconds = 3600)
+      .orderBy("start_time")
+      .select("start_time", "end_time").as[(Timestamp, Timestamp)].collect().toSeq
+    assert(got == Seq(
+      (ts("2021-01-01 00:00:00"), ts("2021-01-01 00:30:00")),
+      (ts("2021-01-01 05:00:00"), ts("2021-01-01 05:00:00"))))
+  }
+
+  test("countOverpassOccurrence: per-session count as window (W4/J2)") {
+    val df = Seq(
+      ts("2021-01-01 00:00:00"), ts("2021-01-01 00:01:00"),
+      ts("2021-01-01 03:00:00")).toDF("time")
+    val got = Analysis.countOverpassOccurrence(df, gapSeconds = 120)
+      .orderBy("time").select("count_overpass_occurence").as[Long].collect().toSeq
+    assert(got == Seq(2, 2, 1))
+  }
+
+  test("swathIndices: contiguous re-index across granules (W5)") {
+    // granule 7: along 3..5 (width 3); granule 9: along 0..1 (width 2)
+    val df = Seq(
+      ("7-3", 0), ("7-4", 0), ("7-5", 1), ("9-0", 0), ("9-1", 1)
+    ).toDF("gpm_id", "gpm_cross_track_id")
+    val got = Analysis.swathIndices(df)
+      .orderBy("gpm_id")
+      .select("gpm_id", "x_index").as[(String, Long)].collect().toMap
+    assert(got == Map("7-3" -> 0L, "7-4" -> 1L, "7-5" -> 2L,
+      "9-0" -> 3L, "9-1" -> 4L))
+  }
+
+  test("overpassToGrid: dense grid with null holes (W6/J1/J3)") {
+    val df = Seq(
+      ("0-0", 0, 1.5), ("0-1", 1, 2.5) // 2 footprints only
+    ).toDF("gpm_id", "gpm_cross_track_id", "v")
+    val grid = Analysis.overpassToGrid(spark, df)
+    // x_index 0..1 × y_index 0..1 = 4 cells, 2 filled
+    assert(grid.count() == 4)
+    assert(grid.where($"v".isNotNull).count() == 2)
+  }
+
+  test("regularizeTime: uniform axis + typed fills (W8)") {
+    val df = Seq(
+      (ts("2021-01-01 00:00:00"), 1.0),
+      (ts("2021-01-01 00:03:00"), 4.0)
+    ).toDF("time", "v")
+    val got = Analysis.regularizeTime(df, freqSeconds = 60,
+        fillValues = Map("v" -> 0.0))
+      .orderBy("time").select("v").as[Double].collect().toSeq
+    assert(got == Seq(1.0, 0.0, 0.0, 4.0))
+  }
+
+  test("interpolateLinear: inside-only, limited gaps (W7)") {
+    val df = Seq[(Int, java.lang.Double)](
+      (1, 1.0), (2, null), (3, null), (4, 4.0), (5, null)
+    ).toDF("i", "v")
+    val got = Analysis.interpolateLinear(df, "v", "i")
+      .orderBy("i").select("v").as[Option[Double]].collect().toSeq
+    assert(got == Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None))
+    val limited = Analysis.interpolateLinear(df, "v", "i", limit = 1)
+      .orderBy("i").select("v").as[Option[Double]].collect().toSeq
+    assert(limited == Seq(Some(1.0), None, None, Some(4.0), None))
+  }
+
+  test("toGridCube: full centroid grid with NaN holes (A1/J1)") {
+    val p = XYPartitioning(size = (0.5, 0.25), extent = Extent(0, 2, 0, 2))
+    val df = Seq((0.6, 0.6, 10.0), (0.7, 0.55, 20.0)).toDF("x", "y", "v")
+    val agg = p.addCentroids(df, "x", "y")
+      .groupBy("x_c", "y_c").agg(avg($"v").as("v"))
+    val cube = Analysis.toGridCube(spark, agg, p, "x_c", "y_c")
+    assert(cube.count() == p.nPartitions)
+    assert(cube.where($"v".isNotNull).count() == 1)
+    assert(cube.where($"v" === 15.0).count() == 1)
+  }
+}

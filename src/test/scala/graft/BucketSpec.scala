@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.partitioning.{Extent, LonLatPartitioning}
+import graft.sources.{BucketInfo, BucketReader, BucketWriter, Merge}
+
+/** Pipeline round trips (reference test_routines.py:82-462 +
+  * test_readers.py:88-257): write granules → layout → read back → merge →
+  * period-named files → update mode. */
+class BucketSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmpDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft_$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  test("write/read round trip with layout check (S11+S1)") {
+    val dir = tmpDir("bucket")
+    val df = OrbitFixture.standard(spark)
+    val p = LonLatPartitioning(size = (10, 10))
+    BucketWriter.writeBucket(df, dir, p, mode = "overwrite")
+
+    // layout: hive dirs lon_bin=<label>/lat_bin=<label>
+    assert(Files.exists(Paths.get(dir, "_bucket_info.json")))
+    val topDirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(topDirs.nonEmpty && topDirs.forall(_.startsWith("lon_bin=")))
+
+    // full read: 150 rows, 8 original + 2 label columns
+    val back = BucketReader.read(spark, dir)
+    assert(back.count() == 150)
+    assert(back.columns.toSet.contains("lon_bin"))
+
+    // projection + limit
+    val proj = BucketReader.read(spark, dir, columns = Seq("lon", "lat"), nRows = 2)
+    assert(proj.columns.toSeq == Seq("lon", "lat") && proj.count() == 2)
+
+    // extent query returns only in-region rows
+    val ext = Extent(-1, 3, -1, 5)
+    val sub = BucketReader.read(spark, dir, BucketReader.ByExtent(ext))
+    val all = df.where($"lon".between(ext.xmin, ext.xmax) &&
+      $"lat".between(ext.ymin, ext.ymax)).count()
+    assert(sub.count() == all && sub.count() > 0)
+
+    // point radius adds distance column, all within radius
+    val pr = BucketReader.read(spark, dir,
+      BucketReader.AroundPoint(5.0, 10.0, distance = 500e3))
+    assert(pr.columns.contains("distance"))
+    assert(pr.agg(max($"distance")).as[Double].head() <= 500e3)
+  }
+
+  test("merge: period-named consolidated files + update mode (S12/T8)") {
+    val src = tmpDir("src")
+    val dst = tmpDir("dst")
+    val p = LonLatPartitioning(size = (10, 10))
+    BucketWriter.writeBucket(OrbitFixture.standard(spark), src, p, mode = "overwrite")
+
+    Merge.mergeGranuleBuckets(spark, src, dst, temporalPartitioning = "month")
+
+    // consolidated files are named {year}_{month}_{i}.parquet inside the
+    // spatial partition dirs
+    val files = Files.walk(Paths.get(dst)).iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .filter(f => f.toString.endsWith(".parquet")).map(_.getFileName.toString).toSeq
+    assert(names.nonEmpty)
+    assert(names.forall(n => n.matches("\\d{4}_\\d{1,2}_\\d+\\.parquet")), names.take(5))
+    assert(names.exists(_.startsWith("2021_7_")))
+    assert(names.exists(_.startsWith("2021_8_")))
+    assert(names.exists(_.startsWith("2023_7_")))
+
+    // dst readable as a bucket, same row count
+    assert(BucketReader.read(spark, dst).count() == 150)
+    assert(BucketInfo.readTemporalPartitioning(dst).contains("month"))
+
+    // update mode: re-merge only July 2021 — replaces exactly that period
+    Merge.mergeGranuleBuckets(spark, src, dst, temporalPartitioning = "month",
+      startTime = Some(LocalDateTime.of(2021, 7, 1, 0, 0)),
+      endTime = Some(LocalDateTime.of(2021, 8, 1, 0, 0)),
+      update = true)
+    assert(BucketReader.read(spark, dst).count() == 150)
+
+    // update into a non-bucket dst fails
+    intercept[IllegalArgumentException] {
+      Merge.mergeGranuleBuckets(spark, src, tmpDir("nodst"), update = true)
+    }
+  }
+
+  test("writeGranulesBucket: per-granule fan-out with error capture (S9/S10)") {
+    val dir = tmpDir("granules")
+    val p = LonLatPartitioning(size = (10, 10))
+    val reader = new BucketWriter.GranuleReader {
+      def read(s: org.apache.spark.sql.SparkSession, path: String) = path match {
+        case "bad" => throw new RuntimeException("check_this_error_captured")
+        case "skip" => None
+        case _ => Some(OrbitFixture.granule(s, path.toInt))
+      }
+    }
+    val errors = BucketWriter.writeGranulesBucket(spark,
+      Seq("0", "1", "bad", "skip"), dir, p, reader, parallelism = 2)
+    assert(errors.map(_._1) == Seq("bad"))
+    assert(errors.head._2.contains("check_this_error_captured"))
+    assert(BucketReader.read(spark, dir).count() == 100) // 2 granules × 50
+  }
+
+  test("size-string parsing (S6/U7, test_writers.py)") {
+    assert(BucketWriter.parseSize("200MB") == 200L * 1024 * 1024)
+    assert(BucketWriter.parseSize("2GB") == 2L * 1024 * 1024 * 1024)
+    assert(BucketWriter.parseSize("512") == 512L)
+    assert(BucketWriter.parseSize("1.5KB") == 1536L)
+    intercept[IllegalArgumentException](BucketWriter.parseSize("nonsense"))
+  }
+}
