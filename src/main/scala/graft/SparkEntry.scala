@@ -11,7 +11,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational,
     Spatial,
-    AnalysisQueries
+    AnalysisQueries,
+    PipelineQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a broadcast of the (small) query
+  * set against the corpus; one scan, no shuffle of the corpus.
+  * Scale path: random-hyperplane LSH bucketing — the corpus is hashed to
+  * sign-bit buckets in one pass, candidates come only from the query's
+  * bucket. Hyperplanes are deterministic (seeded), generated driver-side.
+  *
+  * All float math is done in doubles with fixed evaluation order
+  * (sequential fold), so an SQL transcription reproduces bits.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns (codegen'd
+    * builtins; same order as a C loop: acc += a(i)*b(i)). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query row, the k nearest corpus
+    * rows (excluding self), ties broken by ascending corpus id. */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("__cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos")
+  }
+
+  /** Deterministic hyperplanes: nPlanes × dim in [-1, 1), seeded. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextDouble() * 2 - 1))
+  }
+
+  /** Sign-bit bucket signature ("0110…") of each vector under the planes —
+    * one pass, no shuffle; the Column literal arrays keep it codegen'd. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) >= 0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** LSH-bucketed approximate NN: top-k per query among corpus vectors in
+    * the query's own bucket. Recall trades off with nPlanes; multi-probe
+    * (flipping one bit) can be layered on by unioning probe signatures. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 8,
+              seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val q = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("bucket", lshBucket(col("__qv"), planes))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("bucket", lshBucket(col("__cv"), planes))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos", "bucket")
+  }
+
+  /** Embedding near-duplicate pairs: cosine above threshold, via LSH
+    * buckets (a < b to halve the candidate space). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, nPlanes: Int = 8,
+                            seed: Long = 42L): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val v = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("bucket", lshBucket(col("__v"), planes))
+    val l = v.select(col("bucket"), col("__id").as("a"), col("__v").as("__va"))
+    val r = v.select(col("bucket"), col("__id").as("b"), col("__v").as("__vb"))
+    l.join(r, Seq("bucket"))
+      .where(col("a") < col("b"))
+      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .where(col("cos") >= threshold)
+      .select("a", "b", "cos")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: language id, quality
+  * scoring, token counting, document fingerprinting. All pure builtin
+  * Column expressions (whole-stage codegen, no UDFs), with formulas chosen
+  * to be transcribable to SQL for the oracle gate.
+  */
+object TextAnalysis {
+
+  /** Occurrences of `needle` in `hay` via length arithmetic (portable). */
+  def countOccurrences(hay: Column, needle: String): Column =
+    (length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) / needle.length
+
+  private def padded(text: Column): Column =
+    concat(lit(" "), Dedup.normalizedText(text), lit(" "))
+
+  /** Tiny per-language stopword marker sets (top function words). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " a ", " and ", " of ", " to "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ein "),
+    "es" -> Seq(" el ", " la ", " los ", " y ", " de "),
+    "fr" -> Seq(" le ", " la ", " les ", " et ", " un "),
+    "zh" -> Seq(" 的 ", " 是 ", " 了 ", " 在 ", " 和 "))
+
+  /** Stopword-hit count for one language. */
+  def stopwordScore(text: Column, lang: String): Column =
+    stopwords(lang).map(w => countOccurrences(padded(text), w))
+      .reduce(_ + _).cast("long")
+
+  /** n-gram/stopword-heuristic language id: argmax score, alphabetical
+    * tie-break (deterministic). */
+  def langIdCol(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    // greatest(struct) compares fields in order: score first, then the
+    // negated alphabetical rank so ties go to the alphabetically-first lang
+    val ranked = langs.zipWithIndex.map { case (l, i) =>
+      struct(stopwordScore(text, l).as("s"), lit(-i).as("nr"), lit(l).as("l"))
+    }
+    greatest(ranked: _*).getField("l")
+  }
+
+  /** Whitespace token count (portable split semantics). */
+  def tokenCount(text: Column): Column =
+    size(split(Dedup.normalizedText(text), " ")).cast("long")
+
+  /** BPE-ish subword-unit count: runs of letters, digits, or single other
+    * non-space chars (regexp_count, mirrored by DuckDB regexp_extract_all). */
+  def bpeishCount(text: Column): Column =
+    regexp_count(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("long")
+
+  /** Quality metrics: integer-valued components of the classic
+    * length/punct/stopword heuristics, plus a boolean keep flag. */
+  def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val norm = Dedup.normalizedText(t)
+    df.withColumn("n_chars_norm", length(norm).cast("long"))
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_punct",
+        regexp_count(t, lit("[.,;:!?]")).cast("long"))
+      .withColumn("n_stopwords_en", stopwordScore(t, "en"))
+      .withColumn("mean_token_len_e2",
+        // ×100 fixed-point mean token length; explicit FLOOR so the SQL
+        // mirror truncates identically (DuckDB casts round, Spark's truncate)
+        floor((length(norm) - (tokenCount(t) - 1)).cast("double") * 100.0
+          / tokenCount(t).cast("double")).cast("long"))
+      .withColumn("quality_keep",
+        (col("n_tokens") >= 10 && col("n_chars_norm") >= 50 &&
+          col("n_punct") * 5 <= col("n_tokens")).cast("boolean"))
+  }
+
+  /** Content fingerprint: md5 of normalized text (exact identity) plus the
+    * smallest shingle hash (a 1-element winnowing sketch; min-k extends it). */
+  def fingerprint(df: DataFrame, textCol: String, shingleK: Int = 8): DataFrame =
+    df.withColumn("fp_md5", md5(Dedup.normalizedText(col(textCol))))
+      .withColumn("fp_min_shingle",
+        array_min(transform(Dedup.shingles(col(textCol), shingleK), s => md5(s))))
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators on the documents/embeddings tables,
+  * hash-checked against DuckDB transcriptions (md5 is identical across
+  * engines; set sizes and fixed-point integers avoid float drift; cosine
+  * uses a fixed sequential fold mirrored by list_inner_product).
+  */
+object PipelineQueries extends QueryModule {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup groups via content hash.
+    "q30_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDuplicateGroups(Tables(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // MinHash signatures (first 4 of 8 hash fns exposed for the check).
+    "q31_minhash_sig" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.minHashSignature(Tables(s, dir, "documents"), "text", "doc_id",
+          shingleK = 8, numHashes = 4)
+        .select($"doc_id", $"mh0", $"mh1", $"mh2", $"mh3")
+    }),
+
+    // LSH candidate pairs (banded minhash, 8 hashes × 4 bands).
+    "q32_minhash_lsh_pairs" -> ((s, dir) => {
+      Dedup.lshCandidatePairs(Tables(s, dir, "documents"), "text", "doc_id",
+        shingleK = 8, numHashes = 8, bands = 4)
+    }),
+
+    // 32-plane portable SimHash per document.
+    "q33_simhash" -> ((s, dir) => {
+      Dedup.simHash(Tables(s, dir, "documents"), "text", "doc_id")
+    }),
+
+    // n-gram Jaccard set sizes over same-source candidate pairs.
+    "q34_ngram_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bySource = docs.select($"source".as("src"), $"doc_id")
+      val pairs = bySource.toDF("src", "a")
+        .join(bySource.toDF("src", "b"), Seq("src"))
+        .where($"a" < $"b" && ($"b" - $"a") <= 40) // bound candidates (same-source ids are 20 apart)
+        .select("a", "b")
+      Dedup.ngramJaccardCounts(docs, pairs, "text", "doc_id", shingleK = 3)
+    }),
+
+    // Brute-force cosine top-3 neighbors for the first 24 vectors.
+    "q35_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 24)
+      Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 3)
+        .select($"query_id", $"rk", $"neighbor_id")
+    }),
+
+    // LSH bucket signatures (deterministic hyperplanes) + bucket sizes.
+    "q36_ann_lsh_buckets" -> ((s, dir) => {
+      import s.implicits._
+      val planes = Similarity.hyperplanes(nPlanes = 8, dim = 64)
+      Tables(s, dir, "embeddings")
+        .withColumn("bucket",
+          Similarity.lshBucket(Similarity.asDouble($"embedding"), planes))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"), min($"vec_id").as("min_id"))
+    }),
+
+    // Language-id heuristic + agreement with the labeled lang column.
+    "q37_langid" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .withColumn("pred_lang", TextAnalysis.langIdCol($"text"))
+        .select($"doc_id", $"pred_lang",
+          ($"pred_lang" === $"lang").cast("int").as("hit"))
+    }),
+
+    // Quality metrics (integer components + keep flag).
+    "q38_quality" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityMetrics(Tables(s, dir, "documents"), "text")
+        .select($"doc_id", $"n_chars_norm", $"n_tokens", $"n_punct",
+          $"n_stopwords_en", $"mean_token_len_e2", $"quality_keep")
+    }),
+
+    // Token counting: whitespace + BPE-ish subword units.
+    "q39_token_counts" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select($"doc_id",
+          TextAnalysis.tokenCount($"text").as("n_ws_tokens"),
+          TextAnalysis.bpeishCount($"text").as("n_bpeish"))
+    }),
+
+    // Document fingerprinting (normalized md5 + min shingle hash).
+    "q40_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.fingerprint(Tables(s, dir, "documents"), "text", shingleK = 8)
+        .select($"doc_id", $"fp_md5", $"fp_min_shingle")
+    }),
+
+    // Multimodal plumbing: text bytes as a stand-in binary payload →
+    // typed asset table → batched stub decode → features. Output restricted
+    // to fields the oracle can recompute (metadata + stub dimensions).
+    "q41_multimodal_stub" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("payload", encode($"text", "UTF-8"))
+      val assets = Multimodal.toAssets(docs, "doc_id", "payload", "image", "source")
+      val feats = Multimodal.extractFeatures(s, assets)
+      assets.join(feats, Seq("asset_id"))
+        .select($"asset_id", $"meta.n_bytes".as("n_bytes"),
+          $"meta.content_md5".as("content_md5"),
+          $"width", $"height", $"n_frames")
+    })
+  )
+
+  // ---- oracle SQL ----
+
+  private def normSql(t: String) =
+    s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
+
+  /** distinct k-shingles of the normalized text. Correlated
+    * generate_series is unsupported in DuckDB 1.0; UNNEST over a
+    * correlated range() list works. */
+  private def shinglesSql(k: Int): String =
+    s"""SELECT DISTINCT doc_id, substr(d.nt, g.i, $k) AS sh FROM (
+       |  SELECT doc_id, ${normSql("text")} AS nt FROM documents) d,
+       |  LATERAL UNNEST(range(1, GREATEST(length(d.nt) - ${k - 1}, 1) + 1)) AS g(i)""".stripMargin
+
+  private def minhashSql(numHashes: Int, shingleK: Int = 8): String = {
+    val aggs = (0 until numHashes).map(h =>
+      s"MIN(md5('$h' || '|' || sh)) AS mh$h").mkString(", ")
+    s"SELECT doc_id, $aggs FROM (${shinglesSql(shingleK)}) GROUP BY doc_id"
+  }
+
+  def oracle: Map[String, String] = Map(
+    "q30_dedup_exact" -> s"""
+      SELECT md5(${normSql("text")}) AS text_md5,
+        MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1""",
+
+    "q31_minhash_sig" -> minhashSql(4),
+
+    "q32_minhash_lsh_pairs" -> s"""
+      WITH sig AS (${minhashSql(8)}),
+      bands AS (
+        SELECT doc_id, b.band,
+          CASE b.band
+            WHEN 0 THEN mh0 || '_' || mh1
+            WHEN 1 THEN mh2 || '_' || mh3
+            WHEN 2 THEN mh4 || '_' || mh5
+            ELSE mh6 || '_' || mh7 END AS band_sig
+        FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b)
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id""",
+
+    "q33_simhash" -> s"""
+      WITH toks AS (
+        SELECT doc_id, md5(tok.t) AS h
+        FROM (SELECT doc_id, ${normSql("text")} AS nt FROM documents) d,
+          LATERAL UNNEST(string_split(d.nt, ' ')) AS tok(t)),
+      votes AS (
+        SELECT doc_id, j,
+          SUM(CASE WHEN strpos('89abcdef', substr(h, j, 1)) > 0 THEN 1 ELSE -1 END) AS v
+        FROM toks, generate_series(1, 32) AS g(j)
+        GROUP BY doc_id, j)
+      SELECT doc_id,
+        SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS simhash
+      FROM votes GROUP BY doc_id""",
+
+    "q34_ngram_jaccard" -> s"""
+      WITH sh AS (${shinglesSql(3)}),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM documents l JOIN documents r
+          ON l.source = r.source AND l.doc_id < r.doc_id
+          AND r.doc_id - l.doc_id <= 40),
+      inter AS (
+        SELECT p.a, p.b, COUNT(*) AS intersection
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a
+        JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
+        GROUP BY p.a, p.b)
+      SELECT p.a, p.b,
+        COALESCE(i.intersection, 0) AS intersection,
+        za.n + zb.n - COALESCE(i.intersection, 0) AS union_size
+      FROM pairs p
+      LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+      JOIN sizes za ON za.doc_id = p.a
+      JOIN sizes zb ON zb.doc_id = p.b""",
+
+    "q35_cosine_topk" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_inner_product(q.e, c.e) /
+            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 24),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 3""",
+
+    "q37_langid" -> langIdOracle,
+
+    "q38_quality" -> s"""
+      WITH d AS (SELECT doc_id, text, ${normSql("text")} AS nt FROM documents),
+      m AS (SELECT doc_id, text, nt,
+        CAST(length(nt) AS BIGINT) AS n_chars_norm,
+        CAST(length(string_split(nt, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct,
+        ${stopCountSql("en")} AS n_stopwords_en
+      FROM d)
+      SELECT doc_id, n_chars_norm, n_tokens, n_punct, n_stopwords_en,
+        CAST(FLOOR(CAST(n_chars_norm - (n_tokens - 1) AS DOUBLE) * 100.0
+          / CAST(n_tokens AS DOUBLE)) AS BIGINT) AS mean_token_len_e2,
+        (n_tokens >= 10 AND n_chars_norm >= 50 AND n_punct * 5 <= n_tokens)
+          AS quality_keep
+      FROM m""",
+
+    "q39_token_counts" -> s"""
+      SELECT doc_id,
+        CAST(length(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_ws_tokens,
+        CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish
+      FROM documents""",
+
+    "q40_fingerprint" -> s"""
+      WITH sh AS (${shinglesSql(8)})
+      SELECT d.doc_id, md5(${normSql("text")}) AS fp_md5,
+        (SELECT MIN(md5(sh.sh)) FROM sh WHERE sh.doc_id = d.doc_id) AS fp_min_shingle
+      FROM documents d""",
+
+    "q41_multimodal_stub" -> """
+      WITH b AS (SELECT doc_id AS asset_id,
+        encode(text) AS payload FROM documents),
+      m AS (SELECT asset_id,
+        CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+        md5(payload::VARCHAR) AS content_md5 FROM b)
+      SELECT asset_id, n_bytes, content_md5,
+        CAST(GREATEST(1, LEAST(64, n_bytes)) AS INT) AS width,
+        CAST(GREATEST(1, n_bytes // GREATEST(1, LEAST(64, n_bytes))) AS INT) AS height,
+        1 AS n_frames
+      FROM m"""
+
+    // q36_ann_lsh_buckets intentionally has no oracle: the hyperplane
+    // literals are driver-generated; pinned by ScalaTest instead.
+  )
+
+  private def stopCountSql(lang: String): String = {
+    val words = graft.operators.TextAnalysis.stopwords(lang)
+    words.map { w =>
+      s"(length(' ' || nt || ' ') - length(replace(' ' || nt || ' ', '$w', ''))) // ${w.length}"
+    }.mkString("(", " + ", ")")
+  }
+
+  private def langIdOracle: String = {
+    val langs = graft.operators.TextAnalysis.stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => s"${stopCountSql(l)} AS s_$l").mkString(", ")
+    // argmax with alphabetical tie-break = greatest struct of (score, -rank)
+    val structList = langs.zipWithIndex.map { case (l, i) =>
+      s"{'s': s_$l, 'nr': ${-i}, 'l': '$l'}"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id, lang, ${normSql("text")} AS nt FROM documents),
+       |sc AS (SELECT doc_id, lang, $scores FROM d),
+       |p AS (SELECT doc_id, lang,
+       |  list_aggregate([$structList], 'max').l AS pred_lang FROM sc)
+       |SELECT doc_id, pred_lang,
+       |  CAST(pred_lang = lang AS INT) AS hit FROM p""".stripMargin
+  }
+}

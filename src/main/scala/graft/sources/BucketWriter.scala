@@ -82,8 +82,11 @@ object BucketWriter {
 
   /** Per-granule fan-out ETL (reference write_granules_bucket,
     * routines.py:143-250): driver-parallel loop, per-file error capture,
-    * collision-free append (Spark generates unique part-file names, so the
-    * reference's filename-prefix machinery is unnecessary).
+    * collision-free append via per-granule filename prefixes — each granule
+    * writes to its own staging dir, then its files move into the bucket as
+    * `{granule}_{i}.parquet` (concurrent Spark jobs appending to one path
+    * share committer staging and can clobber each other, so direct append
+    * is NOT safe here; distinct staging dirs + atomic moves are).
     *
     * Returns (path, error) for each failed granule — failures don't abort
     * the run, matching the reference's error-capture contract.
@@ -94,25 +97,48 @@ object BucketWriter {
                           x: String = "lon", y: String = "lat",
                           parallelism: Int = 4,
                           rowGroupSize: String = "500MB"): Seq[(String, String)] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     BucketInfo.write(bucketDir, p)
     val par = filepaths.par
     par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(parallelism))
-    par.flatMap { path =>
+    val results = par.flatMap { path =>
       Try {
         reader.read(spark, path).foreach { df =>
+          val granuleBase = path.split('/').last.replaceAll("[^A-Za-z0-9._-]", "_")
+          val staging = s"$bucketDir/_staging_$granuleBase"
           val labeled = p.addLabels(df, x, y, removeInvalidRows = true)
           labeled.write
-            .mode("append")
+            .mode("overwrite")
             .partitionBy(p.order: _*)
             .option("compression", "snappy")
             .option("parquet.block.size", parseSize(rowGroupSize))
-            .parquet(bucketDir)
+            .parquet(staging)
+          // move part files up as {granule}_{i}.parquet per partition dir
+          val stagingPath = Paths.get(staging)
+          val walk = Files.walk(stagingPath)
+          val parts = try walk.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            .sortBy(_.toString) finally walk.close()
+          parts.groupBy(_.getParent).foreach { case (dir, files) =>
+            val rel = stagingPath.relativize(dir)
+            val dst = Paths.get(bucketDir).resolve(rel)
+            Files.createDirectories(dst)
+            files.zipWithIndex.foreach { case (f, i) =>
+              Files.move(f, dst.resolve(s"${granuleBase}_$i.parquet"),
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+          val rmWalk = Files.walk(stagingPath)
+          try rmWalk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+            .foreach(Files.deleteIfExists(_)) finally rmWalk.close()
         }
       } match {
         case Success(_) => None
         case Failure(e) => Some(path -> String.valueOf(e.getMessage))
       }
     }.seq.toSeq
+    results
   }
 }

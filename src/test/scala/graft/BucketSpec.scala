@@ -105,6 +105,14 @@ class BucketSpec extends AnyFunSuite {
     assert(errors.map(_._1) == Seq("bad"))
     assert(errors.head._2.contains("check_this_error_captured"))
     assert(BucketReader.read(spark, dir).count() == 100) // 2 granules × 50
+    // reference naming contract: files prefixed by the granule name
+    // (test_routines.py:98: <granule>_0.parquet) and no staging leftovers
+    val names = Files.walk(Paths.get(dir)).iterator()
+    val parquets = scala.jdk.CollectionConverters.IteratorHasAsScala(names).asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+    assert(parquets.nonEmpty && parquets.forall(n =>
+      n.startsWith("0_") || n.startsWith("1_")))
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_staging")))
   }
 
   test("size-string parsing (S6/U7, test_writers.py)") {

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over a lazy dog"),   // near dup of 0
+    (3L, "completely different content about spark engines"),
+    (4L, "THE  QUICK   brown fox JUMPS over the lazy dog") // dup after normalize
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: normalized-content groups and semi-join drop") {
+    val groups = Dedup.exactDuplicateGroups(docs, "text", "doc_id")
+    val byKeep = groups.select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(byKeep(0L) == 3) // 0, 1, 4 collapse
+    assert(byKeep(2L) == 1 && byKeep(3L) == 1)
+    val deduped = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+    assert(deduped.select("doc_id").as[Long].collect().toSet == Set(0L, 2L, 3L))
+  }
+
+  test("minhash LSH: near-dups collide, distinct content does not") {
+    val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+      shingleK = 4, numHashes = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical text
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
+  }
+
+  test("simhash: identical text → identical hash; near dup → close hash") {
+    val sh = Dedup.simHash(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L) && sh(0L) == sh(4L))
+    val hamming = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val hammingFar = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hamming < hammingFar)
+  }
+
+  test("ngram jaccard counts: exact integers") {
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a", "b")
+    val j = Dedup.ngramJaccardCounts(docs, pairs, "text", "doc_id", shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val (i01, u01) = j((0L, 1L))
+    assert(i01 == u01) // identical text → intersection == union
+    val (i03, u03) = j((0L, 3L))
+    assert(i03 < u03 && i03 < i01)
+  }
+
+  test("cosine top-k: identical vector is rank 1; ties broken by id") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs.where($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 2)
+      .select("rk", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(top(1) == 1L) // identical vector
+    assert(top(2) == 2L) // then the near one
+  }
+
+  test("LSH ANN: same vector lands in same bucket; topK within bucket") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)), (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-0.5f))
+    ).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(4, 8)
+    val bucketed = vecs.withColumn("b",
+      Similarity.lshBucket(Similarity.asDouble($"embedding"), planes))
+      .select("vec_id", "b").as[(Long, String)].collect().toMap
+    assert(bucketed(0L) == bucketed(1L))
+    assert(bucketed(0L) != bucketed(2L))
+    val nn = Similarity.lshTopK(vecs.where($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 1, nPlanes = 4)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(nn == Seq(1L))
+  }
+
+  test("embedding near-dup pairs above threshold") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.999f, 0.001f)), (2L, Array(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(vecs, "vec_id", "embedding",
+      threshold = 0.99, nPlanes = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("language id: stopword heuristic picks the right language") {
+    val t = Seq(
+      (0L, "the cat and the dog of the house"),
+      (1L, "der Hund und die Katze und das Haus"),
+      (2L, "le chat et le chien et un oiseau")
+    ).toDF("doc_id", "text")
+    val got = t.withColumn("l", TextAnalysis.langIdCol($"text"))
+      .select("doc_id", "l").as[(Long, String)].collect().toMap
+    assert(got(0L) == "en" && got(1L) == "de" && got(2L) == "fr")
+  }
+
+  test("token counts + quality metrics") {
+    val t = Seq((0L, "Hello, world! This is a test-case with 42 tokens maybe."))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.qualityMetrics(t, "text").head()
+    assert(q.getAs[Long]("n_tokens") == 10)
+    assert(q.getAs[Long]("n_punct") == 3) // comma, bang, final period
+    val counts = t.select(
+      TextAnalysis.tokenCount($"text").as("ws"),
+      TextAnalysis.bpeishCount($"text").as("bp")).head()
+    assert(counts.getLong(0) == 10)
+    assert(counts.getLong(1) > counts.getLong(0)) // subwords split punctuation
+  }
+
+  test("multimodal: typed assets, batched stub decode, feature shape") {
+    val t = Seq((7L, "src1", "some media payload bytes")).toDF("doc_id", "source", "text")
+      .withColumn("payload", encode($"text", "UTF-8"))
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    val assets = Multimodal.toAssets(t, "doc_id", "payload", "video", "source")
+    assert(shape(assets.schema) == shape(Multimodal.assetSchema))
+    val feats = Multimodal.extractFeatures(spark, assets)
+    assert(shape(feats.schema) == shape(Multimodal.featureSchema))
+    val r = feats.head()
+    assert(r.getAs[Long]("asset_id") == 7L)
+    val feature = r.getSeq[Float](r.fieldIndex("feature"))
+    assert(feature.length == 16)
+    // L1-normalized histogram sums to ~1
+    assert(math.abs(feature.sum - 1f) < 1e-5)
+    // frame sampling explodes by stride
+    val sampled = Multimodal.sampleFrameIndices(feats, stride = 1)
+    assert(sampled.count() == r.getAs[Int]("n_frames"))
+  }
+}
