@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Defend row-expanding plans against under-partitioned inputs: a small
+    * parquet file arrives as ONE split, and an explode multiplies work
+    * *after* the scan — without this, a 600 KB corpus shingle-explodes on
+    * a single core while 31 sit idle. No-op when the input is already
+    * parallel enough (the usual case at scale). */
+  private[operators] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Normalized text key: lowercase, collapsed whitespace. */
   def normalizedText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
@@ -47,21 +57,29 @@ object Dedup {
       i => t.substr(i, lit(k))))
   }
 
-  /** Portable shingle hash for MinHash: md5 salted by the hash-function
-    * index; the *string* order of md5 hex serves as the hash order, so
-    * min() needs no integer conversion (engine-portable). */
-  def saltedHash(hashIdx: Int, s: Column): Column =
-    md5(concat(lit(hashIdx.toString), lit("|"), s))
+  /** Two independent 48-bit integer hashes from ONE md5 per shingle
+    * (hex halves; portable: DuckDB ('0x'||substr)::BIGINT equals Spark
+    * conv(substr,16,10)). */
+  def shingleHashPair(s: Column): (Column, Column) = {
+    val h = md5(s)
+    (conv(substring(h, 1, 12), 16, 10).cast("long"),
+     conv(substring(h, 13, 12), 16, 10).cast("long"))
+  }
 
-  /** MinHash signature: numHashes min-salted-md5 strings per document.
+  /** MinHash signature: numHashes min-hash longs per document, derived as
+    * h1 + i*h2 (Kirsch-Mitzenmacher) so each shingle costs ONE md5 instead
+    * of numHashes — the md5 dominates the pipeline at scale. Values stay
+    * < 2^53, exact in doubles/BIGINTs everywhere.
     * One explode + one hash-aggregate (partial min map-side). */
   def minHashSignature(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, numHashes: Int = 8): DataFrame = {
-    val exploded = df.select(col(idCol),
+    val exploded = fanOut(df).select(col(idCol),
         explode(shingles(col(textCol), shingleK)).as("__sh"))
-    val aggs = (0 until numHashes).map(h =>
-      min(saltedHash(h, col("__sh"))).as(s"mh$h"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val (h1, h2) = shingleHashPair(col("__sh"))
+    val hashed = exploded.select(col(idCol), h1.as("__h1"), h2.as("__h2"))
+    val aggs = (0 until numHashes).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"mh$i"))
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: (band, bandSig, id) — docs sharing a (band, bandSig)
@@ -97,7 +115,7 @@ object Dedup {
     * approximated portably as digit ∈ {8..f} (tested by strpos on the hex
     * alphabet tail). simhash = Σ 2^j over planes with positive vote sum. */
   def simHash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tokens = df.select(col(idCol),
+    val tokens = fanOut(df).select(col(idCol),
       explode(split(normalizedText(col(textCol)), " ")).as("__tok"))
     val hashed = tokens.withColumn("__h", md5(col("__tok")))
     val planes = hashed.select(col(idCol),
@@ -112,25 +130,21 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
-  /** n-gram Jaccard via pairwise shingle-overlap counts: explode both
-    * sides once, join on the shingle, count matches; union = |A|+|B|-inter.
-    * Returns exact (a, b, intersection, union) set sizes over distinct
-    * shingles — integer outputs, hash-stable across engines. */
+  /** n-gram Jaccard set sizes for candidate pairs: the distinct-shingle
+    * array stays a column (no explode), each pair is two array lookups and
+    * an array_intersect — set arithmetic inside codegen instead of a
+    * shingle-level shuffle join. Returns exact (a, b, intersection, union)
+    * integers, hash-stable across engines. */
   def ngramJaccardCounts(df: DataFrame, pairs: DataFrame, textCol: String,
                          idCol: String, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      explode(shingles(col(textCol), shingleK)).as("__sh"))
-    val sizes = sh.groupBy("__id").agg(count(lit(1)).as("__n"))
-    val aSide = sh.select(col("__id").as("a"), col("__sh"))
-    val bSide = sh.select(col("__id").as("b"), col("__sh"))
-    val inter = pairs.join(aSide, Seq("a")).join(bSide, Seq("b", "__sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("intersection"))
-    pairs
-      .join(inter, Seq("a", "b"), "left")
-      .join(sizes.select(col("__id").as("a"), col("__n").as("__na")), Seq("a"))
-      .join(sizes.select(col("__id").as("b"), col("__n").as("__nb")), Seq("b"))
+    val arrs = fanOut(df).select(col(idCol), shingles(col(textCol), shingleK).as("__shs"))
+    val aSide = arrs.select(col(idCol).as("a"), col("__shs").as("__sa"))
+    val bSide = arrs.select(col(idCol).as("b"), col("__shs").as("__sb"))
+    val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+    pairs.join(aSide, Seq("a")).join(bSide, Seq("b"))
       .select(col("a"), col("b"),
-        coalesce(col("intersection"), lit(0L)).as("intersection"),
-        (col("__na") + col("__nb") - coalesce(col("intersection"), lit(0L))).as("union_size"))
+        inter.as("intersection"),
+        (size(col("__sa")).cast("long") + size(col("__sb")).cast("long") - inter)
+          .as("union_size"))
   }
 }

@@ -145,21 +145,42 @@ sealed trait Partitioning2D extends Serializable {
   /** Label strings of partition (i, j) — driver-side, for pruning. */
   def labelsOfIndices(i: Int, j: Int): Seq[String]
 
+  /** Rows with a valid (in-extent, non-null, non-NaN) coordinate pair —
+    * exactly the rows whose labels/centroids are non-null. Filtering on
+    * THIS instead of `label IS NOT NULL` matters twice over: the predicate
+    * pushes to parquet as simple range filters (row-group skipping), and it
+    * keeps `PushDownPredicates` from substituting the whole label
+    * expression tree into the filter (which blows generated code past JIT
+    * limits — observed 5-20× slowdowns). */
+  def validCoords(x: Column, y: Column): Column = {
+    def ok(v: Column, lo: Double, hi: Double) = {
+      val d = v.cast("double")
+      d.isNotNull && !isnan(d) && d >= lo && d <= hi
+    }
+    ok(x, extent.xmin, extent.xmax) && ok(y, extent.ymin, extent.ymax)
+  }
+
   /** Append one column per level; drop (default) or reject invalid rows
-    * (reference add_labels, satbucket/partitioning.py:637-679). */
+    * (reference add_labels, satbucket/partitioning.py:637-679).
+    *
+    * The bin index is STAGED as a real column before centroids/labels
+    * reference it: inlining it everywhere re-expands the (already nested)
+    * when/ceil tree combinatorially — staging keeps codegen small and each
+    * index computed once.
+    */
   def addLabels(df: DataFrame, x: String, y: String,
                 removeInvalidRows: Boolean = true): DataFrame = {
-    val withCols = labelCols(col(x), col(y)).foldLeft(df) {
-      case (d, (name, c)) => d.withColumn(name, c)
-    }
-    val firstLevel = levels.head
-    if (removeInvalidRows) withCols.where(col(firstLevel).isNotNull)
-    else {
-      val nBad = withCols.where(col(firstLevel).isNull).count()
+    if (!removeInvalidRows) {
+      val nBad = df.where(!validCoords(col(x), col(y))).count()
       if (nBad > 0) throw new IllegalArgumentException(
         s"$nBad rows have coordinates outside the partitioning extent")
-      withCols
     }
+    val staged = df.where(validCoords(col(x), col(y)))
+      .withColumn("__xi", xIndexCol(col(x)))
+      .withColumn("__yi", yIndexCol(col(y)))
+    labelsByIndices(col("__xi"), col("__yi")).foldLeft(staged) {
+      case (d, (name, c)) => d.withColumn(name, c)
+    }.drop("__xi", "__yi")
   }
 
   /** Append centroid columns (reference add_centroids, :681-732). */
@@ -168,16 +189,17 @@ sealed trait Partitioning2D extends Serializable {
                    removeInvalidRows: Boolean = true): DataFrame = {
     val xc = Option(xCoordName).getOrElse(xCoord)
     val yc = Option(yCoordName).getOrElse(yCoord)
-    val out = df
-      .withColumn(xc, xCentroidCol(col(x)))
-      .withColumn(yc, yCentroidCol(col(y)))
-    if (removeInvalidRows) out.where(col(xc).isNotNull && col(yc).isNotNull)
-    else {
-      val nBad = out.where(col(xc).isNull || col(yc).isNull).count()
+    if (!removeInvalidRows) {
+      val nBad = df.where(!validCoords(col(x), col(y))).count()
       if (nBad > 0) throw new IllegalArgumentException(
         s"$nBad rows have coordinates outside the partitioning extent")
-      out
     }
+    df.where(validCoords(col(x), col(y)))
+      .withColumn("__xi", xIndexCol(col(x)))
+      .withColumn("__yi", yIndexCol(col(y)))
+      .withColumn(xc, Binning.centroidOfIndex(col("__xi"), extent.xmin, extent.xmax, xSize, nX))
+      .withColumn(yc, Binning.centroidOfIndex(col("__yi"), extent.ymin, extent.ymax, ySize, nY))
+      .drop("__xi", "__yi")
   }
 
   /** (x indices, y indices) of partitions intersecting `queryExtent`

@@ -133,9 +133,14 @@ object PipelineQueries extends QueryModule {
        |  LATERAL UNNEST(range(1, GREATEST(length(d.nt) - ${k - 1}, 1) + 1)) AS g(i)""".stripMargin
 
   private def minhashSql(numHashes: Int, shingleK: Int = 8): String = {
-    val aggs = (0 until numHashes).map(h =>
-      s"MIN(md5('$h' || '|' || sh)) AS mh$h").mkString(", ")
-    s"SELECT doc_id, $aggs FROM (${shinglesSql(shingleK)}) GROUP BY doc_id"
+    // mirror of Dedup.shingleHashPair + Kirsch-Mitzenmacher combination
+    val aggs = (0 until numHashes).map(i =>
+      s"MIN(h1 + $i * h2) AS mh$i").mkString(", ")
+    s"""SELECT doc_id, $aggs FROM (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(sh), 1, 12))::BIGINT AS h1,
+       |    ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
+       |  FROM (${shinglesSql(shingleK)})) GROUP BY doc_id""".stripMargin
   }
 
   def oracle: Map[String, String] = Map(
@@ -151,10 +156,10 @@ object PipelineQueries extends QueryModule {
       bands AS (
         SELECT doc_id, b.band,
           CASE b.band
-            WHEN 0 THEN mh0 || '_' || mh1
-            WHEN 1 THEN mh2 || '_' || mh3
-            WHEN 2 THEN mh4 || '_' || mh5
-            ELSE mh6 || '_' || mh7 END AS band_sig
+            WHEN 0 THEN CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+            WHEN 1 THEN CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+            WHEN 2 THEN CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+            ELSE CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) END AS band_sig
         FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b)
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
       FROM bands l JOIN bands r
@@ -176,25 +181,18 @@ object PipelineQueries extends QueryModule {
 
     "q34_ngram_jaccard" -> s"""
       WITH sh AS (${shinglesSql(3)}),
-      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      arrs AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
       pairs AS (
         SELECT l.doc_id AS a, r.doc_id AS b
         FROM documents l JOIN documents r
           ON l.source = r.source AND l.doc_id < r.doc_id
-          AND r.doc_id - l.doc_id <= 40),
-      inter AS (
-        SELECT p.a, p.b, COUNT(*) AS intersection
-        FROM pairs p
-        JOIN sh sa ON sa.doc_id = p.a
-        JOIN sh sb ON sb.doc_id = p.b AND sb.sh = sa.sh
-        GROUP BY p.a, p.b)
+          AND r.doc_id - l.doc_id <= 40)
       SELECT p.a, p.b,
-        COALESCE(i.intersection, 0) AS intersection,
-        za.n + zb.n - COALESCE(i.intersection, 0) AS union_size
+        CAST(len(list_intersect(la.shs, lb.shs)) AS BIGINT) AS intersection,
+        CAST(len(la.shs) + len(lb.shs) - len(list_intersect(la.shs, lb.shs)) AS BIGINT) AS union_size
       FROM pairs p
-      LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
-      JOIN sizes za ON za.doc_id = p.a
-      JOIN sizes zb ON zb.doc_id = p.b""",
+      JOIN arrs la ON la.doc_id = p.a
+      JOIN arrs lb ON lb.doc_id = p.b""",
 
     "q35_cosine_topk" -> """
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

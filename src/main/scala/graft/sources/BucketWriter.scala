@@ -60,7 +60,12 @@ object BucketWriter {
                   compression: String = "snappy",
                   mode: String = "append",
                   removeInvalidRows: Boolean = true): Unit = {
-    val labeled = p.addLabels(df, x, y, removeInvalidRows)
+    val labeled0 = p.addLabels(df, x, y, removeInvalidRows)
+    // co-locate each spatial partition in one task: one output file per
+    // directory instead of (tasks × dirs) small files — at scale this is
+    // the difference between nDirs files and nDirs × nTasks files. For a
+    // skewed cell, raise maxRecordsPerFile splitting or salt upstream.
+    val labeled = labeled0.repartition(p.order.map(org.apache.spark.sql.functions.col): _*)
     val maxRecords = estimateRowsForSize(df, parseSize(maxFileSize))
     labeled.write
       .mode(mode)

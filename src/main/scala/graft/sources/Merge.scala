@@ -54,7 +54,11 @@ object Merge {
 
     val maxRecords = BucketWriter.estimateRowsForSize(df, BucketWriter.parseSize(maxFileSize))
     val staging = s"$dstBucketDir/_staging"
-    withPeriod.write
+    // co-locate each (spatial partition, period) in one task → exactly the
+    // few large files per directory the compaction exists to produce
+    val repartitioned = withPeriod.repartition(
+      (p.order :+ PeriodCol).map(col): _*)
+    repartitioned.write
       .mode("overwrite")
       .partitionBy((p.order :+ PeriodCol): _*)
       .option("compression", compression)
