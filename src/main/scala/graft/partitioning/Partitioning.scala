@@ -257,6 +257,44 @@ sealed trait Partitioning2D extends Serializable {
 
   /** Serializable settings (reference to_dict) for the bucket manifest. */
   def toDict: Map[String, Any]
+
+  // ---- grid geometry (B16/B18, reference partitioning.py:494-570, 947) ----
+
+  /** Quadmesh corner grids of shape (nY+1, nX+1) — the vertex lattice a
+    * pcolormesh-style plot consumes. origin "bottom" lists rows south→north
+    * (bounds order); "top" flips. */
+  def quadmeshCorners(origin: String = "bottom"): (Array[Array[Double]], Array[Array[Double]]) = {
+    require(origin == "bottom" || origin == "top", s"invalid origin $origin")
+    val ys = if (origin == "bottom") yBounds else yBounds.reverse
+    val xc = ys.map(_ => xBounds.clone())
+    val yc = ys.map(yv => Array.fill(xBounds.length)(yv))
+    (xc, yc)
+  }
+
+  /** Per-cell quadrilateral vertices, shape (nY*nX, 4, 2); ccw starting at
+    * the (xmin, ymin) corner (ccw=false gives cw). */
+  def vertices(ccw: Boolean = true): Array[Array[Array[Double]]] = {
+    val cells = for {
+      j <- 0 until nY
+      i <- 0 until nX
+    } yield {
+      val (x0, x1) = (xBounds(i), xBounds(i + 1))
+      val (y0, y1) = (yBounds(j), yBounds(j + 1))
+      val ring = Array(Array(x0, y0), Array(x1, y0), Array(x1, y1), Array(x0, y1))
+      if (ccw) ring else ring.reverse
+    }
+    cells.toArray
+  }
+
+  /** Dense template grid as a DataFrame: every (x centroid, y centroid)
+    * cell with a zero value column (reference dataset_grid — the remap
+    * target for gridded cubes). */
+  def datasetGrid(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val xs = xCentroids.toSeq.toDF(xCoord)
+    val ys = yCentroids.toSeq.toDF(yCoord)
+    xs.crossJoin(ys).withColumn("data", lit(0.0))
+  }
 }
 
 object Partitioning2D {

@@ -1,5 +1,7 @@
 package graft.sources
 
+import java.nio.file.{FileSystems, Files, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.partitioning.{Extent, GeoExtent, LonLatPartitioning, Partitioning2D}
@@ -13,6 +15,10 @@ import graft.operators.SpatialFilters
   * manifest → label-predicate partition pruning (directory-level, via
   * `PartitioningAwareFileIndex`) → vectorized parquet scan with projection
   * + predicate pushdown → spatial refinement → optional limit.
+  *
+  * Directory-flavor buckets (bare `label/` dirs) have no hive metadata, so
+  * pruning happens driver-side (explicit pruned paths) and the label
+  * columns are reconstructed from the file path segments.
   */
 object BucketReader {
 
@@ -32,16 +38,17 @@ object BucketReader {
            columns: Seq[String] = Nil,
            filters: Seq[Column] = Nil,
            nRows: Long = -1L,
+           fileExtension: String = null,
+           globPattern: String = null,
+           regexPattern: String = null,
            x: String = "lon", y: String = "lat"): DataFrame = {
     val p = BucketInfo.readPartitioning(bucketDir)
+    val isHive = !p.flavor.contains("directory")
 
     // Partition-label strings must come back as strings: disable Spark's
     // hive partition value type inference for this read (SURVEY §1.2).
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
 
-    var df = spark.read.parquet(bucketDir)
-
-    // 1. directory-level pruning from the spatial argument
     val resolvedExtent: Option[Extent] = query match {
       case Everything => None
       case ByExtent(e, pad) => Some(pad2(e, pad))
@@ -49,9 +56,44 @@ object BucketReader {
       case ByContinent(n, pad) => Some(NamedExtents.continent(n, pad))
       case AroundPoint(lon, lat, d, s) => Some(GeoExtent.aroundPoint(lon, lat, d, s))
     }
-    resolvedExtent.foreach { e => df = df.where(p.prunePredicate(e)) }
 
-    // 2. row-level spatial refinement
+    val hasNameFilter = fileExtension != null || globPattern != null || regexPattern != null
+
+    var df =
+      if (isHive && !hasNameFilter) {
+        // hive flavor: Catalyst prunes dirs from the label predicate
+        var d = spark.read.parquet(bucketDir)
+        resolvedExtent.foreach(e => d = d.where(p.prunePredicate(e)))
+        d
+      } else if (isHive) {
+        // explicit file list (P11 filename filters) + basePath keeps the
+        // hive partition columns resolvable
+        val files = listFiles(bucketDir, fileExtension, globPattern, regexPattern)
+        require(files.nonEmpty, s"no files match the filename filters in $bucketDir")
+        var d = spark.read.option("basePath", bucketDir).parquet(files: _*)
+        resolvedExtent.foreach(e => d = d.where(p.prunePredicate(e)))
+        d
+      } else {
+        // directory flavor: prune driver-side, rebuild labels from the path
+        val roots = resolvedExtent match {
+          case Some(e) =>
+            val dirs = p.directoriesByExtent(e).map(rel => s"$bucketDir/$rel")
+              .filter(d => Files.exists(Paths.get(d)))
+            if (dirs.isEmpty) Seq.empty else dirs
+          case None => Seq(bucketDir)
+        }
+        require(roots.nonEmpty, "no partitions intersect the query extent")
+        val all = roots.flatMap(r => listFiles(r, fileExtension, globPattern, regexPattern))
+        require(all.nonEmpty, s"no files to read in $bucketDir")
+        val d = spark.read.parquet(all: _*)
+        val parts = split(input_file_name(), "/")
+        val n = p.order.length
+        p.order.zipWithIndex.foldLeft(d) { case (acc, (level, i)) =>
+          acc.withColumn(level, element_at(parts, -(n - i + 1)))
+        }
+      }
+
+    // row-level spatial refinement
     query match {
       case ByExtent(e, pad) =>
         df = SpatialFilters.filterByExtent(df, pad2(e, pad), x, y)
@@ -66,15 +108,34 @@ object BucketReader {
       case _ => ()
     }
 
-    // 3. user predicates (P3) then projection (P1) then limit (P2)
+    // user predicates (P3) then projection (P1) then limit (P2)
     filters.foreach { f => df = df.where(f) }
-    if (columns.nonEmpty) {
-      // keep partition labels out unless requested; reference returns only
-      // the requested columns
-      df = df.select(columns.map(col): _*)
-    }
+    if (columns.nonEmpty) df = df.select(columns.map(col): _*)
     if (nRows >= 0) df = df.limit(nRows.toInt)
     df
+  }
+
+  /** Recursive file listing with extension / glob / regex basename filters
+    * (reference satbucket/utils/directories.py:75-121). */
+  def listFiles(root: String, fileExtension: String = null,
+                globPattern: String = null, regexPattern: String = null): Seq[String] = {
+    val matcher = Option(globPattern).map(g =>
+      FileSystems.getDefault.getPathMatcher(s"glob:$g"))
+    val regex = Option(regexPattern).map(_.r)
+    val walk = Files.walk(Paths.get(root))
+    try {
+      walk.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .filter(f => !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith("."))
+        .filter { f =>
+          val name = f.getFileName.toString
+          Option(fileExtension).forall(ext => name.endsWith(ext)) &&
+          matcher.forall(_.matches(f.getFileName)) &&
+          regex.forall(_.pattern.matcher(name).lookingAt()) // re.match semantics
+        }
+        .map(_.toString).toSeq.sorted
+    } finally walk.close()
   }
 
   private def pad2(e: Extent, pad: Double): Extent =

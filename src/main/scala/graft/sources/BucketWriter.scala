@@ -35,19 +35,29 @@ object BucketWriter {
   }
 
   /** Estimate rows that fit in `sizeBytes` from a sample's in-memory size
-    * (reference estimate_row_group_size, writers.py:95-112). */
+    * (reference estimate_row_group_size, writers.py:95-112): fixed widths
+    * for primitives plus measured average lengths for string/binary
+    * columns over a bounded sample. */
   def estimateRowsForSize(df: DataFrame, sizeBytes: Long,
                           sampleRows: Int = 10000): Long = {
-    val sample = df.limit(sampleRows)
-    val n = sample.count()
-    if (n == 0) return 1L
-    // Arrow/pandas-style memory estimate: sum of column widths; strings
-    // sampled by actual length.
-    val schema = sample.schema
-    val widths = schema.fields.map { f =>
-      f.dataType.defaultSize.toDouble
+    import org.apache.spark.sql.functions.{avg, length, lit, coalesce}
+    import org.apache.spark.sql.types.{StringType, BinaryType}
+    val varCols = df.schema.fields.collect {
+      case f if f.dataType == StringType || f.dataType == BinaryType => f.name
+    }
+    val fixed = df.schema.fields.collect {
+      case f if f.dataType != StringType && f.dataType != BinaryType =>
+        f.dataType.defaultSize.toDouble
     }.sum
-    val bytesPerRow = math.max(widths, 8.0)
+    val varBytes =
+      if (varCols.isEmpty) 0.0
+      else {
+        val sample = df.limit(sampleRows)
+        val aggs = varCols.map(c => coalesce(avg(length(org.apache.spark.sql.functions.col(c))), lit(0.0)).as(c))
+        val row = sample.agg(aggs.head, aggs.tail: _*).head()
+        varCols.indices.map(i => row.getDouble(i)).sum
+      }
+    val bytesPerRow = math.max(fixed + varBytes, 8.0)
     math.max((sizeBytes / bytesPerRow).toLong, 1L)
   }
 
@@ -74,9 +84,33 @@ object BucketWriter {
       .option("maxRecordsPerFile", maxRecords)
       .option("parquet.block.size", parseSize(rowGroupSize))
       .parquet(bucketDir)
+    // directory flavor (bare `label/` dirs, reference partitioning.py:253-257):
+    // Spark only writes hive-style, so strip the `level=` prefixes after the
+    // write (metadata-only renames)
+    if (p.flavor.contains("directory")) stripHivePrefixes(bucketDir, p.order)
     // after the data: "overwrite" clears the directory first, which would
     // delete a manifest written up front
     BucketInfo.write(bucketDir, p)
+  }
+
+  private def stripHivePrefixes(bucketDir: String, order: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    def renameLevel(dir: java.nio.file.Path, levels: Seq[String]): Unit =
+      levels match {
+        case Nil => ()
+        case level +: rest =>
+          val subs = Files.list(dir).iterator().asScala
+            .filter(d => Files.isDirectory(d) &&
+              d.getFileName.toString.startsWith(s"$level=")).toSeq
+          subs.foreach { d =>
+            val bare = d.getFileName.toString.stripPrefix(s"$level=")
+            val dst = dir.resolve(bare)
+            Files.move(d, dst, StandardCopyOption.ATOMIC_MOVE)
+            renameLevel(dst, rest)
+          }
+      }
+    renameLevel(Paths.get(bucketDir), order)
   }
 
   /** User extension point: filepath → rows (reference granule_to_df_func,
