@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration of the engine's custom expressions, so
+  * `spark.sql("... geodesic_distance(lon, lat, 12.5, 41.9) ...")` works
+  * alongside the Column API. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "geodesic_distance",
+      exprs => {
+        require(exprs.length == 4,
+          "geodesic_distance(lon, lat, lon0, lat0) expects 4 arguments")
+        val lon0 = exprs(2).eval().toString.toDouble
+        val lat0 = exprs(3).eval().toString.toDouble
+        GeodesicDistanceToPoint(exprs(0), exprs(1), lon0, lat0)
+      },
+      "built-in")
+  }
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Geodesic
+import graft.functions.GeodesicDistanceToPoint
 import graft.partitioning.Extent
 
 /** Row-level spatial refinement filters (reference satbucket/filters.py).
@@ -21,11 +21,12 @@ object SpatialFilters {
 
   /** Geodesic point-radius filter: appends a `distance` column (meters,
     * WGS84 ellipsoidal) and keeps rows with distance <= d
-    * (filter_around_point, filters.py:43-63). */
+    * (filter_around_point, filters.py:43-63). Uses the native codegen
+    * expression, not a UDF. */
   def filterAroundPoint(spark: SparkSession, df: DataFrame,
                         lon: Double, lat: Double, distance: Double,
                         x: String = "lon", y: String = "lat"): DataFrame =
     df.withColumn("distance",
-        Geodesic.distanceToPoint(spark, col(x), col(y), lon, lat))
+        GeodesicDistanceToPoint.column(col(x).cast("double"), col(y).cast("double"), lon, lat))
       .where(col("distance") <= distance)
 }

@@ -23,4 +23,32 @@ class GeodesicSpec extends AnyFunSuite {
     val d = Geodesic.inverse(0, 0, 179.9, 0.1)
     assert(d > 19000e3 && d < 20100e3)
   }
+
+  test("native expression: codegen'd, SQL-registered, matches direct eval") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0.0, 0.0), (1.0, 1.0)).toDF("lon", "lat")
+    val got = df.select(graft.functions.GeodesicDistanceToPoint
+        .column($"lon", $"lat", 0.0, 1.0).as("d"))
+      .as[Double].collect().toSeq
+    assert(math.abs(got.head - Geodesic.inverse(0, 0, 0, 1)) < 1e-9)
+    assert(got(1) == Geodesic.inverse(1, 1, 0, 1))
+    // stays inside WholeStageCodegen (no UDF bailout); a range-backed plan
+    // (local Seqs collapse to LocalTableScan and prove nothing)
+    val ranged = spark.range(100)
+      .select(($"id" % 360 - 180).cast("double").as("lon"),
+        ($"id" % 180 - 90).cast("double").as("lat"))
+    val planned = ranged.select(graft.functions.GeodesicDistanceToPoint
+      .column($"lon", $"lat", 0.0, 1.0).as("d"))
+    // "*(1) Project" prefix = the project (with our expression) is inside
+    // a WholeStageCodegen stage
+    assert(planned.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(planned.agg(max($"d")).as[Double].head() > 0)
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT geodesic_distance(0.0D, 0.0D, 0.0D, 1.0D) AS d").as[Double].head()
+    assert(math.abs(viaSql - 110574.389) < 0.01)
+  }
 }
