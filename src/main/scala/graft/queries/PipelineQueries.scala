@@ -103,6 +103,15 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", $"fp_md5", $"fp_min_shingle")
     }),
 
+    // Embedding near-duplicate pairs: LSH bucket agreement + cosine
+    // threshold (4 deterministic hyperplanes, threshold tuned to the
+    // corpus's cosine range).
+    "q42_embedding_neardup" -> ((s, dir) => {
+      Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.42, nPlanes = 4)
+        .select("a", "b")
+    }),
+
     // Multimodal plumbing: text bytes as a stand-in binary payload →
     // typed asset table → batched stub decode → features. Output restricted
     // to fields the oracle can recompute (metadata + stub dimensions).
@@ -247,11 +256,34 @@ object PipelineQueries extends QueryModule {
         CAST(GREATEST(1, LEAST(64, n_bytes)) AS INT) AS width,
         CAST(GREATEST(1, n_bytes // GREATEST(1, LEAST(64, n_bytes))) AS INT) AS height,
         1 AS n_frames
-      FROM m"""
+      FROM m""",
 
-    // q36_ann_lsh_buckets intentionally has no oracle: the hyperplane
-    // literals are driver-generated; pinned by ScalaTest instead.
+    "q36_ann_lsh_buckets" -> s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (SELECT vec_id, ${bucketSql("e", 8)} AS bucket FROM v)
+      SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id
+      FROM b GROUP BY bucket""",
+
+    "q42_embedding_neardup" -> s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (SELECT vec_id, e, ${bucketSql("e", 4)} AS bucket FROM v)
+      SELECT l.vec_id AS a, r.vec_id AS b
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+      WHERE list_inner_product(l.e, r.e) /
+        (sqrt(list_inner_product(l.e, l.e)) * sqrt(list_inner_product(r.e, r.e)))
+        >= 0.42"""
   )
+
+  /** SQL mirror of Similarity.lshBucket: the deterministic hyperplanes are
+    * inlined as DOUBLE[] literals (shortest-repr doubles parse back to the
+    * identical bits). */
+  private def bucketSql(vecExpr: String, nPlanes: Int): String = {
+    val planes = graft.operators.Similarity.hyperplanes(nPlanes, 64)
+    planes.map { p =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN list_inner_product($vecExpr, $lit::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
+    }.mkString(" || ")
+  }
 
   private def stopCountSql(lang: String): String = {
     val words = graft.operators.TextAnalysis.stopwords(lang)

@@ -42,6 +42,13 @@ object Profile {
     time("raw write defaults 2nd")(labeled.write.mode("overwrite")
       .partitionBy("lon_bin", "lat_bin").parquet("/tmp/prof_b2"))
     time("flat write (no partitionBy)")(labeled.write.mode("overwrite").parquet("/tmp/prof_b3"))
+    // plan checks: partition pruning + parquet pushdown
+    val pruned = BucketReader.read(spark, "/tmp/prof_bucket", BucketReader.ByExtent(Extent(-30, 25, -15, 40)))
+    println("=PLAN1=")
+    println(pruned.queryExecution.executedPlan.toString.split("\n").filter(l => l.contains("PartitionFilters") || l.contains("PushedFilters") || l.contains("partition")).mkString("\n").take(1200))
+    val li2 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet").where($"l_shipdate" >= "1996-01-01" && $"l_quantity" < 24).select($"l_extendedprice")
+    println("=PLAN2=")
+    println(li2.queryExecution.executedPlan.toString.split("\n").filter(l => l.contains("PushedFilters") || l.contains("ReadSchema")).mkString("\n").take(600))
     spark.stop()
   }
 }

@@ -116,6 +116,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.getLong(1) > counts.getLong(0)) // subwords split punctuation
   }
 
+  test("salted aggregation and join match unsalted results (skew path)") {
+    import graft.operators.Skew
+    val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toDouble))
+      .toDF("k", "v") // 90% of rows on one key
+    val salted = Skew.saltedAggregate(df, Seq("k"), 8,
+      partialAggs = Map("cnt" -> count(lit(1)), "sum_v" -> sum($"v")),
+      finalAggs = Map("cnt" -> sum($"cnt"), "sum_v" -> sum($"sum_v")))
+    val plain = df.groupBy("k").agg(count(lit(1)).as("cnt"), sum($"v").as("sum_v"))
+    assert(salted.orderBy("k").collect().toSeq ==
+      plain.orderBy("k").collect().toSeq)
+
+    val dim = Seq(("hot", "H"), ("k901", "A")).toDF("k", "tag")
+    val j = Skew.saltedJoin(df, dim, "k", 4)
+    assert(j.count() == df.join(dim, "k").count())
+  }
+
   test("multimodal: typed assets, batched stub decode, feature shape") {
     val t = Seq((7L, "src1", "some media payload bytes")).toDF("doc_id", "source", "text")
       .withColumn("payload", encode($"text", "UTF-8"))
