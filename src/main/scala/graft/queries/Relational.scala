@@ -170,6 +170,45 @@ object Relational extends QueryModule {
           coalesce($"n_without_urgent", lit(0L)).as("n_without_urgent"))
     }),
 
+    // A6 (free Catalyst capability): hierarchical rollup with grouping ids.
+    "q13_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents($"o_totalprice")).as("sum_cents"))
+        .select(
+          coalesce($"o_orderstatus", lit("ALL")).as("status"),
+          coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+          $"n", $"sum_cents")
+    }),
+
+    // Set operations: union / intersect / except on key sets.
+    "q14_setops" -> ((s, dir) => {
+      import s.implicits._
+      val byOrders = Tables(s, dir, "orders").select($"o_custkey".as("k")).distinct()
+      val topBal = Tables(s, dir, "customer")
+        .where($"c_acctbal" > 5000).select($"c_custkey".as("k")).distinct()
+      val u = byOrders.union(topBal).distinct().agg(count(lit(1))).head().getLong(0)
+      val i = byOrders.intersect(topBal).agg(count(lit(1))).head().getLong(0)
+      val e = byOrders.except(topBal).agg(count(lit(1))).head().getLong(0)
+      s.createDataFrame(Seq((u, i, e)))
+        .toDF("n_union", "n_intersect", "n_except")
+    }),
+
+    // Variance components as exact integers (sum, sum of squares, n) —
+    // the distributed pieces of mean/stddev without float-order drift.
+    "q15_variance_components" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(cents($"l_extendedprice")).as("sum_cents"),
+          // squares in whole dollars: squared cents would overflow Long
+          sum(round($"l_extendedprice").cast("long") * round($"l_extendedprice").cast("long"))
+            .as("sumsq_dollars"))
+    }),
+
     // A4/A2 global + per-group min/max over event time.
     "q12_minmax_time" -> ((s, dir) => {
       import s.implicits._
@@ -294,6 +333,27 @@ object Relational extends QueryModule {
         MIN(epoch_us(ts)) AS min_us,
         MAX(epoch_us(ts)) AS max_us,
         MAX(user_id) AS max_user
-      FROM events GROUP BY event_type"""
+      FROM events GROUP BY event_type""",
+
+    "q13_rollup" -> """
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n,
+        SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents
+      FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+
+    "q14_setops" -> """
+      WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+      SELECT
+        (SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS n_union,
+        (SELECT COUNT(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b)) AS n_intersect,
+        (SELECT COUNT(*) FROM (SELECT k FROM a EXCEPT SELECT k FROM b)) AS n_except""",
+
+    "q15_variance_components" -> """
+      SELECT l_returnflag, COUNT(*) AS n,
+        SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_cents,
+        SUM(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS sumsq_dollars
+      FROM lineitem GROUP BY l_returnflag"""
   )
 }

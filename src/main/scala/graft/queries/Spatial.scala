@@ -46,13 +46,7 @@ object Spatial extends QueryModule {
     // pruning + refinement, and hash-compare against a plain SQL filter.
     "q21_bucket_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val events = Tables(s, dir, "events")
-        .withColumn("lon", synthLon($"event_id"))
-        .withColumn("lat", synthLat($"event_id"))
-        .select($"event_id", $"user_id", $"lon", $"lat")
-      val bucketDir = s"/tmp/graft_bucket_${dir.hashCode.toHexString}"
-      val p = LonLatPartitioning(size = (10, 10))
-      BucketWriter.writeBucket(events, bucketDir, p, mode = "overwrite")
+      val bucketDir = ensureBucket(s, dir)
       BucketReader.read(s, bucketDir,
           query = BucketReader.ByExtent(Extent(-30, 25, -15, 40)))
         .select($"event_id", $"user_id", $"lon", $"lat",
@@ -91,22 +85,38 @@ object Spatial extends QueryModule {
     // unit tests pin the distance values instead.
     "q24_geodesic_radius" -> ((s, dir) => {
       import s.implicits._
-      val bucketDir = s"/tmp/graft_bucket_${dir.hashCode.toHexString}"
-      // reuse the q21 bucket if present, else build it
-      if (!new java.io.File(s"$bucketDir/_bucket_info.json").exists()) {
-        val events = Tables(s, dir, "events")
-          .withColumn("lon", synthLon($"event_id"))
-          .withColumn("lat", synthLat($"event_id"))
-          .select($"event_id", $"user_id", $"lon", $"lat")
-        BucketWriter.writeBucket(events, bucketDir,
-          LonLatPartitioning(size = (10, 10)), mode = "overwrite")
-      }
+      val bucketDir = ensureBucket(s, dir)
       BucketReader.read(s, bucketDir,
           query = BucketReader.AroundPoint(12.5, 41.9, distance = 1500000.0))
         .select($"event_id", $"lon", $"lat",
           round($"distance").cast("long").as("dist_m_round"))
+    }),
+
+    // B14/S1: country-extent query through the bucket path (named extent →
+    // directory pruning → box refinement), mirrored by the literal box.
+    "q29_country_read" -> ((s, dir) => {
+      import s.implicits._
+      val bucketDir = ensureBucket(s, dir)
+      BucketReader.read(s, bucketDir, query = BucketReader.ByCountry("Brazil"))
+        .select($"event_id", $"user_id", $"lon", $"lat")
     })
   )
+
+  /** The shared events-synth bucket used by q21/q24/q29 (queries run in
+    * arbitrary order, so each builds it if missing). */
+  private def ensureBucket(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    val bucketDir = s"/tmp/graft_bucket_${dir.hashCode.toHexString}"
+    if (!new java.io.File(s"$bucketDir/_bucket_info.json").exists()) {
+      val events = Tables(s, dir, "events")
+        .withColumn("lon", synthLon($"event_id"))
+        .withColumn("lat", synthLat($"event_id"))
+        .select($"event_id", $"user_id", $"lon", $"lat")
+      BucketWriter.writeBucket(events, bucketDir,
+        LonLatPartitioning(size = (10, 10)), mode = "overwrite")
+    }
+    bucketDir
+  }
 
   private val xyBinOracle: String = {
     val xi = binIdxSql("l_discount", 0, 0.02, 0.1, 5)
@@ -162,11 +172,20 @@ object Spatial extends QueryModule {
        |  CAST(round(dist_m) AS BIGINT) AS dist_m_round
        |FROM d WHERE dist_m <= 2000000.0""".stripMargin
 
+  private val countryReadOracle: String = {
+    val e = graft.geo.NamedExtents.country("Brazil")
+    s"""WITH s AS ($synthSql)
+       |SELECT event_id, user_id, lon, lat FROM s
+       |WHERE lon BETWEEN ${e.xmin} AND ${e.xmax}
+       |  AND lat BETWEEN ${e.ymin} AND ${e.ymax}""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q20_xy_bin_agg" -> xyBinOracle,
     "q21_bucket_roundtrip" -> bucketRoundtripOracle,
     "q22_tile_agg" -> tileOracle,
-    "q23_point_radius" -> pointRadiusOracle
+    "q23_point_radius" -> pointRadiusOracle,
+    "q29_country_read" -> countryReadOracle
     // q24_geodesic_radius: intentionally no oracle (ellipsoidal distance
     // is not SQL-expressible) — driver records rows-only check.
   )
