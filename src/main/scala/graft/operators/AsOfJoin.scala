@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for each left row, attach the most recent right
+  * row with right.time <= left.time (optionally within a tolerance),
+  * per key — the time-series lookup Spark lacks as a built-in operator.
+  *
+  * Implemented as the union-tag trick (compose-existing-ops path of the
+  * custom-operator preference order): tag both sides, union, and take
+  * `last(right value, ignoreNulls)` over a per-key time-ordered window. One
+  * shuffle on (key), no range explosion — the classic alternative (range
+  * join + top-1 per pair) shuffles the cross product. Right rows sort
+  * before simultaneous left rows so `right.time == left.time` matches.
+  */
+object AsOfJoin {
+
+  /** @param left       fact side (keeps all rows)
+    * @param right      lookup side
+    * @param keyCols    equi-join keys present on both sides
+    * @param timeCol    event-time column name present on both sides
+    * @param valueCols  right-side columns to attach
+    * @param toleranceSeconds  max allowed left.time - right.time (<0 = unbounded)
+    */
+  def backward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               timeCol: String, valueCols: Seq[String],
+               toleranceSeconds: Long = -1L): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rt", lit(null).cast("timestamp"))
+    val lAligned = valueCols.foldLeft(l) { (d, c) =>
+      d.withColumn(s"__v_$c", lit(null).cast(
+        right.schema(c).dataType))
+    }
+    val r0 = right.select((keyCols :+ timeCol).map(col) ++
+      valueCols.map(col): _*)
+    var rAligned = r0
+      .withColumn("__side", lit(0))
+      .withColumn("__rt", col(timeCol))
+    valueCols.foreach { c => rAligned = rAligned.withColumn(s"__v_$c", col(c)) }
+    // null out left-only columns on the right side
+    val rFull = leftCols.foldLeft(rAligned) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(lAligned.columns.map(col): _*)
+
+    val unioned = lAligned.unionByName(rFull)
+    // right rows first within a timestamp (side 0 < 1) so equal times match
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    var filled = unioned
+      .withColumn("__last_rt", last(col("__rt"), ignoreNulls = true).over(w))
+    valueCols.foreach { c =>
+      filled = filled.withColumn(s"__last_$c",
+        last(col(s"__v_$c"), ignoreNulls = true).over(w))
+    }
+    val withinTol =
+      if (toleranceSeconds < 0) lit(true)
+      else unix_micros(col(timeCol)) - unix_micros(col("__last_rt")) <=
+        toleranceSeconds * 1000000L
+    val out = filled.where(col("__side") === 1)
+    val projected = valueCols.foldLeft(out) { (d, c) =>
+      d.withColumn(c, when(col("__last_rt").isNotNull && withinTol,
+        col(s"__last_$c")).otherwise(lit(null)))
+    }
+    projected.select((leftCols ++ valueCols).map(col): _*)
+  }
+}

@@ -86,6 +86,47 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "cos", "bucket")
   }
 
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `nList` centroid vectors (ties → smallest centroid id). With
+    * k-means-trained centroids this is classic IVF; any deterministic
+    * centroid set works — the cheap default takes rows with id < nList as
+    * centroids, which keeps the whole operator (and its oracle) free of
+    * training randomness. One broadcast of nList vectors, one corpus pass. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val c = broadcast(centroids.select(col(idCol).as("centroid_id"),
+      asDouble(col(vecCol)).as("__cv")))
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val scored = v.crossJoin(c)
+      .withColumn("__cos", cosine(col("__v"), col("__cv")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("centroid_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col(idCol), col("centroid_id"), col("__v"))
+  }
+
+  /** IVF top-k search: probe the query's own cell (nProbe=1) — candidates
+    * come only from vectors sharing the centroid. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, nList: Int): DataFrame = {
+    val centroids = corpus.where(col(idCol) < nList)
+    val assignedCorpus = ivfAssign(corpus, idCol, vecCol, centroids)
+      .withColumnRenamed(idCol, "neighbor_id")
+      .withColumnRenamed("__v", "__cv2")
+    val assignedQueries = ivfAssign(queries, idCol, vecCol, centroids)
+      .withColumnRenamed(idCol, "query_id")
+    val scored = broadcast(assignedQueries)
+      .join(assignedCorpus, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__v"), col("__cv2")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "centroid_id")
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, via LSH
     * buckets (a < b to halve the candidate space). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.Analysis
+import graft.operators.{Analysis, AsOfJoin}
 import graft.partitioning._
 import graft.sources.{BucketReader, BucketWriter, Merge}
 
@@ -59,6 +59,22 @@ object AnalysisQueries extends QueryModule {
           $"lon_bin", $"lat_bin")
     }),
 
+    // As-of (backward) join — the time-series lookup operator Spark lacks:
+    // every event gets the most recent prior error value for its user.
+    // Checked against DuckDB's native ASOF JOIN.
+    "q43_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+        .select($"event_id", $"user_id", $"ts".as("time"))
+      val errors = Tables(s, dir, "events")
+        .where($"event_type" === "error")
+        .groupBy($"user_id", $"ts".as("time"))
+        .agg(max(round($"value" * 100).cast("long")).as("err_cents"))
+      AsOfJoin.backward(ev, errors, Seq("user_id"), "time", Seq("err_cents"))
+        .select($"event_id", $"user_id", unix_micros($"time").as("t_us"),
+          $"err_cents")
+    }),
+
     // W6-shaped dense grid: aggregate events into a coarse LonLat grid and
     // left-join the full centroid mesh so empty cells surface as nulls.
     "q28_grid_cube" -> ((s, dir) => {
@@ -111,6 +127,14 @@ object AnalysisQueries extends QueryModule {
       SELECT event_id, user_id, overpass_id,
         COUNT(*) OVER (PARTITION BY user_id, overpass_id) AS count_overpass_occurence
       FROM m""",
+
+    "q43_asof_join" -> """
+      WITH r AS (
+        SELECT user_id, ts, MAX(CAST(round(value*100) AS BIGINT)) AS err_cents
+        FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us, r.err_cents
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.ts""",
 
     "q27_merge_roundtrip" -> s"""
       WITH s AS ($synthSql)

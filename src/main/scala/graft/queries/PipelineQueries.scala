@@ -103,6 +103,16 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", $"fp_md5", $"fp_min_shingle")
     }),
 
+    // IVF coarse-quantized ANN: 16 deterministic centroids (vec_id < 16),
+    // top-2 within the query's cell for the first 24 queries.
+    "q44_ivf_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb.where($"vec_id" < 24), emb,
+          "vec_id", "embedding", k = 2, nList = 16)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id")
+    }),
+
     // Embedding near-duplicate pairs: LSH bucket agreement + cosine
     // threshold (4 deterministic hyperplanes, threshold tuned to the
     // corpus's cosine range).
@@ -263,6 +273,30 @@ object PipelineQueries extends QueryModule {
       b AS (SELECT vec_id, ${bucketSql("e", 8)} AS bucket FROM v)
       SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id
       FROM b GROUP BY bucket""",
+
+    "q44_ivf_topk" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      cent AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+      assign AS (
+        SELECT vec_id, centroid_id, e FROM (
+          SELECT v.vec_id, c.centroid_id, v.e,
+            row_number() OVER (PARTITION BY v.vec_id ORDER BY
+              list_inner_product(v.e, c.ce) /
+                (sqrt(list_inner_product(v.e, v.e)) * sqrt(list_inner_product(c.ce, c.ce))) DESC,
+              c.centroid_id ASC) AS rk
+          FROM v, cent c)
+        WHERE rk = 1),
+      scored AS (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.centroid_id,
+          list_inner_product(q.e, n.e) /
+            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(n.e, n.e))) AS cos
+        FROM assign q JOIN assign n ON q.centroid_id = n.centroid_id
+        WHERE q.vec_id < 24 AND q.vec_id <> n.vec_id)
+      SELECT query_id, rk, neighbor_id, centroid_id FROM (
+        SELECT query_id, neighbor_id, centroid_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      WHERE rk <= 2""",
 
     "q42_embedding_neardup" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -83,6 +83,15 @@ object Temporal {
     }
   }
 
+  /** Pad (start, end) symmetrically out to a minimum interval (reference
+    * ensure_start_end_time_interval, analysis.py:291-309 — W10). */
+  def ensureMinInterval(start: LocalDateTime, end: LocalDateTime,
+                        minSeconds: Long): (LocalDateTime, LocalDateTime) = {
+    val dur = java.time.Duration.between(start, end).getSeconds
+    if (dur >= minSeconds) (start, end)
+    else (start.minusSeconds(minSeconds / 2), end.plusSeconds(minSeconds / 2))
+  }
+
   /** Interval-overlap predicate (is_within_time_period, filters.py:91-110):
     * true when [fileStart, fileEnd] overlaps [start, end] per the
     * reference's three-case rule. */

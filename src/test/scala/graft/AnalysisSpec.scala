@@ -91,6 +91,52 @@ class AnalysisSpec extends AnyFunSuite {
     assert(limited == Seq(Some(1.0), None, None, Some(4.0), None))
   }
 
+  test("as-of backward join: latest prior right row per key") {
+    import graft.operators.AsOfJoin
+    val left = Seq(
+      (1L, ts("2021-01-01 00:00:00")), (1L, ts("2021-01-01 01:00:00")),
+      (1L, ts("2021-01-01 02:00:00")), (2L, ts("2021-01-01 00:30:00"))
+    ).toDF("k", "time")
+    val right = Seq(
+      (1L, ts("2021-01-01 00:30:00"), 10.0),
+      (1L, ts("2021-01-01 02:00:00"), 20.0), // equal time → matches
+      (2L, ts("2021-01-01 01:00:00"), 30.0)  // after left → no match
+    ).toDF("k", "time", "v")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "time", Seq("v"))
+      .orderBy("k", "time").select("v").as[Option[Double]].collect().toSeq
+    assert(got == Seq(None, Some(10.0), Some(20.0), None))
+    // tolerance: only matches within 45 minutes
+    val tol = AsOfJoin.backward(left, right, Seq("k"), "time", Seq("v"),
+        toleranceSeconds = 45 * 60)
+      .orderBy("k", "time").select("v").as[Option[Double]].collect().toSeq
+    assert(tol == Seq(None, Some(10.0), Some(20.0), None))
+  }
+
+  test("IVF assign + topK: identical vectors share a cell and rank first") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)), // centroids (nList=2)
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)), (4L, Array(0.95f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(vecs, "vec_id", "embedding",
+        vecs.where($"vec_id" < 2))
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(assigned(2L) == 0L && assigned(4L) == 0L && assigned(3L) == 1L)
+    val nn = Similarity.ivfTopK(vecs.where($"vec_id" === 2), vecs,
+        "vec_id", "embedding", k = 1, nList = 2)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(nn == Seq(4L)) // nearest within the cell (0 and 4 share it)
+  }
+
+  test("ensureMinInterval pads symmetrically (W10)") {
+    import java.time.LocalDateTime
+    val s0 = LocalDateTime.of(2021, 1, 1, 12, 0)
+    val e0 = LocalDateTime.of(2021, 1, 1, 12, 10)
+    assert(graft.sources.Temporal.ensureMinInterval(s0, e0, 600) == ((s0, e0)))
+    val (s1, e1) = graft.sources.Temporal.ensureMinInterval(s0, e0, 3600)
+    assert(s1 == s0.minusMinutes(30) && e1 == e0.plusMinutes(30))
+  }
+
   test("toGridCube: full centroid grid with NaN holes (A1/J1)") {
     val p = XYPartitioning(size = (0.5, 0.25), extent = Extent(0, 2, 0, 2))
     val df = Seq((0.6, 0.6, 10.0), (0.7, 0.55, 20.0)).toDF("x", "y", "v")
