@@ -1,0 +1,115 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.partitioning._
+
+/** Property tests (SURVEY §5 plan item 2): randomized partitioning configs
+  * checked for the invariants that pruning correctness hangs on. A fixed
+  * seed + batched Spark jobs keep it fast and reproducible.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260812L)
+
+  private def randomConfig(): (XYPartitioning, Seq[Double], Seq[Double]) = {
+    val xmin = math.rint((rng.nextDouble() * 200 - 100) * 4) / 4
+    val xmax = xmin + 1 + rng.nextInt(50)
+    val ymin = math.rint((rng.nextDouble() * 100 - 50) * 4) / 4
+    val ymax = ymin + 1 + rng.nextInt(30)
+    val sizes = Seq(0.25, 0.5, 1.0, 2.0, 2.5, 5.0)
+    val sx = sizes(rng.nextInt(sizes.length))
+    val sy = sizes(rng.nextInt(sizes.length))
+    val p = XYPartitioning(size = (sx, sy), extent = Extent(xmin, xmax, ymin, ymax))
+    val xs = Seq.fill(60)(xmin + rng.nextDouble() * (xmax - xmin)) ++
+      Seq(xmin, xmax) // boundary values included
+    val ys = Seq.fill(60)(ymin + rng.nextDouble() * (ymax - ymin)) ++
+      Seq(ymin, ymax)
+    (p, xs, ys)
+  }
+
+  test("∀ in-extent v: bin index valid and centroid within the bin") {
+    (1 to 15).foreach { _ =>
+      val (p, xs, ys) = randomConfig()
+      val df = xs.zip(ys).toDF("x", "y")
+      val rows = df.select(
+        col("x"), p.xIndexCol(col("x")).as("xi"),
+        p.xCentroidCol(col("x")).as("xc")).collect()
+      rows.foreach { r =>
+        val (v, xi, xc) = (r.getDouble(0), r.getInt(1), r.getDouble(2))
+        assert(xi >= 0 && xi < p.nX, s"index $xi out of range for $v / $p")
+        // v lies within the bin's closed bounds
+        val lo = p.xBounds(xi); val hi = p.xBounds(xi + 1)
+        assert(v >= lo - 1e-9 && v <= hi + 1e-9, s"$v outside bin [$lo,$hi]")
+        assert(xc > lo && xc < hi, s"centroid $xc outside ($lo,$hi)")
+      }
+    }
+  }
+
+  test("executor label columns byte-match driver labelString (pruning contract)") {
+    (1 to 15).foreach { _ =>
+      val (p, xs, ys) = randomConfig()
+      val df = xs.zip(ys).toDF("x", "y")
+      val got = p.addLabels(df, "x", "y")
+        .select(col("x"), col("y"), col("xbin"), col("ybin")).collect()
+      got.foreach { r =>
+        val (x, y) = (r.getDouble(0), r.getDouble(1))
+        val expected = {
+          // driver-side: same ±1-corrected division index then labelString
+          def idx(v: Double, vmin: Double, size: Double, n: Int): Int = {
+            val raw = math.ceil((v - vmin) / size).toInt - 1
+            val k0 = math.min(math.max(raw, 0), n - 1)
+            if (k0 > 0 && v <= vmin + k0 * size) k0 - 1
+            else if (k0 < n - 1 && v > vmin + (k0 + 1) * size) k0 + 1
+            else k0
+          }
+          val xi = idx(x, p.extent.xmin, p.xSize, p.nX)
+          val yi = idx(y, p.extent.ymin, p.ySize, p.nY)
+          p.labelsOfIndices(xi, yi)
+        }
+        assert(r.getString(2) == expected(0) && r.getString(3) == expected(1),
+          s"labels mismatch at ($x,$y): got (${r.getString(2)},${r.getString(3)}), want $expected")
+      }
+    }
+  }
+
+  test("prune superset: every in-extent point's labels appear in partitionsByExtent") {
+    (1 to 15).foreach { _ =>
+      val (p, xs, ys) = randomConfig()
+      // random query sub-extent
+      val qx0 = p.extent.xmin + rng.nextDouble() * (p.extent.xmax - p.extent.xmin) / 2
+      val qy0 = p.extent.ymin + rng.nextDouble() * (p.extent.ymax - p.extent.ymin) / 2
+      val q = Extent(qx0, qx0 + (p.extent.xmax - qx0) / 2,
+        qy0, qy0 + (p.extent.ymax - qy0) / 2)
+      val dict = p.partitionsByExtent(q)
+      val inQuery = xs.zip(ys).filter { case (x, y) =>
+        x >= q.xmin && x <= q.xmax && y >= q.ymin && y <= q.ymax }
+      val df = inQuery.toDF("x", "y")
+      if (inQuery.nonEmpty) {
+        val labels = p.addLabels(df, "x", "y")
+          .select("xbin", "ybin").as[(String, String)].collect()
+        labels.foreach { case (xb, yb) =>
+          assert(dict(p.levels(0)).contains(xb),
+            s"x label $xb missing from pruned set ${dict(p.levels(0))}")
+          assert(dict(p.levels(1)).contains(yb),
+            s"y label $yb missing from pruned set")
+        }
+      }
+    }
+  }
+
+  test("geodesic: symmetric, zero at identity, positive otherwise") {
+    import graft.functions.Geodesic
+    (1 to 200).foreach { _ =>
+      val lon1 = rng.nextDouble() * 360 - 180; val lat1 = rng.nextDouble() * 180 - 90
+      val lon2 = rng.nextDouble() * 360 - 180; val lat2 = rng.nextDouble() * 180 - 90
+      val d12 = Geodesic.inverse(lon1, lat1, lon2, lat2)
+      val d21 = Geodesic.inverse(lon2, lat2, lon1, lat1)
+      assert(d12 >= 0 && d12 < 2.1e7)
+      assert(math.abs(d12 - d21) < 1e-6, s"asymmetry at ($lon1,$lat1)-($lon2,$lat2)")
+      assert(Geodesic.inverse(lon1, lat1, lon1, lat1) == 0.0)
+    }
+  }
+}
