@@ -45,6 +45,18 @@ object AnalysisQueries extends QueryModule {
       import s.implicits._
       val src = s"/tmp/graft_merge_src_${dir.hashCode.toHexString}"
       val dst = s"/tmp/graft_merge_dst_${dir.hashCode.toHexString}"
+      // fresh destination: period files from a previous code revision would
+      // otherwise linger beside the newly merged ones
+      def rmrf(d: String): Unit = {
+        val p = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(p)) {
+          val w = java.nio.file.Files.walk(p)
+          try scala.jdk.CollectionConverters.IteratorHasAsScala(w.iterator()).asScala
+            .toSeq.sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+          finally w.close()
+        }
+      }
+      rmrf(dst)
       val ev = Tables(s, dir, "events")
         .withColumn("lon", (($"event_id" % 3600).cast("double") / 10.0) - 180.0)
         .withColumn("lat", ((($"event_id" * 7) % 1800).cast("double") / 10.0) - 90.0)

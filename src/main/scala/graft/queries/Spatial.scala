@@ -102,11 +102,15 @@ object Spatial extends QueryModule {
     })
   )
 
+  /** Cache-buster: bump when the synth-coord formula, partitioning config,
+    * or bucket schema changes — /tmp may outlive code revisions. */
+  private val BucketVersion = "v1"
+
   /** The shared events-synth bucket used by q21/q24/q29 (queries run in
     * arbitrary order, so each builds it if missing). */
   private def ensureBucket(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val bucketDir = s"/tmp/graft_bucket_${dir.hashCode.toHexString}"
+    val bucketDir = s"/tmp/graft_bucket_${BucketVersion}_${dir.hashCode.toHexString}"
     if (!new java.io.File(s"$bucketDir/_bucket_info.json").exists()) {
       val events = Tables(s, dir, "events")
         .withColumn("lon", synthLon($"event_id"))
