@@ -55,8 +55,9 @@ object Merge {
     val maxRecords = BucketWriter.estimateRowsForSize(df, BucketWriter.parseSize(maxFileSize))
     val staging = s"$dstBucketDir/_staging"
     // co-locate each (spatial partition, period) in one task → exactly the
-    // few large files per directory the compaction exists to produce
-    val repartitioned = withPeriod.repartition(
+    // few large files per directory the compaction exists to produce;
+    // oversubscribed tasks parallelize the per-file writer-init cost
+    val repartitioned = withPeriod.repartition(BucketWriter.writeTasks(df),
       (p.order :+ PeriodCol).map(col): _*)
     repartitioned.write
       .mode("overwrite")

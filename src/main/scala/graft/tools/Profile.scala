@@ -42,6 +42,10 @@ object Profile {
     time("raw write defaults 2nd")(labeled.write.mode("overwrite")
       .partitionBy("lon_bin", "lat_bin").parquet("/tmp/prof_b2"))
     time("flat write (no partitionBy)")(labeled.write.mode("overwrite").parquet("/tmp/prof_b3"))
+    val labeled64 = p.addLabels(ev, "lon", "lat").repartition(64, col("lon_bin"), col("lat_bin"))
+    time("write 64 tasks")(labeled64.write.mode("overwrite").partitionBy("lon_bin", "lat_bin").parquet("/tmp/prof_b4"))
+    time("write 64 tasks 2nd")(labeled64.write.mode("overwrite").partitionBy("lon_bin", "lat_bin").parquet("/tmp/prof_b4"))
+    time("write shm")(labeled.write.mode("overwrite").partitionBy("lon_bin", "lat_bin").parquet("/dev/shm/prof_b5"))
     // plan checks: partition pruning + parquet pushdown
     val pruned = BucketReader.read(spark, "/tmp/prof_bucket", BucketReader.ByExtent(Extent(-30, 25, -15, 40)))
     println("=PLAN1=")
