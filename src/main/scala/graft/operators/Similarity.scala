@@ -86,6 +86,42 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "cos", "bucket")
   }
 
+  /** Multi-probe LSH top-k: like [[lshTopK]] but each query also probes
+    * every bucket at Hamming distance 1 (one sign bit flipped) — recall
+    * approaches brute force at (nPlanes+1)× the candidate cost, still far
+    * below a full scan. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nPlanes: Int = 8,
+                        seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(nPlanes, dim, seed)
+    val q0 = queries.select(col(idCol).as("query_id"),
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__bucket0", lshBucket(col("__qv"), planes))
+    // probe set: exact bucket + every 1-bit flip
+    val flips = (0 until nPlanes).map { i =>
+      concat(
+        substring(col("__bucket0"), 1, i),
+        when(substring(col("__bucket0"), i + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+        substring(col("__bucket0"), i + 2, nPlanes - i - 1))
+    }
+    val q = q0.withColumn("bucket",
+        explode(array((col("__bucket0") +: flips): _*)))
+      .drop("__bucket0")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("bucket", lshBucket(col("__cv"), planes))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "cos")
+  }
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `nList` centroid vectors (ties → smallest centroid id). With
     * k-means-trained centroids this is classic IVF; any deterministic

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.partitioning.{Extent, LonLatPartitioning}
+import graft.sources.{BucketReader, BucketWriter}
+
+/** Physical write properties (reference test_writers.py): file counts under
+  * size limits, compression codecs, empty inputs — plus the driver's t1
+  * smoke contract.
+  */
+class WriterPhysicalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def tmp(n: String) = {
+    val p = Files.createTempDirectory(s"graft_wp_$n"); p.toFile.deleteOnExit(); p.toString
+  }
+
+  private def parquetFiles(dir: String): Seq[java.nio.file.Path] = {
+    val w = Files.walk(Paths.get(dir))
+    try scala.jdk.CollectionConverters.IteratorHasAsScala(w.iterator()).asScala
+      .filter(_.toString.endsWith(".parquet")).toSeq
+    finally w.close()
+  }
+
+  test("maxFileSize splits a partition dir into multiple files") {
+    val dir = tmp("split")
+    val p = LonLatPartitioning(size = (180, 180), levels = Seq("lon_bin", "lat_bin"))
+    // all rows in one cell; tiny maxFileSize forces several files
+    val df = spark.range(20000)
+      .select((col("id") % 90).cast("double").as("lon"),
+        (col("id") % 45).cast("double").as("lat"),
+        col("id").as("v"))
+    BucketWriter.writeBucket(df, dir, p, mode = "overwrite",
+      maxFileSize = "64KB")
+    val files = parquetFiles(dir)
+    assert(files.length > 1, s"expected a split, got ${files.length} file(s)")
+    assert(BucketReader.read(spark, dir).count() == 20000)
+  }
+
+  test("compression codecs round trip") {
+    Seq("snappy", "gzip", "zstd").foreach { codec =>
+      val dir = tmp(s"codec_$codec")
+      val p = LonLatPartitioning(size = (90, 90))
+      val df = OrbitFixture.granule(spark, 1)
+      BucketWriter.writeBucket(df, dir, p, mode = "overwrite", compression = codec)
+      assert(BucketReader.read(spark, dir).count() == 50, codec)
+    }
+  }
+
+  test("empty dataframe: manifest written, read errors like the reference") {
+    val dir = tmp("empty")
+    val p = LonLatPartitioning(size = (90, 90))
+    val df = OrbitFixture.granule(spark, 1).where(lit(false))
+    BucketWriter.writeBucket(df, dir, p, mode = "overwrite")
+    assert(Files.exists(Paths.get(dir, "_bucket_info.json")))
+    // reference read_bucket errors on an empty result (readers.py:151-154)
+    intercept[Exception] { BucketReader.read(spark, dir).count() }
+  }
+
+  test("driver t1 smoke contract: entry() returns rows on a vanilla session") {
+    // the driver calls entry(spark) with its own session config
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("multi-probe LSH recall ⊇ single-probe recall") {
+    import graft.operators.Similarity
+    val emb = graft.core.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.where($"vec_id" < 8)
+    val single = Similarity.lshTopK(queries, emb, "vec_id", "embedding",
+      k = 1, nPlanes = 6).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    val multi = Similarity.lshTopKMultiProbe(queries, emb, "vec_id", "embedding",
+      k = 1, nPlanes = 6).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toMap
+    // multi-probe sees a superset of candidates → at least as many queries
+    // answered, and its top-1 cosine is >= single-probe's for shared queries
+    assert(multi.keySet.size >= single.keySet.size)
+    val brute = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val singleHits = single.count { case (q, n) => brute.get(q).contains(n) }
+    val multiHits = multi.count { case (q, n) => brute.get(q).contains(n) }
+    assert(multiHits >= singleHits)
+  }
+}
