@@ -28,12 +28,39 @@ object Extent {
   */
 object Binning {
 
-  /** Bin edges: `arange(vmin, vmax, size)` + forced final `vmax` edge. */
+  /** Bin edges: `arange(vmin, vmax, size)` + forced final `vmax` edge.
+    *
+    * Replicates numpy's arange fill EXACTLY (validated bitwise against
+    * np.arange over 500 random configs): buf[0]=start, buf[1]=start+step,
+    * then buf[i] = start + i*delta with delta = buf[1]-buf[0]. Neither the
+    * closed form start+i*step nor pure cumulative addition matches numpy
+    * in general — and these doubles become label strings become directory
+    * names, so a 1-ulp divergence breaks on-disk compatibility. */
   def bounds(vmin: Double, vmax: Double, size: Double): Array[Double] = {
     // numpy arange length = ceil((stop-start)/step) evaluated in doubles
     val n = math.ceil((vmax - vmin) / size).toInt
-    val base = Array.tabulate(n)(i => vmin + i * size)
+    val base = new Array[Double](n)
+    if (n > 0) base(0) = vmin
+    if (n > 1) base(1) = vmin + size
+    if (n > 2) {
+      val delta = base(1) - base(0)
+      var i = 2
+      while (i < n) { base(i) = vmin + i * delta; i += 1 }
+    }
     if (base.nonEmpty && base.last == vmax) base else base :+ vmax
+  }
+
+  /** Driver-side value→index with the same semantics as [[binIndex]]:
+    * division guess + ±1 correction against the exact bounds. */
+  def indexOf(v: Double, bounds: Array[Double], vmin: Double, vmax: Double,
+              size: Double): Int = {
+    val n = bounds.length - 1
+    if (v.isNaN || v < vmin || v > vmax) return -1
+    val raw = math.ceil((v - vmin) / size).toInt - 1
+    val k0 = math.min(math.max(raw, 0), n - 1)
+    if (k0 > 0 && v <= bounds(k0)) k0 - 1
+    else if (k0 < n - 1 && v > bounds(k0 + 1)) k0 + 1
+    else k0
   }
 
   /** Centroids = midpoints of consecutive bounds (add-then-halve, matching
@@ -43,35 +70,33 @@ object Binning {
 
   /** Executor-side value→bin-index Column with pd.cut semantics.
     *
-    * Uses the O(1) uniform-bin division formula plus a ±1 comparison
-    * correction against the exact `vmin + k*size` edges, so results match
-    * edge-comparison binning bit-for-bit even when the division lands on a
-    * representable boundary. Codegen-friendly (builtins only, no UDF).
+    * O(1) uniform-bin division guess plus a ±1 comparison correction
+    * against the EXACT bounds (element_at on the literal bounds array —
+    * the numpy-arange doubles, see [[bounds]]), so results match pd.cut's
+    * edge comparisons bit-for-bit. The guess can only be off by ±1: the
+    * arange drift is ulp-scale, a vanishing fraction of a bin. Codegen-
+    * friendly (builtins only, no UDF; the array literal is a plan constant).
     */
-  def binIndex(value: Column, vmin: Double, vmax: Double, size: Double, n: Int): Column = {
+  def binIndex(value: Column, boundsArr: Array[Double],
+               vmin: Double, vmax: Double, size: Double): Column = {
+    val n = boundsArr.length - 1
+    val b = typedLit(boundsArr.toSeq)
     val v = value.cast("double")
     val raw = (ceil((v - lit(vmin)) / lit(size)) - 1).cast("int")
     val k0 = least(greatest(raw, lit(0)), lit(n - 1))
-    // exact left edge of bin k and of bin k+1 (the reference's arange values)
-    val edgeK = lit(vmin) + k0.cast("double") * lit(size)
-    val edgeK1 = lit(vmin) + (k0 + 1).cast("double") * lit(size)
     val adjusted =
-      when(k0 > 0 && v <= edgeK, k0 - 1)
-        .when(k0 < n - 1 && v > edgeK1, k0 + 1)
+      when(k0 > 0 && v <= element_at(b, k0 + 1), k0 - 1)
+        .when(k0 < n - 1 && v > element_at(b, k0 + 2), k0 + 1)
         .otherwise(k0)
     when(v.isNull || isnan(v) || v < vmin || v > vmax, lit(null).cast("int"))
       .otherwise(adjusted)
   }
 
-  /** Centroid of bin `k` as a Column (last bin midpoint uses the forced
-    * `vmax` edge, all others the uniform formula — identical doubles to
-    * `centroids(bounds)` values). */
-  def centroidOfIndex(k: Column, vmin: Double, vmax: Double, size: Double, n: Int): Column = {
-    val lastCentroid = ((vmin + (n - 1) * size) + vmax) / 2.0
-    val kd = k.cast("double")
+  /** Centroid of bin `k` as a Column: exact lookup in the centroid array. */
+  def centroidOfIndex(k: Column, centroidsArr: Array[Double]): Column = {
+    val c = typedLit(centroidsArr.toSeq)
     when(k.isNull, lit(null).cast("double"))
-      .when(k === n - 1, lit(lastCentroid))
-      .otherwise((lit(vmin) + kd * lit(size) + (lit(vmin) + (kd + 1) * lit(size))) / 2.0)
+      .otherwise(element_at(c, k + 1))
   }
 
   /** Number of decimals in the shortest decimal representation of `size`
@@ -126,14 +151,14 @@ sealed trait Partitioning2D extends Serializable {
   def ySize: Double
 
   def xIndexCol(x: Column): Column =
-    Binning.binIndex(x, extent.xmin, extent.xmax, xSize, nX)
+    Binning.binIndex(x, xBounds, extent.xmin, extent.xmax, xSize)
   def yIndexCol(y: Column): Column =
-    Binning.binIndex(y, extent.ymin, extent.ymax, ySize, nY)
+    Binning.binIndex(y, yBounds, extent.ymin, extent.ymax, ySize)
 
   def xCentroidCol(x: Column): Column =
-    Binning.centroidOfIndex(xIndexCol(x), extent.xmin, extent.xmax, xSize, nX)
+    Binning.centroidOfIndex(xIndexCol(x), xCentroids)
   def yCentroidCol(y: Column): Column =
-    Binning.centroidOfIndex(yIndexCol(y), extent.ymin, extent.ymax, ySize, nY)
+    Binning.centroidOfIndex(yIndexCol(y), yCentroids)
 
   /** Per-level label Columns for coordinates (x, y) — null for invalid rows. */
   def labelCols(x: Column, y: Column): Seq[(String, Column)] =
@@ -197,8 +222,8 @@ sealed trait Partitioning2D extends Serializable {
     df.where(validCoords(col(x), col(y)))
       .withColumn("__xi", xIndexCol(col(x)))
       .withColumn("__yi", yIndexCol(col(y)))
-      .withColumn(xc, Binning.centroidOfIndex(col("__xi"), extent.xmin, extent.xmax, xSize, nX))
-      .withColumn(yc, Binning.centroidOfIndex(col("__yi"), extent.ymin, extent.ymax, ySize, nY))
+      .withColumn(xc, Binning.centroidOfIndex(col("__xi"), xCentroids))
+      .withColumn(yc, Binning.centroidOfIndex(col("__yi"), yCentroids))
       .drop("__xi", "__yi")
   }
 
@@ -207,17 +232,10 @@ sealed trait Partitioning2D extends Serializable {
     * its corners to centroids, take every centroid in that closed range). */
   def partitionIndicesByExtent(queryExtent: Extent): (Array[Int], Array[Int]) = {
     val q = queryExtent.clampTo(extent)
-    def idx(v: Double, vmin: Double, vmax: Double, size: Double, n: Int): Int = {
-      val raw = math.ceil((v - vmin) / size).toInt - 1
-      val k0 = math.min(math.max(raw, 0), n - 1)
-      if (k0 > 0 && v <= vmin + k0 * size) k0 - 1
-      else if (k0 < n - 1 && v > vmin + (k0 + 1) * size) k0 + 1
-      else k0
-    }
-    val cxMin = xCentroids(idx(q.xmin, extent.xmin, extent.xmax, xSize, nX))
-    val cxMax = xCentroids(idx(q.xmax, extent.xmin, extent.xmax, xSize, nX))
-    val cyMin = yCentroids(idx(q.ymin, extent.ymin, extent.ymax, ySize, nY))
-    val cyMax = yCentroids(idx(q.ymax, extent.ymin, extent.ymax, ySize, nY))
+    val cxMin = xCentroids(Binning.indexOf(q.xmin, xBounds, extent.xmin, extent.xmax, xSize))
+    val cxMax = xCentroids(Binning.indexOf(q.xmax, xBounds, extent.xmin, extent.xmax, xSize))
+    val cyMin = yCentroids(Binning.indexOf(q.ymin, yBounds, extent.ymin, extent.ymax, ySize))
+    val cyMax = yCentroids(Binning.indexOf(q.ymax, yBounds, extent.ymin, extent.ymax, ySize))
     val xs = xCentroids.indices.filter(i => xCentroids(i) >= cxMin && xCentroids(i) <= cxMax)
     val ys = yCentroids.indices.filter(j => yCentroids(j) >= cyMin && yCentroids(j) <= cyMax)
     (xs.toArray, ys.toArray)
@@ -358,8 +376,8 @@ class XYPartitioning(
   validateBase()
 
   def labelsByIndices(xIdx: Column, yIdx: Column): Seq[(String, Column)] = {
-    val xc = Binning.centroidOfIndex(xIdx, extent.xmin, extent.xmax, xSize, nX)
-    val yc = Binning.centroidOfIndex(yIdx, extent.ymin, extent.ymax, ySize, nY)
+    val xc = Binning.centroidOfIndex(xIdx, xCentroids)
+    val yc = Binning.centroidOfIndex(yIdx, yCentroids)
     Seq(
       levels(0) -> centroidLabelCol(xc, labelsDecimals._1),
       levels(1) -> centroidLabelCol(yc, labelsDecimals._2))

@@ -15,7 +15,8 @@ class PartitioningSpec extends AnyFunSuite {
   private def binIdx(values: Seq[java.lang.Double], vmin: Double, vmax: Double,
                      size: Double, n: Int): Seq[Option[Int]] = {
     val df = values.toDF("v")
-      .withColumn("idx", Binning.binIndex(col("v"), vmin, vmax, size, n))
+      .withColumn("idx", Binning.binIndex(col("v"),
+        Binning.bounds(vmin, vmax, size), vmin, vmax, size))
     df.select("idx").collect().map(r =>
       if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
   }
@@ -41,8 +42,10 @@ class PartitioningSpec extends AnyFunSuite {
   test("short last bin index + centroid") {
     val got = binIdx(Seq[java.lang.Double](9.0, 9.5, 10.0), 0, 10, 3, 4)
     assert(got == Seq(Some(2), Some(3), Some(3)))
+    val b = Binning.bounds(0, 10, 3)
     val df = Seq(9.5).toDF("v").withColumn("c",
-      Binning.centroidOfIndex(Binning.binIndex(col("v"), 0, 10, 3, 4), 0, 10, 3, 4))
+      Binning.centroidOfIndex(Binning.binIndex(col("v"), b, 0, 10, 3),
+        Binning.centroids(b)))
     assert(df.select("c").as[Double].head() == 9.5)
   }
 

@@ -57,16 +57,10 @@ class PropertySpec extends AnyFunSuite {
       got.foreach { r =>
         val (x, y) = (r.getDouble(0), r.getDouble(1))
         val expected = {
-          // driver-side: same ±1-corrected division index then labelString
-          def idx(v: Double, vmin: Double, size: Double, n: Int): Int = {
-            val raw = math.ceil((v - vmin) / size).toInt - 1
-            val k0 = math.min(math.max(raw, 0), n - 1)
-            if (k0 > 0 && v <= vmin + k0 * size) k0 - 1
-            else if (k0 < n - 1 && v > vmin + (k0 + 1) * size) k0 + 1
-            else k0
-          }
-          val xi = idx(x, p.extent.xmin, p.xSize, p.nX)
-          val yi = idx(y, p.extent.ymin, p.ySize, p.nY)
+          // driver-side: shared exact-bounds index then labelString — the
+          // same pair BucketReader pruning relies on
+          val xi = Binning.indexOf(x, p.xBounds, p.extent.xmin, p.extent.xmax, p.xSize)
+          val yi = Binning.indexOf(y, p.yBounds, p.extent.ymin, p.extent.ymax, p.ySize)
           p.labelsOfIndices(xi, yi)
         }
         assert(r.getString(2) == expected(0) && r.getString(3) == expected(1),
