@@ -128,6 +128,49 @@ object BucketWriter {
     def read(spark: SparkSession, path: String): Option[DataFrame]
   }
 
+  /** Row-typed converter for the distributed ingest path: runs on
+    * EXECUTORS, so it must not touch the SparkSession. */
+  trait RowGranuleReader extends Serializable {
+    def rows(path: String): Iterator[org.apache.spark.sql.Row]
+  }
+
+  /** Distributed single-job ingest (SURVEY §3.2's scale path): the file
+    * list becomes a Dataset, each executor task converts its granules to
+    * rows, and ONE write lands the whole batch — no per-granule driver
+    * jobs, so 10^5 granules cost one job instead of 10^5. Per-file errors
+    * are captured in an accumulator (skipped, not fatal), matching the
+    * reference's error-capture contract.
+    *
+    * Use this when the converter is row-typed (plain file parsing);
+    * [[writeGranulesBucket]] remains for converters that need a
+    * SparkSession (e.g. reading each granule with spark.read).
+    *
+    * Returns the failed (path, error) pairs.
+    */
+  def writeGranulesBucketDistributed(spark: SparkSession,
+                                     filepaths: Seq[String],
+                                     bucketDir: String, p: Partitioning2D,
+                                     reader: RowGranuleReader,
+                                     schema: org.apache.spark.sql.types.StructType,
+                                     x: String = "lon", y: String = "lat",
+                                     rowGroupSize: String = "500MB",
+                                     maxFileSize: String = "2GB"): Seq[(String, String)] = {
+    import spark.implicits._
+    val errors = spark.sparkContext.collectionAccumulator[(String, String)]("granule_errors")
+    val paths = spark.createDataset(filepaths)
+      .repartition(math.min(filepaths.size,
+        spark.sparkContext.defaultParallelism * 2))
+    val rows = paths.flatMap { path =>
+      try reader.rows(path)
+      catch { case e: Throwable =>
+        errors.add(path -> String.valueOf(e.getMessage)); Iterator.empty
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+    writeBucket(rows.toDF(), bucketDir, p, x, y, rowGroupSize, maxFileSize,
+      mode = "append")
+    scala.jdk.CollectionConverters.ListHasAsScala(errors.value).asScala.toSeq
+  }
+
   /** Per-granule fan-out ETL (reference write_granules_bucket,
     * routines.py:143-250): driver-parallel loop, per-file error capture,
     * collision-free append via per-granule filename prefixes — each granule

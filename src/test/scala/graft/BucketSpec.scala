@@ -115,6 +115,30 @@ class BucketSpec extends AnyFunSuite {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_staging")))
   }
 
+  test("distributed row-typed ingest: one job, error capture (S9 scale path)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("distributed")
+    val p = LonLatPartitioning(size = (10, 10))
+    val schema = StructType(Seq(
+      StructField("lon", DoubleType), StructField("lat", DoubleType),
+      StructField("v", LongType)))
+    val reader = new BucketWriter.RowGranuleReader {
+      def rows(path: String): Iterator[Row] = path match {
+        case "bad" => throw new RuntimeException("broken_granule")
+        case _ =>
+          val g = path.toInt
+          (0 until 50).iterator.map(i =>
+            Row((g * 3 + i % 10).toDouble, (i / 10).toDouble, i.toLong))
+      }
+    }
+    val errors = BucketWriter.writeGranulesBucketDistributed(spark,
+      Seq("0", "1", "bad", "2"), dir, p, reader, schema)
+    assert(errors.map(_._1) == Seq("bad"))
+    assert(errors.head._2.contains("broken_granule"))
+    assert(BucketReader.read(spark, dir).count() == 150)
+  }
+
   test("size-string parsing (S6/U7, test_writers.py)") {
     assert(BucketWriter.parseSize("200MB") == 200L * 1024 * 1024)
     assert(BucketWriter.parseSize("2GB") == 2L * 1024 * 1024 * 1024)
