@@ -130,6 +130,49 @@ object Dedup {
         .otherwise(0L)).as("simhash"))
   }
 
+  /** Connected components over a candidate-pair edge list: every node gets
+    * the minimum id of its component — the cluster representative for
+    * group deduplication (keep one doc per cluster).
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds (LSH bucket cliques have tiny
+    * diameters). Each round is one shuffle join + hash agg; the loop stops
+    * as soon as a round changes nothing.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager) after every round: iterative self-joins grow
+    // the logical plan exponentially otherwise — the driver OOMs on plan
+    // analysis long before the (tiny) data does
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst")
+          .withColumnRenamed("label", "__nl"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("__nl")).as("__minNeighbor"))
+      val updated = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__minNeighbor"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.join(labels.withColumnRenamed("label", "__old"), Seq("node"))
+        .where(col("label") =!= col("__old")).limit(1).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** n-gram Jaccard set sizes for candidate pairs: the distinct-shingle
     * array stays a column (no explode), each pair is two array lookups and
     * an array_intersect — set arithmetic inside codegen instead of a

@@ -103,6 +103,14 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", $"fp_md5", $"fp_min_shingle")
     }),
 
+    // Near-dup clusters: connected components over the LSH candidate pairs
+    // (min-id representative per cluster) — the keep-one-per-group step.
+    "q45_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.lshCandidatePairs(Tables(s, dir, "documents"),
+        "text", "doc_id", shingleK = 8, numHashes = 8, bands = 4)
+      Dedup.connectedComponents(pairs)
+    }),
+
     // IVF coarse-quantized ANN: 16 deterministic centroids (vec_id < 16),
     // top-2 within the query's cell for the first 24 queries.
     "q44_ivf_topk" -> ((s, dir) => {
@@ -273,6 +281,29 @@ object PipelineQueries extends QueryModule {
       b AS (SELECT vec_id, ${bucketSql("e", 8)} AS bucket FROM v)
       SELECT bucket, COUNT(*) AS n, MIN(vec_id) AS min_id
       FROM b GROUP BY bucket""",
+
+    "q45_dedup_clusters" -> s"""
+      WITH RECURSIVE
+      prs AS (
+        WITH sig AS (${minhashSql(8)}),
+        bands AS (
+          SELECT doc_id, b.band,
+            CASE b.band
+              WHEN 0 THEN CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+              WHEN 1 THEN CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+              WHEN 2 THEN CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+              ELSE CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) END AS band_sig
+          FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b)
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
+      edges AS (SELECT a AS src, b AS dst FROM prs
+                UNION SELECT b, a FROM prs),
+      reach(node, other) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other)
+      SELECT node, MIN(other) AS cluster_id FROM reach GROUP BY node""",
 
     "q44_ivf_topk" -> """
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

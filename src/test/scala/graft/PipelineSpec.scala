@@ -116,6 +116,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts.getLong(1) > counts.getLong(0)) // subwords split punctuation
   }
 
+  test("connected components: min-id cluster per component") {
+    // components: {1,2,3,9} (chain), {5,7}, isolated nodes don't appear
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 9L), (5L, 7L)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 5L -> 5L, 7L -> 5L))
+  }
+
   test("salted aggregation and join match unsalted results (skew path)") {
     import graft.operators.Skew
     val df = (1 to 1000).map(i => (if (i <= 900) "hot" else s"k$i", i.toDouble))
