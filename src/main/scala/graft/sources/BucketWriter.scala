@@ -109,9 +109,11 @@ object BucketWriter {
       levels match {
         case Nil => ()
         case level +: rest =>
-          val subs = Files.list(dir).iterator().asScala
+          val ls = Files.list(dir)
+          val subs = try ls.iterator().asScala
             .filter(d => Files.isDirectory(d) &&
               d.getFileName.toString.startsWith(s"$level=")).toSeq
+            finally ls.close() // avoid fd leaks across many dirs
           subs.foreach { d =>
             val bare = d.getFileName.toString.stripPrefix(s"$level=")
             val dst = dir.resolve(bare)

@@ -80,12 +80,16 @@ object Merge {
       Files.createDirectories(dstDir)
       if (update) {
         // replace exactly the files of this period (reference :791-810)
-        Files.list(dstDir).iterator().asScala
+        val ls = Files.list(dstDir)
+        try ls.iterator().asScala
           .filter(_.getFileName.toString.startsWith(s"${prefix}_"))
-          .foreach(Files.delete)
+          .toSeq.foreach(Files.delete)
+        finally ls.close() // unclosed streams leak fds across 10^4 dirs
       }
-      val parts = Files.list(dir).iterator().asScala
+      val ls2 = Files.list(dir)
+      val parts = try ls2.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        finally ls2.close()
       parts.zipWithIndex.foreach { case (f, i) =>
         Files.move(f, dstDir.resolve(s"${prefix}_$i.parquet"),
           StandardCopyOption.REPLACE_EXISTING)
