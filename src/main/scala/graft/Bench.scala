@@ -22,6 +22,8 @@ object Bench {
       // rename storm) and no _SUCCESS markers
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // local-fs benches: skip .crc sidecar writes (~15% on many-file writes)
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -152,6 +152,10 @@ object Dedup {
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // labels only ever decrease, so Σlabel is strictly monotone until the
+    // fixpoint — comparing sums is a single cheap action per round instead
+    // of a change-detection join
+    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -164,10 +168,10 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("__minNeighbor"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = updated.join(labels.withColumnRenamed("label", "__old"), Seq("node"))
-        .where(col("label") =!= col("__old")).limit(1).count()
+      val newSum = updated.agg(sum(col("label"))).head().getLong(0)
       labels = updated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
     labels.withColumnRenamed("label", "cluster_id")

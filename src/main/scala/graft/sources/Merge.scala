@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.LocalDateTime
+import scala.collection.parallel.CollectionConverters._
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -68,11 +69,15 @@ object Merge {
       .parquet(staging)
 
     // metadata pass: lift __period=P/part-i.parquet → <spatial dir>/P_i.parquet
+    // (parallel: at 10^4 dirs a sequential rename loop dominates merge time)
     val stagingPath = Paths.get(staging)
-    val periodDirs = walk(stagingPath).filter(d =>
+    val periodDirsSeq = walk(stagingPath).filter(d =>
       Files.isDirectory(d) && d.getFileName.toString.startsWith(s"$PeriodCol="))
-    val touchedPrefixes = periodDirs.map(_.getFileName.toString.stripPrefix(s"$PeriodCol=")).toSet
+    val touchedPrefixes = periodDirsSeq.map(_.getFileName.toString.stripPrefix(s"$PeriodCol=")).toSet
 
+    val periodDirs = periodDirsSeq.par
+    periodDirs.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(16))
     periodDirs.foreach { dir =>
       val prefix = dir.getFileName.toString.stripPrefix(s"$PeriodCol=")
       val rel = stagingPath.relativize(dir.getParent) // spatial partition path
@@ -108,6 +113,15 @@ object Merge {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  private def deleteRecursively(p: Path): Unit =
-    walk(p).sortBy(-_.getNameCount).foreach(f => Files.deleteIfExists(f))
+  private def deleteRecursively(p: Path): Unit = {
+    // deepest-first, parallel within each depth level (sequential deletes
+    // of 10^4+ staging paths are driver-time at scale)
+    val byDepth = walk(p).groupBy(_.getNameCount).toSeq.sortBy(-_._1)
+    byDepth.foreach { case (_, paths) =>
+      val par = paths.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+        new java.util.concurrent.ForkJoinPool(16))
+      par.foreach(f => Files.deleteIfExists(f))
+    }
+  }
 }
