@@ -74,7 +74,8 @@ object BucketWriter {
                   maxFileSize: String = "2GB",
                   compression: String = "snappy",
                   mode: String = "append",
-                  removeInvalidRows: Boolean = true): Unit = {
+                  removeInvalidRows: Boolean = true,
+                  writeMetadata: Boolean = false): Unit = {
     val labeled0 = p.addLabels(df, x, y, removeInvalidRows)
     // co-locate each spatial partition in one task: one output file per
     // directory instead of (tasks × dirs) small files — at scale this is
@@ -100,6 +101,9 @@ object BucketWriter {
     // after the data: "overwrite" clears the directory first, which would
     // delete a manifest written up front
     BucketInfo.write(bucketDir, p)
+    // optional _metadata/_common_metadata sidecars (reference default off:
+    // "can take much longer", routines.py:588-599)
+    if (writeMetadata) DatasetMetadata.write(bucketDir)
   }
 
   private def stripHivePrefixes(bucketDir: String, order: Seq[String]): Unit = {

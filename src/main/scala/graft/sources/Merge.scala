@@ -34,7 +34,8 @@ object Merge {
                           rowGroupSize: String = "200MB",
                           maxFileSize: String = "2GB",
                           compression: String = "snappy",
-                          timeColumn: String = "time"): Unit = {
+                          timeColumn: String = "time",
+                          writeMetadata: Boolean = false): Unit = {
     Temporal.check(temporalPartitioning)
     val p = BucketInfo.readPartitioning(srcBucketDir)
     if (update) {
@@ -104,6 +105,7 @@ object Merge {
     if (!update || !Files.exists(Paths.get(dstBucketDir, BucketInfo.FileName))) {
       BucketInfo.write(dstBucketDir, p, Some(temporalPartitioning))
     }
+    if (writeMetadata) DatasetMetadata.write(dstBucketDir)
     require(touchedPrefixes.nonEmpty || startTime.nonEmpty || endTime.nonEmpty,
       "merge produced no output files — is the source bucket empty?")
   }

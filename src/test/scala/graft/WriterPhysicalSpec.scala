@@ -60,6 +60,24 @@ class WriterPhysicalSpec extends AnyFunSuite {
     intercept[Exception] { BucketReader.read(spark, dir).count() }
   }
 
+  test("_metadata sidecars: merged footers cover every file (S8)") {
+    val dir = tmp("sidecar")
+    val p = LonLatPartitioning(size = (45, 45))
+    BucketWriter.writeBucket(OrbitFixture.standard(spark), dir, p,
+      mode = "overwrite", writeMetadata = true)
+    assert(Files.exists(Paths.get(dir, "_metadata")))
+    assert(Files.exists(Paths.get(dir, "_common_metadata")))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(conf,
+      new org.apache.hadoop.fs.Path(dir, "_metadata"),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val totalRows = scala.jdk.CollectionConverters
+      .ListHasAsScala(meta.getBlocks).asScala.map(_.getRowCount).sum
+    assert(totalRows == 150)
+    // row-group paths cover every data file
+    assert(meta.getBlocks.size() == parquetFiles(dir).size)
+  }
+
   test("driver t1 smoke contract: entry() returns rows on a vanilla session") {
     // the driver calls entry(spark) with its own session config
     val df = SparkEntry.entry(spark)
