@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import graft.partitioning.Partitioning2D
@@ -23,10 +24,29 @@ object BucketInfo {
     Files.writeString(Paths.get(bucketDir, FileName), toJson(dict))
   }
 
+  /** Reference-written buckets carry `bucket_info.yaml` (satbucket
+    * io.py:35-73); ours carry `_bucket_info.json`. Accept both. */
+  val ReferenceFileName = "bucket_info.yaml"
+
   def read(bucketDir: String): Map[String, Any] = {
     val p = Paths.get(bucketDir, FileName)
-    require(Files.exists(p), s"no $FileName in $bucketDir — not a bucket?")
-    fromJson(Files.readString(p))
+    val ref = Paths.get(bucketDir, ReferenceFileName)
+    if (Files.exists(p)) fromJson(Files.readString(p))
+    else if (Files.exists(ref)) fromYaml(Files.readString(ref))
+    else throw new IllegalArgumentException(
+      s"no $FileName or $ReferenceFileName in $bucketDir — not a bucket?")
+  }
+
+  private def fromYaml(s: String): Map[String, Any] = {
+    val yaml = new org.yaml.snakeyaml.Yaml()
+    def conv(v: Any): Any = v match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, vv) => k.toString -> conv(vv) }.toMap
+      case l: java.util.List[_] => l.asScala.map(conv).toSeq
+      case i: java.lang.Integer => i.toDouble
+      case other => other
+    }
+    conv(yaml.load[java.util.Map[String, Any]](s)).asInstanceOf[Map[String, Any]]
   }
 
   def readPartitioning(bucketDir: String): Partitioning2D =

@@ -41,13 +41,18 @@ object BucketReader {
            fileExtension: String = null,
            globPattern: String = null,
            regexPattern: String = null,
-           x: String = "lon", y: String = "lat"): DataFrame = {
+           x: String = "lon", y: String = "lat",
+           timeColumns: Seq[String] = Seq("time")): DataFrame = {
     val p = BucketInfo.readPartitioning(bucketDir)
     val isHive = !p.flavor.contains("directory")
 
     // Partition-label strings must come back as strings: disable Spark's
     // hive partition value type inference for this read (SURVEY §1.2).
     spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // reference buckets are written by pandas/pyarrow with NANOSECOND
+    // timestamps, which Spark's reader rejects: read them as long nanos and
+    // convert the declared time columns back to (microsecond) timestamps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     val resolvedExtent: Option[Extent] = query match {
       case Everything => None
@@ -61,8 +66,10 @@ object BucketReader {
 
     var df =
       if (isHive && !hasNameFilter) {
-        // hive flavor: Catalyst prunes dirs from the label predicate
-        var d = spark.read.parquet(bucketDir)
+        // hive flavor: Catalyst prunes dirs from the label predicate.
+        // pathGlobFilter keeps non-parquet bucket files (e.g. the
+        // reference's bucket_info.yaml) out of the scan.
+        var d = spark.read.option("pathGlobFilter", "*.parquet").parquet(bucketDir)
         resolvedExtent.foreach(e => d = d.where(p.prunePredicate(e)))
         d
       } else if (isHive) {
@@ -83,7 +90,8 @@ object BucketReader {
           case None => Seq(bucketDir)
         }
         require(roots.nonEmpty, "no partitions intersect the query extent")
-        val all = roots.flatMap(r => listFiles(r, fileExtension, globPattern, regexPattern))
+        val dataExt = if (fileExtension == null) ".parquet" else fileExtension
+        val all = roots.flatMap(r => listFiles(r, dataExt, globPattern, regexPattern))
         require(all.nonEmpty, s"no files to read in $bucketDir")
         val d = spark.read.parquet(all: _*)
         val parts = split(input_file_name(), "/")
@@ -92,6 +100,14 @@ object BucketReader {
           acc.withColumn(level, element_at(parts, -(n - i + 1)))
         }
       }
+
+    // nanos→timestamp conversion for declared time columns (see above)
+    timeColumns.foreach { tc =>
+      if (df.schema.exists(f => f.name == tc &&
+          f.dataType == org.apache.spark.sql.types.LongType)) {
+        df = df.withColumn(tc, expr(s"timestamp_micros($tc div 1000)"))
+      }
+    }
 
     // row-level spatial refinement
     query match {
