@@ -19,3 +19,24 @@ object GraftFunctions {
       "built-in")
   }
 }
+
+/** SparkSessionExtensions entry point: sessions built with
+  * `.withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) get the engine's
+  * SQL functions injected at session construction — no per-session
+  * register() call. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    e.injectFunction((
+      FunctionIdentifier("geodesic_distance"),
+      new ExpressionInfo(classOf[GeodesicDistanceToPoint].getName, "geodesic_distance"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 4,
+          "geodesic_distance(lon, lat, lon0, lat0) expects 4 arguments")
+        GeodesicDistanceToPoint(exprs(0), exprs(1),
+          exprs(2).eval().toString.toDouble, exprs(3).eval().toString.toDouble)
+      }))
+  }
+}

@@ -156,6 +156,26 @@ object Analysis {
       .drop("__rn", "__pv", "__pr", "__nv", "__nr")
   }
 
+  /** Driver-side dense 2-D materialization of a grid DataFrame (the final
+    * to_xarray step): rows (xIdx, yIdx, value) → value(yIdx)(xIdx), NaN
+    * holes. Guarded — dense grids are for plotting/export, not pipelines. */
+  def collectGrid2D(grid: DataFrame, xIdx: String, yIdx: String,
+                    valueCol: String, maxCells: Long = 10000000L): Array[Array[Double]] = {
+    val b = grid.agg(min(col(xIdx)), max(col(xIdx)),
+      min(col(yIdx)), max(col(yIdx))).head()
+    val (x0, x1, y0, y1) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val (nx, ny) = ((x1 - x0 + 1).toInt, (y1 - y0 + 1).toInt)
+    require(nx.toLong * ny <= maxCells,
+      s"dense grid $nx x $ny exceeds maxCells=$maxCells — keep it distributed")
+    val out = Array.fill(ny, nx)(Double.NaN)
+    grid.select(col(xIdx), col(yIdx), col(valueCol).cast("double"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(2))
+          out((r.getLong(1) - y0).toInt)((r.getLong(0) - x0).toInt) = r.getDouble(2)
+      }
+    out
+  }
+
   /** A1+J1: the data-cube pivot (to_xarray analogue, partitioning.py:734-813):
     * left-join an aggregated dataframe onto the full centroid grid so every
     * cell exists, with nulls where no data fell. Returns the dense long-form

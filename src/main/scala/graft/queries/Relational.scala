@@ -209,6 +209,18 @@ object Relational extends QueryModule {
             .as("sumsq_dollars"))
     }),
 
+    // Semi-structured props column: portable field extraction (regexp on
+    // both engines — no JSON-extension dependency) + aggregation.
+    "q16_props_extract" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "events")
+        .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"k").as("sum_k"),
+          max($"k").as("max_k"))
+    }),
+
     // A4/A2 global + per-group min/max over event time.
     "q12_minmax_time" -> ((s, dir) => {
       import s.implicits._
@@ -333,6 +345,12 @@ object Relational extends QueryModule {
         MIN(epoch_us(ts)) AS min_us,
         MAX(epoch_us(ts)) AS max_us,
         MAX(user_id) AS max_user
+      FROM events GROUP BY event_type""",
+
+    "q16_props_extract" -> """
+      SELECT event_type, COUNT(*) AS n,
+        SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+        MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
       FROM events GROUP BY event_type""",
 
     "q13_rollup" -> """

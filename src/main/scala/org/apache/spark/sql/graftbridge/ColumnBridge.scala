@@ -10,4 +10,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' function injections to a live
+    * session's registry (the hook SparkSession's bootstrap calls; it is
+    * private[sql], which also makes in-JVM testing of extension wiring
+    * impossible without this bridge — getOrCreate reuses the active
+    * session and skips withExtensions). */
+  def applyFunctionInjections(ext: org.apache.spark.sql.SparkSessionExtensions,
+                              session: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(session.sessionState.functionRegistry)
 }

@@ -137,6 +137,19 @@ class AnalysisSpec extends AnyFunSuite {
     assert(s1 == s0.minusMinutes(30) && e1 == e0.plusMinutes(30))
   }
 
+  test("collectGrid2D: driver-side dense matrix with NaN holes") {
+    val df = Seq((0L, 0L, 1.0), (1L, 1L, 2.0)).toDF("x_index", "y_index", "v")
+    val grid = Analysis.collectGrid2D(df, "x_index", "y_index", "v")
+    assert(grid.length == 2 && grid(0).length == 2)
+    assert(grid(0)(0) == 1.0 && grid(1)(1) == 2.0)
+    assert(grid(0)(1).isNaN && grid(1)(0).isNaN)
+    intercept[IllegalArgumentException] {
+      Analysis.collectGrid2D(
+        Seq((0L, 0L, 1.0), (100000L, 100000L, 2.0)).toDF("x_index", "y_index", "v"),
+        "x_index", "y_index", "v", maxCells = 1000)
+    }
+  }
+
   test("toGridCube: full centroid grid with NaN holes (A1/J1)") {
     val p = XYPartitioning(size = (0.5, 0.25), extent = Extent(0, 2, 0, 2))
     val df = Seq((0.6, 0.6, 10.0), (0.7, 0.55, 20.0)).toDF("x", "y", "v")

@@ -51,4 +51,20 @@ class GeodesicSpec extends AnyFunSuite {
       "SELECT geodesic_distance(0.0D, 0.0D, 0.0D, 1.0D) AS d").as[Double].head()
     assert(math.abs(viaSql - 110574.389) < 0.01)
   }
+
+  test("SparkSessionExtensions injection registers the SQL function") {
+    // getOrCreate reuses the active test session (skipping withExtensions),
+    // so apply the injections through the same hook session bootstrap uses
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val session = spark.newSession()
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    org.apache.spark.sql.graftbridge.ColumnBridge
+      .applyFunctionInjections(ext, session)
+    val d = session.sql(
+      "SELECT geodesic_distance(0.0D, 0.0D, 1.0D, 0.0D) AS d")
+      .collect().head.getDouble(0)
+    assert(math.abs(d - 111319.491) < 0.01)
+  }
 }
