@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
 import graft.partitioning.Partitioning2D
 
@@ -43,6 +43,59 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"))
       .select((keyCols.map(col) :+ col("w.start").as("window_start") :+
         col("n")): _*)
+  }
+
+  /** Event for the custom-state sessionizer. */
+  case class KeyedEvent(key: Long, eventTimeMs: Long)
+  /** Session summary emitted when a custom-state session closes. */
+  case class SessionOut(key: Long, startMs: Long, endMs: Long, nEvents: Long)
+  /** Internal per-key state (public: Catalyst encoders codegen against it). */
+  case class SessionState(startMs: Long, endMs: Long, n: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the
+    * arbitrary-state alternative to session_window for semantics the
+    * built-in can't express (e.g. per-key gap overrides, emitting partial
+    * summaries). Sessions close on event-time timeout (watermark + gap)
+    * and emit one summary row. */
+  def sessionizeWithState(events: Dataset[KeyedEvent], gapMs: Long,
+                          watermark: String = "30 seconds",
+                          time: String = "eventTime"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val withTime = events
+      .withColumn("eventTime", timestamp_millis(col("eventTimeMs")))
+      .withWatermark("eventTime", watermark)
+      .as[(Long, Long, java.sql.Timestamp)]
+
+    withTime.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(key, s.startMs, s.endMs, s.n))
+          } else {
+            val times = rows.map(_._2).toSeq.sorted
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.endMs <= gapMs =>
+                  cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(key, s.startMs, s.endMs, s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            }
+            closed.iterator
+          }
+      }
   }
 
   /** Continuous bucket ingest: stream granule rows (file source) into a

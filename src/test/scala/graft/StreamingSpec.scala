@@ -42,6 +42,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("custom-state sessionizer (flatMapGroupsWithState) closes on timeout") {
+    import graft.streaming.StreamingOps.{KeyedEvent, SessionOut}
+    val src = tmp("stateful")
+    // two batches: first opens sessions, second advances the watermark far
+    // enough to time them out
+    Seq(KeyedEvent(1L, 1000L), KeyedEvent(1L, 2000L), KeyedEvent(2L, 5000L))
+      .toDF().write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema("key LONG, eventTimeMs LONG")
+      .parquet(src).as[KeyedEvent]
+    val sessions = graft.streaming.StreamingOps.sessionizeWithState(
+      stream, gapMs = 3000, watermark = "1 second")
+    val q = sessions.writeStream.format("memory").queryName("state_sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // late batch far in the future → watermark passes the old sessions
+      Seq(KeyedEvent(3L, 100000000L)).toDF().write.mode("append").parquet(src)
+      q.processAllAvailable()
+      // one more batch so timed-out state from the previous watermark emits
+      Seq(KeyedEvent(3L, 100000001L)).toDF().write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("state_sess").as[SessionOut].collect()
+        .map(s => s.key -> ((s.startMs, s.endMs, s.nEvents))).toMap
+      assert(got(1L) == ((1000L, 2000L, 2L)))
+      assert(got(2L) == ((5000L, 5000L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming bucket ingest: file source → partitioned bucket") {
     val src = tmp("granules")
     val bucket = tmp("bucket")
