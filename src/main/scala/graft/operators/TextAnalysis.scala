@@ -71,6 +71,24 @@ object TextAnalysis {
           col("n_punct") * 5 <= col("n_tokens")).cast("boolean"))
   }
 
+  /** Per-group character n-gram document-frequency profile: the top-k
+    * n-grams by number of documents containing them (ties broken
+    * lexicographically) — the statistical signature classic language-ID
+    * models compare against. One explode + hash-aggregation + ranking
+    * window per group. */
+  def ngramProfile(df: DataFrame, textCol: String, groupCol: String,
+                   n: Int = 2, topK: Int = 10): DataFrame = {
+    val grams = df.select(col(groupCol),
+      explode(Dedup.shingles(col(textCol), n)).as("ngram"))
+    val counts = grams.groupBy(col(groupCol), col("ngram"))
+      .agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("freq").desc, col("ngram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+  }
+
   /** Content fingerprint: md5 of normalized text (exact identity) plus the
     * smallest shingle hash (a 1-element winnowing sketch; min-k extends it). */
   def fingerprint(df: DataFrame, textCol: String, shingleK: Int = 8): DataFrame =

@@ -130,6 +130,12 @@ object PipelineQueries extends QueryModule {
         .select("a", "b")
     }),
 
+    // Per-language character-bigram document-frequency profile (top 10).
+    "q46_ngram_profile" -> ((s, dir) => {
+      TextAnalysis.ngramProfile(Tables(s, dir, "documents"),
+        "text", "lang", n = 2, topK = 10)
+    }),
+
     // Multimodal plumbing: text bytes as a stand-in binary payload →
     // typed asset table → batched stub decode → features. Output restricted
     // to fields the oracle can recompute (metadata + stub dimensions).
@@ -263,6 +269,19 @@ object PipelineQueries extends QueryModule {
       SELECT d.doc_id, md5(${normSql("text")}) AS fp_md5,
         (SELECT MIN(md5(sh.sh)) FROM sh WHERE sh.doc_id = d.doc_id) AS fp_min_shingle
       FROM documents d""",
+
+    "q46_ngram_profile" -> s"""
+      WITH sh AS (
+        SELECT DISTINCT d.doc_id, d.lang, substr(d.nt, g.i, 2) AS ngram FROM (
+          SELECT doc_id, lang, ${normSql("text")} AS nt FROM documents) d,
+          LATERAL UNNEST(range(1, GREATEST(length(d.nt) - 1, 1) + 1)) AS g(i)),
+      counts AS (
+        SELECT lang, ngram, COUNT(*) AS freq FROM sh GROUP BY lang, ngram),
+      ranked AS (
+        SELECT lang, ngram, freq,
+          row_number() OVER (PARTITION BY lang ORDER BY freq DESC, ngram ASC) AS rank
+        FROM counts)
+      SELECT lang, ngram, freq, rank FROM ranked WHERE rank <= 10""",
 
     "q41_multimodal_stub" -> """
       WITH b AS (SELECT doc_id AS asset_id,
