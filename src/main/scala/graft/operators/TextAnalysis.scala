@@ -78,7 +78,7 @@ object TextAnalysis {
     * window per group. */
   def ngramProfile(df: DataFrame, textCol: String, groupCol: String,
                    n: Int = 2, topK: Int = 10): DataFrame = {
-    val grams = df.select(col(groupCol),
+    val grams = Dedup.fanOut(df).select(col(groupCol),
       explode(Dedup.shingles(col(textCol), n)).as("ngram"))
     val counts = grams.groupBy(col(groupCol), col("ngram"))
       .agg(count(lit(1)).as("freq"))
