@@ -66,6 +66,24 @@ object Spatial extends QueryModule {
         .agg(count(lit(1)).as("n"), max($"event_id").as("max_id"))
     }),
 
+    // B8 two-level tile labels: zero-justified x/y strings, origin top
+    // (TMS-style), plus int-label LonLat (labels_decimals=0, the GMI
+    // production config) — the two label paths q20-q22 don't cover.
+    "q47_tile_xy_labels" -> ((s, dir) => {
+      import s.implicits._
+      val tiles = TilePartitioning(size = (30, 30), extent = Extent(-180, 180, -90, 90),
+        nLevels = 2, origin = "top", justify = true)
+      val intLabels = LonLatPartitioning(size = (20, 20), labelsDecimals = Some((0, 0)))
+      val ev = Tables(s, dir, "events")
+        .withColumn("lon", synthLon($"event_id"))
+        .withColumn("lat", synthLat($"event_id"))
+      val t = tiles.addLabels(ev, "lon", "lat")
+      intLabels.labelsByIndices(intLabels.xIndexCol($"lon"), intLabels.yIndexCol($"lat"))
+        .foldLeft(t) { case (d, (n, c)) => d.withColumn(s"ll_$n", c) }
+        .groupBy($"x", $"y", $"ll_lon_bin", $"ll_lat_bin")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // P5 (SQL-mirrorable variant): haversine point-radius filter, distance
     // appended and rounded to whole meters.
     "q23_point_radius" -> ((s, dir) => {
@@ -184,7 +202,26 @@ object Spatial extends QueryModule {
        |  AND lat BETWEEN ${e.ymin} AND ${e.ymax}""".stripMargin
   }
 
+  private val tileXyOracle: String = {
+    val txi = binIdxSql("lon", -180, 30, 180, 12)
+    val tyi = binIdxSql("lat", -90, 30, 90, 6)
+    val lxi = binIdxSql("lon", -180, 20, 180, 18)
+    val lyi = binIdxSql("lat", -90, 20, 90, 9)
+    // decimals=0 label: str(int(np.round(centroid, 0)))
+    def intLab(c: String) = s"CAST(CAST(${rintSql(c)} AS BIGINT) AS VARCHAR)"
+    s"""WITH s AS ($synthSql),
+       |b AS (SELECT $txi AS txi, $tyi AS tyi, $lxi AS lxi, $lyi AS lyi FROM s)
+       |SELECT lpad(CAST(txi AS VARCHAR), 2, '0') AS x,
+       |  lpad(CAST(tyi AS VARCHAR), 1, '0') AS y,
+       |  ${intLab(centroidSql("lxi", -180, 20))} AS ll_lon_bin,
+       |  ${intLab(centroidSql("lyi", -90, 20))} AS ll_lat_bin,
+       |  COUNT(*) AS n
+       |FROM b WHERE txi IS NOT NULL AND tyi IS NOT NULL
+       |GROUP BY 1, 2, 3, 4""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
+    "q47_tile_xy_labels" -> tileXyOracle,
     "q20_xy_bin_agg" -> xyBinOracle,
     "q21_bucket_roundtrip" -> bucketRoundtripOracle,
     "q22_tile_agg" -> tileOracle,
