@@ -37,10 +37,19 @@ for name, sql in sorted(oracle.items()):
     g = got[gc].sort_values(gc, kind="mergesort").reset_index(drop=True)
     if len(e) != len(g):
         print(f"FAIL {name}: rows exp={len(e)} got={len(g)}"); fail += 1; continue
-    # value compare (exact; floats must match bit-for-bit per our rules)
+    # value compare (exact; floats must match bit-for-bit per our rules).
+    # dtype-KIND-strict: the driver's hasher tolerates integer WIDTH
+    # differences (row_number int32 in Spark vs int64 in DuckDB hashed green
+    # in round 1) but NOT kind drift (DuckDB SUM -> HUGEINT -> float64 vs
+    # Spark BIGINT burned 14 queries). Upcast ints to int64 on both sides,
+    # then compare dtype-strict so int-vs-float kind drift still fails.
     import pandas as pd
+    for df in (e, g):
+        for c in df.columns:
+            if df[c].dtype.kind in "iu":
+                df[c] = df[c].astype("int64")
     try:
-        pd.testing.assert_frame_equal(e, g, check_dtype=False, check_exact=True)
+        pd.testing.assert_frame_equal(e, g, check_dtype=True, check_exact=True)
         print(f"PASS {name} ({len(e)} rows)")
     except AssertionError as ex:
         print(f"FAIL {name}: value mismatch\n{str(ex)[:500]}"); fail += 1

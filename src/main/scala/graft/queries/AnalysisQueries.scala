@@ -117,9 +117,9 @@ object AnalysisQueries extends QueryModule {
         FROM d),
       m AS (
         SELECT user_id, ts_us,
-          SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts_us
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS overpass_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS overpass_id
         FROM t)
       SELECT user_id, overpass_id,
         MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
@@ -132,9 +132,9 @@ object AnalysisQueries extends QueryModule {
         FROM events),
       m AS (
         SELECT event_id, user_id,
-          SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 600000000 THEN 1 ELSE 0 END)
+          CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 600000000 THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts_us
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS overpass_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS overpass_id
         FROM t)
       SELECT event_id, user_id, overpass_id,
         COUNT(*) OVER (PARTITION BY user_id, overpass_id) AS count_overpass_occurence
@@ -164,14 +164,14 @@ object AnalysisQueries extends QueryModule {
         ${OracleSql.centroid(OracleSql.binIdx("lat", -90, 30, 90, 6), -90, 30)} AS lat_c,
         value FROM s),
       agg AS (SELECT lon_c, lat_c, COUNT(*) AS n,
-        SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM b GROUP BY lon_c, lat_c),
       mesh AS (
         SELECT ${OracleSql.centroid("x", -180, 30)} AS lon_c,
                ${OracleSql.centroid("y", -90, 30)} AS lat_c
         FROM generate_series(0, 11) AS gx(x), generate_series(0, 5) AS gy(y))
       SELECT m.lon_c, m.lat_c,
-        COALESCE(agg.n, 0) AS n, COALESCE(agg.sum_cents, 0) AS sum_cents
+        CAST(COALESCE(agg.n, 0) AS BIGINT) AS n, CAST(COALESCE(agg.sum_cents, 0) AS BIGINT) AS sum_cents
       FROM mesh m LEFT JOIN agg ON m.lon_c = agg.lon_c AND m.lat_c = agg.lat_c"""
   )
 }

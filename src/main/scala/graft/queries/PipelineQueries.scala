@@ -205,11 +205,11 @@ object PipelineQueries extends QueryModule {
           LATERAL UNNEST(string_split(d.nt, ' ')) AS tok(t)),
       votes AS (
         SELECT doc_id, j,
-          SUM(CASE WHEN strpos('89abcdef', substr(h, j, 1)) > 0 THEN 1 ELSE -1 END) AS v
+          CAST(SUM(CASE WHEN strpos('89abcdef', substr(h, j, 1)) > 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
         FROM toks, generate_series(1, 32) AS g(j)
         GROUP BY doc_id, j)
       SELECT doc_id,
-        SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS simhash
+        CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id""",
 
     "q34_ngram_jaccard" -> s"""

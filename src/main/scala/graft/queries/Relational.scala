@@ -236,9 +236,9 @@ object Relational extends QueryModule {
   def oracle: Map[String, String] = Map(
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-        SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-        SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-        SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS sum_disc_e4,
+        CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT) AS sum_disc_e4,
         COUNT(*) AS n_rows
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -246,7 +246,7 @@ object Relational extends QueryModule {
 
     "q02_filter_pushdown" -> """
       SELECT
-        SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS revenue_e4,
+        CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_e4,
         COUNT(*) AS n_rows
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -254,7 +254,7 @@ object Relational extends QueryModule {
 
     "q03_join_agg" -> """
       SELECT r_name, n_name,
-        SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_price_cents,
+        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
         COUNT(*) AS n_orders
       FROM orders
       JOIN customer ON o_custkey = c_custkey
@@ -282,9 +282,9 @@ object Relational extends QueryModule {
         FROM events),
       m AS (
         SELECT user_id, event_id, ts_us,
-          SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+          CAST(SUM(CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
             OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM t)
       SELECT user_id, session_id, COUNT(*) AS n_events,
         MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
@@ -294,9 +294,9 @@ object Relational extends QueryModule {
       WITH t AS (
         SELECT user_id, event_id,
           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-          SUM(CAST(round(value*100) AS BIGINT))
+          CAST(SUM(CAST(round(value*100) AS BIGINT))
             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents,
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
           COUNT(*) OVER (PARTITION BY user_id) AS n_user_events
         FROM events)
       SELECT user_id, rn, event_id, running_cents, n_user_events
@@ -305,7 +305,7 @@ object Relational extends QueryModule {
     "q08_hourly_rollup" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type,
         COUNT(*) AS n,
-        SUM(CAST(round(value*100) AS BIGINT)) AS sum_cents
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
       FROM events GROUP BY 1, 2""",
 
     "q09_range_join" -> """
@@ -349,7 +349,7 @@ object Relational extends QueryModule {
 
     "q16_props_extract" -> """
       SELECT event_type, COUNT(*) AS n,
-        SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS sum_k,
+        CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
       FROM events GROUP BY event_type""",
 
@@ -357,7 +357,7 @@ object Relational extends QueryModule {
       SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         COALESCE(o_orderpriority, 'ALL') AS priority,
         COUNT(*) AS n,
-        SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents
+        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
       FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
 
     "q14_setops" -> """
@@ -370,8 +370,8 @@ object Relational extends QueryModule {
 
     "q15_variance_components" -> """
       SELECT l_returnflag, COUNT(*) AS n,
-        SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_cents,
-        SUM(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS sumsq_dollars
+        CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        CAST(SUM(CAST(round(l_extendedprice) AS BIGINT) * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sumsq_dollars
       FROM lineitem GROUP BY l_returnflag"""
   )
 }

@@ -152,7 +152,7 @@ object Spatial extends QueryModule {
        |         ${lab(centroidSql("yi", 0, 0.02))} AS ybin, l_quantity
        |  FROM b WHERE xi IS NOT NULL AND yi IS NOT NULL)
        |SELECT xbin, ybin, COUNT(*) AS n,
-       |  SUM(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+       |  CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
        |FROM v GROUP BY xbin, ybin""".stripMargin
   }
 
