@@ -22,6 +22,14 @@ object Geodesic {
   private val F = 1.0 / 298.257223563     // flattening
   private val B = A * (1 - F)             // semi-minor axis
 
+  /** Vincenty lambda-iteration count; see [[inverse]]. Exposed (with the
+    * ellipsoid constants) so the q24 oracle SQL generator can transcribe
+    * the identical computation. */
+  val FixedIters = 6
+  private[graft] def constA: Double = A
+  private[graft] def constB: Double = B
+  private[graft] def constF: Double = F
+
   /** Inverse geodesic distance in meters between two lon/lat points. */
   def inverse(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
     if (lon1 == lon2 && lat1 == lat2) return 0.0
@@ -31,16 +39,22 @@ object Geodesic {
     val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
     val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
 
+    // FIXED iteration count (no early exit): the iterate is quadratically
+    // convergent, so 6 steps reach machine precision for every
+    // non-near-antipodal pair — and a fixed count makes the whole
+    // computation a finite, SQL-transcribable expression DAG, which is what
+    // lets the q24 DuckDB oracle reproduce these doubles operation-for-
+    // operation (same literals, same associativity).
     var lambda = l
+    var lambdaPrev = l
     var iter = 0
-    var converged = false
     var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
     var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
-    while (iter < 100 && !converged) {
+    while (iter < FixedIters) {
       val sinL = math.sin(lambda); val cosL = math.cos(lambda)
-      sinSigma = math.sqrt(
-        math.pow(cosU2 * sinL, 2) +
-        math.pow(cosU1 * sinU2 - sinU1 * cosU2 * cosL, 2))
+      val t1 = cosU2 * sinL
+      val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL
+      sinSigma = math.sqrt(t1 * t1 + t2 * t2)
       if (sinSigma == 0.0) return 0.0 // coincident
       cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
       sigma = math.atan2(sinSigma, cosSigma)
@@ -49,14 +63,15 @@ object Geodesic {
       cos2SigmaM = if (cosSqAlpha == 0.0) 0.0
                    else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
       val c = F / 16 * cosSqAlpha * (4 + F * (4 - 3 * cosSqAlpha))
-      val lambdaPrev = lambda
+      lambdaPrev = lambda
       lambda = l + (1 - c) * F * sinAlpha *
         (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma *
           (-1 + 2 * cos2SigmaM * cos2SigmaM)))
-      if (math.abs(lambda - lambdaPrev) < 1e-12) converged = true
       iter += 1
     }
-    if (!converged) return sphericalFallback(lon1, lat1, lon2, lat2)
+    // near-antipodal: the iterate is still moving after FixedIters steps
+    if (math.abs(lambda - lambdaPrev) > 1e-6)
+      return sphericalFallback(lon1, lat1, lon2, lat2)
 
     val uSq = cosSqAlpha * (A * A - B * B) / (B * B)
     val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
@@ -73,8 +88,8 @@ object Geodesic {
     val r = (2 * A + B) / 3
     val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
     val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
-    val h = math.pow(math.sin(dp / 2), 2) +
-      math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl / 2), 2)
+    val sp = math.sin(dp / 2); val sl = math.sin(dl / 2)
+    val h = sp * sp + math.cos(p1) * math.cos(p2) * sl * sl
     2 * r * math.asin(math.min(1.0, math.sqrt(h)))
   }
 

@@ -99,8 +99,8 @@ object Spatial extends QueryModule {
     }),
 
     // P5 exact-parity variant: WGS84 ellipsoidal (Vincenty) radius query
-    // through the bucket path — no SQL oracle (rows-only driver check);
-    // unit tests pin the distance values instead.
+    // through the bucket path; oracle = the fixed-iteration Vincenty
+    // unrolled into DuckDB SQL (geodesicRadiusOracle below).
     "q24_geodesic_radius" -> ((s, dir) => {
       import s.implicits._
       val bucketDir = ensureBucket(s, dir)
@@ -194,6 +194,86 @@ object Spatial extends QueryModule {
        |  CAST(round(dist_m) AS BIGINT) AS dist_m_round
        |FROM d WHERE dist_m <= 2000000.0""".stripMargin
 
+  /** DuckDB transcription of [[Geodesic.inverse]] — the fixed-iteration
+    * WGS84 Vincenty inverse to the point (12.5, 41.9) — unrolled to
+    * [[Geodesic.FixedIters]] lambda steps with the SAME double literals,
+    * operand order, and associativity as the Scala code, so both engines
+    * walk the identical IEEE sequence (trig may differ ~1ulp between libm
+    * and Java Math; whole-meter rounding absorbs it). Constants that the
+    * engine derives at runtime (sinU2, the ellipsoid products, radians of
+    * the fixed point) are computed HERE with the same Java Math and
+    * embedded as shortest-repr literals, which DuckDB parses back to the
+    * identical bits.
+    */
+  private val geodesicRadiusOracle: String = {
+    val lon0 = 12.5; val lat0 = 41.9; val radius = 1500000.0
+    val aa = 6378137.0
+    val f = 1.0 / 298.257223563
+    val b = aa * (1 - f)
+    val pi = math.Pi
+    val omf = 1 - f
+    val u2 = math.atan(omf * math.tan(math.toRadians(lat0)))
+    val su2 = math.sin(u2); val cu2 = math.cos(u2)
+    val aabb = aa * aa - b * b
+    val bb = b * b
+    val r3 = (2 * aa + b) / 3
+    val p2 = math.toRadians(lat0)
+
+    // per-iteration CTE: reads lam{i-1}, emits suffix-{i} intermediates +
+    // lam{i} via DuckDB lateral alias chaining (verified supported).
+    // MATERIALIZED is load-bearing: DuckDB inlines both CTEs and lateral
+    // aliases, so without the barrier the 6 chained iterations expand into
+    // an exponentially-sized expression tree and the query never finishes.
+    def iterCte(i: Int): String = {
+      val p = i - 1
+      s"""v$i AS MATERIALIZED (SELECT *,
+         |  sin(lam$p) AS sinl$i, cos(lam$p) AS cosl$i,
+         |  $cu2 * sinl$i AS t1_$i,
+         |  cu1 * $su2 - su1 * $cu2 * cosl$i AS t2_$i,
+         |  sqrt(t1_$i * t1_$i + t2_$i * t2_$i) AS ss$i,
+         |  su1 * $su2 + cu1 * $cu2 * cosl$i AS cs$i,
+         |  atan2(ss$i, cs$i) AS sg$i,
+         |  CASE WHEN ss$i = 0 THEN 0.0 ELSE cu1 * $cu2 * sinl$i / ss$i END AS sa$i,
+         |  1 - sa$i * sa$i AS c2a$i,
+         |  CASE WHEN c2a$i = 0 THEN 0.0
+         |       ELSE cs$i - 2 * su1 * $su2 / c2a$i END AS c2sm$i,
+         |  $f / 16 * c2a$i * (4 + $f * (4 - 3 * c2a$i)) AS cc$i,
+         |  l + (1 - cc$i) * $f * sa$i * (sg$i + cc$i * ss$i * (c2sm$i
+         |    + cc$i * cs$i * (-1 + 2 * c2sm$i * c2sm$i))) AS lam$i
+         |FROM v$p)""".stripMargin
+    }
+    val n = graft.functions.Geodesic.FixedIters
+    val iters = (1 to n).map(iterCte).mkString(",\n")
+    val spherical =
+      s"""2 * $r3 * asin(least(1.0, sqrt(
+         |    sin(($p2 - lat / 180.0 * $pi) / 2) * sin(($p2 - lat / 180.0 * $pi) / 2)
+         |    + cos(lat / 180.0 * $pi) * ${math.cos(p2)}
+         |      * sin(l / 2) * sin(l / 2))))""".stripMargin
+    s"""WITH s AS ($synthSql),
+       |v0 AS MATERIALIZED (SELECT event_id, lon, lat,
+       |  ($lon0 - lon) / 180.0 * $pi AS l,
+       |  atan($omf * tan(lat / 180.0 * $pi)) AS u1,
+       |  sin(u1) AS su1, cos(u1) AS cu1,
+       |  l AS lam0
+       |FROM s),
+       |$iters,
+       |fin AS MATERIALIZED (SELECT *,
+       |  c2a$n * $aabb / $bb AS usq,
+       |  1 + usq / 16384 * (4096 + usq * (-768 + usq * (320 - 175 * usq))) AS biga,
+       |  usq / 1024 * (256 + usq * (-128 + usq * (74 - 47 * usq))) AS bigb,
+       |  bigb * ss$n * (c2sm$n + bigb / 4 * (cs$n * (-1 + 2 * c2sm$n * c2sm$n)
+       |    - bigb / 6 * c2sm$n * (-3 + 4 * ss$n * ss$n)
+       |      * (-3 + 4 * c2sm$n * c2sm$n))) AS dsig,
+       |  CASE WHEN lon = $lon0 AND lat = $lat0 THEN 0.0
+       |       WHEN ss$n = 0 THEN 0.0
+       |       WHEN abs(lam$n - lam${n - 1}) > 1e-6 THEN $spherical
+       |       ELSE $b * biga * (sg$n - dsig) END AS dist
+       |FROM v$n)
+       |SELECT event_id, lon, lat,
+       |  CAST(round(dist) AS BIGINT) AS dist_m_round
+       |FROM fin WHERE dist <= $radius""".stripMargin
+  }
+
   private val countryReadOracle: String = {
     val e = graft.geo.NamedExtents.country("Brazil")
     s"""WITH s AS ($synthSql)
@@ -226,8 +306,7 @@ object Spatial extends QueryModule {
     "q21_bucket_roundtrip" -> bucketRoundtripOracle,
     "q22_tile_agg" -> tileOracle,
     "q23_point_radius" -> pointRadiusOracle,
+    "q24_geodesic_radius" -> geodesicRadiusOracle,
     "q29_country_read" -> countryReadOracle
-    // q24_geodesic_radius: intentionally no oracle (ellipsoidal distance
-    // is not SQL-expressible) — driver records rows-only check.
   )
 }
