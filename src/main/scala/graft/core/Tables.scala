@@ -15,9 +15,10 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized reader
     // rejects; read as long nanos and truncate to micros (identical to
-    // DuckDB's nanos->micros conversion, so oracle values line up).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // DuckDB's nanos->micros conversion, so oracle values line up). The
+    // nanos flag lives in a cloned reader session so the caller's session
+    // conf is untouched.
+    val df = ReaderSession(spark).read.parquet(s"$sfDir/$name.parquet")
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))

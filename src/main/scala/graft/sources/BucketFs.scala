@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import scala.collection.parallel.CollectionConverters._
+
+/** Hadoop-FileSystem plumbing for all bucket file/metadata operations.
+  *
+  * Every path is a Hadoop URI: bare `/tmp/x` resolves against
+  * `fs.defaultFS` (local `file://` in tests), while `hdfs://` and
+  * `s3a://` paths hit the corresponding store unchanged — the merge
+  * rename pass, granule staging moves, directory-flavor prefix strip,
+  * and recursive listing all work against distributed storage, not just
+  * `java.nio`. (The reference is local-only here, routines.py:791-810;
+  * a 100 TB Spark deployment can't be.)
+  *
+  * Object-store note: `rename` on S3A is server-side COPY+DELETE, so the
+  * merge's rename pass costs a copy of the merged bytes there. The layout
+  * contract (`{period}_{i}.parquet` inside the spatial dir) comes from the
+  * reference; on S3 deployments prefer keeping the temporal period as a
+  * real partition column (skip the rename pass entirely) unless
+  * reference-layout interop is required.
+  */
+object BucketFs {
+
+  /** Active session's Hadoop conf — carries `spark.hadoop.*` overrides
+    * (e.g. Bench's RawLocalFileSystem) — or a bare Configuration when no
+    * session exists (pure-JVM tests). */
+  def conf: Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def resolve(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(conf), p)
+  }
+
+  def exists(path: String): Boolean = {
+    val (fs, p) = resolve(path); fs.exists(p)
+  }
+
+  def readString(path: String): String = {
+    val (fs, p) = resolve(path)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  def writeString(path: String, s: String): Unit = {
+    val (fs, p) = resolve(path)
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def mkdirs(fs: FileSystem, p: Path): Unit = { fs.mkdirs(p); () }
+
+  /** Move with REPLACE_EXISTING semantics (Hadoop rename refuses an
+    * existing destination on most filesystems). */
+  def move(fs: FileSystem, src: Path, dst: Path): Unit = {
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(src, dst), s"rename failed: $src -> $dst")
+  }
+
+  def deleteRecursive(path: String): Unit = {
+    val (fs, p) = resolve(path)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  /** All regular files under `root` — ONE recursive listing call, which on
+    * object stores is a flat LIST (no tree walk) and on HDFS is
+    * RPC-batched; at 10^4+ directories this replaces round 1's sequential
+    * driver walk. */
+  def listFileStatuses(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    val it = fs.listFiles(root, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+    while (it.hasNext) buf += it.next()
+    buf.toSeq
+  }
+
+  /** Relative path of `child` under `root` (both made fully qualified). */
+  def relativize(fs: FileSystem, root: Path, child: Path): String = {
+    val r = fs.makeQualified(root).toUri.getPath
+    val c = fs.makeQualified(child).toUri.getPath
+    c.stripPrefix(r).stripPrefix("/")
+  }
+
+  /** Parallel existence filter — candidate partition dirs from extent
+    * pruning can number in the hundreds; one-at-a-time exists() RPCs
+    * dominate on remote stores. */
+  def filterExisting(paths: Seq[String], parallelism: Int = 16): Seq[String] = {
+    if (paths.isEmpty) return paths
+    val par = paths.par
+    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(math.min(parallelism, math.max(paths.size, 1))))
+    par.filter(exists).seq
+  }
+}

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths, Path}
 import scala.jdk.CollectionConverters._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -20,8 +19,9 @@ object BucketInfo {
             temporalPartitioning: Option[String] = None): Unit = {
     val dict: Map[String, Any] = partitioning.toDict ++
       temporalPartitioning.map("temporal_partitioning" -> _).toMap
-    Files.createDirectories(Paths.get(bucketDir))
-    Files.writeString(Paths.get(bucketDir, FileName), toJson(dict))
+    // Hadoop FS: the manifest lands next to the data wherever it lives
+    // (file://, hdfs://, s3a://); create() makes parent dirs itself
+    BucketFs.writeString(s"$bucketDir/$FileName", toJson(dict))
   }
 
   /** Reference-written buckets carry `bucket_info.yaml` (satbucket
@@ -29,10 +29,10 @@ object BucketInfo {
   val ReferenceFileName = "bucket_info.yaml"
 
   def read(bucketDir: String): Map[String, Any] = {
-    val p = Paths.get(bucketDir, FileName)
-    val ref = Paths.get(bucketDir, ReferenceFileName)
-    if (Files.exists(p)) fromJson(Files.readString(p))
-    else if (Files.exists(ref)) fromYaml(Files.readString(ref))
+    val p = s"$bucketDir/$FileName"
+    val ref = s"$bucketDir/$ReferenceFileName"
+    if (BucketFs.exists(p)) fromJson(BucketFs.readString(p))
+    else if (BucketFs.exists(ref)) fromYaml(BucketFs.readString(ref))
     else throw new IllegalArgumentException(
       s"no $FileName or $ReferenceFileName in $bucketDir — not a bucket?")
   }

@@ -1,7 +1,6 @@
 package graft.sources
 
-import java.nio.file.{FileSystems, Files, Paths}
-import scala.jdk.CollectionConverters._
+import java.nio.file.{FileSystems, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.partitioning.{Extent, GeoExtent, LonLatPartitioning, Partitioning2D}
@@ -46,13 +45,12 @@ object BucketReader {
     val p = BucketInfo.readPartitioning(bucketDir)
     val isHive = !p.flavor.contains("directory")
 
-    // Partition-label strings must come back as strings: disable Spark's
-    // hive partition value type inference for this read (SURVEY §1.2).
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    // reference buckets are written by pandas/pyarrow with NANOSECOND
-    // timestamps, which Spark's reader rejects: read them as long nanos and
-    // convert the declared time columns back to (microsecond) timestamps
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Partition-label strings must come back as strings (no hive partition
+    // value type inference), and reference buckets written by pandas/pyarrow
+    // carry NANOSECOND timestamps that must be read as long nanos. Both
+    // flags live in a cloned reader session (graft.core.ReaderSession) so
+    // the caller's session conf is untouched by this read.
+    val rs = graft.core.ReaderSession(spark)
 
     val resolvedExtent: Option[Extent] = query match {
       case Everything => None
@@ -69,7 +67,7 @@ object BucketReader {
         // hive flavor: Catalyst prunes dirs from the label predicate.
         // pathGlobFilter keeps non-parquet bucket files (e.g. the
         // reference's bucket_info.yaml) out of the scan.
-        var d = spark.read.option("pathGlobFilter", "*.parquet").parquet(bucketDir)
+        var d = rs.read.option("pathGlobFilter", "*.parquet").parquet(bucketDir)
         resolvedExtent.foreach(e => d = d.where(p.prunePredicate(e)))
         d
       } else if (isHive) {
@@ -77,23 +75,24 @@ object BucketReader {
         // hive partition columns resolvable
         val files = listFiles(bucketDir, fileExtension, globPattern, regexPattern)
         require(files.nonEmpty, s"no files match the filename filters in $bucketDir")
-        var d = spark.read.option("basePath", bucketDir).parquet(files: _*)
+        var d = rs.read.option("basePath", bucketDir).parquet(files: _*)
         resolvedExtent.foreach(e => d = d.where(p.prunePredicate(e)))
         d
       } else {
         // directory flavor: prune driver-side, rebuild labels from the path
         val roots = resolvedExtent match {
           case Some(e) =>
-            val dirs = p.directoriesByExtent(e).map(rel => s"$bucketDir/$rel")
-              .filter(d => Files.exists(Paths.get(d)))
-            if (dirs.isEmpty) Seq.empty else dirs
+            // parallel exists() — pruned candidates number in the hundreds
+            // and sequential RPCs dominate on remote stores
+            BucketFs.filterExisting(
+              p.directoriesByExtent(e).map(rel => s"$bucketDir/$rel"))
           case None => Seq(bucketDir)
         }
         require(roots.nonEmpty, "no partitions intersect the query extent")
         val dataExt = if (fileExtension == null) ".parquet" else fileExtension
         val all = roots.flatMap(r => listFiles(r, dataExt, globPattern, regexPattern))
         require(all.nonEmpty, s"no files to read in $bucketDir")
-        val d = spark.read.parquet(all: _*)
+        val d = rs.read.parquet(all: _*)
         val parts = split(input_file_name(), "/")
         val n = p.order.length
         p.order.zipWithIndex.foldLeft(d) { case (acc, (level, i)) =>
@@ -132,26 +131,30 @@ object BucketReader {
   }
 
   /** Recursive file listing with extension / glob / regex basename filters
-    * (reference satbucket/utils/directories.py:75-121). */
+    * (reference satbucket/utils/directories.py:75-121). Hadoop-FS based:
+    * ONE recursive listing call — a flat LIST on object stores, RPC-batched
+    * on HDFS — instead of a sequential driver walk (the reference
+    * thread-pools its os.walk, directories.py:124-170; Hadoop's recursive
+    * listing is the Spark-native equivalent). Local paths come back as
+    * plain paths, remote ones as full URIs. */
   def listFiles(root: String, fileExtension: String = null,
                 globPattern: String = null, regexPattern: String = null): Seq[String] = {
     val matcher = Option(globPattern).map(g =>
       FileSystems.getDefault.getPathMatcher(s"glob:$g"))
     val regex = Option(regexPattern).map(_.r)
-    val walk = Files.walk(Paths.get(root))
-    try {
-      walk.iterator().asScala
-        .filter(Files.isRegularFile(_))
-        .filter(f => !f.getFileName.toString.startsWith("_") &&
-          !f.getFileName.toString.startsWith("."))
-        .filter { f =>
-          val name = f.getFileName.toString
-          Option(fileExtension).forall(ext => name.endsWith(ext)) &&
-          matcher.forall(_.matches(f.getFileName)) &&
-          regex.forall(_.pattern.matcher(name).lookingAt()) // re.match semantics
-        }
-        .map(_.toString).toSeq.sorted
-    } finally walk.close()
+    val (fs, rootPath) = BucketFs.resolve(root)
+    BucketFs.listFileStatuses(fs, rootPath).iterator
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .filter { f =>
+        val name = f.getName
+        Option(fileExtension).forall(ext => name.endsWith(ext)) &&
+        matcher.forall(_.matches(Paths.get(name))) &&
+        regex.forall(_.pattern.matcher(name).lookingAt()) // re.match semantics
+      }
+      .map(f => if (f.toUri.getScheme == "file") f.toUri.getPath else f.toString)
+      .toSeq.sorted
   }
 
   private def pad2(e: Extent, pad: Double): Extent =

@@ -107,25 +107,23 @@ object BucketWriter {
   }
 
   private def stripHivePrefixes(bucketDir: String, order: Seq[String]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    def renameLevel(dir: java.nio.file.Path, levels: Seq[String]): Unit =
+    import org.apache.hadoop.fs.Path
+    val (fs, root) = BucketFs.resolve(bucketDir)
+    def renameLevel(dir: Path, levels: Seq[String]): Unit =
       levels match {
         case Nil => ()
         case level +: rest =>
-          val ls = Files.list(dir)
-          val subs = try ls.iterator().asScala
-            .filter(d => Files.isDirectory(d) &&
-              d.getFileName.toString.startsWith(s"$level=")).toSeq
-            finally ls.close() // avoid fd leaks across many dirs
-          subs.foreach { d =>
-            val bare = d.getFileName.toString.stripPrefix(s"$level=")
-            val dst = dir.resolve(bare)
-            Files.move(d, dst, StandardCopyOption.ATOMIC_MOVE)
+          val subs = fs.listStatus(dir)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$level=")).toSeq
+          subs.foreach { st =>
+            val bare = st.getPath.getName.stripPrefix(s"$level=")
+            val dst = new Path(dir, bare)
+            BucketFs.move(fs, st.getPath, dst)
             renameLevel(dst, rest)
           }
       }
-    renameLevel(Paths.get(bucketDir), order)
+    renameLevel(root, order)
   }
 
   /** User extension point: filepath → rows (reference granule_to_df_func,
@@ -194,8 +192,7 @@ object BucketWriter {
                           x: String = "lon", y: String = "lat",
                           parallelism: Int = 4,
                           rowGroupSize: String = "500MB"): Seq[(String, String)] = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.Path
     BucketInfo.write(bucketDir, p)
     val par = filepaths.par
     par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
@@ -213,23 +210,20 @@ object BucketWriter {
             .option("parquet.block.size", parseSize(rowGroupSize))
             .parquet(staging)
           // move part files up as {granule}_{i}.parquet per partition dir
-          val stagingPath = Paths.get(staging)
-          val walk = Files.walk(stagingPath)
-          val parts = try walk.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-            .sortBy(_.toString) finally walk.close()
+          // (Hadoop FS: staging + bucket may live on hdfs:// / s3a://)
+          val (fs, stagingPath) = BucketFs.resolve(staging)
+          val parts = BucketFs.listFileStatuses(fs, stagingPath)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).sortBy(_.toString)
           parts.groupBy(_.getParent).foreach { case (dir, files) =>
-            val rel = stagingPath.relativize(dir)
-            val dst = Paths.get(bucketDir).resolve(rel)
-            Files.createDirectories(dst)
+            val rel = BucketFs.relativize(fs, stagingPath, dir)
+            val dst = if (rel.isEmpty) new Path(bucketDir) else new Path(bucketDir, rel)
+            BucketFs.mkdirs(fs, dst)
             files.zipWithIndex.foreach { case (f, i) =>
-              Files.move(f, dst.resolve(s"${granuleBase}_$i.parquet"),
-                StandardCopyOption.REPLACE_EXISTING)
+              BucketFs.move(fs, f, new Path(dst, s"${granuleBase}_$i.parquet"))
             }
           }
-          val rmWalk = Files.walk(stagingPath)
-          try rmWalk.iterator().asScala.toSeq.sortBy(-_.getNameCount)
-            .foreach(Files.deleteIfExists(_)) finally rmWalk.close()
+          BucketFs.deleteRecursive(staging)
         }
       } match {
         case Success(_) => None

@@ -17,7 +17,7 @@ import scala.jdk.CollectionConverters._
   */
 object DatasetMetadata {
 
-  def write(bucketDir: String, conf: Configuration = new Configuration()): Unit = {
+  def write(bucketDir: String, conf: Configuration = BucketFs.conf): Unit = {
     val files = BucketReader.listFiles(bucketDir, fileExtension = ".parquet")
     require(files.nonEmpty, s"no parquet files under $bucketDir")
     val par = files.par

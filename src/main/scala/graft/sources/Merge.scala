@@ -1,9 +1,8 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.LocalDateTime
 import scala.collection.parallel.CollectionConverters._
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -39,15 +38,16 @@ object Merge {
     Temporal.check(temporalPartitioning)
     val p = BucketInfo.readPartitioning(srcBucketDir)
     if (update) {
-      require(Files.exists(Paths.get(dstBucketDir, BucketInfo.FileName)),
+      require(BucketFs.exists(s"$dstBucketDir/${BucketInfo.FileName}"),
         "update=true requires an existing destination bucket")
       val dstTp = BucketInfo.readTemporalPartitioning(dstBucketDir)
       require(dstTp.contains(temporalPartitioning),
         s"destination bucket uses temporal partitioning $dstTp, not $temporalPartitioning")
     }
 
-    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    var df = spark.read.parquet(srcBucketDir)
+    // cloned reader session: label partition values stay strings without
+    // mutating the caller's session conf (graft.core.ReaderSession)
+    var df = graft.core.ReaderSession(spark).read.parquet(srcBucketDir)
     startTime.foreach(s => df = df.where(col(timeColumn) >= lit(java.sql.Timestamp.valueOf(s))))
     endTime.foreach(e => df = df.where(col(timeColumn) < lit(java.sql.Timestamp.valueOf(e))))
 
@@ -69,61 +69,43 @@ object Merge {
       .option("parquet.block.size", BucketWriter.parseSize(rowGroupSize))
       .parquet(staging)
 
-    // metadata pass: lift __period=P/part-i.parquet → <spatial dir>/P_i.parquet
-    // (parallel: at 10^4 dirs a sequential rename loop dominates merge time)
-    val stagingPath = Paths.get(staging)
-    val periodDirsSeq = walk(stagingPath).filter(d =>
-      Files.isDirectory(d) && d.getFileName.toString.startsWith(s"$PeriodCol="))
-    val touchedPrefixes = periodDirsSeq.map(_.getFileName.toString.stripPrefix(s"$PeriodCol=")).toSet
+    // metadata pass: lift __period=P/part-i.parquet → <spatial dir>/P_i.parquet.
+    // Hadoop FS throughout (works on hdfs:// / s3a://, see BucketFs docs):
+    // ONE recursive listing discovers every staged file, then renames run
+    // parallel per period-dir (at 10^4 dirs a sequential loop dominates).
+    val (fs, stagingPath) = BucketFs.resolve(staging)
+    val staged = BucketFs.listFileStatuses(fs, stagingPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val byPeriodDir = staged.map(_.getPath).groupBy(_.getParent)
+      .filter { case (dir, _) => dir.getName.startsWith(s"$PeriodCol=") }
+      .toSeq
+    val touchedPrefixes =
+      byPeriodDir.map(_._1.getName.stripPrefix(s"$PeriodCol=")).toSet
 
-    val periodDirs = periodDirsSeq.par
+    val periodDirs = byPeriodDir.par
     periodDirs.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
       new java.util.concurrent.ForkJoinPool(16))
-    periodDirs.foreach { dir =>
-      val prefix = dir.getFileName.toString.stripPrefix(s"$PeriodCol=")
-      val rel = stagingPath.relativize(dir.getParent) // spatial partition path
-      val dstDir = Paths.get(dstBucketDir).resolve(rel)
-      Files.createDirectories(dstDir)
+    periodDirs.foreach { case (dir, files) =>
+      val prefix = dir.getName.stripPrefix(s"$PeriodCol=")
+      val rel = BucketFs.relativize(fs, stagingPath, dir.getParent) // spatial path
+      val dstDir = if (rel.isEmpty) new Path(dstBucketDir) else new Path(dstBucketDir, rel)
+      BucketFs.mkdirs(fs, dstDir)
       if (update) {
         // replace exactly the files of this period (reference :791-810)
-        val ls = Files.list(dstDir)
-        try ls.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(s"${prefix}_"))
-          .toSeq.foreach(Files.delete)
-        finally ls.close() // unclosed streams leak fds across 10^4 dirs
+        fs.listStatus(dstDir).iterator
+          .filter(_.getPath.getName.startsWith(s"${prefix}_"))
+          .foreach(st => fs.delete(st.getPath, false))
       }
-      val ls2 = Files.list(dir)
-      val parts = try ls2.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
-        finally ls2.close()
-      parts.zipWithIndex.foreach { case (f, i) =>
-        Files.move(f, dstDir.resolve(s"${prefix}_$i.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+      files.sortBy(_.toString).zipWithIndex.foreach { case (f, i) =>
+        BucketFs.move(fs, f, new Path(dstDir, s"${prefix}_$i.parquet"))
       }
     }
-    deleteRecursively(stagingPath)
-    if (!update || !Files.exists(Paths.get(dstBucketDir, BucketInfo.FileName))) {
+    BucketFs.deleteRecursive(staging)
+    if (!update || !BucketFs.exists(s"$dstBucketDir/${BucketInfo.FileName}")) {
       BucketInfo.write(dstBucketDir, p, Some(temporalPartitioning))
     }
     if (writeMetadata) DatasetMetadata.write(dstBucketDir)
     require(touchedPrefixes.nonEmpty || startTime.nonEmpty || endTime.nonEmpty,
       "merge produced no output files — is the source bucket empty?")
-  }
-
-  private def walk(p: Path): Seq[Path] = {
-    val s = Files.walk(p)
-    try s.iterator().asScala.toSeq finally s.close()
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    // deepest-first, parallel within each depth level (sequential deletes
-    // of 10^4+ staging paths are driver-time at scale)
-    val byDepth = walk(p).groupBy(_.getNameCount).toSeq.sortBy(-_._1)
-    byDepth.foreach { case (_, paths) =>
-      val par = paths.par
-      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-        new java.util.concurrent.ForkJoinPool(16))
-      par.foreach(f => Files.deleteIfExists(f))
-    }
   }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.partitioning.{Extent, LonLatPartitioning}
+import graft.sources.{BucketFs, BucketInfo, BucketReader, BucketWriter, Merge}
+
+/** The bucket file plumbing must speak the Hadoop FileSystem API — not
+  * java.nio — so merge/ingest/listing run against hdfs:// and s3a:// as
+  * well as local disk. These tests drive the full write → read → merge
+  * cycle through a non-`file` scheme (`mock:/`, registered in
+  * SparkTestBase as RawLocalFileSystem): any remaining java.nio shortcut
+  * would fail on the scheme-prefixed paths.
+  */
+class HadoopFsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def mockDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft_$name")
+    p.toFile.deleteOnExit()
+    s"mock:$p"
+  }
+
+  test("bucket write/read round trip through a non-local scheme") {
+    val dir = mockDir("hfs_bucket")
+    val df = OrbitFixture.standard(spark)
+    BucketWriter.writeBucket(df, dir, LonLatPartitioning(size = (10, 10)),
+      mode = "overwrite")
+    assert(BucketFs.exists(s"$dir/${BucketInfo.FileName}"))
+    val back = BucketReader.read(spark, dir,
+      query = BucketReader.ByExtent(Extent(-180, 180, -90, 90)))
+    assert(back.count() == 150)
+  }
+
+  test("merge renames staged periods through a non-local scheme") {
+    val src = mockDir("hfs_src")
+    val dst = mockDir("hfs_dst")
+    val df = OrbitFixture.standard(spark)
+    BucketWriter.writeBucket(df, src, LonLatPartitioning(size = (10, 10)),
+      mode = "overwrite")
+    Merge.mergeGranuleBuckets(spark, src, dst, temporalPartitioning = "month")
+    // period-named files landed inside the spatial dirs, staging removed
+    val files = BucketReader.listFiles(dst, fileExtension = ".parquet")
+    assert(files.nonEmpty)
+    assert(files.forall(_.matches(".*/\\d{4}_\\d{1,2}_\\d+\\.parquet")))
+    assert(!BucketFs.exists(s"$dst/_staging"))
+    val back = BucketReader.read(spark, dst)
+    assert(back.count() == 150)
+  }
+}

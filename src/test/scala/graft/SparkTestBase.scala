@@ -11,6 +11,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // non-local scheme for HadoopFsSpec: `mock:/...` paths resolve through
+      // the Hadoop FS API (backed by RawLocalFileSystem on disk), proving
+      // the bucket plumbing never shortcuts through java.nio
+      .config("spark.hadoop.fs.mock.impl", "graft.MockFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
