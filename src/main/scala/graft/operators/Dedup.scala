@@ -97,17 +97,42 @@ object Dedup {
       .select(col(idCol), col("__b.band").as("band"), col("__b.band_sig").as("band_sig"))
   }
 
-  /** Candidate near-duplicate pairs (a < b) from LSH buckets. */
+  /** Candidate near-duplicate pairs (a < b) from LSH buckets.
+    *
+    * Bucket-width defense: a degenerate band signature (boilerplate or
+    * near-empty docs) can put 10^5+ docs in one (band, band_sig) bucket,
+    * and the within-bucket self-join goes quadratic — the classic LSH
+    * scale-killer. Buckets over `maxBucketSize` therefore degrade from
+    * all-pairs to CHAINED candidates (consecutive ids in sort order):
+    * O(n) pairs instead of O(n²), and connected-component dedup recall is
+    * preserved through transitivity (the chain spans the same component a
+    * clique would). Pairwise Jaccard verification of chained pairs is
+    * weaker than of clique pairs — acceptable for buckets whose size
+    * already says "mass duplication". Buckets at or under the cap are
+    * exact all-pairs as before. */
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, numHashes: Int = 8,
-                        bands: Int = 4): DataFrame = {
+                        bands: Int = 4, maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = minHashSignature(df, textCol, idCol, shingleK, numHashes)
     val banded = lshBands(sigs, idCol, numHashes, bands)
-    val l = banded.select(col("band"), col("band_sig"), col(idCol).as("a"))
-    val r = banded.select(col("band"), col("band_sig"), col(idCol).as("b"))
-    l.join(r, Seq("band", "band_sig"))
+    val w = Window.partitionBy("band", "band_sig")
+    val wo = w.orderBy(col(idCol))
+    // one shuffle on the join key computes both the bucket size and the
+    // chain successor; the self-join below reuses the partitioning
+    val sized = banded
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__next", lead(col(idCol), 1).over(wo))
+    val small = sized.where(col("__bn") <= maxBucketSize)
+    val l = small.select(col("band"), col("band_sig"), col(idCol).as("a"))
+    val r = small.select(col("band"), col("band_sig"), col(idCol).as("b"))
+    val allPairs = l.join(r, Seq("band", "band_sig"))
       .where(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b")
+    val chained = sized
+      .where(col("__bn") > maxBucketSize && col("__next").isNotNull)
+      .select(col(idCol).as("a"), col("__next").as("b"))
+    allPairs.union(chained).distinct()
   }
 
   /** 32-plane SimHash from whitespace tokens, engine-portable: the sign of
@@ -134,11 +159,14 @@ object Dedup {
     * the minimum id of its component — the cluster representative for
     * group deduplication (keep one doc per cluster).
     *
-    * Iterative min-label propagation: each round every node adopts the
-    * smallest label among itself and its neighbors; converges in
-    * O(component diameter) rounds (LSH bucket cliques have tiny
-    * diameters). Each round is one shuffle join + hash agg; the loop stops
-    * as soon as a round changes nothing.
+    * Iterative min-label propagation WITH pointer jumping: each round every
+    * node adopts the smallest label among itself and its neighbors, then
+    * shortcuts label := label(label). The shortcut doubles propagation
+    * distance per round, so convergence is O(log diameter) — needed now
+    * that capped LSH buckets emit CHAIN-shaped components (diameter n),
+    * not just cliques; a 2^20-long chain converges within the default
+    * maxIter. Each round is two shuffle joins + a hash agg, and an eager
+    * localCheckpoint stops the logical plan growing exponentially.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager) after every round: iterative self-joins grow
@@ -164,9 +192,16 @@ object Dedup {
           .withColumnRenamed("label", "__nl"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("__nl")).as("__minNeighbor"))
-      val updated = labels.join(neighborMin, Seq("node"), "left")
+      val stepped = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__minNeighbor"), col("label"))).as("label"))
+      // pointer jumping: follow one more hop through the label table so
+      // each round doubles the distance a minimum has traveled
+      val updated = stepped.as("x")
+        .join(stepped.select(col("node").as("__ln"), col("label").as("__ll")).as("y"),
+          col("x.label") === col("__ln"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("__ll"), col("x.label"))).as("label"))
         .localCheckpoint(true)
       val newSum = updated.agg(sum(col("label"))).head().getLong(0)
       labels = updated

@@ -163,21 +163,54 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "centroid_id")
   }
 
+  /** Corpus-size-aware hyperplane count: enough sign bits that the MEAN
+    * bucket holds ~`targetBucketSize` vectors (buckets are uneven — pair
+    * it with [[embeddingNearDupPairs]]' `maxBucketSize` cap for the tail).
+    * The fixed nPlanes=8 default (256 buckets) is fine for 10^5 docs but
+    * quadratic-death at 10^9; callers at scale should pass
+    * `nPlanes = planesFor(corpus.count())`. */
+  def planesFor(corpusSize: Long, targetBucketSize: Int = 1024): Int =
+    math.max(8, 64.min(math.ceil(
+      math.log(math.max(corpusSize.toDouble / targetBucketSize, 1.0)) /
+        math.log(2.0)).toInt))
+
   /** Embedding near-duplicate pairs: cosine above threshold, via LSH
-    * buckets (a < b to halve the candidate space). */
+    * buckets (a < b to halve the candidate space).
+    *
+    * Bucket-width defense (same rationale as Dedup.lshCandidatePairs): a
+    * bucket over `maxBucketSize` — e.g. a corpus of near-identical
+    * embeddings all hashing to one signature — degrades from all-pairs to
+    * chained consecutive pairs (O(n), transitivity keeps clusters
+    * connected); buckets at or under the cap stay exact all-pairs. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nPlanes: Int = 8,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L,
+                            maxBucketSize: Int = 1024): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val planes = hyperplanes(nPlanes, dim, seed)
     val v = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("bucket", lshBucket(col("__v"), planes))
-    val l = v.select(col("bucket"), col("__id").as("a"), col("__v").as("__va"))
-    val r = v.select(col("bucket"), col("__id").as("b"), col("__v").as("__vb"))
-    l.join(r, Seq("bucket"))
+    val w = Window.partitionBy("bucket")
+    val wo = w.orderBy(col("__id"))
+    val sized = v
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__nid", lead(col("__id"), 1).over(wo))
+      .withColumn("__nv", lead(col("__v"), 1).over(wo))
+    val small = sized.where(col("__bn") <= maxBucketSize)
+    val l = small.select(col("bucket"), col("__id").as("a"), col("__v").as("__va"))
+    val r = small.select(col("bucket"), col("__id").as("b"), col("__v").as("__vb"))
+    val allPairs = l.join(r, Seq("bucket"))
       .where(col("a") < col("b"))
       .withColumn("cos", cosine(col("__va"), col("__vb")))
       .where(col("cos") >= threshold)
       .select("a", "b", "cos")
+    // each doc lives in exactly one bucket, so the two branches are
+    // disjoint — plain union, no dedup needed
+    val chained = sized
+      .where(col("__bn") > maxBucketSize && col("__nid").isNotNull)
+      .withColumn("cos", cosine(col("__v"), col("__nv")))
+      .where(col("cos") >= threshold)
+      .select(col("__id").as("a"), col("__nid").as("b"), col("cos"))
+    allPairs.union(chained)
   }
 }

@@ -94,6 +94,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("LSH bucket cap bounds candidate pairs on a degenerate corpus") {
+    import graft.operators.{Dedup, Similarity}
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // 300 identical docs: every band bucket holds the whole corpus, so an
+    // uncapped self-join would emit 300*299/2 = 44,850 pairs per band.
+    // Over the cap, buckets degrade to chained pairs: exactly n-1 distinct.
+    val docs = (0 until 300).map(i => (i.toLong, "the same document text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+      maxBucketSize = 50)
+    assert(pairs.count() == 299)
+    // chain spans one component: CC still collapses everything to one cluster
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    assert(cc.agg(org.apache.spark.sql.functions.countDistinct($"cluster_id"))
+      .head().getLong(0) == 1)
+
+    // identical embeddings: one hyperplane bucket of 200 → 199 chained pairs
+    val vecs = (0 until 200).map(i => (i.toLong, Array.fill(8)(0.5f)))
+      .toDF("doc_id", "vec")
+    val nd = Similarity.embeddingNearDupPairs(vecs, "doc_id", "vec",
+      threshold = 0.99, maxBucketSize = 50)
+    assert(nd.count() == 199)
+    // under the cap the exact all-pairs path is unchanged
+    val ndExact = Similarity.embeddingNearDupPairs(vecs.limit(10), "doc_id",
+      "vec", threshold = 0.99, maxBucketSize = 1024)
+    assert(ndExact.count() == 45)
+  }
+
+  test("planesFor scales hyperplane count with corpus size") {
+    import graft.operators.Similarity
+    assert(Similarity.planesFor(100000) == 8)          // small: floor of 8
+    assert(Similarity.planesFor(1000000000L) == 20)    // 1e9/1024 ≈ 2^20
+    assert(Similarity.planesFor(Long.MaxValue) == 53)  // capped growth
+  }
+
   test("geodesic: symmetric, zero at identity, positive otherwise") {
     import graft.functions.Geodesic
     (1 to 200).foreach { _ =>
