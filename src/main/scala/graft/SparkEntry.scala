@@ -12,7 +12,8 @@ object SparkEntry {
     Relational,
     Spatial,
     AnalysisQueries,
-    PipelineQueries
+    PipelineQueries,
+    StreamingQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

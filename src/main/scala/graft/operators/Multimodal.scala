@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as batched partition-local
   * transforms (`mapPartitions` over an iterator — the Scala analogue of
   * `mapInPandas` batches). The Spark-side plumbing (schema, partitioning,
-  * batch shape) is real and tested; the actual codec is STUBBED behind
-  * [[MediaDecoder]] because no image/audio libraries ship in this
-  * environment — swap in a real decoder (e.g. TwelveMonkeys/JavaCV) by
-  * implementing the trait.
+  * batch shape) is real and tested; IMAGE decode is REAL too
+  * ([[ImageIoDecoder]], JDK `javax.imageio` — PNG/BMP/GIF/JPEG). Audio and
+  * video remain STUBBED behind [[MediaDecoder]] because those codecs don't
+  * ship in the JDK — swap in a real decoder (e.g. JavaCV) by implementing
+  * the trait.
   */
 object Multimodal {
 
@@ -53,6 +54,64 @@ object Multimodal {
       val frames = if (mediaType == "video") math.max(1, n / 1024) else 1
       (w, h, frames, payload)
     }
+  }
+
+  /** REAL image decoder on the JDK's built-in codecs (PNG/BMP/GIF/JPEG via
+    * `javax.imageio` — no external deps, headless-safe). Pixels come back
+    * as integer-luma grayscale (ITU-R 601 weights in exact integer
+    * arithmetic, so results are bit-deterministic across JVMs). Audio and
+    * video still go through [[StubDecoder]] — those codecs aren't in the
+    * JDK; swap the seam when a media library is available. */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Array[Byte]) =
+      mediaType match {
+        case "image" =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          require(img != null, "payload is not a decodable image")
+          val w = img.getWidth; val h = img.getHeight
+          val px = new Array[Byte](w * h)
+          var i = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              px(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+              i += 1; x += 1
+            }
+            y += 1
+          }
+          (w, h, 1, px)
+        case other => StubDecoder.decode(other, payload)
+      }
+  }
+
+  /** Deterministic gray PNG: pixel (x, y) has luma
+    * `(id*31 + x*7 + y*13) mod 256`, written as an RGB gray triple (so the
+    * decoded ITU-R 601 luma reproduces it exactly: (299+587+114)/1000 of
+    * equal channels is the identity). PNG is lossless, which is what lets
+    * the q49 oracle recompute the histogram from this closed form instead
+    * of decoding. */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Wrap raw binary rows into the typed asset table. */

@@ -304,6 +304,34 @@ sealed trait Partitioning2D extends Serializable {
     cells.toArray
   }
 
+  /** Per-index cell vertices (reference query_vertices_by_indices,
+    * partitioning.py:549-565): for each (xi, yi) pair the 4 corners in
+    * reference order — ccw: top_left, bottom_left, bottom_right, top_right;
+    * cw: top_left, top_right, bottom_right, bottom_left. */
+  def queryVerticesByIndices(xIndices: Seq[Int], yIndices: Seq[Int],
+                             ccw: Boolean = true): Array[Array[Array[Double]]] = {
+    require(xIndices.length == yIndices.length, "index arrays must align")
+    xIndices.zip(yIndices).map { case (i, j) =>
+      require(i >= 0 && i < nX && j >= 0 && j < nY, s"index ($i,$j) out of grid")
+      val (x0, x1) = (xBounds(i), xBounds(i + 1))
+      val (y0, y1) = (yBounds(j), yBounds(j + 1))
+      val tl = Array(x0, y1); val tr = Array(x1, y1)
+      val br = Array(x1, y0); val bl = Array(x0, y0)
+      if (ccw) Array(tl, bl, br, tr) else Array(tl, tr, br, bl)
+    }.toArray
+  }
+
+  /** WKT polygons for every cell (row-major from the south-west cell) —
+    * the engine-portable equivalent of the reference's to_shapely
+    * (partitioning.py:545-547): consumers rebuild geometry from WKT with
+    * any GIS library, no shapely binding required. */
+  def toWkt(): Array[String] =
+    vertices(ccw = true).map { ring =>
+      val pts = (ring :+ ring.head)
+        .map(p => s"${p(0)} ${p(1)}").mkString(", ")
+      s"POLYGON (($pts))"
+    }
+
   /** Dense template grid as a DataFrame: every (x centroid, y centroid)
     * cell with a zero value column (reference dataset_grid — the remap
     * target for gridded cubes). */

@@ -149,6 +149,28 @@ object PipelineQueries extends QueryModule {
         .select($"asset_id", $"meta.n_bytes".as("n_bytes"),
           $"meta.content_md5".as("content_md5"),
           $"width", $"height", $"n_frames")
+    }),
+
+    // REAL image decode (javax.imageio): deterministic 16x16 gray PNGs are
+    // encoded per doc, decoded back by ImageIoDecoder on executors, and the
+    // 16-bin pixel histogram emitted as exact integers. PNG is lossless and
+    // the gray ramp has a closed form, so the oracle recomputes the
+    // histogram without any decoder.
+    "q49_image_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val pngs = ids
+        .mapPartitions(it => it.map(id => (id, Multimodal.syntheticPng(id, 16, 16))))
+        .toDF("doc_id", "png")
+        .withColumn("src", lit("synthetic_png"))
+      val assets = Multimodal.toAssets(pngs, "doc_id", "png", "image", "src")
+      val feats = Multimodal.extractFeatures(s, assets, Multimodal.ImageIoDecoder)
+      // feature(i) = count_i / (w*h) exactly (w*h = 256 a power of two), so
+      // the integer counts reconstruct exactly
+      feats.select($"asset_id", $"width", $"height",
+          posexplode($"feature").as(Seq("bin", "frac")))
+        .select($"asset_id", $"width", $"height", $"bin",
+          round($"frac" * ($"width" * $"height")).cast("long").as("cnt"))
     })
   )
 
@@ -294,6 +316,20 @@ object PipelineQueries extends QueryModule {
         CAST(GREATEST(1, n_bytes // GREATEST(1, LEAST(64, n_bytes))) AS INT) AS height,
         1 AS n_frames
       FROM m""",
+
+    "q49_image_decode" -> """
+      WITH d AS (SELECT doc_id AS asset_id FROM documents),
+      px AS (
+        SELECT asset_id, (asset_id * 31 + x * 7 + y * 13) % 256 AS g
+        FROM d, generate_series(0, 15) gx(x), generate_series(0, 15) gy(y)),
+      c AS (SELECT asset_id, g // 16 AS bin, COUNT(*) AS cnt
+            FROM px GROUP BY 1, 2),
+      db AS (SELECT asset_id, bin
+             FROM d, (SELECT UNNEST(generate_series(0, 15)) AS bin))
+      SELECT db.asset_id, 16 AS width, 16 AS height,
+        CAST(db.bin AS INT) AS bin,
+        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
 
     "q36_ann_lsh_buckets" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -157,6 +157,19 @@ object BucketReader {
       .toSeq.sorted
   }
 
+  /** Filepaths grouped by partition (reference get_filepaths_by_partition,
+    * satbucket/io.py:110-126): keys are the last n-level relative partition
+    * paths (`lon_bin=a/lat_bin=b` for hive flavor, `a/b` for directory
+    * flavor), values the matching data files. One recursive listing. */
+  def filepathsByPartition(bucketDir: String, fileExtension: String = null,
+                           globPattern: String = null,
+                           regexPattern: String = null): Map[String, Seq[String]] = {
+    val p = BucketInfo.readPartitioning(bucketDir)
+    val n = p.order.length
+    listFiles(bucketDir, fileExtension, globPattern, regexPattern)
+      .groupBy(f => f.split('/').dropRight(1).takeRight(n).mkString("/"))
+  }
+
   private def pad2(e: Extent, pad: Double): Extent =
     if (pad == 0.0) e
     else Extent(e.xmin - pad, e.xmax + pad, e.ymin - pad, e.ymax + pad)

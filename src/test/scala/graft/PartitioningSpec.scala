@@ -57,6 +57,26 @@ class PartitioningSpec extends AnyFunSuite {
     assert(p.levels == Seq("xbin", "ybin"))
   }
 
+  test("cell vertices by indices + WKT export (partitioning.py:545-570)") {
+    val p = XYPartitioning(size = (1, 2), extent = Extent(0, 10, 0, 10))
+    // reference ccw order: top_left, bottom_left, bottom_right, top_right
+    val v = p.queryVerticesByIndices(Seq(0, 2), Seq(0, 1))
+    assert(v.length == 2)
+    assert(v(0).map(_.toSeq).toSeq ==
+      Seq(Seq(0.0, 2.0), Seq(0.0, 0.0), Seq(1.0, 0.0), Seq(1.0, 2.0)))
+    assert(v(1).map(_.toSeq).toSeq ==
+      Seq(Seq(2.0, 4.0), Seq(2.0, 2.0), Seq(3.0, 2.0), Seq(3.0, 4.0)))
+    val cw = p.queryVerticesByIndices(Seq(0), Seq(0), ccw = false)
+    assert(cw(0).map(_.toSeq).toSeq ==
+      Seq(Seq(0.0, 2.0), Seq(1.0, 2.0), Seq(1.0, 0.0), Seq(0.0, 0.0)))
+    intercept[IllegalArgumentException](p.queryVerticesByIndices(Seq(99), Seq(0)))
+
+    // WKT: one closed ccw polygon per cell, row-major from the SW cell
+    val wkt = p.toWkt()
+    assert(wkt.length == 50)
+    assert(wkt(0) == "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 2.0, 0.0 2.0, 0.0 0.0))")
+  }
+
   test("XY labels on data incl. invalid rows (test_partitioning.py:225-260)") {
     val p = XYPartitioning(size = (0.5, 0.25), extent = Extent(0, 2, 0, 2))
     val vals = Seq[java.lang.Double](-0.001, -0.0, 0.0, 0.5, 1.0, 1.5, 2.0, 2.1,

@@ -159,4 +159,20 @@ class PipelineSpec extends AnyFunSuite {
     val sampled = Multimodal.sampleFrameIndices(feats, stride = 1)
     assert(sampled.count() == r.getAs[Int]("n_frames"))
   }
+
+  test("multimodal: REAL png encode/decode round trip is pixel-exact") {
+    val png = Multimodal.syntheticPng(42L, 16, 16)
+    // PNG magic
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val (w, h, nf, px) = Multimodal.ImageIoDecoder.decode("image", png)
+    assert(w == 16 && h == 16 && nf == 1)
+    // decoded luma reproduces the generating closed form exactly
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val expected = java.lang.Math.floorMod(42L * 31 + x * 7 + y * 13, 256L).toInt
+      assert((px(y * 16 + x) & 0xff) == expected, s"pixel ($x,$y)")
+    }
+    // non-image media still routes through the stub
+    val (sw, _, _, spx) = Multimodal.ImageIoDecoder.decode("audio", Array[Byte](1, 2, 3))
+    assert(sw == 3 && spx.length == 3)
+  }
 }

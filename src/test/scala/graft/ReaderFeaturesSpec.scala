@@ -39,6 +39,22 @@ class ReaderFeaturesSpec extends AnyFunSuite {
     assert(sub.count() == expected && expected > 0)
   }
 
+  test("filepathsByPartition groups data files by partition path (io.py:110-126)") {
+    val dir = tmp("bypart")
+    BucketWriter.writeBucket(OrbitFixture.standard(spark), dir,
+      LonLatPartitioning(size = (10, 10)), mode = "overwrite")
+    val byPart = BucketReader.filepathsByPartition(dir, fileExtension = ".parquet")
+    assert(byPart.nonEmpty)
+    // keys are the 2-level relative partition paths
+    assert(byPart.keys.forall(_.matches("lon_bin=[^/]+/lat_bin=[^/]+")), byPart.keys)
+    // every file accounted for, each under its own key's directory
+    val all = BucketReader.listFiles(dir, fileExtension = ".parquet")
+    assert(byPart.values.flatten.toSet == all.toSet)
+    byPart.foreach { case (k, files) =>
+      assert(files.nonEmpty && files.forall(_.contains(s"/$k/")))
+    }
+  }
+
   test("filename filters: extension, glob, regex (P11)") {
     val dir = tmp("namefilters")
     val p = LonLatPartitioning(size = (10, 10))
