@@ -75,15 +75,40 @@ object BucketFs {
     ()
   }
 
-  /** All regular files under `root` — ONE recursive listing call, which on
-    * object stores is a flat LIST (no tree walk) and on HDFS is
-    * RPC-batched; at 10^4+ directories this replaces round 1's sequential
-    * driver walk. */
-  def listFileStatuses(fs: FileSystem, root: Path): Seq[FileStatus] = {
-    val it = fs.listFiles(root, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
-    while (it.hasNext) buf += it.next()
-    buf.toSeq
+  /** All regular files under `root`.
+    *
+    * Remote schemes use ONE recursive `listFiles` call — a flat LIST on
+    * object stores (S3A special-cases it to a single prefix listing), and
+    * RPC-batched on HDFS; at 10^4+ directories this replaces round 1's
+    * sequential driver walk. Local `file://` instead walks with plain
+    * `listStatus` in a parallel level-order sweep: `listFiles` materializes
+    * a LocatedFileStatus per entry, and on the local FS that EAGERLY loads
+    * permissions (measured ~4ms per entry — 1.7s for a 127-file staging
+    * tree, dominating the merge); plain statuses keep the permission load
+    * lazy and we never touch it. */
+  def listFileStatuses(fs: FileSystem, root: Path): Seq[FileStatus] =
+    if (fs.getUri.getScheme == "file") listLocalRecursive(fs, root)
+    else {
+      val it = fs.listFiles(root, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[FileStatus]
+      while (it.hasNext) buf += it.next()
+      buf.toSeq
+    }
+
+  private def listLocalRecursive(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    val files = new java.util.concurrent.ConcurrentLinkedQueue[FileStatus]()
+    var level: Seq[Path] = Seq(root)
+    while (level.nonEmpty) {
+      val par = level.par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+        new java.util.concurrent.ForkJoinPool(math.min(16, math.max(level.size, 1))))
+      level = par.flatMap { d =>
+        val sts = fs.listStatus(d)
+        sts.iterator.filter(_.isFile).foreach(files.add)
+        sts.iterator.filter(_.isDirectory).map(_.getPath).toSeq
+      }.seq
+    }
+    scala.jdk.CollectionConverters.CollectionHasAsScala(files).asScala.toSeq
   }
 
   /** Relative path of `child` under `root` (both made fully qualified). */
