@@ -159,16 +159,51 @@ object Dedup {
     * the minimum id of its component — the cluster representative for
     * group deduplication (keep one doc per cluster).
     *
-    * Iterative min-label propagation WITH pointer jumping: each round every
-    * node adopts the smallest label among itself and its neighbors, then
-    * shortcuts label := label(label). The shortcut doubles propagation
+    * Small edge lists (≤ driverEdgeLimit) use driver union-find — one
+    * collect, explicit memory bound, no per-round job latency. Larger ones
+    * run iterative min-label propagation WITH pointer jumping: each round
+    * every node adopts the smallest label among itself and its neighbors,
+    * then shortcuts label := label(label). The shortcut doubles propagation
     * distance per round, so convergence is O(log diameter) — needed now
     * that capped LSH buckets emit CHAIN-shaped components (diameter n),
     * not just cliques; a 2^20-long chain converges within the default
     * maxIter. Each round is two shuffle joins + a hash agg, and an eager
-    * localCheckpoint stops the logical plan growing exponentially.
+    * localCheckpoint stops the logical plan growing exponentially. Both
+    * paths reach the same fixpoint (min id per component).
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          driverEdgeLimit: Long = 2000000L): DataFrame = {
+    // Hybrid: the candidate edge list is usually tiny relative to the
+    // corpus (LSH pairs, not raw rows). Below `driverEdgeLimit` edges a
+    // driver-side union-find answers in one collect + one parallelize —
+    // milliseconds instead of per-round shuffle latency. Above it, the
+    // distributed label-propagation loop below is the scale path. The
+    // limit bounds driver memory explicitly (16 bytes/edge → ~32 MB).
+    val spark = pairs.sparkSession
+    val simplified = pairs.select(col("a").cast("long"), col("b").cast("long"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val nEdges = simplified.count()
+    if (nEdges <= driverEdgeLimit) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      simplified.as[(Long, Long)].collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-id representative per component (same fixpoint as the loop)
+      val rows = parent.keys.toArray.sorted.map(n => (n, find(n)))
+      return spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
+        .toDF("node", "cluster_id")
+    }
+
     // localCheckpoint (eager) after every round: iterative self-joins grow
     // the logical plan exponentially otherwise — the driver OOMs on plan
     // analysis long before the (tiny) data does

@@ -106,10 +106,17 @@ class PropertySpec extends AnyFunSuite {
     val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
       maxBucketSize = 50)
     assert(pairs.count() == 299)
-    // chain spans one component: CC still collapses everything to one cluster
+    // chain spans one component: CC still collapses everything to one
+    // cluster — on BOTH paths (driver union-find and, forced via
+    // driverEdgeLimit=0, the distributed pointer-jumping loop)
     val cc = graft.operators.Dedup.connectedComponents(pairs)
     assert(cc.agg(org.apache.spark.sql.functions.countDistinct($"cluster_id"))
       .head().getLong(0) == 1)
+    val ccDist = graft.operators.Dedup.connectedComponents(pairs, driverEdgeLimit = 0)
+    assert(ccDist.agg(org.apache.spark.sql.functions.countDistinct($"cluster_id"))
+      .head().getLong(0) == 1)
+    // identical assignments from both paths
+    assert(cc.except(ccDist).count() == 0 && ccDist.except(cc).count() == 0)
 
     // identical embeddings: one hyperplane bucket of 200 → 199 chained pairs
     val vecs = (0 until 200).map(i => (i.toLong, Array.fill(8)(0.5f)))
