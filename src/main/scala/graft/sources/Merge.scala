@@ -24,6 +24,10 @@ object Merge {
 
   private val PeriodCol = "__period"
 
+  /** Above this many period-dirs the rename pass runs as a Spark job on
+    * executors instead of a driver thread pool. */
+  private val DistributeRenamesAbove = 1024
+
   def mergeGranuleBuckets(spark: SparkSession,
                           srcBucketDir: String, dstBucketDir: String,
                           temporalPartitioning: String = "month",
@@ -34,7 +38,8 @@ object Merge {
                           maxFileSize: String = "2GB",
                           compression: String = "snappy",
                           timeColumn: String = "time",
-                          writeMetadata: Boolean = false): Unit = {
+                          writeMetadata: Boolean = false,
+                          distributeRenamesAbove: Int = DistributeRenamesAbove): Unit = {
     Temporal.check(temporalPartitioning)
     val p = BucketInfo.readPartitioning(srcBucketDir)
     if (update) {
@@ -82,23 +87,53 @@ object Merge {
     val touchedPrefixes =
       byPeriodDir.map(_._1.getName.stripPrefix(s"$PeriodCol=")).toSet
 
-    val periodDirs = byPeriodDir.par
-    periodDirs.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(16))
-    periodDirs.foreach { case (dir, files) =>
-      val prefix = dir.getName.stripPrefix(s"$PeriodCol=")
-      val rel = BucketFs.relativize(fs, stagingPath, dir.getParent) // spatial path
-      val dstDir = if (rel.isEmpty) new Path(dstBucketDir) else new Path(dstBucketDir, rel)
-      BucketFs.mkdirs(fs, dstDir)
-      if (update) {
-        // replace exactly the files of this period (reference :791-810)
-        fs.listStatus(dstDir).iterator
-          .filter(_.getPath.getName.startsWith(s"${prefix}_"))
-          .foreach(st => fs.delete(st.getPath, false))
+    // one task = one period-dir: update-deletes, mkdirs, renames. Small
+    // merges run on the driver (16-way, no job overhead); past
+    // DistributeRenamesAbove dirs the same closure runs as a Spark job so
+    // rename throughput scales with the cluster instead of one driver's
+    // metadata RPC budget — at 10^5-10^6 staged files this is the
+    // difference between minutes and a driver-bound hour on a real store.
+    // function VALUE over serializable locals only (a local `def` would
+    // lift onto Merge$ and make the executor closure unserializable)
+    val periodPrefix = s"$PeriodCol="
+    val dstRoot = dstBucketDir
+    val doUpdate = update
+    val handleDir: (org.apache.hadoop.fs.FileSystem, Path, Path, Seq[Path]) => Unit =
+      (fsx, stagingP, dir, files) => {
+        val prefix = dir.getName.stripPrefix(periodPrefix)
+        val rel = BucketFs.relativize(fsx, stagingP, dir.getParent) // spatial path
+        val dstDir = if (rel.isEmpty) new Path(dstRoot) else new Path(dstRoot, rel)
+        BucketFs.mkdirs(fsx, dstDir)
+        if (doUpdate) {
+          // replace exactly the files of this period (reference :791-810)
+          fsx.listStatus(dstDir).iterator
+            .filter(_.getPath.getName.startsWith(s"${prefix}_"))
+            .foreach(st => fsx.delete(st.getPath, false))
+        }
+        files.sortBy(_.toString).zipWithIndex.foreach { case (f, i) =>
+          BucketFs.move(fsx, f, new Path(dstDir, s"${prefix}_$i.parquet"))
+        }
       }
-      files.sortBy(_.toString).zipWithIndex.foreach { case (f, i) =>
-        BucketFs.move(fs, f, new Path(dstDir, s"${prefix}_$i.parquet"))
-      }
+    if (byPeriodDir.size <= distributeRenamesAbove) {
+      val periodDirs = byPeriodDir.par
+      periodDirs.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
+        new java.util.concurrent.ForkJoinPool(16))
+      periodDirs.foreach { case (dir, files) => handleDir(fs, stagingPath, dir, files) }
+    } else {
+      val confSer = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val stagingStr = stagingPath.toString
+      val work = byPeriodDir.map { case (d, fl) => (d.toString, fl.map(_.toString)) }
+      spark.sparkContext
+        .parallelize(work, math.min(work.size,
+          spark.sparkContext.defaultParallelism * 4))
+        .foreachPartition { it =>
+          val stagingP = new Path(stagingStr)
+          val fsx = stagingP.getFileSystem(confSer.value)
+          it.foreach { case (d, fl) =>
+            handleDir(fsx, stagingP, new Path(d), fl.map(new Path(_)))
+          }
+        }
     }
     BucketFs.deleteRecursive(staging)
     if (!update || !BucketFs.exists(s"$dstBucketDir/${BucketInfo.FileName}")) {

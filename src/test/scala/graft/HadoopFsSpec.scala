@@ -38,7 +38,10 @@ class HadoopFsSpec extends AnyFunSuite {
     val df = OrbitFixture.standard(spark)
     BucketWriter.writeBucket(df, src, LonLatPartitioning(size = (10, 10)),
       mode = "overwrite")
-    Merge.mergeGranuleBuckets(spark, src, dst, temporalPartitioning = "month")
+    // distributeRenamesAbove=0 forces the EXECUTOR-side rename job (the
+    // 10^5-file scale path) — through the non-local scheme too
+    Merge.mergeGranuleBuckets(spark, src, dst, temporalPartitioning = "month",
+      distributeRenamesAbove = 0)
     // period-named files landed inside the spatial dirs, staging removed
     val files = BucketReader.listFiles(dst, fileExtension = ".parquet")
     assert(files.nonEmpty)
