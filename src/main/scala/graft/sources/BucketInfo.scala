@@ -22,6 +22,32 @@ object BucketInfo {
     // Hadoop FS: the manifest lands next to the data wherever it lives
     // (file://, hdfs://, s3a://); create() makes parent dirs itself
     BucketFs.writeString(s"$bucketDir/$FileName", toJson(dict))
+    // ALSO write the reference's own manifest (bucket_info.yaml, nested
+    // write_bucket_info format, satbucket/io.py:59-73) so the reference
+    // stack can open graft-written buckets — interop both directions.
+    BucketFs.writeString(s"$bucketDir/$ReferenceFileName",
+      toReferenceYaml(partitioning, temporalPartitioning))
+  }
+
+  private def toReferenceYaml(p: Partitioning2D,
+                              temporal: Option[String]): String = {
+    def toJava(v: Any): Any = v match {
+      case s: Seq[_] =>
+        val l = new java.util.ArrayList[Any](); s.foreach(x => l.add(toJava(x))); l
+      case m: Map[_, _] =>
+        val j = new java.util.LinkedHashMap[String, Any]()
+        m.foreach { case (k, vv) => j.put(k.toString, toJava(vv)) }; j
+      case other => other
+    }
+    val root = new java.util.LinkedHashMap[String, Any]()
+    // reference flavor semantics: "hive" = level= prefixes, None = bare dirs
+    val refDict = p.toDict.updated("flavor",
+      if (p.flavor.contains("directory")) null else "hive")
+    root.put("spatial_partitioning", toJava(refDict))
+    root.put("temporal_partitioning", temporal.orNull)
+    val opts = new org.yaml.snakeyaml.DumperOptions()
+    opts.setDefaultFlowStyle(org.yaml.snakeyaml.DumperOptions.FlowStyle.BLOCK)
+    new org.yaml.snakeyaml.Yaml(opts).dump(root)
   }
 
   /** Reference-written buckets carry `bucket_info.yaml` (satbucket
@@ -46,7 +72,18 @@ object BucketInfo {
       case i: java.lang.Integer => i.toDouble
       case other => other
     }
-    conv(yaml.load[java.util.Map[String, Any]](s)).asInstanceOf[Map[String, Any]]
+    val flat = conv(yaml.load[java.util.Map[String, Any]](s))
+      .asInstanceOf[Map[String, Any]]
+    // the reference's write_bucket_info nests the partitioning under
+    // `spatial_partitioning` (io.py:59-73); older/fixture manifests are
+    // flat — accept both
+    flat.get("spatial_partitioning") match {
+      case Some(nested: Map[_, _]) =>
+        nested.asInstanceOf[Map[String, Any]] ++
+          flat.get("temporal_partitioning").filter(_ != null)
+            .map("temporal_partitioning" -> _).toMap
+      case _ => flat
+    }
   }
 
   def readPartitioning(bucketDir: String): Partitioning2D =

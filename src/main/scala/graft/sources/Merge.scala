@@ -51,8 +51,11 @@ object Merge {
     }
 
     // cloned reader session: label partition values stay strings without
-    // mutating the caller's session conf (graft.core.ReaderSession)
-    var df = graft.core.ReaderSession(spark).read.parquet(srcBucketDir)
+    // mutating the caller's session conf (graft.core.ReaderSession).
+    // pathGlobFilter: buckets carry a bucket_info.yaml interop manifest
+    // (no underscore prefix) that must stay out of the parquet scan.
+    var df = graft.core.ReaderSession(spark).read
+      .option("pathGlobFilter", "*.parquet").parquet(srcBucketDir)
     startTime.foreach(s => df = df.where(col(timeColumn) >= lit(java.sql.Timestamp.valueOf(s))))
     endTime.foreach(e => df = df.where(col(timeColumn) < lit(java.sql.Timestamp.valueOf(e))))
 

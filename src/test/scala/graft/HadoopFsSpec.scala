@@ -32,6 +32,24 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(back.count() == 150)
   }
 
+  test("bucket_info.yaml interop manifest round-trips (reference nested format)") {
+    val dir = mockDir("hfs_yaml")
+    val p = LonLatPartitioning(size = (10, 10))
+    BucketWriter.writeBucket(OrbitFixture.standard(spark), dir, p,
+      mode = "overwrite")
+    // both manifests written
+    assert(BucketFs.exists(s"$dir/${BucketInfo.FileName}"))
+    assert(BucketFs.exists(s"$dir/${BucketInfo.ReferenceFileName}"))
+    // force the yaml path (what the reference stack reads) and check the
+    // partitioning reconstructs identically through the NESTED format
+    val (fs, _) = BucketFs.resolve(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, BucketInfo.FileName), false)
+    val viaYaml = BucketInfo.readPartitioning(dir)
+    assert(viaYaml.toDict == p.toDict)
+    // and the bucket still reads (yaml must not pollute the parquet scan)
+    assert(BucketReader.read(spark, dir).count() == 150)
+  }
+
   test("merge renames staged periods through a non-local scheme") {
     val src = mockDir("hfs_src")
     val dst = mockDir("hfs_dst")
