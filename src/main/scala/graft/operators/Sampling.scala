@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splits for training-data pipelines.
+  *
+  * Everything is hash-bucket based (md5 of the id rendered as a decimal
+  * string), so assignment is a pure function of the id: stable across
+  * runs, engines, partitionings, and cluster sizes — no RNG state, no
+  * seed plumbing, and the oracle can recompute it in SQL. Buckets are the
+  * first 48 bits of the md5 taken mod `buckets` (uniform to ~2^-48).
+  */
+object Sampling {
+
+  /** Hash bucket in [0, buckets) for an id column. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Deterministic train/val/test split label: the first `trainPct`
+    * buckets are train, the next `valPct` val, the rest test. */
+  def splitCol(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "percentages must be non-negative and sum to at most 100")
+    val b = hashBucket(id, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Keep-predicate sampling `pct` percent of rows by id hash —
+    * deterministic, join-stable (the same ids survive in every table
+    * sampled with the same column). */
+  def sampledBy(id: Column, pct: Int): Column =
+    hashBucket(id, 100) < pct
+}

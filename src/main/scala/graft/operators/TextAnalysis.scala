@@ -89,6 +89,56 @@ object TextAnalysis {
       .where(col("rank") <= topK)
   }
 
+  /** Repetition metrics (the Gopher-style within-document duplication
+    * filters): duplicate-token mass and most-frequent-2-gram dominance,
+    * emitted as exact integers so thresholds — and the oracle — stay
+    * engine-portable. `n_tokens - n_distinct_tokens` over `n_tokens` is
+    * the duplicate-word fraction; `max_2gram_count` over `n_2grams` is the
+    * top-2-gram fraction. One explode + two hash-aggregations. */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = split(Dedup.normalizedText(col(textCol)), " ")
+    val base = df.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+      toks.as("__toks"))
+    val grams = Dedup.fanOut(base)
+      .where(col("n_tokens") >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), col("n_tokens").cast("int") - 1),
+        i => concat(element_at(col("__toks"), i), lit(" "),
+          element_at(col("__toks"), i + 1)))).as("__g"))
+    val gramStats = grams.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(max(col("__c")).as("max_2gram_count"),
+        sum(col("__c")).as("n_2grams"))
+    base.drop("__toks")
+      .join(gramStats, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct_tokens"),
+        coalesce(col("max_2gram_count"), lit(0L)).as("max_2gram_count"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"))
+  }
+
+  /** PII patterns chosen for cross-engine regex parity (simple classes
+    * only — behave identically under Java regex and RE2): emails and long
+    * digit runs (phone/account shaped). */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val LongNumberPattern = "[0-9]{9,}"
+
+  /** PII detection + redaction: per-document match counts and the
+    * redacted text (emails → <EMAIL>, long digit runs → <NUM>), all as
+    * codegen'd builtins. Redaction runs on the normalized lowercase text
+    * so the patterns and their SQL mirrors agree byte-for-byte. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val norm = Dedup.normalizedText(col(textCol))
+    df.withColumn("n_emails", regexp_count(norm, lit(EmailPattern)).cast("long"))
+      .withColumn("n_long_numbers",
+        regexp_count(norm, lit(LongNumberPattern)).cast("long"))
+      .withColumn("redacted_text",
+        regexp_replace(regexp_replace(norm, EmailPattern, "<EMAIL>"),
+          LongNumberPattern, "<NUM>"))
+  }
+
   /** Content fingerprint: md5 of normalized text (exact identity) plus the
     * smallest shingle hash (a 1-element winnowing sketch; min-k extends it). */
   def fingerprint(df: DataFrame, textCol: String, shingleK: Int = 8): DataFrame =

@@ -171,6 +171,28 @@ object PipelineQueries extends QueryModule {
           posexplode($"feature").as(Seq("bin", "frac")))
         .select($"asset_id", $"width", $"height", $"bin",
           round($"frac" * ($"width" * $"height")).cast("long").as("cnt"))
+    }),
+
+    // Gopher-style repetition filters: duplicate-token mass and top-2-gram
+    // dominance as exact integers.
+    "q50_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables(s, dir, "documents"), "text", "doc_id")),
+
+    // PII detection + redaction (emails, long digit runs) — the redacted
+    // text itself is hash-compared byte-for-byte.
+    "q51_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.piiScrub(Tables(s, dir, "documents"), "text")
+        .select($"doc_id", $"n_emails", $"n_long_numbers", $"redacted_text")
+    }),
+
+    // Deterministic hash-bucket train/val/test split — stable across runs,
+    // engines, and partitionings.
+    "q52_split" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents").select($"doc_id",
+        graft.operators.Sampling.hashBucket($"doc_id").as("bucket"),
+        graft.operators.Sampling.splitCol($"doc_id").as("split"))
     })
   )
 
@@ -330,6 +352,46 @@ object PipelineQueries extends QueryModule {
         CAST(db.bin AS INT) AS bin,
         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
       FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
+
+    "q50_repetition" -> s"""
+      WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks
+                 FROM documents),
+      base AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        toks FROM t),
+      g AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+            FROM base, LATERAL UNNEST(range(1, CAST(n_tokens AS INT))) AS r(i)
+            WHERE n_tokens >= 2),
+      gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      gm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_2gram_count,
+             CAST(SUM(c) AS BIGINT) AS n_2grams FROM gc GROUP BY 1)
+      SELECT base.doc_id, n_tokens, n_distinct_tokens,
+        CAST(COALESCE(gm.max_2gram_count, 0) AS BIGINT) AS max_2gram_count,
+        CAST(COALESCE(gm.n_2grams, 0) AS BIGINT) AS n_2grams
+      FROM base LEFT JOIN gm ON base.doc_id = gm.doc_id""",
+
+    "q51_pii_scrub" -> s"""
+      WITH n AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(nt, '${TextAnalysis.EmailPattern}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(nt, '${TextAnalysis.LongNumberPattern}')) AS BIGINT)
+          AS n_long_numbers,
+        regexp_replace(regexp_replace(nt, '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+          '${TextAnalysis.LongNumberPattern}', '<NUM>', 'g') AS redacted_text
+      FROM n""",
+
+    "q52_split" -> """
+      WITH b AS (SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+          AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM b""",
 
     "q36_ann_lsh_buckets" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -160,6 +160,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(sampled.count() == r.getAs[Int]("n_frames"))
   }
 
+  test("repetition metrics: duplicate-token and top-2-gram counts") {
+    val docs = Seq((1L, "A a  a b"), (2L, "x"), (3L, "one two three"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // doc 1 normalizes to "a a a b": 4 tokens, 2 distinct; 2-grams
+    // [a a, a a, a b] -> max 2 of 3
+    assert(m(0).toSeq == Seq(1L, 4L, 2L, 2L, 3L))
+    // single token: no 2-grams
+    assert(m(1).toSeq == Seq(2L, 1L, 1L, 0L, 0L))
+    // no repetition: max 2-gram count 1
+    assert(m(2).toSeq == Seq(3L, 3L, 3L, 1L, 2L))
+  }
+
+  test("pii scrub redacts emails and long digit runs") {
+    val d = Seq((1L, "Mail Bob.Smith+x@Example.COM or call 0123456789 now"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(d, "text").head()
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_long_numbers") == 1L)
+    assert(r.getAs[String]("redacted_text") == "mail <EMAIL> or call <NUM> now")
+  }
+
+  test("hash split is deterministic, complete, and roughly proportioned") {
+    import graft.operators.Sampling
+    val ids = spark.range(10000).toDF("id")
+    val s1 = ids.select($"id", Sampling.splitCol($"id").as("split"))
+    val s2 = ids.select($"id", Sampling.splitCol($"id").as("split"))
+    assert(s1.except(s2).count() == 0) // pure function of id
+    val byLabel = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.values.sum == 10000)
+    assert(math.abs(byLabel("train") - 8000) < 300)
+    assert(math.abs(byLabel("val") - 1000) < 150)
+    // sampling keeps exactly the ids below the bucket threshold
+    val kept = ids.where(Sampling.sampledBy($"id", 10)).count()
+    assert(math.abs(kept - 1000) < 150)
+    intercept[IllegalArgumentException](Sampling.splitCol($"id", 90, 20))
+  }
+
   test("multimodal: REAL png encode/decode round trip is pixel-exact") {
     val png = Multimodal.syntheticPng(42L, 16, 16)
     // PNG magic
