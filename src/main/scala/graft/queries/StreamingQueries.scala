@@ -65,7 +65,13 @@ object StreamingQueries extends QueryModule {
         graft.sources.BucketFs.writeString(marker, "ok\n")
       }
 
-      val stream = s.readStream.schema(ev.select($"user_id", $"ts").schema)
+      // dedicated session with few shuffle partitions: the session-window
+      // state store instantiates one instance per shuffle partition per
+      // micro-batch, which at 32 partitions is pure overhead for this
+      // volume (the batch queries keep the session default)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val stream = ss.readStream.schema(ev.select($"user_id", $"ts").schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(inDir)
       val sess = StreamingOps.sessionize(stream, gap = "30 minutes",
