@@ -25,6 +25,15 @@ import scala.collection.parallel.CollectionConverters._
   */
 object BucketFs {
 
+  /** One shared work-stealing pool for all driver-side FS parallelism
+    * (listings, existence probes, rename passes). A fresh
+    * ForkJoinPool-per-call leaves idle worker threads lingering until
+    * their keep-alive on every hot listing path; sharing one is also safe
+    * — parallel collections can share a task support concurrently. */
+  private[sources] lazy val fsTaskSupport =
+    new scala.collection.parallel.ForkJoinTaskSupport(
+      new java.util.concurrent.ForkJoinPool(16))
+
   /** Active session's Hadoop conf — carries `spark.hadoop.*` overrides
     * (e.g. Bench's RawLocalFileSystem) — or a bare Configuration when no
     * session exists (pure-JVM tests). */
@@ -105,8 +114,7 @@ object BucketFs {
     var level: Seq[Path] = Seq(root)
     while (level.nonEmpty) {
       val par = level.par
-      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-        new java.util.concurrent.ForkJoinPool(math.min(16, math.max(level.size, 1))))
+      par.tasksupport = fsTaskSupport
       level = par.flatMap { d =>
         val sts = fs.listStatus(d)
         sts.iterator.filter(_.isFile).foreach(files.add)
@@ -126,11 +134,10 @@ object BucketFs {
   /** Parallel existence filter — candidate partition dirs from extent
     * pruning can number in the hundreds; one-at-a-time exists() RPCs
     * dominate on remote stores. */
-  def filterExisting(paths: Seq[String], parallelism: Int = 16): Seq[String] = {
+  def filterExisting(paths: Seq[String]): Seq[String] = {
     if (paths.isEmpty) return paths
     val par = paths.par
-    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(math.min(parallelism, math.max(paths.size, 1))))
+    par.tasksupport = fsTaskSupport
     par.filter(exists).seq
   }
 }

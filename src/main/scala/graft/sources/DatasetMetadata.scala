@@ -21,8 +21,7 @@ object DatasetMetadata {
     val files = BucketReader.listFiles(bucketDir, fileExtension = ".parquet")
     require(files.nonEmpty, s"no parquet files under $bucketDir")
     val par = files.par
-    par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-      new java.util.concurrent.ForkJoinPool(16))
+    par.tasksupport = BucketFs.fsTaskSupport
     val footers = par.map { f =>
       val p = new Path(f)
       new Footer(p, ParquetFileReader.readFooter(conf, p,

@@ -119,8 +119,7 @@ object Merge {
       }
     if (byPeriodDir.size <= distributeRenamesAbove) {
       val periodDirs = byPeriodDir.par
-      periodDirs.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(
-        new java.util.concurrent.ForkJoinPool(16))
+      periodDirs.tasksupport = BucketFs.fsTaskSupport
       periodDirs.foreach { case (dir, files) => handleDir(fs, stagingPath, dir, files) }
     } else {
       val confSer = new org.apache.spark.util.SerializableConfiguration(
