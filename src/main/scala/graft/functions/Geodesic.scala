@@ -45,12 +45,19 @@ object Geodesic {
     // computation a finite, SQL-transcribable expression DAG, which is what
     // lets the q24 DuckDB oracle reproduce these doubles operation-for-
     // operation (same literals, same associativity).
+    // past FixedIters: ONLY pairs still unconverged keep iterating (up to
+    // 100, the pre-fixed-count contract) — their exact values matter to
+    // library callers but never to the SQL mirror, which only keeps rows
+    // that converge well inside FixedIters (a pair needing more is
+    // thousands of km from any radius-query point). Converged pairs stop
+    // exactly at FixedIters so their doubles equal the mirror's.
     var lambda = l
     var lambdaPrev = l
     var iter = 0
     var sinSigma = 0.0; var cosSigma = 0.0; var sigma = 0.0
     var cosSqAlpha = 0.0; var cos2SigmaM = 0.0
-    while (iter < FixedIters) {
+    while (iter < FixedIters ||
+           (iter < 100 && math.abs(lambda - lambdaPrev) > 1e-12)) {
       val sinL = math.sin(lambda); val cosL = math.cos(lambda)
       val t1 = cosU2 * sinL
       val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL

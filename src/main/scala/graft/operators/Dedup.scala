@@ -172,18 +172,32 @@ object Dedup {
     * paths reach the same fixpoint (min id per component).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-                          driverEdgeLimit: Long = 2000000L): DataFrame = {
+                          driverEdgeLimit: Int = 2000000): DataFrame = {
     // Hybrid: the candidate edge list is usually tiny relative to the
-    // corpus (LSH pairs, not raw rows). Below `driverEdgeLimit` edges a
-    // driver-side union-find answers in one collect + one parallelize —
-    // milliseconds instead of per-round shuffle latency. Above it, the
-    // distributed label-propagation loop below is the scale path. The
-    // limit bounds driver memory explicitly (16 bytes/edge → ~32 MB).
+    // corpus (LSH pairs, not raw rows). Up to `driverEdgeLimit` edges a
+    // driver-side union-find answers from ONE materialization of the
+    // upstream pipeline (limit-probe collect — no separate count job) —
+    // milliseconds instead of per-round shuffle latency. Above it, or for
+    // non-integral id types, the distributed label-propagation loop below
+    // is the path. The limit bounds driver memory explicitly
+    // (16 bytes/edge → ~32 MB).
     val spark = pairs.sparkSession
-    val simplified = pairs.select(col("a").cast("long"), col("b").cast("long"))
-      .where(col("a").isNotNull && col("b").isNotNull)
-    val nEdges = simplified.count()
-    if (nEdges <= driverEdgeLimit) {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralIds = Seq("a", "b").forall(c =>
+      Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
+        .contains(pairs.schema(c).dataType))
+    val collected: Option[Array[(Long, Long)]] =
+      if (!integralIds || driverEdgeLimit <= 0) None
+      else {
+        import spark.implicits._
+        val probe = pairs
+          .select(col("a").cast("long"), col("b").cast("long"))
+          .where(col("a").isNotNull && col("b").isNotNull)
+          .limit(driverEdgeLimit + 1).as[(Long, Long)].collect()
+        if (probe.length <= driverEdgeLimit) Some(probe) else None
+      }
+    if (collected.isDefined) {
+      val edgeArr = collected.get
       import spark.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -193,7 +207,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      simplified.as[(Long, Long)].collect().foreach { case (a, b) =>
+      edgeArr.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }

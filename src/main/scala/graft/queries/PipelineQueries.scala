@@ -27,10 +27,13 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", $"mh0", $"mh1", $"mh2", $"mh3")
     }),
 
-    // LSH candidate pairs (banded minhash, 8 hashes × 4 bands).
+    // LSH candidate pairs (banded minhash, 8 hashes × 4 bands). The gated
+    // queries disable the bucket-size cap explicitly: the DuckDB oracle is
+    // uncapped all-pairs, and the semantics must agree at EVERY scale, not
+    // just ones whose buckets happen to fit the default cap.
     "q32_minhash_lsh_pairs" -> ((s, dir) => {
       Dedup.lshCandidatePairs(Tables(s, dir, "documents"), "text", "doc_id",
-        shingleK = 8, numHashes = 8, bands = 4)
+        shingleK = 8, numHashes = 8, bands = 4, maxBucketSize = Int.MaxValue)
     }),
 
     // 32-plane portable SimHash per document.
@@ -107,7 +110,8 @@ object PipelineQueries extends QueryModule {
     // (min-id representative per cluster) — the keep-one-per-group step.
     "q45_dedup_clusters" -> ((s, dir) => {
       val pairs = Dedup.lshCandidatePairs(Tables(s, dir, "documents"),
-        "text", "doc_id", shingleK = 8, numHashes = 8, bands = 4)
+        "text", "doc_id", shingleK = 8, numHashes = 8, bands = 4,
+        maxBucketSize = Int.MaxValue) // uncapped: must match the oracle at any scale
       Dedup.connectedComponents(pairs)
     }),
 
@@ -126,7 +130,8 @@ object PipelineQueries extends QueryModule {
     // corpus's cosine range).
     "q42_embedding_neardup" -> ((s, dir) => {
       Similarity.embeddingNearDupPairs(Tables(s, dir, "embeddings"),
-          "vec_id", "embedding", threshold = 0.42, nPlanes = 4)
+          "vec_id", "embedding", threshold = 0.42, nPlanes = 4,
+          maxBucketSize = Int.MaxValue) // uncapped: must match the oracle at any scale
         .select("a", "b")
     }),
 

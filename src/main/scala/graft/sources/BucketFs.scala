@@ -36,10 +36,17 @@ object BucketFs {
 
   /** Active session's Hadoop conf — carries `spark.hadoop.*` overrides
     * (e.g. Bench's RawLocalFileSystem) — or a bare Configuration when no
-    * session exists (pure-JVM tests). */
+    * session exists (pure-JVM tests). Cached per session: newHadoopConf
+    * copies the whole SparkConf + Hadoop property set, and exists()-style
+    * helpers call this per path on hot listing paths. (Callers must not
+    * mutate the returned conf; mid-session spark.hadoop.* changes are not
+    * picked up — set them before the first bucket operation.) */
+  private val confCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Configuration]()
+
   def conf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
+      .map(s => confCache.computeIfAbsent(s, _.sessionState.newHadoopConf()))
       .getOrElse(new Configuration())
 
   def resolve(path: String): (FileSystem, Path) = {
@@ -85,7 +92,20 @@ object BucketFs {
 
   def deleteRecursive(path: String): Unit = {
     val (fs, p) = resolve(path)
-    if (fs.exists(p)) fs.delete(p, true)
+    if (fs.exists(p)) {
+      // local FS deletes unlink one entry at a time; fan out over the
+      // top-level children (merge stagings have 10^2-10^4 of them) before
+      // the final root delete. Remote stores do it in one server-side call.
+      if (fs.getUri.getScheme == "file" && fs.getFileStatus(p).isDirectory) {
+        val children = fs.listStatus(p)
+        if (children.length > 4) {
+          val par = children.toSeq.par
+          par.tasksupport = fsTaskSupport
+          par.foreach(st => fs.delete(st.getPath, true))
+        }
+      }
+      fs.delete(p, true)
+    }
     ()
   }
 
@@ -136,8 +156,11 @@ object BucketFs {
     * dominate on remote stores. */
   def filterExisting(paths: Seq[String]): Seq[String] = {
     if (paths.isEmpty) return paths
+    // one FS handle for the whole batch (all candidates live under one
+    // bucket) — per-path resolve would rebuild conf lookups on a hot path
+    val (fs, _) = resolve(paths.head)
     val par = paths.par
     par.tasksupport = fsTaskSupport
-    par.filter(exists).seq
+    par.filter(p => fs.exists(new Path(p))).seq
   }
 }

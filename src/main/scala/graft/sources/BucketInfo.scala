@@ -77,13 +77,19 @@ object BucketInfo {
     // the reference's write_bucket_info nests the partitioning under
     // `spatial_partitioning` (io.py:59-73); older/fixture manifests are
     // flat — accept both
-    flat.get("spatial_partitioning") match {
+    val unwrapped = flat.get("spatial_partitioning") match {
       case Some(nested: Map[_, _]) =>
         nested.asInstanceOf[Map[String, Any]] ++
           flat.get("temporal_partitioning").filter(_ != null)
             .map("temporal_partitioning" -> _).toMap
       case _ => flat
     }
+    // reference flavor semantics: null/None = BARE label dirs. Internally
+    // None means hive (our JSON manifests), so the yaml path must map the
+    // reference's null to the explicit "directory" flavor.
+    if (unwrapped.contains("flavor") && unwrapped("flavor") == null)
+      unwrapped.updated("flavor", "directory")
+    else unwrapped
   }
 
   def readPartitioning(bucketDir: String): Partitioning2D =

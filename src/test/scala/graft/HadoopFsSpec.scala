@@ -50,6 +50,20 @@ class HadoopFsSpec extends AnyFunSuite {
     assert(BucketReader.read(spark, dir).count() == 150)
   }
 
+  test("directory-flavor bucket survives the yaml-only manifest path") {
+    val dir = mockDir("hfs_yaml_dirflavor")
+    val p = LonLatPartitioning(size = (10, 10), flavor = Some("directory"))
+    BucketWriter.writeBucket(OrbitFixture.standard(spark), dir, p,
+      mode = "overwrite")
+    val (fs, _) = BucketFs.resolve(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, BucketInfo.FileName), false)
+    // reference yaml writes flavor as null for bare dirs — the reader must
+    // map that back to the directory flavor, not default to hive
+    val viaYaml = BucketInfo.readPartitioning(dir)
+    assert(viaYaml.flavor.contains("directory"))
+    assert(BucketReader.read(spark, dir).count() == 150)
+  }
+
   test("merge renames staged periods through a non-local scheme") {
     val src = mockDir("hfs_src")
     val dst = mockDir("hfs_dst")
