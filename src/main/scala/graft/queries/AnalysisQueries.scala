@@ -38,6 +38,30 @@ object AnalysisQueries extends QueryModule {
           $"count_overpass_occurence")
     }),
 
+    // W7+W8: per-user hourly series reindexed onto the full hour axis, then
+    // bounded linear interpolation of the holes (limit 3). The blend
+    // arithmetic (pv + (nv-pv)*k/n on exact-integer-cent doubles) is
+    // mirrored operation-for-operation in the oracle — no rounding, no
+    // trig, so the doubles are bit-identical.
+    "q53_regularize_interp" -> ((s, dir) => {
+      import s.implicits._
+      val hourly = Tables(s, dir, "events")
+        .where($"user_id" < 50)
+        .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+        .agg(sum(round($"value" * 100).cast("long")).as("sum_cents"))
+      val b = hourly.agg(min($"hour"), max($"hour")).head()
+      val axis = s.range(1).select(explode(sequence(
+        lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+        expr("INTERVAL 1 HOUR"))).as("hour"))
+      val users = hourly.select($"user_id").distinct()
+      val grid = users.crossJoin(broadcast(axis))
+      val joined = grid.join(hourly, Seq("user_id", "hour"), "left")
+      Analysis.interpolateLinear(joined, "sum_cents", "hour",
+          limit = 3, partitionBy = Seq("user_id"))
+        .select($"user_id", unix_micros($"hour").as("t_us"),
+          $"sum_cents".as("interp_cents"))
+    }),
+
     // S12/T8: full compaction round trip — granule-style bucket → merge
     // (month periods, {prefix}_{i}.parquet naming) → read back through the
     // merged bucket; hash-compared against plain SQL on the raw table.
@@ -139,6 +163,45 @@ object AnalysisQueries extends QueryModule {
       SELECT event_id, user_id, overpass_id,
         COUNT(*) OVER (PARTITION BY user_id, overpass_id) AS count_overpass_occurence
       FROM m""",
+
+    "q53_regularize_interp" -> """
+      WITH e AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      bounds AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM e),
+      axis AS (SELECT UNNEST(generate_series(
+        (SELECT h0 FROM bounds), (SELECT h1 FROM bounds),
+        INTERVAL 1 HOUR)) AS hour),
+      grid AS (SELECT u.user_id, a.hour
+               FROM (SELECT DISTINCT user_id FROM e) u, axis a),
+      j AS (SELECT g.user_id, g.hour, CAST(e.sum_cents AS DOUBLE) AS v
+            FROM grid g LEFT JOIN e
+              ON g.user_id = e.user_id AND g.hour = e.hour),
+      r AS (SELECT user_id, hour, v,
+        row_number() OVER (PARTITION BY user_id ORDER BY hour) AS rn
+        FROM j),
+      w AS (SELECT user_id, hour, v, rn,
+        last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+        first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hour
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr
+        FROM r)
+      SELECT user_id, epoch_us(hour) AS t_us,
+        CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nr - pr - 1 <= 3
+             THEN pv + (nv - pv) * CAST(rn - pr AS DOUBLE)
+                    / CAST(nr - pr AS DOUBLE)
+             ELSE NULL END AS interp_cents
+      FROM w""",
 
     "q43_asof_join" -> """
       WITH r AS (
