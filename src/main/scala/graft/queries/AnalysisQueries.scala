@@ -95,6 +95,38 @@ object AnalysisQueries extends QueryModule {
           $"lon_bin", $"lat_bin")
     }),
 
+    // T8: UPDATE-mode merge — re-merge one day's data (values shifted)
+    // into an existing day-partitioned archive; exactly that day's files
+    // are replaced, every other period survives untouched. The oracle
+    // recomputes the expected post-update state from the raw table.
+    "q54_update_merge" -> ((s, dir) => {
+      import s.implicits._
+      val h = dir.hashCode.toHexString
+      val srcA = s"/tmp/graft_upd_srcA_$h"; val srcB = s"/tmp/graft_upd_srcB_$h"
+      val dst = s"/tmp/graft_upd_dst_$h"
+      Seq(srcA, srcB, dst).foreach(graft.sources.BucketFs.deleteRecursive)
+      val ev = Tables(s, dir, "events")
+        .withColumn("lon", (($"event_id" % 3600).cast("double") / 10.0) - 180.0)
+        .withColumn("lat", ((($"event_id" * 7) % 1800).cast("double") / 10.0) - 90.0)
+        .select($"event_id", $"lon", $"lat", $"ts".as("time"), $"value")
+      // coarse cells: day periods × fine cells would mean 10^3-10^4 tiny
+      // period files, and q54 tests UPDATE semantics, not pruning (q27
+      // covers the fine-grained layout)
+      val p = LonLatPartitioning(size = (60, 45))
+      BucketWriter.writeBucket(ev, srcA, p, mode = "overwrite")
+      Merge.mergeGranuleBuckets(s, srcA, dst, temporalPartitioning = "day")
+      val day15 = ev.where(date_trunc("day", $"time") ===
+          lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .withColumn("value", $"value" + 1000.0)
+      BucketWriter.writeBucket(day15, srcB, p, mode = "overwrite")
+      Merge.mergeGranuleBuckets(s, srcB, dst, temporalPartitioning = "day",
+        update = true)
+      BucketReader.read(s, dst,
+          query = BucketReader.ByExtent(Extent(-60, 60, -45, 45)))
+        .select($"event_id", $"lon", $"lat", unix_micros($"time").as("t_us"),
+          round($"value" * 100).cast("long").as("value_cents"))
+    }),
+
     // As-of (backward) join — the time-series lookup operator Spark lacks:
     // every event gets the most recent prior error value for its user.
     // Checked against DuckDB's native ASOF JOIN.
@@ -202,6 +234,15 @@ object AnalysisQueries extends QueryModule {
                     / CAST(nr - pr AS DOUBLE)
              ELSE NULL END AS interp_cents
       FROM w""",
+
+    "q54_update_merge" -> s"""
+      WITH s AS (${OracleSql.synthEvents})
+      SELECT event_id, lon, lat, epoch_us(ts) AS t_us,
+        CASE WHEN date_trunc('day', ts) = TIMESTAMP '2024-01-15'
+             THEN CAST(round((value + 1000.0) * 100) AS BIGINT)
+             ELSE CAST(round(value * 100) AS BIGINT) END AS value_cents
+      FROM s
+      WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -45 AND 45""",
 
     "q43_asof_join" -> """
       WITH r AS (
