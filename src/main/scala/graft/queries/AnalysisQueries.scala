@@ -101,7 +101,8 @@ object AnalysisQueries extends QueryModule {
     // recomputes the expected post-update state from the raw table.
     "q54_update_merge" -> ((s, dir) => {
       import s.implicits._
-      val h = dir.hashCode.toHexString
+      // v-token: bump when the synth/source shape changes (stale /tmp cache)
+      val h = s"v1_${dir.hashCode.toHexString}"
       val srcA = s"/tmp/graft_upd_srcA_$h"; val srcB = s"/tmp/graft_upd_srcB_$h"
       val dst = s"/tmp/graft_upd_dst_$h"
       // the MERGES are the operation under test and run fresh every time;

@@ -35,7 +35,9 @@ object StreamingQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val base = s"/tmp/graft_stream_${dir.hashCode.toHexString}"
+      // v-token: bump when the staged-input shape changes — /tmp outlives
+      // code revisions and the marker would otherwise bless a stale cache
+      val base = s"/tmp/graft_stream_v1_${dir.hashCode.toHexString}"
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
       // the streaming run itself must be fresh every invocation (a reused
       // checkpoint would no-op the stream, an old sink would double-count);
