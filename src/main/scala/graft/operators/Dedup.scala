@@ -190,11 +190,14 @@ object Dedup {
       if (!integralIds || driverEdgeLimit <= 0) None
       else {
         import spark.implicits._
+        // clamp: driverEdgeLimit = Int.MaxValue (the "uncapped" idiom)
+        // must not overflow the +1 probe
+        val lim = math.min(driverEdgeLimit, Int.MaxValue - 1)
         val probe = pairs
           .select(col("a").cast("long"), col("b").cast("long"))
           .where(col("a").isNotNull && col("b").isNotNull)
-          .limit(driverEdgeLimit + 1).as[(Long, Long)].collect()
-        if (probe.length <= driverEdgeLimit) Some(probe) else None
+          .limit(lim + 1).as[(Long, Long)].collect()
+        if (probe.length <= lim) Some(probe) else None
       }
     if (collected.isDefined) {
       val edgeArr = collected.get

@@ -96,7 +96,9 @@ object TextAnalysis {
     * the duplicate-word fraction; `max_2gram_count` over `n_2grams` is the
     * top-2-gram fraction. One explode + two hash-aggregations. */
   def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = split(Dedup.normalizedText(col(textCol)), " ")
+    // null text behaves as empty (1 empty token) — without the coalesce,
+    // Spark's legacy size(null) = -1 poisons the fractions downstream
+    val toks = split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " ")
     val base = df.select(col(idCol),
       size(toks).cast("long").as("n_tokens"),
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),

@@ -124,8 +124,11 @@ object AnalysisQueries extends QueryModule {
       Merge.mergeGranuleBuckets(s, srcA, dst, temporalPartitioning = "day")
       if (!graft.sources.BucketFs.exists(s"$srcB/_staged_ok")) {
         graft.sources.BucketFs.deleteRecursive(srcB)
+        // to_timestamp parses in the SESSION timezone (UTC) — a
+        // java.sql.Timestamp.valueOf literal would parse in the JVM
+        // default zone and silently select the wrong day off-UTC
         val day15 = ev.where(date_trunc("day", $"time") ===
-            lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+            to_timestamp(lit("2024-01-15 00:00:00")))
           .withColumn("value", $"value" + 1000.0)
         BucketWriter.writeBucket(day15, srcB, p, mode = "overwrite")
         graft.sources.BucketFs.writeString(s"$srcB/_staged_ok", "ok\n")

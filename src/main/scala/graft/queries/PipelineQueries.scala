@@ -359,7 +359,8 @@ object PipelineQueries extends QueryModule {
       FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
 
     "q50_repetition" -> s"""
-      WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks
+      WITH t AS (SELECT doc_id,
+                   string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
                  FROM documents),
       base AS (SELECT doc_id,
         CAST(len(toks) AS BIGINT) AS n_tokens,

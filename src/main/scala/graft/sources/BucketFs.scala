@@ -42,11 +42,21 @@ object BucketFs {
     * mutate the returned conf; mid-session spark.hadoop.* changes are not
     * picked up — set them before the first bucket operation.) */
   private val confCache =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, Configuration]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Configuration]())
 
   def conf: Configuration =
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(s => confCache.computeIfAbsent(s, _.sessionState.newHadoopConf()))
+      .map { s =>
+        // weak keys: short-lived sessions (ReaderSession clones, per-query
+        // newSession) must not be pinned for the JVM lifetime
+        val cached = confCache.get(s)
+        if (cached != null) cached
+        else {
+          val c = s.sessionState.newHadoopConf()
+          confCache.put(s, c); c
+        }
+      }
       .getOrElse(new Configuration())
 
   def resolve(path: String): (FileSystem, Path) = {
@@ -156,11 +166,15 @@ object BucketFs {
     * dominate on remote stores. */
   def filterExisting(paths: Seq[String]): Seq[String] = {
     if (paths.isEmpty) return paths
-    // one FS handle for the whole batch (all candidates live under one
+    // one FS handle per scheme (candidates normally all live under one
     // bucket) — per-path resolve would rebuild conf lookups on a hot path
-    val (fs, _) = resolve(paths.head)
-    val par = paths.par
-    par.tasksupport = fsTaskSupport
-    par.filter(p => fs.exists(new Path(p))).seq
+    val c = conf
+    val byFs = paths.groupBy(p => Option(new Path(p).toUri.getScheme))
+    byFs.toSeq.flatMap { case (_, group) =>
+      val fs = new Path(group.head).getFileSystem(c)
+      val par = group.par
+      par.tasksupport = fsTaskSupport
+      par.filter(p => fs.exists(new Path(p))).seq
+    }
   }
 }

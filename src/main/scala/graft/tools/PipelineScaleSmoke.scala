@@ -38,18 +38,16 @@ object PipelineScaleSmoke {
         md5((tid + 2000).cast("string")),
         md5((tid + 3000).cast("string"))).as("text"))
 
-    val nPairs = t(s"capped LSH pairs ($n docs)") {
-      Dedup.lshCandidatePairs(docs, "text", "doc_id",
-        shingleK = 8, numHashes = 8, bands = 4).count()
-    }
+    // materialize the pair pipeline ONCE so the CC phase times CC alone
+    val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+      shingleK = 8, numHashes = 8, bands = 4).localCheckpoint(false)
+    val nPairs = t(s"capped LSH pairs ($n docs)") { pairs.count() }
     println(s"[pscale] candidate pairs: $nPairs")
     val bound = 4L * n
     require(nPairs <= bound,
       s"cap failed: $nPairs pairs exceeds O(bands*n) bound $bound")
 
     val nClusters = t("connected components") {
-      val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
-        shingleK = 8, numHashes = 8, bands = 4)
       Dedup.connectedComponents(pairs, driverEdgeLimit = 4000000)
         .agg(countDistinct($"cluster_id")).head().getLong(0)
     }
