@@ -1,6 +1,5 @@
 package graft.core
 
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.SparkSession
 
 /** Isolated session for the engine's parquet reads.
@@ -16,15 +15,26 @@ import org.apache.spark.sql.SparkSession
   * captures the session it was built with and consults it at execution
   * even when the plan is later joined with frames from the parent session,
   * so the flags travel with exactly the scans that need them.
+  *
+  * The cache is weak-keyed: a short-lived parent session (e.g. per-query
+  * `newSession()` clones in tests or streaming runs) must not be pinned for
+  * the JVM lifetime just because the engine read through it once. Note the
+  * clone snapshots the parent's conf AT CREATION — only builder-time /
+  * SparkConf settings propagate to engine reads; a later runtime
+  * `spark.conf.set` on the caller (e.g. session time zone) does not reach
+  * reader clones. That is the intended isolation contract.
   */
 object ReaderSession {
-  private val cache = new ConcurrentHashMap[SparkSession, SparkSession]()
+  private val cache = new java.util.WeakHashMap[SparkSession, SparkSession]()
 
-  def apply(spark: SparkSession): SparkSession =
-    cache.computeIfAbsent(spark, s => {
-      val ns = s.newSession()
+  def apply(spark: SparkSession): SparkSession = cache.synchronized {
+    var ns = cache.get(spark)
+    if (ns == null) {
+      ns = spark.newSession()
       ns.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      ns
-    })
+      cache.put(spark, ns)
+    }
+    ns
+  }
 }

@@ -90,6 +90,48 @@ object Geodesic {
     B * bigA * (sigma - deltaSigma)
   }
 
+  /** Number of lambda iterations until |Δlambda| ≤ 1e-12 (capped at
+    * `maxIters`; returns maxIters+1 if still moving). Test hook backing the
+    * q24 oracle's convergence contract: the SQL mirror stops at exactly
+    * [[FixedIters]] steps, while [[inverse]] keeps iterating past that
+    * while Δlambda ∈ (1e-12, 1e-6] — parity therefore requires every pair
+    * inside the query radius to converge within FixedIters, which
+    * GeodesicSpec asserts over the full radius disc so a future
+    * radius/point change can't silently break hash parity. */
+  private[graft] def itersToConverge(lon1: Double, lat1: Double,
+                                     lon2: Double, lat2: Double,
+                                     maxIters: Int = 100): Int = {
+    if (lon1 == lon2 && lat1 == lat2) return 0
+    val l = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1 - F) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1 - F) * math.tan(math.toRadians(lat2)))
+    val sinU1 = math.sin(u1); val cosU1 = math.cos(u1)
+    val sinU2 = math.sin(u2); val cosU2 = math.cos(u2)
+    var lambda = l
+    var iter = 0
+    while (iter < maxIters) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      val t1 = cosU2 * sinL
+      val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL
+      val sinSigma = math.sqrt(t1 * t1 + t2 * t2)
+      if (sinSigma == 0.0) return iter
+      val cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      val sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      val cosSqAlpha = 1 - sinAlpha * sinAlpha
+      val cos2SigmaM = if (cosSqAlpha == 0.0) 0.0
+                       else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val c = F / 16 * cosSqAlpha * (4 + F * (4 - 3 * cosSqAlpha))
+      val prev = lambda
+      lambda = l + (1 - c) * F * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma *
+          (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      iter += 1
+      if (math.abs(lambda - prev) <= 1e-12) return iter
+    }
+    maxIters + 1
+  }
+
   private def sphericalFallback(lon1: Double, lat1: Double,
                                 lon2: Double, lat2: Double): Double = {
     val r = (2 * A + B) / 3

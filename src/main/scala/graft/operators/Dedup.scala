@@ -70,16 +70,34 @@ object Dedup {
     * h1 + i*h2 (Kirsch-Mitzenmacher) so each shingle costs ONE md5 instead
     * of numHashes — the md5 dominates the pipeline at scale. Values stay
     * < 2^53, exact in doubles/BIGINTs everywhere.
-    * One explode + one hash-aggregate (partial min map-side). */
+    *
+    * ZERO-SHUFFLE shape: the per-shingle hash pairs and the numHashes mins
+    * are computed IN-ROW with higher-order array functions (transform +
+    * array_min) instead of explode + groupBy. At scale this removes the
+    * shuffle of |corpus|×|shingles/doc| hashed rows entirely — the only
+    * movement left is `fanOut`'s round-robin of the raw (small) doc rows
+    * when the input arrives under-partitioned. The `__hp` staging column is
+    * multi-referenced and non-cheap, so CollapseProject keeps it staged and
+    * the md5 runs once per shingle, not numHashes times.
+    *
+    * Row semantics match the previous explode shape: a null text produced
+    * no exploded rows and hence no output row, so null texts are filtered
+    * here too. Assumes one row per id (duplicate ids now yield one
+    * signature row each instead of a merged min — ids are keys in every
+    * caller). */
   def minHashSignature(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, numHashes: Int = 8): DataFrame = {
-    val exploded = fanOut(df).select(col(idCol),
-        explode(shingles(col(textCol), shingleK)).as("__sh"))
-    val (h1, h2) = shingleHashPair(col("__sh"))
-    val hashed = exploded.select(col(idCol), h1.as("__h1"), h2.as("__h2"))
-    val aggs = (0 until numHashes).map(i =>
-      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"mh$i"))
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val hp = transform(shingles(col(textCol), shingleK), s => {
+      val h = md5(s)
+      struct(conv(substring(h, 1, 12), 16, 10).cast("long").as("h1"),
+             conv(substring(h, 13, 12), 16, 10).cast("long").as("h2"))
+    })
+    val staged = fanOut(df).where(col(textCol).isNotNull)
+      .select(col(idCol), hp.as("__hp"))
+    val mins = (0 until numHashes).map(i =>
+      array_min(transform(col("__hp"),
+        p => p.getField("h1") + lit(i.toLong) * p.getField("h2"))).as(s"mh$i"))
+    staged.select(col(idCol) +: mins: _*)
   }
 
   /** LSH banding: (band, bandSig, id) — docs sharing a (band, bandSig)
@@ -224,8 +242,17 @@ object Dedup {
     // localCheckpoint (eager) after every round: iterative self-joins grow
     // the logical plan exponentially otherwise — the driver OOMs on plan
     // analysis long before the (tiny) data does
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    //
+    // Integral ids are widened to long up front so BOTH paths emit the same
+    // (node long, cluster_id long) schema — without this the output schema
+    // would silently change when the edge count crosses driverEdgeLimit.
+    // Non-integral ids (strings etc.) only ever take this path, so their
+    // type passes through unchanged.
+    val normalized =
+      if (integralIds) pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      else pairs
+    val edges = normalized.select(col("a").as("src"), col("b").as("dst"))
+      .union(normalized.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("node"))

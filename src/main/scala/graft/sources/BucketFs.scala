@@ -166,10 +166,16 @@ object BucketFs {
     * dominate on remote stores. */
   def filterExisting(paths: Seq[String]): Seq[String] = {
     if (paths.isEmpty) return paths
-    // one FS handle per scheme (candidates normally all live under one
-    // bucket) — per-path resolve would rebuild conf lookups on a hot path
+    // one FS handle per (scheme, authority) — candidates normally all live
+    // under one bucket, but two buckets on the same scheme with different
+    // authorities (e.g. two s3a:// buckets) need distinct FileSystems or
+    // exists() throws Wrong-FS; per-path resolve would rebuild conf lookups
+    // on a hot path
     val c = conf
-    val byFs = paths.groupBy(p => Option(new Path(p).toUri.getScheme))
+    val byFs = paths.groupBy { p =>
+      val u = new Path(p).toUri
+      (Option(u.getScheme), Option(u.getAuthority))
+    }
     byFs.toSeq.flatMap { case (_, group) =>
       val fs = new Path(group.head).getFileSystem(c)
       val par = group.par

@@ -22,6 +22,82 @@ object BucketWriter {
     math.max(df.sparkSession.sparkContext.defaultParallelism * 4,
       df.sparkSession.sessionState.conf.numShufflePartitions)
 
+  /** Repartition for a dynamic-partition write, auto-salting hot cells.
+    *
+    * Plain `repartition(keys)` lands ALL rows of one spatial cell on one
+    * task — and satellite data is exactly this skewed (polar orbits revisit
+    * high latitudes every pass), so at scale a hot cell serializes the
+    * write. A cheap skew probe first: ONE aggregate over the key columns
+    * (column-pruned scan — for a parquet source it reads only the x/y/time
+    * columns, a few percent of the write's bytes). Cells whose row count
+    * exceeds `maxRecords` (the per-file row target — more rows than that
+    * must split into multiple files anyway) get a deterministic salt
+    * `pmod(xxhash64(row), ceil(cellRows/maxRecords))` via a broadcast join
+    * of the (tiny) hot-cell set, fanning the cell over that many tasks.
+    * Cells at or under the target keep salt 0 — exactly one file, the
+    * compaction contract — and when no cell is hot the plan degenerates to
+    * the plain repartition.
+    *
+    * Callers whose input is NOT re-scannable side-effect-free (e.g. the
+    * distributed granule ingest, whose probe would re-run every granule
+    * reader and double-fire its error accumulator) pass
+    * `autoSaltSkew = false`. */
+  private[sources] def skewAwareRepartition(labeled: DataFrame, keys: Seq[String],
+                                            maxRecords: Long,
+                                            autoSaltSkew: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tasks = writeTasks(labeled)
+    val keyCols = keys.map(col)
+    if (!autoSaltSkew)
+      return labeled.repartition(tasks, keyCols: _*)
+    val hot = labeled.groupBy(keyCols: _*).agg(count(lit(1)).as("__cell_n"))
+      .where(col("__cell_n") > maxRecords)
+      .withColumn("__n_salts",
+        least(ceil(col("__cell_n").cast("double") / maxRecords), lit(tasks.toLong))
+          .cast("int"))
+      .select((keyCols :+ col("__n_salts")): _*)
+    // the hot set is structurally bounded by totalRows/maxRecords cells
+    // (each needs > maxRecords rows), i.e. by the total FILE count of the
+    // write — collect once (avoids recomputing the agg for an isEmpty
+    // probe) and broadcast the local set
+    val hotRows = hot.collect()
+    if (hotRows.isEmpty) return labeled.repartition(tasks, keyCols: _*)
+    val hotDf = labeled.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hotRows: _*), hot.schema)
+    val rowHash = xxhash64(struct(labeled.columns.map(col): _*))
+    labeled.join(broadcast(hotDf), keys, "left")
+      .withColumn("__salt",
+        when(col("__n_salts").isNull, lit(0L))
+          .otherwise(pmod(rowHash, col("__n_salts").cast("long"))))
+      .repartition(tasks, (keyCols :+ col("__salt")): _*)
+      .drop("__n_salts", "__salt")
+  }
+
+  /** Per-codec compression-level writer options (reference
+    * compression_level, routines.py:544-545,613-616 and writers.py:192-200,
+    * where pyarrow receives it). parquet-mr exposes levels per codec:
+    * zstd reads `parquet.compression.codec.zstd.level` (default 3), gzip
+    * maps onto Hadoop's zlib level conf (which only distinguishes
+    * fastest/best/default). Codecs without a level knob reject a level —
+    * matching pyarrow, which errors rather than silently ignoring it. */
+  private[graft] def compressionLevelOptions(codec: String,
+                                             level: Option[Int]): Map[String, String] =
+    level match {
+      case None => Map.empty
+      case Some(l) => codec.toLowerCase match {
+        case "zstd" => Map("parquet.compression.codec.zstd.level" -> l.toString)
+        case "gzip" =>
+          val zl = l match {
+            case x if x <= 1 => "BEST_SPEED"
+            case x if x >= 9 => "BEST_COMPRESSION"
+            case _ => "DEFAULT_COMPRESSION"
+          }
+          Map("zlib.compress.level" -> zl)
+        case other => throw new IllegalArgumentException(
+          s"compression codec '$other' does not take a compression level")
+      }
+    }
+
   /** "200MB"/"2GB"-style size string → bytes (writers.py:39-92). */
   def parseSize(s: String): Long = {
     val m = "(?i)^\\s*([0-9]+(?:\\.[0-9]+)?)\\s*(B|KB|MB|GB|TB)?\\s*$".r
@@ -73,24 +149,27 @@ object BucketWriter {
                   rowGroupSize: String = "500MB",
                   maxFileSize: String = "2GB",
                   compression: String = "snappy",
+                  compressionLevel: Option[Int] = None,
                   mode: String = "append",
                   removeInvalidRows: Boolean = true,
-                  writeMetadata: Boolean = false): Unit = {
+                  writeMetadata: Boolean = false,
+                  autoSaltSkew: Boolean = true): Unit = {
     val labeled0 = p.addLabels(df, x, y, removeInvalidRows)
     // co-locate each spatial partition in one task: one output file per
     // directory instead of (tasks × dirs) small files — at scale this is
-    // the difference between nDirs files and nDirs × nTasks files. For a
-    // skewed cell, raise maxRecordsPerFile splitting or salt upstream.
-    // Oversubscribe the write tasks (4× cores): parquet writer init is the
-    // per-file cost and each directory's file opens serially within its
-    // task — 2.4× faster on a 253-dir write than cores-many tasks.
-    val labeled = labeled0.repartition(writeTasks(df),
-      p.order.map(org.apache.spark.sql.functions.col): _*)
+    // the difference between nDirs files and nDirs × nTasks files. Hot
+    // cells (> one file's rows) are auto-salted over multiple tasks — see
+    // skewAwareRepartition. Oversubscribe the write tasks (4× cores):
+    // parquet writer init is the per-file cost and each directory's file
+    // opens serially within its task — 2.4× faster on a 253-dir write than
+    // cores-many tasks.
     val maxRecords = estimateRowsForSize(df, parseSize(maxFileSize))
+    val labeled = skewAwareRepartition(labeled0, p.order, maxRecords, autoSaltSkew)
     labeled.write
       .mode(mode)
       .partitionBy(p.order: _*)
       .option("compression", compression)
+      .options(compressionLevelOptions(compression, compressionLevel))
       .option("maxRecordsPerFile", maxRecords)
       .option("parquet.block.size", parseSize(rowGroupSize))
       .parquet(bucketDir)
@@ -170,8 +249,11 @@ object BucketWriter {
         errors.add(path -> String.valueOf(e.getMessage)); Iterator.empty
       }
     }(org.apache.spark.sql.Encoders.row(schema))
+    // autoSaltSkew=false: the skew probe would re-run every granule reader
+    // (the input is a flatMap over files, not a re-scannable source) and
+    // double-fire the error accumulator
     writeBucket(rows.toDF(), bucketDir, p, x, y, rowGroupSize, maxFileSize,
-      mode = "append")
+      mode = "append", autoSaltSkew = false)
     scala.jdk.CollectionConverters.ListHasAsScala(errors.value).asScala.toSeq
   }
 

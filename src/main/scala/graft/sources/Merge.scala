@@ -37,6 +37,7 @@ object Merge {
                           rowGroupSize: String = "200MB",
                           maxFileSize: String = "2GB",
                           compression: String = "snappy",
+                          compressionLevel: Option[Int] = None,
                           timeColumn: String = "time",
                           writeMetadata: Boolean = false,
                           distributeRenamesAbove: Int = DistributeRenamesAbove): Unit = {
@@ -66,13 +67,17 @@ object Merge {
     val staging = s"$dstBucketDir/_staging"
     // co-locate each (spatial partition, period) in one task → exactly the
     // few large files per directory the compaction exists to produce;
-    // oversubscribed tasks parallelize the per-file writer-init cost
-    val repartitioned = withPeriod.repartition(BucketWriter.writeTasks(df),
-      (p.order :+ PeriodCol).map(col): _*)
+    // oversubscribed tasks parallelize the per-file writer-init cost. Hot
+    // (cell, period) groups — the polar-orbit revisit hot spot — are
+    // auto-salted over ceil(rows/maxRecords) tasks (the probe prunes to
+    // the partition-label + time columns; see skewAwareRepartition)
+    val repartitioned = BucketWriter.skewAwareRepartition(
+      withPeriod, p.order :+ PeriodCol, maxRecords, autoSaltSkew = true)
     repartitioned.write
       .mode("overwrite")
       .partitionBy((p.order :+ PeriodCol): _*)
       .option("compression", compression)
+      .options(BucketWriter.compressionLevelOptions(compression, compressionLevel))
       .option("maxRecordsPerFile", maxRecords)
       .option("parquet.block.size", BucketWriter.parseSize(rowGroupSize))
       .parquet(staging)

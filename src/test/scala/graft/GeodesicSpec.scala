@@ -19,6 +19,34 @@ class GeodesicSpec extends AnyFunSuite {
       Geodesic.inverse(6, 6, 5, 5)) < 1e-6)
   }
 
+  test("q24 oracle contract: disc around the query point converges within FixedIters") {
+    // The q24 DuckDB oracle unrolls EXACTLY Geodesic.FixedIters lambda
+    // steps, while inverse() keeps iterating while the delta is in
+    // (1e-12, 1e-6]. Hash parity therefore requires every pair that can
+    // appear in the result (distance <= radius) to converge to <1e-12
+    // within FixedIters. Assert it over a dense grid covering 2x the query
+    // radius around the q24 point so a future radius/point change that
+    // breaks the assumption fails HERE, not as a silent oracle mismatch.
+    val (lon0, lat0) = (12.5, 41.9)       // Spatial.geodesicRadiusOracle point
+    val radius = 1500000.0                // q24 radius (m)
+    var checked = 0
+    var lat = lat0 - 30.0
+    while (lat <= lat0 + 30.0) {
+      var lon = lon0 - 40.0
+      while (lon <= lon0 + 40.0) {
+        if (Geodesic.inverse(lon0, lat0, lon, lat) <= 2 * radius) {
+          checked += 1
+          val it = Geodesic.itersToConverge(lon0, lat0, lon, lat)
+          assert(it <= Geodesic.FixedIters,
+            s"($lon, $lat) needs $it iters > FixedIters=${Geodesic.FixedIters}")
+        }
+        lon += 0.25
+      }
+      lat += 0.25
+    }
+    assert(checked > 10000) // the sweep actually covered the disc
+  }
+
   test("near-antipodal falls back without exploding") {
     val d = Geodesic.inverse(0, 0, 179.9, 0.1)
     assert(d > 19000e3 && d < 20100e3)

@@ -50,6 +50,39 @@ class WriterPhysicalSpec extends AnyFunSuite {
     }
   }
 
+  test("compression_level lands in the written files (zstd)") {
+    // parquet footers record the codec but not the level; the level's
+    // effect is asserted via footer codec + a strictly smaller byte size
+    // at the max level on compressible data
+    def write(level: Option[Int]): (String, Long) = {
+      val dir = tmp(s"zl_${level.getOrElse(0)}")
+      val p = LonLatPartitioning(size = (180, 180), levels = Seq("lon_bin", "lat_bin"))
+      val df = spark.range(20000).select(
+        (col("id") % 90).cast("double").as("lon"),
+        (col("id") % 45).cast("double").as("lat"),
+        concat(lit("payload payload payload "), (col("id") % 7)).as("text"))
+      BucketWriter.writeBucket(df, dir, p, mode = "overwrite",
+        compression = "zstd", compressionLevel = level)
+      (dir, parquetFiles(dir).map(f => Files.size(f)).sum)
+    }
+    val (dirDefault, sizeDefault) = write(None)
+    val (_, sizeMax) = write(Some(22))
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new org.apache.hadoop.fs.Path(parquetFiles(dirDefault).head.toString),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    val codecs = scala.jdk.CollectionConverters.ListHasAsScala(footer.getBlocks)
+      .asScala.flatMap(b => scala.jdk.CollectionConverters
+        .ListHasAsScala(b.getColumns).asScala.map(_.getCodec.toString)).toSet
+    assert(codecs == Set("ZSTD"))
+    assert(sizeMax < sizeDefault,
+      s"level 22 ($sizeMax B) should compress tighter than default ($sizeDefault B)")
+    // codecs without a level knob reject one, like pyarrow
+    intercept[IllegalArgumentException] {
+      BucketWriter.compressionLevelOptions("snappy", Some(3))
+    }
+  }
+
   test("empty dataframe: manifest written, read errors like the reference") {
     val dir = tmp("empty")
     val p = LonLatPartitioning(size = (90, 90))
