@@ -190,5 +190,9 @@ object Analysis {
     val xs = p.xCentroids.toSeq.toDF(xc)
     val ys = p.yCentroids.toSeq.toDF(yc)
     broadcast(xs.crossJoin(ys)).join(agg, Seq(xc, yc), "left")
+      // CRS column metadata (reference attaches EPSG:4326 to every grid
+      // product, analysis.py:253-254) — survives selects/joins by name
+      .withColumn(xc, col(xc).as(xc, p.crsMetadata))
+      .withColumn(yc, col(yc).as(yc, p.crsMetadata))
   }
 }

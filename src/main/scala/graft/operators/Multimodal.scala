@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   * feature-extract / resize / frame-sample run as batched partition-local
   * transforms (`mapPartitions` over an iterator — the Scala analogue of
   * `mapInPandas` batches). The Spark-side plumbing (schema, partitioning,
-  * batch shape) is real and tested; IMAGE decode is REAL too
-  * ([[ImageIoDecoder]], JDK `javax.imageio` — PNG/BMP/GIF/JPEG). Audio and
-  * video remain STUBBED behind [[MediaDecoder]] because those codecs don't
-  * ship in the JDK — swap in a real decoder (e.g. JavaCV) by implementing
+  * batch shape) is real and tested; IMAGE decode is REAL
+  * ([[ImageIoDecoder]], JDK `javax.imageio` — PNG/BMP/GIF/JPEG) and AUDIO
+  * decode is REAL ([[JdkMediaDecoder]], JDK `javax.sound.sampled` —
+  * WAV/AIFF/AU PCM). Only video remains STUBBED behind [[MediaDecoder]]
+  * (no JDK codec) — swap in a real decoder (e.g. JavaCV) by implementing
   * the trait.
   */
 object Multimodal {
@@ -88,6 +89,66 @@ object Multimodal {
           (w, h, 1, px)
         case other => StubDecoder.decode(other, payload)
       }
+  }
+
+  /** REAL decoders for every JDK-supported format: images via
+    * `javax.imageio` ([[ImageIoDecoder]]) and WAV/AIFF/AU audio via
+    * `javax.sound.sampled` — both in the JDK, no external deps. Audio maps
+    * onto the (width, height, nFrames, bytes) contract as
+    * (sampleRate, channels, frameCount, first-channel samples as unsigned
+    * 8-bit) — 8-bit unsigned PCM passes through untouched; 16-bit signed
+    * PCM keeps the high byte shifted to unsigned. Only video remains
+    * stubbed (no JDK codec; swap the seam with e.g. JavaCV). */
+  object JdkMediaDecoder extends MediaDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Array[Byte]) =
+      mediaType match {
+        case "audio" =>
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val fmt = in.getFormat
+            val frameBytes = fmt.getFrameSize
+            val raw = in.readAllBytes()
+            val nFrames = raw.length / math.max(1, frameBytes)
+            val samples = new Array[Byte](nFrames)
+            val bits = fmt.getSampleSizeInBits
+            var f = 0
+            while (f < nFrames) {
+              val base = f * frameBytes // first channel of the frame
+              samples(f) =
+                if (bits == 8) {
+                  if (fmt.getEncoding ==
+                      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                    (raw(base) + 128).toByte
+                  else raw(base)
+                } else { // 16-bit PCM: unsigned high byte
+                  val hi = if (fmt.isBigEndian) raw(base) else raw(base + 1)
+                  (hi + 128).toByte
+                }
+              f += 1
+            }
+            (fmt.getSampleRate.toInt, fmt.getChannels, nFrames, samples)
+          } finally in.close()
+        case other => ImageIoDecoder.decode(other, payload)
+      }
+  }
+
+  /** Deterministic 8-bit unsigned mono WAV at 8 kHz: sample j is
+    * `(id*17 + j*29) mod 256`. PCM is lossless, so a decode through
+    * [[JdkMediaDecoder]] returns exactly these bytes — which lets the q59
+    * oracle recompute the sample histogram from the closed form without
+    * any decoder (same construction as [[syntheticPng]]/q49). */
+  def syntheticWav(id: Long, nSamples: Int): Array[Byte] = {
+    val data = Array.tabulate(nSamples)(j =>
+      java.lang.Math.floorMod(id * 17 + j * 29, 256L).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 8, 1, false /* unsigned */, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
   }
 
   /** Deterministic gray PNG: pixel (x, y) has luma

@@ -147,6 +147,18 @@ sealed trait Partitioning2D extends Serializable {
   def xCoord: String = "x_c"
   def yCoord: String = "y_c"
 
+  /** Coordinate reference system carried on every grid product and bucket
+    * manifest (reference attaches EPSG:4326 CRS to each xarray output,
+    * satbucket/analysis.py:253-254, partitioning.py:947-956,1189). Plain
+    * XY grids are abstract cartesian; LonLat grids are WGS84. */
+  def crs: String = "EPSG:4326"
+
+  /** Spark column metadata tagging a coordinate column with [[crs]] —
+    * GIS consumers read it off the schema after any select/join chain. */
+  def crsMetadata: org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putString("crs", crs).build()
+
   def xSize: Double
   def ySize: Double
 
@@ -340,6 +352,8 @@ sealed trait Partitioning2D extends Serializable {
     val xs = xCentroids.toSeq.toDF(xCoord)
     val ys = yCentroids.toSeq.toDF(yCoord)
     xs.crossJoin(ys).withColumn("data", lit(0.0))
+      .withColumn(xCoord, col(xCoord).as(xCoord, crsMetadata))
+      .withColumn(yCoord, col(yCoord).as(yCoord, crsMetadata))
   }
 }
 

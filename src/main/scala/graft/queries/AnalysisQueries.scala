@@ -157,6 +157,83 @@ object AnalysisQueries extends QueryModule {
           $"err_cents")
     }),
 
+    // W5+W6: contiguous along-track re-indexing across granules, then the
+    // dense (x_index × y_index) swath mesh with null holes
+    // (get_swath_indices + overpass_to_dataset, analysis.py:113-255). A
+    // deterministic multi-granule swath is synthesized from events:
+    // granule = id%4+100, along = (id div 7)%120 + (id%4)*3, cross = id%25;
+    // rows pre-aggregated to one per (granule, along, cross) so the
+    // operator's dropDuplicates is the identity (deterministic hash).
+    "q55_swath_grid" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").where($"event_id" < 12000)
+        .withColumn("__granule", ($"event_id" % 4) + 100)
+        .withColumn("__along", expr("(event_id div 7) % 120 + (event_id % 4) * 3"))
+        .withColumn("gpm_cross_track_id", $"event_id" % 25)
+      val uniq = ev.groupBy($"__granule", $"__along", $"gpm_cross_track_id")
+        .agg(min($"event_id").as("min_id"),
+          count(lit(1)).as("n_obs"),
+          sum(round($"value" * 100).cast("long")).as("sum_cents"))
+        .withColumn("gpm_id",
+          concat($"__granule".cast("string"), lit("-"), $"__along".cast("string")))
+        .drop("__granule", "__along")
+      Analysis.overpassToGrid(s, uniq)
+        .select($"x_index", $"y_index", $"min_id", $"n_obs", $"sum_cents")
+    }),
+
+    // S9/S10: granule fan-out ETL round trip — a distributed single-job
+    // ingest converts N virtual granules (rows a pure function of the
+    // granule path, so executors need no SparkSession) into a partitioned
+    // bucket, which is then read back through an extent query. One bad
+    // granule exercises the error-capture contract without aborting.
+    "q56_granule_etl" -> ((s, dir) => {
+      import s.implicits._
+      val dst = s"/tmp/graft_getl_v1_${dir.hashCode.toHexString}"
+      graft.sources.BucketFs.deleteRecursive(dst)
+      val paths = (0 until 6).map(i => s"granule_$i") :+ "granule_bad"
+      val errs = BucketWriter.writeGranulesBucketDistributed(
+        s, paths, dst, LonLatPartitioning(size = (20, 20)),
+        SyntheticGranuleReader, SyntheticGranuleReader.schema)
+      require(errs.map(_._1) == Seq("granule_bad"),
+        s"expected exactly the bad granule to fail, got $errs")
+      BucketReader.read(s, dst,
+          query = BucketReader.ByExtent(Extent(-60, 60, -45, 45)))
+        .select($"id", $"lon", $"lat", $"value_cents", $"lon_bin", $"lat_bin")
+    }),
+
+    // P9/T6: trollsift filename parsing + filename-time file pruning.
+    // Granule filenames are synthesized from event timestamps (end time is
+    // DATE-LESS in the pattern, so the reference's day-wrap recombination
+    // rule is exercised for sessions crossing midnight), pruned by a query
+    // window with the three-case overlap rule, and the parsed times are
+    // returned. The operator is inherently driver-side (it prunes file
+    // lists BEFORE any scan), so the bounded name list is collected —
+    // mirroring how a real read would use it.
+    "q60_filename_prune" -> ((s, dir) => {
+      import s.implicits._
+      val pattern =
+        "GR.{start_time:%Y%m%d-S%H%M%S}-E{end_time:%H%M%S}.{granule_id:s}.HDF5"
+      val names = Tables(s, dir, "events").where($"event_id" < 5000)
+        .select(concat(
+          lit("GR."),
+          date_format($"ts", "yyyyMMdd-'S'HHmmss"),
+          lit("-E"),
+          date_format($"ts" + expr("INTERVAL 90 MINUTES"), "HHmmss"),
+          lit("."), $"event_id".cast("string"), lit(".HDF5")).as("fn"))
+        .as[String].collect().toSeq
+      val kept = graft.sources.FilenameInfo.filterFilepaths(names, Seq(pattern),
+        start = Some(java.time.LocalDateTime.of(2024, 1, 10, 0, 0)),
+        end = Some(java.time.LocalDateTime.of(2024, 1, 20, 0, 0)))
+      val rows = kept.map { fn =>
+        val i = graft.sources.FilenameInfo.parse(fn, pattern)
+        // parsed times are whole seconds (the pattern carries no sub-second)
+        (i.fields("granule_id").toLong,
+         i.startTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L,
+         i.endTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
+      }
+      s.createDataset(rows).toDF("granule_id", "start_us", "end_us")
+    }),
+
     // W6-shaped dense grid: aggregate events into a coarse LonLat grid and
     // left-join the full centroid mesh so empty cells surface as nulls.
     "q28_grid_cube" -> ((s, dir) => {
@@ -176,9 +253,83 @@ object AnalysisQueries extends QueryModule {
     })
   )
 
+  /** Executor-side granule converter for q56: rows are a pure function of
+    * the path (id = granuleIndex*2000 + j with deterministic lon/lat/value),
+    * so the DuckDB oracle regenerates the identical rows from
+    * generate_series. A path without a numeric suffix throws — exercising
+    * the per-granule error capture. */
+  private[queries] object SyntheticGranuleReader
+      extends BucketWriter.RowGranuleReader {
+    val schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lon",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("lat",
+          org.apache.spark.sql.types.DoubleType, nullable = false),
+        org.apache.spark.sql.types.StructField("value_cents",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    def rows(path: String): Iterator[org.apache.spark.sql.Row] = {
+      val gi = path.split('_').last.toInt // throws for "granule_bad"
+      (0 until 2000).iterator.map { j =>
+        val id = gi * 2000L + j
+        org.apache.spark.sql.Row(id,
+          ((id * 13) % 3600).toDouble / 10.0 - 180.0,
+          ((id * 7) % 1800).toDouble / 10.0 - 90.0,
+          (id * 37) % 100000)
+      }
+    }
+  }
+
   private val synthSql = OracleSql.synthEvents
 
   def oracle: Map[String, String] = Map(
+    "q55_swath_grid" -> """
+      WITH src AS (
+        SELECT event_id, value,
+          (event_id % 4) + 100 AS granule,
+          (event_id // 7) % 120 + (event_id % 4) * 3 AS along,
+          event_id % 25 AS cross_id
+        FROM events WHERE event_id < 12000),
+      u AS (SELECT granule, along, cross_id,
+          MIN(event_id) AS min_id,
+          COUNT(*) AS n_obs,
+          CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM src GROUP BY 1, 2, 3),
+      b AS (SELECT *, MIN(along) OVER (PARTITION BY granule) AS mn FROM u),
+      g AS (SELECT granule, MAX(along) - MIN(along) + 1 AS width
+            FROM u GROUP BY granule),
+      o AS (SELECT granule,
+          COALESCE(CAST(SUM(width) OVER (ORDER BY granule
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS xoff
+        FROM g),
+      idx AS (SELECT b.along - b.mn + o.xoff AS x_index, b.cross_id AS y_index,
+          b.min_id, b.n_obs, b.sum_cents
+        FROM b JOIN o ON b.granule = o.granule),
+      bounds AS (SELECT MAX(x_index) AS x1, MIN(y_index) AS y0,
+          MAX(y_index) AS y1 FROM idx),
+      xs AS (SELECT UNNEST(generate_series(0, (SELECT x1 FROM bounds))) AS x_index),
+      ys AS (SELECT UNNEST(generate_series((SELECT y0 FROM bounds),
+                                           (SELECT y1 FROM bounds))) AS y_index),
+      mesh AS (SELECT x_index, y_index FROM xs, ys)
+      SELECT m.x_index, m.y_index, i.min_id, i.n_obs, i.sum_cents
+      FROM mesh m LEFT JOIN idx i
+        ON m.x_index = i.x_index AND m.y_index = i.y_index""",
+
+    "q56_granule_etl" -> s"""
+      WITH ids AS (SELECT i AS id FROM generate_series(0, 11999) t(i)),
+      s AS (SELECT id,
+        CAST((id*13) % 3600 AS DOUBLE)/10.0 - 180.0 AS lon,
+        CAST((id*7) % 1800 AS DOUBLE)/10.0 - 90.0 AS lat,
+        (id*37) % 100000 AS value_cents
+        FROM ids)
+      SELECT id, lon, lat, value_cents,
+        ${OracleSql.axisLabel("lon", -180, 20, 180, 18, 2)} AS lon_bin,
+        ${OracleSql.axisLabel("lat", -90, 20, 90, 9, 2)} AS lat_bin
+      FROM s
+      WHERE lon BETWEEN -60 AND 60 AND lat BETWEEN -45 AND 45""",
+
     "q25_overpass_times" -> """
       WITH d AS (SELECT DISTINCT user_id, ts FROM events),
       t AS (
@@ -248,6 +399,17 @@ object AnalysisQueries extends QueryModule {
                     / CAST(nr - pr AS DOUBLE)
              ELSE NULL END AS interp_cents
       FROM w""",
+
+    "q60_filename_prune" -> """
+      WITH e AS (SELECT event_id AS granule_id,
+          date_trunc('second', ts) AS st,
+          date_trunc('second', ts + INTERVAL 90 MINUTE) AS et
+        FROM events WHERE event_id < 5000)
+      SELECT granule_id, epoch_us(st) AS start_us, epoch_us(et) AS end_us
+      FROM e
+      WHERE (st <= TIMESTAMP '2024-01-10' AND et > TIMESTAMP '2024-01-10')
+         OR (st >= TIMESTAMP '2024-01-10' AND et <= TIMESTAMP '2024-01-20')
+         OR (st < TIMESTAMP '2024-01-20' AND et > TIMESTAMP '2024-01-20')""",
 
     "q54_update_merge" -> s"""
       WITH s AS (${OracleSql.synthEvents})

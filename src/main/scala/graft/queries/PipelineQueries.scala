@@ -135,6 +135,38 @@ object PipelineQueries extends QueryModule {
         .select("a", "b")
     }),
 
+    // Multi-probe LSH top-k: the exact bucket PLUS every Hamming-distance-1
+    // bucket is probed per query (recall close to brute force at a fraction
+    // of a full scan). The oracle mirrors the probe-set expansion in SQL.
+    "q57_ann_multiprobe" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopKMultiProbe(emb.where($"vec_id" < 24), emb,
+          "vec_id", "embedding", k = 2, nPlanes = 4)
+        .select($"query_id", $"rk", $"neighbor_id")
+    }),
+
+    // Capped-vs-uncapped LSH equivalence on a deliberately degenerate
+    // corpus: 5 groups of exact duplicates, every LSH bucket far over the
+    // cap, so candidate generation takes the CHAINED branch (consecutive
+    // pairs, O(n) per bucket) — and connected components must still
+    // recover exactly the uncapped clusters, which the oracle states in
+    // closed form (cluster = min doc_id of the duplicate group). This is
+    // the only gate that exercises the chain degradation path end-to-end.
+    "q58_capped_lsh_equiv" -> ((s, dir) => {
+      import s.implicits._
+      // each group's text is one character repeated — the groups share NO
+      // shingle, so cross-group bucket collisions are impossible and the
+      // expected clusters are exactly the duplicate groups
+      val degenerate = Tables(s, dir, "documents")
+        .select($"doc_id",
+          repeat(substring(lit("abcde"), (($"doc_id" % 5) + 1).cast("int"), lit(1)), 64)
+            .as("text"))
+      val pairs = Dedup.lshCandidatePairs(degenerate, "text", "doc_id",
+        shingleK = 8, numHashes = 8, bands = 4, maxBucketSize = 16)
+      Dedup.connectedComponents(pairs)
+    }),
+
     // Per-language character-bigram document-frequency profile (top 10).
     "q46_ngram_profile" -> ((s, dir) => {
       TextAnalysis.ngramProfile(Tables(s, dir, "documents"),
@@ -176,6 +208,30 @@ object PipelineQueries extends QueryModule {
           posexplode($"feature").as(Seq("bin", "frac")))
         .select($"asset_id", $"width", $"height", $"bin",
           round($"frac" * ($"width" * $"height")).cast("long").as("cnt"))
+    }),
+
+    // REAL audio decode (javax.sound.sampled): deterministic 8-bit mono
+    // WAVs are encoded per doc, decoded back by JdkMediaDecoder on
+    // executors, and the 16-bin sample histogram emitted as exact
+    // integers. PCM is lossless and the sample ramp has a closed form, so
+    // the oracle recomputes the histogram without any decoder (q49's
+    // construction, for audio).
+    "q59_audio_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val wavs = ids
+        .mapPartitions(it => it.map(id => (id, Multimodal.syntheticWav(id, 512))))
+        .toDF("doc_id", "wav")
+        .withColumn("src", lit("synthetic_wav"))
+      val assets = Multimodal.toAssets(wavs, "doc_id", "wav", "audio", "src")
+      val feats = Multimodal.extractFeatures(s, assets, Multimodal.JdkMediaDecoder)
+      // feature(i) = count_i / 512 exactly (power of two), so the integer
+      // counts reconstruct exactly
+      feats.select($"asset_id", $"width".as("sample_rate"),
+          $"height".as("channels"), $"n_frames",
+          posexplode($"feature").as(Seq("bin", "frac")))
+        .select($"asset_id", $"sample_rate", $"channels", $"n_frames", $"bin",
+          round($"frac" * $"n_frames").cast("long").as("cnt"))
     }),
 
     // Gopher-style repetition filters: duplicate-token mass and top-2-gram
@@ -358,6 +414,20 @@ object PipelineQueries extends QueryModule {
         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
       FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
 
+    "q59_audio_decode" -> """
+      WITH d AS (SELECT doc_id AS asset_id FROM documents),
+      sm AS (
+        SELECT asset_id, (asset_id * 17 + j * 29) % 256 AS v
+        FROM d, generate_series(0, 511) g(j)),
+      c AS (SELECT asset_id, v // 16 AS bin, COUNT(*) AS cnt
+            FROM sm GROUP BY 1, 2),
+      db AS (SELECT asset_id, bin
+             FROM d, (SELECT UNNEST(generate_series(0, 15)) AS bin))
+      SELECT db.asset_id, 8000 AS sample_rate, 1 AS channels,
+        512 AS n_frames, CAST(db.bin AS INT) AS bin,
+        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
+
     "q50_repetition" -> s"""
       WITH t AS (SELECT doc_id,
                    string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
@@ -451,6 +521,40 @@ object PipelineQueries extends QueryModule {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
         FROM scored)
       WHERE rk <= 2""",
+
+    "q57_ann_multiprobe" -> s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (SELECT vec_id, e, ${bucketSql("e", 4)} AS bucket0 FROM v),
+      probes AS (
+        SELECT vec_id, e, bucket0 AS bucket FROM b WHERE vec_id < 24
+        UNION ALL
+        SELECT vec_id, e,
+          substr(bucket0, 1, g.i) ||
+          (CASE WHEN substr(bucket0, g.i + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+          substr(bucket0, g.i + 2, 4 - g.i - 1) AS bucket
+        FROM b, (SELECT UNNEST(generate_series(0, 3)) AS i) g
+        WHERE vec_id < 24),
+      cand AS (
+        SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN b c ON p.bucket = c.bucket0
+        WHERE p.vec_id <> c.vec_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+          list_inner_product(q.e, c.e) /
+            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v c ON c.vec_id = cand.neighbor_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 2""",
+
+    "q58_capped_lsh_equiv" -> """
+      SELECT doc_id AS node,
+        CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 5) AS BIGINT) AS cluster_id
+      FROM documents""",
 
     "q42_embedding_neardup" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -17,7 +17,11 @@ object BucketInfo {
 
   def write(bucketDir: String, partitioning: Partitioning2D,
             temporalPartitioning: Option[String] = None): Unit = {
-    val dict: Map[String, Any] = partitioning.toDict ++
+    // crs: GIS consumers read the grid's reference system off the manifest
+    // (reference attaches EPSG:4326 per product, partitioning.py:947-956);
+    // fromDict ignores unknown keys, so old manifests stay readable
+    val dict: Map[String, Any] = partitioning.toDict +
+      ("crs" -> partitioning.crs) ++
       temporalPartitioning.map("temporal_partitioning" -> _).toMap
     // Hadoop FS: the manifest lands next to the data wherever it lives
     // (file://, hdfs://, s3a://); create() makes parent dirs itself

@@ -215,4 +215,39 @@ class PipelineSpec extends AnyFunSuite {
     val (sw, _, _, spx) = Multimodal.ImageIoDecoder.decode("audio", Array[Byte](1, 2, 3))
     assert(sw == 3 && spx.length == 3)
   }
+
+  test("multimodal: REAL wav encode/decode round trip is sample-exact") {
+    val wav = Multimodal.syntheticWav(7L, 256)
+    // RIFF/WAVE magic
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    val (rate, channels, nFrames, samples) =
+      Multimodal.JdkMediaDecoder.decode("audio", wav)
+    assert(rate == 8000 && channels == 1 && nFrames == 256)
+    // decoded PCM reproduces the generating closed form exactly
+    for (j <- 0 until 256) {
+      val expected = java.lang.Math.floorMod(7L * 17 + j * 29, 256L).toInt
+      assert((samples(j) & 0xff) == expected, s"sample $j")
+    }
+    // 16-bit signed PCM maps onto the unsigned high byte
+    val data16 = Array.tabulate(8)(j => (j * 4096 - 16384).toShort)
+    val bytes16 = new Array[Byte](16)
+    java.nio.ByteBuffer.wrap(bytes16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().put(data16)
+    val fmt16 = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes16), fmt16, 8),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val (_, _, nf16, s16) = Multimodal.JdkMediaDecoder.decode("audio", bos.toByteArray)
+    assert(nf16 == 8)
+    for (j <- 0 until 8)
+      assert((s16(j) & 0xff) == ((data16(j) >> 8) + 128), s"16-bit sample $j")
+    // images route through ImageIoDecoder unchanged
+    val (w, h, _, _) = Multimodal.JdkMediaDecoder.decode("image",
+      Multimodal.syntheticPng(1L, 8, 8))
+    assert(w == 8 && h == 8)
+  }
 }

@@ -30,6 +30,30 @@ class ReferenceBucketInteropSpec extends AnyFunSuite {
     assert(p.nX == 36 && p.nY == 18)
   }
 
+  test("CRS survives the manifest round trip and rides grid-product schemas") {
+    import graft.partitioning.LonLatPartitioning
+    import graft.sources.BucketWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_crs").toString
+    val p = LonLatPartitioning(size = (90, 90))
+    BucketWriter.writeBucket(OrbitFixture.standard(spark), dir, p,
+      mode = "overwrite")
+    // manifest carries the CRS; the factory still rebuilds (unknown keys
+    // are ignored) so old manifests stay readable
+    assert(BucketInfo.read(dir)("crs") == "EPSG:4326")
+    val rebuilt = BucketInfo.readPartitioning(dir)
+    assert(rebuilt.crs == "EPSG:4326")
+    // grid products tag their coordinate columns; the tag survives a
+    // select + filter chain (anything resolving columns by name)
+    val cube = graft.operators.Analysis.toGridCube(spark,
+      p.addCentroids(OrbitFixture.standard(spark), "lon", "lat")
+        .groupBy(col(p.xCoord), col(p.yCoord)).agg(count(lit(1)).as("n")), p)
+      .select(p.xCoord, p.yCoord, "n").where(col("n").isNotNull)
+    assert(cube.schema(p.xCoord).metadata.getString("crs") == "EPSG:4326")
+    assert(cube.schema(p.yCoord).metadata.getString("crs") == "EPSG:4326")
+    val grid = p.datasetGrid(spark)
+    assert(grid.schema(p.xCoord).metadata.getString("crs") == "EPSG:4326")
+  }
+
   test("full read + extent pruning + point radius on a reference bucket") {
     val all = BucketReader.read(spark, bucketDir)
     assert(all.count() == 400)
