@@ -15,6 +15,18 @@ import org.apache.spark.sql.functions._
   */
 object Analysis {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** A keyless `Window.orderBy` collapses the whole input onto ONE task —
+    * matching the reference's global semantics and fine for a regional
+    * subset, but a scale trap on a full archive. Warn once per call site
+    * rather than require keys: the global form IS the documented
+    * reference behavior. */
+  private def warnGlobalWindow(op: String): Unit =
+    log.warn(s"Analysis.$op called without partition keys: the global sort " +
+      "runs on a single task. Pass partitionBy (e.g. spatial cell, user id) " +
+      "for distributed execution at scale.")
+
   /** W3: gap-based session id per row (add_overpass_id, analysis.py:258-280;
     * default gap 2 min). The reference's Python loop over `diff` becomes a
     * lag + running-sum window. */
@@ -22,6 +34,7 @@ object Analysis {
                     time: String = "time",
                     partitionBy: Seq[String] = Nil,
                     idCol: String = "overpass_id"): DataFrame = {
+    if (partitionBy.isEmpty) warnGlobalWindow("addOverpassId")
     val w = if (partitionBy.isEmpty) Window.orderBy(col(time))
             else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(time))
     val gapUs = gapSeconds * 1000000L
@@ -133,6 +146,7 @@ object Analysis {
   def interpolateLinear(df: DataFrame, valueCol: String, orderCol: String,
                         limit: Int = Int.MaxValue,
                         partitionBy: Seq[String] = Nil): DataFrame = {
+    if (partitionBy.isEmpty) warnGlobalWindow("interpolateLinear")
     val base = if (partitionBy.isEmpty) Window.orderBy(col(orderCol))
                else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
     val back = base.rowsBetween(Window.unboundedPreceding, 0)
