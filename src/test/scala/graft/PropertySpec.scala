@@ -137,6 +137,31 @@ class PropertySpec extends AnyFunSuite {
     assert(Similarity.planesFor(Long.MaxValue) == 53)  // capped growth
   }
 
+  test("zero-shuffle minhash equals the explode+groupBy reference shape") {
+    // the in-row transform/array_min signature must be value-identical to
+    // the classic explode + hash-aggregate formulation on arbitrary text
+    // (incl. unicode, whitespace runs, short strings)
+    import graft.operators.Dedup
+    val texts = Seq.tabulate(40) { i =>
+      val words = Seq.fill(1 + rng.nextInt(20))(
+        rng.alphanumeric.take(1 + rng.nextInt(10)).mkString)
+      (i.toLong, words.mkString(" ") + (if (i % 7 == 0) "  émoji\tmix" else ""))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val fast = Dedup.minHashSignature(df, "text", "doc_id",
+      shingleK = 5, numHashes = 6)
+    val exploded = df.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 5)).as("__sh"))
+    val (h1, h2) = Dedup.shingleHashPair(col("__sh"))
+    val hashed = exploded.select(col("doc_id"), h1.as("__h1"), h2.as("__h2"))
+    val aggs = (0 until 6).map(i =>
+      min(col("__h1") + lit(i.toLong) * col("__h2")).as(s"mh$i"))
+    val reference = hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val f = fast.orderBy("doc_id").collect().map(_.toSeq)
+    val r = reference.orderBy("doc_id").collect().map(_.toSeq)
+    assert(f.length == 40 && f.toSeq == r.toSeq)
+  }
+
   test("geodesic: symmetric, zero at identity, positive otherwise") {
     import graft.functions.Geodesic
     (1 to 200).foreach { _ =>

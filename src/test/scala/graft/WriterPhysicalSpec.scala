@@ -50,6 +50,35 @@ class WriterPhysicalSpec extends AnyFunSuite {
     }
   }
 
+  test("hot cells are auto-salted across tasks; small cells keep one file") {
+    val dir = tmp("skew")
+    val p = LonLatPartitioning(size = (90, 90))
+    // one hot cell (40k rows around (10,10)) + one small cell (200 rows
+    // around (-100,-50)); maxFileSize small enough that the hot cell is
+    // far beyond one file's row target
+    val hot = spark.range(40000).select(
+      (lit(10.0) + (col("id") % 89).cast("double") / 100).as("lon"),
+      (lit(10.0) + (col("id") % 83).cast("double") / 100).as("lat"),
+      col("id").as("v"))
+    val small = spark.range(200).select(
+      (lit(-100.0) + (col("id") % 7).cast("double") / 100).as("lon"),
+      (lit(-50.0) + (col("id") % 11).cast("double") / 100).as("lat"),
+      (col("id") + 1000000).as("v"))
+    BucketWriter.writeBucket(hot.union(small), dir, p, mode = "overwrite",
+      maxFileSize = "64KB")
+    // salting must not lose or duplicate rows
+    assert(BucketReader.read(spark, dir).count() == 40200)
+    // writer-task id is the part-NNNNN prefix: >1 distinct id in the hot
+    // dir proves the cell fanned out over tasks (maxRecordsPerFile alone
+    // splits files WITHIN one task, which keeps a single id)
+    def taskIds(lonBin: String, latBin: String): Set[String] =
+      parquetFiles(dir).filter(_.toString.contains(s"lon_bin=$lonBin"))
+        .filter(_.toString.contains(s"lat_bin=$latBin"))
+        .map(_.getFileName.toString.split("-")(1)).toSet
+    assert(taskIds("45.0", "45.0").size > 1, "hot cell stayed on one task")
+    assert(taskIds("-135.0", "-45.0").size == 1, "small cell fanned out")
+  }
+
   test("compression_level lands in the written files (zstd)") {
     // parquet footers record the codec but not the level; the level's
     // effect is asserted via footer codec + a strictly smaller byte size
