@@ -201,6 +201,48 @@ object AnalysisQueries extends QueryModule {
         .select($"id", $"lon", $"lat", $"value_cents", $"lon_bin", $"lat_bin")
     }),
 
+    // B16/B18: grid geometry export — per-cell WKT polygons (ccw from the
+    // south-west corner) and the reference-order corner list (tl, bl, br,
+    // tr). Pure config-derived geometry; the oracle rebuilds the strings
+    // from generate_series arithmetic (integral-degree doubles print
+    // identically in both engines).
+    "q61_grid_geometry" -> ((s, dir) => {
+      import s.implicits._
+      val p = LonLatPartitioning(size = (30, 30))
+      val wkt = p.toWkt()
+      val n = p.nX * p.nY
+      val corners = p.queryVerticesByIndices(
+        (0 until n).map(_ % p.nX), (0 until n).map(_ / p.nX))
+      val rows = (0 until n).map { c =>
+        (c.toLong, wkt(c),
+         corners(c).map(pt => s"${pt(0)} ${pt(1)}").mkString(", "))
+      }
+      s.createDataset(rows).toDF("cell_id", "wkt", "ref_corners")
+    }),
+
+    // T3/T4 period boundaries + grouping and W10 min-interval padding:
+    // day-granularity group periods over the events time span (first/last
+    // clamped to the data), plus the span padded out to a 120-day minimum.
+    // Driver-side pure functions — exactly how merge planning uses them.
+    "q62_period_groups" -> ((s, dir) => {
+      import s.implicits._
+      val r = Tables(s, dir, "events")
+        .agg(unix_micros(min($"ts")), unix_micros(max($"ts"))).head()
+      def ldt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      def us(t: java.time.LocalDateTime) =
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+      val (t0, t1) = (ldt(r.getLong(0)), ldt(r.getLong(1)))
+      val (p0, p1) = graft.sources.Temporal.ensureMinInterval(
+        t0, t1, 120L * 24 * 3600)
+      val groups = graft.sources.Temporal.listGroupPeriods(t0, t1, "day")
+      val rows = groups.map { case (prefix, gs, ge) =>
+        (prefix, us(gs), us(ge), us(p0), us(p1)) }
+      s.createDataset(rows)
+        .toDF("prefix", "start_us", "end_us", "padded_start_us", "padded_end_us")
+    }),
+
     // P9/T6: trollsift filename parsing + filename-time file pruning.
     // Granule filenames are synthesized from event timestamps (end time is
     // DATE-LESS in the pattern, so the reference's day-wrap recombination
@@ -399,6 +441,43 @@ object AnalysisQueries extends QueryModule {
                     / CAST(nr - pr AS DOUBLE)
              ELSE NULL END AS interp_cents
       FROM w""",
+
+    "q61_grid_geometry" -> """
+      WITH cells AS (
+        SELECT gy.j * 12 + gx.i AS cell_id,
+          -180.0 + gx.i * 30.0 AS x0, -180.0 + (gx.i + 1) * 30.0 AS x1,
+          -90.0 + gy.j * 30.0 AS y0, -90.0 + (gy.j + 1) * 30.0 AS y1
+        FROM generate_series(0, 11) gx(i), generate_series(0, 5) gy(j))
+      SELECT cell_id,
+        'POLYGON ((' || x0 || ' ' || y0 || ', ' || x1 || ' ' || y0 || ', '
+          || x1 || ' ' || y1 || ', ' || x0 || ' ' || y1 || ', '
+          || x0 || ' ' || y0 || '))' AS wkt,
+        x0 || ' ' || y1 || ', ' || x0 || ' ' || y0 || ', '
+          || x1 || ' ' || y0 || ', ' || x1 || ' ' || y1 AS ref_corners
+      FROM cells""",
+
+    "q62_period_groups" -> """
+      WITH b AS (SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM events),
+      p AS (SELECT t0, t1,
+          CASE WHEN epoch(t1) - epoch(t0) >= 120*24*3600 THEN t0
+               ELSE t0 - INTERVAL 5184000 SECOND END AS p0,
+          CASE WHEN epoch(t1) - epoch(t0) >= 120*24*3600 THEN t1
+               ELSE t1 + INTERVAL 5184000 SECOND END AS p1
+        FROM b),
+      days AS (SELECT UNNEST(generate_series(
+          (SELECT date_trunc('day', t0) FROM b),
+          (SELECT date_trunc('day', t1) FROM b), INTERVAL 1 DAY)) AS gs),
+      c AS (SELECT
+          GREATEST(gs, (SELECT t0 FROM b)) AS cs,
+          LEAST(gs + INTERVAL 1 DAY, (SELECT t1 FROM b)) AS ce
+        FROM days)
+      SELECT
+        CAST(year(cs) AS VARCHAR) || '_' || CAST(month(cs) AS VARCHAR)
+          || '_' || CAST(day(cs) AS VARCHAR) AS prefix,
+        epoch_us(cs) AS start_us, epoch_us(ce) AS end_us,
+        (SELECT epoch_us(p0) FROM p) AS padded_start_us,
+        (SELECT epoch_us(p1) FROM p) AS padded_end_us
+      FROM c WHERE cs < ce""",
 
     "q60_filename_prune" -> """
       WITH e AS (SELECT event_id AS granule_id,
