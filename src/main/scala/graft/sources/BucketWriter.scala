@@ -44,11 +44,21 @@ object BucketWriter {
     * `autoSaltSkew = false`. */
   private[sources] def skewAwareRepartition(labeled: DataFrame, keys: Seq[String],
                                             maxRecords: Long,
-                                            autoSaltSkew: Boolean): DataFrame = {
+                                            autoSaltSkew: Boolean,
+                                            maxFileBytes: Long = Long.MaxValue): DataFrame = {
     import org.apache.spark.sql.functions._
     val tasks = writeTasks(labeled)
     val keyCols = keys.map(col)
     if (!autoSaltSkew)
+      return labeled.repartition(tasks, keyCols: _*)
+    // free fast path: when Catalyst's size estimate says the WHOLE input
+    // fits in one output file, no single cell can exceed it — skip the
+    // probe without running any job. The estimate uses in-memory row
+    // widths (larger than parquet-encoded), so the skip is conservative;
+    // unknown sizes surface as Long.MaxValue-ish and fall through to the
+    // real probe.
+    val estBytes = labeled.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes.isValidLong && estBytes.toLong <= maxFileBytes)
       return labeled.repartition(tasks, keyCols: _*)
     val hot = labeled.groupBy(keyCols: _*).agg(count(lit(1)).as("__cell_n"))
       .where(col("__cell_n") > maxRecords)
@@ -164,7 +174,8 @@ object BucketWriter {
     // opens serially within its task — 2.4× faster on a 253-dir write than
     // cores-many tasks.
     val maxRecords = estimateRowsForSize(df, parseSize(maxFileSize))
-    val labeled = skewAwareRepartition(labeled0, p.order, maxRecords, autoSaltSkew)
+    val labeled = skewAwareRepartition(labeled0, p.order, maxRecords, autoSaltSkew,
+      maxFileBytes = parseSize(maxFileSize))
     labeled.write
       .mode(mode)
       .partitionBy(p.order: _*)

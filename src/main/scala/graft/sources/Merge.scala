@@ -72,7 +72,8 @@ object Merge {
     // auto-salted over ceil(rows/maxRecords) tasks (the probe prunes to
     // the partition-label + time columns; see skewAwareRepartition)
     val repartitioned = BucketWriter.skewAwareRepartition(
-      withPeriod, p.order :+ PeriodCol, maxRecords, autoSaltSkew = true)
+      withPeriod, p.order :+ PeriodCol, maxRecords, autoSaltSkew = true,
+      maxFileBytes = BucketWriter.parseSize(maxFileSize))
     repartitioned.write
       .mode("overwrite")
       .partitionBy((p.order :+ PeriodCol): _*)
