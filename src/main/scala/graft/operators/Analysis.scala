@@ -16,16 +16,20 @@ import org.apache.spark.sql.functions._
 object Analysis {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private val warnedOps =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** A keyless `Window.orderBy` collapses the whole input onto ONE task —
     * matching the reference's global semantics and fine for a regional
-    * subset, but a scale trap on a full archive. Warn once per call site
-    * rather than require keys: the global form IS the documented
-    * reference behavior. */
+    * subset, but a scale trap on a full archive. Warn once per operator
+    * (not per call — a keyless call inside a per-batch loop must not bury
+    * real warnings) rather than require keys: the global form IS the
+    * documented reference behavior. */
   private def warnGlobalWindow(op: String): Unit =
-    log.warn(s"Analysis.$op called without partition keys: the global sort " +
-      "runs on a single task. Pass partitionBy (e.g. spatial cell, user id) " +
-      "for distributed execution at scale.")
+    if (warnedOps.add(op))
+      log.warn(s"Analysis.$op called without partition keys: the global sort " +
+        "runs on a single task. Pass partitionBy (e.g. spatial cell, user id) " +
+        "for distributed execution at scale.")
 
   /** W3: gap-based session id per row (add_overpass_id, analysis.py:258-280;
     * default gap 2 min). The reference's Python loop over `diff` becomes a

@@ -108,10 +108,22 @@ object Multimodal {
           try {
             val fmt = in.getFormat
             val frameBytes = fmt.getFrameSize
-            val raw = in.readAllBytes()
-            val nFrames = raw.length / math.max(1, frameBytes)
-            val samples = new Array[Byte](nFrames)
             val bits = fmt.getSampleSizeInBits
+            // explicit reject (like pyarrow) instead of silent corruption:
+            // the byte-extraction below is only correct for 8/16-bit
+            // integer PCM with a known frame size — a 24-bit or float WAV
+            // would otherwise decode to garbage histograms with no error
+            require(bits == 8 || bits == 16,
+              s"unsupported audio sample size $bits bits (8/16-bit PCM only)")
+            require(frameBytes > 0, "audio format has unspecified frame size")
+            require(fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              fmt.getEncoding ==
+                javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+              s"unsupported audio encoding ${fmt.getEncoding} (integer PCM only)")
+            val raw = in.readAllBytes()
+            val nFrames = raw.length / frameBytes
+            val samples = new Array[Byte](nFrames)
             var f = 0
             while (f < nFrames) {
               val base = f * frameBytes // first channel of the frame

@@ -149,8 +149,10 @@ sealed trait Partitioning2D extends Serializable {
 
   /** Coordinate reference system carried on every grid product and bucket
     * manifest (reference attaches EPSG:4326 CRS to each xarray output,
-    * satbucket/analysis.py:253-254, partitioning.py:947-956,1189). Plain
-    * XY grids are abstract cartesian; LonLat grids are WGS84. */
+    * satbucket/analysis.py:253-254, partitioning.py:947-956,1189).
+    * Geographic partitionings (LonLat, Tile) are WGS84; plain XY grids
+    * override to "cartesian" — stamping abstract x/y units as lon/lat
+    * degrees would silently mis-georeference them. */
   def crs: String = "EPSG:4326"
 
   /** Spark column metadata tagging a coordinate column with [[crs]] —
@@ -484,6 +486,10 @@ class XYPartitioning(
     "labels_decimals" -> Seq(labelsDecimals._1, labelsDecimals._2))
 
   protected def className: String = "XYPartitioning"
+
+  /** Abstract cartesian axes — NOT geographic (LonLatPartitioning
+    * restores the WGS84 tag). */
+  override def crs: String = "cartesian"
 }
 
 object XYPartitioning {
@@ -505,6 +511,7 @@ class LonLatPartitioning(
   override def xCoord: String = "lon_c"
   override def yCoord: String = "lat_c"
   override protected def className: String = "LonLatPartitioning"
+  override def crs: String = "EPSG:4326"
 
   /** Partitions within `distance` meters (or a `sizeDeg`-wide box) of a
     * point — geographic extent math, then extent pruning. */

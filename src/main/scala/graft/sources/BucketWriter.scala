@@ -42,23 +42,31 @@ object BucketWriter {
     * distributed granule ingest, whose probe would re-run every granule
     * reader and double-fire its error accumulator) pass
     * `autoSaltSkew = false`. */
+  /** Safety factor for the stats-based probe skip: for FILE-source inputs
+    * Catalyst's sizeInBytes is the on-disk COMPRESSED byte count
+    * (fileCompressionFactor defaults to 1.0), so the estimate can
+    * undershoot decoded size by the compression ratio. 8x covers
+    * zstd/gzip on typical telemetry; inputs past maxFileBytes/8 take the
+    * real probe. */
+  private val StatsSkipCompressionAllowance = 8L
+
   private[sources] def skewAwareRepartition(labeled: DataFrame, keys: Seq[String],
                                             maxRecords: Long,
                                             autoSaltSkew: Boolean,
-                                            maxFileBytes: Long = Long.MaxValue): DataFrame = {
+                                            maxFileBytes: Long): DataFrame = {
     import org.apache.spark.sql.functions._
     val tasks = writeTasks(labeled)
     val keyCols = keys.map(col)
     if (!autoSaltSkew)
       return labeled.repartition(tasks, keyCols: _*)
     // free fast path: when Catalyst's size estimate says the WHOLE input
-    // fits in one output file, no single cell can exceed it — skip the
-    // probe without running any job. The estimate uses in-memory row
-    // widths (larger than parquet-encoded), so the skip is conservative;
-    // unknown sizes surface as Long.MaxValue-ish and fall through to the
-    // real probe.
+    // (with a decompression allowance, see above) fits in one output
+    // file, no single cell can exceed it — skip the probe without running
+    // any job. Unknown sizes surface as huge defaults and fall through to
+    // the real probe.
     val estBytes = labeled.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (estBytes.isValidLong && estBytes.toLong <= maxFileBytes)
+    if (estBytes.isValidLong &&
+        estBytes.toLong <= maxFileBytes / StatsSkipCompressionAllowance)
       return labeled.repartition(tasks, keyCols: _*)
     val hot = labeled.groupBy(keyCols: _*).agg(count(lit(1)).as("__cell_n"))
       .where(col("__cell_n") > maxRecords)

@@ -3,14 +3,15 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Skewed-cell write smoke: half of all rows land in ONE spatial cell —
-  * the polar-orbit revisit pattern. Without auto-salting that cell
-  * serializes the dynamic-partition write on one task; with it the hot
-  * cell fans out over ceil(cellRows/maxRecords) tasks.
+/** Skewed-cell write smoke: 90% of all rows land in ONE spatial cell —
+  * the polar-orbit revisit pattern, exaggerated so the straggler
+  * dominates on local[32]. Without auto-salting that cell serializes the
+  * dynamic-partition write on one task; with it the hot cell fans out
+  * over ceil(cellRows/maxRecords) tasks.
   *
   * Compares three writes of the same row count:
   *   uniform           — rows spread evenly (the baseline)
-  *   skewed, salted    — 50% in one cell, autoSaltSkew on (the default)
+  *   skewed, salted    — 90% in one cell, autoSaltSkew on (the default)
   *   skewed, unsalted  — same data, autoSaltSkew off (the round-2 behavior)
   * Pass criterion: salted skewed write within ~2x of uniform.
   *
