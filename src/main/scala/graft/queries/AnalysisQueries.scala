@@ -201,6 +201,56 @@ object AnalysisQueries extends QueryModule {
         .select($"id", $"lon", $"lat", $"value_cents", $"lon_bin", $"lat_bin")
     }),
 
+    // S8: `_metadata` sidecar round trip — write a bucket with sidecars,
+    // then answer from the SIDECAR alone (parquet-mr footer read, no data
+    // scan): total rows across all row groups must equal the source count.
+    // `_common_metadata` existing is asserted inline.
+    "q63_metadata_sidecar" -> ((s, dir) => {
+      import s.implicits._
+      val dst = s"/tmp/graft_meta_v1_${dir.hashCode.toHexString}"
+      graft.sources.BucketFs.deleteRecursive(dst)
+      val ev = Tables(s, dir, "events")
+        .withColumn("lon", (($"event_id" % 3600).cast("double") / 10.0) - 180.0)
+        .withColumn("lat", ((($"event_id" * 7) % 1800).cast("double") / 10.0) - 90.0)
+        .select($"event_id", $"lon", $"lat", $"value")
+      BucketWriter.writeBucket(ev, dst, LonLatPartitioning(size = (60, 45)),
+        mode = "overwrite", writeMetadata = true)
+      require(graft.sources.BucketFs.exists(s"$dst/_common_metadata"),
+        "_common_metadata sidecar missing")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(conf,
+        new org.apache.hadoop.fs.Path(dst, "_metadata"),
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val totalRows = scala.jdk.CollectionConverters
+        .ListHasAsScala(meta.getBlocks).asScala.map(_.getRowCount).sum
+      s.createDataset(Seq(totalRows)).toDF("total_rows")
+    }),
+
+    // S9+P11: the per-granule naming contract ({granule}_{i}.parquet from
+    // the driver-parallel ETL) combined with glob-filtered reads — reading
+    // only granule 1's files must return exactly granule 1's rows.
+    "q64_glob_read" -> ((s, dir) => {
+      import s.implicits._
+      val dst = s"/tmp/graft_glob_v1_${dir.hashCode.toHexString}"
+      graft.sources.BucketFs.deleteRecursive(dst)
+      val reader = new BucketWriter.GranuleReader {
+        def read(spark: SparkSession, path: String): Option[DataFrame] = {
+          val gi = path.split('_').last.toInt
+          val ev = Tables(spark, dir, "events")
+            .where(col("event_id") % 3 === gi)
+            .withColumn("lon", ((col("event_id") % 3600).cast("double") / 10.0) - 180.0)
+            .withColumn("lat", (((col("event_id") * 7) % 1800).cast("double") / 10.0) - 90.0)
+            .select(col("event_id"), col("lon"), col("lat"))
+          Some(ev)
+        }
+      }
+      val errs = BucketWriter.writeGranulesBucket(s, Seq("gran_0", "gran_1", "gran_2"),
+        dst, LonLatPartitioning(size = (60, 45)), reader)
+      require(errs.isEmpty, s"granule failures: $errs")
+      BucketReader.read(s, dst, globPattern = "gran_1_*")
+        .select($"event_id", $"lon", $"lat")
+    }),
+
     // B16/B18: grid geometry export — per-cell WKT polygons (ccw from the
     // south-west corner) and the reference-order corner list (tl, bl, br,
     // tr). Pure config-derived geometry; the oracle rebuilds the strings
@@ -274,6 +324,30 @@ object AnalysisQueries extends QueryModule {
          i.endTime.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L)
       }
       s.createDataset(rows).toDF("granule_id", "start_us", "end_us")
+    }),
+
+    // T5: group files into temporal compaction batches — synthetic
+    // granule files (the q60 construction) assigned to day periods by
+    // the three-case overlap rule, with first/last periods clamped to the
+    // file-time span and empty periods dropped.
+    "q65_group_files" -> ((s, dir) => {
+      import s.implicits._
+      val files = Tables(s, dir, "events").where($"event_id" < 5000)
+        .select($"event_id".cast("string").as("fn"),
+          unix_micros(date_trunc("second", $"ts")).as("st_us"),
+          unix_micros(date_trunc("second", $"ts" + expr("INTERVAL 90 MINUTES"))).as("et_us"))
+        .as[(String, Long, Long)].collect().toSeq
+      def ldt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      def us(t: java.time.LocalDateTime) =
+        t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+      val groups = graft.sources.Temporal.groupFilesByTime(
+        files.map { case (fn, st, et) => (fn, ldt(st), ldt(et)) },
+        None, None, "day")
+      val rows = groups.toSeq.map { case (prefix, (gs, ge, fs)) =>
+        (prefix, us(gs), us(ge), fs.size.toLong) }
+      s.createDataset(rows).toDF("prefix", "start_us", "end_us", "n_files")
     }),
 
     // W6-shaped dense grid: aggregate events into a coarse LonLat grid and
@@ -441,6 +515,38 @@ object AnalysisQueries extends QueryModule {
                     / CAST(nr - pr AS DOUBLE)
              ELSE NULL END AS interp_cents
       FROM w""",
+
+    "q63_metadata_sidecar" -> """
+      SELECT COUNT(*) AS total_rows FROM events""",
+
+    "q64_glob_read" -> s"""
+      WITH s AS (${OracleSql.synthEvents})
+      SELECT event_id, lon, lat FROM s WHERE event_id % 3 = 1""",
+
+    "q65_group_files" -> """
+      WITH f AS (
+        SELECT date_trunc('second', ts) AS st,
+               date_trunc('second', ts + INTERVAL 90 MINUTE) AS et
+        FROM events WHERE event_id < 5000),
+      b AS (SELECT MIN(st) AS t0, MAX(et) AS t1 FROM f),
+      days AS (SELECT UNNEST(generate_series(
+          (SELECT date_trunc('day', t0) FROM b),
+          (SELECT date_trunc('day', t1) FROM b), INTERVAL 1 DAY)) AS gs),
+      g AS (SELECT
+          GREATEST(gs, (SELECT t0 FROM b)) AS cs,
+          LEAST(gs + INTERVAL 1 DAY, (SELECT t1 FROM b)) AS ce
+        FROM days),
+      cnt AS (SELECT cs, ce,
+          (SELECT COUNT(*) FROM f
+           WHERE (f.st <= g2.cs AND f.et > g2.cs)
+              OR (f.st >= g2.cs AND f.et <= g2.ce)
+              OR (f.st < g2.ce AND f.et > g2.ce)) AS n_files
+        FROM g g2 WHERE cs < ce)
+      SELECT CAST(year(cs) AS VARCHAR) || '_' || CAST(month(cs) AS VARCHAR)
+          || '_' || CAST(day(cs) AS VARCHAR) AS prefix,
+        epoch_us(cs) AS start_us, epoch_us(ce) AS end_us,
+        CAST(n_files AS BIGINT) AS n_files
+      FROM cnt WHERE n_files > 0""",
 
     "q61_grid_geometry" -> """
       WITH cells AS (
