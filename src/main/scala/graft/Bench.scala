@@ -53,16 +53,33 @@ object Bench {
         else math.min(t1, t2)
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Dual-channel for the driver's parser: a clean line on stdout (sbt
-    // prefixing disabled via run/outputStrategy) AND a dedicated file.
-    println(json)
+    def render(short: Boolean, decimals: Int): String = {
+      val fmt = s"%.${decimals}f"
+      val qs = results.map { case (k, v) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + fmt.format(v).toDouble
+      }.mkString("{", ",", "}")
+      val sf = sfDir.split('/').last.stripPrefix("sf")
+      s"""{"metric":"total","value":${"%.3f".format(total).toDouble},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    // Dual-channel for the driver's parser: a clean line on stdout AND a
+    // dedicated file. The driver captures only the LAST ~2000 bytes of
+    // stdout, and sbt appends a ~72-byte "[success] ..." line after us —
+    // a JSON line longer than ~1900 bytes gets its head truncated and
+    // fails to parse (this silently dropped the round-3 numbers). Keep
+    // full names + 3 decimals while it fits; fall back to the spec's
+    // short "qNN" keys when the query count grows past that.
+    val full = render(short = false, decimals = 3)
+    val stdoutLine = if (full.length <= 1800) full else render(short = true, decimals = 3)
+    println(stdoutLine)
+    val fileJson = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_OUT.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fileJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }

@@ -131,25 +131,30 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, numHashes: Int = 8,
                         bands: Int = 4, maxBucketSize: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sigs = minHashSignature(df, textCol, idCol, shingleK, numHashes)
     val banded = lshBands(sigs, idCol, numHashes, bands)
-    val w = Window.partitionBy("band", "band_sig")
-    val wo = w.orderBy(col(idCol))
-    // one shuffle on the join key computes both the bucket size and the
-    // chain successor; the self-join below reuses the partitioning
-    val sized = banded
-      .withColumn("__bn", count(lit(1)).over(w))
-      .withColumn("__next", lead(col(idCol), 1).over(wo))
-    val small = sized.where(col("__bn") <= maxBucketSize)
-    val l = small.select(col("band"), col("band_sig"), col(idCol).as("a"))
-    val r = small.select(col("band"), col("band_sig"), col(idCol).as("b"))
-    val allPairs = l.join(r, Seq("band", "band_sig"))
-      .where(col("a") < col("b"))
-      .select("a", "b")
-    val chained = sized
-      .where(col("__bn") > maxBucketSize && col("__next").isNotNull)
-      .select(col(idCol).as("a"), col("__next").as("b"))
+    // ONE shuffle total before the output distinct: gather each bucket's
+    // sorted membership (ids only — bytes per bucket stay tiny even at the
+    // cap) and expand pairs IN-ROW with higher-order functions. This
+    // replaces the former windowed-count + self-join shape: same
+    // semantics, one less exchange, and no join materialization of the
+    // bucket × bucket candidate space. A bucket lands on one task either
+    // way (the window did too) — the cap is what bounds that task, and
+    // over-cap buckets degrade to chained pairs without ever building the
+    // quadratic array.
+    val buckets = banded.groupBy("band", "band_sig")
+      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+    val n = size(col("__ids"))
+    val allPairs = buckets.where(n >= 2 && n <= maxBucketSize)
+      .select(explode(flatten(transform(col("__ids"), (x, i) =>
+        transform(slice(col("__ids"), i + lit(2), n),
+          y => struct(x.as("a"), y.as("b")))))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    val chained = buckets.where(n > maxBucketSize)
+      .select(explode(arrays_zip(
+        slice(col("__ids"), lit(1), n - 1).as("a"),
+        slice(col("__ids"), lit(2), n - 1).as("b"))).as("__p"))
+      .select(col("__p.a").as("a"), col("__p.b").as("b"))
     allPairs.union(chained).distinct()
   }
 

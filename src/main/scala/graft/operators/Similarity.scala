@@ -28,17 +28,30 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the two norms pre-staged as columns. Bit-identical —
+    * the dot, the norm product and the division are the same expressions
+    * in the same order — but evaluating each side's norm ONCE per row
+    * (before a join fans rows into candidate pairs) instead of once per
+    * pair drops the per-pair array passes from three to one. The norm
+    * columns sit below the join in the plan, so CollapseProject cannot
+    * re-inline them into the per-pair projection. */
+  def cosineStaged(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus
     * rows (excluding self), ties broken by ascending corpus id. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(vecCol)).as("__qv"))
+        asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(vecCol)).as("__cv"))
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos",
+        cosineStaged(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -73,12 +86,15 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         asDouble(col(vecCol)).as("__qv"))
       .withColumn("bucket", lshBucket(col("__qv"), planes))
+      .withColumn("__qn", norm(col("__qv")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("__cv"))
       .withColumn("bucket", lshBucket(col("__cv"), planes))
+      .withColumn("__cn", norm(col("__cv")))
     val scored = broadcast(q).join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos",
+        cosineStaged(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -111,9 +127,12 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         asDouble(col(vecCol)).as("__cv"))
       .withColumn("bucket", lshBucket(col("__cv"), planes))
-    val scored = broadcast(q).join(c, Seq("bucket"))
+      .withColumn("__cn", norm(col("__cv")))
+    val scored = broadcast(q.withColumn("__qn", norm(col("__qv"))))
+      .join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__qv"), col("__cv")))
+      .withColumn("cos",
+        cosineStaged(col("__qv"), col("__cv"), col("__qn"), col("__cn")))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -131,10 +150,13 @@ object Similarity {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val c = broadcast(centroids.select(col(idCol).as("centroid_id"),
-      asDouble(col(vecCol)).as("__cv")))
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("__cvn", norm(col("__cv"))))
     val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__vn", norm(col("__v")))
     val scored = v.crossJoin(c)
-      .withColumn("__cos", cosine(col("__v"), col("__cv")))
+      .withColumn("__cos",
+        cosineStaged(col("__v"), col("__cv"), col("__vn"), col("__cvn")))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__cos").desc, col("centroid_id").asc)
     scored.withColumn("__rk", row_number().over(w))
@@ -152,10 +174,12 @@ object Similarity {
       .withColumnRenamed("__v", "__cv2")
     val assignedQueries = ivfAssign(queries, idCol, vecCol, centroids)
       .withColumnRenamed(idCol, "query_id")
-    val scored = broadcast(assignedQueries)
-      .join(assignedCorpus, Seq("centroid_id"))
+    val scored = broadcast(assignedQueries.withColumn("__qn", norm(col("__v"))))
+      .join(assignedCorpus.withColumn("__cn2", norm(col("__cv2"))),
+        Seq("centroid_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("__v"), col("__cv2")))
+      .withColumn("cos",
+        cosineStaged(col("__v"), col("__cv2"), col("__qn"), col("__cn2")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rk", row_number().over(w))
@@ -190,25 +214,31 @@ object Similarity {
     val planes = hyperplanes(nPlanes, dim, seed)
     val v = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
       .withColumn("bucket", lshBucket(col("__v"), planes))
+      .withColumn("__n", norm(col("__v")))
     val w = Window.partitionBy("bucket")
     val wo = w.orderBy(col("__id"))
     val sized = v
       .withColumn("__bn", count(lit(1)).over(w))
       .withColumn("__nid", lead(col("__id"), 1).over(wo))
       .withColumn("__nv", lead(col("__v"), 1).over(wo))
+      .withColumn("__nn", lead(col("__n"), 1).over(wo))
     val small = sized.where(col("__bn") <= maxBucketSize)
-    val l = small.select(col("bucket"), col("__id").as("a"), col("__v").as("__va"))
-    val r = small.select(col("bucket"), col("__id").as("b"), col("__v").as("__vb"))
+    val l = small.select(col("bucket"), col("__id").as("a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val r = small.select(col("bucket"), col("__id").as("b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     val allPairs = l.join(r, Seq("bucket"))
       .where(col("a") < col("b"))
-      .withColumn("cos", cosine(col("__va"), col("__vb")))
+      .withColumn("cos",
+        cosineStaged(col("__va"), col("__vb"), col("__na"), col("__nb")))
       .where(col("cos") >= threshold)
       .select("a", "b", "cos")
     // each doc lives in exactly one bucket, so the two branches are
     // disjoint — plain union, no dedup needed
     val chained = sized
       .where(col("__bn") > maxBucketSize && col("__nid").isNotNull)
-      .withColumn("cos", cosine(col("__v"), col("__nv")))
+      .withColumn("cos",
+        cosineStaged(col("__v"), col("__nv"), col("__n"), col("__nn")))
       .where(col("cos") >= threshold)
       .select(col("__id").as("a"), col("__nid").as("b"), col("cos"))
     allPairs.union(chained)
