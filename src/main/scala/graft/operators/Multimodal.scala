@@ -11,11 +11,13 @@ import org.apache.spark.sql.types._
   * transforms (`mapPartitions` over an iterator — the Scala analogue of
   * `mapInPandas` batches). The Spark-side plumbing (schema, partitioning,
   * batch shape) is real and tested; IMAGE decode is REAL
-  * ([[ImageIoDecoder]], JDK `javax.imageio` — PNG/BMP/GIF/JPEG) and AUDIO
+  * ([[ImageIoDecoder]], JDK `javax.imageio` — PNG/BMP/GIF/JPEG), AUDIO
   * decode is REAL ([[JdkMediaDecoder]], JDK `javax.sound.sampled` —
-  * WAV/AIFF/AU PCM). Only video remains STUBBED behind [[MediaDecoder]]
-  * (no JDK codec) — swap in a real decoder (e.g. JavaCV) by implementing
-  * the trait.
+  * WAV/AIFF/AU PCM), and VIDEO decode is REAL for multi-frame animated
+  * GIF ([[JdkMediaDecoder]]/[[JdkFrameDecoder]], `javax.imageio`'s GIF
+  * reader enumerates frames). Container codecs outside the JDK (MP4/H.264
+  * etc.) still need an external decoder (e.g. JavaCV) behind the same
+  * [[MediaDecoder]]/[[FrameDecoder]] seams.
   */
 object Multimodal {
 
@@ -141,7 +143,74 @@ object Multimodal {
             }
             (fmt.getSampleRate.toInt, fmt.getChannels, nFrames, samples)
           } finally in.close()
+        case "video" =>
+          val (w, h, frames) = decodeGifFrames(payload)
+          (w, h, frames.length, frames.headOption.getOrElse(Array.emptyByteArray))
         case other => ImageIoDecoder.decode(other, payload)
+      }
+  }
+
+  /** REAL multi-frame video decode for animated GIF via the JDK's
+    * `javax.imageio` GIF reader: returns (width, height, per-frame
+    * integer-luma grayscale pixels). Frames written full-size (no
+    * inter-frame delta) read back exactly; GIF's LZW coding is lossless.
+    * Formats needing non-JDK codecs (MP4 etc.) throw — swap the seam with
+    * an external decoder for those. */
+  def decodeGifFrames(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
+    require(readers.hasNext, "no GIF reader available")
+    val reader = readers.next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      require(n > 0, "payload is not a decodable GIF")
+      val frames = Array.tabulate(n) { i =>
+        val img = reader.read(i)
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Byte](w * h)
+        var k = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            px(k) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+            k += 1; x += 1
+          }
+          y += 1
+        }
+        px
+      }
+      val first = reader.read(0)
+      (first.getWidth, first.getHeight, frames)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Per-frame decode seam: (width, height, one gray-pixel array per
+    * frame). Video fans out to every GIF frame; image is a single frame;
+    * audio maps its sample array to one "frame" (width = sample rate,
+    * height = channels, as in [[JdkMediaDecoder]]). */
+  trait FrameDecoder extends Serializable {
+    def decodeFrames(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Array[Byte]])
+  }
+
+  /** JDK-only [[FrameDecoder]]: GIF video frames, single-frame images,
+    * single-"frame" audio. */
+  object JdkFrameDecoder extends FrameDecoder {
+    def decodeFrames(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) =
+      mediaType match {
+        case "video" => decodeGifFrames(payload)
+        case other =>
+          val (w, h, _, px) = JdkMediaDecoder.decode(other, payload)
+          (w, h, Array(px))
       }
   }
 
@@ -187,6 +256,48 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic grayscale animated GIF: frame f's pixel (x, y) has luma
+    * `(id*31 + f*41 + x*7 + y*13) mod 256`. Frames are written full-size
+    * in TYPE_BYTE_GRAY (the GIF writer keeps the 256-gray palette, LZW is
+    * lossless), so a decode through [[decodeGifFrames]] returns exactly
+    * these values — which lets the q66 oracle recompute per-frame
+    * histograms from the closed form without any decoder (the
+    * [[syntheticPng]]/[[syntheticWav]] construction, for video). */
+  def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF writer available")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              java.lang.Math.floorMod(id * 31 + f * 41 + x * 7 + y * 13, 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Wrap raw binary rows into the typed asset table. */
   def toAssets(df: DataFrame, idCol: String, payloadCol: String,
                mediaType: String, sourceCol: String): DataFrame =
@@ -215,6 +326,39 @@ object Multimodal {
         pixels.foreach(b => hist((b & 0xff) / 16) += 1f)
         val total = math.max(1f, pixels.length.toFloat)
         Row(id, w, h, nf, hist.map(_ / total).toSeq)
+      }
+    }(enc)
+  }
+
+  /** One row per SAMPLED frame. */
+  val frameFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Batched multi-frame decode + per-frame feature extraction: every
+    * `stride`-th frame of each asset becomes one output row carrying an
+    * exact 16-bin integer pixel histogram. Same partition-iterator batch
+    * shape as [[extractFeatures]] but fanning out per frame — the video
+    * analogue of frame-sampling in a training-data pipeline. */
+  def extractFrameFeatures(spark: SparkSession, assets: DataFrame, stride: Int,
+                           decoder: FrameDecoder = JdkFrameDecoder): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.row(frameFeatureSchema)
+    assets.select("asset_id", "media_type", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        val (w, h, frames) = decoder.decodeFrames(r.getString(1), payload)
+        (0 until frames.length by stride).iterator.map { f =>
+          val hist = new Array[Long](16)
+          frames(f).foreach(b => hist((b & 0xff) / 16) += 1L)
+          Row(id, w, h, frames.length, f, hist.toSeq)
+        }
       }
     }(enc)
   }
