@@ -58,10 +58,10 @@ object Bench {
       val fmt = s"%.${decimals}f"
       val qs = results.map { case (k, v) =>
         val key = if (short) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + fmt.format(v).toDouble
+        "\"" + key + "\":" + fmt.formatLocal(java.util.Locale.ROOT, v).toDouble
       }.mkString("{", ",", "}")
       val sf = sfDir.split('/').last.stripPrefix("sf")
-      s"""{"metric":"total","value":${"%.3f".format(total).toDouble},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total).toDouble},"unit":"sec","queries":$qs,"sf":"$sf"}"""
     }
     // Dual-channel for the driver's parser: a clean line on stdout AND a
     // dedicated file. The driver captures only the LAST ~2000 bytes of

@@ -131,30 +131,43 @@ object Dedup {
   def lshCandidatePairs(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 3, numHashes: Int = 8,
                         bands: Int = 4, maxBucketSize: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sigs = minHashSignature(df, textCol, idCol, shingleK, numHashes)
     val banded = lshBands(sigs, idCol, numHashes, bands)
-    // ONE shuffle total before the output distinct: gather each bucket's
-    // sorted membership (ids only — bytes per bucket stay tiny even at the
-    // cap) and expand pairs IN-ROW with higher-order functions. This
-    // replaces the former windowed-count + self-join shape: same
-    // semantics, one less exchange, and no join materialization of the
-    // bucket × bucket candidate space. A bucket lands on one task either
-    // way (the window did too) — the cap is what bounds that task, and
-    // over-cap buckets degrade to chained pairs without ever building the
-    // quadratic array.
-    val buckets = banded.groupBy("band", "band_sig")
-      .agg(sort_array(collect_list(col(idCol))).as("__ids"))
-    val n = size(col("__ids"))
-    val allPairs = buckets.where(n >= 2 && n <= maxBucketSize)
-      .select(explode(flatten(transform(col("__ids"), (x, i) =>
-        transform(slice(col("__ids"), i + lit(2), n),
-          y => struct(x.as("a"), y.as("b")))))).as("__p"))
-      .select(col("__p.a").as("a"), col("__p.b").as("b"))
-    val chained = buckets.where(n > maxBucketSize)
-      .select(explode(arrays_zip(
-        slice(col("__ids"), lit(1), n - 1).as("a"),
-        slice(col("__ids"), lit(2), n - 1).as("b"))).as("__p"))
-      .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    // In-bucket membership arrays are built ONLY for buckets at or under
+    // the cap, so no unbounded array ever materializes in an aggregation
+    // buffer: bucket sizes come first from a count aggregate (map-side
+    // partial combine — only (band, band_sig, n) crosses the shuffle),
+    // over-cap buckets (≤ totalRows/maxBucketSize of them, so always
+    // broadcastable) are split off with a broadcast anti/semi flag, and
+    // their chained pairs come from a lead() window — Spark's window
+    // buffer spills to disk, unlike an agg collect_list buffer. Under-cap
+    // buckets keep the in-row higher-order-function pair expansion (one
+    // hash agg, no join materialization of bucket × bucket).
+    def allPairsOf(rows: DataFrame): DataFrame = {
+      val buckets = rows.groupBy("band", "band_sig")
+        .agg(sort_array(collect_list(col(idCol))).as("__ids"))
+      val n = size(col("__ids"))
+      buckets.where(n >= 2)
+        .select(explode(flatten(transform(col("__ids"), (x, i) =>
+          transform(slice(col("__ids"), i + lit(2), n),
+            y => struct(x.as("a"), y.as("b")))))).as("__p"))
+        .select(col("__p.a").as("a"), col("__p.b").as("b"))
+    }
+    // Uncapped idiom (Int.MaxValue, used where the oracle is uncapped): no
+    // bucket can exceed the cap, so skip the size probe — one scan, not two.
+    if (maxBucketSize == Int.MaxValue) return allPairsOf(banded).distinct()
+    val overCap = banded.groupBy("band", "band_sig")
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > maxBucketSize)
+      .select(col("band").as("__ob"), col("band_sig").as("__os"))
+    val flagged = banded.join(broadcast(overCap),
+      col("band") === col("__ob") && col("band_sig") === col("__os"), "left")
+    val allPairs = allPairsOf(flagged.where(col("__ob").isNull).drop("__ob", "__os"))
+    val w = Window.partitionBy("band", "band_sig").orderBy(col(idCol))
+    val chained = flagged.where(col("__ob").isNotNull).drop("__ob", "__os")
+      .select(col(idCol).as("a"), lead(col(idCol), 1).over(w).as("b"))
+      .where(col("b").isNotNull)
     allPairs.union(chained).distinct()
   }
 

@@ -69,8 +69,14 @@ object Multimodal {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Array[Byte]) =
       mediaType match {
         case "image" =>
+          // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream):
+          // the latter honors ImageIO.getUseCache (default true) and spools
+          // every decode through a temp FILE in java.io.tmpdir — per-image
+          // disk I/O that collapses under /tmp pressure and is pure waste
+          // when the payload is already an in-memory byte array.
           val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(payload))
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(payload)))
           require(img != null, "payload is not a decodable image")
           val w = img.getWidth; val h = img.getHeight
           val px = new Array[Byte](w * h)
@@ -94,13 +100,15 @@ object Multimodal {
   }
 
   /** REAL decoders for every JDK-supported format: images via
-    * `javax.imageio` ([[ImageIoDecoder]]) and WAV/AIFF/AU audio via
-    * `javax.sound.sampled` — both in the JDK, no external deps. Audio maps
+    * `javax.imageio` ([[ImageIoDecoder]]), WAV/AIFF/AU audio via
+    * `javax.sound.sampled`, and animated-GIF video via
+    * [[decodeGifFrames]] — all in the JDK, no external deps. Audio maps
     * onto the (width, height, nFrames, bytes) contract as
     * (sampleRate, channels, frameCount, first-channel samples as unsigned
     * 8-bit) — 8-bit unsigned PCM passes through untouched; 16-bit signed
-    * PCM keeps the high byte shifted to unsigned. Only video remains
-    * stubbed (no JDK codec; swap the seam with e.g. JavaCV). */
+    * PCM keeps the high byte shifted to unsigned. Video returns frame 0's
+    * pixels with the full frame count. Only non-JDK container codecs
+    * (MP4/H.264 etc.) still throw — swap the seam with e.g. JavaCV. */
   object JdkMediaDecoder extends MediaDecoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Array[Byte]) =
       mediaType match {
@@ -154,21 +162,32 @@ object Multimodal {
     * `javax.imageio` GIF reader: returns (width, height, per-frame
     * integer-luma grayscale pixels). Frames written full-size (no
     * inter-frame delta) read back exactly; GIF's LZW coding is lossless.
+    * Delta-coded GIFs (frames stored as sub-rectangles to be composited
+    * onto the previous canvas) are REJECTED loudly rather than returned as
+    * uncomposited fragments with mismatched dimensions — compositing needs
+    * IIOMetadata offset/disposal handling this decoder doesn't do.
     * Formats needing non-JDK codecs (MP4 etc.) throw — swap the seam with
     * an external decoder for those. */
   def decodeGifFrames(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     require(readers.hasNext, "no GIF reader available")
     val reader = readers.next()
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // memory-cached stream: createImageInputStream would spool the decode
+    // through a temp file in java.io.tmpdir (ImageIO.getUseCache default)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
       reader.setInput(iis, false)
       val n = reader.getNumImages(true)
       require(n > 0, "payload is not a decodable GIF")
+      var w0 = -1; var h0 = -1
       val frames = Array.tabulate(n) { i =>
         val img = reader.read(i)
         val w = img.getWidth; val h = img.getHeight
+        if (i == 0) { w0 = w; h0 = h }
+        else require(w == w0 && h == h0,
+          s"delta-coded GIF: frame $i is ${w}x$h, frame 0 is ${w0}x$h0 — " +
+            "full-canvas frames only (no disposal/offset compositing)")
         val px = new Array[Byte](w * h)
         var k = 0
         var y = 0
@@ -186,8 +205,7 @@ object Multimodal {
         }
         px
       }
-      val first = reader.read(0)
-      (first.getWidth, first.getHeight, frames)
+      (w0, h0, frames)
     } finally {
       reader.dispose()
       iis.close()
@@ -252,7 +270,9 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close() // flushes the memory cache into bos
     bos.toByteArray
   }
 
@@ -268,7 +288,7 @@ object Multimodal {
     require(writers.hasNext, "no GIF writer available")
     val writer = writers.next()
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
     try {
       writer.setOutput(ios)
       writer.prepareWriteSequence(null)
