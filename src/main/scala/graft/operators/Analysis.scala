@@ -213,4 +213,18 @@ object Analysis {
       .withColumn(xc, col(xc).as(xc, p.crsMetadata))
       .withColumn(yc, col(yc).as(yc, p.crsMetadata))
   }
+
+  /** Temporal stack concat (J5): stack per-overpass / per-period frames
+    * along the time dimension — the reference's
+    * `xr.concat(list_ds, dim="time")` over remapped overpasses
+    * (examples/GMI/example_creation_imagery_temporal_stack.py:56-59).
+    * Column resolution is BY NAME (frames from different periods often
+    * disagree on column order), and columns missing from some frames are
+    * null-filled — xarray's outer-join alignment. A plain multi-way union
+    * is shuffle-free: each input's partitions are concatenated into the
+    * output scan, so this costs nothing beyond the inputs themselves. */
+  def temporalConcat(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "temporalConcat of zero frames")
+    frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

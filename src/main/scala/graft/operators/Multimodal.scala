@@ -280,7 +280,7 @@ object Multimodal {
     * `(id*31 + f*41 + x*7 + y*13) mod 256`. Frames are written full-size
     * in TYPE_BYTE_GRAY (the GIF writer keeps the 256-gray palette, LZW is
     * lossless), so a decode through [[decodeGifFrames]] returns exactly
-    * these values — which lets the q66 oracle recompute per-frame
+    * these values — which lets the q68 oracle recompute per-frame
     * histograms from the closed form without any decoder (the
     * [[syntheticPng]]/[[syntheticWav]] construction, for video). */
   def syntheticGif(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {

@@ -181,6 +181,30 @@ object AnalysisQueries extends QueryModule {
         .select($"x_index", $"y_index", $"min_id", $"n_obs", $"sum_cents")
     }),
 
+    // J5: temporal stack concat — per-period frames stacked along time
+    // (xr.concat over remapped overpasses,
+    // example_creation_imagery_temporal_stack.py:56-59). The pm frame's
+    // columns arrive scrambled AND carry an extra column the am frame
+    // lacks, so the gate proves by-name resolution + null-filled
+    // outer alignment, not positional union.
+    "q67_temporal_concat" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val am = ev.where(hour($"ts") < 12)
+        .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("sum_cents"))
+        .withColumn("overpass", lit("am"))
+      val pm = ev.where(hour($"ts") >= 12)
+        .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+        .agg(sum(round($"value" * 100).cast("long")).as("sum_cents"),
+          count(lit(1)).as("n"),
+          max($"user_id").cast("long").as("max_user"))
+        .withColumn("overpass", lit("pm"))
+        .select($"overpass", $"sum_cents", $"day", $"n", $"max_user", $"event_type")
+      Analysis.temporalConcat(Seq(am, pm))
+    }),
+
     // S9/S10: granule fan-out ETL round trip — a distributed single-job
     // ingest converts N virtual granules (rows a pure function of the
     // granule path, so executors need no SparkSession) into a partitioned
@@ -401,6 +425,18 @@ object AnalysisQueries extends QueryModule {
   private val synthSql = OracleSql.synthEvents
 
   def oracle: Map[String, String] = Map(
+    "q67_temporal_concat" -> """
+      SELECT date_trunc('day', ts) AS day, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        'am' AS overpass, CAST(NULL AS BIGINT) AS max_user
+      FROM events WHERE EXTRACT(hour FROM ts) < 12 GROUP BY 1, 2
+      UNION ALL
+      SELECT date_trunc('day', ts) AS day, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        'pm' AS overpass, CAST(MAX(user_id) AS BIGINT) AS max_user
+      FROM events WHERE EXTRACT(hour FROM ts) >= 12 GROUP BY 1, 2""",
     "q55_swath_grid" -> """
       WITH src AS (
         SELECT event_id, value,

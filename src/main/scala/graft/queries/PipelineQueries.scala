@@ -234,6 +234,26 @@ object PipelineQueries extends QueryModule {
           round($"frac" * $"n_frames").cast("long").as("cnt"))
     }),
 
+    // REAL multi-frame video decode (javax.imageio GIF): a deterministic
+    // grayscale animated GIF per doc (2-4 frames) is decoded back frame by
+    // frame on executors, every 2nd frame sampled, and its 16-bin pixel
+    // histogram emitted as exact integers. GIF LZW is lossless and the
+    // frame pixels have a closed form, so the oracle recomputes the
+    // histograms without any decoder (q49/q59's construction, for video).
+    "q68_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val gifs = ids
+        .mapPartitions(it => it.map(id =>
+          (id, Multimodal.syntheticGif(id, 8, 8, (id % 3 + 2).toInt))))
+        .toDF("doc_id", "gif")
+        .withColumn("src", lit("synthetic_gif"))
+      val assets = Multimodal.toAssets(gifs, "doc_id", "gif", "video", "src")
+      Multimodal.extractFrameFeatures(s, assets, stride = 2)
+        .select($"asset_id", $"width", $"height", $"n_frames", $"frame_idx",
+          posexplode($"hist").as(Seq("bin", "cnt")))
+    }),
+
     // Gopher-style repetition filters: duplicate-token mass and top-2-gram
     // dominance as exact integers.
     "q50_repetition" -> ((s, dir) =>
@@ -427,6 +447,25 @@ object PipelineQueries extends QueryModule {
         512 AS n_frames, CAST(db.bin AS INT) AS bin,
         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
       FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
+
+    "q68_video_frames" -> """
+      WITH d AS (SELECT doc_id AS asset_id, doc_id % 3 + 2 AS nf FROM documents),
+      fr AS (SELECT asset_id, nf, f
+             FROM d, generate_series(0, 3) g(f)
+             WHERE f < nf AND f % 2 = 0),
+      px AS (
+        SELECT asset_id, nf, f,
+          (asset_id * 31 + f * 41 + x * 7 + y * 13) % 256 AS v
+        FROM fr, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+      c AS (SELECT asset_id, f, v // 16 AS bin, COUNT(*) AS cnt
+            FROM px GROUP BY 1, 2, 3),
+      db AS (SELECT asset_id, nf, f, bin
+             FROM fr, (SELECT UNNEST(generate_series(0, 15)) AS bin))
+      SELECT db.asset_id, 8 AS width, 8 AS height, CAST(db.nf AS INT) AS n_frames,
+        CAST(db.f AS INT) AS frame_idx, CAST(db.bin AS INT) AS bin,
+        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM db LEFT JOIN c
+        ON db.asset_id = c.asset_id AND db.f = c.f AND db.bin = c.bin""",
 
     "q50_repetition" -> s"""
       WITH t AS (SELECT doc_id,

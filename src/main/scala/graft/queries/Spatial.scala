@@ -53,6 +53,19 @@ object Spatial extends QueryModule {
                 $"lon_bin", $"lat_bin")
     }),
 
+    // P2: reader row limit (n_rows kwarg, readers.py:226-230). Which rows
+    // a limit returns is scan-order-dependent, so the gate pins the one
+    // deterministic observable — the COUNT of the limited read — while
+    // still driving the real reader limit path (LocalLimit/GlobalLimit
+    // over the pruned bucket scan). LEAST keeps the oracle valid at any
+    // scale factor, including ones smaller than the limit.
+    "q66_row_limit" -> ((s, dir) => {
+      import s.implicits._
+      val bucketDir = ensureBucket(s, dir)
+      BucketReader.read(s, bucketDir, nRows = 777L)
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
     // B8/B9: 1-level tile ids (C-order ravel, origin bottom) + counts.
     "q22_tile_agg" -> ((s, dir) => {
       import s.implicits._
@@ -304,6 +317,9 @@ object Spatial extends QueryModule {
     "q47_tile_xy_labels" -> tileXyOracle,
     "q20_xy_bin_agg" -> xyBinOracle,
     "q21_bucket_roundtrip" -> bucketRoundtripOracle,
+    // the bucket holds exactly the events rows (ensureBucket writes them all)
+    "q66_row_limit" ->
+      "SELECT CAST(LEAST(777, COUNT(*)) AS BIGINT) AS n_rows FROM events",
     "q22_tile_agg" -> tileOracle,
     "q23_point_radius" -> pointRadiusOracle,
     "q24_geodesic_radius" -> geodesicRadiusOracle,
