@@ -8,23 +8,23 @@ import graft.streaming.StreamingOps
 
 /** Driver-gate coverage for the Structured Streaming surface (SURVEY §2.9).
   *
-  * q48 runs a REAL streaming query — file source → watermark →
-  * session_window aggregation → append-mode parquet sink with
-  * checkpointing — end-to-end under Trigger.AvailableNow, then returns the
-  * sink contents for the oracle hash-compare. Determinism is engineered,
-  * not hoped for:
+  * All three gates run REAL streaming queries — file source → stateful
+  * transform → append-mode parquet sink with checkpointing — end-to-end
+  * under Trigger.AvailableNow, then return the sink contents for the
+  * oracle hash-compare. Determinism is engineered, not hoped for:
   *
   *  - the staged input is split into micro-batches with
   *    `maxFilesPerTrigger=1` and explicit file mtimes (FileStreamSource
   *    batches in mtime order);
   *  - two sentinel events far past the real data ride in their own
-  *    batches: the first advances the watermark beyond every real session,
-  *    the second gives the engine a batch in which that watermark emits
-  *    them (append mode emits on state cleanup at batch start, so relying
-  *    on a trailing no-data batch would be fragile);
-  *  - sentinels are filtered from the output (negative user_id).
+  *    batches: the first advances the watermark beyond every real session
+  *    or window, the second gives the engine a batch in which that
+  *    watermark emits them (append mode emits on state cleanup at batch
+  *    start, so relying on a trailing no-data batch would be fragile);
+  *  - sentinels are filtered from the output (negative user_id / null
+  *    event_type).
   *
-  * session_window semantics vs the batch q06: events merge when
+  * q48 session_window semantics vs the batch q06: events merge when
   * t2 - t1 < gap (window end is exclusive), so the oracle's session break
   * is `>= gap` where q06's lag-based break is `> gap` — mirrored exactly.
   */
@@ -32,67 +32,120 @@ object StreamingQueries extends QueryModule {
 
   private val GapUs = 1800000000L // 30 minutes, like q06
 
+  /** Deterministic staged stream input, built once per (sf, version):
+    * the events table (user_id, event_type, value, ts) as one file plus
+    * two far-future sentinel files, mtime-spaced so FileStreamSource
+    * batches them in a fixed order. Returns the staging base dir. */
+  private def ensureStagedInput(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    // v-token: bump when the staged-input shape changes — /tmp outlives
+    // code revisions and the marker would otherwise bless a stale cache
+    val base = s"/tmp/graft_stream_v2_${dir.hashCode.toHexString}"
+    val inDir = s"$base/in"
+    val marker = s"$inDir/_staged_ok"
+    if (!graft.sources.BucketFs.exists(marker)) {
+      graft.sources.BucketFs.deleteRecursive(inDir)
+      val ev = Tables(s, dir, "events")
+        .select($"user_id", $"event_type", $"value", $"ts")
+      ev.coalesce(1).write.parquet(inDir)
+      val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
+      def sentinel(days: Int): Unit =
+        Seq((-1L, null: String, 0.0d,
+            new java.sql.Timestamp(maxTs.getTime + days.toLong * 86400000L)))
+          .toDF("user_id", "event_type", "value", "ts")
+          .coalesce(1).write.mode("append").parquet(inDir)
+      sentinel(200)
+      sentinel(201)
+      // deterministic batch order: one file per micro-batch, mtime-spaced
+      val files = new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+        .sortBy(_.lastModified())
+      files.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(((files.head.lastModified() / 60000L) * 60000L) + i * 60000L)
+      }
+      graft.sources.BucketFs.writeString(marker, "ok\n")
+    }
+    base
+  }
+
+  /** Run one staged-input streaming gate: fresh sink + checkpoint, a
+    * dedicated low-shuffle-partition session (one state-store instance
+    * per shuffle partition per micro-batch — 32 would be pure overhead at
+    * this volume; batch queries keep the session default), AvailableNow,
+    * then the sink read back through the PARENT session. */
+  private def runStaged(s: SparkSession, dir: String, sinkName: String)
+                       (transform: DataFrame => DataFrame): DataFrame = {
+    val base = ensureStagedInput(s, dir)
+    val inDir = s"$base/in"
+    val outDir = s"$base/$sinkName/out"; val ckpt = s"$base/$sinkName/ckpt"
+    // the streaming run itself must be fresh every invocation (a reused
+    // checkpoint would no-op the stream, an old sink would double-count)
+    graft.sources.BucketFs.deleteRecursive(outDir)
+    graft.sources.BucketFs.deleteRecursive(ckpt)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val schema = s.read.parquet(inDir).schema
+    val stream = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_stream_sessionize" -> ((s, dir) => {
       import s.implicits._
-      // v-token: bump when the staged-input shape changes — /tmp outlives
-      // code revisions and the marker would otherwise bless a stale cache
-      val base = s"/tmp/graft_stream_v1_${dir.hashCode.toHexString}"
-      val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
-      // the streaming run itself must be fresh every invocation (a reused
-      // checkpoint would no-op the stream, an old sink would double-count);
-      // the staged INPUT is deterministic, so it is built once and reused
-      // (marker-gated) across bench repetitions
-      graft.sources.BucketFs.deleteRecursive(outDir)
-      graft.sources.BucketFs.deleteRecursive(ckpt)
-
-      val ev = Tables(s, dir, "events").select($"user_id", $"ts")
-      val marker = s"$inDir/_staged_ok"
-      if (!graft.sources.BucketFs.exists(marker)) {
-        graft.sources.BucketFs.deleteRecursive(inDir)
-        ev.coalesce(1).write.parquet(inDir)
-        val maxTs = ev.agg(max($"ts")).head().getTimestamp(0)
-        def sentinel(days: Int): Unit =
-          Seq((-1L, new java.sql.Timestamp(maxTs.getTime + days.toLong * 86400000L)))
-            .toDF("user_id", "ts").coalesce(1).write.mode("append").parquet(inDir)
-        sentinel(200)
-        sentinel(201)
-        // deterministic batch order: one file per micro-batch, mtime-spaced
-        val files = new java.io.File(inDir).listFiles()
-          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .sortBy(_.lastModified())
-        files.zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(((files.head.lastModified() / 60000L) * 60000L) + i * 60000L)
-        }
-        graft.sources.BucketFs.writeString(marker, "ok\n")
+      runStaged(s, dir, "sess") { stream =>
+        StreamingOps.sessionize(stream.select($"user_id", $"ts"),
+          gap = "30 minutes", watermark = "1 minute",
+          time = "ts", keyCols = Seq("user_id"))
       }
-
-      // dedicated session with few shuffle partitions: the session-window
-      // state store instantiates one instance per shuffle partition per
-      // micro-batch, which at 32 partitions is pure overhead for this
-      // volume (the batch queries keep the session default)
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = ss.readStream.schema(ev.select($"user_id", $"ts").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(inDir)
-      val sess = StreamingOps.sessionize(stream, gap = "30 minutes",
-        watermark = "1 minute", time = "ts", keyCols = Seq("user_id"))
-      val q = sess.writeStream
-        .format("parquet")
-        .option("path", outDir)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-
-      s.read.parquet(outDir)
         .where($"user_id" >= 0)
         .select($"user_id",
           unix_micros($"session_start").as("start_us"),
           unix_micros($"session_end").as("end_us"),
           $"n_events")
+    }),
+
+    // Streaming exact dedup: first occurrence per (user_id, event_type)
+    // across micro-batches (cross-batch state). Only the key columns are
+    // emitted, so WHICH physical duplicate won — an arrival-order fact —
+    // never reaches the oracle compare.
+    "q69_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      runStaged(s, dir, "dedup") { stream =>
+        StreamingOps.dedupStream(
+          stream.select($"user_id", $"event_type", $"ts"),
+          keyCols = Seq("user_id", "event_type"),
+          time = "ts", watermark = "1 minute")
+      }
+        .where($"user_id" >= 0)
+        .select($"user_id", $"event_type")
+    }),
+
+    // Streaming watermarked tumbling-window rollup (the q08 hourly rollup,
+    // incremental): append-mode windows emit only once the watermark
+    // passes them — which is exactly what the far-future sentinels force
+    // for every real hour.
+    "q70_stream_hourly" -> ((s, dir) => {
+      import s.implicits._
+      runStaged(s, dir, "hourly") { stream =>
+        StreamingOps.windowedRollup(stream,
+          window_ = "1 hour", watermark = "1 minute", time = "ts",
+          keyCols = Seq("event_type"),
+          extraAggs = Seq(
+            sum(round(col("value") * 100).cast("long")).as("sum_cents")))
+      }
+        .where($"event_type".isNotNull)
+        .select(unix_micros($"window_start").as("hour_us"),
+          $"event_type", $"n", $"sum_cents")
     })
   )
 
@@ -114,5 +167,14 @@ object StreamingQueries extends QueryModule {
         MIN(ts_us) AS start_us,
         MAX(ts_us) + $GapUs AS end_us,
         COUNT(*) AS n_events
-      FROM m GROUP BY user_id, sid""")
+      FROM m GROUP BY user_id, sid""",
+
+    "q69_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q70_stream_hourly" -> """
+      SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events GROUP BY 1, 2""")
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.Row
@@ -34,15 +34,34 @@ object StreamingOps {
         col("first_event") :+ col("last_event")): _*)
   }
 
-  /** Streaming tumbling-window rollup with watermark (W8 analogue). */
+  /** Streaming tumbling-window rollup with watermark (W8 analogue).
+    * `extraAggs` must be pre-aliased aggregate columns; they ride along
+    * next to the count. */
   def windowedRollup(events: DataFrame, window_ : String = "1 hour",
                      watermark: String = "2 hours", time: String = "time",
-                     keyCols: Seq[String] = Nil): DataFrame = {
+                     keyCols: Seq[String] = Nil,
+                     extraAggs: Seq[Column] = Nil): DataFrame = {
     events.withWatermark(time, watermark)
       .groupBy((window(col(time), window_).as("w") +: keyCols.map(col)): _*)
-      .agg(count(lit(1)).as("n"))
-      .select((keyCols.map(col) :+ col("w.start").as("window_start") :+
-        col("n")): _*)
+      .agg(count(lit(1)).as("n"), extraAggs: _*)
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
+  /** Streaming exact deduplication: first occurrence per key wins, state
+    * carried across micro-batches. With no event-time column among the
+    * keys, per-key state is retained for the stream's lifetime — exact
+    * global dedup, right for bounded backfills. For unbounded streams at
+    * scale, bound the state: include an event-time bucket in `keyCols`
+    * (watermark then evicts closed buckets) or use Spark's
+    * `dropDuplicatesWithinWatermark` when duplicates are known to arrive
+    * within the watermark delay. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  time: String = null, watermark: String = null): DataFrame = {
+    val bounded =
+      if (time != null && watermark != null) events.withWatermark(time, watermark)
+      else events
+    bounded.dropDuplicates(keyCols)
   }
 
   /** Event for the custom-state sessionizer. */
