@@ -34,4 +34,20 @@ object Sampling {
     * sampled with the same column). */
   def sampledBy(id: Column, pct: Int): Column =
     hashBucket(id, 100) < pct
+
+  /** Stratified keep-predicate: per-stratum sampling rates (percent),
+    * `defaultPct` for unlisted strata — the rebalancing move of a
+    * training-data pipeline (downsample the dominant language / source,
+    * keep the rare ones whole). Same md5 buckets as [[sampledBy]], so
+    * stratified and plain samples of the same id column stay join-stable;
+    * a pure row-local predicate, no shuffle, pushes below wider plans. */
+  def stratifiedKeep(id: Column, stratum: Column, rates: Map[String, Int],
+                     defaultPct: Int = 0): Column = {
+    require((defaultPct +: rates.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "sampling percentages must be in [0, 100]")
+    val pct = rates.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(stratum === lit(k), lit(p)).otherwise(acc)
+    }
+    hashBucket(id, 100) < pct
+  }
 }

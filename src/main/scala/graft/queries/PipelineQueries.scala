@@ -274,6 +274,17 @@ object PipelineQueries extends QueryModule {
       Tables(s, dir, "documents").select($"doc_id",
         graft.operators.Sampling.hashBucket($"doc_id").as("bucket"),
         graft.operators.Sampling.splitCol($"doc_id").as("split"))
+    }),
+
+    // Stratified rebalancing sample: downsample dominant English to 60%,
+    // German to 30%, everything else to 10% — deterministic md5 buckets,
+    // join-stable with q52's split, pure row-local predicate (no shuffle).
+    "q71_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .where(graft.operators.Sampling.stratifiedKeep($"doc_id", $"lang",
+          Map("en" -> 60, "de" -> 30), defaultPct = 10))
+        .select($"doc_id", $"lang")
     })
   )
 
@@ -507,6 +518,15 @@ object PipelineQueries extends QueryModule {
              WHEN bucket < 90 THEN 'val'
              ELSE 'test' END AS split
       FROM b""",
+
+    "q71_stratified_sample" -> """
+      WITH b AS (SELECT doc_id, lang,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+          AS bucket
+        FROM documents)
+      SELECT doc_id, lang FROM b
+      WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
+                     ELSE 10 END""",
 
     "q36_ann_lsh_buckets" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
