@@ -71,6 +71,24 @@ object TextAnalysis {
           col("n_punct") * 5 <= col("n_tokens")).cast("boolean"))
   }
 
+  /** Corpus vocabulary: global token occurrence + document-frequency
+    * counts, top-k by occurrences (ties lexicographic) — the
+    * vocabulary-building pass of a tokenizer pipeline. One explode + one
+    * hash aggregation (map-side partial), top-k as a single ordered limit
+    * (TakeOrderedAndProject — no global sort materialization). */
+  def vocabulary(df: DataFrame, textCol: String, idCol: String,
+                 topK: Int = 100): DataFrame = {
+    val toks = Dedup.fanOut(df).select(col(idCol),
+        explode(split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " "))
+          .as("token"))
+      .where(col("token") =!= "")
+    toks.groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token").asc)
+      .limit(topK)
+  }
+
   /** Per-group character n-gram document-frequency profile: the top-k
     * n-grams by number of documents containing them (ties broken
     * lexicographically) — the statistical signature classic language-ID

@@ -276,6 +276,31 @@ object PipelineQueries extends QueryModule {
         graft.operators.Sampling.splitCol($"doc_id").as("split"))
     }),
 
+    // Corpus vocabulary: global top-100 tokens by occurrences with
+    // document frequencies — deterministic tie-break (count desc, token).
+    "q72_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables(s, dir, "documents"), "text", "doc_id",
+        topK = 100)),
+
+    // End-to-end clean-corpus pipeline — the composition story: quality
+    // filter → exact dedup (min-id survivor among kept docs) → stratified
+    // rebalancing sample → per-language corpus stats. Every stage is an
+    // operator gated elsewhere (q38/q30/q71); this gate proves they
+    // compose into one lazy plan with the filters feeding the dedup
+    // aggregation directly.
+    "q73_clean_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val kept = TextAnalysis.qualityMetrics(docs, "text")
+        .where($"quality_keep")
+      val deduped = Dedup.dropExactDuplicates(kept, "text", "doc_id")
+      deduped
+        .where(graft.operators.Sampling.stratifiedKeep($"doc_id", $"lang",
+          Map("en" -> 60), defaultPct = 80))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sum_tokens"))
+    }),
+
     // Stratified rebalancing sample: downsample dominant English to 60%,
     // German to 30%, everything else to 10% — deterministic md5 buckets,
     // join-stable with q52's split, pure row-local predicate (no shuffle).
@@ -518,6 +543,37 @@ object PipelineQueries extends QueryModule {
              WHEN bucket < 90 THEN 'val'
              ELSE 'test' END AS split
       FROM b""",
+
+    "q72_vocabulary" -> s"""
+      WITH t AS (SELECT doc_id,
+          UNNEST(string_split(${normSql("text")}, ' ')) AS token
+        FROM documents)
+      SELECT token,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM t WHERE token <> ''
+      GROUP BY 1 ORDER BY n_occurrences DESC, token LIMIT 100""",
+
+    "q73_clean_corpus" -> s"""
+      WITH d AS (SELECT doc_id, lang, text, ${normSql("text")} AS nt
+                 FROM documents),
+      m AS (SELECT doc_id, lang, nt,
+        CAST(length(nt) AS BIGINT) AS n_chars_norm,
+        CAST(length(string_split(nt, ' ')) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) AS n_punct
+      FROM d),
+      k AS (SELECT * FROM m
+            WHERE n_tokens >= 10 AND n_chars_norm >= 50
+              AND n_punct * 5 <= n_tokens),
+      dd AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(nt)) AS keep_id
+             FROM k),
+      kept AS (SELECT * FROM dd WHERE doc_id = keep_id),
+      samp AS (SELECT * FROM kept
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+          % 100 < CASE lang WHEN 'en' THEN 60 ELSE 80 END)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+      FROM samp GROUP BY 1""",
 
     "q71_stratified_sample" -> """
       WITH b AS (SELECT doc_id, lang,
