@@ -309,6 +309,49 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Re-chunk a document into lines of `tokensPerLine` whitespace tokens
+    * joined by '\n' — gives line-level operators a deterministic line
+    * structure on corpora whose documents arrive as one long line. */
+  def chunkIntoLines(text: Column, tokensPerLine: Int): Column = {
+    require(tokensPerLine >= 1, "tokensPerLine must be >= 1")
+    val toks = split(normalizedText(coalesce(text, lit(""))), " ")
+    val nLines = ceil(size(toks).cast("double") / tokensPerLine).cast("int")
+    array_join(transform(sequence(lit(0), nLines - 1),
+      i => array_join(slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " ")),
+      "\n")
+  }
+
+  /** C4-style line-level corpus deduplication: every line that occurs more
+    * than once ANYWHERE in the corpus keeps only its first occurrence (in
+    * (id, line position) order); documents are reassembled from their
+    * surviving lines. Returns (id, n_lines, n_lines_kept, clean_text) —
+    * the boilerplate-removal pass (headers, footers, cookie banners) of a
+    * web-scale training-data pipeline.
+    *
+    * Scale shape: one shuffle on the line text (the ranking window's
+    * partition key — high cardinality, so it spreads; a degenerate
+    * corpus of one repeated line concentrates one partition, which
+    * Spark's window buffer spills rather than OOMs), then one hash
+    * aggregation back on the id to reassemble. No joins, no collects;
+    * reassembly sorts each document's own lines only. */
+  def dedupLines(df: DataFrame, textCol: String, idCol: String,
+                 sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = fanOut(df).select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(sep))).as(Seq("__line_no", "__line")))
+    val w = Window.partitionBy(col("__line")).orderBy(col(idCol), col("__line_no"))
+    val kept = lines.withColumn("__keep", row_number().over(w) === 1)
+    kept.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("__keep").cast("long")).as("n_lines_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__line_no"), col("__line"))))),
+          s => s.getField("__line")), sep).as("clean_text"))
+  }
+
   /** n-gram Jaccard set sizes for candidate pairs: the distinct-shingle
     * array stays a column (no explode), each pair is two array lookups and
     * an array_intersect — set arithmetic inside codegen instead of a

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and dataset splits for training-data pipelines.
@@ -49,5 +50,31 @@ object Sampling {
       when(stratum === lit(k), lit(p)).otherwise(acc)
     }
     hashBucket(id, 100) < pct
+  }
+
+  /** Exact rank-quantile threshold of a discrete metric column, as a
+    * 1-row DataFrame: the smallest value v such that at least ceil(p · N)
+    * rows have value ≤ v — the data-dependent cutoff of an adaptive
+    * quality filter ("drop the bottom quartile by token count").
+    *
+    * Scale shape: instead of a global sort of N rows (the naive exact
+    * quantile), the corpus collapses to a VALUE HISTOGRAM first — one hash
+    * aggregation with map-side combine — and the running sum runs over the
+    * distinct values only. For discrete pipeline metrics (token counts,
+    * char lengths, integer scores) that histogram is thousands of rows at
+    * any corpus size, so the single-partition cumulative window is
+    * explicitly bounded by value cardinality, not corpus size. Exact and
+    * deterministic, unlike percentile_approx. */
+  def quantileThreshold(df: DataFrame, valueCol: String, p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "quantile p must be in (0, 1]")
+    val hist = df.groupBy(col(valueCol).as("__val"))
+      .agg(count(lit(1)).as("__cnt"))
+    val total = hist.agg(sum(col("__cnt")).as("__n"))
+    val w = Window.orderBy(col("__val"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.crossJoin(broadcast(total))
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .where(col("__cum") >= ceil(lit(p) * col("__n").cast("double")))
+      .agg(min(col("__val")).as("threshold"))
   }
 }

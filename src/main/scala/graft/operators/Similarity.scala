@@ -198,6 +198,73 @@ object Similarity {
       math.log(math.max(corpusSize.toDouble / targetBucketSize, 1.0)) /
         math.log(2.0)).toInt))
 
+  /** Quantize a float vector onto an integer grid (floor(x * scale), kept
+    * as doubles). Makes every downstream sum EXACT (integer-valued doubles
+    * add associatively below 2^53), so k-means over quantized vectors is
+    * bit-reproducible regardless of partitioning, shuffle order, or
+    * engine — the property the correctness gate needs, and a cheap
+    * stability win in production too (re-runs can't flip assignments). */
+  def quantize(vec: Column, scale: Double = 1000.0): Column =
+    transform(asDouble(vec), x => floor(x * lit(scale)))
+
+  /** Lloyd's k-means over a vector column, expressed as one lazy DataFrame
+    * plan: `iters` rounds of (assign to nearest centroid, recompute
+    * centroid means), returning the final assignment (idCol, centroid_id).
+    * Initial centroids are the rows with id < k — deterministic, no RNG
+    * (k-means++ can be layered on by passing better-seeded input ids).
+    * This is the training step [[ivfAssign]] expects: feed the fitted
+    * centroids in as the IVF coarse quantizer.
+    *
+    * Scale shape per round: centroids are a k-row frame joined in with an
+    * explicit broadcast (k ≤ a few thousand); assignment is one corpus
+    * pass (distance = ||v||² - 2v·c + ||c||², with ||v||² staged once per
+    * row, so each candidate costs ONE dot product); the centroid update is
+    * posexplode + (centroid, dim) hash aggregation — map-side partial
+    * combine, never a collect of members. The corpus is scanned, never
+    * shuffled on a key (the window's partition key is the row id, which
+    * AQE handles; the (k × dim) update aggregate is tiny). Distances on
+    * quantized input are exact integers in round 1 and deterministic
+    * doubles after (means divide exact sums), so ties break identically
+    * everywhere (by centroid id). Empty clusters drop out of the update,
+    * as in classic Lloyd. For large `iters` interpose localCheckpoint
+    * every few rounds; the plan is linear in iters. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int,
+                   quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val vec = quantizeScale.map(s => quantize(col(vecCol), s))
+      .getOrElse(asDouble(col(vecCol)))
+    val v = df.select(col(idCol).as("__id"), vec.as("__v"))
+      .withColumn("__vv", dot(col("__v"), col("__v")))
+    val init = v.where(col("__id") < k)
+      .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
+    def assign(cs: DataFrame): DataFrame = {
+      val c = broadcast(cs.withColumn("__cc", dot(col("__c"), col("__c"))))
+      val scored = v.crossJoin(c)
+        .withColumn("__d2",
+          col("__vv") - lit(2.0) * dot(col("__v"), col("__c")) + col("__cc"))
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__d2").asc, col("centroid_id").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("__id"), col("centroid_id"), col("__v"))
+    }
+    var assigned = assign(init)
+    for (_ <- 1 until iters) {
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("centroid_id"), col("__pos"))
+        .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
+      val updated = sums
+        .withColumn("__m", col("__sx") / col("__cnt").cast("double"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("__c"))
+      assigned = assign(updated)
+    }
+    assigned.select(col("__id").as(idCol), col("centroid_id"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, via LSH
     * buckets (a < b to halve the candidate space).
     *

@@ -165,4 +165,85 @@ object TextAnalysis {
     df.withColumn("fp_md5", md5(Dedup.normalizedText(col(textCol))))
       .withColumn("fp_min_shingle",
         array_min(transform(Dedup.shingles(col(textCol), shingleK), s => md5(s))))
+
+  /** Distinct word n-grams of the normalized text: consecutive
+    * whitespace-token windows re-joined with single spaces. Documents
+    * shorter than n tokens yield an empty array (no n-grams). In-row
+    * higher-order functions — no explode until the caller wants one. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, "n-gram size must be >= 1")
+    val toks = split(Dedup.normalizedText(text), " ")
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Benchmark decontamination: for every corpus document, the number of
+    * distinct word `n`-grams it shares with ANY benchmark document, plus a
+    * contaminated flag — the test-set-overlap scrub every training-data
+    * pipeline runs before releasing a corpus.
+    *
+    * Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    * (benchmarks are thousands of docs, corpora are billions), so it is
+    * aggregated once and BROADCAST; the corpus side is one explode + one
+    * broadcast hash semi-join + one hash aggregation — the corpus is never
+    * shuffled on n-gram. n-grams are distinct per document, so the count
+    * is "distinct contaminated n-grams" without a countDistinct. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, textCol: String,
+                    idCol: String, n: Int = 5): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("__gram"))
+      .distinct()
+    val corpusGrams = Dedup.fanOut(corpus)
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__gram"))
+    val hits = corpusGrams.join(broadcast(benchGrams), Seq("__gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__hits"), lit(0L)).as("n_contaminated_ngrams"),
+        (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** BM25 relevance score of every document against a fixed bag of query
+    * terms. Classic Robertson formula with one deliberate substitution:
+    * IDF is the RATIONAL form (N - df + 0.5) / (df + 0.5) with no log —
+    * ln() is not IEEE-defined and differs across math libraries, while
+    * +,-,*,/ are correctly rounded everywhere, so the rational variant is
+    * reproducible bit-for-bit across engines (the log is monotone in the
+    * rational, so RANKINGS are identical; only the score scale differs).
+    * k1/b default to dyadic rationals (1.25, 0.75) so every constant is an
+    * exact double.
+    *
+    * Scale shape: term frequencies are in-row array filters (no explode —
+    * the term list is fixed and small); corpus stats (N, avgdl, per-term
+    * df) are ONE tiny aggregate row broadcast back over the corpus; no
+    * shuffle of the corpus at all. */
+  def bm25(df: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+           k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " ")
+    val tfCols = terms.indices.map(i =>
+      size(filter(col("__toks"), x => x === lit(terms(i)))).cast("long").as(s"__tf$i"))
+    val base = df.select(col(idCol), toks.as("__toks"),
+        size(toks).cast("long").as("__dl"))
+      .select(col(idCol) +: col("__dl") +: tfCols: _*)
+    val statAggs = Seq(sum(col("__dl")).as("__sumdl"), count(lit(1)).as("__n")) ++
+      terms.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val joined = base.crossJoin(broadcast(stats))
+    val nD = col("__n").cast("double")
+    val avgdl = col("__sumdl").cast("double") / nD
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val dfT = col(s"__df$i").cast("double")
+      val idf = ((nD - dfT) + lit(0.5)) / (dfT + lit(0.5))
+      idf * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl))))
+    }.reduce(_ + _) // fixed left-assoc term order: the SQL mirror adds identically
+    joined.select(col(idCol), score.as("bm25"))
+  }
 }

@@ -310,6 +310,58 @@ object PipelineQueries extends QueryModule {
         .where(graft.operators.Sampling.stratifiedKeep($"doc_id", $"lang",
           Map("en" -> 60, "de" -> 30), defaultPct = 10))
         .select($"doc_id", $"lang")
+    }),
+
+    // Benchmark decontamination: word-5-gram overlap of every corpus doc
+    // against a benchmark subset (doc_id % 97 == 0 stands in for the
+    // held-out eval set). Benchmark n-gram set is broadcast; the corpus
+    // is never shuffled on n-gram.
+    "q74_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.where($"doc_id" % 97 === 0)
+      TextAnalysis.contamination(docs, bench, "text", "doc_id", n = 5)
+    }),
+
+    // C4-style line-level corpus dedup: documents re-chunked into 10-token
+    // lines, every line that repeats anywhere in the corpus keeps only its
+    // first (doc_id, position) occurrence, documents reassembled — the
+    // reassembled text is byte-compared against the oracle.
+    "q75_line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val chunked = Tables(s, dir, "documents")
+        .select($"doc_id", Dedup.chunkIntoLines($"text", 10).as("text"))
+      Dedup.dedupLines(chunked, "text", "doc_id")
+    }),
+
+    // BM25 relevance of every document against fixed query terms —
+    // rational IDF (no ln), dyadic k1/b, so scores are bit-identical
+    // across engines; corpus stats are one broadcast aggregate row.
+    "q76_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25(Tables(s, dir, "documents"), "text", "doc_id",
+        terms = Seq("spark", "window", "merge"))
+    }),
+
+    // Distributed Lloyd's k-means (k=8, 2 rounds) over grid-quantized
+    // embeddings — the IVF training step. Quantization makes every
+    // centroid sum exact, so assignments are bit-reproducible and the
+    // oracle unrolls both rounds in SQL.
+    "q77_kmeans" -> ((s, dir) => {
+      Similarity.kmeansAssign(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+    }),
+
+    // Adaptive quality filter: exact rank-quantile threshold (p25 of token
+    // count, computed from a value histogram — no global row sort) applied
+    // back to the corpus.
+    "q78_quantile_filter" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = Tables(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+      val thr = graft.operators.Sampling.quantileThreshold(withTok, "n_tokens", 0.25)
+      withTok.crossJoin(broadcast(thr))
+        .where($"n_tokens" >= $"threshold")
+        .select($"doc_id", $"n_tokens", $"threshold")
     })
   )
 
@@ -671,6 +723,86 @@ object PipelineQueries extends QueryModule {
         CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 5) AS BIGINT) AS cluster_id
       FROM documents""",
 
+    "q74_decontaminate" -> s"""
+      WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              array_to_string(toks[(i.i):(i.i + 4)], ' ') AS gram
+            FROM t, LATERAL UNNEST(range(1, len(toks) - 4 + 1)) AS i(i)
+            WHERE len(toks) >= 5),
+      b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      h AS (SELECT g.doc_id, COUNT(*) AS n FROM g JOIN b USING (gram)
+            GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+        COALESCE(h.n, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""",
+
+    "q75_line_dedup" -> s"""
+      WITH t AS (SELECT doc_id, string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
+                 FROM documents),
+      ch AS (SELECT doc_id,
+               list_transform(
+                 range(0, CAST(ceil(CAST(len(toks) AS DOUBLE) / 10.0) AS BIGINT)),
+                 i -> array_to_string(toks[(i * 10 + 1):(i * 10 + 10)], ' ')) AS lines
+             FROM t),
+      l AS (SELECT doc_id, g.i - 1 AS line_no, lines[g.i] AS line
+            FROM ch, LATERAL UNNEST(range(1, len(lines) + 1)) AS g(i)),
+      k AS (SELECT doc_id, line_no, line,
+              row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
+                AS keep
+            FROM l)
+      SELECT doc_id,
+        COUNT(*) AS n_lines,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+        COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY line_no), '')
+          AS clean_text
+      FROM k GROUP BY doc_id""",
+
+    "q76_bm25" -> bm25Oracle(Seq("spark", "window", "merge")),
+
+    "q77_kmeans" -> """
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+                 FROM embeddings),
+      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
+             FROM v WHERE vec_id < 8),
+      a0 AS (SELECT vec_id, cid, e FROM (
+               SELECT vv.vec_id, c.cid, vv.e,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c0 c)
+             WHERE rk = 1),
+      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
+               FROM a0, LATERAL UNNEST(range(1, 65)) AS g(i)
+               GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
+             FROM sums GROUP BY cid),
+      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vv.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c1c c)
+             WHERE rk = 1)
+      SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM a1""",
+
+    "q78_quantile_filter" -> s"""
+      WITH m AS (SELECT doc_id,
+                   CAST(length(string_split(${normSql("text")}, ' ')) AS BIGINT)
+                     AS n_tokens
+                 FROM documents),
+      h AS (SELECT n_tokens AS v, COUNT(*) AS c FROM m GROUP BY 1),
+      n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+      cum AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, n.n AS n FROM h, n),
+      t AS (SELECT MIN(v) AS threshold FROM cum
+            WHERE cum >= ceil(0.25 * CAST(n AS DOUBLE)))
+      SELECT m.doc_id, m.n_tokens, t.threshold
+      FROM m, t WHERE m.n_tokens >= t.threshold""",
+
     "q42_embedding_neardup" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
       b AS (SELECT vec_id, e, ${bucketSql("e", 4)} AS bucket FROM v)
@@ -690,6 +822,34 @@ object PipelineQueries extends QueryModule {
       val lit = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_inner_product($vecExpr, $lit::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+  }
+
+  /** SQL mirror of TextAnalysis.bm25 (k1=1.25, b=0.75 — dyadic, so every
+    * constant is an exact double; rational IDF, no ln; same left-assoc
+    * term-sum order as the Scala reduce). */
+  private def bm25Oracle(terms: Seq[String]): String = {
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
+      .mkString(",\n              ")
+    val dfAggs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n              ")
+    val termScores = terms.indices.map { i =>
+      s"""((((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         | * ((CAST(tf$i AS DOUBLE) * 2.25) /
+         |    (CAST(tf$i AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+         |      (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))""".stripMargin
+    }
+    val score = termScores.reduce((a, b) => s"($a + $b)")
+    s"""WITH t AS (SELECT doc_id, string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |              $tfCols
+       |      FROM t),
+       |s AS (SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, COUNT(*) AS n,
+       |              $dfAggs
+       |      FROM w)
+       |SELECT doc_id, $score AS bm25 FROM w, s""".stripMargin
   }
 
   private def stopCountSql(lang: String): String = {

@@ -221,6 +221,17 @@ object Relational extends QueryModule {
           max($"k").as("max_k"))
     }),
 
+    // Pivot (free Catalyst capability): months × return flag wide table —
+    // the reshape step between long event logs and model-ready features.
+    // Explicit value list keeps it one pass (no values-discovery job).
+    "q79_pivot" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "lineitem")
+        .groupBy(month($"l_shipdate").as("ship_month"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(round($"l_quantity").cast("long")))
+    }),
+
     // A4/A2 global + per-group min/max over event time.
     "q12_minmax_time" -> ((s, dir) => {
       import s.implicits._
@@ -234,6 +245,16 @@ object Relational extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "q79_pivot" -> """
+      SELECT month(l_shipdate) AS ship_month,
+        CAST(SUM(CASE WHEN l_returnflag = 'A'
+            THEN CAST(round(l_quantity) AS BIGINT) END) AS BIGINT) AS "A",
+        CAST(SUM(CASE WHEN l_returnflag = 'N'
+            THEN CAST(round(l_quantity) AS BIGINT) END) AS BIGINT) AS "N",
+        CAST(SUM(CASE WHEN l_returnflag = 'R'
+            THEN CAST(round(l_quantity) AS BIGINT) END) AS BIGINT) AS "R"
+      FROM lineitem GROUP BY 1""",
+
     "q01_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

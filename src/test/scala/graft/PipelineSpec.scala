@@ -250,4 +250,83 @@ class PipelineSpec extends AnyFunSuite {
       Multimodal.syntheticPng(1L, 8, 8))
     assert(w == 8 && h == 8)
   }
+
+  test("decontamination: shared word n-grams against a benchmark set") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),   // contains bench 5-grams
+      (1L, "alpha beta gamma delta epsilon"),        // = one bench doc exactly
+      (2L, "totally unrelated words here now then"), // clean
+      (3L, "too short")                              // < n tokens: no n-grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val rows = TextAnalysis.contamination(corpus, bench, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows(0L) == ((1L, true)))  // one shared 5-gram window
+    assert(rows(1L) == ((1L, true)))
+    assert(rows(2L) == ((0L, false)))
+    assert(rows(3L) == ((0L, false)))
+  }
+
+  test("line dedup: repeated lines keep first occurrence only") {
+    val df = Seq(
+      (0L, "shared header\nunique zero\nshared footer"),
+      (1L, "shared header\nunique one\nshared footer"),
+      (2L, "unique two")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(0L) == ((3L, 3L, "shared header\nunique zero\nshared footer")))
+    assert(out(1L) == ((3L, 1L, "unique one"))) // both shared lines removed
+    assert(out(2L) == ((1L, 1L, "unique two")))
+  }
+
+  test("chunkIntoLines: 10-token lines with a short tail") {
+    val df = Seq((0L, (1 to 23).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val lines = df.select(Dedup.chunkIntoLines($"text", 10).as("c"))
+      .as[String].head().split("\n")
+    assert(lines.length == 3)
+    assert(lines(0).split(" ").length == 10)
+    assert(lines(2) == "t21 t22 t23")
+  }
+
+  test("bm25: rational-idf scores rank term-bearing docs first") {
+    val df = Seq(
+      (0L, "spark spark spark engine"),
+      (1L, "spark engine"),
+      (2L, "window function"),
+      (3L, "nothing relevant at all here in this very long document text")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25(df, "text", "doc_id", Seq("spark", "window"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(0L) > scores(1L)) // higher tf wins at equal dl-ish
+    assert(scores(1L) > 0 && scores(2L) > 0)
+    assert(scores(3L) == 0.0)       // no query terms → zero score
+  }
+
+  test("kmeans: separable clusters converge; init ids under k") {
+    // two tight groups far apart in 4-d; ids 0,1 (one per group) seed
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (2L, Array(0.1f, 0f, 0f, 0f)),
+      (4L, Array(0f, 0.1f, 0f, 0f)),
+      (1L, Array(10f, 10f, 10f, 10f)), (3L, Array(10.1f, 10f, 10f, 10f)),
+      (5L, Array(10f, 10.1f, 10f, 10f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(0L) == 0L && out(2L) == 0L && out(4L) == 0L)
+    assert(out(1L) == 1L && out(3L) == 1L && out(5L) == 1L)
+  }
+
+  test("quantileThreshold: exact rank quantile from a value histogram") {
+    val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+    def thr(p: Double): Long =
+      graft.operators.Sampling.quantileThreshold(df, "v", p)
+        .head().getLong(0)
+    assert(thr(0.25) == 25L)
+    assert(thr(0.5) == 50L)
+    assert(thr(1.0) == 100L)
+    // ceil semantics: p just over a rank boundary moves to the next value
+    assert(thr(0.251) == 26L)
+  }
 }
