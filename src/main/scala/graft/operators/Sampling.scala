@@ -52,6 +52,35 @@ object Sampling {
     hashBucket(id, 100) < pct
   }
 
+  /** Sequence-packing bin assignment: documents are dealt into `shards`
+    * deterministic hash shards, ordered by id within each shard, and
+    * assigned to training-sequence bins of ~`maxTokens` tokens by the
+    * exclusive running token sum — bin = floor(prefix_sum / maxTokens),
+    * the "pack documents into fixed-length sequences, split at the
+    * boundary" layout most training pipelines use for chunk-sized docs.
+    * Returns (id, shard, bin, token count).
+    *
+    * Scale shape: packing is per-shard (exactly how production packers
+    * shard their output files), so the running-sum window partitions by
+    * shard — `shards` should be sized so one shard's rows fit a task
+    * (e.g. executors × a few); there is no global sort. Assignment is a
+    * pure function of (ids, token counts), stable across runs/engines. */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String,
+               maxTokens: Long, shards: Int = 32): DataFrame = {
+    require(maxTokens >= 1 && shards >= 1, "maxTokens and shards must be >= 1")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(idCol), col(tokenCol),
+        hashBucket(col(idCol), shards).as("shard"))
+      .withColumn("__prefix",
+        coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      // exact-integer floor division (stays in longs; no double rounding)
+      .withColumn("bin",
+        ((col("__prefix") - pmod(col("__prefix"), lit(maxTokens))) / maxTokens)
+          .cast("long"))
+      .drop("__prefix")
+  }
+
   /** Exact rank-quantile threshold of a discrete metric column, as a
     * 1-row DataFrame: the smallest value v such that at least ceil(p · N)
     * rows have value ≤ v — the data-dependent cutoff of an adaptive

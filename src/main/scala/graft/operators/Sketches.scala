@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.KmvSketch
+
+/** Cardinality sketching for corpus statistics at scale.
+  *
+  * [[distinctEstimate]] answers "how many distinct X per group" with a
+  * bounded-memory KMV sketch (see [[graft.functions.KmvSketchAgg]]):
+  * exact below k distinct values, (k-1)·H/kth_min above — with a FIXED
+  * deterministic hash, so unlike approx_count_distinct the answer is
+  * stable across runs, partitionings, and engines. Standard error is
+  * ~1/sqrt(k-2) (~13% at k=64, ~4% at k=512).
+  */
+object Sketches {
+
+  /** Hash domain: 40-bit md5 prefix. 40 bits keeps (k-1)·2^40 exactly
+    * representable in a double for any practical k, so the estimate
+    * arithmetic is bit-portable; collision odds stay negligible for the
+    * sketch sizes KMV uses (P ≈ k²/2^41 per group). */
+  val HashBits = 40
+  def hash40(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, HashBits / 4), 16, 10).cast("long")
+
+  /** Per-group approximate distinct count of `valueCol`:
+    * (group, n_seen, kth_min, est_distinct). One explode-free aggregation:
+    * only k longs per group cross the shuffle (map-side combined). */
+  def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
+                       k: Int = 64): DataFrame = {
+    val domain = (1L << HashBits).toDouble // exact: 2^40
+    val sketched = df
+      .select(col(groupCol), hash40(col(valueCol)).as("__hv"))
+      .groupBy(col(groupCol))
+      .agg(KmvSketch.kMinValues(col("__hv"), k).as("__kmins"))
+    sketched.select(
+      col(groupCol),
+      size(col("__kmins")).cast("long").as("n_seen"),
+      // guarded: an all-null group leaves an empty sketch, and ANSI
+      // element_at rejects index 0
+      when(size(col("__kmins")) > 0,
+        element_at(col("__kmins"), size(col("__kmins")))).as("kth_min"),
+      when(size(col("__kmins")) < k, size(col("__kmins")).cast("long"))
+        .otherwise(floor(lit((k - 1).toDouble * domain) /
+          element_at(col("__kmins"), k).cast("double")).cast("long"))
+        .as("est_distinct"))
+  }
+}

@@ -208,6 +208,33 @@ object TextAnalysis {
         (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Sliding-window document chunking: split each document into token
+    * windows of `window` tokens advancing by `stride` (overlapping when
+    * stride < window) — the context-window preparation step between a raw
+    * corpus and a trainable dataset. Emits one row per chunk:
+    * (id, chunk_id, chunk_text, n_chunk_tokens). Chunk starts are
+    * 0, stride, 2·stride, …; the final window is truncated at the
+    * document end, and a document shorter than one window yields exactly
+    * one chunk. In-row higher-order functions feed one explode — no
+    * shuffle at all; the operator is embarrassingly row-parallel. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+                     window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, "window and stride must be >= 1")
+    val toks = split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " ")
+    val n = size(toks)
+    // ceil(max(n - window, 0) / stride) + 1 windows
+    val nChunks = (ceil(greatest(n - window, lit(0)).cast("double") / stride)
+      .cast("int") + 1)
+    Dedup.fanOut(df)
+      .select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => array_join(slice(col("__toks"), i * stride + 1, lit(window)), " ")))
+          .as(Seq("chunk_id", "chunk_text")))
+      .withColumn("n_chunk_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
   /** BM25 relevance score of every document against a fixed bag of query
     * terms. Classic Robertson formula with one deliberate substitution:
     * IDF is the RATIONAL form (N - df + 0.5) / (df + 0.5) with no log —

@@ -351,6 +351,35 @@ object PipelineQueries extends QueryModule {
         "vec_id", "embedding", k = 8, iters = 2)
     }),
 
+    // KMV distinct-count sketch (custom TypedImperativeAggregate): per-
+    // language approximate distinct 8-shingles. Deterministic hash → the
+    // estimate is reproducible and oracle-checkable, unlike HLL; only k
+    // longs per group cross the shuffle.
+    "q80_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val sh = Tables(s, dir, "documents")
+        .select($"lang", explode(Dedup.shingles($"text", 8)).as("sh"))
+      graft.operators.Sketches.distinctEstimate(sh, "lang", "sh", k = 64)
+    }),
+
+    // Sliding-window chunking (window 16, stride 8): the corpus → training
+    // examples step; overlapping windows, truncated tail, in-row expansion.
+    "q81_chunking" -> ((s, dir) => {
+      TextAnalysis.chunkDocuments(Tables(s, dir, "documents"),
+        "text", "doc_id", window = 16, stride = 8)
+    }),
+
+    // Sequence-packing bin assignment (256-token bins across 8 hash
+    // shards): deterministic layout of documents into fixed-length
+    // training sequences via per-shard running token sums.
+    "q82_packing" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = Tables(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens"))
+      graft.operators.Sampling.packBins(withTok, "doc_id", "n_tokens",
+        maxTokens = 256, shards = 8)
+    }),
+
     // Adaptive quality filter: exact rank-quantile threshold (p25 of token
     // count, computed from a value histogram — no global row sort) applied
     // back to the corpus.
@@ -789,6 +818,54 @@ object PipelineQueries extends QueryModule {
                FROM vv, c1c c)
              WHERE rk = 1)
       SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM a1""",
+
+    "q80_kmv_distinct" -> s"""
+      WITH sh AS (SELECT DISTINCT d.lang, substr(d.nt, g.i, 8) AS sh FROM (
+              SELECT lang, ${normSql("text")} AS nt FROM documents) d,
+              LATERAL UNNEST(range(1, GREATEST(length(d.nt) - 7, 1) + 1)) AS g(i)),
+      h AS (SELECT DISTINCT lang,
+              ('0x' || substr(md5(sh), 1, 10))::BIGINT AS hv FROM sh),
+      r AS (SELECT lang, hv,
+              row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+      s AS (SELECT lang,
+              CAST(SUM(CASE WHEN rn <= 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+              MAX(CASE WHEN rn <= 64 THEN hv END) AS kth_min
+            FROM r GROUP BY lang)
+      SELECT lang, n_seen, kth_min,
+        CASE WHEN n_seen < 64 THEN n_seen
+             ELSE CAST(floor(CAST(69269232549888 AS DOUBLE) /
+                             CAST(kth_min AS DOUBLE)) AS BIGINT)
+        END AS est_distinct
+      FROM s""",
+
+    "q81_chunking" -> s"""
+      WITH t AS (SELECT doc_id, string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
+                 FROM documents),
+      c AS (SELECT doc_id, toks,
+              CAST(ceil(CAST(GREATEST(len(toks) - 16, 0) AS DOUBLE) / 8.0) AS INT) + 1
+                AS nc
+            FROM t)
+      SELECT doc_id, g.i AS chunk_id,
+        array_to_string(toks[(g.i * 8 + 1):(g.i * 8 + 16)], ' ') AS chunk_text,
+        CAST(len(string_split(
+          array_to_string(toks[(g.i * 8 + 1):(g.i * 8 + 16)], ' '), ' ')) AS BIGINT)
+          AS n_chunk_tokens
+      FROM c, LATERAL UNNEST(range(0, nc)) AS g(i)""",
+
+    "q82_packing" -> s"""
+      WITH m AS (SELECT doc_id,
+              CAST(length(string_split(${normSql("text")}, ' ')) AS BIGINT) AS n_tokens,
+              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 8
+                AS shard
+            FROM documents),
+      p AS (SELECT doc_id, n_tokens, shard,
+              COALESCE(CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+                AS prefix
+            FROM m)
+      SELECT doc_id, n_tokens, shard,
+        CAST(prefix // 256 AS BIGINT) AS bin
+      FROM p""",
 
     "q78_quantile_filter" -> s"""
       WITH m AS (SELECT doc_id,

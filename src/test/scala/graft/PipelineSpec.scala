@@ -318,6 +318,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1L) == 1L && out(3L) == 1L && out(5L) == 1L)
   }
 
+  test("kmv sketch: k smallest distinct hashes; exact below k; merge-stable") {
+    import graft.operators.Sketches
+    // 1000 values in 4 partitions: exercises partial update + merge
+    val df = spark.range(1000).toDF("v").repartition(4)
+      .select(lit("g").as("g"), $"v")
+    val est = Sketches.distinctEstimate(df, "g", "v", k = 64)
+      .head()
+    val (nSeen, kth, estD) = (est.getLong(1), est.getLong(2), est.getLong(3))
+    assert(nSeen == 64)
+    // estimate within ~3 standard errors (se ≈ 1/sqrt(k-2) ≈ 13%)
+    assert(math.abs(estD - 1000.0) / 1000.0 < 0.4, s"estimate $estD")
+    // exact path below k: 10 distinct values
+    val small = spark.range(10).toDF("v").select(lit("g").as("g"), $"v")
+    val ex = Sketches.distinctEstimate(small, "g", "v", k = 64).head()
+    assert(ex.getLong(1) == 10 && ex.getLong(3) == 10)
+    // determinism: repartitioning does not change the sketch
+    val est2 = Sketches.distinctEstimate(df.repartition(13), "g", "v", k = 64).head()
+    assert(est2.getLong(2) == kth && est2.getLong(3) == estD)
+  }
+
+  test("chunkDocuments: overlapping windows, truncated tail") {
+    val df = Seq((0L, (1 to 25).map(i => s"t$i").mkString(" ")),
+                 (1L, "short doc")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, "text", "doc_id",
+        window = 16, stride = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    // doc 0: 25 tokens → ceil((25-16)/8)+1 = 3 chunks at starts 0, 8, 16
+    assert(chunks((0L, 0))._2 == 16L)
+    assert(chunks((0L, 1))._1.startsWith("t9 "))
+    assert(chunks((0L, 2)) == (((17 to 25).map(i => s"t$i").mkString(" "), 9L)))
+    // doc 1: shorter than one window → exactly one chunk
+    assert(chunks((1L, 0)) == (("short doc", 2L)))
+    assert(!chunks.contains((1L, 1)))
+  }
+
+  test("packBins: per-shard exclusive running sum, boundary-split bins") {
+    import graft.operators.Sampling
+    val df = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L))
+      .toDF("doc_id", "n_tokens")
+    // one shard → deterministic id order: prefixes 0,100,200,300
+    val out = Sampling.packBins(df, "doc_id", "n_tokens",
+        maxTokens = 250, shards = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("quantileThreshold: exact rank quantile from a value histogram") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     def thr(p: Double): Long =
