@@ -17,6 +17,14 @@ object GraftFunctions {
         GeodesicDistanceToPoint(exprs(0), exprs(1), lon0, lat0)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_sketch",
+      exprs => {
+        require(exprs.length == 2,
+          "kmv_sketch(hash_bigint, k) expects 2 arguments")
+        KmvSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
+      },
+      "built-in")
   }
 }
 
@@ -37,6 +45,14 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "geodesic_distance(lon, lat, lon0, lat0) expects 4 arguments")
         GeodesicDistanceToPoint(exprs(0), exprs(1),
           exprs(2).eval().toString.toDouble, exprs(3).eval().toString.toDouble)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "kmv_sketch(hash_bigint, k) expects 2 arguments")
+        KmvSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
       }))
   }
 }

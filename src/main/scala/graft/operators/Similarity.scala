@@ -205,7 +205,7 @@ object Similarity {
     * engine — the property the correctness gate needs, and a cheap
     * stability win in production too (re-runs can't flip assignments). */
   def quantize(vec: Column, scale: Double = 1000.0): Column =
-    transform(asDouble(vec), x => floor(x * lit(scale)))
+    transform(asDouble(vec), x => floor(x * lit(scale)).cast("double"))
 
   /** Lloyd's k-means over a vector column, expressed as one lazy DataFrame
     * plan: `iters` rounds of (assign to nearest centroid, recompute
@@ -263,6 +263,69 @@ object Similarity {
       assigned = assign(updated)
     }
     assigned.select(col("__id").as(idCol), col("centroid_id"))
+  }
+
+  /** Scale-path Lloyd's k-means: IDENTICAL assignments to [[kmeansAssign]]
+    * (bit-for-bit on quantized input — asserted by `PipelineSpec`), but
+    * each round collects the k × dim centroid matrix to the driver (a few
+    * KB — the same bounded-driver-state trust as the LSH hyperplanes) and
+    * evaluates the argmin IN-ROW against literal arrays. The corpus is
+    * never shuffled: assignment is a map-only projection, and the only
+    * thing crossing the network per round is the (k × dim) partial-sum
+    * aggregate of the centroid update. Prefer this at scale / high iter
+    * counts; [[kmeansAssign]] stays one lazy replayable plan (no driver
+    * state), which the correctness oracle needs. Returns (assignments,
+    * final centroid matrix sorted by centroid id) — feed the centroids to
+    * [[ivfAssign]] as the trained coarse quantizer. */
+  def kmeansFitCollected(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int, iters: Int,
+                         quantizeScale: Option[Double] = Some(1000.0))
+      : (DataFrame, Array[(Long, Array[Double])]) = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val vec = quantizeScale.map(s => quantize(col(vecCol), s))
+      .getOrElse(asDouble(col(vecCol)))
+    val v = df.select(col(idCol).as("__id"), vec.as("__v"))
+      .withColumn("__vv", dot(col("__v"), col("__v")))
+    // sequential fold, same order as the dot() Column expression
+    def sqNorm(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc = acc + c(i) * c(i); i += 1 }
+      acc
+    }
+    def assignCol(cs: Array[(Long, Array[Double])]): Column = {
+      val candidates = cs.map { case (cid, c) =>
+        val cLit = array(c.map(lit).toSeq: _*)
+        struct(
+          (col("__vv") - lit(2.0) * dot(col("__v"), cLit) + lit(sqNorm(c)))
+            .as("d"),
+          lit(cid).as("cid"))
+      }
+      // least(struct) = (min d2, then min cid): same pick as the ranking
+      // window in kmeansAssign
+      (if (candidates.length == 1) candidates.head else least(candidates.toSeq: _*))
+        .getField("cid")
+    }
+    var centroids: Array[(Long, Array[Double])] = v.where(col("__id") < k)
+      .select(col("__id").cast("long"), col("__v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    for (_ <- 1 until iters) {
+      val assigned = v.withColumn("__cid", assignCol(centroids))
+      val sums = assigned
+        .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cid"), col("__pos"))
+        .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
+        .collect()
+      centroids = sums.groupBy(_.getLong(0)).toArray.map { case (cid, rows) =>
+        val dim = rows.length
+        val c = new Array[Double](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3).toDouble)
+        cid -> c
+      }.sortBy(_._1)
+    }
+    (v.select(col("__id").as(idCol), assignCol(centroids).as("centroid_id")),
+      centroids)
   }
 
   /** Embedding near-duplicate pairs: cosine above threshold, via LSH

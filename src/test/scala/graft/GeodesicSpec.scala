@@ -94,5 +94,10 @@ class GeodesicSpec extends AnyFunSuite {
       "SELECT geodesic_distance(0.0D, 0.0D, 1.0D, 0.0D) AS d")
       .collect().head.getDouble(0)
     assert(math.abs(d - 111319.491) < 0.01)
+    // the sketch aggregate rides the same injection path
+    val sketch = session.sql(
+      "SELECT kmv_sketch(CAST(id AS BIGINT), 4) AS s FROM range(100)")
+      .collect().head.getSeq[Long](0)
+    assert(sketch == Seq(0L, 1L, 2L, 3L))
   }
 }

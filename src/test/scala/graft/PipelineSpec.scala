@@ -365,6 +365,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
   }
 
+  test("kmeans collected variant matches the pure-plan variant bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val plan = Similarity.kmeansAssign(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (collectedDf, centroids) =
+      Similarity.kmeansFitCollected(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val collected = collectedDf
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plan == collected)
+    assert(centroids.nonEmpty && centroids.forall(_._2.length == 64))
+    // trained centroids feed IVF as the coarse quantizer
+    val centFrame = {
+      import spark.implicits._
+      centroids.toSeq.map { case (cid, c) => (cid, c.map(_.toFloat)) }
+        .toDF("vec_id", "embedding")
+    }
+    val assignedViaIvf = Similarity.ivfAssign(
+      emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("embedding")),
+      "vec_id", "embedding", centFrame)
+    assert(assignedViaIvf.count() == emb.count())
+  }
+
   test("quantileThreshold: exact rank quantile from a value histogram") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     def thr(p: Double): Long =
