@@ -53,6 +53,53 @@ object PipelineScaleSmoke {
     }
     println(s"[pscale] clusters: $nClusters (expect 50 template families)")
     require(nClusters == 50, s"expected 50 clusters, got $nClusters")
+
+    // ---- line-level dedup at the same scale: every doc shares one of 50
+    // boilerplate headers (the C4 shape); each header must survive exactly
+    // once and every unique body line must survive everywhere
+    val lined = docs.select($"doc_id",
+      concat_ws("\n", concat(lit("header "), md5(($"doc_id" % 50).cast("string"))),
+        concat(lit("body "), md5($"doc_id".cast("string")))).as("text"))
+    val cleaned = t(s"line dedup ($n docs)") {
+      Dedup.dedupLines(lined, "text", "doc_id")
+        .agg(sum($"n_lines_kept"), sum($"n_lines")).head()
+    }
+    val (kept, totalLines) = (cleaned.getLong(0), cleaned.getLong(1))
+    require(totalLines == 2L * n && kept == n + 50,
+      s"line dedup: kept $kept of $totalLines (expect ${n + 50} of ${2L * n})")
+
+    // ---- KMV distinct sketch over 20M values in 200 groups: bounded
+    // buffers, merge across 64 partitions, estimate within 3 standard
+    // errors of truth (k=256 → se ≈ 6.3%)
+    val sketchN = 20000000L
+    val est = t(s"kmv sketch ($sketchN values)") {
+      graft.operators.Sketches.distinctEstimate(
+        spark.range(sketchN).select(($"id" % 200).as("g"),
+          ($"id" % lit(sketchN / 2)).as("v")),
+        "g", "v", k = 256).agg(sum($"est_distinct")).head().getLong(0)
+    }
+    val truth = sketchN / 2 // each v appears twice
+    require(math.abs(est - truth).toDouble / truth < 0.05,
+      s"kmv estimate $est vs truth $truth out of tolerance")
+    println(s"[pscale] kmv distinct estimate: $est (truth $truth)")
+
+    // ---- collected k-means over 500k × 64-dim vectors, 3 rounds: corpus
+    // is never shuffled (assignment is map-only); must recover the 8
+    // well-separated synthetic centers
+    val dim = 64
+    val kVecs = docs.select($"doc_id".as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (($"doc_id" % 8) * 10).cast("float") +
+          (pmod(xxhash64($"doc_id" * lit(dim) + i), lit(100)) / lit(1000.0)).cast("float"))
+        .as("embedding"))
+    val (asgn, cents) = graft.operators.Similarity.kmeansFitCollected(
+      kVecs, "vec_id", "embedding", k = 8, iters = 3)
+    val nK = t(s"collected kmeans ($n vecs)") {
+      asgn.select($"vec_id" % 8, $"centroid_id").distinct().count()
+    }
+    require(nK == 8 && cents.length == 8,
+      s"kmeans: expected a 1:1 family-to-cluster map (8), got $nK")
+    println(s"[pscale] kmeans clusters stable: $nK families -> ${cents.length} centroids")
     spark.stop()
   }
 }
