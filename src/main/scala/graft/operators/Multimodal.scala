@@ -389,4 +389,60 @@ object Multimodal {
     features.withColumn("frame_idx",
       explode(sequence(lit(0), greatest(col("n_frames") - 1, lit(0)),
         lit(stride))))
+
+  /** Nearest-neighbor resample of a row-major grayscale byte image:
+    * out(x, y) = in(⌊x·w/outW⌋, ⌊y·h/outH⌋). Integer arithmetic only —
+    * deterministic, oracle-transcribable, and the resize every training
+    * pipeline applies before batching images (bilinear would trade
+    * determinism for quality; the seam accepts either). */
+  def resizeNearest(pixels: Array[Byte], w: Int, h: Int,
+                    outW: Int, outH: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1 && outW >= 1 && outH >= 1, "dims must be >= 1")
+    val out = new Array[Byte](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = pixels(sy * w + (x.toLong * w / outW).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Schema of [[extractResizedFeatures]] rows. */
+  val resizedFeatureSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("out_width", IntegerType, nullable = false),
+    StructField("out_height", IntegerType, nullable = false),
+    StructField("hist", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  /** Decode → nearest-neighbor resize to (outW × outH) → exact 16-bin
+    * integer pixel histogram of the RESIZED image. Same partition-iterator
+    * batch shape as [[extractFeatures]]; the decode+resize pipeline of an
+    * image-pretraining data loader, minus the learned transform. */
+  def extractResizedFeatures(spark: SparkSession, assets: DataFrame,
+                             outW: Int, outH: Int,
+                             decoder: MediaDecoder = StubDecoder): DataFrame = {
+    require(outW >= 1 && outH >= 1, "output dims must be >= 1")
+    val enc = org.apache.spark.sql.Encoders.row(resizedFeatureSchema)
+    assets.select("asset_id", "media_type", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        val (w, h, _, pixels) = decoder.decode(r.getString(1), payload)
+        val resized =
+          if (pixels.isEmpty) Array.emptyByteArray
+          else resizeNearest(pixels, w, h, outW, outH)
+        val hist = new Array[Long](16)
+        resized.foreach(b => hist((b & 0xff) / 16) += 1L)
+        Row(id, w, h, outW, outH, hist.toSeq)
+      }
+    }(enc)
+  }
 }

@@ -208,6 +208,21 @@ object TextAnalysis {
         (coalesce(col("__hits"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Min-k winnowing fingerprint: the k smallest md5 hashes of the
+    * document's distinct shingles, ascending — the MOSS-style sketch that
+    * generalizes [[fingerprint]]'s 1-element min. Two documents' Jaccard
+    * similarity is estimable from sketch overlap alone, so pairwise
+    * near-dup verification can run on k hashes instead of full texts.
+    * In-row (sort of ≤ |shingles| values per row, no shuffle); documents
+    * with fewer than k shingles keep them all. */
+  def winnowFingerprint(df: DataFrame, textCol: String, idCol: String,
+                        shingleK: Int = 8, k: Int = 8): DataFrame = {
+    require(k >= 1, "sketch size k must be >= 1")
+    df.select(col(idCol),
+      slice(array_sort(transform(Dedup.shingles(col(textCol), shingleK),
+        s => md5(s))), 1, k).as("fp_hashes"))
+  }
+
   /** Sliding-window document chunking: split each document into token
     * windows of `window` tokens advancing by `stride` (overlapping when
     * stride < window) — the context-window preparation step between a raw

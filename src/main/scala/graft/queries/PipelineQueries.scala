@@ -380,6 +380,33 @@ object PipelineQueries extends QueryModule {
         maxTokens = 256, shards = 8)
     }),
 
+    // Nearest-neighbor image resize (decode → resample → exact histogram):
+    // 16x16 synthetic PNGs downsampled to 8x8 on executors; integer
+    // source-index arithmetic means the oracle recomputes the resized
+    // pixels in closed form.
+    "q83_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val pngs = ids
+        .mapPartitions(it => it.map(id => (id, Multimodal.syntheticPng(id, 16, 16))))
+        .toDF("doc_id", "png")
+        .withColumn("src", lit("synthetic_png"))
+      val assets = Multimodal.toAssets(pngs, "doc_id", "png", "image", "src")
+      Multimodal.extractResizedFeatures(s, assets, 8, 8, Multimodal.ImageIoDecoder)
+        .select($"asset_id", $"width", $"height", $"out_width", $"out_height",
+          posexplode($"hist").as(Seq("bin", "cnt")))
+    }),
+
+    // Min-k winnowing fingerprints (MOSS-style): the 8 smallest shingle
+    // hashes per document, in order — sketch-level similarity without
+    // full texts.
+    "q84_winnow" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.winnowFingerprint(Tables(s, dir, "documents"),
+          "text", "doc_id", shingleK = 8, k = 8)
+        .select($"doc_id", posexplode($"fp_hashes").as(Seq("rk", "fp_hash")))
+    }),
+
     // Adaptive quality filter: exact rank-quantile threshold (p25 of token
     // count, computed from a value histogram — no global row sort) applied
     // back to the corpus.
@@ -866,6 +893,29 @@ object PipelineQueries extends QueryModule {
       SELECT doc_id, n_tokens, shard,
         CAST(prefix // 256 AS BIGINT) AS bin
       FROM p""",
+
+    "q83_image_resize" -> """
+      WITH d AS (SELECT doc_id AS asset_id FROM documents),
+      px AS (
+        SELECT asset_id, (asset_id * 31 + (2 * x) * 7 + (2 * y) * 13) % 256 AS g
+        FROM d, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+      c AS (SELECT asset_id, g // 16 AS bin, COUNT(*) AS cnt
+            FROM px GROUP BY 1, 2),
+      db AS (SELECT asset_id, bin
+             FROM d, (SELECT UNNEST(generate_series(0, 15)) AS bin))
+      SELECT db.asset_id, 16 AS width, 16 AS height,
+        8 AS out_width, 8 AS out_height,
+        CAST(db.bin AS INT) AS bin,
+        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
+
+    "q84_winnow" -> s"""
+      WITH sh AS (${shinglesSql(8)}),
+      r AS (SELECT doc_id, md5(sh) AS hv,
+              row_number() OVER (PARTITION BY doc_id ORDER BY md5(sh)) AS rn
+            FROM sh)
+      SELECT doc_id, CAST(rn - 1 AS INT) AS rk, hv AS fp_hash
+      FROM r WHERE rn <= 8""",
 
     "q78_quantile_filter" -> s"""
       WITH m AS (SELECT doc_id,

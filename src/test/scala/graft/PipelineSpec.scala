@@ -387,6 +387,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(assignedViaIvf.count() == emb.count())
   }
 
+  test("resizeNearest: integer source mapping, 2x downsample is stride-2") {
+    val src = Array.tabulate[Byte](16 * 16)(i => i.toByte)
+    val out = Multimodal.resizeNearest(src, 16, 16, 8, 8)
+    assert(out.length == 64)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(out(y * 8 + x) == src(2 * y * 16 + 2 * x), s"($x,$y)")
+    // upsample: 2x2 → 4x4 repeats each pixel in 2x2 blocks
+    val up = Multimodal.resizeNearest(Array[Byte](1, 2, 3, 4), 2, 2, 4, 4)
+    assert(up.toSeq == Seq[Byte](1, 1, 2, 2, 1, 1, 2, 2, 3, 3, 4, 4, 3, 3, 4, 4))
+  }
+
+  test("winnowFingerprint: k smallest shingle hashes, ascending") {
+    val df = Seq((0L, "abcdefghij"), (1L, "ab")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprint(df, "text", "doc_id",
+        shingleK = 4, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(fps(0L).length == 3)
+    assert(fps(0L) == fps(0L).sorted)
+    // doc 1 has a single (short) shingle → sketch keeps what exists
+    assert(fps(1L).length == 1)
+    // sketch overlap of identical docs is total
+    val same = Seq((0L, "abcdefghij"), (1L, "abcdefghij")).toDF("doc_id", "text")
+    val s2 = TextAnalysis.winnowFingerprint(same, "text", "doc_id", 4, 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(s2(0L) == s2(1L))
+  }
+
   test("quantileThreshold: exact rank quantile from a value histogram") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     def thr(p: Double): Long =
