@@ -17,6 +17,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate duplicates the ENTIRE generator expression
+      // into an inferred size()>0 filter, which predicate pushdown then
+      // drags below the fan-out repartition — an expensive in-row array
+      // build (shingles, winnow sketches) runs twice, once single-core.
+      // Measured 23x on the winnow query. The skipped optimization only
+      // pre-filters empty arrays, which our generators never produce.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
       // many-directory partitionBy writes: direct task commit (no job-commit
       // rename storm) and no _SUCCESS markers

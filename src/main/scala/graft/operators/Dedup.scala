@@ -26,7 +26,7 @@ object Dedup {
     * *after* the scan — without this, a 600 KB corpus shingle-explodes on
     * a single core while 31 sit idle. No-op when the input is already
     * parallel enough (the usual case at scale). */
-  private[operators] def fanOut(df: DataFrame): DataFrame = {
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -49,13 +49,25 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Character k-shingle set of the normalized text (distinct). */
-  def shingles(text: Column, k: Int): Column = {
-    val t = normalizedText(text)
+  /** Character k-shingle set of the normalized text (distinct).
+    *
+    * PERF: prefer [[shinglesOfNormalized]] with a STAGED normalized-text
+    * column. This convenience form inlines the normalization expression
+    * into the per-element lambda, and higher-order-function lambdas are
+    * interpreted with no subexpression elimination — the regexes re-run
+    * once per shingle (measured ~100× slowdown on 300-char docs). */
+  def shingles(text: Column, k: Int): Column =
+    shinglesOfNormalized(normalizedText(text), k)
+
+  /** [[shingles]] over an already-normalized text column. Pass a staged
+    * ATTRIBUTE (a `.withColumn`/`.select` alias), not an inline
+    * expression: the column is referenced from the sequence bound and the
+    * lambda body (2+ uses), which keeps CollapseProject from re-inlining
+    * a non-cheap definition, so normalization runs once per row. */
+  def shinglesOfNormalized(norm: Column, k: Int): Column =
     array_distinct(transform(
-      sequence(lit(1), greatest(length(t) - (k - 1), lit(1))),
-      i => t.substr(i, lit(k))))
-  }
+      sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+      i => norm.substr(i, lit(k))))
 
   /** Two independent 48-bit integer hashes from ONE md5 per shingle
     * (hex halves; portable: DuckDB ('0x'||substr)::BIGINT equals Spark
@@ -87,12 +99,13 @@ object Dedup {
     * caller). */
   def minHashSignature(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, numHashes: Int = 8): DataFrame = {
-    val hp = transform(shingles(col(textCol), shingleK), s => {
+    val hp = transform(shinglesOfNormalized(col("__norm"), shingleK), s => {
       val h = md5(s)
       struct(conv(substring(h, 1, 12), 16, 10).cast("long").as("h1"),
              conv(substring(h, 13, 12), 16, 10).cast("long").as("h2"))
     })
     val staged = fanOut(df).where(col(textCol).isNotNull)
+      .select(col(idCol), normalizedText(col(textCol)).as("__norm"))
       .select(col(idCol), hp.as("__hp"))
     val mins = (0 until numHashes).map(i =>
       array_min(transform(col("__hp"),
@@ -312,9 +325,16 @@ object Dedup {
   /** Re-chunk a document into lines of `tokensPerLine` whitespace tokens
     * joined by '\n' — gives line-level operators a deterministic line
     * structure on corpora whose documents arrive as one long line. */
-  def chunkIntoLines(text: Column, tokensPerLine: Int): Column = {
+  def chunkIntoLines(text: Column, tokensPerLine: Int): Column =
+    chunkTokensIntoLines(split(normalizedText(coalesce(text, lit(""))), " "),
+      tokensPerLine)
+
+  /** [[chunkIntoLines]] over an already-split token-array column — pass a
+    * staged attribute so the split runs once per row, not once per line
+    * (the lambda below references it per element; see
+    * [[shinglesOfNormalized]] for the CollapseProject rationale). */
+  def chunkTokensIntoLines(toks: Column, tokensPerLine: Int): Column = {
     require(tokensPerLine >= 1, "tokensPerLine must be >= 1")
-    val toks = split(normalizedText(coalesce(text, lit(""))), " ")
     val nLines = ceil(size(toks).cast("double") / tokensPerLine).cast("int")
     array_join(transform(sequence(lit(0), nLines - 1),
       i => array_join(slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " ")),
@@ -359,7 +379,9 @@ object Dedup {
     * integers, hash-stable across engines. */
   def ngramJaccardCounts(df: DataFrame, pairs: DataFrame, textCol: String,
                          idCol: String, shingleK: Int = 3): DataFrame = {
-    val arrs = fanOut(df).select(col(idCol), shingles(col(textCol), shingleK).as("__shs"))
+    val arrs = fanOut(df)
+      .select(col(idCol), normalizedText(col(textCol)).as("__norm"))
+      .select(col(idCol), shinglesOfNormalized(col("__norm"), shingleK).as("__shs"))
     val aSide = arrs.select(col(idCol).as("a"), col("__shs").as("__sa"))
     val bSide = arrs.select(col(idCol).as("b"), col("__shs").as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb"))).cast("long")

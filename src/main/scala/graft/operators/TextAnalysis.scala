@@ -96,8 +96,10 @@ object TextAnalysis {
     * window per group. */
   def ngramProfile(df: DataFrame, textCol: String, groupCol: String,
                    n: Int = 2, topK: Int = 10): DataFrame = {
-    val grams = Dedup.fanOut(df).select(col(groupCol),
-      explode(Dedup.shingles(col(textCol), n)).as("ngram"))
+    val grams = Dedup.fanOut(df)
+      .select(col(groupCol), Dedup.normalizedText(col(textCol)).as("__norm"))
+      .select(col(groupCol),
+        explode(Dedup.shinglesOfNormalized(col("__norm"), n)).as("ngram"))
     val counts = grams.groupBy(col(groupCol), col("ngram"))
       .agg(count(lit(1)).as("freq"))
     val w = org.apache.spark.sql.expressions.Window
@@ -162,17 +164,26 @@ object TextAnalysis {
   /** Content fingerprint: md5 of normalized text (exact identity) plus the
     * smallest shingle hash (a 1-element winnowing sketch; min-k extends it). */
   def fingerprint(df: DataFrame, textCol: String, shingleK: Int = 8): DataFrame =
-    df.withColumn("fp_md5", md5(Dedup.normalizedText(col(textCol))))
+    df.withColumn("__fpnorm", Dedup.normalizedText(col(textCol)))
+      .withColumn("fp_md5", md5(col("__fpnorm")))
       .withColumn("fp_min_shingle",
-        array_min(transform(Dedup.shingles(col(textCol), shingleK), s => md5(s))))
+        array_min(transform(Dedup.shinglesOfNormalized(col("__fpnorm"), shingleK),
+          s => md5(s))))
+      .drop("__fpnorm")
 
   /** Distinct word n-grams of the normalized text: consecutive
     * whitespace-token windows re-joined with single spaces. Documents
     * shorter than n tokens yield an empty array (no n-grams). In-row
     * higher-order functions — no explode until the caller wants one. */
-  def wordNgrams(text: Column, n: Int): Column = {
+  def wordNgrams(text: Column, n: Int): Column =
+    wordNgramsOfTokens(split(Dedup.normalizedText(text), " "), n)
+
+  /** [[wordNgrams]] over an already-split token-array column — pass a
+    * staged attribute so the split/normalization runs once per row, not
+    * once per n-gram (the lambda references it per element; see
+    * [[graft.operators.Dedup.shinglesOfNormalized]]). */
+  def wordNgramsOfTokens(toks: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be >= 1")
-    val toks = split(Dedup.normalizedText(text), " ")
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(1), size(toks) - (n - 1)),
@@ -193,11 +204,14 @@ object TextAnalysis {
     * is "distinct contaminated n-grams" without a countDistinct. */
   def contamination(corpus: DataFrame, benchmark: DataFrame, textCol: String,
                     idCol: String, n: Int = 5): DataFrame = {
+    def toksOf(c: Column) = split(Dedup.normalizedText(c), " ")
     val benchGrams = benchmark
-      .select(explode(wordNgrams(col(textCol), n)).as("__gram"))
+      .select(toksOf(col(textCol)).as("__toks"))
+      .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("__gram"))
       .distinct()
     val corpusGrams = Dedup.fanOut(corpus)
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("__gram"))
+      .select(col(idCol), toksOf(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(wordNgramsOfTokens(col("__toks"), n)).as("__gram"))
     val hits = corpusGrams.join(broadcast(benchGrams), Seq("__gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__hits"))
@@ -218,9 +232,14 @@ object TextAnalysis {
   def winnowFingerprint(df: DataFrame, textCol: String, idCol: String,
                         shingleK: Int = 8, k: Int = 8): DataFrame = {
     require(k >= 1, "sketch size k must be >= 1")
-    df.select(col(idCol),
-      slice(array_sort(transform(Dedup.shingles(col(textCol), shingleK),
-        s => md5(s))), 1, k).as("fp_hashes"))
+    // fanOut: the per-row work (|shingles| md5s + a sort) dwarfs the row
+    // width, so a single-split input must spread before the projection
+    Dedup.fanOut(df)
+      .select(col(idCol), Dedup.normalizedText(col(textCol)).as("__norm"))
+      .select(col(idCol),
+        slice(array_sort(transform(
+          Dedup.shinglesOfNormalized(col("__norm"), shingleK),
+          s => md5(s))), 1, k).as("fp_hashes"))
   }
 
   /** Sliding-window document chunking: split each document into token
@@ -242,12 +261,16 @@ object TextAnalysis {
       .cast("int") + 1)
     Dedup.fanOut(df)
       .select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
-      .select(col(idCol),
+      .select(col(idCol), col("__toks"),
         posexplode(transform(sequence(lit(0), col("__nc") - 1),
           i => array_join(slice(col("__toks"), i * stride + 1, lit(window)), " ")))
           .as(Seq("chunk_id", "chunk_text")))
+      // arithmetic, not a re-split of chunk_text; also keeps __toks
+      // multi-referenced so its split stays staged (one eval per row)
       .withColumn("n_chunk_tokens",
-        size(split(col("chunk_text"), " ")).cast("long"))
+        least(lit(window), size(col("__toks")) - col("chunk_id") * stride)
+          .cast("long"))
+      .drop("__toks")
   }
 
   /** BM25 relevance score of every document against a fixed bag of query

@@ -330,7 +330,9 @@ object PipelineQueries extends QueryModule {
     "q75_line_dedup" -> ((s, dir) => {
       import s.implicits._
       val chunked = Tables(s, dir, "documents")
-        .select($"doc_id", Dedup.chunkIntoLines($"text", 10).as("text"))
+        .select($"doc_id",
+          split(Dedup.normalizedText(coalesce($"text", lit(""))), " ").as("__toks"))
+        .select($"doc_id", Dedup.chunkTokensIntoLines($"__toks", 10).as("text"))
       Dedup.dedupLines(chunked, "text", "doc_id")
     }),
 
@@ -357,7 +359,9 @@ object PipelineQueries extends QueryModule {
     // longs per group cross the shuffle.
     "q80_kmv_distinct" -> ((s, dir) => {
       import s.implicits._
-      val sh = Tables(s, dir, "documents")
+      // fanOut before the explode: the shingle fan-out and its md5s are
+      // the cost, and a single-split input would run them on one core
+      val sh = Dedup.fanOut(Tables(s, dir, "documents"))
         .select($"lang", explode(Dedup.shingles($"text", 8)).as("sh"))
       graft.operators.Sketches.distinctEstimate(sh, "lang", "sh", k = 64)
     }),
@@ -874,9 +878,7 @@ object PipelineQueries extends QueryModule {
             FROM t)
       SELECT doc_id, g.i AS chunk_id,
         array_to_string(toks[(g.i * 8 + 1):(g.i * 8 + 16)], ' ') AS chunk_text,
-        CAST(len(string_split(
-          array_to_string(toks[(g.i * 8 + 1):(g.i * 8 + 16)], ' '), ' ')) AS BIGINT)
-          AS n_chunk_tokens
+        CAST(LEAST(16, len(toks) - g.i * 8) AS BIGINT) AS n_chunk_tokens
       FROM c, LATERAL UNNEST(range(0, nc)) AS g(i)""",
 
     "q82_packing" -> s"""

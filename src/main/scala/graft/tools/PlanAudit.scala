@@ -14,6 +14,14 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // InferFiltersFromGenerate duplicates the ENTIRE generator expression
+      // into an inferred size()>0 filter, which predicate pushdown then
+      // drags below the fan-out repartition — an expensive in-row array
+      // build (shingles, winnow sketches) runs twice, once single-core.
+      // Measured 23x on the winnow query. The skipped optimization only
+      // pre-filters empty arrays, which our generators never produce.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"

@@ -11,6 +11,10 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // see Verify/Bench: keeps inferred size()>0 filters from duplicating
+      // expensive generator expressions below fan-out repartitions
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // non-local scheme for HadoopFsSpec: `mock:/...` paths resolve through
       // the Hadoop FS API (backed by RawLocalFileSystem on disk), proving
       // the bucket plumbing never shortcuts through java.nio
