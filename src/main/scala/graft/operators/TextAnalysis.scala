@@ -242,6 +242,60 @@ object TextAnalysis {
           s => md5(s))), 1, k).as("fp_hashes"))
   }
 
+  /** Sketch-based pairwise Jaccard estimation over [[winnowFingerprint]]
+    * min-k sketches: for each candidate pair, X = the k smallest hashes of
+    * the UNION of the two sketches (exactly the k smallest of A∪B, since
+    * each sketch covers its side's k minima), and |X ∩ S(A) ∩ S(B)| / |X|
+    * is an unbiased estimate of J(A, B) — near-dup verification from 2·k
+    * hashes per pair instead of full shingle sets (q34's exact counts need
+    * the texts; this needs only the sketch table). Emits exact integers
+    * (n_sketch, n_overlap); the ratio is the caller's. */
+  def sketchJaccardCounts(sketches: DataFrame, pairs: DataFrame,
+                          idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "sketch size k must be >= 1")
+    val aSide = sketches.select(col(idCol).as("a"), col("fp_hashes").as("__fa"))
+    val bSide = sketches.select(col(idCol).as("b"), col("fp_hashes").as("__fb"))
+    pairs.join(aSide, Seq("a")).join(bSide, Seq("b"))
+      .select(col("a"), col("b"), col("__fa"), col("__fb"),
+        slice(array_sort(array_union(col("__fa"), col("__fb"))), 1, k).as("__x"))
+      .select(col("a"), col("b"),
+        size(col("__x")).cast("long").as("n_sketch"),
+        size(array_intersect(array_intersect(col("__x"), col("__fa")), col("__fb")))
+          .cast("long").as("n_overlap"))
+  }
+
+  /** TF-IDF top terms per document: token frequencies joined with corpus
+    * document frequencies, scored tf · (N - df + 0.5)/(df + 0.5) (the
+    * rational IDF of [[bm25]] — engine-portable, rank-equivalent to the
+    * log form), top-k per document by score then token. One explode + two
+    * hash aggregations + one join on token + one per-doc ranking window —
+    * every stage shuffles on a natural high-cardinality key. */
+  def tfidfTopTerms(df: DataFrame, textCol: String, idCol: String,
+                    topK: Int = 3): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val toks = Dedup.fanOut(df).select(col(idCol),
+        explode(split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " "))
+          .as("token"))
+      .where(col("token") =!= "")
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df")) // tf rows are distinct (doc, token)
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfT, Seq("token")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          ((col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
   /** Sliding-window document chunking: split each document into token
     * windows of `window` tokens advancing by `stride` (overlapping when
     * stride < window) — the context-window preparation step between a raw

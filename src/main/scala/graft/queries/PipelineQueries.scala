@@ -411,6 +411,29 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", posexplode($"fp_hashes").as(Seq("rk", "fp_hash")))
     }),
 
+    // Sketch-based pairwise Jaccard: q34's candidate pairs verified from
+    // 8-hash winnow sketches alone (min-k union estimator) — near-dup
+    // verification without touching full texts.
+    "q85_sketch_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val sketches = TextAnalysis.winnowFingerprint(docs, "text", "doc_id",
+        shingleK = 3, k = 8)
+      val bySource = docs.select($"source".as("src"), $"doc_id")
+      val pairs = bySource.toDF("src", "a")
+        .join(bySource.toDF("src", "b"), Seq("src"))
+        .where($"a" < $"b" && ($"b" - $"a") <= 40)
+        .select("a", "b")
+      TextAnalysis.sketchJaccardCounts(sketches, pairs, "doc_id", k = 8)
+    }),
+
+    // TF-IDF top-3 terms per document (rational IDF — rank-equivalent to
+    // the log form, bit-portable).
+    "q86_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfidfTopTerms(Tables(s, dir, "documents"),
+        "text", "doc_id", topK = 3)
+    }),
+
     // Adaptive quality filter: exact rank-quantile threshold (p25 of token
     // count, computed from a value histogram — no global row sort) applied
     // back to the corpus.
@@ -895,6 +918,48 @@ object PipelineQueries extends QueryModule {
       SELECT doc_id, n_tokens, shard,
         CAST(prefix // 256 AS BIGINT) AS bin
       FROM p""",
+
+    "q85_sketch_jaccard" -> s"""
+      WITH sh AS (${shinglesSql(3)}),
+      r AS (SELECT doc_id, md5(sh) AS hv,
+              row_number() OVER (PARTITION BY doc_id ORDER BY md5(sh)) AS rn
+            FROM sh),
+      fp AS (SELECT doc_id, list(hv ORDER BY hv) AS f
+             FROM r WHERE rn <= 8 GROUP BY doc_id),
+      pairs AS (
+        SELECT l.doc_id AS a, r2.doc_id AS b
+        FROM documents l JOIN documents r2
+          ON l.source = r2.source AND l.doc_id < r2.doc_id
+          AND r2.doc_id - l.doc_id <= 40),
+      j AS (SELECT p.a, p.b, fa.f AS fa, fb.f AS fb,
+              list_sort(list_distinct(fa.f || fb.f))[1:8] AS x
+            FROM pairs p
+            JOIN fp fa ON fa.doc_id = p.a
+            JOIN fp fb ON fb.doc_id = p.b)
+      SELECT a, b,
+        CAST(len(x) AS BIGINT) AS n_sketch,
+        CAST(len(list_intersect(list_intersect(x, fa), fb)) AS BIGINT)
+          AS n_overlap
+      FROM j""",
+
+    "q86_tfidf" -> s"""
+      WITH t AS (SELECT doc_id,
+              UNNEST(string_split(${normSql("COALESCE(text, '')")}, ' ')) AS token
+            FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf
+             FROM t WHERE token <> '' GROUP BY 1, 2),
+      dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      s AS (SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+              CAST(tf.tf AS DOUBLE) *
+                (((CAST(n.n AS DOUBLE) - CAST(dfx.df AS DOUBLE)) + 0.5) /
+                 (CAST(dfx.df AS DOUBLE) + 0.5)) AS tfidf
+            FROM tf JOIN dfx USING (token), n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, token ASC) AS rank FROM s)
+      SELECT doc_id, CAST(rank AS INT) AS rank, token,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, tfidf
+      FROM r WHERE rank <= 3""",
 
     "q83_image_resize" -> """
       WITH d AS (SELECT doc_id AS asset_id FROM documents),

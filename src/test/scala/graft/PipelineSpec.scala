@@ -414,6 +414,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(s2(0L) == s2(1L))
   }
 
+  test("sketchJaccard: identical docs estimate 1.0; disjoint estimate 0.0") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "zzz yyy xxx www vvv uuu")).toDF("doc_id", "text")
+    val sketches = TextAnalysis.winnowFingerprint(df, "text", "doc_id", 3, 8)
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("a", "b")
+    val out = TextAnalysis.sketchJaccardCounts(sketches, pairs, "doc_id", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val (k01, ov01) = out((0L, 1L))
+    assert(k01 == ov01) // identical sketches → total overlap → J est 1.0
+    assert(out((0L, 2L))._2 == 0L) // disjoint shingles → zero overlap
+  }
+
+  test("tfidf: rare term outranks common term; top-k and ties ordered") {
+    val df = Seq(
+      (0L, "common common rare"),
+      (1L, "common boring"),
+      (2L, "common boring")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", topK = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // doc 0: "rare" (df=1) must outrank "common" (df=3) despite tf 1 vs 2
+    assert(out((0L, 1)) == "rare")
+    assert(out((0L, 2)) == "common")
+  }
+
   test("quantileThreshold: exact rank quantile from a value histogram") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     def thr(p: Double): Long =
