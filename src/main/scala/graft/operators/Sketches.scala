@@ -23,26 +23,30 @@ object Sketches {
   def hash40(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, HashBits / 4), 16, 10).cast("long")
 
+  /** (n_seen, kth_min, est_distinct) columns derived from a KMV sketch
+    * array column — shared by the batch and streaming estimators. */
+  def sketchSummary(kmins: Column, k: Int): Seq[Column] = {
+    val domain = (1L << HashBits).toDouble // exact: 2^40
+    Seq(
+      size(kmins).cast("long").as("n_seen"),
+      // guarded: an all-null group leaves an empty sketch, and ANSI
+      // element_at rejects index 0
+      when(size(kmins) > 0, element_at(kmins, size(kmins))).as("kth_min"),
+      when(size(kmins) < k, size(kmins).cast("long"))
+        .otherwise(floor(lit((k - 1).toDouble * domain) /
+          element_at(kmins, k).cast("double")).cast("long"))
+        .as("est_distinct"))
+  }
+
   /** Per-group approximate distinct count of `valueCol`:
     * (group, n_seen, kth_min, est_distinct). One explode-free aggregation:
     * only k longs per group cross the shuffle (map-side combined). */
   def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
                        k: Int = 64): DataFrame = {
-    val domain = (1L << HashBits).toDouble // exact: 2^40
     val sketched = df
       .select(col(groupCol), hash40(col(valueCol)).as("__hv"))
       .groupBy(col(groupCol))
       .agg(KmvSketch.kMinValues(col("__hv"), k).as("__kmins"))
-    sketched.select(
-      col(groupCol),
-      size(col("__kmins")).cast("long").as("n_seen"),
-      // guarded: an all-null group leaves an empty sketch, and ANSI
-      // element_at rejects index 0
-      when(size(col("__kmins")) > 0,
-        element_at(col("__kmins"), size(col("__kmins")))).as("kth_min"),
-      when(size(col("__kmins")) < k, size(col("__kmins")).cast("long"))
-        .otherwise(floor(lit((k - 1).toDouble * domain) /
-          element_at(col("__kmins"), k).cast("double")).cast("long"))
-        .as("est_distinct"))
+    sketched.select(col(groupCol) +: sketchSummary(col("__kmins"), k): _*)
   }
 }

@@ -146,6 +146,23 @@ object StreamingQueries extends QueryModule {
         .where($"event_type".isNotNull)
         .select(unix_micros($"window_start").as("hour_us"),
           $"event_type", $"n", $"sum_cents")
+    }),
+
+    // Streaming windowed KMV distinct sketch: per (hour, event_type)
+    // approximate distinct users, the custom TypedImperativeAggregate
+    // accumulating in the state store across micro-batches. Deterministic
+    // hash → the emitted sketches hash-match a batch recomputation.
+    "q87_stream_kmv" -> ((s, dir) => {
+      import s.implicits._
+      runStaged(s, dir, "kmv") { stream =>
+        StreamingOps.windowedDistinctSketch(stream,
+          window_ = "1 hour", watermark = "1 minute", time = "ts",
+          keyCols = Seq("event_type"),
+          hashCol = graft.operators.Sketches.hash40($"user_id"), k = 16)
+      }
+        .where($"event_type".isNotNull)
+        .select($"event_type" +: unix_micros($"window_start").as("hour_us") +:
+          graft.operators.Sketches.sketchSummary($"kmins", 16): _*)
     })
   )
 
@@ -176,5 +193,27 @@ object StreamingQueries extends QueryModule {
       SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
         COUNT(*) AS n,
         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
-      FROM events GROUP BY 1, 2""")
+      FROM events GROUP BY 1, 2""",
+
+    "q87_stream_kmv" -> """
+      WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))::BIGINT
+                AS hv
+            FROM events),
+      d AS (SELECT DISTINCT hr, event_type, hv FROM h),
+      r AS (SELECT hr, event_type, hv,
+              row_number() OVER (PARTITION BY hr, event_type ORDER BY hv)
+                AS rn
+            FROM d),
+      s AS (SELECT hr, event_type,
+              CAST(SUM(CASE WHEN rn <= 16 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_seen,
+              MAX(CASE WHEN rn <= 16 THEN hv END) AS kth_min
+            FROM r GROUP BY 1, 2)
+      SELECT event_type, epoch_us(hr) AS hour_us, n_seen, kth_min,
+        CASE WHEN n_seen < 16 THEN n_seen
+             ELSE CAST(floor(CAST(16492674416640 AS DOUBLE) /
+                             CAST(kth_min AS DOUBLE)) AS BIGINT)
+        END AS est_distinct
+      FROM s""")
 }

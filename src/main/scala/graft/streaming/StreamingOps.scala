@@ -48,6 +48,28 @@ object StreamingOps {
       .drop("w")
   }
 
+  /** Streaming windowed distinct-count sketch: a KMV
+    * [[graft.functions.KmvSketchAgg]] inside a watermarked tumbling-window
+    * aggregation — per (window, keys), the ≤ k smallest distinct hashes of
+    * `hashCol` accumulate across micro-batches in the state store (the
+    * aggregate's serialize/merge path), and append mode emits each
+    * window's final sketch once the watermark passes. The streaming
+    * answer is BIT-IDENTICAL to the batch [[graft.operators.Sketches]]
+    * estimate over the same rows (deterministic hash, order-free merge) —
+    * the property HLL-based approx_count_distinct cannot give a
+    * reconciliation job. State per open window is O(k) longs. */
+  def windowedDistinctSketch(events: DataFrame, window_ : String,
+                             watermark: String, time: String,
+                             keyCols: Seq[String], hashCol: Column,
+                             k: Int): DataFrame = {
+    events.withWatermark(time, watermark)
+      .withColumn("__hv", hashCol)
+      .groupBy((window(col(time), window_).as("w") +: keyCols.map(col)): _*)
+      .agg(graft.functions.KmvSketch.kMinValues(col("__hv"), k).as("kmins"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
   /** Streaming exact deduplication: first occurrence per key wins, state
     * carried across micro-batches. With no event-time column among the
     * keys, per-key state is retained for the stream's lifetime — exact

@@ -70,6 +70,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed KMV sketch matches the batch estimate") {
+    val src = tmp("kmv_src")
+    // 40 users in one hour window for key "a": exceeds k=16 → estimation
+    // path; 3 users for "b": exact path
+    val rows = (0 until 40).map(u => (u.toLong, "a", ts("2024-01-01 10:00:05"))) ++
+      (0 until 3).map(u => (u.toLong, "b", ts("2024-01-01 10:00:06")))
+    rows.toDF("user_id", "event_type", "ts").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP").parquet(src)
+    val sketched = StreamingOps.windowedDistinctSketch(stream,
+      window_ = "1 hour", watermark = "1 minute", time = "ts",
+      keyCols = Seq("event_type"),
+      hashCol = graft.operators.Sketches.hash40($"user_id"), k = 16)
+    val q = sketched.writeStream.format("memory").queryName("kmv_sk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // watermark-advancing batch, then one more so the closed window emits
+      Seq((999L, "z", ts("2024-01-02 10:00:00"))).toDF("user_id", "event_type", "ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq((999L, "z", ts("2024-01-02 11:00:00"))).toDF("user_id", "event_type", "ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_sk")
+        .select($"event_type" +: graft.operators.Sketches.sketchSummary($"kmins", 16): _*)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      // batch recomputation over the same rows must agree bit-for-bit
+      val batch = graft.operators.Sketches.distinctEstimate(
+          rows.toDF("user_id", "event_type", "ts"), "event_type", "user_id", 16)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(streamed("a") == batch("a"))
+      assert(streamed("b") == batch("b"))
+      assert(streamed("b")._1 == 3L && streamed("b")._3 == 3L) // exact below k
+      assert(streamed("a")._1 == 16L) // estimation path engaged
+    } finally q.stop()
+  }
+
   test("streaming bucket ingest: file source → partitioned bucket") {
     val src = tmp("granules")
     val bucket = tmp("bucket")
