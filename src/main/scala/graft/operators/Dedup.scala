@@ -149,14 +149,15 @@ object Dedup {
     val banded = lshBands(sigs, idCol, numHashes, bands)
     // In-bucket membership arrays are built ONLY for buckets at or under
     // the cap, so no unbounded array ever materializes in an aggregation
-    // buffer: bucket sizes come first from a count aggregate (map-side
-    // partial combine — only (band, band_sig, n) crosses the shuffle),
-    // over-cap buckets (≤ totalRows/maxBucketSize of them, so always
-    // broadcastable) are split off with a broadcast anti/semi flag, and
-    // their chained pairs come from a lead() window — Spark's window
-    // buffer spills to disk, unlike an agg collect_list buffer. Under-cap
-    // buckets keep the in-row higher-order-function pair expansion (one
-    // hash agg, no join materialization of bucket × bucket).
+    // buffer: bucket sizes and chain successors come from ONE window over
+    // the (band, band_sig) shuffle — count(*) for the cap split, lead(id)
+    // for the chained pairs; window buffers spill to disk, unlike an agg
+    // collect_list buffer. Both branches read the SAME exchange
+    // (ReuseExchange dedups it), so the minhash/banding subplan — one md5
+    // per shingle over the whole corpus — is computed once per action,
+    // not once per branch. Under-cap buckets keep the in-row
+    // higher-order-function pair expansion (one hash agg, no join
+    // materialization of bucket × bucket).
     def allPairsOf(rows: DataFrame): DataFrame = {
       val buckets = rows.groupBy("band", "band_sig")
         .agg(sort_array(collect_list(col(idCol))).as("__ids"))
@@ -170,17 +171,16 @@ object Dedup {
     // Uncapped idiom (Int.MaxValue, used where the oracle is uncapped): no
     // bucket can exceed the cap, so skip the size probe — one scan, not two.
     if (maxBucketSize == Int.MaxValue) return allPairsOf(banded).distinct()
-    val overCap = banded.groupBy("band", "band_sig")
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") > maxBucketSize)
-      .select(col("band").as("__ob"), col("band_sig").as("__os"))
-    val flagged = banded.join(broadcast(overCap),
-      col("band") === col("__ob") && col("band_sig") === col("__os"), "left")
-    val allPairs = allPairsOf(flagged.where(col("__ob").isNull).drop("__ob", "__os"))
-    val w = Window.partitionBy("band", "band_sig").orderBy(col(idCol))
-    val chained = flagged.where(col("__ob").isNotNull).drop("__ob", "__os")
-      .select(col(idCol).as("a"), lead(col(idCol), 1).over(w).as("b"))
-      .where(col("b").isNotNull)
+    val w = Window.partitionBy("band", "band_sig")
+    val wo = w.orderBy(col(idCol))
+    val sized = banded
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__nid", lead(col(idCol), 1).over(wo))
+    val allPairs = allPairsOf(
+      sized.where(col("__bn") <= maxBucketSize).drop("__bn", "__nid"))
+    val chained = sized
+      .where(col("__bn") > maxBucketSize && col("__nid").isNotNull)
+      .select(col(idCol).as("a"), col("__nid").as("b"))
     allPairs.union(chained).distinct()
   }
 
@@ -335,7 +335,11 @@ object Dedup {
     * [[shinglesOfNormalized]] for the CollapseProject rationale). */
   def chunkTokensIntoLines(toks: Column, tokensPerLine: Int): Column = {
     require(tokensPerLine >= 1, "tokensPerLine must be >= 1")
-    val nLines = ceil(size(toks).cast("double") / tokensPerLine).cast("int")
+    // floor of 1 line: an EMPTY token array would otherwise make
+    // sequence(0, -1) count DOWN ([0, -1] — two phantom empty lines);
+    // one empty line matches the [""] that split("") produces
+    val nLines = greatest(
+      ceil(size(toks).cast("double") / tokensPerLine).cast("int"), lit(1))
     array_join(transform(sequence(lit(0), nLines - 1),
       i => array_join(slice(toks, i * tokensPerLine + 1, lit(tokensPerLine)), " ")),
       "\n")

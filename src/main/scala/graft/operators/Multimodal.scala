@@ -436,6 +436,11 @@ object Multimodal {
         val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
           .getOrElse(Array.emptyByteArray)
         val (w, h, _, pixels) = decoder.decode(r.getString(1), payload)
+        // loud guard (like decodeGifFrames' delta-frame rejection): a
+        // decoder whose payload is not a w×h raster — e.g. audio routed
+        // here by mistake — must fail cleanly, not index out of bounds
+        require(pixels.isEmpty || pixels.length == w * h,
+          s"asset $id: decoded payload length ${pixels.length} is not width*height ($w*$h) — not a resizable raster")
         val resized =
           if (pixels.isEmpty) Array.emptyByteArray
           else resizeNearest(pixels, w, h, outW, outH)

@@ -96,7 +96,11 @@ object Sampling {
     * deterministic, unlike percentile_approx. */
   def quantileThreshold(df: DataFrame, valueCol: String, p: Double): DataFrame = {
     require(p > 0.0 && p <= 1.0, "quantile p must be in (0, 1]")
-    val hist = df.groupBy(col(valueCol).as("__val"))
+    // nulls are excluded from both the histogram and N — without this,
+    // Spark's nulls-first window order vs SQL's nulls-last would shift
+    // the threshold on corpora with missing metrics
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).as("__val"))
       .agg(count(lit(1)).as("__cnt"))
     val total = hist.agg(sum(col("__cnt")).as("__n"))
     val w = Window.orderBy(col("__val"))

@@ -360,9 +360,12 @@ object PipelineQueries extends QueryModule {
     "q80_kmv_distinct" -> ((s, dir) => {
       import s.implicits._
       // fanOut before the explode: the shingle fan-out and its md5s are
-      // the cost, and a single-split input would run them on one core
+      // the cost, and a single-split input would run them on one core;
+      // staged __norm so the normalization runs once per row, not per
+      // shingle (see Dedup.shinglesOfNormalized)
       val sh = Dedup.fanOut(Tables(s, dir, "documents"))
-        .select($"lang", explode(Dedup.shingles($"text", 8)).as("sh"))
+        .select($"lang", Dedup.normalizedText($"text").as("__norm"))
+        .select($"lang", explode(Dedup.shinglesOfNormalized($"__norm", 8)).as("sh"))
       graft.operators.Sketches.distinctEstimate(sh, "lang", "sh", k = 64)
     }),
 
