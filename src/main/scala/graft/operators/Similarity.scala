@@ -265,6 +265,46 @@ object Similarity {
     assigned.select(col("__id").as(idCol), col("centroid_id"))
   }
 
+  /** Symmetric int8 quantization of an embedding column: round-to-floor
+    * of x·scale, clamped to [-128, 127] — the 4× storage/bandwidth
+    * compression serving stacks apply before shipping vectors. Integer
+    * outputs, deterministic everywhere. */
+  def quantizeInt8(vec: Column, scale: Double = 127.0): Column =
+    transform(asDouble(vec), x =>
+      greatest(lit(-128), least(lit(127), floor(x * lit(scale)))).cast("int"))
+
+  /** Matryoshka-style truncation: keep the first `dims` dimensions and
+    * re-normalize to unit length (null when the truncated prefix is all
+    * zeros). Cosine over truncated+renormed vectors approximates full
+    * cosine at dims/d of the cost — the standard cheap-first-pass
+    * retrieval trick for MRL-trained embeddings. Deterministic doubles
+    * (sequential-fold norm, IEEE sqrt/divide).
+    *
+    * Convenience Column form — the division lambda re-evaluates the norm
+    * fold per element (O(dims²) per row, interpreted); for hot paths use
+    * [[truncateRenormed]], which stages prefix and norm as attributes. */
+  def truncateRenorm(vec: Column, dims: Int): Column = {
+    require(dims >= 1, "dims must be >= 1")
+    val prefix = slice(asDouble(vec), 1, dims)
+    val n = sqrt(dot(prefix, prefix))
+    when(n > 0.0, transform(prefix, x => x / n))
+  }
+
+  /** [[truncateRenorm]] with the prefix and its norm staged once per row
+    * (multi-referenced attributes survive CollapseProject) — the shape to
+    * use on real corpora. Replaces `vecCol` with the truncated unit
+    * vector. */
+  def truncateRenormed(df: DataFrame, idCol: String, vecCol: String,
+                       dims: Int): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val staged = df
+      .select(col(idCol), slice(asDouble(col(vecCol)), 1, dims).as("__p"))
+      .withColumn("__n", sqrt(dot(col("__p"), col("__p"))))
+    staged.select(col(idCol),
+      when(col("__n") > 0.0, transform(col("__p"), x => x / col("__n")))
+        .as(vecCol))
+  }
+
   /** Scale-path Lloyd's k-means: IDENTICAL assignments to [[kmeansAssign]]
     * (bit-for-bit on quantized input — asserted by `PipelineSpec`), but
     * each round collects the k × dim centroid matrix to the driver (a few

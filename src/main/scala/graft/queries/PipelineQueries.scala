@@ -414,6 +414,24 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", posexplode($"fp_hashes").as(Seq("rk", "fp_hash")))
     }),
 
+    // Symmetric int8 embedding quantization — the 4x storage compression
+    // of a serving stack, exact integer outputs.
+    "q88_int8_quant" -> ((s, dir) => {
+      import s.implicits._
+      Tables(s, dir, "embeddings")
+        .select($"vec_id", posexplode(Similarity.quantizeInt8($"embedding"))
+          .as(Seq("pos", "q8")))
+    }),
+
+    // Matryoshka truncation to 16 dims + renormalization (staged norm) —
+    // the cheap-first-pass retrieval representation; bit-exact doubles.
+    "q89_matryoshka" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.truncateRenormed(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = 16)
+        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
+    }),
+
     // Sketch-based pairwise Jaccard: q34's candidate pairs verified from
     // 8-hash winnow sketches alone (min-k union estimator) — near-dup
     // verification without touching full texts.
@@ -921,6 +939,20 @@ object PipelineQueries extends QueryModule {
       SELECT doc_id, n_tokens, shard,
         CAST(prefix // 256 AS BIGINT) AS bin
       FROM p""",
+
+    "q88_int8_quant" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      SELECT vec_id, CAST(g.i - 1 AS INT) AS pos,
+        CAST(GREATEST(-128, LEAST(127, floor(e[g.i] * 127.0))) AS INT) AS q8
+      FROM v, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)""",
+
+    "q89_matryoshka" -> """
+      WITH v AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS p
+                 FROM embeddings),
+      n AS (SELECT vec_id, p, sqrt(list_inner_product(p, p)) AS nrm FROM v)
+      SELECT vec_id, CAST(g.i - 1 AS INT) AS pos, p[g.i] / nrm AS v
+      FROM n, LATERAL UNNEST(range(1, len(p) + 1)) AS g(i)
+      WHERE nrm > 0.0""",
 
     "q85_sketch_jaccard" -> s"""
       WITH sh AS (${shinglesSql(3)}),

@@ -441,6 +441,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out((0L, 2)) == "common")
   }
 
+  test("int8 quantization clamps and floors; matryoshka renorm is unit") {
+    val vecs = Seq((0L, Array(0.5f, -0.5f, 2.0f, -2.0f)),
+                   (1L, Array(0.0f, 0.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q8 = vecs.select($"vec_id", Similarity.quantizeInt8($"embedding").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(q8(0L) == Seq(63, -64, 127, -128)) // floor + clamp
+    val ren = Similarity.truncateRenormed(vecs, "vec_id", "embedding", dims = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    val v0 = ren(0L).get
+    assert(math.abs(math.sqrt(v0.map(x => x * x).sum) - 1.0) < 1e-12)
+    assert(ren(1L).isEmpty) // all-zero prefix → null, not NaN
+    // column form agrees with the staged form
+    val colForm = vecs.select($"vec_id",
+        Similarity.truncateRenorm($"embedding", 2).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(colForm(0L).get == v0 && colForm(1L).isEmpty)
+  }
+
   test("quantileThreshold: exact rank quantile from a value histogram") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     def thr(p: Double): Long =
