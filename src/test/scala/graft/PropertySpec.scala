@@ -162,6 +162,82 @@ class PropertySpec extends AnyFunSuite {
     assert(f.length == 40 && f.toSeq == r.toSeq)
   }
 
+  test("packBins: every doc binned exactly once; bins within a shard are " +
+       "contiguous from 0; prefix invariant holds") {
+    import graft.operators.Sampling
+    (1 to 5).foreach { _ =>
+      val n = 50 + rng.nextInt(200)
+      val docs = (0 until n).map(i => (i.toLong, 1L + rng.nextInt(300).toLong))
+      val maxTokens = 200L + rng.nextInt(400)
+      val out = Sampling.packBins(docs.toDF("doc_id", "n_tokens"),
+          "doc_id", "n_tokens", maxTokens, shards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.length == n) // complete, no duplicates
+      assert(out.map(_._1).distinct.length == n)
+      out.groupBy(_._3).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_._1)
+        // exclusive prefix sums reproduce the bin assignment
+        var prefix = 0L
+        sorted.foreach { case (_, toks, _, bin) =>
+          assert(bin == prefix / maxTokens)
+          prefix += toks
+        }
+        // bins are contiguous from 0
+        val bins = sorted.map(_._4).distinct.sorted.toList
+        assert(bins == (0L to bins.max).toList)
+      }
+    }
+  }
+
+  test("chunkDocuments with stride == window reconstructs the text") {
+    import graft.operators.TextAnalysis
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    (1 to 5).foreach { _ =>
+      val docs = (0 until 20).map { i =>
+        (i.toLong, Seq.fill(1 + rng.nextInt(40))(vocab(rng.nextInt(4))).mkString(" "))
+      }
+      val w = 1 + rng.nextInt(12)
+      val rebuilt = TextAnalysis.chunkDocuments(docs.toDF("doc_id", "text"),
+          "text", "doc_id", window = w, stride = w)
+        .groupBy("doc_id")
+        .agg(array_join(transform(array_sort(collect_list(
+          struct(col("chunk_id"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as("t"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      docs.foreach { case (id, text) => assert(rebuilt(id) == text, s"doc $id w=$w") }
+    }
+  }
+
+  test("kmv sketch equals the k smallest of the exact distinct hash set") {
+    import graft.operators.Sketches
+    val values = Seq.fill(3000)(rng.nextInt(500).toLong)
+    val df = values.map(v => ("g", v)).toDF("g", "v").repartition(7)
+    val k = 32
+    val sketch = df.groupBy("g")
+      .agg(graft.functions.KmvSketch.kMinValues(Sketches.hash40(col("v")), k).as("s"))
+      .head().getSeq[Long](1)
+    val exact = values.distinct
+      .map(v => java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(v.toString).take(10), 16))
+      .distinct.sorted.take(k)
+    assert(sketch == exact)
+  }
+
+  test("sketch jaccard counts bounded: 0 <= overlap <= n_sketch <= k") {
+    import graft.operators.TextAnalysis
+    val docs = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(5 + rng.nextInt(30))(('a' + rng.nextInt(6)).toChar)
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val sk = TextAnalysis.winnowFingerprint(docs, "text", "doc_id", 3, 8)
+    val pairs = (for (a <- 0 until 10; b <- a + 1 until 10)
+      yield (a.toLong, b.toLong)).toDF("a", "b")
+    TextAnalysis.sketchJaccardCounts(sk, pairs, "doc_id", 8).collect().foreach { r =>
+      val (ns, ov) = (r.getLong(2), r.getLong(3))
+      assert(ov >= 0 && ov <= ns && ns <= 8, s"pair ${r.getLong(0)}-${r.getLong(1)}")
+    }
+  }
+
   test("geodesic: symmetric, zero at identity, positive otherwise") {
     import graft.functions.Geodesic
     (1 to 200).foreach { _ =>
