@@ -232,37 +232,98 @@ object Similarity {
                    k: Int, iters: Int,
                    quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val v = prepVectors(df, idCol, vecCol, quantizeScale)
+    val centroids = kmeansCentroidsFrame(df, idCol, vecCol, k,
+      updates = iters - 1, quantizeScale)
+    assignNearest(v, centroids)
+      .select(col("__id").as(idCol), col("centroid_id"))
+  }
+
+  /** (id as __id, quantized-or-double vector as __v, staged ||v||² as
+    * __vv) — the shared input shape of assignment and search. */
+  private def prepVectors(df: DataFrame, idCol: String, vecCol: String,
+                          quantizeScale: Option[Double]): DataFrame = {
     val vec = quantizeScale.map(s => quantize(col(vecCol), s))
       .getOrElse(asDouble(col(vecCol)))
-    val v = df.select(col(idCol).as("__id"), vec.as("__v"))
+    df.select(col(idCol).as("__id"), vec.as("__v"))
       .withColumn("__vv", dot(col("__v"), col("__v")))
-    val init = v.where(col("__id") < k)
+  }
+
+  /** Nearest-centroid assignment of a [[prepVectors]] frame against a
+    * (centroid_id, __c) frame: ||v||² - 2v·c + ||c||² argmin, ties by
+    * centroid id. Keeps __v/__vv for downstream search. */
+  private def assignNearest(v: DataFrame, cs: DataFrame): DataFrame = {
+    val c = broadcast(cs.withColumn("__cc", dot(col("__c"), col("__c"))))
+    val scored = v.crossJoin(c)
+      .withColumn("__d2",
+        col("__vv") - lit(2.0) * dot(col("__v"), col("__c")) + col("__cc"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__d2").asc, col("centroid_id").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(col("__id"), col("centroid_id"), col("__v"), col("__vv"))
+  }
+
+  /** The Lloyd-trained centroid frame (centroid_id, __c) after `updates`
+    * mean-recomputation rounds from the deterministic id-<-k init — the
+    * lazy-plan counterpart of [[kmeansFitCollected]]'s matrix, consumable
+    * by [[ivfKmeansTopK]] or a custom searcher. */
+  def kmeansCentroidsFrame(df: DataFrame, idCol: String, vecCol: String,
+                           k: Int, updates: Int,
+                           quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(k >= 1 && updates >= 0, "k must be >= 1 and updates >= 0")
+    val v = prepVectors(df, idCol, vecCol, quantizeScale)
+    var centroids = v.where(col("__id") < k)
       .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
-    def assign(cs: DataFrame): DataFrame = {
-      val c = broadcast(cs.withColumn("__cc", dot(col("__c"), col("__c"))))
-      val scored = v.crossJoin(c)
-        .withColumn("__d2",
-          col("__vv") - lit(2.0) * dot(col("__v"), col("__c")) + col("__cc"))
-      val w = Window.partitionBy(col("__id"))
-        .orderBy(col("__d2").asc, col("centroid_id").asc)
-      scored.withColumn("__rk", row_number().over(w))
-        .where(col("__rk") === 1)
-        .select(col("__id"), col("centroid_id"), col("__v"))
-    }
-    var assigned = assign(init)
-    for (_ <- 1 until iters) {
-      val sums = assigned
+    for (_ <- 0 until updates) {
+      val sums = assignNearest(v, centroids)
         .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("centroid_id"), col("__pos"))
         .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
-      val updated = sums
+      centroids = sums
         .withColumn("__m", col("__sx") / col("__cnt").cast("double"))
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
           s => s.getField("__m")).as("__c"))
-      assigned = assign(updated)
     }
-    assigned.select(col("__id").as(idCol), col("centroid_id"))
+    centroids
+  }
+
+  /** End-to-end IVF with Lloyd-TRAINED centroids: fit `nList` centroids
+    * on the corpus (`iters` k-means rounds, quantized grid so the whole
+    * pipeline is bit-reproducible), assign corpus and queries to cells,
+    * then top-k nearest (squared-L2 ascending, ties by id) within the
+    * query's cell. Train → coarse-quantize → search, the full IVF
+    * lifecycle in one lazy plan; [[ivfTopK]] remains the
+    * untrained-centroid (id < nList) variant.
+    *
+    * Scale shape: training per round is one broadcast + one corpus pass +
+    * a (nList × dim) aggregate; search joins corpus cells to broadcast
+    * queries — the corpus shuffles once on cell id. */
+  def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nList: Int, iters: Int,
+                    quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val centroids = kmeansCentroidsFrame(corpus, idCol, vecCol, nList,
+      updates = iters - 1, quantizeScale)
+    val corpusAssigned = assignNearest(
+        prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
+      .select(col("__id").as("neighbor_id"), col("centroid_id"),
+        col("__v").as("__nv"), col("__vv").as("__nvv"))
+    val queryAssigned = assignNearest(
+        prepVectors(queries, idCol, vecCol, quantizeScale), centroids)
+      .select(col("__id").as("query_id"), col("centroid_id"),
+        col("__v").as("__qv"), col("__vv").as("__qvv"))
+    val scored = broadcast(queryAssigned)
+      .join(corpusAssigned, Seq("centroid_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__d2",
+        col("__qvv") - lit(2.0) * dot(col("__qv"), col("__nv")) + col("__nvv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("centroid_id"))
   }
 
   /** Symmetric int8 quantization of an embedding column: round-to-floor

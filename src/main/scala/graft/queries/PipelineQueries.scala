@@ -414,6 +414,18 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", posexplode($"fp_hashes").as(Seq("rk", "fp_hash")))
     }),
 
+    // End-to-end IVF with TRAINED centroids: 2 Lloyd rounds fit 8
+    // centroids on the quantized corpus, corpus + queries assign to
+    // cells, top-2 squared-L2 neighbors within the query's cell — the
+    // full train → coarse-quantize → search lifecycle in one lazy plan,
+    // every arithmetic step exact integers.
+    "q90_ivf_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfKmeansTopK(emb.where($"vec_id" < 24), emb,
+        "vec_id", "embedding", k = 2, nList = 8, iters = 2)
+    }),
+
     // Symmetric int8 embedding quantization — the 4x storage compression
     // of a serving stack, exact integer outputs.
     "q88_int8_quant" -> ((s, dir) => {
@@ -939,6 +951,44 @@ object PipelineQueries extends QueryModule {
       SELECT doc_id, n_tokens, shard,
         CAST(prefix // 256 AS BIGINT) AS bin
       FROM p""",
+
+    "q90_ivf_kmeans" -> """
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+                 FROM embeddings),
+      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
+             FROM v WHERE vec_id < 8),
+      a0 AS (SELECT vec_id, cid, e FROM (
+               SELECT vv.vec_id, c.cid, vv.e,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c0 c)
+             WHERE rk = 1),
+      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
+               FROM a0, LATERAL UNNEST(range(1, 65)) AS g(i)
+               GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
+             FROM sums GROUP BY cid),
+      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
+      a1 AS (SELECT vec_id, cid, e, sq FROM (
+               SELECT vv.vec_id, c.cid, vv.e, vv.sq,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c1c c)
+             WHERE rk = 1),
+      scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.cid,
+              ((q.sq - 2.0 * list_inner_product(q.e, n.e)) + n.sq) AS d2
+            FROM a1 q JOIN a1 n ON q.cid = n.cid AND q.vec_id <> n.vec_id
+            WHERE q.vec_id < 24)
+      SELECT query_id, rk, neighbor_id, CAST(cid AS BIGINT) AS centroid_id
+      FROM (SELECT query_id, neighbor_id, cid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM scored)
+      WHERE rk <= 2""",
 
     "q88_int8_quant" -> """
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)

@@ -459,6 +459,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(colForm(0L).get == v0 && colForm(1L).isEmpty)
   }
 
+  test("ivfKmeansTopK: trained cells confine neighbors to their family") {
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), (2L, Array(0.1f, 0f, 0f, 0f)),
+      (4L, Array(0f, 0.1f, 0f, 0f)),
+      (1L, Array(10f, 10f, 10f, 10f)), (3L, Array(10.1f, 10f, 10f, 10f)),
+      (5L, Array(10f, 10.1f, 10f, 10f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfKmeansTopK(vecs, vecs, "vec_id", "embedding",
+        k = 1, nList = 2, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.size == 6)
+    out.foreach { case (q, n) =>
+      assert(q % 2 == n % 2, s"query $q got cross-family neighbor $n")
+    }
+  }
+
   test("quantileThreshold: exact rank quantile from a value histogram") {
     val df = (1 to 100).map(i => (i.toLong, i.toLong)).toDF("id", "v")
     def thr(p: Double): Long =
