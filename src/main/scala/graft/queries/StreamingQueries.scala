@@ -163,6 +163,22 @@ object StreamingQueries extends QueryModule {
         .where($"event_type".isNotNull)
         .select($"event_type" +: unix_micros($"window_start").as("hour_us") +:
           graft.operators.Sketches.sketchSummary($"kmins", 16): _*)
+    }),
+
+    // Stream-static enrichment join: each event looked up against the
+    // broadcast customer dimension per micro-batch. Stateless, so the
+    // output is batching-invariant; the -1 sentinels drop out of the
+    // inner join naturally (no such customer key).
+    "q91_stream_enrich" -> ((s, dir) => {
+      import s.implicits._
+      runStaged(s, dir, "enrich") { stream =>
+        val dim = Tables(stream.sparkSession, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment")
+        StreamingOps.enrich(stream, dim, col("user_id") === col("c_custkey"))
+          .select($"user_id", $"event_type", $"c_mktsegment", $"ts")
+      }
+        .select($"user_id", $"event_type", $"c_mktsegment",
+          unix_micros($"ts").as("ts_us"))
     })
   )
 
@@ -215,5 +231,9 @@ object StreamingQueries extends QueryModule {
              ELSE CAST(floor(CAST(16492674416640 AS DOUBLE) /
                              CAST(kth_min AS DOUBLE)) AS BIGINT)
         END AS est_distinct
-      FROM s""")
+      FROM s""",
+
+    "q91_stream_enrich" -> """
+      SELECT e.user_id, e.event_type, c.c_mktsegment, epoch_us(e.ts) AS ts_us
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey""")
 }

@@ -70,6 +70,14 @@ object StreamingOps {
       .drop("w")
   }
 
+  /** Stream-static enrichment: inner-join a stream against a broadcast
+    * batch dimension — the lookup-table join of an ingest pipeline
+    * (stateless: each micro-batch joins independently, so output is
+    * batching-invariant; the dimension is re-read per batch, picking up
+    * slowly-changing updates). */
+  def enrich(stream: DataFrame, dim: DataFrame, joinExpr: Column): DataFrame =
+    stream.join(broadcast(dim), joinExpr)
+
   /** Streaming exact deduplication: first occurrence per key wins, state
     * carried across micro-batches. With no event-time column among the
     * keys, per-key state is retained for the stream's lifetime — exact
