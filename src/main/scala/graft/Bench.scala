@@ -12,26 +12,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // InferFiltersFromGenerate duplicates the ENTIRE generator expression
-      // into an inferred size()>0 filter, which predicate pushdown then
-      // drags below the fan-out repartition — an expensive in-row array
-      // build (shingles, winnow sketches) runs twice, once single-core.
-      // Measured 23x on the winnow query. The skipped optimization only
-      // pre-filters empty arrays, which our generators never produce.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
-      // many-directory partitionBy writes: direct task commit (no job-commit
-      // rename storm) and no _SUCCESS markers
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      // local-fs benches: skip .crc sidecar writes (~15% on many-file writes)
-      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    // canonical config (incl. the InferFiltersFromGenerate exclusion — see
+    // GraftSession for the rationale) lives in graft.core.GraftSession
+    val spark = graft.core.GraftSession.builder(cpus, cpus, rawLocalFs = true)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -8,23 +8,7 @@ object Verify {
     // args: <sfDir> <outDir> [onlyQueryName] (3rd arg = dev-loop filter)
     val sfDir = args(0); val outDir = args(1); val only = args.lift(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // InferFiltersFromGenerate duplicates the ENTIRE generator expression
-      // into an inferred size()>0 filter, which predicate pushdown then
-      // drags below the fan-out repartition — an expensive in-row array
-      // build (shingles, winnow sketches) runs twice, once single-core.
-      // Measured 23x on the winnow query. The skipped optimization only
-      // pre-filters empty arrays, which our generators never produce.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical local SparkSession config, shared by every entry point
+  * (Bench, Verify, plan/stage audits, profile and scale smokes). The
+  * session-level tuning lives HERE and only here, so a tool can never
+  * measure a differently-optimized plan than the one Bench/Verify run.
+  *
+  * Notable settings and why:
+  *  - `excludedRules = InferFiltersFromGenerate`: that rule duplicates the
+  *    ENTIRE generator expression into an inferred size()>0 filter, which
+  *    predicate pushdown then drags below the fan-out repartition — an
+  *    expensive in-row array build (shingles, winnow sketches) runs twice,
+  *    once single-core. Measured 23x on the winnow query. The skipped
+  *    optimization only pre-filters empty arrays, which our generators
+  *    never produce.
+  *  - file-output committer v2 + no _SUCCESS: many-directory partitionBy
+  *    writes commit per task, avoiding the job-commit rename storm.
+  *  - `rawLocalFs`: local-fs benches skip .crc sidecar writes (~15% on
+  *    many-file writes). Off for Verify (the driver reads the output with
+  *    other tools; checksums are harmless there).
+  */
+object GraftSession {
+  def builder(cores: String, shufflePartitions: String,
+              rawLocalFs: Boolean = false): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+    if (rawLocalFs)
+      b.config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+    else b
+  }
+
+  def builder(cores: String): SparkSession.Builder = builder(cores, cores)
+}

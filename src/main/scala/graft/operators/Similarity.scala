@@ -329,10 +329,13 @@ object Similarity {
   /** Symmetric int8 quantization of an embedding column: round-to-floor
     * of x·scale, clamped to [-128, 127] — the 4× storage/bandwidth
     * compression serving stacks apply before shipping vectors. Integer
-    * outputs, deterministic everywhere. */
+    * outputs, deterministic everywhere. NaN elements are pinned to 0
+    * BEFORE scaling (engines disagree on clamp-vs-floor ordering for NaN;
+    * the oracle mirrors this guard). */
   def quantizeInt8(vec: Column, scale: Double = 127.0): Column =
     transform(asDouble(vec), x =>
-      greatest(lit(-128), least(lit(127), floor(x * lit(scale)))).cast("int"))
+      greatest(lit(-128),
+        least(lit(127), floor(nanvl(x, lit(0.0)) * lit(scale)))).cast("int"))
 
   /** Matryoshka-style truncation: keep the first `dims` dimensions and
     * re-normalize to unit length (null when the truncated prefix is all
@@ -353,17 +356,23 @@ object Similarity {
 
   /** [[truncateRenorm]] with the prefix and its norm staged once per row
     * (multi-referenced attributes survive CollapseProject) — the shape to
-    * use on real corpora. Replaces `vecCol` with the truncated unit
-    * vector. */
+    * use on real corpora. Replaces `vecCol` with the truncated unit vector
+    * in place; every other column passes through unchanged. (`idCol` is
+    * kept for signature stability; the passthrough covers it.) */
   def truncateRenormed(df: DataFrame, idCol: String, vecCol: String,
                        dims: Int): DataFrame = {
     require(dims >= 1, "dims must be >= 1")
+    val passthrough = df.columns.filter(_ != vecCol).map(col)
     val staged = df
-      .select(col(idCol), slice(asDouble(col(vecCol)), 1, dims).as("__p"))
+      .select(passthrough :+ slice(asDouble(col(vecCol)), 1, dims).as("__p"): _*)
       .withColumn("__n", sqrt(dot(col("__p"), col("__p"))))
-    staged.select(col(idCol),
-      when(col("__n") > 0.0, transform(col("__p"), x => x / col("__n")))
-        .as(vecCol))
+    val out = df.columns.map { c =>
+      if (c == vecCol)
+        when(col("__n") > 0.0, transform(col("__p"), x => x / col("__n")))
+          .as(vecCol)
+      else col(c)
+    }
+    staged.select(out: _*)
   }
 
   /** Scale-path Lloyd's k-means: IDENTICAL assignments to [[kmeansAssign]]

@@ -417,8 +417,12 @@ object PipelineQueries extends QueryModule {
     // End-to-end IVF with TRAINED centroids: 2 Lloyd rounds fit 8
     // centroids on the quantized corpus, corpus + queries assign to
     // cells, top-2 squared-L2 neighbors within the query's cell — the
-    // full train → coarse-quantize → search lifecycle in one lazy plan,
-    // every arithmetic step exact integers.
+    // full train → coarse-quantize → search lifecycle in one lazy plan.
+    // Round-1 distances are exact integers; the Lloyd-updated centroids
+    // are fractional means, so round-2 cross-engine agreement rests on
+    // deterministic IEEE double ops with identical summation order
+    // (sequential-fold dot on both sides — the q77 guarantee), NOT on
+    // integer exactness. Don't reorder the distance expression.
     "q90_ivf_kmeans" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
@@ -892,7 +896,7 @@ object PipelineQueries extends QueryModule {
                FROM vv, c0 c)
              WHERE rk = 1),
       sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
-               FROM a0, LATERAL UNNEST(range(1, 65)) AS g(i)
+               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
                GROUP BY 1, 2),
       c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
              FROM sums GROUP BY cid),
@@ -967,7 +971,7 @@ object PipelineQueries extends QueryModule {
                FROM vv, c0 c)
              WHERE rk = 1),
       sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
-               FROM a0, LATERAL UNNEST(range(1, 65)) AS g(i)
+               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
                GROUP BY 1, 2),
       c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
              FROM sums GROUP BY cid),
@@ -991,7 +995,10 @@ object PipelineQueries extends QueryModule {
       WHERE rk <= 2""",
 
     "q88_int8_quant" -> """
-      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                     x -> CASE WHEN isnan(x) THEN 0.0 ELSE x END) AS e
+                 FROM embeddings)
       SELECT vec_id, CAST(g.i - 1 AS INT) AS pos,
         CAST(GREATEST(-128, LEAST(127, floor(e[g.i] * 127.0))) AS INT) AS q8
       FROM v, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)""",

@@ -14,12 +14,7 @@ import graft.operators.Dedup
 object PipelineScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(500000L)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.builder("32", "64").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 

@@ -10,19 +10,7 @@ object PlanAudit {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q31_minhash_sig", "q55_swath_grid", "q57_ann_multiprobe",
         "q58_capped_lsh_equiv", "q59_audio_decode")
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      // InferFiltersFromGenerate duplicates the ENTIRE generator expression
-      // into an inferred size()>0 filter, which predicate pushdown then
-      // drags below the fan-out repartition — an expensive in-row array
-      // build (shingles, winnow sketches) runs twice, once single-core.
-      // Measured 23x on the winnow query. The skipped optimization only
-      // pre-filters empty arrays, which our generators never produce.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.core.GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     names.foreach { n =>

@@ -6,11 +6,7 @@ import org.apache.spark.sql.functions._
 /** Scratch profiling main (dev tool, not part of the driver contract). */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.core.GraftSession.builder("16").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
     def time(name: String)(f: => Any): Unit = {

@@ -9,10 +9,7 @@ import graft.operators.{Dedup, Similarity}
 /** Scratch profiling main for the LSH pair-generation stack (dev tool). */
 object ProfileLsh {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.core.GraftSession.builder("32", "32").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time(name: String)(f: => Any): Unit = {
       val t0 = System.nanoTime(); val r = f

@@ -1,7 +1,7 @@
 package graft.tools
 
+import org.apache.spark.graftbridge.ListenerBridge
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-import org.apache.spark.sql.SparkSession
 
 /** Parallelism tripwire: runs every gate query and flags stages that burn
   * significant core time in a SINGLE task — the signature of work
@@ -11,21 +11,16 @@ import org.apache.spark.sql.SparkSession
   *
   * Streaming gates legitimately run some 1-task micro-batch bookkeeping
   * stages; the threshold keeps those below the radar.
+  *
+  * Exit is non-zero when an offender is found OR when any query failed to
+  * run — a query that throws was never audited, and reporting OK over
+  * reduced coverage would defeat the tripwire.
   */
 object StageAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val threshold = args.lift(1).map(_.toDouble).getOrElse(2.0)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.core.GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     @volatile var current = ""
@@ -41,21 +36,29 @@ object StageAudit {
       }
     })
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       current = name
       try fn(spark, dir).count()
-      catch { case e: Throwable => println(s"[audit] $name FAILED: ${e.getMessage}") }
+      catch { case e: Throwable =>
+        failed += name
+        println(s"[audit] $name FAILED: ${e.getMessage}")
+      }
+      // stage events arrive on the async listener bus — drain before the
+      // label advances so none are attributed to the next query or lost
+      // at exit
+      ListenerBridge.drain(spark.sparkContext)
     }
-    Thread.sleep(1000)
-    if (offenders.isEmpty)
+    offenders.foreach { case (q, sid, s) =>
+      println(f"[audit] OFFENDER $q stage=$sid singleTaskCoreSec=$s%.2f")
+    }
+    if (failed.nonEmpty)
+      println(s"[audit] INCOMPLETE: ${failed.size} queries failed to run " +
+        s"(${failed.mkString(", ")}) — their stages were never audited")
+    if (offenders.isEmpty && failed.isEmpty)
       println(s"[audit] OK: no single-task stage over $threshold core-sec across " +
         s"${graft.SparkEntry.queries.size} queries")
-    else {
-      offenders.foreach { case (q, sid, s) =>
-        println(f"[audit] OFFENDER $q stage=$sid singleTaskCoreSec=$s%.2f")
-      }
-      sys.exit(1)
-    }
     spark.stop()
+    if (offenders.nonEmpty || failed.nonEmpty) sys.exit(1)
   }
 }
