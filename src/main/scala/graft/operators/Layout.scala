@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering.
+  *
+  * Why it matters at 100 TB: parquet min/max stats prune a scan only when
+  * a file's value range is narrow on the filtered column. Sorting on
+  * (x, y) makes x-ranges tight but leaves y spanning the whole domain
+  * inside each file; interleaving the bits of both indices into one sort
+  * key gives every file a tight range on BOTH axes, so 2-D predicates
+  * (extent queries, point-radius pre-filters) prune on either column.
+  * This is the standard lakehouse OPTIMIZE/Z-ORDER layout pass expressed
+  * as plain columns — Catalyst sees an ordinary range repartition + sort,
+  * and the z computation is codegen'd shift/and/or builtins.
+  *
+  * Reference anchor: the reference buckets rows into spatial directories
+  * (/root/reference/satbucket/partitioning.py) but leaves row order
+  * arbitrary inside a partition's files; this is the beyond-reference
+  * layout step for stats-based pruning INSIDE large cells.
+  */
+object Layout {
+
+  /** Morton/Z-value of non-negative integer coordinate columns: bit i of
+    * cols(j) lands at output position i*cols.size + j (cols(0) owns the
+    * least-significant interleaved bit). `bits` per axis; bits*cols.size
+    * must fit a long sign-free (<= 63). */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 63,
+      "need >= 1 column and 1..63 total interleaved bits")
+    val dims = cols.size
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)),
+      i * dims + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Range-partition into `numFiles` output tasks by z-value and sort
+    * rows within each: one shuffle, and every written file covers a
+    * compact z-range — a tight bounding box on every interleaved axis.
+    * Boundary sampling is Spark's range partitioner (statistical, not
+    * gated); the z key itself is deterministic. */
+  def clusterByZ(df: DataFrame, z: Column, numFiles: Int): DataFrame = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+}

@@ -446,6 +446,97 @@ object Similarity {
     * embeddings all hashing to one signature — degrades from all-pairs to
     * chained consecutive pairs (O(n), transitivity keeps clusters
     * connected); buckets at or under the cap stay exact all-pairs. */
+  /** (__id, __s, __sv, __svv): each vector split into `m` contiguous
+    * subvectors of dims/m, exploded one row per (vector, subspace), with
+    * the subvector's squared norm staged. Shared by PQ encode and ADC
+    * search. */
+  private def subvectorFrame(df: DataFrame, idCol: String, vecCol: String,
+                             dims: Int, m: Int,
+                             quantizeScale: Option[Double]): DataFrame = {
+    require(m >= 1 && dims % m == 0, "dims must divide evenly into m subspaces")
+    val sub = dims / m
+    val vec = quantizeScale.map(s => quantize(col(vecCol), s))
+      .getOrElse(asDouble(col(vecCol)))
+    df.select(col(idCol).as("__id"), vec.as("__v"))
+      .select(col("__id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("__v"), s * sub + 1, lit(sub)))).as(Seq("__s", "__sv")))
+      .withColumn("__svv", dot(col("__sv"), col("__sv")))
+  }
+
+  /** Per-subspace codebook (__s, __cid, __c, __cc): centroids are the
+    * subvectors of rows with id < k — the same deterministic no-RNG init
+    * as [[ivfTopK]] (layer [[kmeansCentroidsFrame]] per subspace for
+    * trained codebooks). */
+  private def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+                         dims: Int, m: Int, k: Int,
+                         quantizeScale: Option[Double]): DataFrame =
+    subvectorFrame(df.where(col(idCol) < k), idCol, vecCol, dims, m, quantizeScale)
+      .select(col("__s"), col("__id").cast("long").as("__cid"),
+        col("__sv").as("__c"), col("__svv").as("__cc"))
+
+  /** Product-quantization encode: each vector becomes `m` codebook ids
+    * (code(s) = nearest of `k` per-subspace centroids, squared-L2, ties
+    * by centroid id) — m bytes-ish per vector instead of 4·dims, the
+    * compression that lets a 100 TB vector store keep its codes in
+    * memory. On the quantized grid every distance is an exact integer, so
+    * codes are bit-reproducible across engines and partitionings.
+    *
+    * Scale shape: the codebook (m·k rows) broadcasts; the corpus explodes
+    * to n·m subvector rows scored against k candidates each, and the
+    * argmin is a min-of-struct hash aggregate (map-side combine, no
+    * window sort); reassembly is one more hash aggregate on id. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+               m: Int, k: Int,
+               quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cb = broadcast(pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale))
+    val best = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
+      .join(cb, Seq("__s"))
+      .withColumn("__d2",
+        col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
+      .groupBy(col("__id"), col("__s"))
+      .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid").as("__code"))
+    best.groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
+        s => s.getField("__code")).as("pq_code"))
+      .select(col("__id").as(idCol), col("pq_code"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
+    * corpus vectors are represented ONLY by their PQ codes; distance is
+    * the sum over subspaces of ||q_s − centroid(code_s)||² looked up from
+    * a per-query distance table. The standard IVF-PQ search kernel: the
+    * distance tables (queries × m × k rows) broadcast, corpus codes join
+    * them without touching corpus vectors, and the per-pair sum is a hash
+    * aggregate. Exact integers on the quantized grid end to end. */
+  def pqAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, dims: Int, m: Int, k: Int, topK: Int,
+                quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+    val codes = pqEncode(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("pq_code")).as(Seq("__s", "__code")))
+    val tables = subvectorFrame(queries, idCol, vecCol, dims, m, quantizeScale)
+      .withColumnRenamed("__id", "query_id")
+      .join(cb, Seq("__s"))
+      .select(col("query_id"), col("__s"), col("__cid"),
+        (col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
+          .as("__ld"))
+    val scored = codes
+      .join(broadcast(tables),
+        codes("__s") === tables("__s") && codes("__code") === tables("__cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("__ld")).as("adc_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_d2"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nPlanes: Int = 8,
                             seed: Long = 42L,

@@ -430,6 +430,29 @@ object PipelineQueries extends QueryModule {
         "vec_id", "embedding", k = 2, nList = 8, iters = 2)
     }),
 
+    // Product-quantization codes: 64-dim vectors → 4 subspaces × 16
+    // centroids, each vector stored as 4 small ids (the 100-TB
+    // vector-store compression). Exact integer distances on the
+    // quantized grid → bit-reproducible codes.
+    "q93_pq_codes" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.pqEncode(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", dims = 64, m = 4, k = 16)
+        .select($"vec_id", posexplode($"pq_code").as(Seq("s", "code")))
+    }),
+
+    // PQ asymmetric-distance search: 8 full-precision queries scored
+    // against the corpus's PQ codes alone via per-query distance tables —
+    // the IVF-PQ search kernel. Integer-exact end to end.
+    "q94_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqAdcTopK(emb.where($"vec_id" < 8), emb,
+          "vec_id", "embedding", dims = 64, m = 4, k = 16, topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Symmetric int8 embedding quantization — the 4x storage compression
     // of a serving stack, exact integer outputs.
     "q88_int8_quant" -> ((s, dir) => {
@@ -508,6 +531,27 @@ object PipelineQueries extends QueryModule {
        |    ('0x' || substr(md5(sh), 13, 12))::BIGINT AS h2
        |  FROM (${shinglesSql(shingleK)})) GROUP BY doc_id""".stripMargin
   }
+
+  /** Shared PQ oracle CTEs (mirrors Similarity.subvectorFrame/pqCodebook/
+    * pqEncode at dims=64, m=4, k=16 on the 1000× integer grid): quantize,
+    * split into 4×16-dim subvectors, codebook from vec_id < 16, nearest
+    * centroid per (vector, subspace) with ties by centroid id. */
+  private val pqCommonSql: String = """
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+                 FROM embeddings),
+      sub AS (SELECT vec_id, g.s AS s, e[(g.s * 16 + 1):(g.s * 16 + 16)] AS sv
+              FROM v, LATERAL UNNEST(range(0, 4)) AS g(s)),
+      svv AS (SELECT vec_id, s, sv, list_inner_product(sv, sv) AS n2 FROM sub),
+      cb AS (SELECT s, vec_id AS cid, sv AS c, n2 AS cc FROM svv WHERE vec_id < 16),
+      scored AS (SELECT t.vec_id, t.s, cb.cid,
+                   (t.n2 - 2.0 * list_inner_product(t.sv, cb.c)) + cb.cc AS d2
+                 FROM svv t JOIN cb ON t.s = cb.s),
+      best AS (SELECT vec_id, s, cid FROM (
+                 SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s
+                     ORDER BY d2 ASC, cid ASC) AS rk
+                 FROM scored) WHERE rk = 1)"""
 
   def oracle: Map[String, String] = Map(
     "q30_dedup_exact" -> s"""
@@ -1010,6 +1054,26 @@ object PipelineQueries extends QueryModule {
       SELECT vec_id, CAST(g.i - 1 AS INT) AS pos, p[g.i] / nrm AS v
       FROM n, LATERAL UNNEST(range(1, len(p) + 1)) AS g(i)
       WHERE nrm > 0.0""",
+
+    "q93_pq_codes" -> s"""$pqCommonSql
+      SELECT vec_id, CAST(s AS INT) AS s, CAST(cid AS BIGINT) AS code
+      FROM best""",
+
+    "q94_pq_adc" -> s"""$pqCommonSql,
+      q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),
+      dt AS (SELECT q.query_id, cb.s, cb.cid,
+               (q.n2 - 2.0 * list_inner_product(q.sv, cb.c)) + cb.cc AS ld
+             FROM q JOIN cb ON q.s = cb.s),
+      acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, SUM(dt.ld) AS d2
+              FROM best b JOIN dt ON b.s = dt.s AND b.cid = dt.cid
+              WHERE b.vec_id <> dt.query_id
+              GROUP BY 1, 2)
+      SELECT query_id, rk, neighbor_id, CAST(d2 AS BIGINT) AS adc_d2
+      FROM (SELECT query_id, neighbor_id, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM acc)
+      WHERE rk <= 3""",
 
     "q85_sketch_jaccard" -> s"""
       WITH sh AS (${shinglesSql(3)}),

@@ -130,6 +130,23 @@ object Spatial extends QueryModule {
       val bucketDir = ensureBucket(s, dir)
       BucketReader.read(s, bucketDir, query = BucketReader.ByCountry("Brazil"))
         .select($"event_id", $"user_id", $"lon", $"lat")
+    }),
+
+    // Z-order layout key: events binned to a 512×512 grid, x/y bit
+    // interleaving into one Morton sort key — the lakehouse
+    // OPTIMIZE/Z-ORDER pass that makes parquet min/max stats prune 2-D
+    // predicates inside large cells. Pure integer bit arithmetic.
+    "q92_zorder" -> ((s, dir) => {
+      import s.implicits._
+      val b = Tables(s, dir, "events")
+        .withColumn("lon", synthLon($"event_id"))
+        .withColumn("lat", synthLat($"event_id"))
+        .withColumn("xi", least(lit(511L),
+          floor(($"lon" + lit(180.0)) * lit(512.0) / lit(360.0)).cast("long")))
+        .withColumn("yi", least(lit(511L),
+          floor(($"lat" + lit(90.0)) * lit(512.0) / lit(180.0)).cast("long")))
+      b.select($"event_id", $"xi", $"yi",
+        graft.operators.Layout.zValue(Seq($"xi", $"yi"), 9).as("z"))
     })
   )
 
@@ -323,6 +340,23 @@ object Spatial extends QueryModule {
     "q22_tile_agg" -> tileOracle,
     "q23_point_radius" -> pointRadiusOracle,
     "q24_geodesic_radius" -> geodesicRadiusOracle,
-    "q29_country_read" -> countryReadOracle
+    "q29_country_read" -> countryReadOracle,
+
+    "q92_zorder" -> {
+      // identical bit placement to Layout.zValue: bit i of xi → 2i,
+      // bit i of yi → 2i+1 (9 bits per axis)
+      val terms = (0 until 9).flatMap(i => Seq(
+        s"(((xi >> $i) & 1) << ${2 * i})",
+        s"(((yi >> $i) & 1) << ${2 * i + 1})"))
+      s"""
+      WITH e AS ($synthSql),
+      b AS (SELECT event_id,
+              LEAST(511, CAST(floor((lon + 180.0) * 512.0 / 360.0) AS BIGINT)) AS xi,
+              LEAST(511, CAST(floor((lat + 90.0) * 512.0 / 180.0) AS BIGINT)) AS yi
+            FROM e)
+      SELECT event_id, xi, yi,
+        CAST((${terms.mkString(" | ")}) AS BIGINT) AS z
+      FROM b"""
+    }
   )
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Similarity}
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Reference Morton interleave (driver-side): bit i of coords(j) →
+    * position i*dims + j. */
+  private def zRef(coords: Seq[Long], bits: Int): Long = {
+    val dims = coords.size
+    (for (i <- 0 until bits; j <- 0 until dims)
+      yield ((coords(j) >> i) & 1L) << (i * dims + j)).sum
+  }
+
+  test("zValue matches the reference interleave on random coords (2-D and 3-D)") {
+    val rng = new scala.util.Random(42)
+    val pts2 = Seq.fill(200)((rng.nextInt(512).toLong, rng.nextInt(512).toLong))
+    val got2 = pts2.toDF("x", "y")
+      .select($"x", $"y", Layout.zValue(Seq($"x", $"y"), 9).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts2.foreach { p => assert(got2(p) == zRef(Seq(p._1, p._2), 9), s"2-D $p") }
+
+    val pts3 = Seq.fill(100)((rng.nextInt(64).toLong, rng.nextInt(64).toLong,
+      rng.nextInt(64).toLong))
+    val got3 = pts3.toDF("x", "y", "w")
+      .select($"x", $"y", $"w", Layout.zValue(Seq($"x", $"y", $"w"), 6).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    pts3.foreach { p =>
+      assert(got3(p) == zRef(Seq(p._1, p._2, p._3), 6), s"3-D $p")
+    }
+  }
+
+  test("zValue locality: adjacent cells differ less than distant cells on average") {
+    // not a strict property of Morton order, but the aggregate trend that
+    // makes range-partitioning by z spatially coherent
+    def z(x: Long, y: Long) = zRef(Seq(x, y), 9)
+    val rng = new scala.util.Random(7)
+    val near = Seq.fill(500) {
+      val (x, y) = (rng.nextInt(510).toLong, rng.nextInt(510).toLong)
+      math.abs(z(x, y) - z(x + 1, y))
+    }
+    val far = Seq.fill(500) {
+      val (x, y) = (rng.nextInt(256).toLong, rng.nextInt(256).toLong)
+      math.abs(z(x, y) - z(x + 255, y))
+    }
+    assert(near.sum < far.sum)
+  }
+
+  test("clusterByZ: z-ordered files have far tighter bounding boxes than arrival order") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 20000).map { i =>
+      (i.toLong, rng.nextInt(512).toLong, rng.nextInt(512).toLong)
+    }
+    val df = rows.toDF("id", "xi", "yi")
+    val z = Layout.zValue(Seq($"xi", $"yi"), 9)
+
+    def meanBoxArea(writeDf: org.apache.spark.sql.DataFrame): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      writeDf.write.mode("overwrite").parquet(dir)
+      val per = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(((max($"xi") - min($"xi") + 1) *
+              (max($"yi") - min($"yi") + 1)).cast("double").as("area"))
+        .select(avg($"area")).as[Double].head()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      per
+    }
+
+    val unsortedArea = meanBoxArea(df.repartition(8))
+    val zorderedArea = meanBoxArea(Layout.clusterByZ(df, z, 8))
+    // arrival-order files span the whole 512² domain; z-ordered files
+    // cover ~1/8 of it — require at least a 3x tightening to stay far
+    // from sampling noise
+    assert(zorderedArea * 3 < unsortedArea,
+      s"zordered=$zorderedArea unsorted=$unsortedArea")
+  }
+
+  test("pqEncode: codebook rows encode to their own id in every subspace") {
+    val rng = new scala.util.Random(3)
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding",
+        dims = 16, m = 4, k = 8)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(codes.size == 64)
+    (0L until 8L).foreach { id =>
+      assert(codes(id) == Seq(id, id, id, id), s"codebook row $id")
+    }
+    codes.values.foreach(c => assert(c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+  }
+
+  test("pqAdcTopK: over a corpus of codebook rows, ADC equals exact distance") {
+    // when every corpus vector IS a centroid, quantization error is zero:
+    // ADC top-k must equal brute-force quantized squared-L2 top-k
+    val rng = new scala.util.Random(5)
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val adc = Similarity.pqAdcTopK(df, df, "vec_id", "embedding",
+        dims = 16, m = 4, k = 8, topK = 2)
+      .select($"query_id", $"rk", $"neighbor_id", $"adc_d2")
+      .as[(Long, Int, Long, Double)].collect()
+      .map { case (q, rk, n, d) => (q, rk) -> ((n, d)) }.toMap
+
+    def quant(v: Array[Float]) = v.map(x => math.floor(x * 1000.0))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qv = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    vecs.foreach { case (q, _) =>
+      val expect = vecs.filter(_._1 != q)
+        .map { case (n, _) => (n, d2(qv(q), qv(n))) }
+        .sortBy { case (n, d) => (d, n) }.take(2)
+      expect.zipWithIndex.foreach { case ((n, d), i) =>
+        val (gotN, gotD) = adc((q, i + 1))
+        assert(gotN == n && gotD == d, s"query $q rank ${i + 1}")
+      }
+    }
+  }
+}
