@@ -484,19 +484,36 @@ object Similarity {
     *
     * Scale shape: the codebook (m·k rows) broadcasts; the corpus explodes
     * to n·m subvector rows scored against k candidates each, and the
-    * argmin is a min-of-struct hash aggregate (map-side combine, no
-    * window sort); reassembly is one more hash aggregate on id. */
+    * argmin is a primitive min() over (d2, cid) packed into one long —
+    * a true HashAggregate with map-side combine (quantized path; the
+    * unquantized fallback uses min-of-struct, which Spark evaluates with
+    * SortAggregate); reassembly is one more hash aggregate on id. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                m: Int, k: Int,
                quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val cb = broadcast(pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale))
-    val best = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
+    val scored = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
       .join(cb, Seq("__s"))
       .withColumn("__d2",
         col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
-      .groupBy(col("__id"), col("__s"))
-      .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid").as("__code"))
+    val best = quantizeScale match {
+      case Some(_) =>
+        // quantized distances are exact non-negative integers, so packing
+        // (d2, cid) into one long keeps the argmin a primitive min() that
+        // HashAggregate evaluates with map-side combine; min over a
+        // struct would fall back to SortAggregate — a per-partition sort
+        // of all n·m·k scored rows. Tie-break by cid is the low bits.
+        scored.groupBy(col("__id"), col("__s"))
+          .agg(min(col("__d2").cast("long") * lit(k.toLong) + col("__cid"))
+            .as("__packed"))
+          .select(col("__id"), col("__s"),
+            (col("__packed") % lit(k.toLong)).as("__code"))
+      case None =>
+        scored.groupBy(col("__id"), col("__s"))
+          .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid")
+            .as("__code"))
+    }
     best.groupBy(col("__id"))
       .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
         s => s.getField("__code")).as("pq_code"))
