@@ -8,7 +8,7 @@ import graft.streaming.StreamingOps
 
 /** Driver-gate coverage for the Structured Streaming surface (SURVEY §2.9).
   *
-  * All three gates run REAL streaming queries — file source → stateful
+  * Every gate here runs a REAL streaming query — file source → stateful
   * transform → append-mode parquet sink with checkpointing — end-to-end
   * under Trigger.AvailableNow, then return the sink contents for the
   * oracle hash-compare. Determinism is engineered, not hoped for:
@@ -74,7 +74,14 @@ object StreamingQueries extends QueryModule {
     * this volume; batch queries keep the session default), AvailableNow,
     * then the sink read back through the PARENT session. */
   private def runStaged(s: SparkSession, dir: String, sinkName: String)
-                       (transform: DataFrame => DataFrame): DataFrame = {
+                       (transform: DataFrame => DataFrame): DataFrame =
+    runStagedN(s, dir, sinkName, 1)(streams => transform(streams.head))
+
+  /** [[runStaged]] with `n` independent readStream sources over the same
+    * staged input — what a stream-stream join needs (each side batches
+    * and tracks progress separately, as two real sources would). */
+  private def runStagedN(s: SparkSession, dir: String, sinkName: String, n: Int)
+                        (transform: Seq[DataFrame] => DataFrame): DataFrame = {
     val base = ensureStagedInput(s, dir)
     val inDir = s"$base/in"
     val outDir = s"$base/$sinkName/out"; val ckpt = s"$base/$sinkName/ckpt"
@@ -85,10 +92,10 @@ object StreamingQueries extends QueryModule {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
     val schema = s.read.parquet(inDir).schema
-    val stream = ss.readStream.schema(schema)
+    val streams = Seq.fill(n)(ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(inDir)
-    val q = transform(stream).writeStream
+      .parquet(inDir))
+    val q = transform(streams).writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckpt)
@@ -179,6 +186,30 @@ object StreamingQueries extends QueryModule {
       }
         .select($"user_id", $"event_type", $"c_mktsegment",
           unix_micros($"ts").as("ts_us"))
+    }),
+
+    // Watermarked stream-stream interval join: each user's views within
+    // 24h after a click, both sides real file streams batching
+    // independently. The event-time range constraint + watermarks bound
+    // the join state; inner matches emit as soon as both rows arrive, so
+    // the output is batching-invariant. Sentinels (null event_type) drop
+    // in the side filters.
+    "q95_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      runStagedN(s, dir, "ssjoin", 2) { streams =>
+        val clicks = streams(0).where($"event_type" === "click")
+          .select($"user_id".as("l_user"), $"ts".as("click_ts"))
+        val views = streams(1).where($"event_type" === "view")
+          .select($"user_id".as("r_user"), $"ts".as("view_ts"))
+        StreamingOps.streamIntervalJoin(clicks, views, "click_ts", "view_ts",
+          watermark = "1 minute",
+          condition = $"l_user" === $"r_user" &&
+            $"view_ts" >= $"click_ts" &&
+            $"view_ts" <= $"click_ts" + expr("interval 24 hours"))
+      }
+        .select($"l_user".as("user_id"),
+          unix_micros($"click_ts").as("click_us"),
+          unix_micros($"view_ts").as("view_us"))
     })
   )
 
@@ -235,5 +266,12 @@ object StreamingQueries extends QueryModule {
 
     "q91_stream_enrich" -> """
       SELECT e.user_id, e.event_type, c.c_mktsegment, epoch_us(e.ts) AS ts_us
-      FROM events e JOIN customer c ON e.user_id = c.c_custkey""")
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey""",
+
+    "q95_stream_join" -> """
+      SELECT l.user_id, epoch_us(l.ts) AS click_us, epoch_us(r.ts) AS view_us
+      FROM events l JOIN events r ON l.user_id = r.user_id
+        AND l.event_type = 'click' AND r.event_type = 'view'
+        AND epoch_us(r.ts) >= epoch_us(l.ts)
+        AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""")
 }

@@ -78,6 +78,20 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, joinExpr: Column): DataFrame =
     stream.join(broadcast(dim), joinExpr)
 
+  /** Watermarked stream-stream inner join. `condition` must carry an
+    * event-time range constraint between the two time columns — that
+    * constraint plus the watermarks is what lets the engine BOUND the
+    * join state (each side's buffered rows are evicted once the watermark
+    * passes the range they could still match); without it state grows
+    * forever. Inner-join matches emit as soon as both rows have arrived,
+    * so the result is batching-invariant — equal to the batch join of the
+    * full inputs. */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         leftTime: String, rightTime: String,
+                         watermark: String, condition: Column): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark), condition)
+
   /** Streaming exact deduplication: first occurrence per key wins, state
     * carried across micro-batches. With no event-time column among the
     * keys, per-key state is retained for the stream's lifetime — exact
