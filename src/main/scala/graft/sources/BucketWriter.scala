@@ -171,7 +171,8 @@ object BucketWriter {
                   mode: String = "append",
                   removeInvalidRows: Boolean = true,
                   writeMetadata: Boolean = false,
-                  autoSaltSkew: Boolean = true): Unit = {
+                  autoSaltSkew: Boolean = true,
+                  zorderWithinFiles: Boolean = false): Unit = {
     val labeled0 = p.addLabels(df, x, y, removeInvalidRows)
     // co-locate each spatial partition in one task: one output file per
     // directory instead of (tasks × dirs) small files — at scale this is
@@ -182,8 +183,31 @@ object BucketWriter {
     // opens serially within its task — 2.4× faster on a 253-dir write than
     // cores-many tasks.
     val maxRecords = estimateRowsForSize(df, parseSize(maxFileSize))
-    val labeled = skewAwareRepartition(labeled0, p.order, maxRecords, autoSaltSkew,
-      maxFileBytes = parseSize(maxFileSize))
+    val repartitioned = skewAwareRepartition(labeled0, p.order, maxRecords,
+      autoSaltSkew, maxFileBytes = parseSize(maxFileSize))
+    // optional Z-order INSIDE each cell's files: sort tasks by (labels, z)
+    // — labels lead so the dynamic-partition writer's required ordering is
+    // already satisfied (it would otherwise insert its own, NOT stable,
+    // sort on the partition columns and scramble z). Rows then land in
+    // Morton order, so parquet page/row-group min-max stats stay tight on
+    // BOTH coordinates and sub-cell extent reads prune within big files.
+    // No extra shuffle: this is a per-task sort after the repartition.
+    val labeled =
+      if (!zorderWithinFiles) repartitioned
+      else {
+        import org.apache.spark.sql.functions._
+        val e = p.extent
+        val bits = 15 // 2^15 per axis: finer than any realistic cell split
+        val n = (1L << bits) - 1L
+        def gridIdx(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+          least(lit(n), greatest(lit(0L),
+            floor((c - lit(lo)) * lit((n + 1).toDouble) / lit(hi - lo))
+              .cast("long")))
+        val z = graft.operators.Layout.zValue(
+          Seq(gridIdx(col(x), e.xmin, e.xmax), gridIdx(col(y), e.ymin, e.ymax)),
+          bits)
+        repartitioned.sortWithinPartitions((p.order.map(col) :+ z): _*)
+      }
     labeled.write
       .mode(mode)
       .partitionBy(p.order: _*)

@@ -80,6 +80,41 @@ class LayoutSpec extends AnyFunSuite {
       s"zordered=$zorderedArea unsorted=$unsortedArea")
   }
 
+  test("writeBucket(zorderWithinFiles): rows inside every file are in Morton order") {
+    import graft.partitioning.{Extent, XYPartitioning}
+    import graft.sources.BucketWriter
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 4000).map { i =>
+      (i.toLong, rng.nextDouble() * 10.0, rng.nextDouble() * 10.0)
+    }
+    val df = rows.toDF("id", "lon", "lat")
+    val p = XYPartitioning(size = (5.0, 5.0), extent = Extent(0, 10, 0, 10))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    BucketWriter.writeBucket(df, dir, p, mode = "overwrite",
+      zorderWithinFiles = true)
+
+    // recompute the writer's z key per row and assert non-decreasing order
+    // within each physical file
+    val n = (1L << 15) - 1L
+    def gi(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      least(lit(n), greatest(lit(0L),
+        floor((c - lit(lo)) * lit((n + 1).toDouble) / lit(hi - lo)).cast("long")))
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val zs = spark.read.parquet(f).coalesce(1)
+        .select(graft.operators.Layout.zValue(
+          Seq(gi($"lon", 0, 10), gi($"lat", 0, 10)), 15).as("z"))
+        .as[Long].collect()
+      assert(zs.length > 0)
+      assert(zs.zip(zs.tail).forall { case (a, b) => a <= b },
+        s"file $f not z-sorted")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("pqEncode: codebook rows encode to their own id in every subspace") {
     val rng = new scala.util.Random(3)
     val vecs = (0 until 64).map(i =>
