@@ -198,6 +198,61 @@ object Similarity {
       math.log(math.max(corpusSize.toDouble / targetBucketSize, 1.0)) /
         math.log(2.0)).toInt))
 
+  /** Combined IVF + PQ asymmetric-distance search — the billion-scale ANN
+    * layout: the corpus is coarse-assigned to `nList` cells (deterministic
+    * id < nList centroids, as [[ivfTopK]]) and stored as `m` PQ codes per
+    * vector; a query probes its own cell (nProbe=1) and ranks candidates
+    * by ADC from a per-query lookup table, never touching corpus vectors.
+    * Raw-vector PQ (not residual encoding) keeps the whole pipeline
+    * integer-exact on the quantized grid; residual encoding is the
+    * production refinement once codebooks are Lloyd-trained
+    * ([[kmeansCentroidsFrame]] per subspace slots in here).
+    *
+    * Scale shape: centroids (nList rows) and the distance tables
+    * (queries·m·k rows, cell-tagged) broadcast; the corpus is scanned for
+    * assign + encode (persist the (cell, codes) frame in production — it
+    * is the index) and shuffles only on the (query, neighbor) aggregate. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, dims: Int, m: Int, k: Int, nList: Int,
+                topK: Int,
+                quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(topK >= 1 && nList >= 1, "topK and nList must be >= 1")
+    val centroids = prepVectors(corpus, idCol, vecCol, quantizeScale)
+      .where(col("__id") < nList)
+      .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
+    val corpusCells = assignNearest(
+        prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
+      .select(col("__id").as("neighbor_id"), col("centroid_id"))
+    val codes = pqEncode(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+      .select(col(idCol).as("neighbor_id"),
+        posexplode(col("pq_code")).as(Seq("__s", "__code")))
+      .join(corpusCells, Seq("neighbor_id"))
+    val queryCells = assignNearest(
+        prepVectors(queries, idCol, vecCol, quantizeScale), centroids)
+      .select(col("__id").as("query_id"), col("centroid_id").as("__qcell"))
+    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+    val tables = subvectorFrame(queries, idCol, vecCol, dims, m, quantizeScale)
+      .withColumnRenamed("__id", "query_id")
+      .join(cb, Seq("__s"))
+      .select(col("query_id"), col("__s"), col("__cid"),
+        (col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
+          .as("__ld"))
+      .join(queryCells, Seq("query_id"))
+    val scored = codes
+      .join(broadcast(tables),
+        col("centroid_id") === col("__qcell") &&
+          codes("__s") === tables("__s") && col("__code") === col("__cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("centroid_id"))
+      .agg(sum(col("__ld")).as("adc_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"),
+        col("centroid_id"), col("adc_d2"))
+  }
+
   /** Quantize a float vector onto an integer grid (floor(x * scale), kept
     * as doubles). Makes every downstream sum EXACT (integer-valued doubles
     * add associatively below 2^53), so k-means over quantized vectors is

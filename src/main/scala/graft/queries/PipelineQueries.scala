@@ -471,6 +471,19 @@ object PipelineQueries extends QueryModule {
         .select($"vec_id", posexplode($"embedding").as(Seq("pos", "v")))
     }),
 
+    // Combined IVF-PQ: corpus coarse-assigned to 8 cells and stored as
+    // 4 PQ codes per vector; queries probe their own cell and rank by
+    // asymmetric distance from broadcast lookup tables — the
+    // billion-scale ANN search layout, integer-exact end to end.
+    "q96_ivfpq" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.where($"vec_id" < 8), emb, "vec_id",
+          "embedding", dims = 64, m = 4, k = 16, nList = 8, topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Sketch-based pairwise Jaccard: q34's candidate pairs verified from
     // 8-hash winnow sketches alone (min-k union estimator) — near-dup
     // verification without touching full texts.
@@ -1058,6 +1071,36 @@ object PipelineQueries extends QueryModule {
     "q93_pq_codes" -> s"""$pqCommonSql
       SELECT vec_id, CAST(s AS INT) AS s, CAST(cid AS BIGINT) AS code
       FROM best""",
+
+    "q96_ivfpq" -> s"""$pqCommonSql,
+      fv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      cen AS (SELECT vec_id AS ccell, e AS ce, sq AS cc2 FROM fv
+              WHERE vec_id < 8),
+      cells AS (SELECT vec_id, ccell AS cell FROM (
+                  SELECT fv.vec_id, c.ccell,
+                    row_number() OVER (PARTITION BY fv.vec_id ORDER BY
+                      ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
+                        ASC, c.ccell ASC) AS rk
+                  FROM fv, cen c) WHERE rk = 1),
+      q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),
+      dt AS (SELECT q.query_id, cb.s, cb.cid,
+               (q.n2 - 2.0 * list_inner_product(q.sv, cb.c)) + cb.cc AS ld
+             FROM q JOIN cb ON q.s = cb.s),
+      acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, nc.cell,
+                SUM(dt.ld) AS d2
+              FROM best b
+              JOIN dt ON b.s = dt.s AND b.cid = dt.cid
+              JOIN cells nc ON nc.vec_id = b.vec_id
+              JOIN cells qc ON qc.vec_id = dt.query_id AND qc.cell = nc.cell
+              WHERE b.vec_id <> dt.query_id
+              GROUP BY 1, 2, 3)
+      SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
+        CAST(d2 AS BIGINT) AS adc_d2
+      FROM (SELECT query_id, neighbor_id, cell, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM acc)
+      WHERE rk <= 3""",
 
     "q94_pq_adc" -> s"""$pqCommonSql,
       q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),

@@ -130,6 +130,29 @@ class LayoutSpec extends AnyFunSuite {
     codes.values.foreach(c => assert(c.length == 4 && c.forall(x => x >= 0 && x < 8)))
   }
 
+  test("ivfPqTopK: ranks are contiguous from 1 and candidates share the query's cell") {
+    val rng = new scala.util.Random(9)
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val res = Similarity.ivfPqTopK(df.where($"vec_id" < 4), df, "vec_id",
+        "embedding", dims = 16, m = 4, k = 8, nList = 4, topK = 3)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length),
+        s"query $q ranks not contiguous")
+      // within a query, ADC distances are non-decreasing with rank
+      val byRank = rows.sortBy(_._2).map(_._5)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      // one cell per query: the probe set
+      assert(rows.map(_._4).distinct.length == 1)
+    }
+    // a query that is itself a centroid sits in its own cell
+    val cellsOfQueries = res.filter(r => r._1 < 4).map(r => r._1 -> r._4).toMap
+    cellsOfQueries.foreach { case (q, cell) => assert(cell == q) }
+  }
+
   test("pqAdcTopK: over a corpus of codebook rows, ADC equals exact distance") {
     // when every corpus vector IS a centroid, quantization error is zero:
     // ADC top-k must equal brute-force quantized squared-L2 top-k
