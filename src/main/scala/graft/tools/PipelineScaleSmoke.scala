@@ -95,6 +95,24 @@ object PipelineScaleSmoke {
     require(nK == 8 && cents.length == 8,
       s"kmeans: expected a 1:1 family-to-cluster map (8), got $nK")
     println(s"[pscale] kmeans clusters stable: $nK families -> ${cents.length} centroids")
+
+    // ---- PQ encode + ADC search over the same 500k × 64-dim corpus: the
+    // vectors form 8 tight families, so every vector's top ADC neighbors
+    // must come from its own family (codes separate the families even at
+    // 64x compression). Encode is broadcast-join + hash-agg only.
+    val pqCodes = graft.operators.Similarity.pqEncode(
+      kVecs, "vec_id", "embedding", dims = dim, m = 4, k = 16)
+    val nCodeRows = t(s"pq encode ($n vecs)") { pqCodes.count() }
+    require(nCodeRows == n, s"pq encode: $nCodeRows of $n vectors coded")
+    val adc = graft.operators.Similarity.pqAdcTopK(
+      kVecs.where($"vec_id" < 8), kVecs, "vec_id", "embedding",
+      dims = dim, m = 4, k = 16, topK = 5)
+    val crossFamily = t("pq adc top-5 (8 queries)") {
+      adc.where($"neighbor_id" % 8 =!= $"query_id" % 8).count()
+    }
+    require(crossFamily == 0,
+      s"pq adc: $crossFamily cross-family neighbors in top-5")
+    println(s"[pscale] pq adc: all top-5 neighbors in-family at $n vecs")
     spark.stop()
   }
 }
