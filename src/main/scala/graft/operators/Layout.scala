@@ -38,16 +38,25 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Clamped floor binning of a continuous coordinate onto the 2^bits
+    * grid [[zValue]] interleaves: floor((c - lo) · 2^bits / (hi - lo)),
+    * clamped to [0, 2^bits - 1]. One definition so the clamp semantics
+    * can't drift between call sites. */
+  def gridIdx(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits >= 1 && hi > lo, "need bits >= 1 and hi > lo")
+    val n = (1L << bits) - 1L
+    least(lit(n), greatest(lit(0L),
+      floor((c - lit(lo)) * lit((n + 1).toDouble) / lit(hi - lo)).cast("long")))
+  }
+
   /** Range-partition into `numFiles` output tasks by z-value and sort
     * rows within each: one shuffle, and every written file covers a
     * compact z-range — a tight bounding box on every interleaved axis.
     * Boundary sampling is Spark's range partitioner (statistical, not
-    * gated); the z key itself is deterministic. */
+    * gated); the z key itself is deterministic. The key stays a bare
+    * expression — no temp column that could collide with caller columns. */
   def clusterByZ(df: DataFrame, z: Column, numFiles: Int): DataFrame = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    df.withColumn("__z", z)
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    df.repartitionByRange(numFiles, z).sortWithinPartitions(z)
   }
 }

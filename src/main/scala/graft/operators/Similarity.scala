@@ -209,9 +209,12 @@ object Similarity {
     * ([[kmeansCentroidsFrame]] per subspace slots in here).
     *
     * Scale shape: centroids (nList rows) and the distance tables
-    * (queries·m·k rows, cell-tagged) broadcast; the corpus is scanned for
-    * assign + encode (persist the (cell, codes) frame in production — it
-    * is the index) and shuffles only on the (query, neighbor) aggregate. */
+    * (queries·m·k rows, cell-tagged) broadcast. The corpus side costs one
+    * assignment pass (window argmin on the vector id), one encode pass
+    * (two hash aggregates), and the final (query, neighbor) hash
+    * aggregate; in production, persist the joined (cell, codes) frame —
+    * it IS the index — and searches reduce to the broadcast join plus the
+    * per-pair aggregate. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, dims: Int, m: Int, k: Int, nList: Int,
                 topK: Int,
@@ -223,20 +226,14 @@ object Similarity {
     val corpusCells = assignNearest(
         prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
       .select(col("__id").as("neighbor_id"), col("centroid_id"))
-    val codes = pqEncode(corpus, idCol, vecCol, dims, m, k, quantizeScale)
-      .select(col(idCol).as("neighbor_id"),
-        posexplode(col("pq_code")).as(Seq("__s", "__code")))
+    val codes = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+      .withColumnRenamed("__id", "neighbor_id")
       .join(corpusCells, Seq("neighbor_id"))
     val queryCells = assignNearest(
         prepVectors(queries, idCol, vecCol, quantizeScale), centroids)
       .select(col("__id").as("query_id"), col("centroid_id").as("__qcell"))
-    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, k, quantizeScale)
-    val tables = subvectorFrame(queries, idCol, vecCol, dims, m, quantizeScale)
-      .withColumnRenamed("__id", "query_id")
-      .join(cb, Seq("__s"))
-      .select(col("query_id"), col("__s"), col("__cid"),
-        (col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
-          .as("__ld"))
+    val tables = pqDistanceTables(queries, corpus, idCol, vecCol, dims, m, k,
+        quantizeScale)
       .join(queryCells, Seq("query_id"))
     val scored = codes
       .join(broadcast(tables),
@@ -510,8 +507,15 @@ object Similarity {
                              quantizeScale: Option[Double]): DataFrame = {
     require(m >= 1 && dims % m == 0, "dims must divide evenly into m subspaces")
     val sub = dims / m
-    val vec = quantizeScale.map(s => quantize(col(vecCol), s))
-      .getOrElse(asDouble(col(vecCol)))
+    // fail fast on a dims/data mismatch: slicing past the array end would
+    // otherwise yield empty subvectors whose distance to every centroid is
+    // 0 — silently corrupt codes, not an error
+    val checked = when(size(col(vecCol)) === lit(dims), col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"PQ: expected $dims-dim vectors in '$vecCol', got "),
+        size(col(vecCol)).cast("string"))))
+    val vec = quantizeScale.map(s => quantize(checked, s))
+      .getOrElse(asDouble(checked))
     df.select(col(idCol).as("__id"), vec.as("__v"))
       .select(col("__id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -547,12 +551,26 @@ object Similarity {
                m: Int, k: Int,
                quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    pqCodesExploded(df, idCol, vecCol, dims, m, k, quantizeScale)
+      .groupBy(col("__id"))
+      .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
+        s => s.getField("__code")).as("pq_code"))
+      .select(col("__id").as(idCol), col("pq_code"))
+  }
+
+  /** The exploded (__id, __s, __code) PQ assignment — what the search
+    * paths consume directly (assembling per-id code arrays just to
+    * re-explode them would cost an extra corpus-wide aggregate). */
+  private def pqCodesExploded(df: DataFrame, idCol: String, vecCol: String,
+                              dims: Int, m: Int, k: Int,
+                              quantizeScale: Option[Double]): DataFrame = {
+    require(k >= 1, "k must be >= 1")
     val cb = broadcast(pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale))
     val scored = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
       .join(cb, Seq("__s"))
       .withColumn("__d2",
         col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
-    val best = quantizeScale match {
+    quantizeScale match {
       case Some(_) =>
         // quantized distances are exact non-negative integers, so packing
         // (d2, cid) into one long keeps the argmin a primitive min() that
@@ -569,10 +587,22 @@ object Similarity {
           .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid")
             .as("__code"))
     }
-    best.groupBy(col("__id"))
-      .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
-        s => s.getField("__code")).as("pq_code"))
-      .select(col("__id").as(idCol), col("pq_code"))
+  }
+
+  /** Per-query ADC lookup tables (query_id, __s, __cid, __ld): the
+    * distance from each query subvector to every codebook centroid —
+    * queries·m·k rows, built once and broadcast by the search paths. */
+  private def pqDistanceTables(queries: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String, dims: Int,
+                               m: Int, k: Int,
+                               quantizeScale: Option[Double]): DataFrame = {
+    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+    subvectorFrame(queries, idCol, vecCol, dims, m, quantizeScale)
+      .withColumnRenamed("__id", "query_id")
+      .join(cb, Seq("__s"))
+      .select(col("query_id"), col("__s"), col("__cid"),
+        (col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
+          .as("__ld"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: queries stay full-precision,
@@ -586,16 +616,10 @@ object Similarity {
                 vecCol: String, dims: Int, m: Int, k: Int, topK: Int,
                 quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
-    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, k, quantizeScale)
-    val codes = pqEncode(corpus, idCol, vecCol, dims, m, k, quantizeScale)
-      .select(col(idCol).as("neighbor_id"),
-        posexplode(col("pq_code")).as(Seq("__s", "__code")))
-    val tables = subvectorFrame(queries, idCol, vecCol, dims, m, quantizeScale)
-      .withColumnRenamed("__id", "query_id")
-      .join(cb, Seq("__s"))
-      .select(col("query_id"), col("__s"), col("__cid"),
-        (col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
-          .as("__ld"))
+    val codes = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+      .withColumnRenamed("__id", "neighbor_id")
+    val tables = pqDistanceTables(queries, corpus, idCol, vecCol, dims, m, k,
+      quantizeScale)
     val scored = codes
       .join(broadcast(tables),
         codes("__s") === tables("__s") && codes("__code") === tables("__cid"))

@@ -138,15 +138,14 @@ object Spatial extends QueryModule {
     // predicates inside large cells. Pure integer bit arithmetic.
     "q92_zorder" -> ((s, dir) => {
       import s.implicits._
+      import graft.operators.Layout
       val b = Tables(s, dir, "events")
         .withColumn("lon", synthLon($"event_id"))
         .withColumn("lat", synthLat($"event_id"))
-        .withColumn("xi", least(lit(511L),
-          floor(($"lon" + lit(180.0)) * lit(512.0) / lit(360.0)).cast("long")))
-        .withColumn("yi", least(lit(511L),
-          floor(($"lat" + lit(90.0)) * lit(512.0) / lit(180.0)).cast("long")))
+        .withColumn("xi", Layout.gridIdx($"lon", -180.0, 180.0, 9))
+        .withColumn("yi", Layout.gridIdx($"lat", -90.0, 90.0, 9))
       b.select($"event_id", $"xi", $"yi",
-        graft.operators.Layout.zValue(Seq($"xi", $"yi"), 9).as("z"))
+        Layout.zValue(Seq($"xi", $"yi"), 9).as("z"))
     })
   )
 

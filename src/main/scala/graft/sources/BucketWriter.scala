@@ -195,17 +195,13 @@ object BucketWriter {
     val labeled =
       if (!zorderWithinFiles) repartitioned
       else {
-        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.functions.col
+        import graft.operators.Layout
         val e = p.extent
         val bits = 15 // 2^15 per axis: finer than any realistic cell split
-        val n = (1L << bits) - 1L
-        def gridIdx(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
-          least(lit(n), greatest(lit(0L),
-            floor((c - lit(lo)) * lit((n + 1).toDouble) / lit(hi - lo))
-              .cast("long")))
-        val z = graft.operators.Layout.zValue(
-          Seq(gridIdx(col(x), e.xmin, e.xmax), gridIdx(col(y), e.ymin, e.ymax)),
-          bits)
+        val z = Layout.zValue(
+          Seq(Layout.gridIdx(col(x), e.xmin, e.xmax, bits),
+            Layout.gridIdx(col(y), e.ymin, e.ymax, bits)), bits)
         repartitioned.sortWithinPartitions((p.order.map(col) :+ z): _*)
       }
     labeled.write
