@@ -201,8 +201,9 @@ object Similarity {
   /** Combined IVF + PQ asymmetric-distance search — the billion-scale ANN
     * layout: the corpus is coarse-assigned to `nList` cells (deterministic
     * id < nList centroids, as [[ivfTopK]]) and stored as `m` PQ codes per
-    * vector; a query probes its own cell (nProbe=1) and ranks candidates
-    * by ADC from a per-query lookup table, never touching corpus vectors.
+    * vector; a query probes its `nProbe` nearest cells and ranks
+    * candidates by ADC from a per-query lookup table, never touching
+    * corpus vectors.
     * Raw-vector PQ (not residual encoding) keeps the whole pipeline
     * integer-exact on the quantized grid; residual encoding is the
     * production refinement once codebooks are Lloyd-trained
@@ -217,9 +218,10 @@ object Similarity {
     * per-pair aggregate. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, dims: Int, m: Int, k: Int, nList: Int,
-                topK: Int,
+                topK: Int, nProbe: Int = 1,
                 quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
-    require(topK >= 1 && nList >= 1, "topK and nList must be >= 1")
+    require(topK >= 1 && nList >= 1 && nProbe >= 1,
+      "topK, nList and nProbe must be >= 1")
     val centroids = prepVectors(corpus, idCol, vecCol, quantizeScale)
       .where(col("__id") < nList)
       .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
@@ -229,8 +231,12 @@ object Similarity {
     val codes = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
       .withColumnRenamed("__id", "neighbor_id")
       .join(corpusCells, Seq("neighbor_id"))
+    // nProbe nearest cells per query: each probed cell duplicates the
+    // query's (broadcast, tiny) distance-table rows, widening the
+    // candidate set — the standard IVF recall knob; a corpus row still
+    // pairs with a query at most once (it lives in exactly one cell)
     val queryCells = assignNearest(
-        prepVectors(queries, idCol, vecCol, quantizeScale), centroids)
+        prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe)
       .select(col("__id").as("query_id"), col("centroid_id").as("__qcell"))
     val tables = pqDistanceTables(queries, corpus, idCol, vecCol, dims, m, k,
         quantizeScale)
@@ -303,8 +309,11 @@ object Similarity {
 
   /** Nearest-centroid assignment of a [[prepVectors]] frame against a
     * (centroid_id, __c) frame: ||v||² - 2v·c + ||c||² argmin, ties by
-    * centroid id. Keeps __v/__vv for downstream search. */
-  private def assignNearest(v: DataFrame, cs: DataFrame): DataFrame = {
+    * centroid id. Keeps __v/__vv for downstream search. `nProbe` > 1
+    * returns the nProbe closest centroids per vector (the IVF probe
+    * set) instead of just the best. */
+  private def assignNearest(v: DataFrame, cs: DataFrame,
+                            nProbe: Int = 1): DataFrame = {
     val c = broadcast(cs.withColumn("__cc", dot(col("__c"), col("__c"))))
     val scored = v.crossJoin(c)
       .withColumn("__d2",
@@ -312,7 +321,7 @@ object Similarity {
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__d2").asc, col("centroid_id").asc)
     scored.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
+      .where(col("__rk") <= nProbe)
       .select(col("__id"), col("centroid_id"), col("__v"), col("__vv"))
   }
 

@@ -484,6 +484,19 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // IVF-PQ with nProbe=2: each query's candidate set widens to its two
+    // nearest cells — the recall knob of a production IVF index; ranks
+    // re-order as better neighbors surface from the second cell.
+    "q97_ivfpq_probe2" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.where($"vec_id" < 8), emb, "vec_id",
+          "embedding", dims = 64, m = 4, k = 16, nList = 8, topK = 3,
+          nProbe = 2)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Sketch-based pairwise Jaccard: q34's candidate pairs verified from
     // 8-hash winnow sketches alone (min-k union estimator) — near-dup
     // verification without touching full texts.
@@ -565,6 +578,47 @@ object PipelineQueries extends QueryModule {
                    row_number() OVER (PARTITION BY vec_id, s
                      ORDER BY d2 ASC, cid ASC) AS rk
                  FROM scored) WHERE rk = 1)"""
+
+  /** IVF-PQ search oracle (mirrors Similarity.ivfPqTopK at dims=64, m=4,
+    * k=16, nList=8, topK=3, queries vec_id < 8): corpus cells by rank-1
+    * full-vector argmin, query probe set by rank <= nProbe, candidates
+    * where a corpus cell meets a probed cell, ADC summed from the
+    * distance tables. */
+  private def ivfPqOracle(nProbe: Int): String = s"""$pqCommonSql,
+      fv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      cen AS (SELECT vec_id AS ccell, e AS ce, sq AS cc2 FROM fv
+              WHERE vec_id < 8),
+      cells AS (SELECT vec_id, ccell AS cell FROM (
+                  SELECT fv.vec_id, c.ccell,
+                    row_number() OVER (PARTITION BY fv.vec_id ORDER BY
+                      ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
+                        ASC, c.ccell ASC) AS rk
+                  FROM fv, cen c) WHERE rk = 1),
+      qcells AS (SELECT vec_id AS query_id, ccell AS cell FROM (
+                  SELECT fv.vec_id, c.ccell,
+                    row_number() OVER (PARTITION BY fv.vec_id ORDER BY
+                      ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
+                        ASC, c.ccell ASC) AS rk
+                  FROM fv, cen c WHERE fv.vec_id < 8) WHERE rk <= $nProbe),
+      q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),
+      dt AS (SELECT q.query_id, cb.s, cb.cid,
+               (q.n2 - 2.0 * list_inner_product(q.sv, cb.c)) + cb.cc AS ld
+             FROM q JOIN cb ON q.s = cb.s),
+      acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, nc.cell,
+                SUM(dt.ld) AS d2
+              FROM best b
+              JOIN dt ON b.s = dt.s AND b.cid = dt.cid
+              JOIN cells nc ON nc.vec_id = b.vec_id
+              JOIN qcells qc ON qc.query_id = dt.query_id AND qc.cell = nc.cell
+              WHERE b.vec_id <> dt.query_id
+              GROUP BY 1, 2, 3)
+      SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
+        CAST(d2 AS BIGINT) AS adc_d2
+      FROM (SELECT query_id, neighbor_id, cell, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM acc)
+      WHERE rk <= 3"""
 
   def oracle: Map[String, String] = Map(
     "q30_dedup_exact" -> s"""
@@ -1072,35 +1126,9 @@ object PipelineQueries extends QueryModule {
       SELECT vec_id, CAST(s AS INT) AS s, CAST(cid AS BIGINT) AS code
       FROM best""",
 
-    "q96_ivfpq" -> s"""$pqCommonSql,
-      fv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
-      cen AS (SELECT vec_id AS ccell, e AS ce, sq AS cc2 FROM fv
-              WHERE vec_id < 8),
-      cells AS (SELECT vec_id, ccell AS cell FROM (
-                  SELECT fv.vec_id, c.ccell,
-                    row_number() OVER (PARTITION BY fv.vec_id ORDER BY
-                      ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
-                        ASC, c.ccell ASC) AS rk
-                  FROM fv, cen c) WHERE rk = 1),
-      q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),
-      dt AS (SELECT q.query_id, cb.s, cb.cid,
-               (q.n2 - 2.0 * list_inner_product(q.sv, cb.c)) + cb.cc AS ld
-             FROM q JOIN cb ON q.s = cb.s),
-      acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, nc.cell,
-                SUM(dt.ld) AS d2
-              FROM best b
-              JOIN dt ON b.s = dt.s AND b.cid = dt.cid
-              JOIN cells nc ON nc.vec_id = b.vec_id
-              JOIN cells qc ON qc.vec_id = dt.query_id AND qc.cell = nc.cell
-              WHERE b.vec_id <> dt.query_id
-              GROUP BY 1, 2, 3)
-      SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
-        CAST(d2 AS BIGINT) AS adc_d2
-      FROM (SELECT query_id, neighbor_id, cell, d2,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY d2 ASC, neighbor_id ASC) AS rk
-            FROM acc)
-      WHERE rk <= 3""",
+    "q96_ivfpq" -> ivfPqOracle(nProbe = 1),
+
+    "q97_ivfpq_probe2" -> ivfPqOracle(nProbe = 2),
 
     "q94_pq_adc" -> s"""$pqCommonSql,
       q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),

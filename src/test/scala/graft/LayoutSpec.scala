@@ -151,6 +151,16 @@ class LayoutSpec extends AnyFunSuite {
     // a query that is itself a centroid sits in its own cell
     val cellsOfQueries = res.filter(r => r._1 < 4).map(r => r._1 -> r._4).toMap
     cellsOfQueries.foreach { case (q, cell) => assert(cell == q) }
+
+    // widening the probe set can only improve (or keep) the distance at
+    // each rank — the recall knob must be monotone
+    val res2 = Similarity.ivfPqTopK(df.where($"vec_id" < 4), df, "vec_id",
+        "embedding", dims = 16, m = 4, k = 8, nList = 4, topK = 3, nProbe = 2)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    val d1 = res.map(r => (r._1, r._2) -> r._5).toMap
+    res2.foreach { case (q, rk, _, _, d) =>
+      d1.get((q, rk)).foreach(base => assert(d <= base, s"query $q rank $rk"))
+    }
   }
 
   test("pqAdcTopK: over a corpus of codebook rows, ADC equals exact distance") {
