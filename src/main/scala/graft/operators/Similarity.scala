@@ -204,43 +204,91 @@ object Similarity {
     * vector; a query probes its `nProbe` nearest cells and ranks
     * candidates by ADC from a per-query lookup table, never touching
     * corpus vectors.
-    * Raw-vector PQ (not residual encoding) keeps the whole pipeline
-    * integer-exact on the quantized grid; residual encoding is the
-    * production refinement once codebooks are Lloyd-trained
-    * ([[kmeansCentroidsFrame]] per subspace slots in here).
+    *
+    * `residual = false` quantizes raw vectors — one shared codebook, and
+    * the distance tables don't depend on the probed cell. `residual =
+    * true` is the classic IVF-PQ refinement: codes quantize v − c(cell),
+    * whose smaller spread gives finer codes for the same k; the codebook
+    * trains on the residuals of rows id < k, and distance tables become
+    * per (query, probed cell). Both paths stay integer-exact on the
+    * quantized grid (residuals are differences of integers).
     *
     * Scale shape: centroids (nList rows) and the distance tables
-    * (queries·m·k rows, cell-tagged) broadcast. The corpus side costs one
+    * (queries·nProbe·m·k rows) broadcast. The corpus side costs one
     * assignment pass (window argmin on the vector id), one encode pass
     * (two hash aggregates), and the final (query, neighbor) hash
-    * aggregate; in production, persist the joined (cell, codes) frame —
-    * it IS the index — and searches reduce to the broadcast join plus the
+    * aggregate; in production, persist the (cell, codes) frame — it IS
+    * the index — and searches reduce to the broadcast join plus the
     * per-pair aggregate. */
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, dims: Int, m: Int, k: Int, nList: Int,
-                topK: Int, nProbe: Int = 1,
+                topK: Int, nProbe: Int = 1, residual: Boolean = false,
                 quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
     require(topK >= 1 && nList >= 1 && nProbe >= 1,
       "topK, nList and nProbe must be >= 1")
+    require(m >= 1 && dims % m == 0, "dims must divide evenly into m subspaces")
     val centroids = prepVectors(corpus, idCol, vecCol, quantizeScale)
       .where(col("__id") < nList)
       .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
-    val corpusCells = assignNearest(
-        prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
-      .select(col("__id").as("neighbor_id"), col("centroid_id"))
-    val codes = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
-      .withColumnRenamed("__id", "neighbor_id")
-      .join(corpusCells, Seq("neighbor_id"))
-    // nProbe nearest cells per query: each probed cell duplicates the
-    // query's (broadcast, tiny) distance-table rows, widening the
-    // candidate set — the standard IVF recall knob; a corpus row still
-    // pairs with a query at most once (it lives in exactly one cell)
-    val queryCells = assignNearest(
-        prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe)
-      .select(col("__id").as("query_id"), col("centroid_id").as("__qcell"))
-    val tables = pqDistanceTables(queries, corpus, idCol, vecCol, dims, m, k,
-        quantizeScale)
-      .join(queryCells, Seq("query_id"))
+
+    val (codes, tables) = if (!residual) {
+      val corpusCells = assignNearest(
+          prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
+        .select(col("__id").as("neighbor_id"), col("centroid_id"))
+      val c = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+        .withColumnRenamed("__id", "neighbor_id")
+        .join(corpusCells, Seq("neighbor_id"))
+      // nProbe nearest cells per query: each probed cell duplicates the
+      // query's (broadcast, tiny) distance-table rows, widening the
+      // candidate set — the standard IVF recall knob; a corpus row still
+      // pairs with a query at most once (it lives in exactly one cell)
+      val queryCells = assignNearest(
+          prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe)
+        .select(col("__id").as("query_id"), col("centroid_id").as("__qcell"))
+      val t = pqDistanceTables(queries, corpus, idCol, vecCol, dims, m, k,
+          quantizeScale)
+        .join(queryCells, Seq("query_id"))
+      (c, t)
+    } else {
+      val sub = dims / m
+      // residual = v − c(cell), guarded against a dims/data mismatch the
+      // same way subvectorFrame guards raw vectors
+      def residualOf(v: Column, c: Column) = {
+        val r = zip_with(v, c, (a, b) => a - b)
+        when(size(v) === lit(dims), r).otherwise(raise_error(concat(
+          lit(s"PQ: expected $dims-dim vectors, got "),
+          size(v).cast("string"))))
+      }
+      val corpusRes = assignNearest(
+          prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
+        .join(broadcast(centroids), Seq("centroid_id"))
+        .select(col("__id"), col("centroid_id"),
+          residualOf(col("__v"), col("__c")).as("__v"))
+      val resSub = subvectorsOf(corpusRes, m, sub)
+      val cb = broadcast(resSub.where(col("__id") < k)
+        .select(col("__s"), col("__id").cast("long").as("__cid"),
+          col("__sv").as("__cbv"), col("__svv").as("__cc")))
+      val scoredCodes = resSub.join(cb, Seq("__s"))
+        .withColumn("__d2",
+          col("__svv") - lit(2.0) * dot(col("__sv"), col("__cbv")) + col("__cc"))
+      val c = codeArgmin(scoredCodes,
+          Seq(col("__id"), col("centroid_id"), col("__s")), k,
+          quantized = quantizeScale.isDefined)
+        .withColumnRenamed("__id", "neighbor_id")
+      // per probed cell, the query's residual (and so its tables) differ
+      val queryRes = assignNearest(
+          prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe)
+        .join(broadcast(centroids), Seq("centroid_id"))
+        .select(col("__id"), col("centroid_id"),
+          residualOf(col("__v"), col("__c")).as("__v"))
+      val t = subvectorsOf(queryRes, m, sub)
+        .join(cb, Seq("__s"))
+        .select(col("__id").as("query_id"),
+          col("centroid_id").as("__qcell"), col("__s"), col("__cid"),
+          (col("__svv") - lit(2.0) * dot(col("__sv"), col("__cbv")) +
+            col("__cc")).as("__ld"))
+      (c, t)
+    }
     val scored = codes
       .join(broadcast(tables),
         col("centroid_id") === col("__qcell") &&
@@ -525,10 +573,16 @@ object Similarity {
         size(col(vecCol)).cast("string"))))
     val vec = quantizeScale.map(s => quantize(checked, s))
       .getOrElse(asDouble(checked))
-    df.select(col(idCol).as("__id"), vec.as("__v"))
-      .select(col("__id"),
+    subvectorsOf(df.select(col(idCol).as("__id"), vec.as("__v")), m, sub)
+  }
+
+  /** Split an already-prepared (__id, __v, carry...) frame into one row
+    * per (vector, subspace): (__id, carry..., __s, __sv, __svv). */
+  private def subvectorsOf(df: DataFrame, m: Int, sub: Int): DataFrame = {
+    val carry = df.columns.filter(_ != "__v").map(col)
+    df.select(carry :+
         posexplode(transform(sequence(lit(0), lit(m - 1)),
-          s => slice(col("__v"), s * sub + 1, lit(sub)))).as(Seq("__s", "__sv")))
+          s => slice(col("__v"), s * sub + 1, lit(sub)))).as(Seq("__s", "__sv")): _*)
       .withColumn("__svv", dot(col("__sv"), col("__sv")))
   }
 
@@ -579,24 +633,28 @@ object Similarity {
       .join(cb, Seq("__s"))
       .withColumn("__d2",
         col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
-    quantizeScale match {
-      case Some(_) =>
-        // quantized distances are exact non-negative integers, so packing
-        // (d2, cid) into one long keeps the argmin a primitive min() that
-        // HashAggregate evaluates with map-side combine; min over a
-        // struct would fall back to SortAggregate — a per-partition sort
-        // of all n·m·k scored rows. Tie-break by cid is the low bits.
-        scored.groupBy(col("__id"), col("__s"))
-          .agg(min(col("__d2").cast("long") * lit(k.toLong) + col("__cid"))
-            .as("__packed"))
-          .select(col("__id"), col("__s"),
-            (col("__packed") % lit(k.toLong)).as("__code"))
-      case None =>
-        scored.groupBy(col("__id"), col("__s"))
-          .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid")
-            .as("__code"))
-    }
+    codeArgmin(scored, Seq(col("__id"), col("__s")), k,
+      quantized = quantizeScale.isDefined)
   }
+
+  /** Per-group argmin over (__d2, __cid) → __code. On the quantized path
+    * distances are exact non-negative integers, so packing (d2, cid) into
+    * one long keeps the argmin a primitive min() that HashAggregate
+    * evaluates with map-side combine; min over a struct would fall back
+    * to SortAggregate — a per-partition sort of all scored rows.
+    * Tie-break by cid rides in the low bits either way. */
+  private def codeArgmin(scored: DataFrame, groupCols: Seq[Column], k: Int,
+                         quantized: Boolean): DataFrame =
+    if (quantized)
+      scored.groupBy(groupCols: _*)
+        .agg(min(col("__d2").cast("long") * lit(k.toLong) + col("__cid"))
+          .as("__packed"))
+        .withColumn("__code", pmod(col("__packed"), lit(k.toLong)))
+        .drop("__packed")
+    else
+      scored.groupBy(groupCols: _*)
+        .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid")
+          .as("__code"))
 
   /** Per-query ADC lookup tables (query_id, __s, __cid, __ld): the
     * distance from each query subvector to every codebook centroid —

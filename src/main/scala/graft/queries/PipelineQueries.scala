@@ -497,6 +497,20 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // Residual IVF-PQ: codes quantize v − centroid(cell) — the classic
+    // refinement whose smaller residual spread gives finer codes for the
+    // same k. Residuals of integers stay integers, so the oracle is
+    // still exact.
+    "q98_ivfpq_residual" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.where($"vec_id" < 8), emb, "vec_id",
+          "embedding", dims = 64, m = 4, k = 16, nList = 8, topK = 3,
+          residual = true)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Sketch-based pairwise Jaccard: q34's candidate pairs verified from
     // 8-hash winnow sketches alone (min-k union estimator) — near-dup
     // verification without touching full texts.
@@ -1129,6 +1143,60 @@ object PipelineQueries extends QueryModule {
     "q96_ivfpq" -> ivfPqOracle(nProbe = 1),
 
     "q97_ivfpq_probe2" -> ivfPqOracle(nProbe = 2),
+
+    // mirrors ivfPqTopK(residual = true) at dims=64, m=4, k=16, nList=8,
+    // topK=3, nProbe=1: residuals vs the rank-1 cell centroid, residual
+    // codebook from vec_id < 16, per-cell query tables
+    "q98_ivfpq_residual" -> """
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+                 FROM embeddings),
+      fv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      cen AS (SELECT vec_id AS ccell, e AS ce, sq AS cc2 FROM fv
+              WHERE vec_id < 8),
+      cells AS (SELECT vec_id, ccell AS cell FROM (
+                  SELECT fv.vec_id, c.ccell,
+                    row_number() OVER (PARTITION BY fv.vec_id ORDER BY
+                      ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
+                        ASC, c.ccell ASC) AS rk
+                  FROM fv, cen c) WHERE rk = 1),
+      rv AS (SELECT f.vec_id, cl.cell,
+               list_transform(range(1, len(f.e) + 1), i -> f.e[i] - c.ce[i])
+                 AS re
+             FROM fv f JOIN cells cl ON cl.vec_id = f.vec_id
+             JOIN cen c ON c.ccell = cl.cell),
+      rsub AS (SELECT vec_id, cell, g.s AS s,
+                 re[(g.s * 16 + 1):(g.s * 16 + 16)] AS sv
+               FROM rv, LATERAL UNNEST(range(0, 4)) AS g(s)),
+      rsvv AS (SELECT vec_id, cell, s, sv, list_inner_product(sv, sv) AS n2
+               FROM rsub),
+      rcb AS (SELECT s, vec_id AS cid, sv AS c, n2 AS cc FROM rsvv
+              WHERE vec_id < 16),
+      rscored AS (SELECT t.vec_id, t.cell, t.s, rcb.cid,
+                    (t.n2 - 2.0 * list_inner_product(t.sv, rcb.c)) + rcb.cc
+                      AS d2
+                  FROM rsvv t JOIN rcb ON t.s = rcb.s),
+      rbest AS (SELECT vec_id, cell, s, cid FROM (
+                  SELECT vec_id, cell, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY d2 ASC, cid ASC) AS rk
+                  FROM rscored) WHERE rk = 1),
+      dt AS (SELECT t.vec_id AS query_id, t.cell, rcb.s, rcb.cid,
+               (t.n2 - 2.0 * list_inner_product(t.sv, rcb.c)) + rcb.cc AS ld
+             FROM rsvv t JOIN rcb ON t.s = rcb.s WHERE t.vec_id < 8),
+      acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, b.cell,
+                SUM(dt.ld) AS d2
+              FROM rbest b
+              JOIN dt ON b.s = dt.s AND b.cid = dt.cid AND b.cell = dt.cell
+              WHERE b.vec_id <> dt.query_id
+              GROUP BY 1, 2, 3)
+      SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
+        CAST(d2 AS BIGINT) AS adc_d2
+      FROM (SELECT query_id, neighbor_id, cell, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM acc)
+      WHERE rk <= 3""",
 
     "q94_pq_adc" -> s"""$pqCommonSql,
       q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),

@@ -161,6 +161,20 @@ class LayoutSpec extends AnyFunSuite {
     res2.foreach { case (q, rk, _, _, d) =>
       d1.get((q, rk)).foreach(base => assert(d <= base, s"query $q rank $rk"))
     }
+
+    // residual encoding: same structural invariants, and a codebook row's
+    // ADC distance to itself-as-centroid candidates stays non-negative
+    val resR = Similarity.ivfPqTopK(df.where($"vec_id" < 4), df, "vec_id",
+        "embedding", dims = 16, m = 4, k = 8, nList = 4, topK = 3,
+        residual = true)
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(resR.nonEmpty)
+    resR.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+      val byRank = rows.sortBy(_._2).map(_._5)
+      assert(byRank.forall(_ >= 0.0))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
   }
 
   test("pqAdcTopK: over a corpus of codebook rows, ADC equals exact distance") {
