@@ -22,6 +22,12 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** The one squared-L2 expansion used by every PQ/ADC path:
+    * (||v||² − 2·v·c) + ||c||². Bit-exactness across engines depends on
+    * this exact evaluation order — never reassociate it per call site. */
+  private def adcD2(sv: Column, svv: Column, c: Column, cc: Column): Column =
+    svv - lit(2.0) * dot(sv, c) + cc
+
   def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -209,9 +215,11 @@ object Similarity {
     * the distance tables don't depend on the probed cell. `residual =
     * true` is the classic IVF-PQ refinement: codes quantize v − c(cell),
     * whose smaller spread gives finer codes for the same k; the codebook
-    * trains on the residuals of rows id < k, and distance tables become
-    * per (query, probed cell). Both paths stay integer-exact on the
-    * quantized grid (residuals are differences of integers).
+    * trains on the residuals of rows nList ≤ id < nList + k (centroid
+    * rows have zero residuals and would waste slots), and distance
+    * tables become per (query, probed cell). Both paths stay
+    * integer-exact on the quantized grid (residuals are differences of
+    * integers).
     *
     * Scale shape: centroids (nList rows) and the distance tables
     * (queries·nProbe·m·k rows) broadcast. The corpus side costs one
@@ -265,12 +273,17 @@ object Similarity {
         .select(col("__id"), col("centroid_id"),
           residualOf(col("__v"), col("__c")).as("__v"))
       val resSub = subvectorsOf(corpusRes, m, sub)
-      val cb = broadcast(resSub.where(col("__id") < k)
-        .select(col("__s"), col("__id").cast("long").as("__cid"),
+      // codebook rows start AT nList: rows id < nList are their own cell
+      // centroid, so their residuals are identically zero — training on
+      // id < k would fill nList slots with duplicate zero vectors the cid
+      // tie-break can never pick, silently halving the effective codebook
+      val cb = broadcast(resSub
+        .where(col("__id") >= nList && col("__id") < nList + k)
+        .select(col("__s"), (col("__id") - nList).cast("long").as("__cid"),
           col("__sv").as("__cbv"), col("__svv").as("__cc")))
       val scoredCodes = resSub.join(cb, Seq("__s"))
         .withColumn("__d2",
-          col("__svv") - lit(2.0) * dot(col("__sv"), col("__cbv")) + col("__cc"))
+          adcD2(col("__sv"), col("__svv"), col("__cbv"), col("__cc")))
       val c = codeArgmin(scoredCodes,
           Seq(col("__id"), col("centroid_id"), col("__s")), k,
           quantized = quantizeScale.isDefined)
@@ -285,8 +298,8 @@ object Similarity {
         .join(cb, Seq("__s"))
         .select(col("__id").as("query_id"),
           col("centroid_id").as("__qcell"), col("__s"), col("__cid"),
-          (col("__svv") - lit(2.0) * dot(col("__sv"), col("__cbv")) +
-            col("__cc")).as("__ld"))
+          adcD2(col("__sv"), col("__svv"), col("__cbv"), col("__cc"))
+            .as("__ld"))
       (c, t)
     }
     val scored = codes
@@ -632,7 +645,7 @@ object Similarity {
     val scored = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
       .join(cb, Seq("__s"))
       .withColumn("__d2",
-        col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
+        adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
     codeArgmin(scored, Seq(col("__id"), col("__s")), k,
       quantized = quantizeScale.isDefined)
   }
@@ -668,8 +681,7 @@ object Similarity {
       .withColumnRenamed("__id", "query_id")
       .join(cb, Seq("__s"))
       .select(col("query_id"), col("__s"), col("__cid"),
-        (col("__svv") - lit(2.0) * dot(col("__sv"), col("__c")) + col("__cc"))
-          .as("__ld"))
+        adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")).as("__ld"))
   }
 
   /** PQ asymmetric-distance (ADC) top-k: queries stay full-precision,

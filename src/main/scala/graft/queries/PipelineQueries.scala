@@ -593,12 +593,11 @@ object PipelineQueries extends QueryModule {
                      ORDER BY d2 ASC, cid ASC) AS rk
                  FROM scored) WHERE rk = 1)"""
 
-  /** IVF-PQ search oracle (mirrors Similarity.ivfPqTopK at dims=64, m=4,
-    * k=16, nList=8, topK=3, queries vec_id < 8): corpus cells by rank-1
-    * full-vector argmin, query probe set by rank <= nProbe, candidates
-    * where a corpus cell meets a probed cell, ADC summed from the
-    * distance tables. */
-  private def ivfPqOracle(nProbe: Int): String = s"""$pqCommonSql,
+  /** Shared IVF cell-assignment CTEs (full-vector rank-1 argmin against
+    * the nList=8 deterministic centroids) appended after [[pqCommonSql]]
+    * by the IVF-PQ oracles — ONE copy so q96/q97/q98 cannot drift on
+    * what "the corpus cell" means. */
+  private val ivfCellsSql: String = """
       fv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
       cen AS (SELECT vec_id AS ccell, e AS ce, sq AS cc2 FROM fv
               WHERE vec_id < 8),
@@ -607,7 +606,15 @@ object PipelineQueries extends QueryModule {
                     row_number() OVER (PARTITION BY fv.vec_id ORDER BY
                       ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
                         ASC, c.ccell ASC) AS rk
-                  FROM fv, cen c) WHERE rk = 1),
+                  FROM fv, cen c) WHERE rk = 1)"""
+
+  /** IVF-PQ search oracle (mirrors Similarity.ivfPqTopK at dims=64, m=4,
+    * k=16, nList=8, topK=3, queries vec_id < 8): corpus cells by rank-1
+    * full-vector argmin, query probe set by rank <= nProbe, candidates
+    * where a corpus cell meets a probed cell, ADC summed from the
+    * distance tables. */
+  private def ivfPqOracle(nProbe: Int): String = s"""$pqCommonSql,
+      $ivfCellsSql,
       qcells AS (SELECT vec_id AS query_id, ccell AS cell FROM (
                   SELECT fv.vec_id, c.ccell,
                     row_number() OVER (PARTITION BY fv.vec_id ORDER BY
@@ -1146,20 +1153,10 @@ object PipelineQueries extends QueryModule {
 
     // mirrors ivfPqTopK(residual = true) at dims=64, m=4, k=16, nList=8,
     // topK=3, nProbe=1: residuals vs the rank-1 cell centroid, residual
-    // codebook from vec_id < 16, per-cell query tables
-    "q98_ivfpq_residual" -> """
-      WITH v AS (SELECT vec_id,
-                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
-                 FROM embeddings),
-      fv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
-      cen AS (SELECT vec_id AS ccell, e AS ce, sq AS cc2 FROM fv
-              WHERE vec_id < 8),
-      cells AS (SELECT vec_id, ccell AS cell FROM (
-                  SELECT fv.vec_id, c.ccell,
-                    row_number() OVER (PARTITION BY fv.vec_id ORDER BY
-                      ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
-                        ASC, c.ccell ASC) AS rk
-                  FROM fv, cen c) WHERE rk = 1),
+    // codebook from rows 8 <= vec_id < 24 (centroid rows have zero
+    // residuals and would waste codebook slots), per-cell query tables
+    "q98_ivfpq_residual" -> s"""$pqCommonSql,
+      $ivfCellsSql,
       rv AS (SELECT f.vec_id, cl.cell,
                list_transform(range(1, len(f.e) + 1), i -> f.e[i] - c.ce[i])
                  AS re
@@ -1170,8 +1167,8 @@ object PipelineQueries extends QueryModule {
                FROM rv, LATERAL UNNEST(range(0, 4)) AS g(s)),
       rsvv AS (SELECT vec_id, cell, s, sv, list_inner_product(sv, sv) AS n2
                FROM rsub),
-      rcb AS (SELECT s, vec_id AS cid, sv AS c, n2 AS cc FROM rsvv
-              WHERE vec_id < 16),
+      rcb AS (SELECT s, vec_id - 8 AS cid, sv AS c, n2 AS cc FROM rsvv
+              WHERE vec_id >= 8 AND vec_id < 24),
       rscored AS (SELECT t.vec_id, t.cell, t.s, rcb.cid,
                     (t.n2 - 2.0 * list_inner_product(t.sv, rcb.c)) + rcb.cc
                       AS d2

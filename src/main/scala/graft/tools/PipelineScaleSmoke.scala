@@ -113,6 +113,19 @@ object PipelineScaleSmoke {
     require(crossFamily == 0,
       s"pq adc: $crossFamily cross-family neighbors in top-5")
     println(s"[pscale] pq adc: all top-5 neighbors in-family at $n vecs")
+
+    // ---- combined IVF-PQ (residual, nProbe=2) over the same corpus: the
+    // cell-probed search must also stay in-family end to end
+    val ivfCross = t("ivf-pq residual top-5 (8 queries)") {
+      graft.operators.Similarity.ivfPqTopK(
+          kVecs.where($"vec_id" < 8), kVecs, "vec_id", "embedding",
+          dims = dim, m = 4, k = 16, nList = 8, topK = 5, nProbe = 2,
+          residual = true)
+        .where($"neighbor_id" % 8 =!= $"query_id" % 8).count()
+    }
+    require(ivfCross == 0,
+      s"ivf-pq: $ivfCross cross-family neighbors in top-5")
+    println(s"[pscale] ivf-pq residual: all top-5 neighbors in-family at $n vecs")
     spark.stop()
   }
 }

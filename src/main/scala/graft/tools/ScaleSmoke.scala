@@ -44,16 +44,6 @@ object ScaleSmoke {
     val nDirs = new java.io.File(bucket).listFiles().count(_.isDirectory)
     println(s"[scale] lon dirs: $nDirs")
 
-    // z-ordered variant: same write with Morton-sorted rows inside each
-    // cell's files — measures the layout pass's cost (one per-task sort)
-    val zbucket = "/tmp/scale_bucket_z"
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(zbucket))
-    time(s"writeBucket + zorderWithinFiles") {
-      BucketWriter.writeBucket(obs, zbucket, p, mode = "overwrite",
-        zorderWithinFiles = true)
-    }
-    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(zbucket))
-
     val cnt = time("extent query (Alps box)") {
       BucketReader.read(spark, bucket,
         BucketReader.ByExtent(Extent(5, 15, 44, 48))).count()
@@ -84,6 +74,17 @@ object ScaleSmoke {
         cells, gapSeconds = 3600, partitionBy = Seq("lon_bin", "lat_bin")).count()
     }
     println(s"[scale] sessions: $sess")
+
+    // z-ordered variant LAST so the second 10M-row write can't evict the
+    // primary bucket's page cache under the read/merge timings above —
+    // measures the layout pass's cost (one per-task sort)
+    val zbucket = "/tmp/scale_bucket_z"
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(zbucket))
+    time(s"writeBucket + zorderWithinFiles") {
+      BucketWriter.writeBucket(obs, zbucket, p, mode = "overwrite",
+        zorderWithinFiles = true)
+    }
+    org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(zbucket))
     spark.stop()
   }
 }
