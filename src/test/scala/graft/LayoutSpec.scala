@@ -80,6 +80,40 @@ class LayoutSpec extends AnyFunSuite {
       s"zordered=$zorderedArea unsorted=$unsortedArea")
   }
 
+  test("z-order read benefit: a 2-D box predicate decodes far fewer rows") {
+    // the point of the layout pass: parquet row-group/page stats prune on
+    // BOTH axes when rows are Morton-ordered. Small row groups make each
+    // file hold many; the box is a z-aligned 32x32 block (bits 5-8 fixed)
+    // so its z range is contiguous.
+    val rng = new scala.util.Random(21)
+    val rows = (0 until 200000).map { i =>
+      (i.toLong, rng.nextInt(512).toLong, rng.nextInt(512).toLong)
+    }
+    val df = rows.toDF("id", "xi", "yi")
+    val z = Layout.zValue(Seq($"xi", $"yi"), 9)
+
+    def decodedRows(writeDf: org.apache.spark.sql.DataFrame): Long = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_zprune").toString
+      writeDf.write.mode("overwrite")
+        .option("parquet.block.size", 64 * 1024).parquet(dir)
+      val q = spark.read.parquet(dir)
+        .where($"xi".between(96, 127) && $"yi".between(96, 127))
+      q.collect()
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      val n = scan.metrics("numOutputRows").value
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      n
+    }
+
+    val plain = decodedRows(df.repartition(4))
+    val zordered = decodedRows(Layout.clusterByZ(df, z, 4))
+    // arrival-order row groups all span the full 512² domain → nothing
+    // prunes; z-ordered row groups cover compact z ranges → only those
+    // intersecting the box decode
+    assert(zordered * 5 < plain,
+      s"zordered decoded $zordered rows vs plain $plain — no pruning win")
+  }
+
   test("writeBucket(zorderWithinFiles): rows inside every file are in Morton order") {
     import graft.partitioning.{Extent, XYPartitioning}
     import graft.sources.BucketWriter
