@@ -617,6 +617,13 @@ object Similarity {
     * memory. On the quantized grid every distance is an exact integer, so
     * codes are bit-reproducible across engines and partitionings.
     *
+    * `trainUpdates` > 0 Lloyd-refines each subspace codebook that many
+    * mean-update rounds before encoding (classic trained PQ; the
+    * deterministic id < k subvectors seed round 0). Updated centroids are
+    * fractional means, so post-training determinism rests on
+    * deterministic IEEE doubles with fixed fold order — the q77/q90
+    * guarantee — rather than integer exactness.
+    *
     * Scale shape: the codebook (m·k rows) broadcasts; the corpus explodes
     * to n·m subvector rows scored against k candidates each, and the
     * argmin is a primitive min() over (d2, cid) packed into one long —
@@ -625,9 +632,10 @@ object Similarity {
     * SortAggregate); reassembly is one more hash aggregate on id. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, dims: Int,
                m: Int, k: Int,
-               quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+               quantizeScale: Option[Double] = Some(1000.0),
+               trainUpdates: Int = 0): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    pqCodesExploded(df, idCol, vecCol, dims, m, k, quantizeScale)
+    pqCodesExploded(df, idCol, vecCol, dims, m, k, quantizeScale, trainUpdates)
       .groupBy(col("__id"))
       .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
         s => s.getField("__code")).as("pq_code"))
@@ -639,15 +647,57 @@ object Similarity {
     * re-explode them would cost an extra corpus-wide aggregate). */
   private def pqCodesExploded(df: DataFrame, idCol: String, vecCol: String,
                               dims: Int, m: Int, k: Int,
-                              quantizeScale: Option[Double]): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    val cb = broadcast(pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale))
+                              quantizeScale: Option[Double],
+                              trainUpdates: Int = 0): DataFrame = {
+    require(k >= 1 && trainUpdates >= 0,
+      "k must be >= 1 and trainUpdates >= 0")
+    val cb = broadcast(
+      if (trainUpdates == 0) pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale)
+      else pqTrainedCodebook(df, idCol, vecCol, dims, m, k, trainUpdates,
+        quantizeScale))
     val scored = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
       .join(cb, Seq("__s"))
       .withColumn("__d2",
         adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
+    // trained centroids are fractional means → packed-long argmin invalid
     codeArgmin(scored, Seq(col("__id"), col("__s")), k,
-      quantized = quantizeScale.isDefined)
+      quantized = quantizeScale.isDefined && trainUpdates == 0)
+  }
+
+  /** Per-subspace Lloyd refinement of the PQ codebook: `updates` rounds
+    * of (assign each subvector to its nearest subspace centroid,
+    * recompute means). All m subspaces train in ONE grouped plan per
+    * round — assignment is a broadcast join + per-(vector, subspace)
+    * argmin, the mean update a (s, cid, pos) hash aggregate; the corpus
+    * is never shuffled on a key. Empty clusters drop out, as in classic
+    * Lloyd (and [[kmeansCentroidsFrame]]). */
+  private def pqTrainedCodebook(df: DataFrame, idCol: String, vecCol: String,
+                                dims: Int, m: Int, k: Int, updates: Int,
+                                quantizeScale: Option[Double]): DataFrame = {
+    val sub = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
+    var cb = pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale)
+      .select(col("__s"), col("__cid"), col("__c"))
+    for (_ <- 0 until updates) {
+      val scored = sub
+        .join(broadcast(cb.withColumn("__cc", dot(col("__c"), col("__c")))),
+          Seq("__s"))
+        .withColumn("__d2",
+          adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
+      val best = scored.groupBy(col("__id"), col("__s"))
+        .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid")
+          .as("__cid"))
+      val sums = best.join(sub, Seq("__id", "__s"))
+        .select(col("__s"), col("__cid"),
+          posexplode(col("__sv")).as(Seq("__pos", "__x")))
+        .groupBy(col("__s"), col("__cid"), col("__pos"))
+        .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
+      cb = sums
+        .withColumn("__mn", col("__sx") / col("__cnt").cast("double"))
+        .groupBy(col("__s"), col("__cid"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__mn")))),
+          st => st.getField("__mn")).as("__c"))
+    }
+    cb.withColumn("__cc", dot(col("__c"), col("__c")))
   }
 
   /** Per-group argmin over (__d2, __cid) → __code. On the quantized path

@@ -497,6 +497,16 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // Trained PQ: one Lloyd mean-update per subspace codebook before
+    // encoding — classic trained product quantization; all 4 subspaces
+    // train in one grouped plan.
+    "q99_pq_trained" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.pqEncode(Tables(s, dir, "embeddings"), "vec_id",
+          "embedding", dims = 64, m = 4, k = 16, trainUpdates = 1)
+        .select($"vec_id", posexplode($"pq_code").as(Seq("s", "code")))
+    }),
+
     // Residual IVF-PQ: codes quantize v − centroid(cell) — the classic
     // refinement whose smaller residual spread gives finer codes for the
     // same k. Residuals of integers stay integers, so the oracle is
@@ -1146,6 +1156,30 @@ object PipelineQueries extends QueryModule {
     "q93_pq_codes" -> s"""$pqCommonSql
       SELECT vec_id, CAST(s AS INT) AS s, CAST(cid AS BIGINT) AS code
       FROM best""",
+
+    // one Lloyd round per subspace on top of the shared PQ CTEs: `best`
+    // IS the round-0 assignment, so the update is means per (s, cid, pos)
+    // then a re-scored argmin — same structure as q77's unrolled round
+    "q99_pq_trained" -> s"""$pqCommonSql,
+      sums AS (SELECT b.s, b.cid, g.i AS pos, SUM(t.sv[g.i]) AS sx,
+                 COUNT(*) AS cnt
+               FROM best b
+               JOIN svv t ON t.vec_id = b.vec_id AND t.s = b.s,
+               LATERAL UNNEST(range(1, len(t.sv) + 1)) AS g(i)
+               GROUP BY 1, 2, 3),
+      c1 AS (SELECT s, cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS c
+             FROM sums GROUP BY 1, 2),
+      c1c AS (SELECT s, cid, c, list_inner_product(c, c) AS cc FROM c1),
+      scored1 AS (SELECT t.vec_id, t.s, c.cid,
+                    (t.n2 - 2.0 * list_inner_product(t.sv, c.c)) + c.cc AS d2
+                  FROM svv t JOIN c1c c ON t.s = c.s),
+      best1 AS (SELECT vec_id, s, cid FROM (
+                  SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY d2 ASC, cid ASC) AS rk
+                  FROM scored1) WHERE rk = 1)
+      SELECT vec_id, CAST(s AS INT) AS s, CAST(cid AS BIGINT) AS code
+      FROM best1""",
 
     "q96_ivfpq" -> ivfPqOracle(nProbe = 1),
 

@@ -211,6 +211,24 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("pqEncode(trainUpdates): codes stay in range and training moves assignments") {
+    val rng = new scala.util.Random(17)
+    val vecs = (0 until 256).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def codesOf(updates: Int) =
+      Similarity.pqEncode(df, "vec_id", "embedding", dims = 16, m = 4, k = 8,
+          trainUpdates = updates)
+        .as[(Long, Seq[Long])].collect().toMap
+    val untrained = codesOf(0)
+    val trained = codesOf(1)
+    assert(trained.size == 256)
+    trained.values.foreach(c =>
+      assert(c.length == 4 && c.forall(x => x >= 0 && x < 8)))
+    // a mean update on 256 random vectors must re-assign SOMETHING
+    assert(vecs.exists { case (id, _) => trained(id) != untrained(id) })
+  }
+
   test("pqAdcTopK: over a corpus of codebook rows, ADC equals exact distance") {
     // when every corpus vector IS a centroid, quantization error is zero:
     // ADC top-k must equal brute-force quantized squared-L2 top-k
