@@ -398,17 +398,28 @@ object Similarity {
     var centroids = v.where(col("__id") < k)
       .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
     for (_ <- 0 until updates) {
-      val sums = assignNearest(v, centroids)
-        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy(col("centroid_id"), col("__pos"))
-        .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
-      centroids = sums
-        .withColumn("__m", col("__sx") / col("__cnt").cast("double"))
-        .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__m")))),
-          s => s.getField("__m")).as("__c"))
+      centroids = lloydMeanUpdate(
+        assignNearest(v, centroids).select(col("centroid_id"), col("__v")),
+        Seq("centroid_id"), "__v")
     }
     centroids
+  }
+
+  /** One Lloyd mean update, shared by every trained path: member rows
+    * (keys..., vecCol) → (keys..., __c mean vector). Sums are exact
+    * (integer-valued doubles on the quantized grid); the division per
+    * (key, pos) is the only inexact step and is deterministic. Keys with
+    * no members drop out — classic Lloyd empty-cluster behavior. */
+  private def lloydMeanUpdate(members: DataFrame, keys: Seq[String],
+                              vecCol: String): DataFrame = {
+    val sums = members
+      .select(keys.map(col) :+ posexplode(col(vecCol)).as(Seq("__pos", "__x")): _*)
+      .groupBy((keys :+ "__pos").map(col): _*)
+      .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
+    sums.withColumn("__mn", col("__sx") / col("__cnt").cast("double"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__mn")))),
+        st => st.getField("__mn")).as("__c"))
   }
 
   /** End-to-end IVF with Lloyd-TRAINED centroids: fit `nList` centroids
@@ -667,35 +678,33 @@ object Similarity {
   /** Per-subspace Lloyd refinement of the PQ codebook: `updates` rounds
     * of (assign each subvector to its nearest subspace centroid,
     * recompute means). All m subspaces train in ONE grouped plan per
-    * round — assignment is a broadcast join + per-(vector, subspace)
-    * argmin, the mean update a (s, cid, pos) hash aggregate; the corpus
-    * is never shuffled on a key. Empty clusters drop out, as in classic
-    * Lloyd (and [[kmeansCentroidsFrame]]). */
+    * round. Per-round cost: two corpus scans (score + member recovery —
+    * the subvector projection is map-only over the scan) and one
+    * (vector, subspace)-keyed shuffle join; the join-back moves n·m rows,
+    * k× less than a window or min_by argmin would sort (those buffer all
+    * n·m·k scored rows to carry the subvector through). Round 0 scores
+    * the integer seed centroids, so its argmin takes the packed-long
+    * HashAggregate; later rounds score fractional means and use the
+    * struct min. Empty clusters drop out, as in classic Lloyd. */
   private def pqTrainedCodebook(df: DataFrame, idCol: String, vecCol: String,
                                 dims: Int, m: Int, k: Int, updates: Int,
                                 quantizeScale: Option[Double]): DataFrame = {
     val sub = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
     var cb = pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale)
       .select(col("__s"), col("__cid"), col("__c"))
-    for (_ <- 0 until updates) {
+    for (round <- 0 until updates) {
       val scored = sub
         .join(broadcast(cb.withColumn("__cc", dot(col("__c"), col("__c")))),
           Seq("__s"))
         .withColumn("__d2",
           adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
-      val best = scored.groupBy(col("__id"), col("__s"))
-        .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid")
-          .as("__cid"))
-      val sums = best.join(sub, Seq("__id", "__s"))
-        .select(col("__s"), col("__cid"),
-          posexplode(col("__sv")).as(Seq("__pos", "__x")))
-        .groupBy(col("__s"), col("__cid"), col("__pos"))
-        .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
-      cb = sums
-        .withColumn("__mn", col("__sx") / col("__cnt").cast("double"))
-        .groupBy(col("__s"), col("__cid"))
-        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__mn")))),
-          st => st.getField("__mn")).as("__c"))
+      val best = codeArgmin(scored, Seq(col("__id"), col("__s")), k,
+          quantized = quantizeScale.isDefined && round == 0)
+        .withColumnRenamed("__code", "__cid")
+      cb = lloydMeanUpdate(
+        best.join(sub, Seq("__id", "__s"))
+          .select(col("__s"), col("__cid"), col("__sv")),
+        Seq("__s", "__cid"), "__sv")
     }
     cb.withColumn("__cc", dot(col("__c"), col("__c")))
   }
