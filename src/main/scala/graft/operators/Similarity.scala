@@ -405,22 +405,29 @@ object Similarity {
     centroids
   }
 
+  /** The sums stage of a Lloyd mean update: member rows (keys..., vecCol)
+    * → (keys..., __pos, __sx, __cnt). Exact integer sums on the quantized
+    * grid; shared by [[lloydMeanUpdate]] and the collected scale path
+    * ([[kmeansFitCollected]]), which divides driver-side. */
+  private def lloydMeanSums(members: DataFrame, keys: Seq[String],
+                            vecCol: String): DataFrame =
+    members
+      .select(keys.map(col) :+ posexplode(col(vecCol)).as(Seq("__pos", "__x")): _*)
+      .groupBy((keys :+ "__pos").map(col): _*)
+      .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
+
   /** One Lloyd mean update, shared by every trained path: member rows
     * (keys..., vecCol) → (keys..., __c mean vector). Sums are exact
     * (integer-valued doubles on the quantized grid); the division per
     * (key, pos) is the only inexact step and is deterministic. Keys with
     * no members drop out — classic Lloyd empty-cluster behavior. */
   private def lloydMeanUpdate(members: DataFrame, keys: Seq[String],
-                              vecCol: String): DataFrame = {
-    val sums = members
-      .select(keys.map(col) :+ posexplode(col(vecCol)).as(Seq("__pos", "__x")): _*)
-      .groupBy((keys :+ "__pos").map(col): _*)
-      .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
-    sums.withColumn("__mn", col("__sx") / col("__cnt").cast("double"))
+                              vecCol: String): DataFrame =
+    lloydMeanSums(members, keys, vecCol)
+      .withColumn("__mn", col("__sx") / col("__cnt").cast("double"))
       .groupBy(keys.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__mn")))),
         st => st.getField("__mn")).as("__c"))
-  }
 
   /** End-to-end IVF with Lloyd-TRAINED centroids: fit `nList` centroids
     * on the corpus (`iters` k-means rounds, quantized grid so the whole
@@ -555,11 +562,8 @@ object Similarity {
       .sortBy(_._1)
     for (_ <- 1 until iters) {
       val assigned = v.withColumn("__cid", assignCol(centroids))
-      val sums = assigned
-        .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy(col("__cid"), col("__pos"))
-        .agg(sum(col("__x")).as("__sx"), count(lit(1)).as("__cnt"))
-        .collect()
+      val sums = lloydMeanSums(assigned.select(col("__cid"), col("__v")),
+        Seq("__cid"), "__v").collect()
       centroids = sums.groupBy(_.getLong(0)).toArray.map { case (cid, rows) =>
         val dim = rows.length
         val c = new Array[Double](dim)
@@ -617,7 +621,11 @@ object Similarity {
   private def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
                          dims: Int, m: Int, k: Int,
                          quantizeScale: Option[Double]): DataFrame =
-    subvectorFrame(df.where(col(idCol) < k), idCol, vecCol, dims, m, quantizeScale)
+    // bounded BOTH ways: cid must land in [0, k) for the packed argmin's
+    // d2*k + cid encoding (a negative id would alias across distance
+    // levels and decode wrongly via pmod)
+    subvectorFrame(df.where(col(idCol) >= 0 && col(idCol) < k),
+      idCol, vecCol, dims, m, quantizeScale)
       .select(col("__s"), col("__id").cast("long").as("__cid"),
         col("__sv").as("__c"), col("__svv").as("__cc"))
 
@@ -714,16 +722,28 @@ object Similarity {
     * one long keeps the argmin a primitive min() that HashAggregate
     * evaluates with map-side combine; min over a struct would fall back
     * to SortAggregate — a per-partition sort of all scored rows.
-    * Tie-break by cid rides in the low bits either way. */
+    * Tie-break by cid rides in the low bits either way.
+    *
+    * The packed encoding is only lexicographic for finite d2 and
+    * cid ∈ [0, k): a NaN d2 would cast to 0 and WIN every assignment
+    * (struct-min sorts NaN last), an Inf would overflow the pack — so
+    * the packed path fails fast on them instead of silently collapsing
+    * the codebook. Codebook builders bound cid by construction. */
   private def codeArgmin(scored: DataFrame, groupCols: Seq[Column], k: Int,
                          quantized: Boolean): DataFrame =
-    if (quantized)
+    if (quantized) {
+      val bound = 9.0e15 / k // packing multiplies by k; stay below 2^53
+      val d2 = when(isnan(col("__d2")) || col("__d2") < 0.0 ||
+          col("__d2") > lit(bound),
+        raise_error(concat(lit("PQ: non-finite or out-of-range distance "),
+          col("__d2").cast("string"))))
+        .otherwise(col("__d2"))
       scored.groupBy(groupCols: _*)
-        .agg(min(col("__d2").cast("long") * lit(k.toLong) + col("__cid"))
+        .agg(min(d2.cast("long") * lit(k.toLong) + col("__cid"))
           .as("__packed"))
         .withColumn("__code", pmod(col("__packed"), lit(k.toLong)))
         .drop("__packed")
-    else
+    } else
       scored.groupBy(groupCols: _*)
         .agg(min(struct(col("__d2"), col("__cid"))).getField("__cid")
           .as("__code"))
