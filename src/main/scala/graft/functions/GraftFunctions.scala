@@ -6,12 +6,30 @@ import org.apache.spark.sql.SparkSession
   * `spark.sql("... geodesic_distance(lon, lat, 12.5, 41.9) ...")` works
   * alongside the Column API. */
 object GraftFunctions {
+
+  /** Fail analysis with a clear message when a parameter that must be a
+    * compile-time constant (probed via `eval()` with no input row) is a
+    * non-foldable expression such as a column reference — without this the
+    * bare `eval()` throws an opaque internal error. Mirrors how Spark's own
+    * sketch functions (hll_sketch_agg etc.) validate literal parameters. */
+  private[functions] def requireFoldable(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, param: String): Unit =
+    if (!e.foldable) {
+      throw new org.apache.spark.sql.AnalysisException(
+        "USER_RAISED_EXCEPTION",
+        Map("errorMessage" ->
+          s"$fn: the <$param> argument must be a literal, got non-foldable expression: ${e.sql}"))
+    }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "geodesic_distance",
       exprs => {
         require(exprs.length == 4,
           "geodesic_distance(lon, lat, lon0, lat0) expects 4 arguments")
+        requireFoldable(exprs(2), "geodesic_distance", "lon0")
+        requireFoldable(exprs(3), "geodesic_distance", "lat0")
         val lon0 = exprs(2).eval().toString.toDouble
         val lat0 = exprs(3).eval().toString.toDouble
         GeodesicDistanceToPoint(exprs(0), exprs(1), lon0, lat0)
@@ -22,6 +40,7 @@ object GraftFunctions {
       exprs => {
         require(exprs.length == 2,
           "kmv_sketch(hash_bigint, k) expects 2 arguments")
+        requireFoldable(exprs(1), "kmv_sketch", "k")
         KmvSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
       },
       "built-in")
@@ -43,6 +62,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 4,
           "geodesic_distance(lon, lat, lon0, lat0) expects 4 arguments")
+        GraftFunctions.requireFoldable(exprs(2), "geodesic_distance", "lon0")
+        GraftFunctions.requireFoldable(exprs(3), "geodesic_distance", "lat0")
         GeodesicDistanceToPoint(exprs(0), exprs(1),
           exprs(2).eval().toString.toDouble, exprs(3).eval().toString.toDouble)
       }))
@@ -52,6 +73,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2,
           "kmv_sketch(hash_bigint, k) expects 2 arguments")
+        GraftFunctions.requireFoldable(exprs(1), "kmv_sketch", "k")
         KmvSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
       }))
   }

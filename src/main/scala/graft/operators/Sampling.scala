@@ -74,10 +74,10 @@ object Sampling {
         hashBucket(col(idCol), shards).as("shard"))
       .withColumn("__prefix",
         coalesce(sum(col(tokenCol)).over(w), lit(0L)))
-      // exact-integer floor division (stays in longs; no double rounding)
-      .withColumn("bin",
-        ((col("__prefix") - pmod(col("__prefix"), lit(maxTokens))) / maxTokens)
-          .cast("long"))
+      // exact-integer floor division — `div` keeps the whole computation in
+      // longs (Spark's `/` on longs is IEEE double division, which would
+      // mis-bin once a shard's running prefix exceeds 2^53 tokens)
+      .withColumn("bin", expr(s"__prefix div ${maxTokens}L"))
       .drop("__prefix")
   }
 

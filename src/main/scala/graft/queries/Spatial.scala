@@ -350,8 +350,8 @@ object Spatial extends QueryModule {
       s"""
       WITH e AS ($synthSql),
       b AS (SELECT event_id,
-              LEAST(511, CAST(floor((lon + 180.0) * 512.0 / 360.0) AS BIGINT)) AS xi,
-              LEAST(511, CAST(floor((lat + 90.0) * 512.0 / 180.0) AS BIGINT)) AS yi
+              GREATEST(0, LEAST(511, CAST(floor((lon + 180.0) * 512.0 / 360.0) AS BIGINT))) AS xi,
+              GREATEST(0, LEAST(511, CAST(floor((lat + 90.0) * 512.0 / 180.0) AS BIGINT))) AS yi
             FROM e)
       SELECT event_id, xi, yi,
         CAST((${terms.mkString(" | ")}) AS BIGINT) AS z
