@@ -241,7 +241,8 @@ object Similarity {
 
     val (codes, tables) = if (!residual) {
       val corpusCells = assignNearest(
-          prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
+          prepVectors(corpus, idCol, vecCol, quantizeScale), centroids,
+          packCentroids = if (quantizeScale.isDefined) nList else 0)
         .select(col("__id").as("neighbor_id"), col("centroid_id"))
       val c = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
         .withColumnRenamed("__id", "neighbor_id")
@@ -251,7 +252,8 @@ object Similarity {
       // candidate set — the standard IVF recall knob; a corpus row still
       // pairs with a query at most once (it lives in exactly one cell)
       val queryCells = assignNearest(
-          prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe)
+          prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe,
+          packCentroids = if (quantizeScale.isDefined) nList else 0)
         .select(col("__id").as("query_id"), col("centroid_id").as("__qcell"))
       val t = pqDistanceTables(queries, corpus, idCol, vecCol, dims, m, k,
           quantizeScale)
@@ -268,7 +270,8 @@ object Similarity {
           size(v).cast("string"))))
       }
       val corpusRes = assignNearest(
-          prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
+          prepVectors(corpus, idCol, vecCol, quantizeScale), centroids,
+          packCentroids = if (quantizeScale.isDefined) nList else 0)
         .join(broadcast(centroids), Seq("centroid_id"))
         .select(col("__id"), col("centroid_id"),
           residualOf(col("__v"), col("__c")).as("__v"))
@@ -290,7 +293,8 @@ object Similarity {
         .withColumnRenamed("__id", "neighbor_id")
       // per probed cell, the query's residual (and so its tables) differ
       val queryRes = assignNearest(
-          prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe)
+          prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe,
+          packCentroids = if (quantizeScale.isDefined) nList else 0)
         .join(broadcast(centroids), Seq("centroid_id"))
         .select(col("__id"), col("centroid_id"),
           residualOf(col("__v"), col("__c")).as("__v"))
@@ -354,7 +358,9 @@ object Similarity {
     val v = prepVectors(df, idCol, vecCol, quantizeScale)
     val centroids = kmeansCentroidsFrame(df, idCol, vecCol, k,
       updates = iters - 1, quantizeScale)
-    assignNearest(v, centroids)
+    // iters == 1 assigns against the integer seed centroids → packed argmin
+    assignNearest(v, centroids,
+        packCentroids = if (quantizeScale.isDefined && iters == 1) k else 0)
       .select(col("__id").as(idCol), col("centroid_id"))
   }
 
@@ -372,18 +378,48 @@ object Similarity {
     * (centroid_id, __c) frame: ||v||² - 2v·c + ||c||² argmin, ties by
     * centroid id. Keeps __v/__vv for downstream search. `nProbe` > 1
     * returns the nProbe closest centroids per vector (the IVF probe
-    * set) instead of just the best. */
+    * set) instead of just the best.
+    *
+    * Scale shape (nProbe = 1, the path every IVF assignment and k-means
+    * round takes): the argmin is an AGGREGATION, not a window — a window
+    * would shuffle all N·nList scored rows (each dragging the full vector)
+    * on __id just to pick one; the aggregate's map-side partial combine
+    * collapses them to N skinny rows before the exchange, and the vector
+    * rides back in via one N-row join. With nList = 4096 that is a 4096×
+    * shuffle-byte reduction per Lloyd round. When distances are exact
+    * integers (quantized vectors scored against SEED centroids — pass
+    * `packCentroids` = the exclusive centroid-id bound), (d2, cid) packs
+    * into one long and the argmin is a primitive-min HashAggregate
+    * ([[codeArgmin]]); fractional centroids (post-mean-update rounds) use
+    * the struct min, which falls to SortAggregate but keeps the same
+    * partial-combine shuffle shape. nProbe > 1 keeps the window: its
+    * output IS nProbe rows per vector, so there is nothing to collapse. */
   private def assignNearest(v: DataFrame, cs: DataFrame,
-                            nProbe: Int = 1): DataFrame = {
+                            nProbe: Int = 1,
+                            packCentroids: Int = 0): DataFrame = {
     val c = broadcast(cs.withColumn("__cc", dot(col("__c"), col("__c"))))
     val scored = v.crossJoin(c)
       .withColumn("__d2",
         col("__vv") - lit(2.0) * dot(col("__v"), col("__c")) + col("__cc"))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("__d2").asc, col("centroid_id").asc)
-    scored.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= nProbe)
-      .select(col("__id"), col("centroid_id"), col("__v"), col("__vv"))
+    if (nProbe == 1) {
+      val best =
+        if (packCentroids > 0)
+          codeArgmin(scored.withColumnRenamed("centroid_id", "__cid"),
+            Seq(col("__id")), packCentroids, quantized = true)
+            .select(col("__id"), col("__code").as("centroid_id"))
+        else
+          scored.groupBy(col("__id"))
+            .agg(min(struct(col("__d2"), col("centroid_id")))
+              .getField("centroid_id").as("centroid_id"))
+      best.join(v, Seq("__id"))
+        .select(col("__id"), col("centroid_id"), col("__v"), col("__vv"))
+    } else {
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__d2").asc, col("centroid_id").asc)
+      scored.withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= nProbe)
+        .select(col("__id"), col("centroid_id"), col("__v"), col("__vv"))
+    }
   }
 
   /** The Lloyd-trained centroid frame (centroid_id, __c) after `updates`
@@ -397,9 +433,14 @@ object Similarity {
     val v = prepVectors(df, idCol, vecCol, quantizeScale)
     var centroids = v.where(col("__id") < k)
       .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
-    for (_ <- 0 until updates) {
+    for (round <- 0 until updates) {
+      // round 0 scores the integer seed centroids → packed-long argmin;
+      // later rounds score fractional means → struct-min (same shape
+      // codeArgmin's callers use)
+      val pack = if (quantizeScale.isDefined && round == 0) k else 0
       centroids = lloydMeanUpdate(
-        assignNearest(v, centroids).select(col("centroid_id"), col("__v")),
+        assignNearest(v, centroids, packCentroids = pack)
+          .select(col("centroid_id"), col("__v")),
         Seq("centroid_id"), "__v")
     }
     centroids
@@ -446,12 +487,16 @@ object Similarity {
     require(k >= 1, "k must be >= 1")
     val centroids = kmeansCentroidsFrame(corpus, idCol, vecCol, nList,
       updates = iters - 1, quantizeScale)
+    // iters == 1: centroids are still the integer seeds → packed argmin
+    val pack = if (quantizeScale.isDefined && iters == 1) nList else 0
     val corpusAssigned = assignNearest(
-        prepVectors(corpus, idCol, vecCol, quantizeScale), centroids)
+        prepVectors(corpus, idCol, vecCol, quantizeScale), centroids,
+        packCentroids = pack)
       .select(col("__id").as("neighbor_id"), col("centroid_id"),
         col("__v").as("__nv"), col("__vv").as("__nvv"))
     val queryAssigned = assignNearest(
-        prepVectors(queries, idCol, vecCol, quantizeScale), centroids)
+        prepVectors(queries, idCol, vecCol, quantizeScale), centroids,
+        packCentroids = pack)
       .select(col("__id").as("query_id"), col("centroid_id"),
         col("__v").as("__qv"), col("__vv").as("__qvv"))
     val scored = broadcast(queryAssigned)

@@ -3,7 +3,6 @@ package graft.tools
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
-import graft.queries.PipelineQueries
 
 /** Round-6 regression triage (dev tool): pinned multi-trial timings for
   * q32/q34/q52 — the three queries BENCH_r05 flagged as regressed — plus a
@@ -94,6 +93,21 @@ object ProfileR6 {
       .exists(l => l.contains("lambdafunction") && l.contains("regexp_replace"))
     println(s"q34 optimized plan: regexp_replace inside lambda = $lambdaHasRegex")
     println(s"q34 plan regexp_replace count = ${"regexp_replace".r.findAllIn(plan).size}")
+
+    // assignNearest shape check: the nProbe=1 IVF/k-means assignment argmin
+    // must be an aggregate (HashAggregate on the packed grid), not a
+    // row_number window over the N·nList crossJoin fan-out
+    for (q <- Seq("q90_ivf_kmeans", "q96_ivfpq", "q77_kmeans")) {
+      val p = qs(q)(spark, dir).queryExecution.executedPlan.toString
+      val windows = "Window".r.findAllIn(p).size
+      val hashAggs = "HashAggregate".r.findAllIn(p).size
+      val sortAggs = "SortAggregate".r.findAllIn(p).size
+      println(s"$q physical: windows=$windows hashAgg=$hashAggs sortAgg=$sortAggs")
+      p.linesIterator.filter(_.contains("Window")).foreach(l =>
+        println("  " + l.trim.take(160)))
+    }
+    for (q <- Seq("q90_ivf_kmeans", "q96_ivfpq"))
+      trials(q, 3)(qs(q)(spark, dir).count())
     spark.stop()
   }
 }
