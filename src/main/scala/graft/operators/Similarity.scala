@@ -235,31 +235,21 @@ object Similarity {
     require(topK >= 1 && nList >= 1 && nProbe >= 1,
       "topK, nList and nProbe must be >= 1")
     require(m >= 1 && dims % m == 0, "dims must divide evenly into m subspaces")
+    if (!residual) {
+      // build-the-index + search-the-index: the same decomposition
+      // [[graft.sources.AnnIndex]] persists, so an inline search and a
+      // saved/reloaded index produce identical results (the index frames
+      // round-trip exactly: integer-valued doubles and longs)
+      val (centroids, cb, codes) = ivfPqIndexExploded(corpus, idCol, vecCol,
+        dims, m, k, nList, quantizeScale)
+      return ivfPqSearchIndex(queries, idCol, vecCol, centroids, cb, codes,
+        dims, m, k, nList, topK, nProbe, quantizeScale)
+    }
     val centroids = prepVectors(corpus, idCol, vecCol, quantizeScale)
       .where(col("__id") < nList)
       .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
 
-    val (codes, tables) = if (!residual) {
-      val corpusCells = assignNearest(
-          prepVectors(corpus, idCol, vecCol, quantizeScale), centroids,
-          packCentroids = if (quantizeScale.isDefined) nList else 0)
-        .select(col("__id").as("neighbor_id"), col("centroid_id"))
-      val c = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
-        .withColumnRenamed("__id", "neighbor_id")
-        .join(corpusCells, Seq("neighbor_id"))
-      // nProbe nearest cells per query: each probed cell duplicates the
-      // query's (broadcast, tiny) distance-table rows, widening the
-      // candidate set — the standard IVF recall knob; a corpus row still
-      // pairs with a query at most once (it lives in exactly one cell)
-      val queryCells = assignNearest(
-          prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe,
-          packCentroids = if (quantizeScale.isDefined) nList else 0)
-        .select(col("__id").as("query_id"), col("centroid_id").as("__qcell"))
-      val t = pqDistanceTables(queries, corpus, idCol, vecCol, dims, m, k,
-          quantizeScale)
-        .join(queryCells, Seq("query_id"))
-      (c, t)
-    } else {
+    val (codes, tables) = {
       val sub = dims / m
       // residual = v − c(cell), guarded against a dims/data mismatch the
       // same way subvectorFrame guards raw vectors
@@ -306,6 +296,17 @@ object Similarity {
             .as("__ld"))
       (c, t)
     }
+    adcRank(codes, tables, topK)
+  }
+
+  /** Final IVF-PQ scoring stage: candidate codes meet the (broadcast)
+    * per-query distance tables on (probed cell, subspace, code), ADC
+    * distances sum per (query, neighbor) in one hash aggregate, and the
+    * top-k rank window (WindowGroupLimit caps it map-side) picks winners.
+    * `codes`: (neighbor_id, centroid_id, __s, __code); `tables`:
+    * (query_id, __qcell, __s, __cid, __ld). */
+  private def adcRank(codes: DataFrame, tables: DataFrame,
+                      topK: Int): DataFrame = {
     val scored = codes
       .join(broadcast(tables),
         col("centroid_id") === col("__qcell") &&
@@ -319,6 +320,66 @@ object Similarity {
       .where(col("rk") <= topK)
       .select(col("query_id"), col("rk"), col("neighbor_id"),
         col("centroid_id"), col("adc_d2"))
+  }
+
+  /** Build the three frames of a NON-residual IVF-PQ index over a corpus:
+    * centroids (centroid_id, __c) — the nList coarse cells; codebook
+    * (__s, __cid, __c) — the m·k PQ subspace centroids; codes
+    * (neighbor_id, centroid_id, __s, __code) — each corpus vector reduced
+    * to its cell plus m small code ids. These ARE the persistent index:
+    * [[graft.sources.AnnIndex]] writes them to parquet (codes partitioned
+    * by cell, so an nProbe search prunes to the probed directories) and
+    * searches never touch the raw corpus again. Everything in them
+    * round-trips parquet exactly — integer-valued doubles and longs. */
+  private[graft] def ivfPqIndexExploded(corpus: DataFrame, idCol: String,
+      vecCol: String, dims: Int, m: Int, k: Int, nList: Int,
+      quantizeScale: Option[Double]): (DataFrame, DataFrame, DataFrame) = {
+    require(nList >= 1, "nList must be >= 1")
+    require(m >= 1 && dims % m == 0, "dims must divide evenly into m subspaces")
+    val centroids = prepVectors(corpus, idCol, vecCol, quantizeScale)
+      .where(col("__id") < nList)
+      .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
+    val corpusCells = assignNearest(
+        prepVectors(corpus, idCol, vecCol, quantizeScale), centroids,
+        packCentroids = if (quantizeScale.isDefined) nList else 0)
+      .select(col("__id").as("neighbor_id"), col("centroid_id"))
+    val codes = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+      .withColumnRenamed("__id", "neighbor_id")
+      .join(corpusCells, Seq("neighbor_id"))
+    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+      .select(col("__s"), col("__cid"), col("__c"))
+    (centroids, cb, codes)
+  }
+
+  /** Search a NON-residual IVF-PQ index given as the three
+    * [[ivfPqIndexExploded]] frames — possibly reloaded from parquet by
+    * [[graft.sources.AnnIndex]]. The corpus is never touched: queries
+    * assign to their nProbe nearest cells against `centroids` (each
+    * probed cell duplicates the query's broadcast-tiny distance-table
+    * rows — the standard IVF recall knob; a corpus row still pairs with
+    * a query at most once, it lives in exactly one cell), ADC tables
+    * come from `codebook`, and candidates from `codes`. */
+  private[graft] def ivfPqSearchIndex(queries: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, codebook: DataFrame,
+      codes: DataFrame, dims: Int, m: Int, k: Int, nList: Int, topK: Int,
+      nProbe: Int = 1,
+      quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(topK >= 1 && nProbe >= 1, "topK and nProbe must be >= 1")
+    val queryCells = assignNearest(
+        prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe,
+        packCentroids = if (quantizeScale.isDefined) nList else 0)
+      .select(col("__id").as("query_id"), col("centroid_id").as("__qcell"))
+    // __cc is re-derived rather than persisted: dot() has a fixed fold
+    // order, so the recomputed value is bit-identical to the build side's
+    val cb = codebook.select(col("__s"), col("__cid"), col("__c"))
+      .withColumn("__cc", dot(col("__c"), col("__c")))
+    val tables = subvectorFrame(queries, idCol, vecCol, dims, m, quantizeScale)
+      .withColumnRenamed("__id", "query_id")
+      .join(cb, Seq("__s"))
+      .select(col("query_id"), col("__s"), col("__cid"),
+        adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")).as("__ld"))
+      .join(queryCells, Seq("query_id"))
+    adcRank(codes, tables, topK)
   }
 
   /** Quantize a float vector onto an integer grid (floor(x * scale), kept

@@ -521,6 +521,23 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // Persisted IVF-PQ index lifecycle: build the (centroids, codebook,
+    // codes) frames, write them to parquet (codes partitioned by cell,
+    // manifest alongside), reload, and search WITHOUT touching the corpus
+    // again — must equal q96's inline search bit-for-bit (same oracle).
+    "q100_pq_persist" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      // v-token: bump when the index layout/params change (stale /tmp cache)
+      val idx = s"/tmp/graft_annidx_v1_${dir.hashCode.toHexString}"
+      graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
+        dims = 64, m = 4, k = 16, nList = 8)
+      graft.sources.AnnIndex.loadIvfPq(s, idx)
+        .search(emb.where($"vec_id" < 8), "embedding", topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Sketch-based pairwise Jaccard: q34's candidate pairs verified from
     // 8-hash winnow sketches alone (min-k union estimator) — near-dup
     // verification without touching full texts.
@@ -1182,6 +1199,10 @@ object PipelineQueries extends QueryModule {
       FROM best1""",
 
     "q96_ivfpq" -> ivfPqOracle(nProbe = 1),
+
+    // the persisted-index search must return exactly what the inline
+    // search returns, so it shares q96's oracle
+    "q100_pq_persist" -> ivfPqOracle(nProbe = 1),
 
     "q97_ivfpq_probe2" -> ivfPqOracle(nProbe = 2),
 

@@ -1,0 +1,142 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import graft.operators.Similarity
+
+/** Persisted ANN index lifecycle: build an IVF-PQ index once (the
+  * expensive corpus-side pass), write it to storage, and serve every
+  * subsequent search from the reloaded frames — the production shape
+  * `Similarity.ivfPqTopK`'s scaladoc promises ("persist the (cell, codes)
+  * frame — it IS the index"). The reference's analogue is its bucket
+  * manifest round trip (satbucket/io.py:35-73), which [[BucketInfo]]
+  * mirrors for spatial buckets; this module applies the same pattern —
+  * parquet payload + an underscore-prefixed JSON manifest carrying the
+  * parameters a reader needs — to the ANN index.
+  *
+  * Layout under `indexDir`:
+  *  - `_ann_index.json` — manifest: index type + (dims, m, k, nList,
+  *    quantizeScale, idCol). Underscore prefix so Spark's file index
+  *    treats it as metadata, like `_bucket_info.json`.
+  *  - `centroids/` — nList rows (cell, centroid array<double>).
+  *  - `codebook/`  — m·k rows (subspace, code_id, centroid array<double>).
+  *  - `codes/`     — one row per corpus vector (id, pq_code array<long>),
+  *    PARTITIONED BY cell: an nProbe search reads only the probed cells'
+  *    directories (Catalyst partition pruning), the on-disk equivalent of
+  *    an inverted list. At 100 TB the codes frame is the only large one
+  *    (~m bytes-ish per vector), and a probe touches nProbe/nList of it.
+  *
+  * Exactness: every persisted value is a long or an integer-valued double
+  * (the quantized grid), so the parquet round trip is bit-exact and a
+  * reloaded search returns EXACTLY what `ivfPqTopK` computes inline —
+  * gated by q100_pq_persist against the same DuckDB oracle as q96. */
+object AnnIndex {
+
+  val ManifestFile = "_ann_index.json"
+
+  /** A reloaded IVF-PQ index: parameters from the manifest plus the three
+    * lazy frames. `search` never touches the original corpus. */
+  final case class IvfPqIndex(dims: Int, m: Int, k: Int, nList: Int,
+                              quantizeScale: Option[Double], idCol: String,
+                              centroids: DataFrame, codebook: DataFrame,
+                              codes: DataFrame) {
+    /** Top-k ADC search against the persisted index; identical results to
+      * `Similarity.ivfPqTopK(queries, corpus, ...)` with the build
+      * parameters. */
+    def search(queries: DataFrame, vecCol: String, topK: Int,
+               nProbe: Int = 1): DataFrame = {
+      val exploded = codes.select(col(idCol).as("neighbor_id"),
+        col("cell").as("centroid_id"),
+        posexplode(col("pq_code")).as(Seq("__s", "__code")))
+      Similarity.ivfPqSearchIndex(queries, idCol, vecCol,
+        centroids.select(col("cell").as("centroid_id"),
+          col("centroid").as("__c")),
+        codebook.select(col("subspace").as("__s"), col("code_id").as("__cid"),
+          col("centroid").as("__c")),
+        exploded, dims, m, k, nList, topK, nProbe, quantizeScale)
+    }
+  }
+
+  /** Build and persist a (non-residual) IVF-PQ index over `corpus`. */
+  def saveIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
+                indexDir: String, dims: Int, m: Int, k: Int, nList: Int,
+                quantizeScale: Option[Double] = Some(1000.0)): Unit = {
+    val (centroids, codebook, codesExploded) = Similarity.ivfPqIndexExploded(
+      corpus, idCol, vecCol, dims, m, k, nList, quantizeScale)
+    // tiny frames: one file each, not 32 shards of a few rows
+    centroids.select(col("centroid_id").as("cell"), col("__c").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    codebook.select(col("__s").as("subspace"), col("__cid").as("code_id"),
+        col("__c").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
+    // codes pack to one array row per vector (position = subspace) and
+    // partition by cell — the inverted-list layout searches prune on
+    codesExploded
+      .groupBy(col("neighbor_id"), col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
+        s => s.getField("__code")).as("pq_code"))
+      .select(col("neighbor_id").as(idCol), col("centroid_id").as("cell"),
+        col("pq_code"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    val manifest: Map[String, Any] = Map(
+      "index_type" -> "ivf_pq", "residual" -> false,
+      "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
+      "quantize_scale" -> quantizeScale.map(_.asInstanceOf[Any]).orNull,
+      "id_col" -> idCol)
+    BucketFs.writeString(s"$indexDir/$ManifestFile",
+      JsonMethods.pretty(JsonMethods.render(toJValue(manifest))))
+  }
+
+  /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames). */
+  def loadIvfPq(spark: SparkSession, indexDir: String): IvfPqIndex = {
+    val p = s"$indexDir/$ManifestFile"
+    if (!BucketFs.exists(p))
+      throw new IllegalArgumentException(
+        s"no $ManifestFile in $indexDir — not an ANN index?")
+    val mf = JsonMethods.parse(BucketFs.readString(p))
+    def num(field: String): Double = mf \ field match {
+      case JInt(x) => x.toDouble
+      case JDouble(x) => x
+      case JLong(x) => x.toDouble
+      case other => throw new IllegalArgumentException(
+        s"manifest field '$field' missing or non-numeric: $other")
+    }
+    val idxType = mf \ "index_type" match { case JString(s) => s; case _ => "?" }
+    require(idxType == "ivf_pq", s"unsupported index_type '$idxType'")
+    val scale = mf \ "quantize_scale" match {
+      case JNull | JNothing => None
+      case JDouble(x) => Some(x)
+      case JInt(x) => Some(x.toDouble)
+      case other => throw new IllegalArgumentException(
+        s"bad quantize_scale in manifest: $other")
+    }
+    val idCol = mf \ "id_col" match {
+      case JString(s) => s
+      case _ => throw new IllegalArgumentException("manifest missing id_col")
+    }
+    // cell is a directory-partition column: its read-back type depends on
+    // session inference settings (string with inference off), so pin it
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .withColumn("cell", col("cell").cast("long"))
+    IvfPqIndex(num("dims").toInt, num("m").toInt, num("k").toInt,
+      num("n_list").toInt, scale, idCol,
+      spark.read.parquet(s"$indexDir/centroids"),
+      spark.read.parquet(s"$indexDir/codebook"), codes)
+  }
+
+  private def toJValue(v: Any): JValue = v match {
+    case null => JNull
+    case s: String => JString(s)
+    case i: Int => JInt(i)
+    case l: Long => JInt(l)
+    case d: Double => JDouble(d)
+    case b: Boolean => JBool(b)
+    case s: Seq[_] => JArray(s.map(toJValue).toList)
+    case m: Map[_, _] =>
+      JObject(m.map { case (k, vv) => k.toString -> toJValue(vv) }.toList)
+    case other => JString(other.toString)
+  }
+}

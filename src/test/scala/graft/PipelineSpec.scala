@@ -486,4 +486,46 @@ class PipelineSpec extends AnyFunSuite {
     // ceil semantics: p just over a rank boundary moves to the next value
     assert(thr(0.251) == 26L)
   }
+
+  test("AnnIndex: persisted IVF-PQ search equals inline search exactly") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 64L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 4)
+    val inline = Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding",
+      dims = 8, m = 2, k = 4, nList = 4, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", dir,
+        dims = 8, m = 2, k = 4, nList = 4)
+      // manifest present, underscore-prefixed (metadata to Spark's lister)
+      assert(graft.sources.BucketFs.exists(
+        s"$dir/${graft.sources.AnnIndex.ManifestFile}"))
+      // codes laid out as one directory per cell (the inverted list)
+      val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+      assert(cellDirs.nonEmpty)
+      val idx = graft.sources.AnnIndex.loadIvfPq(spark, dir)
+      assert(idx.dims == 8 && idx.m == 2 && idx.k == 4 && idx.nList == 4 &&
+        idx.quantizeScale.contains(1000.0) && idx.idCol == "vec_id")
+      val persisted = idx.search(queries, "embedding", topK = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(persisted == inline)
+      // a second search from the same loaded index (no rebuild) also matches
+      assert(idx.search(queries, "embedding", topK = 3).count() == inline.size)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
+  test("AnnIndex: loading a non-index directory fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("notanidx").toString
+    try {
+      val e = intercept[IllegalArgumentException](
+        graft.sources.AnnIndex.loadIvfPq(spark, dir))
+      assert(e.getMessage.contains("_ann_index.json"))
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
 }
