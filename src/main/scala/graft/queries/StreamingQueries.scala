@@ -210,6 +210,39 @@ object StreamingQueries extends QueryModule {
         .select($"l_user".as("user_id"),
           unix_micros($"click_ts").as("click_us"),
           unix_micros($"view_ts").as("view_us"))
+    }),
+
+    // LEFT-OUTER watermarked stream-stream join: clicks with no view in
+    // the next 24h emit null-padded once the watermark closes their match
+    // window — the late-enrichment shape. Sentinel engineering differs
+    // from q95 on purpose: outer emission is driven by state EVICTION,
+    // which only happens when the watermark advances past real data, so
+    // the far-future sentinels must flow THROUGH both sides' watermark
+    // operators (user_id < 0 rides around the event_type filters; inner
+    // q95 could filter them early because matches emit without eviction).
+    // Sentinels drop from the OUTPUT (user_id >= 0); unmatched rows carry
+    // view_us = -1 (coalesced on both engine and oracle sides, keeping
+    // the column non-null BIGINT for the hash compare).
+    "q101_stream_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      runStagedN(s, dir, "ssouter", 2) { streams =>
+        val clicks = streams(0)
+          .where($"event_type" === "click" || $"user_id" < 0)
+          .select($"user_id".as("l_user"), $"ts".as("click_ts"))
+        val views = streams(1)
+          .where($"event_type" === "view" || $"user_id" < 0)
+          .select($"user_id".as("r_user"), $"ts".as("view_ts"))
+        StreamingOps.streamIntervalJoin(clicks, views, "click_ts", "view_ts",
+          watermark = "1 minute",
+          condition = $"l_user" === $"r_user" &&
+            $"view_ts" >= $"click_ts" &&
+            $"view_ts" <= $"click_ts" + expr("interval 24 hours"),
+          joinType = "left_outer")
+      }
+        .where($"l_user" >= 0)
+        .select($"l_user".as("user_id"),
+          unix_micros($"click_ts").as("click_us"),
+          coalesce(unix_micros($"view_ts"), lit(-1L)).as("view_us"))
     })
   )
 
@@ -272,6 +305,15 @@ object StreamingQueries extends QueryModule {
       SELECT l.user_id, epoch_us(l.ts) AS click_us, epoch_us(r.ts) AS view_us
       FROM events l JOIN events r ON l.user_id = r.user_id
         AND l.event_type = 'click' AND r.event_type = 'view'
+        AND epoch_us(r.ts) >= epoch_us(l.ts)
+        AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""",
+
+    "q101_stream_outer_join" -> """
+      SELECT l.user_id, epoch_us(l.ts) AS click_us,
+        COALESCE(epoch_us(r.ts), -1) AS view_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') l
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON l.user_id = r.user_id
         AND epoch_us(r.ts) >= epoch_us(l.ts)
         AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""")
 }

@@ -78,19 +78,31 @@ object StreamingOps {
   def enrich(stream: DataFrame, dim: DataFrame, joinExpr: Column): DataFrame =
     stream.join(broadcast(dim), joinExpr)
 
-  /** Watermarked stream-stream inner join. `condition` must carry an
+  /** Watermarked stream-stream join. `condition` must carry an
     * event-time range constraint between the two time columns — that
     * constraint plus the watermarks is what lets the engine BOUND the
     * join state (each side's buffered rows are evicted once the watermark
     * passes the range they could still match); without it state grows
     * forever. Inner-join matches emit as soon as both rows have arrived,
     * so the result is batching-invariant — equal to the batch join of the
-    * full inputs. */
+    * full inputs.
+    *
+    * `joinType = "left_outer"` (or right/full) is the late-enrichment
+    * shape: an unmatched row emits null-padded once the watermark CLOSES
+    * its match window (state eviction), with the same state bound as the
+    * inner join. Emission timing then depends on watermark progress — the
+    * final CONTENT still equals the batch outer join, but a source that
+    * never advances the watermark past a row's range keeps it buffered,
+    * never emitted. In particular: if far-future sentinel rows drive the
+    * watermark (the q101 gate pattern), they must flow THROUGH both
+    * sides' withWatermark operators — a sentinel filtered out upstream
+    * advances nothing. */
   def streamIntervalJoin(left: DataFrame, right: DataFrame,
                          leftTime: String, rightTime: String,
-                         watermark: String, condition: Column): DataFrame =
+                         watermark: String, condition: Column,
+                         joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTime, watermark)
-      .join(right.withWatermark(rightTime, watermark), condition)
+      .join(right.withWatermark(rightTime, watermark), condition, joinType)
 
   /** Streaming exact deduplication: first occurrence per key wins, state
     * carried across micro-batches. With no event-time column among the

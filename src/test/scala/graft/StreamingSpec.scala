@@ -70,6 +70,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream interval join null-pads on watermark close") {
+    val lsrc = tmp("ssj_left"); val rsrc = tmp("ssj_right")
+    // left 1: match within range; left 2: right row OUTSIDE the 10-minute
+    // range; left 3: no right row at all → 2 and 3 must null-pad
+    Seq((1L, ts("2021-01-01 00:00:00")), (2L, ts("2021-01-01 01:00:00")),
+        (3L, ts("2021-01-01 02:00:00")))
+      .toDF("l_id", "l_ts").write.mode("overwrite").parquet(lsrc)
+    Seq((1L, ts("2021-01-01 00:05:00")), (2L, ts("2021-01-01 01:30:00")))
+      .toDF("r_id", "r_ts").write.mode("overwrite").parquet(rsrc)
+    val left = spark.readStream.schema("l_id LONG, l_ts TIMESTAMP").parquet(lsrc)
+    val right = spark.readStream.schema("r_id LONG, r_ts TIMESTAMP").parquet(rsrc)
+    val joined = StreamingOps.streamIntervalJoin(left, right, "l_ts", "r_ts",
+      watermark = "1 second",
+      condition = col("l_id") === col("r_id") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr("interval 10 minutes"),
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ssj_outer")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // matched row emits immediately; unmatched left rows wait for the
+      // watermark — push it past every match window, then one more batch
+      // so the eviction-driven emission lands
+      Seq((99L, ts("2021-01-02 00:00:00")))
+        .toDF("l_id", "l_ts").write.mode("append").parquet(lsrc)
+      Seq((99L, ts("2021-01-02 00:00:00")))
+        .toDF("r_id", "r_ts").write.mode("append").parquet(rsrc)
+      q.processAllAvailable()
+      Seq((98L, ts("2021-01-02 00:00:01")))
+        .toDF("l_id", "l_ts").write.mode("append").parquet(lsrc)
+      Seq((98L, ts("2021-01-02 00:00:01")))
+        .toDF("r_id", "r_ts").write.mode("append").parquet(rsrc)
+      q.processAllAvailable()
+      val got = spark.table("ssj_outer").where($"l_id" < 90)
+        .select($"l_id", $"r_ts".isNull.as("padded"))
+        .as[(Long, Boolean)].collect().toSet
+      assert(got == Set((1L, false), (2L, true), (3L, true)))
+    } finally q.stop()
+  }
+
   test("streaming windowed KMV sketch matches the batch estimate") {
     val src = tmp("kmv_src")
     // 40 users in one hour window for key "a": exceeds k=16 → estimation
