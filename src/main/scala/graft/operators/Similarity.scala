@@ -535,17 +535,22 @@ object Similarity {
     * on the corpus (`iters` k-means rounds, quantized grid so the whole
     * pipeline is bit-reproducible), assign corpus and queries to cells,
     * then top-k nearest (squared-L2 ascending, ties by id) within the
-    * query's cell. Train → coarse-quantize → search, the full IVF
-    * lifecycle in one lazy plan; [[ivfTopK]] remains the
-    * untrained-centroid (id < nList) variant.
+    * query's `nProbe` nearest cells. Train → coarse-quantize → search,
+    * the full IVF lifecycle in one lazy plan; [[ivfTopK]] remains the
+    * untrained-centroid (id < nList) variant. nProbe > 1 is the standard
+    * IVF recall knob: each probed cell widens the query's candidate set;
+    * a corpus row still pairs with a query at most once (it lives in
+    * exactly one cell).
     *
     * Scale shape: training per round is one broadcast + one corpus pass +
     * a (nList × dim) aggregate; search joins corpus cells to broadcast
-    * queries — the corpus shuffles once on cell id. */
+    * queries — the corpus shuffles once on cell id, and nProbe only
+    * multiplies the broadcast-tiny query side. */
   def ivfKmeansTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, k: Int, nList: Int, iters: Int,
+                    nProbe: Int = 1,
                     quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
-    require(k >= 1, "k must be >= 1")
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be >= 1")
     val centroids = kmeansCentroidsFrame(corpus, idCol, vecCol, nList,
       updates = iters - 1, quantizeScale)
     // iters == 1: centroids are still the integer seeds → packed argmin
@@ -557,7 +562,7 @@ object Similarity {
         col("__v").as("__nv"), col("__vv").as("__nvv"))
     val queryAssigned = assignNearest(
         prepVectors(queries, idCol, vecCol, quantizeScale), centroids,
-        packCentroids = pack)
+        nProbe, packCentroids = pack)
       .select(col("__id").as("query_id"), col("centroid_id"),
         col("__v").as("__qv"), col("__vv").as("__qvv"))
     val scored = broadcast(queryAssigned)

@@ -430,6 +430,17 @@ object PipelineQueries extends QueryModule {
         "vec_id", "embedding", k = 2, nList = 8, iters = 2)
     }),
 
+    // Trained IVF with nProbe=2 — the recall knob on the TRAINED coarse
+    // quantizer (q57/q97 cover it for the untrained variants): each query
+    // searches its two nearest k-means cells; ranks re-order as closer
+    // neighbors surface from the second cell.
+    "q102_ivf_kmeans_probe2" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfKmeansTopK(emb.where($"vec_id" < 24), emb,
+        "vec_id", "embedding", k = 2, nList = 8, iters = 2, nProbe = 2)
+    }),
+
     // Product-quantization codes: 64-dim vectors → 4 subspaces × 16
     // centroids, each vector stored as 4 small ids (the 100-TB
     // vector-store compression). Exact integer distances on the
@@ -634,6 +645,50 @@ object PipelineQueries extends QueryModule {
                       ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
                         ASC, c.ccell ASC) AS rk
                   FROM fv, cen c) WHERE rk = 1)"""
+
+  /** Trained-IVF search oracle (mirrors Similarity.ivfKmeansTopK at k=2,
+    * nList=8, iters=2, queries vec_id < 24): two unrolled Lloyd rounds —
+    * rank-1 assignment against the id<8 seeds, exact integer mean update,
+    * rank-1 re-assignment — then the query side probes its `nProbe`
+    * nearest trained cells and top-2 ranks candidates within them. The
+    * corpus side stays rank-1 (a vector lives in exactly one cell). */
+  private def ivfKmeansOracle(nProbe: Int): String = s"""
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+                 FROM embeddings),
+      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
+             FROM v WHERE vec_id < 8),
+      a0 AS (SELECT vec_id, cid, e FROM (
+               SELECT vv.vec_id, c.cid, vv.e,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c0 c)
+             WHERE rk = 1),
+      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
+               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
+               GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
+             FROM sums GROUP BY cid),
+      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
+      ranked AS (SELECT vv.vec_id, c.cid, vv.e, vv.sq,
+                   row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                     ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                     c.cid ASC) AS rk
+                 FROM vv, c1c c),
+      a1 AS (SELECT vec_id, cid, e, sq FROM ranked WHERE rk = 1),
+      aq AS (SELECT vec_id, cid, e, sq FROM ranked WHERE rk <= $nProbe),
+      scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.cid,
+              ((q.sq - 2.0 * list_inner_product(q.e, n.e)) + n.sq) AS d2
+            FROM aq q JOIN a1 n ON q.cid = n.cid AND q.vec_id <> n.vec_id
+            WHERE q.vec_id < 24)
+      SELECT query_id, rk, neighbor_id, CAST(cid AS BIGINT) AS centroid_id
+      FROM (SELECT query_id, neighbor_id, cid,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM scored)
+      WHERE rk <= 2"""
 
   /** IVF-PQ search oracle (mirrors Similarity.ivfPqTopK at dims=64, m=4,
     * k=16, nList=8, topK=3, queries vec_id < 8): corpus cells by rank-1
@@ -1115,43 +1170,9 @@ object PipelineQueries extends QueryModule {
         CAST(prefix // 256 AS BIGINT) AS bin
       FROM p""",
 
-    "q90_ivf_kmeans" -> """
-      WITH v AS (SELECT vec_id,
-                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
-                 FROM embeddings),
-      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
-      c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
-             FROM v WHERE vec_id < 8),
-      a0 AS (SELECT vec_id, cid, e FROM (
-               SELECT vv.vec_id, c.cid, vv.e,
-                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
-                   c.cid ASC) AS rk
-               FROM vv, c0 c)
-             WHERE rk = 1),
-      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
-               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
-               GROUP BY 1, 2),
-      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
-             FROM sums GROUP BY cid),
-      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
-      a1 AS (SELECT vec_id, cid, e, sq FROM (
-               SELECT vv.vec_id, c.cid, vv.e, vv.sq,
-                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
-                   c.cid ASC) AS rk
-               FROM vv, c1c c)
-             WHERE rk = 1),
-      scored AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, q.cid,
-              ((q.sq - 2.0 * list_inner_product(q.e, n.e)) + n.sq) AS d2
-            FROM a1 q JOIN a1 n ON q.cid = n.cid AND q.vec_id <> n.vec_id
-            WHERE q.vec_id < 24)
-      SELECT query_id, rk, neighbor_id, CAST(cid AS BIGINT) AS centroid_id
-      FROM (SELECT query_id, neighbor_id, cid,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY d2 ASC, neighbor_id ASC) AS rk
-            FROM scored)
-      WHERE rk <= 2""",
+    "q90_ivf_kmeans" -> ivfKmeansOracle(nProbe = 1),
+
+    "q102_ivf_kmeans_probe2" -> ivfKmeansOracle(nProbe = 2),
 
     "q88_int8_quant" -> """
       WITH v AS (SELECT vec_id,
