@@ -414,11 +414,12 @@ object Similarity {
     * every few rounds; the plan is linear in iters. */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
                    k: Int, iters: Int,
-                   quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+                   quantizeScale: Option[Double] = Some(1000.0),
+                   seeding: String = "first-ids"): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val v = prepVectors(df, idCol, vecCol, quantizeScale)
     val centroids = kmeansCentroidsFrame(df, idCol, vecCol, k,
-      updates = iters - 1, quantizeScale)
+      updates = iters - 1, quantizeScale, seeding)
     // iters == 1 assigns against the integer seed centroids → packed argmin
     assignNearest(v, centroids,
         packCentroids = if (quantizeScale.isDefined && iters == 1) k else 0)
@@ -484,16 +485,25 @@ object Similarity {
   }
 
   /** The Lloyd-trained centroid frame (centroid_id, __c) after `updates`
-    * mean-recomputation rounds from the deterministic id-<-k init — the
-    * lazy-plan counterpart of [[kmeansFitCollected]]'s matrix, consumable
-    * by [[ivfKmeansTopK]] or a custom searcher. */
+    * mean-recomputation rounds — the lazy-plan counterpart of
+    * [[kmeansFitCollected]]'s matrix, consumable by [[ivfKmeansTopK]] or
+    * a custom searcher. `seeding` picks the init: "first-ids" (rows with
+    * id < k — zero extra passes, fine when ids are uncorrelated with
+    * content) or "farthest" ([[farthestPointSeeds]] — spreads seeds
+    * across the data's extent, immune to adversarial id order). */
   def kmeansCentroidsFrame(df: DataFrame, idCol: String, vecCol: String,
                            k: Int, updates: Int,
-                           quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+                           quantizeScale: Option[Double] = Some(1000.0),
+                           seeding: String = "first-ids"): DataFrame = {
     require(k >= 1 && updates >= 0, "k must be >= 1 and updates >= 0")
     val v = prepVectors(df, idCol, vecCol, quantizeScale)
-    var centroids = v.where(col("__id") < k)
-      .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
+    var centroids = seeding match {
+      case "first-ids" => v.where(col("__id") < k)
+        .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
+      case "farthest" => farthestPointSeeds(df, idCol, vecCol, k, quantizeScale)
+      case other => throw new IllegalArgumentException(
+        s"unknown seeding '$other' (use 'first-ids' or 'farthest')")
+    }
     for (round <- 0 until updates) {
       // round 0 scores the integer seed centroids → packed-long argmin;
       // later rounds score fractional means → struct-min (same shape
@@ -505,6 +515,73 @@ object Similarity {
         Seq("centroid_id"), "__v")
     }
     centroids
+  }
+
+  /** Deterministic farthest-point (k-means++-flavored) seeding: start
+    * from the smallest-id row, then greedily pick the row FARTHEST from
+    * the current seed set (max over rows of min distance to any seed),
+    * ties by smallest id — the classic k-center greedy init. No RNG: on
+    * the quantized grid every distance is an exact integer and every
+    * tie-break is by id, so the seeds are a pure function of the data —
+    * same property the id < k init has, without its failure mode (the
+    * first k ids all landing in one cluster, e.g. ingest order grouped by
+    * source). Returns (centroid_id 0..k-1 in pick order, __c), directly
+    * consumable as `kmeansCentroidsFrame(..., seeding = "farthest")`.
+    *
+    * Scale shape: k-1 corpus passes, each a broadcast-literal distance
+    * projection + TakeOrdered(1) (no shuffle, no sort — a top-1 heap per
+    * partition then on the driver); driver state is the k × dim seed
+    * matrix, the same bounded-state trust as [[kmeansFitCollected]]. The
+    * pass count is linear in k — for k in the thousands, run it on a
+    * deterministic hash-sample of the corpus instead (seed quality needs
+    * the data's extent, not its bulk). */
+  def farthestPointSeeds(df: DataFrame, idCol: String, vecCol: String,
+                         k: Int,
+                         quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = prepVectors(df, idCol, vecCol, quantizeScale)
+    val first = v.orderBy(col("__id").asc)
+      .select(col("__id").cast("long"), col("__v")).head(1)
+    require(first.nonEmpty, "farthestPointSeeds: empty input")
+    def sqNorm(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc = acc + c(i) * c(i); i += 1 }
+      acc
+    }
+    def d2To(c: Array[Double]): Column = {
+      val cLit = array(c.toSeq.map(lit): _*)
+      col("__vv") - lit(2.0) * dot(col("__v"), cLit) + lit(sqNorm(c))
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer[Array[Double]](
+      first(0).getSeq[Double](1).toArray)
+    for (_ <- 1 until k) {
+      val minD = seeds.map(d2To).reduceLeft(least(_, _))
+      val next = v.select(col("__id").cast("long").as("__id"), col("__v"),
+          minD.as("__md"))
+        .orderBy(col("__md").desc, col("__id").asc)
+        .head()
+      seeds += next.getSeq[Double](1).toArray
+    }
+    spark.createDataset(seeds.toSeq.zipWithIndex.map { case (c, i) =>
+      (i.toLong, c) }).toDF("centroid_id", "__c")
+  }
+
+  /** Total within-cluster squared distance (inertia) of a corpus against
+    * a (centroid_id, __c) centroid frame — the elbow-method / seeding-
+    * comparison metric. One broadcast, one corpus pass, two hash
+    * aggregates (per-row min then global sum); never shuffles vectors. */
+  def kmeansInertia(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame,
+                    quantizeScale: Option[Double] = Some(1000.0)): Double = {
+    val v = prepVectors(df, idCol, vecCol, quantizeScale)
+    val c = broadcast(centroids.withColumn("__cc", dot(col("__c"), col("__c"))))
+    v.crossJoin(c)
+      .withColumn("__d2",
+        col("__vv") - lit(2.0) * dot(col("__v"), col("__c")) + col("__cc"))
+      .groupBy(col("__id")).agg(min(col("__d2")).as("__md"))
+      .agg(sum(col("__md"))).head().getDouble(0)
   }
 
   /** The sums stage of a Lloyd mean update: member rows (keys..., vecCol)

@@ -487,6 +487,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(thr(0.251) == 26L)
   }
 
+  test("farthest-point seeding: inertia <= first-ids on adversarial id order") {
+    val r = new scala.util.Random(20260813L)
+    (1 to 5).foreach { round =>
+      val c = 3 + r.nextInt(3) // well-separated clusters, k = c
+      val centers = (0 until c).map(i => (i * 20.0, (i % 2) * 20.0))
+      val pts = scala.collection.mutable.ArrayBuffer[(Long, Array[Float])]()
+      var id = 0L
+      // adversarial: the first k ids are DUPLICATE points inside cluster 0,
+      // so the id<k init seeds one cluster k times over
+      (0 until c).foreach { _ =>
+        pts += ((id, Array(centers(0)._1.toFloat, centers(0)._2.toFloat)))
+        id += 1
+      }
+      centers.foreach { case (cx, cy) =>
+        (0 until 10).foreach { _ =>
+          pts += ((id, Array((cx + r.nextDouble() - 0.5).toFloat,
+            (cy + r.nextDouble() - 0.5).toFloat)))
+          id += 1
+        }
+      }
+      val df = pts.toSeq.toDF("vec_id", "embedding")
+      val base = Similarity.kmeansCentroidsFrame(df, "vec_id", "embedding",
+        k = c, updates = 2)
+      val fp = Similarity.kmeansCentroidsFrame(df, "vec_id", "embedding",
+        k = c, updates = 2, seeding = "farthest")
+      val iBase = Similarity.kmeansInertia(df, "vec_id", "embedding", base)
+      val iFp = Similarity.kmeansInertia(df, "vec_id", "embedding", fp)
+      assert(iFp <= iBase + 1e-6,
+        s"round $round: farthest inertia $iFp > first-ids $iBase")
+      // on this geometry the spread init must actually win, not just tie
+      assert(iFp < iBase, s"round $round: expected a strict win, got tie $iFp")
+    }
+  }
+
+  test("farthest-point seeds are partition-order invariant") {
+    val vecs = (0L until 40L).map(i =>
+      (i, Array((i % 7).toFloat, (i % 11).toFloat))).toDF("vec_id", "embedding")
+    def seedsOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.farthestPointSeeds(df, "vec_id", "embedding", k = 4)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toList
+        .sortBy(_._1)
+    assert(seedsOf(vecs) == seedsOf(vecs.repartition(7)))
+  }
+
   test("AnnIndex: persisted IVF-PQ search equals inline search exactly") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 64L).map(i =>
