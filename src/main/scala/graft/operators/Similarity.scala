@@ -148,11 +148,23 @@ object Similarity {
   }
 
   /** IVF-style coarse quantization: assign every vector to its nearest of
-    * `nList` centroid vectors (ties → smallest centroid id). With
-    * k-means-trained centroids this is classic IVF; any deterministic
-    * centroid set works — the cheap default takes rows with id < nList as
-    * centroids, which keeps the whole operator (and its oracle) free of
-    * training randomness. One broadcast of nList vectors, one corpus pass. */
+    * `nList` centroid vectors by cosine (ties → smallest centroid id).
+    * With k-means-trained centroids this is classic IVF; any
+    * deterministic centroid set works — the cheap default takes rows with
+    * id < nList as centroids, which keeps the whole operator (and its
+    * oracle) free of training randomness. One broadcast of nList vectors,
+    * one corpus pass.
+    *
+    * Scale shape: the argmax is an AGGREGATION, not a window (same
+    * rationale as [[assignNearest]]): map-side partial combine collapses
+    * the N·nList scored fan-out to N skinny rows before the exchange and
+    * the vector joins back in — not N·nList full rows shuffled to rank
+    * one. min(struct(−cos, cid)) = max cosine with ties by smallest cid.
+    * Edge semantics: a NaN cosine (zero-norm vector) loses to any finite
+    * candidate under struct-min — saner than the previous window-DESC
+    * shape, where NaN sorted FIRST and a single zero-norm centroid would
+    * capture every row; an all-NaN row still deterministically takes the
+    * smallest cid. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val c = broadcast(centroids.select(col(idCol).as("centroid_id"),
@@ -163,10 +175,10 @@ object Similarity {
     val scored = v.crossJoin(c)
       .withColumn("__cos",
         cosineStaged(col("__v"), col("__cv"), col("__vn"), col("__cvn")))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__cos").desc, col("centroid_id").asc)
-    scored.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
+    val best = scored.groupBy(col(idCol))
+      .agg(min(struct(negate(col("__cos")), col("centroid_id")))
+        .getField("centroid_id").as("centroid_id"))
+    best.join(v, Seq(idCol))
       .select(col(idCol), col("centroid_id"), col("__v"))
   }
 
@@ -231,17 +243,19 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, dims: Int, m: Int, k: Int, nList: Int,
                 topK: Int, nProbe: Int = 1, residual: Boolean = false,
-                quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+                quantizeScale: Option[Double] = Some(1000.0),
+                trainUpdates: Int = 0): DataFrame = {
     require(topK >= 1 && nList >= 1 && nProbe >= 1,
       "topK, nList and nProbe must be >= 1")
     require(m >= 1 && dims % m == 0, "dims must divide evenly into m subspaces")
+    require(trainUpdates >= 0, "trainUpdates must be >= 0")
     if (!residual) {
       // build-the-index + search-the-index: the same decomposition
       // [[graft.sources.AnnIndex]] persists, so an inline search and a
       // saved/reloaded index produce identical results (the index frames
       // round-trip exactly: integer-valued doubles and longs)
       val (centroids, cb, codes) = ivfPqIndexExploded(corpus, idCol, vecCol,
-        dims, m, k, nList, quantizeScale)
+        dims, m, k, nList, quantizeScale, trainUpdates)
       return ivfPqSearchIndex(queries, idCol, vecCol, centroids, cb, codes,
         dims, m, k, nList, topK, nProbe, quantizeScale)
     }
@@ -269,17 +283,24 @@ object Similarity {
       // codebook rows start AT nList: rows id < nList are their own cell
       // centroid, so their residuals are identically zero — training on
       // id < k would fill nList slots with duplicate zero vectors the cid
-      // tie-break can never pick, silently halving the effective codebook
-      val cb = broadcast(resSub
+      // tie-break can never pick, silently halving the effective codebook.
+      // trainUpdates Lloyd-refines it on the residual subvectors (the
+      // classic trained residual IVF-PQ): residuals of integers are
+      // integers, so round 0 keeps the packed argmin.
+      val cb0 = resSub
         .where(col("__id") >= nList && col("__id") < nList + k)
         .select(col("__s"), (col("__id") - nList).cast("long").as("__cid"),
-          col("__sv").as("__cbv"), col("__svv").as("__cc")))
+          col("__sv").as("__c"))
+      val cb = broadcast(
+        refineCodebook(resSub, cb0, k, trainUpdates,
+            quantized = quantizeScale.isDefined)
+          .withColumn("__cc", dot(col("__c"), col("__c"))))
       val scoredCodes = resSub.join(cb, Seq("__s"))
         .withColumn("__d2",
-          adcD2(col("__sv"), col("__svv"), col("__cbv"), col("__cc")))
+          adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
       val c = codeArgmin(scoredCodes,
           Seq(col("__id"), col("centroid_id"), col("__s")), k,
-          quantized = quantizeScale.isDefined)
+          quantized = quantizeScale.isDefined && trainUpdates == 0)
         .withColumnRenamed("__id", "neighbor_id")
       // per probed cell, the query's residual (and so its tables) differ
       val queryRes = assignNearest(
@@ -292,7 +313,7 @@ object Similarity {
         .join(cb, Seq("__s"))
         .select(col("__id").as("query_id"),
           col("centroid_id").as("__qcell"), col("__s"), col("__cid"),
-          adcD2(col("__sv"), col("__svv"), col("__cbv"), col("__cc"))
+          adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc"))
             .as("__ld"))
       (c, t)
     }
@@ -333,7 +354,8 @@ object Similarity {
     * round-trips parquet exactly — integer-valued doubles and longs. */
   private[graft] def ivfPqIndexExploded(corpus: DataFrame, idCol: String,
       vecCol: String, dims: Int, m: Int, k: Int, nList: Int,
-      quantizeScale: Option[Double]): (DataFrame, DataFrame, DataFrame) = {
+      quantizeScale: Option[Double],
+      trainUpdates: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     require(nList >= 1, "nList must be >= 1")
     require(m >= 1 && dims % m == 0, "dims must divide evenly into m subspaces")
     val centroids = prepVectors(corpus, idCol, vecCol, quantizeScale)
@@ -343,11 +365,14 @@ object Similarity {
         prepVectors(corpus, idCol, vecCol, quantizeScale), centroids,
         packCentroids = if (quantizeScale.isDefined) nList else 0)
       .select(col("__id").as("neighbor_id"), col("centroid_id"))
-    val codes = pqCodesExploded(corpus, idCol, vecCol, dims, m, k, quantizeScale)
+    // ONE codebook frame feeds both the encode and the returned index, so
+    // trained codes can never drift from the tables searches will build
+    val cb = pqCodebookFor(corpus, idCol, vecCol, dims, m, k, quantizeScale,
+      trainUpdates)
+    val codes = pqCodesAgainst(corpus, idCol, vecCol, dims, m, k,
+        quantizeScale, cb, integerCb = trainUpdates == 0)
       .withColumnRenamed("__id", "neighbor_id")
       .join(corpusCells, Seq("neighbor_id"))
-    val cb = pqCodebook(corpus, idCol, vecCol, dims, m, k, quantizeScale)
-      .select(col("__s"), col("__cid"), col("__c"))
     (centroids, cb, codes)
   }
 
@@ -849,27 +874,51 @@ object Similarity {
       .select(col("__id").as(idCol), col("pq_code"))
   }
 
+  /** The (untrained or Lloyd-refined) per-subspace codebook as
+    * (__s, __cid, __c) — ONE frame shared by encode and distance tables,
+    * so a trained search cannot drift between the codebook its codes used
+    * and the one its tables use. */
+  private def pqCodebookFor(df: DataFrame, idCol: String, vecCol: String,
+                            dims: Int, m: Int, k: Int,
+                            quantizeScale: Option[Double],
+                            trainUpdates: Int): DataFrame = {
+    require(k >= 1 && trainUpdates >= 0,
+      "k must be >= 1 and trainUpdates >= 0")
+    if (trainUpdates == 0)
+      pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale)
+        .select(col("__s"), col("__cid"), col("__c"))
+    else
+      pqTrainedCodebook(df, idCol, vecCol, dims, m, k, trainUpdates,
+        quantizeScale).select(col("__s"), col("__cid"), col("__c"))
+  }
+
+  /** Encode a frame against a GIVEN (__s, __cid, __c) codebook:
+    * (__id, __s, __code). `integerCb` gates the packed-long argmin (valid
+    * only while the codebook is integer-valued — i.e. untrained seeds on
+    * the quantized grid; trained centroids are fractional means). */
+  private def pqCodesAgainst(df: DataFrame, idCol: String, vecCol: String,
+                             dims: Int, m: Int, k: Int,
+                             quantizeScale: Option[Double],
+                             cb: DataFrame, integerCb: Boolean): DataFrame = {
+    val cbb = broadcast(cb.withColumn("__cc", dot(col("__c"), col("__c"))))
+    val scored = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
+      .join(cbb, Seq("__s"))
+      .withColumn("__d2",
+        adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
+    codeArgmin(scored, Seq(col("__id"), col("__s")), k,
+      quantized = quantizeScale.isDefined && integerCb)
+  }
+
   /** The exploded (__id, __s, __code) PQ assignment — what the search
     * paths consume directly (assembling per-id code arrays just to
     * re-explode them would cost an extra corpus-wide aggregate). */
   private def pqCodesExploded(df: DataFrame, idCol: String, vecCol: String,
                               dims: Int, m: Int, k: Int,
                               quantizeScale: Option[Double],
-                              trainUpdates: Int = 0): DataFrame = {
-    require(k >= 1 && trainUpdates >= 0,
-      "k must be >= 1 and trainUpdates >= 0")
-    val cb = broadcast(
-      if (trainUpdates == 0) pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale)
-      else pqTrainedCodebook(df, idCol, vecCol, dims, m, k, trainUpdates,
-        quantizeScale))
-    val scored = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
-      .join(cb, Seq("__s"))
-      .withColumn("__d2",
-        adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
-    // trained centroids are fractional means → packed-long argmin invalid
-    codeArgmin(scored, Seq(col("__id"), col("__s")), k,
-      quantized = quantizeScale.isDefined && trainUpdates == 0)
-  }
+                              trainUpdates: Int = 0): DataFrame =
+    pqCodesAgainst(df, idCol, vecCol, dims, m, k, quantizeScale,
+      pqCodebookFor(df, idCol, vecCol, dims, m, k, quantizeScale, trainUpdates),
+      integerCb = trainUpdates == 0)
 
   /** Per-subspace Lloyd refinement of the PQ codebook: `updates` rounds
     * of (assign each subvector to its nearest subspace centroid,
@@ -886,8 +935,23 @@ object Similarity {
                                 dims: Int, m: Int, k: Int, updates: Int,
                                 quantizeScale: Option[Double]): DataFrame = {
     val sub = subvectorFrame(df, idCol, vecCol, dims, m, quantizeScale)
-    var cb = pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale)
+    val cb0 = pqCodebook(df, idCol, vecCol, dims, m, k, quantizeScale)
       .select(col("__s"), col("__cid"), col("__c"))
+    refineCodebook(sub, cb0, k, updates,
+        quantized = quantizeScale.isDefined)
+      .withColumn("__cc", dot(col("__c"), col("__c")))
+  }
+
+  /** The shared per-subspace Lloyd loop: `updates` rounds of (assign each
+    * (__id, __s, __sv, __svv) subvector to its nearest (__s, __cid, __c)
+    * centroid, recompute means). Works on raw subvectors (trained PQ) and
+    * on residual subvectors (trained residual IVF-PQ) alike — `sub` may
+    * carry extra columns (e.g. the cell id), they ride through untouched.
+    * Round 0 may use the packed-long argmin when `quantized` (integer
+    * seeds); later rounds score fractional means via the struct min. */
+  private def refineCodebook(sub: DataFrame, cb0: DataFrame, k: Int,
+                             updates: Int, quantized: Boolean): DataFrame = {
+    var cb = cb0
     for (round <- 0 until updates) {
       val scored = sub
         .join(broadcast(cb.withColumn("__cc", dot(col("__c"), col("__c")))),
@@ -895,14 +959,14 @@ object Similarity {
         .withColumn("__d2",
           adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
       val best = codeArgmin(scored, Seq(col("__id"), col("__s")), k,
-          quantized = quantizeScale.isDefined && round == 0)
+          quantized = quantized && round == 0)
         .withColumnRenamed("__code", "__cid")
       cb = lloydMeanUpdate(
         best.join(sub, Seq("__id", "__s"))
           .select(col("__s"), col("__cid"), col("__sv")),
         Seq("__s", "__cid"), "__sv")
     }
-    cb.withColumn("__cc", dot(col("__c"), col("__c")))
+    cb
   }
 
   /** Per-group argmin over (__d2, __cid) → __code. On the quantized path

@@ -532,6 +532,34 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // Trained IVF-PQ: one Lloyd refinement of the PQ codebook before
+    // encoding, inside the full cell-probed search — codes AND distance
+    // tables share the single trained codebook.
+    "q103_ivfpq_trained" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      // trained distances are fractional (Lloyd means) → floor on BOTH
+      // engines; DuckDB's double→BIGINT cast rounds, Spark's truncates
+      Similarity.ivfPqTopK(emb.where($"vec_id" < 8), emb, "vec_id",
+          "embedding", dims = 64, m = 4, k = 16, nList = 8, topK = 3,
+          trainUpdates = 1)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          floor($"adc_d2").cast("long").as("adc_d2"))
+    }),
+
+    // Residual + trained combined: the codebook Lloyd-refines on the
+    // RESIDUAL subvectors (classic trained residual IVF-PQ) — closes the
+    // last gap in the PQ matrix (raw/residual x untrained/trained).
+    "q104_ivfpq_residual_trained" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb.where($"vec_id" < 8), emb, "vec_id",
+          "embedding", dims = 64, m = 4, k = 16, nList = 8, topK = 3,
+          residual = true, trainUpdates = 1)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          floor($"adc_d2").cast("long").as("adc_d2"))
+    }),
+
     // Persisted IVF-PQ index lifecycle: build the (centroids, codebook,
     // codes) frames, write them to parquet (codes partitioned by cell,
     // manifest alongside), reload, and search WITHOUT touching the corpus
@@ -694,8 +722,33 @@ object PipelineQueries extends QueryModule {
     * k=16, nList=8, topK=3, queries vec_id < 8): corpus cells by rank-1
     * full-vector argmin, query probe set by rank <= nProbe, candidates
     * where a corpus cell meets a probed cell, ADC summed from the
-    * distance tables. */
-  private def ivfPqOracle(nProbe: Int): String = s"""$pqCommonSql,
+    * distance tables. `trained` inserts one unrolled Lloyd round on the
+    * PQ codebook (q99's pattern) and routes codes AND tables through the
+    * refined cb1; trained ADC distances are fractional (means), so the
+    * output goes through floor() on BOTH engines — DuckDB's double→BIGINT
+    * cast rounds where Spark truncates. */
+  private def ivfPqOracle(nProbe: Int, trained: Boolean = false): String = {
+    val trainCtes = if (!trained) "" else """,
+      tsums AS (SELECT b.s, b.cid, g.i AS pos, SUM(t.sv[g.i]) AS sx,
+                  COUNT(*) AS cnt
+                FROM best b
+                JOIN svv t ON t.vec_id = b.vec_id AND t.s = b.s,
+                LATERAL UNNEST(range(1, len(t.sv) + 1)) AS g(i)
+                GROUP BY 1, 2, 3),
+      cb1 AS (SELECT s, cid, c, list_inner_product(c, c) AS cc FROM (
+                SELECT s, cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS c
+                FROM tsums GROUP BY 1, 2)),
+      best1 AS (SELECT vec_id, s, cid FROM (
+                  SELECT t.vec_id, t.s, c.cid,
+                    row_number() OVER (PARTITION BY t.vec_id, t.s
+                      ORDER BY ((t.n2 - 2.0 * list_inner_product(t.sv, c.c))
+                                  + c.cc) ASC,
+                        c.cid ASC) AS rk
+                  FROM svv t JOIN cb1 c ON t.s = c.s) WHERE rk = 1)"""
+    val cbRef = if (trained) "cb1" else "cb"
+    val bestRef = if (trained) "best1" else "best"
+    val d2Out = if (trained) "CAST(floor(d2) AS BIGINT)" else "CAST(d2 AS BIGINT)"
+    s"""$pqCommonSql$trainCtes,
       $ivfCellsSql,
       qcells AS (SELECT vec_id AS query_id, ccell AS cell FROM (
                   SELECT fv.vec_id, c.ccell,
@@ -706,22 +759,23 @@ object PipelineQueries extends QueryModule {
       q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),
       dt AS (SELECT q.query_id, cb.s, cb.cid,
                (q.n2 - 2.0 * list_inner_product(q.sv, cb.c)) + cb.cc AS ld
-             FROM q JOIN cb ON q.s = cb.s),
+             FROM q JOIN $cbRef cb ON q.s = cb.s),
       acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, nc.cell,
                 SUM(dt.ld) AS d2
-              FROM best b
+              FROM $bestRef b
               JOIN dt ON b.s = dt.s AND b.cid = dt.cid
               JOIN cells nc ON nc.vec_id = b.vec_id
               JOIN qcells qc ON qc.query_id = dt.query_id AND qc.cell = nc.cell
               WHERE b.vec_id <> dt.query_id
               GROUP BY 1, 2, 3)
       SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
-        CAST(d2 AS BIGINT) AS adc_d2
+        $d2Out AS adc_d2
       FROM (SELECT query_id, neighbor_id, cell, d2,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY d2 ASC, neighbor_id ASC) AS rk
             FROM acc)
       WHERE rk <= 3"""
+  }
 
   def oracle: Map[String, String] = Map(
     "q30_dedup_exact" -> s"""
@@ -1227,6 +1281,8 @@ object PipelineQueries extends QueryModule {
 
     "q97_ivfpq_probe2" -> ivfPqOracle(nProbe = 2),
 
+    "q103_ivfpq_trained" -> ivfPqOracle(nProbe = 1, trained = true),
+
     // mirrors ivfPqTopK(residual = true) at dims=64, m=4, k=16, nList=8,
     // topK=3, nProbe=1: residuals vs the rank-1 cell centroid, residual
     // codebook from rows 8 <= vec_id < 24 (centroid rows have zero
@@ -1269,6 +1325,68 @@ object PipelineQueries extends QueryModule {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY d2 ASC, neighbor_id ASC) AS rk
             FROM acc)
+      WHERE rk <= 3""",
+
+    // q98 + one unrolled Lloyd round on the RESIDUAL codebook (q99's
+    // pattern applied to rcb/rbest): refined rcb1 feeds both the re-coded
+    // corpus (rbest1, cell carried) and the per-cell query tables (dt1).
+    // Trained distances are fractional → floor on both engines.
+    "q104_ivfpq_residual_trained" -> s"""$pqCommonSql,
+      $ivfCellsSql,
+      rv AS (SELECT f.vec_id, cl.cell,
+               list_transform(range(1, len(f.e) + 1), i -> f.e[i] - c.ce[i])
+                 AS re
+             FROM fv f JOIN cells cl ON cl.vec_id = f.vec_id
+             JOIN cen c ON c.ccell = cl.cell),
+      rsub AS (SELECT vec_id, cell, g.s AS s,
+                 re[(g.s * 16 + 1):(g.s * 16 + 16)] AS sv
+               FROM rv, LATERAL UNNEST(range(0, 4)) AS g(s)),
+      rsvv AS (SELECT vec_id, cell, s, sv, list_inner_product(sv, sv) AS n2
+               FROM rsub),
+      rcb AS (SELECT s, vec_id - 8 AS cid, sv AS c, n2 AS cc FROM rsvv
+              WHERE vec_id >= 8 AND vec_id < 24),
+      rscored AS (SELECT t.vec_id, t.cell, t.s, rcb.cid,
+                    (t.n2 - 2.0 * list_inner_product(t.sv, rcb.c)) + rcb.cc
+                      AS d2
+                  FROM rsvv t JOIN rcb ON t.s = rcb.s),
+      rbest AS (SELECT vec_id, cell, s, cid FROM (
+                  SELECT vec_id, cell, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY d2 ASC, cid ASC) AS rk
+                  FROM rscored) WHERE rk = 1),
+      rsums AS (SELECT b.s, b.cid, g.i AS pos, SUM(t.sv[g.i]) AS sx,
+                  COUNT(*) AS cnt
+                FROM rbest b
+                JOIN rsvv t ON t.vec_id = b.vec_id AND t.s = b.s,
+                LATERAL UNNEST(range(1, len(t.sv) + 1)) AS g(i)
+                GROUP BY 1, 2, 3),
+      rcb1 AS (SELECT s, cid, c, list_inner_product(c, c) AS cc FROM (
+                 SELECT s, cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos)
+                   AS c
+                 FROM rsums GROUP BY 1, 2)),
+      rbest1 AS (SELECT vec_id, cell, s, cid FROM (
+                   SELECT t.vec_id, t.cell, t.s, c.cid,
+                     row_number() OVER (PARTITION BY t.vec_id, t.s
+                       ORDER BY ((t.n2 - 2.0 * list_inner_product(t.sv, c.c))
+                                   + c.cc) ASC,
+                         c.cid ASC) AS rk
+                   FROM rsvv t JOIN rcb1 c ON t.s = c.s) WHERE rk = 1),
+      dt1 AS (SELECT t.vec_id AS query_id, t.cell, c.s, c.cid,
+                (t.n2 - 2.0 * list_inner_product(t.sv, c.c)) + c.cc AS ld
+              FROM rsvv t JOIN rcb1 c ON t.s = c.s WHERE t.vec_id < 8),
+      acc1 AS (SELECT dt1.query_id, b.vec_id AS neighbor_id, b.cell,
+                 SUM(dt1.ld) AS d2
+               FROM rbest1 b
+               JOIN dt1 ON b.s = dt1.s AND b.cid = dt1.cid
+                 AND b.cell = dt1.cell
+               WHERE b.vec_id <> dt1.query_id
+               GROUP BY 1, 2, 3)
+      SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
+        CAST(floor(d2) AS BIGINT) AS adc_d2
+      FROM (SELECT query_id, neighbor_id, cell, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM acc1)
       WHERE rk <= 3""",
 
     "q94_pq_adc" -> s"""$pqCommonSql,

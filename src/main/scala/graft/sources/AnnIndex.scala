@@ -60,12 +60,15 @@ object AnnIndex {
     }
   }
 
-  /** Build and persist a (non-residual) IVF-PQ index over `corpus`. */
+  /** Build and persist a (non-residual) IVF-PQ index over `corpus`.
+    * `trainUpdates` > 0 Lloyd-refines the PQ codebook before encoding;
+    * the trained codebook is persisted, so searches need no retraining. */
   def saveIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                 indexDir: String, dims: Int, m: Int, k: Int, nList: Int,
-                quantizeScale: Option[Double] = Some(1000.0)): Unit = {
+                quantizeScale: Option[Double] = Some(1000.0),
+                trainUpdates: Int = 0): Unit = {
     val (centroids, codebook, codesExploded) = Similarity.ivfPqIndexExploded(
-      corpus, idCol, vecCol, dims, m, k, nList, quantizeScale)
+      corpus, idCol, vecCol, dims, m, k, nList, quantizeScale, trainUpdates)
     // tiny frames: one file each, not 32 shards of a few rows
     centroids.select(col("centroid_id").as("cell"), col("__c").as("centroid"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -84,6 +87,7 @@ object AnnIndex {
     val manifest: Map[String, Any] = Map(
       "index_type" -> "ivf_pq", "residual" -> false,
       "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
+      "train_updates" -> trainUpdates,
       "quantize_scale" -> quantizeScale.map(_.asInstanceOf[Any]).orNull,
       "id_col" -> idCol)
     BucketFs.writeString(s"$indexDir/$ManifestFile",
