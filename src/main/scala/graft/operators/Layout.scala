@@ -49,6 +49,20 @@ object Layout {
       floor((c - lit(lo)) * lit((n + 1).toDouble) / lit(hi - lo)).cast("long")))
   }
 
+  /** Hilbert curve index of two non-negative integer coordinates on the
+    * 2^bits grid — the locality-tighter alternative to [[zValue]]:
+    * consecutive Hilbert codes are ALWAYS grid-adjacent (unit Manhattan
+    * step; Z-order jumps across quadrant seams), so a range split of the
+    * key never glues together two far-apart regions — file bounding
+    * boxes come out tighter for the same [[clusterByZ]] pass. The key is
+    * a codegen'd native expression ([[graft.functions.HilbertIndex]]);
+    * the iterative reflect/swap walk cannot be an expression tree (its
+    * size would double per level). Trade-off vs zValue: ~bits loop
+    * iterations per row instead of pure shift/or, and no cheap N-column
+    * generalization — use zValue beyond 2 dimensions. */
+  def hilbertValue(x: Column, y: Column, bits: Int): Column =
+    graft.functions.HilbertIndex.column(x, y, bits)
+
   /** Range-partition into `numFiles` output tasks by z-value and sort
     * rows within each: one shuffle, and every written file covers a
     * compact z-range — a tight bounding box on every interleaved axis.

@@ -146,6 +146,23 @@ object Spatial extends QueryModule {
         .withColumn("yi", Layout.gridIdx($"lat", -90.0, 90.0, 9))
       b.select($"event_id", $"xi", $"yi",
         Layout.zValue(Seq($"xi", $"yi"), 9).as("z"))
+    }),
+
+    // Hilbert layout key on the same 512×512 grid — the locality-tighter
+    // clusterBy alternative (consecutive codes are always grid-adjacent;
+    // Z-order jumps quadrant seams). The key is a codegen'd native
+    // Catalyst expression; the oracle unrolls the 9-level reflect/swap
+    // walk as successive CTE stages.
+    "q105_hilbert" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Layout
+      val b = Tables(s, dir, "events")
+        .withColumn("lon", synthLon($"event_id"))
+        .withColumn("lat", synthLat($"event_id"))
+        .withColumn("xi", Layout.gridIdx($"lon", -180.0, 180.0, 9))
+        .withColumn("yi", Layout.gridIdx($"lat", -90.0, 90.0, 9))
+      b.select($"event_id", $"xi", $"yi",
+        Layout.hilbertValue($"xi", $"yi", 9).as("h"))
     })
   )
 
@@ -356,6 +373,38 @@ object Spatial extends QueryModule {
       SELECT event_id, xi, yi,
         CAST((${terms.mkString(" | ")}) AS BIGINT) AS z
       FROM b"""
+    },
+
+    "q105_hilbert" -> {
+      // the 9-level xy→d walk of functions.Hilbert.index unrolled as CTE
+      // stages: per level s, d += s²·xor(3·rx, ry); entering a bottom
+      // quadrant (ry=0) reflects (rx=1 → n-1-·) then swaps x/y
+      val n = 512L
+      val stages = (0 until 9).map { i =>
+        val s = 1L << (8 - i)
+        s"""h${i + 1} AS (SELECT event_id, xi, yi,
+              CASE WHEN ry = 1 THEN x
+                   WHEN rx = 1 THEN ${n - 1} - y
+                   ELSE y END AS x,
+              CASE WHEN ry = 1 THEN y
+                   WHEN rx = 1 THEN ${n - 1} - x
+                   ELSE x END AS y,
+              d + ${s * s} * xor(3 * rx, ry) AS d
+            FROM (SELECT event_id, xi, yi, x, y, d,
+                    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+                    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+                  FROM h$i))"""
+      }
+      s"""
+      WITH e AS ($synthSql),
+      b AS (SELECT event_id,
+              GREATEST(0, LEAST(511, CAST(floor((lon + 180.0) * 512.0 / 360.0) AS BIGINT))) AS xi,
+              GREATEST(0, LEAST(511, CAST(floor((lat + 90.0) * 512.0 / 180.0) AS BIGINT))) AS yi
+            FROM e),
+      h0 AS (SELECT event_id, xi, yi, xi AS x, yi AS y,
+               CAST(0 AS BIGINT) AS d FROM b),
+      ${stages.mkString(",\n      ")}
+      SELECT event_id, xi, yi, CAST(d AS BIGINT) AS h FROM h9"""
     }
   )
 }

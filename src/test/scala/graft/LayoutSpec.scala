@@ -149,6 +149,63 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("hilbert: bijective, unit-step adjacent, inverse round-trips") {
+    import graft.functions.Hilbert
+    for (bits <- Seq(1, 2, 4, 6)) {
+      val n = 1 << bits
+      val seen = new Array[Boolean](n * n)
+      val byD = new Array[(Long, Long)](n * n)
+      for (x <- 0 until n; y <- 0 until n) {
+        val d = Hilbert.index(bits, x, y)
+        assert(d >= 0 && d < n.toLong * n, s"d=$d out of range bits=$bits")
+        assert(!seen(d.toInt), s"collision at d=$d bits=$bits")
+        seen(d.toInt) = true
+        byD(d.toInt) = (x.toLong, y.toLong)
+        assert(Hilbert.inverse(bits, d) == ((x.toLong, y.toLong)),
+          s"inverse mismatch at ($x,$y) bits=$bits")
+      }
+      // THE Hilbert property (Z-order lacks it): consecutive codes are
+      // always one grid step apart — no quadrant-seam jumps
+      (0 until n * n - 1).foreach { d =>
+        val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"non-adjacent step at d=$d bits=$bits")
+      }
+    }
+  }
+
+  test("hilbertValue column (codegen) matches the JVM walk row-for-row") {
+    val rows = (0L until 400L).map(i => (i, i % 17, (i * 7) % 19))
+      .toDF("id", "x", "y")
+    val got = rows.select($"id", graft.operators.Layout.hilbertValue($"x", $"y", 5).as("h"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 400L).foreach { i =>
+      assert(got(i) == graft.functions.Hilbert.index(5, i % 17, (i * 7) % 19))
+    }
+  }
+
+  test("hilbert files: range splits give tighter-or-equal bboxes than z-order") {
+    // cluster the same synthetic point set by z and by hilbert into the
+    // same file count; hilbert's seam-free ranges must not be worse on
+    // average bbox area
+    val pts = (0L until 4096L).map { i =>
+      (i, (i * 2654435761L) % 64, (i * 40503L) % 64)
+    }.toDF("id", "x", "y")
+    def avgBoxArea(key: org.apache.spark.sql.Column): Double = {
+      val files = graft.operators.Layout.clusterByZ(pts, key, 16)
+        .select($"x", $"y", spark_partition_id().as("p"))
+        .groupBy($"p")
+        .agg((max($"x") - min($"x") + 1).as("w"), (max($"y") - min($"y") + 1).as("h"))
+        .select(($"w" * $"h").cast("double").as("a"))
+        .as[Double].collect()
+      files.sum / files.length
+    }
+    val zArea = avgBoxArea(graft.operators.Layout.zValue(Seq($"x", $"y"), 6))
+    val hArea = avgBoxArea(graft.operators.Layout.hilbertValue($"x", $"y", 6))
+    assert(hArea <= zArea * 1.05,
+      s"hilbert avg bbox area $hArea worse than z-order $zArea")
+  }
+
   test("pqEncode: codebook rows encode to their own id in every subspace") {
     val rng = new scala.util.Random(3)
     val vecs = (0 until 64).map(i =>
