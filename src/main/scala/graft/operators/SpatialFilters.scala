@@ -29,4 +29,22 @@ object SpatialFilters {
     df.withColumn("distance",
         GeodesicDistanceToPoint.column(col(x).cast("double"), col(y).cast("double"), lon, lat))
       .where(col("distance") <= distance)
+
+  /** Exact polygon filter — beyond the reference's box/country extents:
+    * PNPOLY even-odd containment as a native codegen expression
+    * ([[graft.functions.PointInPolygon]]), prefixed by the polygon's
+    * bounding box so Catalyst can push the cheap range predicate to
+    * partition pruning and parquet row-group skipping; the exact per-edge
+    * test only runs on candidate rows that survive it. */
+  def polygonPredicate(x: Column, y: Column,
+                       vertices: Seq[(Double, Double)]): Column = {
+    val e = Extent(vertices.map(_._1).min, vertices.map(_._1).max,
+      vertices.map(_._2).min, vertices.map(_._2).max)
+    extentPredicate(x, y, e) &&
+      graft.functions.PointInPolygon.column(x, y, vertices)
+  }
+
+  def filterByPolygon(df: DataFrame, vertices: Seq[(Double, Double)],
+                      x: String = "lon", y: String = "lat"): DataFrame =
+    df.where(polygonPredicate(col(x), col(y), vertices))
 }

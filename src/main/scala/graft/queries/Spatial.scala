@@ -163,8 +163,28 @@ object Spatial extends QueryModule {
         .withColumn("yi", Layout.gridIdx($"lat", -90.0, 90.0, 9))
       b.select($"event_id", $"xi", $"yi",
         Layout.hilbertValue($"xi", $"yi", 9).as("h"))
+    }),
+
+    // Exact polygon containment (beyond the reference's box/country
+    // extents): PNPOLY even-odd ray cast as a native codegen expression,
+    // bbox-prefixed so the cheap range predicate prunes first. Concave
+    // pentagon, so the bbox alone would over-select — the gate proves the
+    // exact test. The oracle unrolls the per-edge crossing terms.
+    "q106_polygon" -> ((s, dir) => {
+      import s.implicits._
+      val e = Tables(s, dir, "events")
+        .withColumn("lon", synthLon($"event_id"))
+        .withColumn("lat", synthLat($"event_id"))
+      graft.operators.SpatialFilters.filterByPolygon(e, PolyVertices)
+        .select($"event_id", $"lon", $"lat")
     })
   )
+
+  /** q106's fixture polygon: concave (the notch at (0, 0)) so containment
+    * differs from its bounding box, with one horizontal edge to pin the
+    * divide-by-zero-guard semantics on both engines. */
+  private val PolyVertices: Seq[(Double, Double)] = Seq(
+    (-60.0, -30.0), (0.0, 0.0), (60.0, -30.0), (60.0, 45.0), (-60.0, 45.0))
 
   /** Cache-buster: bump when the synth-coord formula, partitioning config,
     * or bucket schema changes — /tmp may outlive code revisions. */
@@ -405,6 +425,24 @@ object Spatial extends QueryModule {
                CAST(0 AS BIGINT) AS d FROM b),
       ${stages.mkString(",\n      ")}
       SELECT event_id, xi, yi, CAST(d AS BIGINT) AS h FROM h9"""
+    },
+
+    "q106_polygon" -> {
+      // PNPOLY unrolled per edge; a false first conjunct short-circuits
+      // Spark's JVM loop and in DuckDB the stray division is IEEE (inf),
+      // never an error, so horizontal edges are safe on both engines
+      val n = PolyVertices.length
+      val terms = (0 until n).map { i =>
+        val j = (i + n - 1) % n
+        val (xi, yi) = PolyVertices(i); val (xj, yj) = PolyVertices(j)
+        s"""CASE WHEN (($yi > lat) != ($yj > lat))
+             AND lon < ($xj - ($xi)) * (lat - ($yi)) / ($yj - ($yi)) + ($xi)
+             THEN 1 ELSE 0 END"""
+      }
+      s"""
+      WITH e AS ($synthSql)
+      SELECT event_id, lon, lat FROM e
+      WHERE ((${terms.mkString(" + ")}) % 2) = 1"""
     }
   )
 }

@@ -100,4 +100,29 @@ class GeodesicSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(sketch == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("point-in-polygon: concave containment, codegen matches JVM walk") {
+    import graft.functions.Polygon
+    // L-shape: unit-grid polygon where the bbox alone over-selects
+    val xs = Array(0.0, 4.0, 4.0, 2.0, 2.0, 0.0)
+    val ys = Array(0.0, 0.0, 2.0, 2.0, 4.0, 4.0)
+    assert(Polygon.contains(xs, ys, 1.0, 1.0))   // lower arm
+    assert(Polygon.contains(xs, ys, 3.0, 1.0))   // lower arm, right
+    assert(Polygon.contains(xs, ys, 1.0, 3.0))   // upper arm
+    assert(!Polygon.contains(xs, ys, 3.0, 3.0))  // inside bbox, OUTSIDE L
+    assert(!Polygon.contains(xs, ys, 5.0, 1.0))  // outside bbox
+
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val verts = xs.zip(ys).toSeq
+    val pts = (for (i <- 0 to 40; j <- 0 to 40)
+      yield (i.toLong * 41 + j, i * 0.1, j * 0.1)).toDF("id", "x", "y")
+    val got = graft.operators.SpatialFilters
+      .filterByPolygon(pts, verts, x = "x", y = "y")
+      .select($"id").as[Long].collect().toSet
+    val expect = (for (i <- 0 to 40; j <- 0 to 40
+        if Polygon.contains(xs, ys, i * 0.1, j * 0.1))
+      yield i.toLong * 41 + j).toSet
+    assert(got == expect)
+  }
 }
