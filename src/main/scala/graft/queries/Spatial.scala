@@ -177,6 +177,17 @@ object Spatial extends QueryModule {
         .withColumn("lat", synthLat($"event_id"))
       graft.operators.SpatialFilters.filterByPolygon(e, PolyVertices)
         .select($"event_id", $"lon", $"lat")
+    }),
+
+    // The polygon query through the BUCKET read path: directory pruning
+    // by the polygon's bbox, then exact PNPOLY refinement — the
+    // country-read shape (q29) generalized past rectangles.
+    "q107_polygon_read" -> ((s, dir) => {
+      import s.implicits._
+      val bucketDir = ensureBucket(s, dir)
+      BucketReader.read(s, bucketDir,
+          query = BucketReader.ByPolygon(PolyVertices))
+        .select($"event_id", $"user_id", $"lon", $"lat")
     })
   )
 
@@ -427,22 +438,32 @@ object Spatial extends QueryModule {
       SELECT event_id, xi, yi, CAST(d AS BIGINT) AS h FROM h9"""
     },
 
-    "q106_polygon" -> {
-      // PNPOLY unrolled per edge; a false first conjunct short-circuits
-      // Spark's JVM loop and in DuckDB the stray division is IEEE (inf),
-      // never an error, so horizontal edges are safe on both engines
-      val n = PolyVertices.length
-      val terms = (0 until n).map { i =>
-        val j = (i + n - 1) % n
-        val (xi, yi) = PolyVertices(i); val (xj, yj) = PolyVertices(j)
-        s"""CASE WHEN (($yi > lat) != ($yj > lat))
-             AND lon < ($xj - ($xi)) * (lat - ($yi)) / ($yj - ($yi)) + ($xi)
-             THEN 1 ELSE 0 END"""
-      }
-      s"""
+    "q106_polygon" -> s"""
       WITH e AS ($synthSql)
       SELECT event_id, lon, lat FROM e
-      WHERE ((${terms.mkString(" + ")}) % 2) = 1"""
-    }
+      WHERE $pnpolyWhereSql""",
+
+    // the bucket holds exactly the events rows (ensureBucket writes all),
+    // so the read-path polygon query reduces to the same containment test
+    "q107_polygon_read" -> s"""
+      WITH e AS ($synthSql)
+      SELECT event_id, user_id, lon, lat FROM e
+      WHERE $pnpolyWhereSql"""
   )
+
+  /** q106/q107's PNPOLY where-clause, unrolled per edge; a false first
+    * conjunct short-circuits Spark's JVM loop and in DuckDB the stray
+    * division is IEEE (inf), never an error, so horizontal edges are safe
+    * on both engines. */
+  private lazy val pnpolyWhereSql: String = {
+    val n = PolyVertices.length
+    val terms = (0 until n).map { i =>
+      val j = (i + n - 1) % n
+      val (xi, yi) = PolyVertices(i); val (xj, yj) = PolyVertices(j)
+      s"""CASE WHEN (($yi > lat) != ($yj > lat))
+           AND lon < ($xj - ($xi)) * (lat - ($yi)) / ($yj - ($yi)) + ($xi)
+           THEN 1 ELSE 0 END"""
+    }
+    s"((${terms.mkString(" + ")}) % 2) = 1"
+  }
 }

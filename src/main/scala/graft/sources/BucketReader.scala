@@ -31,6 +31,11 @@ object BucketReader {
   final case class AroundPoint(lon: Double, lat: Double,
                                distance: Double = Double.NaN,
                                sizeDeg: Double = Double.NaN) extends SpatialQuery
+  /** Exact polygon containment (beyond the reference's box/country
+    * queries): directories prune by the polygon's padded bounding box,
+    * rows refine through the PNPOLY codegen expression. */
+  final case class ByPolygon(vertices: Seq[(Double, Double)],
+                             padding: Double = 0.0) extends SpatialQuery
 
   def read(spark: SparkSession, bucketDir: String,
            query: SpatialQuery = Everything,
@@ -58,6 +63,10 @@ object BucketReader {
       case ByCountry(n, pad) => Some(NamedExtents.country(n, pad))
       case ByContinent(n, pad) => Some(NamedExtents.continent(n, pad))
       case AroundPoint(lon, lat, d, s) => Some(GeoExtent.aroundPoint(lon, lat, d, s))
+      case ByPolygon(vs, pad) =>
+        require(vs.length >= 3, "ByPolygon needs >= 3 vertices")
+        Some(pad2(Extent(vs.map(_._1).min, vs.map(_._1).max,
+          vs.map(_._2).min, vs.map(_._2).max), pad))
     }
 
     val hasNameFilter = fileExtension != null || globPattern != null || regexPattern != null
@@ -120,6 +129,8 @@ object BucketReader {
         df = SpatialFilters.filterAroundPoint(spark, df, lon, lat, d, x, y)
       case AroundPoint(lon, lat, _, s) if !s.isNaN =>
         df = SpatialFilters.filterByExtent(df, GeoExtent.aroundPoint(lon, lat, sizeDeg = s), x, y)
+      case ByPolygon(vs, _) =>
+        df = SpatialFilters.filterByPolygon(df, vs, x, y)
       case _ => ()
     }
 
