@@ -110,4 +110,39 @@ object Sampling {
       .where(col("__cum") >= ceil(lit(p) * col("__n").cast("double")))
       .agg(min(col("__val")).as("threshold"))
   }
+
+  /** Deterministic mixture sampling: build a training mix that fills a
+    * per-source token budget — the data-mixing step of a pretraining
+    * pipeline ("X tokens of web, Y of code, Z of papers"). Within each
+    * source, documents are taken in md5(id) order (a deterministic
+    * shuffle: a pure function of the id, stable across runs, engines and
+    * partitionings — re-building the mix is reproducible and adding a
+    * source never reshuffles the others) until the EXCLUSIVE running
+    * token sum reaches the source's budget; the document that crosses
+    * the boundary is still included ("fill until reached"), so a budget
+    * of 1 takes exactly the first document. Sources absent from
+    * `budgets` are dropped.
+    *
+    * Scale shape: one window per source, partitioned on the source key —
+    * the natural shuffle for a mixing job (each source's prefix sum is
+    * independent); a mega-source that dwarfs its siblings makes that one
+    * partition the straggler, in which case pre-filter it with
+    * [[sampledBy]] to the right order of magnitude first — the hash
+    * order composes (both are md5-of-id rules). */
+  def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
+                    tokenCol: String, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 1),
+      "budgets must be non-empty with positive token targets")
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__budget", budgetCol)
+      .where(col("__budget").isNotNull)
+      .withColumn("__prefix", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .where(col("__prefix") < col("__budget"))
+      .drop("__budget", "__prefix")
+  }
 }

@@ -312,6 +312,19 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", $"lang")
     }),
 
+    // Deterministic mixture sampling: fill per-source token budgets in
+    // md5(id) order — the pretraining data-mixing step. Budget edges
+    // covered: src2's budget exceeds its total (all rows), src3's is 1
+    // (exactly the first hash-ordered doc); unlisted sources drop.
+    "q108_mixture" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Sampling.mixtureSample(Tables(s, dir, "documents"),
+          "doc_id", "source", "n_chars",
+          Map("src0" -> 4000L, "src1" -> 2000L, "src2" -> 1000000L,
+            "src3" -> 1L))
+        .select($"doc_id", $"source", $"n_chars")
+    }),
+
     // Benchmark decontamination: word-5-gram overlap of every corpus doc
     // against a benchmark subset (doc_id % 97 == 0 stands in for the
     // held-out eval set). Benchmark n-gram set is broadcast; the corpus
@@ -1023,6 +1036,20 @@ object PipelineQueries extends QueryModule {
       SELECT doc_id, lang FROM b
       WHERE bucket < CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 30
                      ELSE 10 END""",
+
+    "q108_mixture" -> """
+      WITH t AS (SELECT doc_id, source, n_chars,
+              md5(CAST(doc_id AS VARCHAR)) AS hk,
+              CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2000
+                WHEN 'src2' THEN 1000000 WHEN 'src3' THEN 1 END AS budget
+            FROM documents),
+      p AS (SELECT doc_id, source, n_chars, budget,
+              COALESCE(SUM(n_chars) OVER (PARTITION BY source
+                ORDER BY hk, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS prefix
+            FROM t WHERE budget IS NOT NULL)
+      SELECT doc_id, source, n_chars FROM p WHERE prefix < budget""",
 
     "q36_ann_lsh_buckets" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

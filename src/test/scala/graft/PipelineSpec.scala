@@ -487,6 +487,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(thr(0.251) == 26L)
   }
 
+  test("mixtureSample: fill-until-reached budgets in deterministic hash order") {
+    import graft.operators.Sampling
+    val docs = (0L until 30L).map(i =>
+      (i, if (i < 15) "a" else "b", 100L)).toDF("doc_id", "source", "n_tok")
+    // budget 350 → exclusive prefix < 350 → 4 docs of 100 (the 4th crosses)
+    val got = Sampling.mixtureSample(docs, "doc_id", "source", "n_tok",
+      Map("a" -> 350L, "b" -> 1L))
+    val bySource = got.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySource == Map("a" -> 4L, "b" -> 1L)) // b: budget 1 = first doc
+    // determinism: partition order must not change the mix
+    val again = Sampling.mixtureSample(docs.repartition(7), "doc_id",
+      "source", "n_tok", Map("a" -> 350L, "b" -> 1L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == got.select("doc_id").as[Long].collect().toSet)
+    // unlisted source drops entirely
+    assert(!got.select("source").as[String].collect().contains("c"))
+  }
+
   test("farthest-point seeding: inertia <= first-ids on adversarial id order") {
     val r = new scala.util.Random(20260813L)
     (1 to 5).foreach { round =>
