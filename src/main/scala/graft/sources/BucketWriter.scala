@@ -172,7 +172,8 @@ object BucketWriter {
                   removeInvalidRows: Boolean = true,
                   writeMetadata: Boolean = false,
                   autoSaltSkew: Boolean = true,
-                  zorderWithinFiles: Boolean = false): Unit = {
+                  zorderWithinFiles: Boolean = false,
+                  layoutCurve: String = "zorder"): Unit = {
     val labeled0 = p.addLabels(df, x, y, removeInvalidRows)
     // co-locate each spatial partition in one task: one output file per
     // directory instead of (tasks × dirs) small files — at scale this is
@@ -199,10 +200,17 @@ object BucketWriter {
         import graft.operators.Layout
         val e = p.extent
         val bits = 15 // 2^15 per axis: finer than any realistic cell split
-        val z = Layout.zValue(
-          Seq(Layout.gridIdx(col(x), e.xmin, e.xmax, bits),
-            Layout.gridIdx(col(y), e.ymin, e.ymax, bits)), bits)
-        repartitioned.sortWithinPartitions((p.order.map(col) :+ z): _*)
+        val xi = Layout.gridIdx(col(x), e.xmin, e.xmax, bits)
+        val yi = Layout.gridIdx(col(y), e.ymin, e.ymax, bits)
+        // "hilbert" trades a per-row walk for seam-free key ranges —
+        // tighter per-file bboxes at the same sort cost (Layout scaladoc)
+        val key = layoutCurve match {
+          case "zorder" => Layout.zValue(Seq(xi, yi), bits)
+          case "hilbert" => Layout.hilbertValue(xi, yi, bits)
+          case other => throw new IllegalArgumentException(
+            s"unknown layoutCurve '$other' (use 'zorder' or 'hilbert')")
+        }
+        repartitioned.sortWithinPartitions((p.order.map(col) :+ key): _*)
       }
     labeled.write
       .mode(mode)

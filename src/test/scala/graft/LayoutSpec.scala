@@ -149,6 +149,41 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("writeBucket(layoutCurve=hilbert): rows inside every file follow the curve") {
+    import graft.partitioning.{Extent, XYPartitioning}
+    import graft.sources.BucketWriter
+    val rng = new scala.util.Random(29)
+    val df = (0 until 4000).map { i =>
+      (i.toLong, rng.nextDouble() * 10.0, rng.nextDouble() * 10.0)
+    }.toDF("id", "lon", "lat")
+    val p = XYPartitioning(size = (5.0, 5.0), extent = Extent(0, 10, 0, 10))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hw").toString
+    BucketWriter.writeBucket(df, dir, p, mode = "overwrite",
+      zorderWithinFiles = true, layoutCurve = "hilbert")
+    val n = (1L << 15) - 1L
+    def gi(c: org.apache.spark.sql.Column, lo: Double, hi: Double) =
+      least(lit(n), greatest(lit(0L),
+        floor((c - lit(lo)) * lit((n + 1).toDouble) / lit(hi - lo)).cast("long")))
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val hs = spark.read.parquet(f).coalesce(1)
+        .select(graft.operators.Layout.hilbertValue(
+          gi($"lon", 0, 10), gi($"lat", 0, 10), 15).as("h"))
+        .as[Long].collect()
+      assert(hs.nonEmpty)
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b },
+        s"file $f not hilbert-sorted")
+    }
+    intercept[IllegalArgumentException] {
+      BucketWriter.writeBucket(df, dir, p, mode = "overwrite",
+        zorderWithinFiles = true, layoutCurve = "peano")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("hilbert: bijective, unit-step adjacent, inverse round-trips") {
     import graft.functions.Hilbert
     for (bits <- Seq(1, 2, 4, 6)) {
