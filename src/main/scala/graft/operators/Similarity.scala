@@ -259,64 +259,88 @@ object Similarity {
       return ivfPqSearchIndex(queries, idCol, vecCol, centroids, cb, codes,
         dims, m, k, nList, topK, nProbe, quantizeScale)
     }
+    val (centroids, cb, codes) = ivfPqResidualIndexExploded(corpus, idCol,
+      vecCol, dims, m, k, nList, quantizeScale, trainUpdates)
+    ivfPqResidualSearchIndex(queries, idCol, vecCol, centroids, cb, codes,
+      dims, m, k, nList, topK, nProbe, quantizeScale)
+  }
+
+  /** residual = v − c(cell), guarded against a dims/data mismatch the
+    * same way subvectorFrame guards raw vectors. */
+  private def residualOf(v: Column, c: Column, dims: Int): Column = {
+    val r = zip_with(v, c, (a, b) => a - b)
+    when(size(v) === lit(dims), r).otherwise(raise_error(concat(
+      lit(s"PQ: expected $dims-dim vectors, got "),
+      size(v).cast("string"))))
+  }
+
+  /** The RESIDUAL IVF-PQ index frames — same three-frame contract as
+    * [[ivfPqIndexExploded]] (and persistable by the same
+    * [[graft.sources.AnnIndex]] layout), except the codebook quantizes
+    * v − c(cell) and codes therefore carry the cell they were encoded
+    * against. Codebook rows start AT nList: rows id < nList are their own
+    * cell centroid, so their residuals are identically zero — training on
+    * id < k would fill slots with duplicate zero vectors the cid
+    * tie-break can never pick, silently halving the effective codebook.
+    * `trainUpdates` Lloyd-refines on the residual subvectors (classic
+    * trained residual IVF-PQ); residuals of integers are integers, so
+    * round 0 keeps the packed argmin. */
+  private[graft] def ivfPqResidualIndexExploded(corpus: DataFrame,
+      idCol: String, vecCol: String, dims: Int, m: Int, k: Int, nList: Int,
+      quantizeScale: Option[Double],
+      trainUpdates: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+    val sub = dims / m
     val centroids = prepVectors(corpus, idCol, vecCol, quantizeScale)
       .where(col("__id") < nList)
       .select(col("__id").cast("long").as("centroid_id"), col("__v").as("__c"))
+    val corpusRes = assignNearest(
+        prepVectors(corpus, idCol, vecCol, quantizeScale), centroids,
+        packCentroids = if (quantizeScale.isDefined) nList else 0)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("__id"), col("centroid_id"),
+        residualOf(col("__v"), col("__c"), dims).as("__v"))
+    val resSub = subvectorsOf(corpusRes, m, sub)
+    val cb0 = resSub
+      .where(col("__id") >= nList && col("__id") < nList + k)
+      .select(col("__s"), (col("__id") - nList).cast("long").as("__cid"),
+        col("__sv").as("__c"))
+    val cb = refineCodebook(resSub, cb0, k, trainUpdates,
+      quantized = quantizeScale.isDefined)
+    val cbb = broadcast(cb.withColumn("__cc", dot(col("__c"), col("__c"))))
+    val scoredCodes = resSub.join(cbb, Seq("__s"))
+      .withColumn("__d2",
+        adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
+    val codes = codeArgmin(scoredCodes,
+        Seq(col("__id"), col("centroid_id"), col("__s")), k,
+        quantized = quantizeScale.isDefined && trainUpdates == 0)
+      .withColumnRenamed("__id", "neighbor_id")
+    (centroids, cb, codes)
+  }
 
-    val (codes, tables) = {
-      val sub = dims / m
-      // residual = v − c(cell), guarded against a dims/data mismatch the
-      // same way subvectorFrame guards raw vectors
-      def residualOf(v: Column, c: Column) = {
-        val r = zip_with(v, c, (a, b) => a - b)
-        when(size(v) === lit(dims), r).otherwise(raise_error(concat(
-          lit(s"PQ: expected $dims-dim vectors, got "),
-          size(v).cast("string"))))
-      }
-      val corpusRes = assignNearest(
-          prepVectors(corpus, idCol, vecCol, quantizeScale), centroids,
-          packCentroids = if (quantizeScale.isDefined) nList else 0)
-        .join(broadcast(centroids), Seq("centroid_id"))
-        .select(col("__id"), col("centroid_id"),
-          residualOf(col("__v"), col("__c")).as("__v"))
-      val resSub = subvectorsOf(corpusRes, m, sub)
-      // codebook rows start AT nList: rows id < nList are their own cell
-      // centroid, so their residuals are identically zero — training on
-      // id < k would fill nList slots with duplicate zero vectors the cid
-      // tie-break can never pick, silently halving the effective codebook.
-      // trainUpdates Lloyd-refines it on the residual subvectors (the
-      // classic trained residual IVF-PQ): residuals of integers are
-      // integers, so round 0 keeps the packed argmin.
-      val cb0 = resSub
-        .where(col("__id") >= nList && col("__id") < nList + k)
-        .select(col("__s"), (col("__id") - nList).cast("long").as("__cid"),
-          col("__sv").as("__c"))
-      val cb = broadcast(
-        refineCodebook(resSub, cb0, k, trainUpdates,
-            quantized = quantizeScale.isDefined)
-          .withColumn("__cc", dot(col("__c"), col("__c"))))
-      val scoredCodes = resSub.join(cb, Seq("__s"))
-        .withColumn("__d2",
-          adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
-      val c = codeArgmin(scoredCodes,
-          Seq(col("__id"), col("centroid_id"), col("__s")), k,
-          quantized = quantizeScale.isDefined && trainUpdates == 0)
-        .withColumnRenamed("__id", "neighbor_id")
-      // per probed cell, the query's residual (and so its tables) differ
-      val queryRes = assignNearest(
-          prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe,
-          packCentroids = if (quantizeScale.isDefined) nList else 0)
-        .join(broadcast(centroids), Seq("centroid_id"))
-        .select(col("__id"), col("centroid_id"),
-          residualOf(col("__v"), col("__c")).as("__v"))
-      val t = subvectorsOf(queryRes, m, sub)
-        .join(cb, Seq("__s"))
-        .select(col("__id").as("query_id"),
-          col("centroid_id").as("__qcell"), col("__s"), col("__cid"),
-          adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc"))
-            .as("__ld"))
-      (c, t)
-    }
+  /** Search a RESIDUAL IVF-PQ index from its three frames — the corpus is
+    * never touched. Per probed cell, the query's residual (and so its
+    * distance tables) differ, which is why tables key on (query, cell). */
+  private[graft] def ivfPqResidualSearchIndex(queries: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      codebook: DataFrame, codes: DataFrame, dims: Int, m: Int, k: Int,
+      nList: Int, topK: Int, nProbe: Int = 1,
+      quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(topK >= 1 && nProbe >= 1, "topK and nProbe must be >= 1")
+    val sub = dims / m
+    val cbb = broadcast(codebook.select(col("__s"), col("__cid"), col("__c"))
+      .withColumn("__cc", dot(col("__c"), col("__c"))))
+    val queryRes = assignNearest(
+        prepVectors(queries, idCol, vecCol, quantizeScale), centroids, nProbe,
+        packCentroids = if (quantizeScale.isDefined) nList else 0)
+      .join(broadcast(centroids), Seq("centroid_id"))
+      .select(col("__id"), col("centroid_id"),
+        residualOf(col("__v"), col("__c"), dims).as("__v"))
+    val tables = subvectorsOf(queryRes, m, sub)
+      .join(cbb, Seq("__s"))
+      .select(col("__id").as("query_id"),
+        col("centroid_id").as("__qcell"), col("__s"), col("__cid"),
+        adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc"))
+          .as("__ld"))
     adcRank(codes, tables, topK)
   }
 

@@ -590,6 +590,21 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // Residual-index persistence: same lifecycle as q100 but the codebook
+    // quantizes v − c(cell) — save, reload, search, match q98's inline
+    // residual results (same oracle).
+    "q109_pq_persist_residual" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val idx = s"/tmp/graft_annidx_res_v1_${dir.hashCode.toHexString}"
+      graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
+        dims = 64, m = 4, k = 16, nList = 8, residual = true)
+      graft.sources.AnnIndex.loadIvfPq(s, idx)
+        .search(emb.where($"vec_id" < 8), "embedding", topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Sketch-based pairwise Jaccard: q34's candidate pairs verified from
     // 8-hash winnow sketches alone (min-k union estimator) — near-dup
     // verification without touching full texts.
@@ -789,6 +804,51 @@ object PipelineQueries extends QueryModule {
             FROM acc)
       WHERE rk <= 3"""
   }
+
+  /** Residual IVF-PQ oracle (mirrors ivfPqTopK(residual = true) at
+    * dims=64, m=4, k=16, nList=8, topK=3, nProbe=1): residuals vs the
+    * rank-1 cell centroid, residual codebook from rows 8 <= vec_id < 24,
+    * per-cell query tables. Shared by q98 (inline) and q109 (persisted
+    * index) — identical results by construction. */
+  private lazy val residualIvfPqOracle: String = s"""$pqCommonSql,
+      $ivfCellsSql,
+      rv AS (SELECT f.vec_id, cl.cell,
+               list_transform(range(1, len(f.e) + 1), i -> f.e[i] - c.ce[i])
+                 AS re
+             FROM fv f JOIN cells cl ON cl.vec_id = f.vec_id
+             JOIN cen c ON c.ccell = cl.cell),
+      rsub AS (SELECT vec_id, cell, g.s AS s,
+                 re[(g.s * 16 + 1):(g.s * 16 + 16)] AS sv
+               FROM rv, LATERAL UNNEST(range(0, 4)) AS g(s)),
+      rsvv AS (SELECT vec_id, cell, s, sv, list_inner_product(sv, sv) AS n2
+               FROM rsub),
+      rcb AS (SELECT s, vec_id - 8 AS cid, sv AS c, n2 AS cc FROM rsvv
+              WHERE vec_id >= 8 AND vec_id < 24),
+      rscored AS (SELECT t.vec_id, t.cell, t.s, rcb.cid,
+                    (t.n2 - 2.0 * list_inner_product(t.sv, rcb.c)) + rcb.cc
+                      AS d2
+                  FROM rsvv t JOIN rcb ON t.s = rcb.s),
+      rbest AS (SELECT vec_id, cell, s, cid FROM (
+                  SELECT vec_id, cell, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY d2 ASC, cid ASC) AS rk
+                  FROM rscored) WHERE rk = 1),
+      dt AS (SELECT t.vec_id AS query_id, t.cell, rcb.s, rcb.cid,
+               (t.n2 - 2.0 * list_inner_product(t.sv, rcb.c)) + rcb.cc AS ld
+             FROM rsvv t JOIN rcb ON t.s = rcb.s WHERE t.vec_id < 8),
+      acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, b.cell,
+                SUM(dt.ld) AS d2
+              FROM rbest b
+              JOIN dt ON b.s = dt.s AND b.cid = dt.cid AND b.cell = dt.cell
+              WHERE b.vec_id <> dt.query_id
+              GROUP BY 1, 2, 3)
+      SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
+        CAST(d2 AS BIGINT) AS adc_d2
+      FROM (SELECT query_id, neighbor_id, cell, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM acc)
+      WHERE rk <= 3"""
 
   def oracle: Map[String, String] = Map(
     "q30_dedup_exact" -> s"""
@@ -1314,45 +1374,11 @@ object PipelineQueries extends QueryModule {
     // topK=3, nProbe=1: residuals vs the rank-1 cell centroid, residual
     // codebook from rows 8 <= vec_id < 24 (centroid rows have zero
     // residuals and would waste codebook slots), per-cell query tables
-    "q98_ivfpq_residual" -> s"""$pqCommonSql,
-      $ivfCellsSql,
-      rv AS (SELECT f.vec_id, cl.cell,
-               list_transform(range(1, len(f.e) + 1), i -> f.e[i] - c.ce[i])
-                 AS re
-             FROM fv f JOIN cells cl ON cl.vec_id = f.vec_id
-             JOIN cen c ON c.ccell = cl.cell),
-      rsub AS (SELECT vec_id, cell, g.s AS s,
-                 re[(g.s * 16 + 1):(g.s * 16 + 16)] AS sv
-               FROM rv, LATERAL UNNEST(range(0, 4)) AS g(s)),
-      rsvv AS (SELECT vec_id, cell, s, sv, list_inner_product(sv, sv) AS n2
-               FROM rsub),
-      rcb AS (SELECT s, vec_id - 8 AS cid, sv AS c, n2 AS cc FROM rsvv
-              WHERE vec_id >= 8 AND vec_id < 24),
-      rscored AS (SELECT t.vec_id, t.cell, t.s, rcb.cid,
-                    (t.n2 - 2.0 * list_inner_product(t.sv, rcb.c)) + rcb.cc
-                      AS d2
-                  FROM rsvv t JOIN rcb ON t.s = rcb.s),
-      rbest AS (SELECT vec_id, cell, s, cid FROM (
-                  SELECT vec_id, cell, s, cid,
-                    row_number() OVER (PARTITION BY vec_id, s
-                      ORDER BY d2 ASC, cid ASC) AS rk
-                  FROM rscored) WHERE rk = 1),
-      dt AS (SELECT t.vec_id AS query_id, t.cell, rcb.s, rcb.cid,
-               (t.n2 - 2.0 * list_inner_product(t.sv, rcb.c)) + rcb.cc AS ld
-             FROM rsvv t JOIN rcb ON t.s = rcb.s WHERE t.vec_id < 8),
-      acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, b.cell,
-                SUM(dt.ld) AS d2
-              FROM rbest b
-              JOIN dt ON b.s = dt.s AND b.cid = dt.cid AND b.cell = dt.cell
-              WHERE b.vec_id <> dt.query_id
-              GROUP BY 1, 2, 3)
-      SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
-        CAST(d2 AS BIGINT) AS adc_d2
-      FROM (SELECT query_id, neighbor_id, cell, d2,
-              row_number() OVER (PARTITION BY query_id
-                ORDER BY d2 ASC, neighbor_id ASC) AS rk
-            FROM acc)
-      WHERE rk <= 3""",
+    "q98_ivfpq_residual" -> residualIvfPqOracle,
+
+    // the persisted residual index must return exactly what the inline
+    // residual search returns, so it shares q98's oracle
+    "q109_pq_persist_residual" -> residualIvfPqOracle,
 
     // q98 + one unrolled Lloyd round on the RESIDUAL codebook (q99's
     // pattern applied to rcb/rbest): refined rcb1 feeds both the re-coded

@@ -41,34 +41,43 @@ object AnnIndex {
     * lazy frames. `search` never touches the original corpus. */
   final case class IvfPqIndex(dims: Int, m: Int, k: Int, nList: Int,
                               quantizeScale: Option[Double], idCol: String,
+                              residual: Boolean,
                               centroids: DataFrame, codebook: DataFrame,
                               codes: DataFrame) {
     /** Top-k ADC search against the persisted index; identical results to
       * `Similarity.ivfPqTopK(queries, corpus, ...)` with the build
-      * parameters. */
+      * parameters (including `residual`). */
     def search(queries: DataFrame, vecCol: String, topK: Int,
                nProbe: Int = 1): DataFrame = {
       val exploded = codes.select(col(idCol).as("neighbor_id"),
         col("cell").as("centroid_id"),
         posexplode(col("pq_code")).as(Seq("__s", "__code")))
-      Similarity.ivfPqSearchIndex(queries, idCol, vecCol,
-        centroids.select(col("cell").as("centroid_id"),
-          col("centroid").as("__c")),
-        codebook.select(col("subspace").as("__s"), col("code_id").as("__cid"),
-          col("centroid").as("__c")),
-        exploded, dims, m, k, nList, topK, nProbe, quantizeScale)
+      val cents = centroids.select(col("cell").as("centroid_id"),
+        col("centroid").as("__c"))
+      val cb = codebook.select(col("subspace").as("__s"),
+        col("code_id").as("__cid"), col("centroid").as("__c"))
+      if (residual)
+        Similarity.ivfPqResidualSearchIndex(queries, idCol, vecCol,
+          cents, cb, exploded, dims, m, k, nList, topK, nProbe, quantizeScale)
+      else
+        Similarity.ivfPqSearchIndex(queries, idCol, vecCol,
+          cents, cb, exploded, dims, m, k, nList, topK, nProbe, quantizeScale)
     }
   }
 
-  /** Build and persist a (non-residual) IVF-PQ index over `corpus`.
-    * `trainUpdates` > 0 Lloyd-refines the PQ codebook before encoding;
-    * the trained codebook is persisted, so searches need no retraining. */
+  /** Build and persist an IVF-PQ index over `corpus`. `trainUpdates` > 0
+    * Lloyd-refines the PQ codebook before encoding; `residual` quantizes
+    * v − c(cell) instead of raw vectors. Codebook and codes persist, so
+    * searches never retrain or re-encode. */
   def saveIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                 indexDir: String, dims: Int, m: Int, k: Int, nList: Int,
                 quantizeScale: Option[Double] = Some(1000.0),
-                trainUpdates: Int = 0): Unit = {
-    val (centroids, codebook, codesExploded) = Similarity.ivfPqIndexExploded(
-      corpus, idCol, vecCol, dims, m, k, nList, quantizeScale, trainUpdates)
+                trainUpdates: Int = 0, residual: Boolean = false): Unit = {
+    val (centroids, codebook, codesExploded) =
+      if (residual) Similarity.ivfPqResidualIndexExploded(
+        corpus, idCol, vecCol, dims, m, k, nList, quantizeScale, trainUpdates)
+      else Similarity.ivfPqIndexExploded(
+        corpus, idCol, vecCol, dims, m, k, nList, quantizeScale, trainUpdates)
     // tiny frames: one file each, not 32 shards of a few rows
     centroids.select(col("centroid_id").as("cell"), col("__c").as("centroid"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -85,7 +94,7 @@ object AnnIndex {
         col("pq_code"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
     val manifest: Map[String, Any] = Map(
-      "index_type" -> "ivf_pq", "residual" -> false,
+      "index_type" -> "ivf_pq", "residual" -> residual,
       "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
       "train_updates" -> trainUpdates,
       "quantize_scale" -> quantizeScale.map(_.asInstanceOf[Any]).orNull,
@@ -121,12 +130,18 @@ object AnnIndex {
       case JString(s) => s
       case _ => throw new IllegalArgumentException("manifest missing id_col")
     }
+    val residual = mf \ "residual" match {
+      case JBool(b) => b
+      case JNothing | JNull => false // pre-residual manifests
+      case other => throw new IllegalArgumentException(
+        s"bad residual flag in manifest: $other")
+    }
     // cell is a directory-partition column: its read-back type depends on
     // session inference settings (string with inference off), so pin it
     val codes = spark.read.parquet(s"$indexDir/codes")
       .withColumn("cell", col("cell").cast("long"))
     IvfPqIndex(num("dims").toInt, num("m").toInt, num("k").toInt,
-      num("n_list").toInt, scale, idCol,
+      num("n_list").toInt, scale, idCol, residual,
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebook"), codes)
   }

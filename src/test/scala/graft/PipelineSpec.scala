@@ -581,6 +581,23 @@ class PipelineSpec extends AnyFunSuite {
       // a second search from the same loaded index (no rebuild) also matches
       assert(idx.search(queries, "embedding", topK = 3).count() == inline.size)
     } finally graft.sources.BucketFs.deleteRecursive(dir)
+
+    // residual variant: same round-trip equality through its own manifest
+    val inlineRes = Similarity.ivfPqTopK(queries, vecs, "vec_id", "embedding",
+      dims = 8, m = 2, k = 4, nList = 4, topK = 3, residual = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val rdir = java.nio.file.Files.createTempDirectory("annidx_res").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", rdir,
+        dims = 8, m = 2, k = 4, nList = 4, residual = true)
+      val ridx = graft.sources.AnnIndex.loadIvfPq(spark, rdir)
+      assert(ridx.residual)
+      val persistedRes = ridx.search(queries, "embedding", topK = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(persistedRes == inlineRes)
+    } finally graft.sources.BucketFs.deleteRecursive(rdir)
   }
 
   test("AnnIndex: loading a non-index directory fails loudly") {
