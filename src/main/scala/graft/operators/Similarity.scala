@@ -400,6 +400,21 @@ object Similarity {
     (centroids, cb, codes)
   }
 
+  /** The DISTINCT probe-cell set of a query batch against a
+    * (centroid_id, __c) centroid frame — bounded by the centroid count
+    * (never by query count), so collecting it is safe at any query
+    * volume. [[graft.sources.AnnIndex]] pushes it as a static partition
+    * filter on the cell-partitioned codes scan: deterministic directory
+    * pruning, instead of hoping runtime DPP fires on the join. */
+  private[graft] def probeCells(queries: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, nList: Int, nProbe: Int,
+      quantizeScale: Option[Double]): Seq[Long] =
+    assignNearest(prepVectors(queries, idCol, vecCol, quantizeScale),
+        centroids, nProbe,
+        packCentroids = if (quantizeScale.isDefined) nList else 0)
+      .select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+
   /** Search a NON-residual IVF-PQ index given as the three
     * [[ivfPqIndexExploded]] frames — possibly reloaded from parquet by
     * [[graft.sources.AnnIndex]]. The corpus is never touched: queries

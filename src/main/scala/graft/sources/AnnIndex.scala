@@ -46,16 +46,33 @@ object AnnIndex {
                               codes: DataFrame) {
     /** Top-k ADC search against the persisted index; identical results to
       * `Similarity.ivfPqTopK(queries, corpus, ...)` with the build
-      * parameters (including `residual`). */
+      * parameters (including `residual`).
+      *
+      * `pruneCells` (default on) makes the cell-partitioned layout pay:
+      * the query batch's probe-cell SET (distinct cells — bounded by
+      * nList, NOT by query count) is collected and pushed as a STATIC
+      * `cell IN (...)` partition filter on the codes scan, so only the
+      * probed cells' directories are listed and read — deterministic
+      * pruning instead of hoping runtime DPP fires. Cost: one extra tiny
+      * job (the query-side assignment against nList broadcast
+      * centroids). Results are identical either way — the join's cell
+      * equality already restricts; the filter only prunes I/O. */
     def search(queries: DataFrame, vecCol: String, topK: Int,
-               nProbe: Int = 1): DataFrame = {
-      val exploded = codes.select(col(idCol).as("neighbor_id"),
-        col("cell").as("centroid_id"),
-        posexplode(col("pq_code")).as(Seq("__s", "__code")))
+               nProbe: Int = 1, pruneCells: Boolean = true): DataFrame = {
       val cents = centroids.select(col("cell").as("centroid_id"),
         col("centroid").as("__c"))
       val cb = codebook.select(col("subspace").as("__s"),
         col("code_id").as("__cid"), col("centroid").as("__c"))
+      val prunedCodes =
+        if (!pruneCells) codes
+        else {
+          val cells = Similarity.probeCells(queries, idCol, vecCol,
+            cents, nList, nProbe, quantizeScale)
+          codes.where(col("cell").isin(cells: _*))
+        }
+      val exploded = prunedCodes.select(col(idCol).as("neighbor_id"),
+        col("cell").as("centroid_id"),
+        posexplode(col("pq_code")).as(Seq("__s", "__code")))
       if (residual)
         Similarity.ivfPqResidualSearchIndex(queries, idCol, vecCol,
           cents, cb, exploded, dims, m, k, nList, topK, nProbe, quantizeScale)

@@ -580,6 +580,17 @@ class PipelineSpec extends AnyFunSuite {
       assert(persisted == inline)
       // a second search from the same loaded index (no rebuild) also matches
       assert(idx.search(queries, "embedding", topK = 3).count() == inline.size)
+      // cell pruning: the probe-cell set lands as a STATIC partition
+      // filter on the codes scan, and results are identical with it off
+      val pruned = idx.search(queries, "embedding", topK = 3)
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        "expected a static cell partition filter on the codes scan")
+      val unpruned = idx.search(queries, "embedding", topK = 3,
+          pruneCells = false)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(unpruned == persisted)
     } finally graft.sources.BucketFs.deleteRecursive(dir)
 
     // residual variant: same round-trip equality through its own manifest
