@@ -243,6 +243,33 @@ object StreamingQueries extends QueryModule {
         .select($"l_user".as("user_id"),
           unix_micros($"click_ts").as("click_us"),
           coalesce(unix_micros($"view_ts"), lit(-1L)).as("view_us"))
+    }),
+
+    // FULL-outer watermarked stream-stream join: q101's machinery with
+    // BOTH sides null-padding on eviction — clicks with no view AND views
+    // with no qualifying click each emit once the watermark closes their
+    // window. Same sentinel rule (they must flow through both watermark
+    // operators); the id comes from whichever side is present.
+    "q110_stream_full_outer_join" -> ((s, dir) => {
+      import s.implicits._
+      runStagedN(s, dir, "ssfull", 2) { streams =>
+        val clicks = streams(0)
+          .where($"event_type" === "click" || $"user_id" < 0)
+          .select($"user_id".as("l_user"), $"ts".as("click_ts"))
+        val views = streams(1)
+          .where($"event_type" === "view" || $"user_id" < 0)
+          .select($"user_id".as("r_user"), $"ts".as("view_ts"))
+        StreamingOps.streamIntervalJoin(clicks, views, "click_ts", "view_ts",
+          watermark = "1 minute",
+          condition = $"l_user" === $"r_user" &&
+            $"view_ts" >= $"click_ts" &&
+            $"view_ts" <= $"click_ts" + expr("interval 24 hours"),
+          joinType = "full_outer")
+      }
+        .where(coalesce($"l_user", $"r_user") >= 0)
+        .select(coalesce($"l_user", $"r_user").as("user_id"),
+          coalesce(unix_micros($"click_ts"), lit(-1L)).as("click_us"),
+          coalesce(unix_micros($"view_ts"), lit(-1L)).as("view_us"))
     })
   )
 
@@ -313,6 +340,16 @@ object StreamingQueries extends QueryModule {
         COALESCE(epoch_us(r.ts), -1) AS view_us
       FROM (SELECT * FROM events WHERE event_type = 'click') l
       LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+        ON l.user_id = r.user_id
+        AND epoch_us(r.ts) >= epoch_us(l.ts)
+        AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""",
+
+    "q110_stream_full_outer_join" -> """
+      SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+        COALESCE(epoch_us(l.ts), -1) AS click_us,
+        COALESCE(epoch_us(r.ts), -1) AS view_us
+      FROM (SELECT * FROM events WHERE event_type = 'click') l
+      FULL JOIN (SELECT * FROM events WHERE event_type = 'view') r
         ON l.user_id = r.user_id
         AND epoch_us(r.ts) >= epoch_us(l.ts)
         AND epoch_us(r.ts) <= epoch_us(l.ts) + 86400000000""")
