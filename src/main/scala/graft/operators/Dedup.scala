@@ -322,6 +322,37 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Quality-aware group deduplication: resolve candidate pairs into
+    * duplicate clusters ([[connectedComponents]]) and keep the BEST
+    * document of each cluster — highest `qualityCol`, ties by smallest
+    * id — instead of the arbitrary min-id representative. Documents in no
+    * cluster survive untouched (each is its own singleton). The standard
+    * "among near-duplicates, keep the longest / highest-scoring copy"
+    * rule of training-data pipelines.
+    *
+    * Scale shape: one left join of the corpus to the (small) cluster
+    * map, one min(struct) aggregate per cluster — map-side partial
+    * combine; the winner set semi-joins back, so full rows shuffle only
+    * on the id join keys, never into aggregation buffers. Null quality
+    * loses to any non-null (coalesced to -Infinity). */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
+                         qualityCol: String): DataFrame = {
+    val clusters = connectedComponents(pairs)
+      .withColumnRenamed("node", "__node")
+    val member = df
+      .join(clusters, df(idCol).cast("long") === col("__node"), "left")
+      .withColumn("__cl",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+    val winners = member.groupBy(col("__cl"))
+      .agg(min(struct(
+          negate(coalesce(col(qualityCol).cast("double"),
+            lit(Double.NegativeInfinity))).as("__negq"),
+          col(idCol).cast("long").as("__wid")))
+        .getField("__wid").as("__keep"))
+      .select(col("__keep"))
+    df.join(winners, df(idCol).cast("long") === col("__keep"), "left_semi")
+  }
+
   /** Re-chunk a document into lines of `tokensPerLine` whitespace tokens
     * joined by '\n' — gives line-level operators a deterministic line
     * structure on corpora whose documents arrive as one long line. */

@@ -115,6 +115,19 @@ object PipelineQueries extends QueryModule {
       Dedup.connectedComponents(pairs)
     }),
 
+    // Quality-aware group dedup on q45's clusters: among near-duplicates,
+    // keep the longest copy (ties by smallest id) — not the arbitrary
+    // min-id representative; singletons survive untouched.
+    "q111_dedup_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        shingleK = 8, numHashes = 8, bands = 4,
+        maxBucketSize = Int.MaxValue)
+      Dedup.keepBestPerCluster(docs, pairs, "doc_id", "n_chars")
+        .select($"doc_id", $"n_chars")
+    }),
+
     // IVF coarse-quantized ANN: 16 deterministic centroids (vec_id < 16),
     // top-2 within the query's cell for the first 24 queries.
     "q44_ivf_topk" -> ((s, dir) => {
@@ -1139,6 +1152,41 @@ object PipelineQueries extends QueryModule {
         UNION
         SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other)
       SELECT node, MIN(other) AS cluster_id FROM reach GROUP BY node""",
+
+    // q45's recursive-CTE clusters + per-cluster argmax: highest n_chars
+    // wins, ties by smallest doc_id; unclustered docs are their own
+    // singleton cluster
+    "q111_dedup_keep_best" -> s"""
+      WITH RECURSIVE
+      prs AS (
+        WITH sig AS (${minhashSql(8)}),
+        bands AS (
+          SELECT doc_id, b.band,
+            CASE b.band
+              WHEN 0 THEN CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+              WHEN 1 THEN CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+              WHEN 2 THEN CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+              ELSE CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) END AS band_sig
+          FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b)
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
+      edges AS (SELECT a AS src, b AS dst FROM prs
+                UNION SELECT b, a FROM prs),
+      reach(node, other) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other),
+      cl AS (SELECT node, MIN(other) AS cluster_id FROM reach GROUP BY node),
+      m AS (SELECT d.doc_id, d.n_chars,
+              COALESCE(cl.cluster_id, d.doc_id) AS clid
+            FROM documents d LEFT JOIN cl ON cl.node = d.doc_id),
+      w AS (SELECT doc_id, n_chars,
+              row_number() OVER (PARTITION BY clid
+                ORDER BY COALESCE(n_chars, CAST('-infinity' AS DOUBLE)) DESC,
+                  doc_id ASC) AS rk
+            FROM m)
+      SELECT doc_id, n_chars FROM w WHERE rk = 1""",
 
     "q44_ivf_topk" -> """
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -487,6 +487,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(thr(0.251) == 26L)
   }
 
+  test("keepBestPerCluster: highest quality wins, ties by id, singletons survive") {
+    import graft.operators.Dedup
+    val d = Seq(
+      (0L, 10L), (1L, 50L), (2L, 50L), // cluster {0,1,2}: 1 wins (50, min id)
+      (3L, 7L), (4L, 3L),              // cluster {3,4}: 3 wins
+      (5L, 1L)                         // singleton: survives
+    ).toDF("doc_id", "quality")
+    val pairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("a", "b")
+    val kept = Dedup.keepBestPerCluster(d, pairs, "doc_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
+  test("temperatureBudgets: alpha=1 is proportional, alpha=0 is uniform") {
+    import graft.operators.Sampling
+    val d = Seq.tabulate(40)(i =>
+      (i.toLong, if (i < 30) "big" else "small", 100L))
+      .toDF("id", "src", "tok") // big: 3000 tokens, small: 1000
+    val prop = Sampling.temperatureBudgets(d, "src", "tok", 4000L, alpha = 1.0)
+    assert(prop("big") == 3000L && prop("small") == 1000L)
+    val unif = Sampling.temperatureBudgets(d, "src", "tok", 4000L, alpha = 0.0)
+    assert(unif("big") == 2000L && unif("small") == 2000L)
+    // intermediate alpha up-weights the small source, monotonically
+    val mid = Sampling.temperatureBudgets(d, "src", "tok", 4000L, alpha = 0.5)
+    assert(mid("small") > 1000L && mid("small") < 2000L)
+    assert(mid("big") + mid("small") <= 4000L)
+    // composes with mixtureSample: budgets cap each source's token mass
+    val mixed = Sampling.mixtureSample(d, "id", "src", "tok", unif)
+    val toks = mixed.groupBy("src").agg(sum($"tok").as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(toks("small") == 1000L)       // whole source fits its budget
+    assert(toks("big") == 2000L)         // filled to the budget exactly
+  }
+
   test("mixtureSample: fill-until-reached budgets in deterministic hash order") {
     import graft.operators.Sampling
     val docs = (0L until 30L).map(i =>
