@@ -400,6 +400,46 @@ object Similarity {
     (centroids, cb, codes)
   }
 
+  /** Encode NEW vectors against an EXISTING index's frames (centroids +
+    * codebook, e.g. reloaded by [[graft.sources.AnnIndex]]) — the
+    * incremental-ingest half of the index lifecycle: cells and codes for
+    * the new rows only, nothing retrains, nothing re-encodes. Returns
+    * the same exploded (neighbor_id, centroid_id, __s, __code) shape the
+    * search paths consume. `integerCb` must be false for a TRAINED
+    * codebook (fractional means). */
+  private[graft] def encodeAgainstIndex(newCorpus: DataFrame, idCol: String,
+      vecCol: String, centroids: DataFrame, codebook: DataFrame,
+      dims: Int, m: Int, k: Int, nList: Int, residual: Boolean,
+      quantizeScale: Option[Double], integerCb: Boolean): DataFrame = {
+    val sub = dims / m
+    if (!residual) {
+      val cells = assignNearest(
+          prepVectors(newCorpus, idCol, vecCol, quantizeScale), centroids,
+          packCentroids = if (quantizeScale.isDefined) nList else 0)
+        .select(col("__id").as("neighbor_id"), col("centroid_id"))
+      pqCodesAgainst(newCorpus, idCol, vecCol, dims, m, k, quantizeScale,
+          codebook.select(col("__s"), col("__cid"), col("__c")), integerCb)
+        .withColumnRenamed("__id", "neighbor_id")
+        .join(cells, Seq("neighbor_id"))
+    } else {
+      val res = assignNearest(
+          prepVectors(newCorpus, idCol, vecCol, quantizeScale), centroids,
+          packCentroids = if (quantizeScale.isDefined) nList else 0)
+        .join(broadcast(centroids), Seq("centroid_id"))
+        .select(col("__id"), col("centroid_id"),
+          residualOf(col("__v"), col("__c"), dims).as("__v"))
+      val resSub = subvectorsOf(res, m, sub)
+      val cbb = broadcast(codebook.select(col("__s"), col("__cid"), col("__c"))
+        .withColumn("__cc", dot(col("__c"), col("__c"))))
+      val scored = resSub.join(cbb, Seq("__s"))
+        .withColumn("__d2",
+          adcD2(col("__sv"), col("__svv"), col("__c"), col("__cc")))
+      codeArgmin(scored, Seq(col("__id"), col("centroid_id"), col("__s")), k,
+          quantized = quantizeScale.isDefined && integerCb)
+        .withColumnRenamed("__id", "neighbor_id")
+    }
+  }
+
   /** The DISTINCT probe-cell set of a query batch against a
     * (centroid_id, __c) centroid frame — bounded by the centroid count
     * (never by query count), so collecting it is safe at any query

@@ -41,9 +41,30 @@ object AnnIndex {
     * lazy frames. `search` never touches the original corpus. */
   final case class IvfPqIndex(dims: Int, m: Int, k: Int, nList: Int,
                               quantizeScale: Option[Double], idCol: String,
-                              residual: Boolean,
+                              residual: Boolean, trainUpdates: Int,
+                              indexDir: String,
                               centroids: DataFrame, codebook: DataFrame,
                               codes: DataFrame) {
+
+    /** Incremental ingest: encode `newCorpus` against the PERSISTED
+      * centroids and codebook — nothing retrains, existing codes are
+      * untouched — and append the new (id, cell, pq_code) rows to the
+      * cell-partitioned codes. The standard grow-an-index operation;
+      * ids must be new (no dedup against existing codes is attempted).
+      * Returns a freshly loaded index: this instance's `codes` frame
+      * pinned its file listing at load time and will not see the
+      * appended files. */
+    def append(newCorpus: DataFrame, vecCol: String): IvfPqIndex = {
+      val exploded = Similarity.encodeAgainstIndex(newCorpus, idCol, vecCol,
+        centroids.select(col("cell").as("centroid_id"),
+          col("centroid").as("__c")),
+        codebook.select(col("subspace").as("__s"), col("code_id").as("__cid"),
+          col("centroid").as("__c")),
+        dims, m, k, nList, residual, quantizeScale,
+        integerCb = trainUpdates == 0)
+      writeCodes(exploded, idCol, indexDir, "append")
+      loadIvfPq(newCorpus.sparkSession, indexDir)
+    }
     /** Top-k ADC search against the persisted index; identical results to
       * `Similarity.ivfPqTopK(queries, corpus, ...)` with the build
       * parameters (including `residual`).
@@ -103,13 +124,7 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     // codes pack to one array row per vector (position = subspace) and
     // partition by cell — the inverted-list layout searches prune on
-    codesExploded
-      .groupBy(col("neighbor_id"), col("centroid_id"))
-      .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
-        s => s.getField("__code")).as("pq_code"))
-      .select(col("neighbor_id").as(idCol), col("centroid_id").as("cell"),
-        col("pq_code"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/codes")
+    writeCodes(codesExploded, idCol, indexDir, "overwrite")
     val manifest: Map[String, Any] = Map(
       "index_type" -> "ivf_pq", "residual" -> residual,
       "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
@@ -119,6 +134,19 @@ object AnnIndex {
     BucketFs.writeString(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(toJValue(manifest))))
   }
+
+  /** Pack exploded codes to one array row per vector (position =
+    * subspace) and write them cell-partitioned — shared by the initial
+    * save (overwrite) and incremental append. */
+  private def writeCodes(codesExploded: DataFrame, idCol: String,
+                         indexDir: String, mode: String): Unit =
+    codesExploded
+      .groupBy(col("neighbor_id"), col("centroid_id"))
+      .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
+        s => s.getField("__code")).as("pq_code"))
+      .select(col("neighbor_id").as(idCol), col("centroid_id").as("cell"),
+        col("pq_code"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$indexDir/codes")
 
   /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames). */
   def loadIvfPq(spark: SparkSession, indexDir: String): IvfPqIndex = {
@@ -153,12 +181,18 @@ object AnnIndex {
       case other => throw new IllegalArgumentException(
         s"bad residual flag in manifest: $other")
     }
+    val trainUpdates = mf \ "train_updates" match {
+      case JInt(x) => x.toInt
+      case JNothing | JNull => 0 // pre-trainUpdates manifests
+      case other => throw new IllegalArgumentException(
+        s"bad train_updates in manifest: $other")
+    }
     // cell is a directory-partition column: its read-back type depends on
     // session inference settings (string with inference off), so pin it
     val codes = spark.read.parquet(s"$indexDir/codes")
       .withColumn("cell", col("cell").cast("long"))
     IvfPqIndex(num("dims").toInt, num("m").toInt, num("k").toInt,
-      num("n_list").toInt, scale, idCol, residual,
+      num("n_list").toInt, scale, idCol, residual, trainUpdates, indexDir,
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebook"), codes)
   }

@@ -645,6 +645,46 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(rdir)
   }
 
+  test("AnnIndex.append: incremental ingest encodes against the frozen codebook") {
+    val rnd = new scala.util.Random(11)
+    val all = (0L until 64L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val first = all.filter(_._1 < 40).toDF("vec_id", "embedding")
+    val rest = all.filter(_._1 >= 40).toDF("vec_id", "embedding")
+    val allDf = all.toDF("vec_id", "embedding")
+    val queries = allDf.where($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_app").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(first, "vec_id", "embedding", dir,
+        dims = 8, m = 2, k = 4, nList = 4)
+      val idx0 = graft.sources.AnnIndex.loadIvfPq(spark, dir)
+      val idx = idx0.append(rest, "embedding")
+      val got = idx.search(queries, "embedding", topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      // expected: the SAME frozen centroids/codebook (built from the first
+      // 40 rows) with codes covering all 64 — computed in memory, no
+      // persistence involved
+      val cents = idx.centroids.select(col("cell").as("centroid_id"),
+        col("centroid").as("__c"))
+      val cb = idx.codebook.select(col("subspace").as("__s"),
+        col("code_id").as("__cid"), col("centroid").as("__c"))
+      val codesAll = graft.operators.Similarity.encodeAgainstIndex(allDf,
+        "vec_id", "embedding", cents, cb, dims = 8, m = 2, k = 4, nList = 4,
+        residual = false, quantizeScale = Some(1000.0), integerCb = true)
+      val expect = graft.operators.Similarity.ivfPqSearchIndex(queries,
+          "vec_id", "embedding", cents, cb, codesAll, dims = 8, m = 2,
+          k = 4, nList = 4, topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got == expect)
+      // the appended half is actually searchable (some neighbor >= 40)
+      assert(got.exists(_._3 >= 40L))
+      // the stale pre-append instance still sees only the original codes
+      assert(idx0.codes.count() == 40L && idx.codes.count() == 64L)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("AnnIndex: loading a non-index directory fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notanidx").toString
     try {
