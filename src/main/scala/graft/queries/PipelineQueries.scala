@@ -456,6 +456,16 @@ object PipelineQueries extends QueryModule {
         "vec_id", "embedding", k = 2, nList = 8, iters = 2)
     }),
 
+    // Farthest-point (k-means++-style) seeding, oracle-gated: 3 seeds
+    // picked by the greedy max-min-distance walk (start = min id, ties by
+    // id), one Lloyd mean update, final assignment. The oracle unrolls
+    // the seed picks as scalar-subquery CTEs.
+    "q112_kmeans_farthest" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.kmeansAssign(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 3, iters = 2, seeding = "farthest")
+    }),
+
     // Trained IVF with nProbe=2 — the recall knob on the TRAINED coarse
     // quantizer (q57/q97 cover it for the untrained variants): each query
     // searches its two nearest k-means cells; ranks re-order as closer
@@ -1291,6 +1301,58 @@ object PipelineQueries extends QueryModule {
       vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
       c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
              FROM v WHERE vec_id < 8),
+      a0 AS (SELECT vec_id, cid, e FROM (
+               SELECT vv.vec_id, c.cid, vv.e,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c0 c)
+             WHERE rk = 1),
+      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
+               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
+               GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
+             FROM sums GROUP BY cid),
+      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vv.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c1c c)
+             WHERE rk = 1)
+      SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM a1""",
+
+    // farthest-point seeding unrolled: s0 = the min-id row, s1 = argmax
+    // distance to s0, s2 = argmax of min distance to {s0, s1} (ties by
+    // id throughout — exact integers on the quantized grid), then one
+    // Lloyd mean update and the final assignment, exactly q77's shape
+    "q112_kmeans_farthest" -> """
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+                 FROM embeddings),
+      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      s0 AS (SELECT e, list_inner_product(e, e) AS cc FROM v
+             WHERE vec_id = (SELECT MIN(vec_id) FROM v)),
+      s1 AS (SELECT e, list_inner_product(e, e) AS cc FROM (
+               SELECT vv.vec_id, vv.e
+               FROM vv, s0
+               ORDER BY ((vv.sq - 2.0 * list_inner_product(vv.e, s0.e))
+                           + s0.cc) DESC,
+                 vv.vec_id ASC
+               LIMIT 1)),
+      s2 AS (SELECT e, list_inner_product(e, e) AS cc FROM (
+               SELECT vv.vec_id, vv.e
+               FROM vv, s0, s1
+               ORDER BY LEAST(
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, s0.e)) + s0.cc),
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, s1.e)) + s1.cc))
+                   DESC,
+                 vv.vec_id ASC
+               LIMIT 1)),
+      c0 AS (SELECT 0 AS cid, e AS ce, cc FROM s0
+             UNION ALL SELECT 1, e, cc FROM s1
+             UNION ALL SELECT 2, e, cc FROM s2),
       a0 AS (SELECT vec_id, cid, e FROM (
                SELECT vv.vec_id, c.cid, vv.e,
                  row_number() OVER (PARTITION BY vv.vec_id ORDER BY
