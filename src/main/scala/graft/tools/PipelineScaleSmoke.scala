@@ -126,6 +126,29 @@ object PipelineScaleSmoke {
     require(ivfCross == 0,
       s"ivf-pq: $ivfCross cross-family neighbors in top-5")
     println(s"[pscale] ivf-pq residual: all top-5 neighbors in-family at $n vecs")
+
+    // ---- persisted-index lifecycle at the same scale: save the 500k-vec
+    // IVF-PQ index (codes cell-partitioned), reload, search with the
+    // probe-cell partition filter — results must stay in-family, and the
+    // codes directory must actually be cell-partitioned
+    val idxDir = java.nio.file.Files.createTempDirectory("pscale_idx").toString
+    try {
+      t(s"ann index save ($n vecs)") {
+        graft.sources.AnnIndex.saveIvfPq(kVecs, "vec_id", "embedding",
+          idxDir, dims = dim, m = 4, k = 16, nList = 8)
+      }
+      val idx = graft.sources.AnnIndex.loadIvfPq(spark, idxDir)
+      val idxCross = t("ann index search (8 queries)") {
+        idx.search(kVecs.where($"vec_id" < 8), "embedding", topK = 5)
+          .where($"neighbor_id" % 8 =!= $"query_id" % 8).count()
+      }
+      require(idxCross == 0,
+        s"ann index: $idxCross cross-family neighbors in top-5")
+      val cellDirs = new java.io.File(s"$idxDir/codes").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("cell="))
+      require(cellDirs == 8, s"expected 8 cell dirs, got $cellDirs")
+      println(s"[pscale] ann index: persisted search in-family, $cellDirs cell dirs")
+    } finally graft.sources.BucketFs.deleteRecursive(idxDir)
     spark.stop()
   }
 }
