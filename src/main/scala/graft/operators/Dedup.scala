@@ -337,6 +337,15 @@ object Dedup {
     * loses to any non-null (coalesced to -Infinity). */
   def keepBestPerCluster(df: DataFrame, pairs: DataFrame, idCol: String,
                          qualityCol: String): DataFrame = {
+    // integral ids only: a string id would cast("long") to null below,
+    // silently merging every unclustered document into one null cluster
+    // (keeping a single survivor) — fail loudly instead
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+      .contains(df.schema(idCol).dataType),
+      s"keepBestPerCluster needs an integral id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString}")
     val clusters = connectedComponents(pairs)
       .withColumnRenamed("node", "__node")
     val member = df
