@@ -111,6 +111,35 @@ object Sampling {
       .agg(min(col("__val")).as("threshold"))
   }
 
+  /** Temperature-sampling budgets for [[mixtureSample]]: per-source token
+    * targets ∝ observedTokens^alpha, scaled to `totalBudget` — the
+    * standard multilingual/multi-source rebalancing rule (alpha = 1
+    * reproduces natural proportions, alpha = 0 is uniform, the usual
+    * 0.3–0.7 range up-weights small sources). One aggregate over the
+    * corpus; the k-source weight vector is driver math. Budgets floor to
+    * longs and are clamped to >= 1 so no listed source vanishes; a
+    * source's budget may exceed its own total (mixtureSample then takes
+    * all of it — temperature sampling up-weights by REPETITION in real
+    * pipelines, which is a loader concern, not a selection one). */
+  def temperatureBudgets(df: DataFrame, sourceCol: String, tokenCol: String,
+                         totalBudget: Long, alpha: Double): Map[String, Long] = {
+    require(totalBudget >= 1 && alpha >= 0.0 && alpha <= 1.0,
+      "totalBudget must be >= 1 and alpha in [0, 1]")
+    // null sources/token counts are excluded up front: a null source key
+    // could never match mixtureSample's equality predicate anyway, and a
+    // null SUM would otherwise surface as an opaque NPE here
+    val totals = df
+      .where(col(sourceCol).isNotNull && col(tokenCol).isNotNull)
+      .groupBy(col(sourceCol).cast("string").as("__src"))
+      .agg(sum(col(tokenCol)).cast("long").as("__tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val weights = totals.map { case (s, t) =>
+      s -> math.pow(math.max(t, 1L).toDouble, alpha) }
+    val z = weights.map(_._2).sum
+    weights.map { case (s, w) =>
+      s -> math.max(1L, math.floor(totalBudget * w / z).toLong) }.toMap
+  }
+
   /** Deterministic mixture sampling: build a training mix that fills a
     * per-source token budget — the data-mixing step of a pretraining
     * pipeline ("X tokens of web, Y of code, Z of papers"). Within each
@@ -129,30 +158,6 @@ object Sampling {
     * partition the straggler, in which case pre-filter it with
     * [[sampledBy]] to the right order of magnitude first — the hash
     * order composes (both are md5-of-id rules). */
-  /** Temperature-sampling budgets for [[mixtureSample]]: per-source token
-    * targets ∝ observedTokens^alpha, scaled to `totalBudget` — the
-    * standard multilingual/multi-source rebalancing rule (alpha = 1
-    * reproduces natural proportions, alpha = 0 is uniform, the usual
-    * 0.3–0.7 range up-weights small sources). One aggregate over the
-    * corpus; the k-source weight vector is driver math. Budgets floor to
-    * longs and are clamped to >= 1 so no listed source vanishes; a
-    * source's budget may exceed its own total (mixtureSample then takes
-    * all of it — temperature sampling up-weights by REPETITION in real
-    * pipelines, which is a loader concern, not a selection one). */
-  def temperatureBudgets(df: DataFrame, sourceCol: String, tokenCol: String,
-                         totalBudget: Long, alpha: Double): Map[String, Long] = {
-    require(totalBudget >= 1 && alpha >= 0.0 && alpha <= 1.0,
-      "totalBudget must be >= 1 and alpha in [0, 1]")
-    val totals = df.groupBy(col(sourceCol).cast("string").as("__src"))
-      .agg(sum(col(tokenCol)).cast("long").as("__tok"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val weights = totals.map { case (s, t) =>
-      s -> math.pow(math.max(t, 1L).toDouble, alpha) }
-    val z = weights.map(_._2).sum
-    weights.map { case (s, w) =>
-      s -> math.max(1L, math.floor(totalBudget * w / z).toLong) }.toMap
-  }
-
   def mixtureSample(df: DataFrame, idCol: String, sourceCol: String,
                     tokenCol: String, budgets: Map[String, Long]): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 1),

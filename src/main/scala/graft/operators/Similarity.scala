@@ -559,7 +559,13 @@ object Similarity {
     * ([[codeArgmin]]); fractional centroids (post-mean-update rounds) use
     * the struct min, which falls to SortAggregate but keeps the same
     * partial-combine shuffle shape. nProbe > 1 keeps the window: its
-    * output IS nProbe rows per vector, so there is nothing to collapse. */
+    * output IS nProbe rows per vector, so there is nothing to collapse.
+    *
+    * Ids must be unique keys (the contract every caller already holds —
+    * see minHashSignature's identical note): the aggregate + join-back
+    * emits one output row per INPUT row, so a duplicated id would ride
+    * through twice (double-weighting Lloyd means) where the old rank-1
+    * window silently collapsed it. */
   private def assignNearest(v: DataFrame, cs: DataFrame,
                             nProbe: Int = 1,
                             packCentroids: Int = 0): DataFrame = {
@@ -662,8 +668,14 @@ object Similarity {
       first(0).getSeq[Double](1).toArray)
     for (_ <- 1 until k) {
       val minD = seeds.map(d2To).reduceLeft(least(_, _))
+      // NaN guard: desc ordering sorts NaN FIRST in Spark, so one vector
+      // with a NaN element (quantize keeps NaN) would silently become
+      // every remaining seed — fail loudly instead, like codeArgmin
+      val guarded = when(isnan(minD), raise_error(concat(
+        lit("farthestPointSeeds: non-finite distance for id "),
+        col("__id").cast("string")))).otherwise(minD)
       val next = v.select(col("__id").cast("long").as("__id"), col("__v"),
-          minD.as("__md"))
+          guarded.as("__md"))
         .orderBy(col("__md").desc, col("__id").asc)
         .head()
       seeds += next.getSeq[Double](1).toArray
@@ -1057,9 +1069,13 @@ object Similarity {
     *
     * The packed encoding is only lexicographic for finite d2 and
     * cid ∈ [0, k): a NaN d2 would cast to 0 and WIN every assignment
-    * (struct-min sorts NaN last), an Inf would overflow the pack — so
-    * the packed path fails fast on them instead of silently collapsing
-    * the codebook. Codebook builders bound cid by construction. */
+    * (struct-min sorts NaN last), an Inf would overflow the pack, and a
+    * cid outside [0, k) ALIASES across distance levels (d·k − 1 decodes
+    * as (d−1)·k + (k−1) — a wrong centroid at a wrong distance). The
+    * packed path fails fast on all of them instead of silently
+    * corrupting assignments: PQ codebook builders bound cid by
+    * construction, but coarse IVF/k-means seed sets are `id < n` corpus
+    * rows, where a NEGATIVE row id would otherwise slip through. */
   private def codeArgmin(scored: DataFrame, groupCols: Seq[Column], k: Int,
                          quantized: Boolean): DataFrame =
     if (quantized) {
@@ -1069,8 +1085,12 @@ object Similarity {
         raise_error(concat(lit("PQ: non-finite or out-of-range distance "),
           col("__d2").cast("string"))))
         .otherwise(col("__d2"))
+      val cid = when(col("__cid") < 0L || col("__cid") >= lit(k.toLong),
+        raise_error(concat(lit(s"PQ: centroid id outside [0, $k): "),
+          col("__cid").cast("string"))))
+        .otherwise(col("__cid"))
       scored.groupBy(groupCols: _*)
-        .agg(min(d2.cast("long") * lit(k.toLong) + col("__cid"))
+        .agg(min(d2.cast("long") * lit(k.toLong) + cid)
           .as("__packed"))
         .withColumn("__code", pmod(col("__packed"), lit(k.toLong)))
         .drop("__packed")

@@ -174,6 +174,14 @@ object BucketWriter {
                   autoSaltSkew: Boolean = true,
                   zorderWithinFiles: Boolean = false,
                   layoutCurve: String = "zorder"): Unit = {
+    // validate unconditionally: a misspelled curve, or a non-default
+    // curve with the layout sort left off, must not silently write an
+    // unsorted bucket the caller believes is curve-ordered
+    require(layoutCurve == "zorder" || layoutCurve == "hilbert",
+      s"unknown layoutCurve '$layoutCurve' (use 'zorder' or 'hilbert')")
+    require(layoutCurve == "zorder" || zorderWithinFiles,
+      s"layoutCurve = '$layoutCurve' requires zorderWithinFiles = true " +
+        "(the in-file layout sort is what applies the curve)")
     val labeled0 = p.addLabels(df, x, y, removeInvalidRows)
     // co-locate each spatial partition in one task: one output file per
     // directory instead of (tasks × dirs) small files — at scale this is
