@@ -440,6 +440,55 @@ object Similarity {
     }
   }
 
+  /** Map-only PQ encode against DRIVER-COLLECTED centroid/codebook
+    * matrices — the stateless encode a STREAMING ingest needs: every
+    * operator is a projection (no joins, no aggregations), so the plan is
+    * append-mode safe and exactly-once under the file sink. Returns
+    * (idCol, cell, pq_code) rows. Winners match the batch
+    * [[pqCodesAgainst]]/[[assignNearest]] argmins exactly: the common
+    * ||v||² term is dropped from both comparisons (order-preserving —
+    * subtracting the same exact-integer value from every candidate), and
+    * ties break by centroid id via the same least(struct) shape
+    * [[kmeansFitCollected]] uses. Driver state is the nList×dims +
+    * m·k×(dims/m) matrices — the usual bounded-collect trust. */
+  private[graft] def encodeRowsAgainstCollected(df: DataFrame, idCol: String,
+      vecCol: String, cents: Array[(Long, Array[Double])],
+      cb: Map[Int, Array[(Long, Array[Double])]], dims: Int, m: Int,
+      quantizeScale: Option[Double]): DataFrame = {
+    require(cents.nonEmpty && (0 until m).forall(s => cb.getOrElse(s, Array.empty).nonEmpty),
+      "collected centroids and every subspace codebook must be non-empty")
+    val sub = dims / m
+    def sqNorm(c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) { acc += c(i) * c(i); i += 1 }
+      acc
+    }
+    def argminScore(vec: Column, cands: Array[(Long, Array[Double])]): Column = {
+      val scored = cands.map { case (cid, c) =>
+        val cLit = array(c.toSeq.map(lit): _*)
+        struct((lit(-2.0) * dot(vec, cLit) + lit(sqNorm(c))).as("s"),
+          lit(cid).as("cid"))
+      }
+      (if (scored.length == 1) scored.head else least(scored.toSeq: _*))
+        .getField("cid")
+    }
+    // fail fast on a dims mismatch (same rationale as subvectorFrame: a
+    // short vector would dot to garbage silently, not error)
+    val checked = when(size(col(vecCol)) === lit(dims), col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"PQ: expected $dims-dim vectors in '$vecCol', got "),
+        size(col(vecCol)).cast("string"))))
+    val vec = quantizeScale.map(sc => quantize(checked, sc))
+      .getOrElse(asDouble(checked))
+    val staged = df.select(col(idCol), vec.as("__v"))
+    val withSubs = (0 until m).foldLeft(staged)((d, s) =>
+      d.withColumn(s"__sv$s", slice(col("__v"), s * sub + 1, sub)))
+    withSubs.select(col(idCol),
+      argminScore(col("__v"), cents).as("cell"),
+      array((0 until m).map(s =>
+        argminScore(col(s"__sv$s"), cb(s))): _*).as("pq_code"))
+  }
+
   /** The DISTINCT probe-cell set of a query batch against a
     * (centroid_id, __c) centroid frame — bounded by the centroid count
     * (never by query count), so collecting it is safe at any query

@@ -613,6 +613,34 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // STREAMING codes ingest: a codebook-only index (quantizers trained
+    // batch-side, no codes) + the whole corpus streamed through the
+    // map-only encoder into the exactly-once file sink, then a search on
+    // the reloaded index. Must equal the inline ivfPqTopK search (q96's
+    // oracle): the in-row argmin against collected codebook literals
+    // picks the same winners as the batch packed argmin.
+    "q113_stream_index_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val h = s"v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_annidx_stream_$h"
+      val src = s"/tmp/graft_annidx_ssrc_$h"
+      // fresh lifecycle per run: a reused checkpoint would no-op the
+      // stream and an old sink would double-count
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.BucketFs.deleteRecursive(src)
+      graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
+        dims = 64, m = 4, k = 16, nList = 8, includeCodes = false)
+      emb.write.parquet(src)
+      val q = graft.sources.AnnIndex.streamingCodesWriter(s, idx, src,
+        emb.schema, "embedding", s"$idx/_ckpt").start()
+      q.awaitTermination()
+      graft.sources.AnnIndex.loadIvfPq(s, idx)
+        .search(emb.where($"vec_id" < 8), "embedding", topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Residual-index persistence: same lifecycle as q100 but the codebook
     // quantizes v − c(cell) — save, reload, search, match q98's inline
     // residual results (same oracle).
@@ -1475,6 +1503,9 @@ object PipelineQueries extends QueryModule {
     // the persisted-index search must return exactly what the inline
     // search returns, so it shares q96's oracle
     "q100_pq_persist" -> ivfPqOracle(nProbe = 1),
+
+    // streamed codes ≡ batch codes ≡ inline — same oracle again
+    "q113_stream_index_ingest" -> ivfPqOracle(nProbe = 1),
 
     "q97_ivfpq_probe2" -> ivfPqOracle(nProbe = 2),
 

@@ -55,6 +55,12 @@ object AnnIndex {
       * pinned its file listing at load time and will not see the
       * appended files. */
     def append(newCorpus: DataFrame, vecCol: String): IvfPqIndex = {
+      // a stream-managed codes dir (file-sink _spark_metadata) reads ONLY
+      // the files in the sink log — a batch append here would write rows
+      // that are silently invisible; route new data through
+      // streamingCodesWriter instead
+      require(!BucketFs.exists(s"$indexDir/codes/_spark_metadata"),
+        s"codes under $indexDir are stream-managed; use streamingCodesWriter")
       val exploded = Similarity.encodeAgainstIndex(newCorpus, idCol, vecCol,
         centroids.select(col("cell").as("centroid_id"),
           col("centroid").as("__c")),
@@ -106,11 +112,15 @@ object AnnIndex {
   /** Build and persist an IVF-PQ index over `corpus`. `trainUpdates` > 0
     * Lloyd-refines the PQ codebook before encoding; `residual` quantizes
     * v − c(cell) instead of raw vectors. Codebook and codes persist, so
-    * searches never retrain or re-encode. */
+    * searches never retrain or re-encode. `includeCodes = false` writes
+    * only the manifest + centroids + codebook — the codebook-only shape
+    * whose codes arrive later via [[streamingCodesWriter]] (the corpus
+    * then only trains the quantizers, it is never encoded here). */
   def saveIvfPq(corpus: DataFrame, idCol: String, vecCol: String,
                 indexDir: String, dims: Int, m: Int, k: Int, nList: Int,
                 quantizeScale: Option[Double] = Some(1000.0),
-                trainUpdates: Int = 0, residual: Boolean = false): Unit = {
+                trainUpdates: Int = 0, residual: Boolean = false,
+                includeCodes: Boolean = true): Unit = {
     val (centroids, codebook, codesExploded) =
       if (residual) Similarity.ivfPqResidualIndexExploded(
         corpus, idCol, vecCol, dims, m, k, nList, quantizeScale, trainUpdates)
@@ -124,7 +134,7 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     // codes pack to one array row per vector (position = subspace) and
     // partition by cell — the inverted-list layout searches prune on
-    writeCodes(codesExploded, idCol, indexDir, "overwrite")
+    if (includeCodes) writeCodes(codesExploded, idCol, indexDir, "overwrite")
     val manifest: Map[String, Any] = Map(
       "index_type" -> "ivf_pq", "residual" -> residual,
       "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
@@ -133,6 +143,57 @@ object AnnIndex {
       "id_col" -> idCol)
     BucketFs.writeString(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(toJValue(manifest))))
+  }
+
+  /** STREAMING codes ingest: a file-source stream of corpus rows is PQ-
+    * encoded map-only against the index's persisted centroids + codebook
+    * (collected to driver literals — nList×dims + m·k×(dims/m), the usual
+    * bounded trust) and appended cell-partitioned into `indexDir/codes`
+    * through Spark's file sink — checkpointed, exactly-once, the
+    * continuous version of [[IvfPqIndex.append]]. The encode plan is pure
+    * projection (no joins/aggregations), so it runs in append mode with
+    * no state store and no watermark. Codes written here are BYTE-
+    * identical to a batch encode of the same rows (the in-row argmin
+    * matches the batch argmin winner-for-winner; q113 gates it).
+    *
+    * Ownership rule: the file sink's `_spark_metadata` log makes batch
+    * reads of the directory see ONLY sink-written files — so an index's
+    * codes are EITHER batch-managed (save/append) or stream-managed
+    * (this writer); both sides refuse to write into the other's
+    * directory. Build the index with `saveIvfPq(includeCodes = false)`
+    * for a stream-managed one. Non-residual indexes only (a residual
+    * encode needs the per-row cell subtraction, which is also map-only —
+    * left for a follow-up). Caller starts the returned writer. */
+  def streamingCodesWriter(spark: SparkSession, indexDir: String,
+                           sourceDir: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           vecCol: String,
+                           checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val mt = readMeta(indexDir)
+    require(!mt.residual,
+      "streamingCodesWriter supports non-residual indexes only")
+    require(!BucketFs.exists(s"$indexDir/codes") ||
+        BucketFs.exists(s"$indexDir/codes/_spark_metadata"),
+      s"codes under $indexDir are batch-managed; use IvfPqIndex.append")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("cell").cast("long"), col("centroid"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val cb = spark.read.parquet(s"$indexDir/codebook")
+      .select(col("subspace"), col("code_id"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.map(t => t._2 -> t._3) }
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    Similarity.encodeRowsAgainstCollected(stream, mt.idCol, vecCol,
+        cents, cb, mt.dims, mt.m, mt.scale)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$indexDir/codes")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("cell")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
   }
 
   /** Pack exploded codes to one array row per vector (position =
@@ -148,8 +209,13 @@ object AnnIndex {
         col("pq_code"))
       .write.mode(mode).partitionBy("cell").parquet(s"$indexDir/codes")
 
-  /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames). */
-  def loadIvfPq(spark: SparkSession, indexDir: String): IvfPqIndex = {
+  /** Manifest fields, parsed once — shared by the full load and the
+    * codes-free paths (streamingCodesWriter runs before codes exist). */
+  private final case class Meta(dims: Int, m: Int, k: Int, nList: Int,
+                                scale: Option[Double], idCol: String,
+                                residual: Boolean, trainUpdates: Int)
+
+  private def readMeta(indexDir: String): Meta = {
     val p = s"$indexDir/$ManifestFile"
     if (!BucketFs.exists(p))
       throw new IllegalArgumentException(
@@ -187,12 +253,19 @@ object AnnIndex {
       case other => throw new IllegalArgumentException(
         s"bad train_updates in manifest: $other")
     }
+    Meta(num("dims").toInt, num("m").toInt, num("k").toInt,
+      num("n_list").toInt, scale, idCol, residual, trainUpdates)
+  }
+
+  /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames). */
+  def loadIvfPq(spark: SparkSession, indexDir: String): IvfPqIndex = {
+    val mt = readMeta(indexDir)
     // cell is a directory-partition column: its read-back type depends on
     // session inference settings (string with inference off), so pin it
     val codes = spark.read.parquet(s"$indexDir/codes")
       .withColumn("cell", col("cell").cast("long"))
-    IvfPqIndex(num("dims").toInt, num("m").toInt, num("k").toInt,
-      num("n_list").toInt, scale, idCol, residual, trainUpdates, indexDir,
+    IvfPqIndex(mt.dims, mt.m, mt.k, mt.nList, mt.scale, mt.idCol,
+      mt.residual, mt.trainUpdates, indexDir,
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebook"), codes)
   }

@@ -685,6 +685,45 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("AnnIndex: batch/stream codes ownership is mutually exclusive") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 32L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat())).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annidx_own").toString
+    try {
+      // batch-managed codes: the streaming writer must refuse
+      graft.sources.AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", dir,
+        dims = 8, m = 2, k = 4, nList = 4)
+      val e1 = intercept[IllegalArgumentException](
+        graft.sources.AnnIndex.streamingCodesWriter(spark, dir, "/tmp/none",
+          vecs.schema, "embedding", s"$dir/_ckpt"))
+      assert(e1.getMessage.contains("batch-managed"))
+
+      // stream-managed codes: batch append must refuse
+      val sdir = java.nio.file.Files.createTempDirectory("annidx_own2").toString
+      try {
+        graft.sources.AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", sdir,
+          dims = 8, m = 2, k = 4, nList = 4, includeCodes = false)
+        val src = s"$sdir/_src"
+        vecs.write.parquet(src)
+        val q = graft.sources.AnnIndex.streamingCodesWriter(spark, sdir, src,
+          vecs.schema, "embedding", s"$sdir/_ckpt").start()
+        q.awaitTermination()
+        val idx = graft.sources.AnnIndex.loadIvfPq(spark, sdir)
+        assert(idx.codes.count() == 32L)
+        val e2 = intercept[IllegalArgumentException](
+          idx.append(vecs, "embedding"))
+        assert(e2.getMessage.contains("stream-managed"))
+        // and a second streaming run over the same source is a no-op
+        // (checkpoint replay), not a duplication
+        val q2 = graft.sources.AnnIndex.streamingCodesWriter(spark, sdir, src,
+          vecs.schema, "embedding", s"$sdir/_ckpt").start()
+        q2.awaitTermination()
+        assert(graft.sources.AnnIndex.loadIvfPq(spark, sdir).codes.count() == 32L)
+      } finally graft.sources.BucketFs.deleteRecursive(sdir)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("AnnIndex: loading a non-index directory fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notanidx").toString
     try {
