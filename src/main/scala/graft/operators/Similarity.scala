@@ -454,7 +454,7 @@ object Similarity {
   private[graft] def encodeRowsAgainstCollected(df: DataFrame, idCol: String,
       vecCol: String, cents: Array[(Long, Array[Double])],
       cb: Map[Int, Array[(Long, Array[Double])]], dims: Int, m: Int,
-      quantizeScale: Option[Double]): DataFrame = {
+      quantizeScale: Option[Double], residual: Boolean = false): DataFrame = {
     require(cents.nonEmpty && (0 until m).forall(s => cb.getOrElse(s, Array.empty).nonEmpty),
       "collected centroids and every subspace codebook must be non-empty")
     val sub = dims / m
@@ -463,11 +463,13 @@ object Similarity {
       while (i < c.length) { acc += c(i) * c(i); i += 1 }
       acc
     }
+    def scoreOf(vec: Column, c: Array[Double]): Column = {
+      val cLit = array(c.toSeq.map(lit): _*)
+      lit(-2.0) * dot(vec, cLit) + lit(sqNorm(c))
+    }
     def argminScore(vec: Column, cands: Array[(Long, Array[Double])]): Column = {
       val scored = cands.map { case (cid, c) =>
-        val cLit = array(c.toSeq.map(lit): _*)
-        struct((lit(-2.0) * dot(vec, cLit) + lit(sqNorm(c))).as("s"),
-          lit(cid).as("cid"))
+        struct(scoreOf(vec, c).as("s"), lit(cid).as("cid"))
       }
       (if (scored.length == 1) scored.head else least(scored.toSeq: _*))
         .getField("cid")
@@ -481,10 +483,27 @@ object Similarity {
     val vec = quantizeScale.map(sc => quantize(checked, sc))
       .getOrElse(asDouble(checked))
     val staged = df.select(col(idCol), vec.as("__v"))
-    val withSubs = (0 until m).foldLeft(staged)((d, s) =>
-      d.withColumn(s"__sv$s", slice(col("__v"), s * sub + 1, sub)))
+    // residual path: the winning centroid's VECTOR rides in the argmin
+    // struct (third field — never compared, cid ties are impossible), so
+    // cell + residual come from ONE staged struct, still pure projection
+    val (codeInput, cellCol, base) =
+      if (!residual) (col("__v"), argminScore(col("__v"), cents), staged)
+      else {
+        val winCands = cents.map { case (cid, c) =>
+          struct(scoreOf(col("__v"), c).as("s"), lit(cid).as("cid"),
+            array(c.toSeq.map(lit): _*).as("c")) }
+        val win =
+          if (winCands.length == 1) winCands.head
+          else least(winCands.toSeq: _*)
+        val withWin = staged.withColumn("__win", win)
+          .withColumn("__r",
+            zip_with(col("__v"), col("__win").getField("c"), (a, b) => a - b))
+        (col("__r"), col("__win").getField("cid"), withWin)
+      }
+    val withSubs = (0 until m).foldLeft(base)((d, s) =>
+      d.withColumn(s"__sv$s", slice(codeInput, s * sub + 1, sub)))
     withSubs.select(col(idCol),
-      argminScore(col("__v"), cents).as("cell"),
+      cellCol.as("cell"),
       array((0 until m).map(s =>
         argminScore(col(s"__sv$s"), cb(s))): _*).as("pq_code"))
   }

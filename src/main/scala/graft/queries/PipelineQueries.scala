@@ -641,6 +641,30 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // Streamed RESIDUAL codes: same lifecycle as q113 with the residual
+    // subtraction riding the in-row argmin struct — must equal q98's
+    // inline residual search.
+    "q114_stream_residual_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val h = s"v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_annidx_rstream_$h"
+      val src = s"/tmp/graft_annidx_rssrc_$h"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.BucketFs.deleteRecursive(src)
+      graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
+        dims = 64, m = 4, k = 16, nList = 8, residual = true,
+        includeCodes = false)
+      emb.write.parquet(src)
+      val q = graft.sources.AnnIndex.streamingCodesWriter(s, idx, src,
+        emb.schema, "embedding", s"$idx/_ckpt").start()
+      q.awaitTermination()
+      graft.sources.AnnIndex.loadIvfPq(s, idx)
+        .search(emb.where($"vec_id" < 8), "embedding", topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Residual-index persistence: same lifecycle as q100 but the codebook
     // quantizes v − c(cell) — save, reload, search, match q98's inline
     // residual results (same oracle).
@@ -1520,6 +1544,9 @@ object PipelineQueries extends QueryModule {
     // the persisted residual index must return exactly what the inline
     // residual search returns, so it shares q98's oracle
     "q109_pq_persist_residual" -> residualIvfPqOracle,
+
+    // streamed residual codes ≡ batch residual codes ≡ inline
+    "q114_stream_residual_ingest" -> residualIvfPqOracle,
 
     // q98 + one unrolled Lloyd round on the RESIDUAL codebook (q99's
     // pattern applied to rcb/rbest): refined rcb1 feeds both the re-coded

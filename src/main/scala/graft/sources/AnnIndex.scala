@@ -161,9 +161,10 @@ object AnnIndex {
     * codes are EITHER batch-managed (save/append) or stream-managed
     * (this writer); both sides refuse to write into the other's
     * directory. Build the index with `saveIvfPq(includeCodes = false)`
-    * for a stream-managed one. Non-residual indexes only (a residual
-    * encode needs the per-row cell subtraction, which is also map-only —
-    * left for a follow-up). Caller starts the returned writer. */
+    * for a stream-managed one. Residual indexes work too: the winning
+    * cell's centroid vector rides in the in-row argmin struct, so the
+    * residual subtraction stays a projection. Caller starts the returned
+    * writer. */
   def streamingCodesWriter(spark: SparkSession, indexDir: String,
                            sourceDir: String,
                            schema: org.apache.spark.sql.types.StructType,
@@ -171,8 +172,6 @@ object AnnIndex {
                            checkpointDir: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val mt = readMeta(indexDir)
-    require(!mt.residual,
-      "streamingCodesWriter supports non-residual indexes only")
     require(!BucketFs.exists(s"$indexDir/codes") ||
         BucketFs.exists(s"$indexDir/codes/_spark_metadata"),
       s"codes under $indexDir are batch-managed; use IvfPqIndex.append")
@@ -187,7 +186,7 @@ object AnnIndex {
         s -> rows.map(t => t._2 -> t._3) }
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     Similarity.encodeRowsAgainstCollected(stream, mt.idCol, vecCol,
-        cents, cb, mt.dims, mt.m, mt.scale)
+        cents, cb, mt.dims, mt.m, mt.scale, mt.residual)
       .writeStream
       .format("parquet")
       .option("path", s"$indexDir/codes")
