@@ -34,6 +34,64 @@ object Polygon {
     }
     inside
   }
+
+  /** Does the closed axis-aligned rectangle [x0,x1]×[y0,y1] intersect the
+    * polygon (interior or boundary)? Driver-side only — used to prune
+    * partition directories to the cells a concave polygon actually
+    * touches, instead of its whole bounding box. Exact up to IEEE double
+    * arithmetic; boundary-touching cases count as intersecting (the
+    * conservative direction for pruning — an extra directory read is
+    * cheap, a missed one loses rows). */
+  def rectIntersects(xs: Array[Double], ys: Array[Double],
+                     x0: Double, x1: Double, y0: Double, y1: Double): Boolean = {
+    // (a) any polygon vertex inside the rect ⊇ "polygon ⊂ rect"
+    var i = 0
+    while (i < xs.length) {
+      if (xs(i) >= x0 && xs(i) <= x1 && ys(i) >= y0 && ys(i) <= y1) return true
+      i += 1
+    }
+    // (b) any rect corner inside the polygon ⊇ "rect ⊂ polygon"
+    if (contains(xs, ys, x0, y0) || contains(xs, ys, x1, y0) ||
+        contains(xs, ys, x0, y1) || contains(xs, ys, x1, y1)) return true
+    // (c) any polygon edge crosses any rect edge (no containment either way)
+    var j = xs.length - 1
+    i = 0
+    while (i < xs.length) {
+      if (segmentsIntersect(xs(j), ys(j), xs(i), ys(i), x0, y0, x1, y0) ||
+          segmentsIntersect(xs(j), ys(j), xs(i), ys(i), x1, y0, x1, y1) ||
+          segmentsIntersect(xs(j), ys(j), xs(i), ys(i), x1, y1, x0, y1) ||
+          segmentsIntersect(xs(j), ys(j), xs(i), ys(i), x0, y1, x0, y0))
+        return true
+      j = i
+      i += 1
+    }
+    false
+  }
+
+  /** Closed segment intersection (touching endpoints and collinear overlap
+    * both count) via orientation tests. */
+  private[graft] def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+                                       cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    if (o1 != o2 && o3 != o4) true
+    else (o1 == 0 && onSegment(ax, ay, bx, by, cx, cy)) ||
+         (o2 == 0 && onSegment(ax, ay, bx, by, dx, dy)) ||
+         (o3 == 0 && onSegment(cx, cy, dx, dy, ax, ay)) ||
+         (o4 == 0 && onSegment(cx, cy, dx, dy, bx, by))
+  }
+
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+                     cx: Double, cy: Double): Int =
+    math.signum((bx - ax) * (cy - ay) - (by - ay) * (cx - ax)).toInt
+
+  /** Is collinear point (px, py) within segment (ax, ay)-(bx, by)'s box? */
+  private def onSegment(ax: Double, ay: Double, bx: Double, by: Double,
+                        px: Double, py: Double): Boolean =
+    px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+    py >= math.min(ay, by) && py <= math.max(ay, by)
 }
 
 /** Native Catalyst expression: is (lon, lat) inside the fixed polygon?

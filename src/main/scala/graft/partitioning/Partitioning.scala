@@ -279,6 +279,57 @@ sealed trait Partitioning2D extends Serializable {
     } yield directoryOf(i, j)
   }
 
+  /** Exact (i, j) cell list whose rectangle intersects the polygon: the
+    * bbox candidate set refined by a per-cell rectangle/polygon
+    * intersection test (graft.functions.Polygon.rectIntersects). For a
+    * concave query this prunes the cells the bounding box over-selects —
+    * e.g. a C-shape touches ~2/3 of its bbox cells, and at 100 TB the
+    * skipped third is entire directory trees never listed or scanned.
+    * `padding` dilates each cell rectangle (conservative: superset of
+    * padding the polygon itself). */
+  def partitionIndicesByPolygon(vertices: Seq[(Double, Double)],
+                                padding: Double = 0.0): Seq[(Int, Int)] = {
+    require(vertices.length >= 3, "polygon needs >= 3 vertices")
+    require(padding >= 0.0, s"padding must be >= 0, got $padding")
+    val pxs = vertices.map(_._1).toArray
+    val pys = vertices.map(_._2).toArray
+    val bbox = Extent(pxs.min - padding, pxs.max + padding,
+      pys.min - padding, pys.max + padding)
+    val (cxs, cys) = partitionIndicesByExtent(bbox)
+    for {
+      j <- cys.toSeq
+      i <- cxs.toSeq
+      if graft.functions.Polygon.rectIntersects(pxs, pys,
+        xBounds(i) - padding, xBounds(i + 1) + padding,
+        yBounds(j) - padding, yBounds(j + 1) + padding)
+    } yield (i, j)
+  }
+
+  /** Catalyst pruning predicate selecting EXACTLY the given cells — unlike
+    * [[prunePredicate]]'s per-axis `isin` cross-product, non-rectangular
+    * cell sets (polygon queries) stay non-rectangular. Grouped by
+    * first-level label so the predicate is O(distinct x-labels) OR terms,
+    * each with one `isin`; Catalyst evaluates it against partition-column
+    * values only, so directory pruning still applies. */
+  def prunePredicateForCells(cells: Seq[(Int, Int)]): Column = {
+    require(cells.nonEmpty, "no partitions intersect the query polygon")
+    if (nLevels == 1) {
+      val labs = cells.map { case (i, j) => labelsOfIndices(i, j).head }.distinct
+      col(levels.head).isin(labs: _*)
+    } else {
+      cells.map { case (i, j) => labelsOfIndices(i, j) match {
+        case Seq(xl, yl) => (xl, yl)
+        case other => throw new IllegalStateException(s"expected 2 labels, got $other")
+      }}.groupBy(_._1).toSeq.sortBy(_._1).map { case (xl, pairs) =>
+        col(levels(0)) === xl && col(levels(1)).isin(pairs.map(_._2).distinct: _*)
+      }.reduce(_ || _)
+    }
+  }
+
+  /** Directory trees (relative) for an explicit cell list. */
+  def directoriesForCells(cells: Seq[(Int, Int)]): Seq[String] =
+    cells.map { case (i, j) => directoryOf(i, j) }
+
   def directoryOf(i: Int, j: Int): String = {
     val byLevel = levels.zip(labelsOfIndices(i, j)).toMap
     order.map { lvl =>

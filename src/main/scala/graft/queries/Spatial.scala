@@ -188,6 +188,19 @@ object Spatial extends QueryModule {
       BucketReader.read(s, bucketDir,
           query = BucketReader.ByPolygon(PolyVertices))
         .select($"event_id", $"user_id", $"lon", $"lat")
+    }),
+
+    // Per-cell polygon pruning on a C-shape whose bbox covers nearly the
+    // whole hemisphere band: the notch cells are never listed or scanned
+    // (PolygonPruneSpec proves the cell-set reduction; this gate proves
+    // the tighter read loses no rows). Vertices sit off the 10° grid
+    // lines so no polygon edge is collinear with a cell boundary.
+    "q115_polygon_prune" -> ((s, dir) => {
+      import s.implicits._
+      val bucketDir = ensureBucket(s, dir)
+      BucketReader.read(s, bucketDir,
+          query = BucketReader.ByPolygon(CShapeVertices))
+        .select($"event_id", $"user_id", $"lon", $"lat")
     })
   )
 
@@ -196,6 +209,13 @@ object Spatial extends QueryModule {
     * divide-by-zero-guard semantics on both engines. */
   private val PolyVertices: Seq[(Double, Double)] = Seq(
     (-60.0, -30.0), (0.0, 0.0), (60.0, -30.0), (60.0, 45.0), (-60.0, 45.0))
+
+  /** q115's fixture: a C opening east. Its bbox is 11×9 = 99 cells of the
+    * 10° bucket grid but the notch interior ([-17,53]×[-7,23]) never
+    * touches the polygon — per-cell pruning reads ~2/3 of the bbox set. */
+  private[graft] val CShapeVertices: Seq[(Double, Double)] = Seq(
+    (-57.0, -33.0), (53.0, -33.0), (53.0, -7.0), (-17.0, -7.0),
+    (-17.0, 23.0), (53.0, 23.0), (53.0, 53.0), (-57.0, 53.0))
 
   /** Cache-buster: bump when the synth-coord formula, partitioning config,
     * or bucket schema changes — /tmp may outlive code revisions. */
@@ -448,18 +468,25 @@ object Spatial extends QueryModule {
     "q107_polygon_read" -> s"""
       WITH e AS ($synthSql)
       SELECT event_id, user_id, lon, lat FROM e
-      WHERE $pnpolyWhereSql"""
+      WHERE $pnpolyWhereSql""",
+
+    "q115_polygon_prune" -> s"""
+      WITH e AS ($synthSql)
+      SELECT event_id, user_id, lon, lat FROM e
+      WHERE ${pnpolySql(CShapeVertices)}"""
   )
 
   /** q106/q107's PNPOLY where-clause, unrolled per edge; a false first
     * conjunct short-circuits Spark's JVM loop and in DuckDB the stray
     * division is IEEE (inf), never an error, so horizontal edges are safe
     * on both engines. */
-  private lazy val pnpolyWhereSql: String = {
-    val n = PolyVertices.length
+  private lazy val pnpolyWhereSql: String = pnpolySql(PolyVertices)
+
+  private def pnpolySql(vs: Seq[(Double, Double)]): String = {
+    val n = vs.length
     val terms = (0 until n).map { i =>
       val j = (i + n - 1) % n
-      val (xi, yi) = PolyVertices(i); val (xj, yj) = PolyVertices(j)
+      val (xi, yi) = vs(i); val (xj, yj) = vs(j)
       s"""CASE WHEN (($yi > lat) != ($yj > lat))
            AND lon < ($xj - ($xi)) * (lat - ($yi)) / ($yj - ($yi)) + ($xi)
            THEN 1 ELSE 0 END"""

@@ -32,8 +32,10 @@ object BucketReader {
                                distance: Double = Double.NaN,
                                sizeDeg: Double = Double.NaN) extends SpatialQuery
   /** Exact polygon containment (beyond the reference's box/country
-    * queries): directories prune by the polygon's padded bounding box,
-    * rows refine through the PNPOLY codegen expression. */
+    * queries): directories prune to the cells whose rectangle actually
+    * intersects the (padded) polygon — tighter than the bounding box for
+    * concave shapes — then rows refine through the PNPOLY codegen
+    * expression. */
   final case class ByPolygon(vertices: Seq[(Double, Double)],
                              padding: Double = 0.0) extends SpatialQuery
 
@@ -58,15 +60,19 @@ object BucketReader {
     val rs = graft.core.ReaderSession(spark)
 
     val resolvedExtent: Option[Extent] = query match {
-      case Everything => None
+      case Everything | ByPolygon(_, _) => None
       case ByExtent(e, pad) => Some(pad2(e, pad))
       case ByCountry(n, pad) => Some(NamedExtents.country(n, pad))
       case ByContinent(n, pad) => Some(NamedExtents.continent(n, pad))
       case AroundPoint(lon, lat, d, s) => Some(GeoExtent.aroundPoint(lon, lat, d, s))
+    }
+    // polygons prune per-cell (rect/polygon intersection), not by bbox —
+    // a concave query skips the bbox cells it never touches
+    val polyCells: Option[Seq[(Int, Int)]] = query match {
       case ByPolygon(vs, pad) =>
         require(vs.length >= 3, "ByPolygon needs >= 3 vertices")
-        Some(pad2(Extent(vs.map(_._1).min, vs.map(_._1).max,
-          vs.map(_._2).min, vs.map(_._2).max), pad))
+        Some(p.partitionIndicesByPolygon(vs, pad))
+      case _ => None
     }
 
     val hasNameFilter = fileExtension != null || globPattern != null || regexPattern != null
@@ -78,6 +84,7 @@ object BucketReader {
         // reference's bucket_info.yaml) out of the scan.
         var d = rs.read.option("pathGlobFilter", "*.parquet").parquet(bucketDir)
         resolvedExtent.foreach(e => d = d.where(p.prunePredicate(e)))
+        polyCells.foreach(c => d = d.where(p.prunePredicateForCells(c)))
         d
       } else if (isHive) {
         // explicit file list (P11 filename filters) + basePath keeps the
@@ -86,16 +93,20 @@ object BucketReader {
         require(files.nonEmpty, s"no files match the filename filters in $bucketDir")
         var d = rs.read.option("basePath", bucketDir).parquet(files: _*)
         resolvedExtent.foreach(e => d = d.where(p.prunePredicate(e)))
+        polyCells.foreach(c => d = d.where(p.prunePredicateForCells(c)))
         d
       } else {
         // directory flavor: prune driver-side, rebuild labels from the path
-        val roots = resolvedExtent match {
-          case Some(e) =>
+        val roots = (resolvedExtent, polyCells) match {
+          case (Some(e), _) =>
             // parallel exists() — pruned candidates number in the hundreds
             // and sequential RPCs dominate on remote stores
             BucketFs.filterExisting(
               p.directoriesByExtent(e).map(rel => s"$bucketDir/$rel"))
-          case None => Seq(bucketDir)
+          case (_, Some(cells)) =>
+            BucketFs.filterExisting(
+              p.directoriesForCells(cells).map(rel => s"$bucketDir/$rel"))
+          case _ => Seq(bucketDir)
         }
         require(roots.nonEmpty, "no partitions intersect the query extent")
         val dataExt = if (fileExtension == null) ".parquet" else fileExtension
