@@ -44,6 +44,15 @@ object GraftFunctions {
         KmvSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_sketch",
+      exprs => {
+        require(exprs.length == 2,
+          "topk_sketch(item_string, capacity) expects 2 arguments")
+        requireFoldable(exprs(1), "topk_sketch", "capacity")
+        TopKSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
+      },
+      "built-in")
   }
 }
 
@@ -75,6 +84,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "kmv_sketch(hash_bigint, k) expects 2 arguments")
         GraftFunctions.requireFoldable(exprs(1), "kmv_sketch", "k")
         KmvSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("topk_sketch"),
+      new ExpressionInfo(classOf[TopKSketchAgg].getName, "topk_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "topk_sketch(item_string, capacity) expects 2 arguments")
+        GraftFunctions.requireFoldable(exprs(1), "topk_sketch", "capacity")
+        TopKSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
       }))
   }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.KmvSketch
+import graft.functions.{KmvSketch, TopKSketch}
 
 /** Cardinality sketching for corpus statistics at scale.
   *
@@ -48,5 +48,27 @@ object Sketches {
       .groupBy(col(groupCol))
       .agg(KmvSketch.kMinValues(col("__hv"), k).as("__kmins"))
     sketched.select(col(groupCol) +: sketchSummary(col("__kmins"), k): _*)
+  }
+
+  /** Heavy hitters of `itemCol` via a Space-Saving sketch
+    * ([[graft.functions.TopKSketchAgg]]): (item, count, err) for every
+    * sketch entry with `count >= minCount`, count desc / item asc.
+    *
+    * The scale contrast with a groupBy-count-rank: the sketch shuffles at
+    * most `capacity` counters per upstream partition (map-side combined),
+    * never one row per distinct item — at 100 TB of tokens that is the
+    * difference between a bounded merge and a vocabulary-sized exchange.
+    * Guarantees: any item with true count > N/capacity is present;
+    * count − err ≤ true count ≤ count; with capacity ≥ distinct items the
+    * result is exact (every err 0) and arrival-order independent. */
+  def heavyHitters(df: DataFrame, itemCol: String,
+                   capacity: Int = 1024, minCount: Long = 1L): DataFrame = {
+    df.select(col(itemCol))
+      .agg(TopKSketch.topK(col(itemCol), capacity).as("__hh"))
+      .select(explode(col("__hh")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("count"),
+        col("e.err").as("err"))
+      .where(col("count") >= minCount)
+      .orderBy(col("count").desc, col("item").asc)
   }
 }

@@ -383,6 +383,23 @@ object PipelineQueries extends QueryModule {
     // language approximate distinct 8-shingles. Deterministic hash → the
     // estimate is reproducible and oracle-checkable, unlike HLL; only k
     // longs per group cross the shuffle.
+    // Heavy hitters via a Space-Saving sketch: bounded counters with
+    // map-side combine — at most `capacity` entries per partition cross
+    // the shuffle, never a vocabulary-sized exchange. capacity 64 exceeds
+    // the corpus vocabulary, so the sketch is in its EXACT regime (every
+    // err 0, order-independent) and the groupBy-count oracle pins it;
+    // TopKSketchSpec property-tests the approximate regime.
+    "q116_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Dedup.fanOut(Tables(s, dir, "documents"))
+        .select(explode(split(Dedup.normalizedText(coalesce($"text", lit(""))), " "))
+          .as("token"))
+        .where($"token" =!= "")
+      graft.operators.Sketches.heavyHitters(toks, "token",
+          capacity = 64, minCount = 500L)
+        .withColumnRenamed("count", "n")
+    }),
+
     "q80_kmv_distinct" -> ((s, dir) => {
       import s.implicits._
       // fanOut before the explode: the shingle fan-out and its md5s are
@@ -1426,6 +1443,14 @@ object PipelineQueries extends QueryModule {
                FROM vv, c1c c)
              WHERE rk = 1)
       SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM a1""",
+
+    "q116_heavy_hitters" -> s"""
+      WITH t AS (SELECT UNNEST(string_split(${normSql("text")}, ' ')) AS token
+        FROM documents)
+      SELECT token AS item, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(0 AS BIGINT) AS err
+      FROM t WHERE token <> ''
+      GROUP BY 1 HAVING COUNT(*) >= 500""",
 
     "q80_kmv_distinct" -> s"""
       WITH sh AS (SELECT DISTINCT d.lang, substr(d.nt, g.i, 8) AS sh FROM (
