@@ -52,6 +52,51 @@ object Sampling {
     hashBucket(id, 100) < pct
   }
 
+  /** Weighted Bernoulli keep-predicate (probability-proportional-to-size
+    * sampling): row kept with probability min(1, num·w/denom), decided by
+    * the id's 40-bit md5 prefix — EXACT INTEGER arithmetic throughout, so
+    * the decision is a pure function of (id, weight) reproducible on any
+    * engine (the DuckDB oracle recomputes it bit-for-bit; no float pow).
+    * The standard "sample documents ∝ length/quality score" move, as a
+    * row-local predicate: no shuffle, pushes below wider plans, and
+    * join-stable for a fixed id column.
+    *
+    * Overflow-safe by construction: the scaled compare only runs when
+    * num·w < denom ≤ 2^20, bounding the product below 2^60. Null or
+    * negative weights are never kept (a null id hashes like the string
+    * "null" — ids should be non-null). */
+  def weightedKeep(id: Column, weight: Column, num: Long, denom: Long): Column = {
+    require(num >= 0 && denom >= 1 && denom <= (1L << 20),
+      s"rate must be num/denom with num >= 0 and 1 <= denom <= 2^20, got $num/$denom")
+    val hv = conv(substring(md5(id.cast("string")), 1, 10), 16, 10).cast("long")
+    val w = coalesce(weight.cast("long"), lit(-1L))
+    when(w < 0L, lit(false))
+      .when(w * num >= denom, lit(true)) // p >= 1: always keep
+      .otherwise(hv * denom < w * num * lit(1L << 40))
+  }
+
+  /** Weighted sampling WITHOUT replacement, fixed size k (Efraimidis–
+    * Spirakis A-ES): every row gets key = ln(u)/w with u ∈ (0,1] derived
+    * from the id's md5 (deterministic; `salt` re-draws), and the k
+    * largest keys win — inclusion probability ∝ weight, exactly one pass.
+    * Top-k is a TakeOrderedAndProject (per-partition heads, merged on the
+    * driver), never a global sort. Rows with w <= 0 or null never win.
+    * ln/div are IEEE floats, so this variant is property-tested rather
+    * than oracle-hashed ([[weightedKeep]] is the integer-exact gate). */
+  def weightedTopK(df: DataFrame, idCol: String, weightCol: String,
+                   k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val hv = conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 10), 16, 10)
+      .cast("double")
+    val u = (hv + lit(1.0)) / lit((1L << 40).toDouble)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__aes_key", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__aes_key").desc, col(idCol))
+      .limit(k)
+      .drop("__aes_key")
+  }
+
   /** Sequence-packing bin assignment: documents are dealt into `shards`
     * deterministic hash shards, ordered by id within each shard, and
     * assigned to training-sequence bins of ~`maxTokens` tokens by the

@@ -289,6 +289,19 @@ object PipelineQueries extends QueryModule {
         graft.operators.Sampling.splitCol($"doc_id").as("split"))
     }),
 
+    // Weighted Bernoulli sampling (probability ∝ document length, capped
+    // at 1) decided by exact integer arithmetic on the id's 40-bit md5
+    // prefix — reproducible on any engine, no float pow; a row-local
+    // predicate with no shuffle. The fixed-size A-ES variant
+    // (weightedTopK) is property-tested in SamplingSpec.
+    "q117_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      d.where(graft.operators.Sampling.weightedKeep(
+          $"doc_id", length($"text"), num = 1L, denom = 2048L))
+        .select($"doc_id", $"lang", length($"text").cast("long").as("w"))
+    }),
+
     // Corpus vocabulary: global top-100 tokens by occurrences with
     // document frequencies — deterministic tie-break (count desc, token).
     "q72_vocabulary" -> ((s, dir) =>
@@ -1148,6 +1161,12 @@ object PipelineQueries extends QueryModule {
              WHEN bucket < 90 THEN 'val'
              ELSE 'test' END AS split
       FROM b""",
+
+    "q117_weighted_sample" -> """
+      SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS w FROM documents
+      WHERE length(text) * 1 >= 2048
+         OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT * 2048
+            < length(text) * 1 * 1099511627776""",
 
     "q72_vocabulary" -> s"""
       WITH t AS (SELECT doc_id,

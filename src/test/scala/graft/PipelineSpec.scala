@@ -200,6 +200,48 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Sampling.splitCol($"id", 90, 20))
   }
 
+  test("weightedKeep: inclusion rate tracks weight; caps at p=1; rejects bad weights") {
+    import graft.operators.Sampling
+    val ids = spark.range(20000).toDF("id")
+    // p = w/100: weight 10 → ~10%, weight 50 → ~50%
+    def rate(w: Int): Double =
+      ids.where(Sampling.weightedKeep($"id", lit(w), 1L, 100L)).count() / 20000.0
+    assert(math.abs(rate(10) - 0.10) < 0.02)
+    assert(math.abs(rate(50) - 0.50) < 0.02)
+    assert(rate(100) == 1.0) // p >= 1 keeps everything
+    assert(rate(0) == 0.0)
+    // null / negative weights never kept
+    val mixed = ids.withColumn("w",
+      when($"id" % 2 === 0, lit(null).cast("long")).otherwise(lit(-5L)))
+    assert(mixed.where(Sampling.weightedKeep($"id", $"w", 1L, 2L)).count() == 0)
+    intercept[IllegalArgumentException](
+      Sampling.weightedKeep($"id", lit(1), 1L, (1L << 21)))
+  }
+
+  test("weightedTopK: deterministic, fixed-size, inclusion ∝ weight") {
+    import graft.operators.Sampling
+    val df = spark.range(1000).toDF("id")
+      .withColumn("w", when($"id" < 100, lit(20.0)).otherwise(lit(1.0)))
+    val a = Sampling.weightedTopK(df, "id", "w", k = 200).collect()
+    val b = Sampling.weightedTopK(df, "id", "w", k = 200).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // deterministic
+    assert(a.length == 200)
+    // heavy items (20× weight, 10% of rows) should dominate the sample:
+    // average inclusion across salts; each salt is an independent draw
+    val heavyRates = (0 until 5).map { s =>
+      Sampling.weightedTopK(df, "id", "w", k = 200, salt = s.toString)
+        .where($"id" < 100).count().toDouble / 100.0
+    }
+    val lightRate = Sampling.weightedTopK(df, "id", "w", k = 200)
+      .where($"id" >= 100).count().toDouble / 900.0
+    assert(heavyRates.sum / 5 > 0.75, s"heavy inclusion ${heavyRates.sum / 5}")
+    assert(lightRate < 0.25, s"light inclusion $lightRate")
+    // w <= 0 rows can never win
+    val z = df.withColumn("w", when($"id" === 0, lit(0.0)).otherwise($"w"))
+    assert(!Sampling.weightedTopK(z, "id", "w", k = 1000).collect()
+      .exists(_.getLong(0) == 0L))
+  }
+
   test("multimodal: REAL png encode/decode round trip is pixel-exact") {
     val png = Multimodal.syntheticPng(42L, 16, 16)
     // PNG magic
