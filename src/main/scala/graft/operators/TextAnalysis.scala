@@ -365,4 +365,65 @@ object TextAnalysis {
     }.reduce(_ + _) // fixed left-assoc term order: the SQL mirror adds identically
     joined.select(col(idCol), score.as("bm25"))
   }
+
+  /** All character n-grams of normalized text WITH multiplicity (unlike
+    * Dedup.shinglesOfNormalized's distinct set) — language-model counts
+    * need every occurrence. Truncated tail grams are dropped. */
+  private def gramsWithMultiplicity(norm: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(1), greatest(length(norm) - (n - 1), lit(1))),
+        i => norm.substr(i, lit(n))),
+      g => length(g) === n)
+
+  /** Character n-gram counts of a corpus: (gram, cnt) — the model side of
+    * [[charLmScore]]. One explode + one hash aggregation; the result is
+    * bounded by charset^n (a few thousand rows for real text), NOT corpus
+    * size, so it broadcasts at any scale. */
+  def charLmCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    Dedup.fanOut(df)
+      .select(Dedup.normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+      .select(explode(gramsWithMultiplicity(col("__norm"), n)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Char-n-gram language-model fluency score (the CCNet-style quality
+    * signal): per document, the add-one-smoothed conditional log-prob of
+    * each n-gram given its (n−1)-char context,
+    * ln((cnt_n + 1) / (cnt_ctx + vocabSize)), summed over the document.
+    * Returns (id, n_ngrams, logprob_q4) where logprob_q4 is the sum of
+    * PER-NGRAM quantized log-probs, floor(10^4 · ln p) — quantizing
+    * before the sum keeps the aggregate in exact integer arithmetic, so
+    * the result is independent of aggregation order and engine (a raw
+    * double sum would be non-associative and unhashable cross-engine).
+    * Units: 0.1 milli-nats; avg per-gram log-prob = logprob_q4 / (10^4 ·
+    * n_ngrams), perplexity = exp(−avg).
+    *
+    * Scale shape: both model frames are charset-bounded and broadcast;
+    * scoring is map-side (explode + two broadcast joins + row-local
+    * arithmetic) and the per-doc reduce is one hash aggregation with
+    * map-side combine — the corpus itself never shuffles. Docs shorter
+    * than n normalized chars produce no n-grams and are absent from the
+    * result (score them as unknown downstream). */
+  def charLmScore(df: DataFrame, idCol: String, textCol: String,
+                  ngramCounts: DataFrame, contextCounts: DataFrame,
+                  n: Int = 3, vocabSize: Int = 128): DataFrame = {
+    require(n >= 2, "conditional scoring needs n >= 2")
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    val grams = Dedup.fanOut(df)
+      .select(col(idCol),
+        Dedup.normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+      .select(col(idCol), explode(gramsWithMultiplicity(col("__norm"), n)).as("gram"))
+      .withColumn("ctx", col("gram").substr(1, n - 1))
+    val m3 = ngramCounts.select(col("gram").as("__g"), col("cnt").as("__cn"))
+    val m2 = contextCounts.select(col("gram").as("__c"), col("cnt").as("__cc"))
+    val p = (coalesce(col("__cn"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("__cc"), lit(0L)) + lit(vocabSize.toLong)).cast("double")
+    grams
+      .join(broadcast(m3), grams("gram") === m3("__g"), "left")
+      .join(broadcast(m2), grams("ctx") === m2("__c"), "left")
+      .withColumn("__q", floor(lit(1e4) * log(p)).cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), sum(col("__q")).as("logprob_q4"))
+  }
 }

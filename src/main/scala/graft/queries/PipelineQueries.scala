@@ -302,6 +302,20 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", $"lang", length($"text").cast("long").as("w"))
     }),
 
+    // Char-trigram LM fluency scoring (CCNet-style quality signal),
+    // self-trained on the corpus: per-doc sum of add-one-smoothed
+    // conditional log-probs, QUANTIZED per n-gram to 0.1 milli-nats
+    // before summing so the aggregate is exact integer arithmetic —
+    // engine- and order-independent, hence hashable. Model frames are
+    // charset-bounded broadcasts; the corpus never shuffles.
+    "q118_lm_score" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val m3 = TextAnalysis.charLmCounts(docs, "text", 3)
+      val m2 = TextAnalysis.charLmCounts(docs, "text", 2)
+      TextAnalysis.charLmScore(docs, "doc_id", "text", m3, m2,
+        n = 3, vocabSize = 128)
+    }),
+
     // Corpus vocabulary: global top-100 tokens by occurrences with
     // document frequencies — deterministic tie-break (count desc, token).
     "q72_vocabulary" -> ((s, dir) =>
@@ -1167,6 +1181,27 @@ object PipelineQueries extends QueryModule {
       WHERE length(text) * 1 >= 2048
          OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT * 2048
             < length(text) * 1 * 1099511627776""",
+
+    "q118_lm_score" -> s"""
+      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+      g3 AS (SELECT nd.doc_id, substr(nd.nt, g.i, 3) AS gram FROM nd,
+               LATERAL UNNEST(range(1, GREATEST(length(nd.nt) - 2, 1) + 1)) AS g(i)
+             WHERE length(substr(nd.nt, g.i, 3)) = 3),
+      g2 AS (SELECT nd.doc_id, substr(nd.nt, g.i, 2) AS gram FROM nd,
+               LATERAL UNNEST(range(1, GREATEST(length(nd.nt) - 1, 1) + 1)) AS g(i)
+             WHERE length(substr(nd.nt, g.i, 2)) = 2),
+      m3 AS (SELECT gram, COUNT(*) AS c3 FROM g3 GROUP BY 1),
+      m2 AS (SELECT gram, COUNT(*) AS c2 FROM g2 GROUP BY 1),
+      s AS (SELECT d.doc_id,
+              CAST(FLOOR(10000.0 * ln(
+                CAST(COALESCE(m3.c3, 0) + 1 AS DOUBLE) /
+                CAST(COALESCE(m2.c2, 0) + 128 AS DOUBLE))) AS BIGINT) AS q
+            FROM g3 d
+            LEFT JOIN m3 ON d.gram = m3.gram
+            LEFT JOIN m2 ON substr(d.gram, 1, 2) = m2.gram)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        CAST(SUM(q) AS BIGINT) AS logprob_q4
+      FROM s GROUP BY 1""",
 
     "q72_vocabulary" -> s"""
       WITH t AS (SELECT doc_id,

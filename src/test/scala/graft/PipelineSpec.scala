@@ -242,6 +242,34 @@ class PipelineSpec extends AnyFunSuite {
       .exists(_.getLong(0) == 0L))
   }
 
+  test("charLmScore: known text scores above gibberish; short docs absent; partition-stable") {
+    import graft.operators.TextAnalysis
+    val train = Seq.tabulate(50)(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val m3 = TextAnalysis.charLmCounts(train, "text", 3)
+    val m2 = TextAnalysis.charLmCounts(train, "text", 2)
+    val docs = Seq(
+      (1L, "the quick brown fox"), // in-domain
+      (2L, "zzq xvj qqw pzk zxv"), // gibberish: all unknown grams
+      (3L, "ab"), // shorter than n=3 → no ngrams → absent
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.charLmScore(docs, "doc_id", "text", m3, m2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(3L) && !out.contains(4L))
+    val (n1, q1) = out(1L); val (n2, q2) = out(2L)
+    assert(n1 == 17 && n2 == 17) // len 19 → 17 trigrams
+    // per-gram average log-prob: fluent text ≫ gibberish
+    assert(q1.toDouble / n1 > q2.toDouble / n2 + 10000,
+      s"fluent ${q1 / n1} vs gibberish ${q2 / n2}")
+    // every gibberish gram is unknown: each scores at or below the
+    // all-unknown floor ln(1/128) (known contexts only lower p further)
+    assert(q2 <= 17L * math.floor(1e4 * math.log(1.0 / 128.0)).toLong)
+    // integer quantization makes the sum partition-order independent
+    val rep = TextAnalysis.charLmScore(docs.repartition(13), "doc_id", "text", m3, m2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep == out)
+  }
+
   test("multimodal: REAL png encode/decode round trip is pixel-exact") {
     val png = Multimodal.syntheticPng(42L, 16, 16)
     // PNG magic
