@@ -172,6 +172,27 @@ object StreamingQueries extends QueryModule {
           graft.operators.Sketches.sketchSummary($"kmins", 16): _*)
     }),
 
+    // Streaming windowed heavy hitters: the Space-Saving sketch's
+    // serialize/merge path carries bounded per-window counters across
+    // micro-batches; capacity 32 > the ≤10 distinct users per group, so
+    // the emitted counts are EXACT and batching-invariant — pinned by a
+    // plain GROUP BY oracle over the same rows.
+    "q119_stream_topk" -> ((s, dir) => {
+      import s.implicits._
+      runStaged(s, dir, "topk") { stream =>
+        StreamingOps.windowedTopKSketch(stream,
+          window_ = "1 hour", watermark = "1 minute", time = "ts",
+          keyCols = Seq("event_type"),
+          itemCol = $"user_id".cast("string"), capacity = 32)
+      }
+        .where($"event_type".isNotNull)
+        .select($"event_type", unix_micros($"window_start").as("hour_us"),
+          explode($"hh").as("e"))
+        .select($"event_type", $"hour_us", $"e.item".as("item"),
+          $"e.count".as("n"), $"e.err".as("err"))
+        .where($"n" >= 2)
+    }),
+
     // Stream-static enrichment join: each event looked up against the
     // broadcast customer dimension per micro-batch. Stateless, so the
     // output is batching-invariant; the -1 sentinels drop out of the
@@ -301,6 +322,14 @@ object StreamingQueries extends QueryModule {
         COUNT(*) AS n,
         CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
       FROM events GROUP BY 1, 2""",
+
+    "q119_stream_topk" -> """
+      SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+        CAST(user_id AS VARCHAR) AS item,
+        CAST(COUNT(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS err
+      FROM events
+      WHERE event_type IS NOT NULL
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2""",
 
     "q87_stream_kmv" -> """
       WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,

@@ -70,6 +70,27 @@ object StreamingOps {
       .drop("w")
   }
 
+  /** Streaming windowed heavy hitters: a Space-Saving
+    * [[graft.functions.TopKSketchAgg]] inside a watermarked tumbling-
+    * window aggregation — per (window, keys), at most `capacity` counters
+    * accumulate across micro-batches in the state store, and append mode
+    * emits each window's final (item, count, err) array once the
+    * watermark passes. In the exact regime (capacity ≥ distinct items per
+    * group) the streaming answer is BIT-IDENTICAL to the batch count —
+    * merge is pointwise sum, order-free — so a reconciliation job can
+    * hash-compare the two. State per open window is O(capacity) entries. */
+  def windowedTopKSketch(events: DataFrame, window_ : String,
+                         watermark: String, time: String,
+                         keyCols: Seq[String], itemCol: Column,
+                         capacity: Int): DataFrame = {
+    events.withWatermark(time, watermark)
+      .withColumn("__item", itemCol)
+      .groupBy((window(col(time), window_).as("w") +: keyCols.map(col)): _*)
+      .agg(graft.functions.TopKSketch.topK(col("__item"), capacity).as("hh"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
   /** Stream-static enrichment: inner-join a stream against a broadcast
     * batch dimension — the lookup-table join of an ingest pipeline
     * (stateless: each micro-batch joins independently, so output is
