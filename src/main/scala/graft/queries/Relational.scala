@@ -48,6 +48,29 @@ object Relational extends QueryModule {
 
     // Multi-way join with broadcast dims (nation/region tiny, customer small):
     // fact-side shuffle only on o_custkey; dims never shuffle.
+    // Co-located join through hash-clustered (bucketed) catalog tables:
+    // both sides written CLUSTERED BY the join key INTO 8 BUCKETS, so the
+    // join plan needs no exchange on either side (ClusteredSpec asserts
+    // the shuffle-free plan; this gate pins the results). The 100 TB
+    // fact-to-fact join strategy when neither side broadcasts.
+    "q120_clustered_join" -> ((s, dir) => {
+      import s.implicits._
+      val h = dir.hashCode.toHexString
+      val base = s"/tmp/graft_clustered_v1_$h"
+      graft.sources.Clustered.writeClustered(
+        Tables(s, dir, "events").select($"user_id", $"value"),
+        s"graft_ev_$h", s"$base/ev", Seq("user_id"), nBuckets = 8)
+      graft.sources.Clustered.writeClustered(
+        Tables(s, dir, "customer")
+          .select($"c_custkey".as("user_id"), $"c_mktsegment"),
+        s"graft_cust_$h", s"$base/cust", Seq("user_id"), nBuckets = 8)
+      graft.sources.Clustered.coLocatedJoin(s,
+          s"graft_ev_$h", s"graft_cust_$h", Seq("user_id"))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 100).cast("long")).as("sum_cents"))
+    }),
+
     "q03_join_agg" -> ((s, dir) => {
       import s.implicits._
       val orders   = Tables(s, dir, "orders")
@@ -272,6 +295,12 @@ object Relational extends QueryModule {
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    "q120_clustered_join" -> """
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1""",
 
     "q03_join_agg" -> """
       SELECT r_name, n_name,

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Hash-clustered (Spark "bucketed") datasource tables: the co-located
+  * join strategy for fact-to-fact joins too big to broadcast.
+  *
+  * Writing both sides `CLUSTERED BY (key) INTO n BUCKETS` fixes each
+  * row's file by `hash(key) % n` at WRITE time, so a later equi-join on
+  * the key needs NO exchange on either side — the scan itself reports
+  * `HashPartitioning(key, n)` and Catalyst elides both shuffles (and,
+  * with `sortBy`, the sorts). At 100 TB this converts every recurring
+  * join/aggregation on the cluster key from a full network shuffle into
+  * a map-side zip of pre-matched files — the biggest single lever for a
+  * join-heavy pipeline; `ClusteredSpec` asserts the exchange-free plan.
+  *
+  * Orthogonal to the spatial bucket layout ([[BucketWriter]]): spatial
+  * partitioning prunes WHICH files a query reads, clustering fixes HOW
+  * rows are distributed so joins co-locate. (The reference engine has no
+  * join engine and thus no analogue; this is Spark-native surface,
+  * satbucket/readers.py:162's pruning being the closest cousin.)
+  */
+object Clustered {
+
+  /** Write `df` as a hash-clustered external datasource table at `path`.
+    * `nBuckets` must match on both sides of a co-located join, and should
+    * be sized so one bucket of the LARGER table fits a task comfortably
+    * (≈ total size / nBuckets ≤ a few hundred MB). */
+  def writeClustered(df: DataFrame, table: String, path: String,
+                     keyCols: Seq[String], nBuckets: Int,
+                     sortCols: Seq[String] = Nil,
+                     mode: String = "overwrite"): Unit = {
+    require(keyCols.nonEmpty, "clustering needs at least one key column")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    var w = df.write.mode(mode)
+      .option("path", path)
+      .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
+    val sorts = if (sortCols.nonEmpty) sortCols else keyCols
+    w = w.sortBy(sorts.head, sorts.tail: _*)
+    w.saveAsTable(table)
+  }
+
+  /** Equi-join two co-clustered tables on their cluster key. When both
+    * were written with the same nBuckets, the physical plan has no
+    * Exchange (verify with `.explain`); bucketing survives only through
+    * the session CATALOG (`spark.table`), not `spark.read.parquet` on
+    * the same files, which is why this takes table names. */
+  def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                    on: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), on, joinType)
+}
