@@ -644,6 +644,25 @@ object PipelineQueries extends QueryModule {
     // codes) frames, write them to parquet (codes partitioned by cell,
     // manifest alongside), reload, and search WITHOUT touching the corpus
     // again — must equal q96's inline search bit-for-bit (same oracle).
+    // Index DELETE: build, tombstone a batch of ids (five of them are
+    // current top-3 winners, so results MUST change), search — equals
+    // the inline search over the corpus minus the deleted ids against a
+    // frozen codebook. Only the affected cell directories rewrite.
+    "q121_index_delete" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      // fresh build every run: delete mutates the index in place
+      val idx = s"/tmp/graft_annidx_del_v1_${dir.hashCode.toHexString}"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
+        dims = 64, m = 4, k = 16, nList = 8)
+      graft.sources.AnnIndex.loadIvfPq(s, idx)
+        .delete(DeletedIds)
+        .search(emb.where($"vec_id" < 8), "embedding", topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     "q100_pq_persist" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
@@ -874,7 +893,13 @@ object PipelineQueries extends QueryModule {
     * refined cb1; trained ADC distances are fractional (means), so the
     * output goes through floor() on BOTH engines — DuckDB's double→BIGINT
     * cast rounds where Spark truncates. */
-  private def ivfPqOracle(nProbe: Int, trained: Boolean = false): String = {
+  /** q121's tombstone batch: five current top-3 winners (so the delete
+    * visibly changes results) plus a non-winner and the max id (no-op
+    * cells exercise the untouched-directory path). */
+  private val DeletedIds: Seq[Long] = Seq(88L, 126L, 209L, 364L, 450L, 1999L)
+
+  private def ivfPqOracle(nProbe: Int, trained: Boolean = false,
+                          excludeIds: Seq[Long] = Nil): String = {
     val trainCtes = if (!trained) "" else """,
       tsums AS (SELECT b.s, b.cid, g.i AS pos, SUM(t.sv[g.i]) AS sx,
                   COUNT(*) AS cnt
@@ -895,6 +920,9 @@ object PipelineQueries extends QueryModule {
     val cbRef = if (trained) "cb1" else "cb"
     val bestRef = if (trained) "best1" else "best"
     val d2Out = if (trained) "CAST(floor(d2) AS BIGINT)" else "CAST(d2 AS BIGINT)"
+    val excludeSql =
+      if (excludeIds.isEmpty) ""
+      else s" AND b.vec_id NOT IN (${excludeIds.mkString(", ")})"
     s"""$pqCommonSql$trainCtes,
       $ivfCellsSql,
       qcells AS (SELECT vec_id AS query_id, ccell AS cell FROM (
@@ -913,7 +941,7 @@ object PipelineQueries extends QueryModule {
               JOIN dt ON b.s = dt.s AND b.cid = dt.cid
               JOIN cells nc ON nc.vec_id = b.vec_id
               JOIN qcells qc ON qc.query_id = dt.query_id AND qc.cell = nc.cell
-              WHERE b.vec_id <> dt.query_id
+              WHERE b.vec_id <> dt.query_id$excludeSql
               GROUP BY 1, 2, 3)
       SELECT query_id, rk, neighbor_id, CAST(cell AS BIGINT) AS centroid_id,
         $d2Out AS adc_d2
@@ -1606,6 +1634,10 @@ object PipelineQueries extends QueryModule {
     // the persisted-index search must return exactly what the inline
     // search returns, so it shares q96's oracle
     "q100_pq_persist" -> ivfPqOracle(nProbe = 1),
+
+    // post-delete search = inline search minus the tombstoned corpus
+    // rows (frozen quantizers, so only the candidate set shrinks)
+    "q121_index_delete" -> ivfPqOracle(nProbe = 1, excludeIds = DeletedIds),
 
     // streamed codes ≡ batch codes ≡ inline — same oracle again
     "q113_stream_index_ingest" -> ivfPqOracle(nProbe = 1),

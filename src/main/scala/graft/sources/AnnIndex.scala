@@ -71,6 +71,47 @@ object AnnIndex {
       writeCodes(exploded, idCol, indexDir, "append")
       loadIvfPq(newCorpus.sparkSession, indexDir)
     }
+    /** Delete vectors by id — the remaining lifecycle verb after
+      * save/load/search/append/stream-ingest. Rewrites ONLY the cell
+      * directories that actually hold a deleted id (found by one pruned
+      * scan; the rewrite stages kept rows to a temp dir and swaps
+      * directories — the inverted-list analogue of the temporal update
+      * mode, [[Merge]] T8 / satbucket/routines.py:791-810). Every other
+      * cell's files are untouched, so the cost scales with the tombstone
+      * batch's cell footprint, not index size. Centroids and codebook
+      * stay frozen (deletes never retrain — standard IVF semantics).
+      * Unknown ids are ignored; a fully-emptied cell's directory is
+      * removed. Returns a freshly loaded index. */
+    def delete(ids: Seq[Long]): IvfPqIndex = {
+      require(!BucketFs.exists(s"$indexDir/codes/_spark_metadata"),
+        s"codes under $indexDir are stream-managed; stop the stream and " +
+          "compact before deleting")
+      require(ids.nonEmpty, "delete needs at least one id")
+      require(ids.length <= 1000000,
+        "literal tombstone sets are bounded at 1M ids — stage larger " +
+          "deletes as a frame and anti-join a rebuild")
+      val spark = codes.sparkSession
+      val affected = codes.where(col(idCol).isin(ids: _*))
+        .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+      if (affected.nonEmpty) {
+        val tmp = s"$indexDir/codes_rewrite_tmp"
+        BucketFs.deleteRecursive(tmp)
+        codes
+          .where(col("cell").isin(affected: _*) && !col(idCol).isin(ids: _*))
+          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        affected.foreach { c =>
+          BucketFs.deleteRecursive(s"$indexDir/codes/cell=$c")
+          val (fs, src) = BucketFs.resolve(s"$tmp/cell=$c")
+          if (fs.exists(src)) { // absent = the cell emptied entirely
+            val (_, dst) = BucketFs.resolve(s"$indexDir/codes/cell=$c")
+            BucketFs.move(fs, src, dst)
+          }
+        }
+        BucketFs.deleteRecursive(tmp)
+      }
+      loadIvfPq(spark, indexDir)
+    }
+
     /** Top-k ADC search against the persisted index; identical results to
       * `Similarity.ivfPqTopK(queries, corpus, ...)` with the build
       * parameters (including `residual`).

@@ -715,6 +715,41 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(rdir)
   }
 
+  test("AnnIndex.delete: tombstones rewrite only affected cells; emptied cell vanishes") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 64L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_del").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", dir,
+        dims = 8, m = 2, k = 4, nList = 4)
+      val idx0 = graft.sources.AnnIndex.loadIvfPq(spark, dir)
+      // pick one whole cell's ids (to empty it) plus an unknown id
+      val cellOfRow = idx0.codes.select($"vec_id", $"cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+      val (victimCell, victimIds) =
+        cellOfRow.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).minBy(_._2.size)
+      val untouched = new java.io.File(s"$dir/codes/cell=${(victimCell + 1) % 4}")
+      val beforeMtimes = untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
+      val idx = idx0.delete(victimIds :+ 9999L)
+      // the emptied cell's directory is gone; the untouched cell's files unmoved
+      assert(!new java.io.File(s"$dir/codes/cell=$victimCell").exists())
+      assert(untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
+        == beforeMtimes)
+      // search equals a rebuild-free recompute over the surviving ids
+      val got = idx.search(queries, "embedding", topK = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(got.nonEmpty)
+      assert(!got.exists(t => victimIds.contains(t._2)))
+      // deleting from a stream-managed codes dir is refused
+      graft.sources.BucketFs.mkdirs(
+        org.apache.hadoop.fs.FileSystem.getLocal(new org.apache.hadoop.conf.Configuration()),
+        new org.apache.hadoop.fs.Path(s"$dir/codes/_spark_metadata"))
+      intercept[IllegalArgumentException](idx.delete(Seq(1L)))
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("AnnIndex.append: incremental ingest encodes against the frozen codebook") {
     val rnd = new scala.util.Random(11)
     val all = (0L until 64L).map(i =>
