@@ -644,6 +644,34 @@ object PipelineQueries extends QueryModule {
     // codes) frames, write them to parquet (codes partitioned by cell,
     // manifest alongside), reload, and search WITHOUT touching the corpus
     // again — must equal q96's inline search bit-for-bit (same oracle).
+    // The whole index lifecycle in one gate: codebook-only build →
+    // STREAMING codes ingest (exactly-once file sink) → compact to
+    // batch-managed (stream→batch handoff through the sink log) →
+    // DELETE a tombstone batch → search. Must equal q121 (batch-built
+    // then deleted): streamed codes ≡ batch codes, and compaction
+    // preserves them exactly.
+    "q122_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val h = s"v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_annidx_cmp_$h"
+      val src = s"/tmp/graft_annidx_cmpsrc_$h"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.BucketFs.deleteRecursive(src)
+      graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
+        dims = 64, m = 4, k = 16, nList = 8, includeCodes = false)
+      emb.write.parquet(src)
+      val q = graft.sources.AnnIndex.streamingCodesWriter(s, idx, src,
+        emb.schema, "embedding", s"$idx/_ckpt").start()
+      q.awaitTermination()
+      graft.sources.AnnIndex.compactCodes(s, idx)
+      graft.sources.AnnIndex.loadIvfPq(s, idx)
+        .delete(DeletedIds)
+        .search(emb.where($"vec_id" < 8), "embedding", topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // Index DELETE: build, tombstone a batch of ids (five of them are
     // current top-3 winners, so results MUST change), search — equals
     // the inline search over the corpus minus the deleted ids against a
@@ -1638,6 +1666,9 @@ object PipelineQueries extends QueryModule {
     // post-delete search = inline search minus the tombstoned corpus
     // rows (frozen quantizers, so only the candidate set shrinks)
     "q121_index_delete" -> ivfPqOracle(nProbe = 1, excludeIds = DeletedIds),
+
+    // stream-ingested + compacted + deleted ≡ batch-built + deleted
+    "q122_index_compact" -> ivfPqOracle(nProbe = 1, excludeIds = DeletedIds),
 
     // streamed codes ≡ batch codes ≡ inline — same oracle again
     "q113_stream_index_ingest" -> ivfPqOracle(nProbe = 1),

@@ -236,6 +236,29 @@ object AnnIndex {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
   }
 
+  /** Convert STREAM-managed codes (file-sink `_spark_metadata` log) to
+    * batch-managed: materialize exactly the committed files' rows — the
+    * read goes through the sink log, so uncommitted/orphaned files are
+    * dropped, which is the point — rewrite them cell-partitioned, and
+    * swap directories. The stream→batch handoff: run after stopping an
+    * ingest stream to unlock the batch verbs ([[IvfPqIndex.append]],
+    * [[IvfPqIndex.delete]]); restarting the old stream afterwards is
+    * refused by its own guard (no sink log any more). */
+  def compactCodes(spark: SparkSession, indexDir: String): Unit = {
+    val codesDir = s"$indexDir/codes"
+    require(BucketFs.exists(s"$codesDir/_spark_metadata"),
+      s"codes under $indexDir are already batch-managed")
+    val tmp = s"$indexDir/codes_compact_tmp"
+    BucketFs.deleteRecursive(tmp)
+    spark.read.parquet(codesDir)
+      .withColumn("cell", col("cell").cast("long"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    BucketFs.deleteRecursive(codesDir)
+    val (fs, src) = BucketFs.resolve(tmp)
+    val (_, dst) = BucketFs.resolve(codesDir)
+    BucketFs.move(fs, src, dst)
+  }
+
   /** Pack exploded codes to one array row per vector (position =
     * subspace) and write them cell-partitioned — shared by the initial
     * save (overwrite) and incremental append. */

@@ -829,6 +829,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("AnnIndex.compactCodes: stream->batch handoff preserves codes and unlocks batch verbs") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 32L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat())).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annidx_cmp").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", dir,
+        dims = 8, m = 2, k = 4, nList = 4, includeCodes = false)
+      val src = s"$dir/_src"
+      vecs.write.parquet(src)
+      val q = graft.sources.AnnIndex.streamingCodesWriter(spark, dir, src,
+        vecs.schema, "embedding", s"$dir/_ckpt").start()
+      q.awaitTermination()
+      val before = graft.sources.AnnIndex.loadIvfPq(spark, dir).codes
+        .select($"vec_id", $"cell", $"pq_code").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+
+      graft.sources.AnnIndex.compactCodes(spark, dir)
+      // sink log gone, codes byte-identical, double compaction refused
+      assert(!graft.sources.BucketFs.exists(s"$dir/codes/_spark_metadata"))
+      val after = graft.sources.AnnIndex.loadIvfPq(spark, dir).codes
+        .select($"vec_id", $"cell", $"pq_code").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+      assert(after == before)
+      intercept[IllegalArgumentException](
+        graft.sources.AnnIndex.compactCodes(spark, dir))
+      // batch verbs now work: delete a vector, search never returns it
+      val idx = graft.sources.AnnIndex.loadIvfPq(spark, dir).delete(Seq(31L))
+      assert(idx.codes.count() == 31L)
+      // and the old stream refuses to restart into the batch-managed dir
+      intercept[IllegalArgumentException](
+        graft.sources.AnnIndex.streamingCodesWriter(spark, dir, src,
+          vecs.schema, "embedding", s"$dir/_ckpt"))
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("AnnIndex: loading a non-index directory fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notanidx").toString
     try {
