@@ -156,6 +156,31 @@ object Sampling {
       .agg(min(col("__val")).as("threshold"))
   }
 
+  /** Per-group [[quantileThreshold]]: for each group, the smallest value
+    * v with at least ceil(p · N_group) rows ≤ v — per-language/per-source
+    * adaptive cutoffs in one pass. Same scale shape as the global
+    * variant, but BETTER parallelism: the value histogram is one hash
+    * aggregation and the cumulative window partitions BY GROUP, so there
+    * is no single-partition stage at all (each group's distinct values
+    * sort independently). Null groups are kept as their own group; null
+    * values are excluded. */
+  def quantileThresholdBy(df: DataFrame, groupCol: String, valueCol: String,
+                          p: Double): DataFrame = {
+    require(p > 0.0 && p <= 1.0, "quantile p must be in (0, 1]")
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol).as("__val"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__val"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .where(col("__cum") >= ceil(lit(p) * col("__n").cast("double")))
+      .groupBy(col(groupCol))
+      .agg(min(col("__val")).as("threshold"))
+  }
+
   /** Temperature-sampling budgets for [[mixtureSample]]: per-source token
     * targets ∝ observedTokens^alpha, scaled to `totalBudget` — the
     * standard multilingual/multi-source rebalancing rule (alpha = 1

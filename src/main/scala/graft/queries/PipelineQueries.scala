@@ -805,6 +805,16 @@ object PipelineQueries extends QueryModule {
       withTok.crossJoin(broadcast(thr))
         .where($"n_tokens" >= $"threshold")
         .select($"doc_id", $"n_tokens", $"threshold")
+    }),
+
+    // Per-group exact quantiles (q78's threshold, per language): the
+    // value histogram collapses the corpus, and the cumulative window
+    // partitions BY GROUP — no single-partition stage anywhere.
+    "q123_group_quantile" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = Tables(s, dir, "documents")
+        .select($"lang", TextAnalysis.tokenCount($"text").as("n_tokens"))
+      graft.operators.Sampling.quantileThresholdBy(withTok, "lang", "n_tokens", 0.5)
     })
   )
 
@@ -1845,6 +1855,19 @@ object PipelineQueries extends QueryModule {
             WHERE cum >= ceil(0.25 * CAST(n AS DOUBLE)))
       SELECT m.doc_id, m.n_tokens, t.threshold
       FROM m, t WHERE m.n_tokens >= t.threshold""",
+
+    "q123_group_quantile" -> s"""
+      WITH m AS (SELECT lang,
+                   CAST(length(string_split(${normSql("text")}, ' ')) AS BIGINT)
+                     AS n_tokens
+                 FROM documents),
+      h AS (SELECT lang, n_tokens AS v, COUNT(*) AS c FROM m GROUP BY 1, 2),
+      cum AS (SELECT lang, v,
+                SUM(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                SUM(c) OVER (PARTITION BY lang) AS n
+              FROM h)
+      SELECT lang, CAST(MIN(v) AS BIGINT) AS threshold FROM cum
+      WHERE cum >= ceil(0.5 * CAST(n AS DOUBLE)) GROUP BY 1""",
 
     "q42_embedding_neardup" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -557,6 +557,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(thr(0.251) == 26L)
   }
 
+  test("quantileThresholdBy: per-group thresholds match per-group global runs") {
+    import graft.operators.Sampling
+    val df = ((1 to 100).map(i => ("a", Some(i.toLong))) ++
+      (1 to 10).map(i => ("b", Some(i * 7L))) ++
+      Seq(("c", None: Option[Long])))
+      .toDF("g", "v")
+    val got = Sampling.quantileThresholdBy(df, "g", "v", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") == 50L)
+    assert(got("b") == 35L) // 5th of 7,14,...,70
+    assert(!got.contains("c")) // only-null group drops with its null values
+    // agrees with the global operator run per group
+    Seq("a", "b").foreach { g =>
+      val solo = Sampling.quantileThreshold(df.where($"g" === g), "v", 0.5)
+        .head().getLong(0)
+      assert(solo == got(g), s"group $g")
+    }
+  }
+
   test("keepBestPerCluster: highest quality wins, ties by id, singletons survive") {
     import graft.operators.Dedup
     val d = Seq(
