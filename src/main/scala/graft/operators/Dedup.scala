@@ -416,6 +416,38 @@ object Dedup {
           s => s.getField("__line")), sep).as("clean_text"))
   }
 
+  /** Exact repeated-substring spans (the memorization/contamination
+    * signal of exact-substring dedup, à la "Deduplicating Training Data
+    * Makes Language Models Better"): every `spanLen`-char window of
+    * normalized text that occurs in at least `minDocs` DISTINCT
+    * documents, with its document and occurrence counts. Fixed-length
+    * windows make it tractable as one pass: any repeated substring of
+    * length ≥ spanLen contains a repeated spanLen-window, so the result
+    * is a complete detector at that resolution.
+    *
+    * Scale shape: the window fan-out is in-row (one array build per doc,
+    * like the shingle path — no join), then ONE aggregation on the span
+    * text — `n_occurrences` combines map-side; `n_docs` is a distinct
+    * aggregate (Spark's two-phase Expand), the same shape the vocabulary
+    * operator ships. Output is bounded by the HAVING filter, not corpus
+    * size. */
+  def repeatedSpans(df: DataFrame, textCol: String, idCol: String,
+                    spanLen: Int, minDocs: Int = 2): DataFrame = {
+    require(spanLen >= 2 && minDocs >= 2,
+      "spanLen must be >= 2 and minDocs >= 2")
+    fanOut(df)
+      .select(col(idCol), normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+      .select(col(idCol),
+        explode(filter(transform(
+          sequence(lit(1), greatest(length(col("__norm")) - (spanLen - 1), lit(1))),
+          i => col("__norm").substr(i, lit(spanLen))),
+          g => length(g) === spanLen)).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") >= minDocs)
+  }
+
   /** n-gram Jaccard set sizes for candidate pairs: the distinct-shingle
     * array stays a column (no explode), each pair is two array lookups and
     * an array_intersect — set arithmetic inside codegen instead of a

@@ -316,6 +316,14 @@ object PipelineQueries extends QueryModule {
         n = 3, vocabSize = 128)
     }),
 
+    // Exact repeated-substring spans (exact-substring dedup's detection
+    // pass): every 24-char window of normalized text occurring in >= 2
+    // distinct documents, with doc + occurrence counts. In-row window
+    // fan-out, one span aggregation — no joins.
+    "q124_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables(s, dir, "documents"), "text", "doc_id",
+        spanLen = 24, minDocs = 2)),
+
     // Corpus vocabulary: global top-100 tokens by occurrences with
     // document frequencies — deterministic tie-break (count desc, token).
     "q72_vocabulary" -> ((s, dir) =>
@@ -1268,6 +1276,15 @@ object PipelineQueries extends QueryModule {
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
         CAST(SUM(q) AS BIGINT) AS logprob_q4
       FROM s GROUP BY 1""",
+
+    "q124_repeated_spans" -> s"""
+      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+      g AS (SELECT nd.doc_id, substr(nd.nt, i.i, 24) AS span FROM nd,
+              LATERAL UNNEST(range(1, GREATEST(length(nd.nt) - 23, 1) + 1)) AS i(i)
+            WHERE length(substr(nd.nt, i.i, 24)) = 24)
+      SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2""",
 
     "q72_vocabulary" -> s"""
       WITH t AS (SELECT doc_id,

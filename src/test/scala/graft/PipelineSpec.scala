@@ -576,6 +576,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repeatedSpans: cross-doc windows surface with exact doc/occurrence counts") {
+    import graft.operators.Dedup
+    val df = Seq(
+      (0L, "the shared prefix runs here and unique tail zero"),
+      (1L, "the shared prefix runs here with unique tail one"),
+      (2L, "completely different body text without any overlap"),
+      (3L, "xx the shared prefix runs here xx the shared prefix runs here xx")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, "text", "doc_id", spanLen = 28, minDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the full shared sentence window appears in docs 0, 1, 3 (twice in 3)
+    val key = "the shared prefix runs here "
+    val hit = spans.find(_._1 == key)
+    assert(hit.contains((key, 3L, 4L)), s"got ${spans.toSeq.sortBy(-_._2).take(3)}")
+    // nothing from the non-overlapping doc
+    assert(!spans.exists(_._1.contains("different body")))
+    // all reported spans really span >= 2 docs
+    assert(spans.forall(_._2 >= 2))
+  }
+
   test("keepBestPerCluster: highest quality wins, ties by id, singletons survive") {
     import graft.operators.Dedup
     val d = Seq(
