@@ -148,7 +148,59 @@ object PipelineScaleSmoke {
         .count(f => f.isDirectory && f.getName.startsWith("cell="))
       require(cellDirs == 8, s"expected 8 cell dirs, got $cellDirs")
       println(s"[pscale] ann index: persisted search in-family, $cellDirs cell dirs")
+
+      // ---- index delete at the same scale: tombstone 1000 ids spread
+      // over every family; only the affected cells rewrite and the ids
+      // are really gone
+      val tombstones = (8L until 8008L by 8L).toSeq
+      val afterDelete = t(s"ann index delete (${tombstones.size} ids)") {
+        idx.delete(tombstones).codes.count()
+      }
+      require(afterDelete == n - tombstones.size,
+        s"delete: $afterDelete codes remain, expected ${n - tombstones.size}")
+      println(s"[pscale] ann index delete: ${tombstones.size} tombstones applied")
     } finally graft.sources.BucketFs.deleteRecursive(idxDir)
+
+    // ---- heavy hitters over 20M tokens from a 10k-type zipf-ish stream:
+    // bounded counters (capacity 512), merge across partitions; every
+    // item with true count > N/512 must surface and estimates must
+    // respect count - err <= true <= count (checked on the known top-20)
+    val hhN = 20000000L
+    val hh = t(s"heavy hitters ($hhN tokens)") {
+      graft.operators.Sketches.heavyHitters(
+        spark.range(hhN).select(
+          concat(lit("tok"), (pmod(xxhash64($"id"), lit(10000)) % (pmod($"id", lit(200)) + 1)).cast("string"))
+            .as("item")),
+        "item", capacity = 512, minCount = 1L)
+        .limit(30).collect()
+    }
+    require(hh.length >= 20, s"heavy hitters: only ${hh.length} entries")
+    require(hh.forall(r => r.getLong(1) >= r.getLong(2)),
+      "heavy hitters: count < err on a reported item")
+    println(s"[pscale] heavy hitters: top '${hh.head.getString(0)}' " +
+      s"count ${hh.head.getLong(1)} err ${hh.head.getLong(2)}")
+
+    // ---- char-LM scoring at 500k docs: model trains on the corpus
+    // itself (charset-bounded broadcast), scoring is map-side; every doc
+    // must come back scored
+    val lmScored = t(s"char-LM score ($n docs)") {
+      val m3 = graft.operators.TextAnalysis.charLmCounts(docs, "text", 3)
+      val m2 = graft.operators.TextAnalysis.charLmCounts(docs, "text", 2)
+      graft.operators.TextAnalysis.charLmScore(docs, "doc_id", "text", m3, m2)
+        .count()
+    }
+    require(lmScored == n, s"char-LM: scored $lmScored of $n docs")
+    println(s"[pscale] char-LM: $lmScored docs scored")
+
+    // ---- weighted Bernoulli sampling at 500k rows: integer-exact
+    // predicate, inclusion rate tracks the weight-derived probability
+    val wKept = t(s"weighted sample ($n docs)") {
+      docs.where(graft.operators.Sampling.weightedKeep(
+        $"doc_id", lit(25L), num = 1L, denom = 100L)).count()
+    }
+    require(math.abs(wKept - n / 4.0) / (n / 4.0) < 0.02,
+      s"weighted sample: kept $wKept, expected ~${n / 4}")
+    println(s"[pscale] weighted sample: $wKept kept (~25%)")
     spark.stop()
   }
 }
