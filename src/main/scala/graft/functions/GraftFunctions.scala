@@ -53,6 +53,15 @@ object GraftFunctions {
         TopKSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_sketch",
+      exprs => {
+        require(exprs.length == 3,
+          "quantile_sketch(rowkey_hash_bigint, value_double, k) expects 3 arguments")
+        requireFoldable(exprs(2), "quantile_sketch", "k")
+        QuantileSketchAgg(exprs(0), exprs(1), exprs(2).eval().toString.toInt)
+      },
+      "built-in")
   }
 }
 
@@ -93,6 +102,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "topk_sketch(item_string, capacity) expects 2 arguments")
         GraftFunctions.requireFoldable(exprs(1), "topk_sketch", "capacity")
         TopKSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("quantile_sketch"),
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "quantile_sketch(rowkey_hash_bigint, value_double, k) expects 3 arguments")
+        GraftFunctions.requireFoldable(exprs(2), "quantile_sketch", "k")
+        QuantileSketchAgg(exprs(0), exprs(1), exprs(2).eval().toString.toInt)
       }))
   }
 }

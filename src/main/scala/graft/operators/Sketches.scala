@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{KmvSketch, TopKSketch}
+import graft.functions.{KmvSketch, QuantileSketch, TopKSketch}
 
 /** Cardinality sketching for corpus statistics at scale.
   *
@@ -70,5 +70,33 @@ object Sketches {
         col("e.err").as("err"))
       .where(col("count") >= minCount)
       .orderBy(col("count").desc, col("item").asc)
+  }
+
+  /** Per-group quantiles of `valueCol` via the min-k row-sampling sketch
+    * ([[graft.functions.QuantileSketchAgg]]): one column `p{q·100}` per
+    * requested quantile plus `n_sampled`. Exact when every group holds
+    * ≤ k rows; a deterministic uniform-sample estimate (error
+    * ~1/sqrt(k)) above that — same answer under any partitioning or
+    * merge order, unlike percentile_approx.
+    *
+    * Scale shape: one aggregation; at most k (hash, value) pairs per
+    * group cross the shuffle, map-side combined. The quantile convention
+    * matches `Sampling.quantileThresholdBy`: smallest value whose
+    * cumulative count reaches ceil(q·n). `idCol` must be unique per row
+    * (it seeds the sampling hash). */
+  def groupQuantiles(df: DataFrame, groupCol: String, idCol: String,
+                     valueCol: String, qs: Seq[Double],
+                     k: Int = 8192): DataFrame = {
+    require(qs.nonEmpty, "at least one quantile required")
+    val sketched = df
+      .select(col(groupCol), xxhash64(col(idCol)).as("__h"),
+        col(valueCol).cast("double").as("__v"))
+      .groupBy(col(groupCol))
+      .agg(QuantileSketch.quantileSketch(col("__h"), col("__v"), k).as("__s"))
+    val qCols = qs.map(q =>
+      QuantileSketch.sketchQuantile(col("__s"), q)
+        .as(s"p${math.round(q * 100)}"))
+    sketched.select(
+      (col(groupCol) +: qCols) :+ size(col("__s")).cast("long").as("n_sampled"): _*)
   }
 }
