@@ -448,6 +448,43 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Per-document duplicated-span coverage: how many of a document's
+    * `spanLen`-char windows (of normalized text) also occur in at least
+    * `minDocs` distinct documents — the doc-level statistic that
+    * exact-substring dedup thresholds on ("drop documents that are
+    * mostly memorized/boilerplate text"). Returns
+    * (id, n_windows, n_dup_windows); the caller derives the ratio
+    * (kept integer-exact here for cross-engine hashing).
+    *
+    * Scale shape: window fan-out is in-row; then per-(doc, span) counts
+    * collapse repeats BEFORE anything crosses a join (one hash-agg), the
+    * span's document count is a second hash-agg over that (rows per
+    * span = distinct docs, never raw windows), and the join back is
+    * span-keyed between two already-aggregated sides. No window
+    * functions, no collected arrays — every step map-side combines. */
+  def spanDuplicationStats(df: DataFrame, textCol: String, idCol: String,
+                           spanLen: Int, minDocs: Int = 2): DataFrame = {
+    require(spanLen >= 2 && minDocs >= 2,
+      "spanLen must be >= 2 and minDocs >= 2")
+    val windows = fanOut(df)
+      .select(col(idCol), normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+      .select(col(idCol),
+        explode(filter(transform(
+          sequence(lit(1), greatest(length(col("__norm")) - (spanLen - 1), lit(1))),
+          i => col("__norm").substr(i, lit(spanLen))),
+          g => length(g) === spanLen)).as("__span"))
+    val perDocSpan = windows.groupBy(col(idCol), col("__span"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perSpan = perDocSpan.groupBy(col("__span"))
+      .agg(count(lit(1)).as("__span_docs"))
+    perDocSpan.join(perSpan, "__span")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_windows"),
+        sum(when(col("__span_docs") >= minDocs, col("__cnt"))
+          .otherwise(lit(0L))).as("n_dup_windows"))
+  }
+
   /** n-gram Jaccard set sizes for candidate pairs: the distinct-shingle
     * array stays a column (no explode), each pair is two array lookups and
     * an array_intersect — set arithmetic inside codegen instead of a

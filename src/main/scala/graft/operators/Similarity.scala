@@ -1210,6 +1210,45 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_d2"))
   }
 
+  /** Two-stage ANN: ADC shortlist then exact re-rank — the standard
+    * recall-restoring refinement (coarse PQ distances pick `candK`
+    * candidates, exact distances on the raw/quantized vectors pick the
+    * final `topK`). This is what production vector search does: the
+    * compressed index bounds the scan, the exact pass removes PQ
+    * quantization error from the final ordering.
+    *
+    * Scale shape: stage 1 is [[pqAdcTopK]] (codes-only corpus, broadcast
+    * distance tables). Stage 2 touches raw vectors for CANDIDATES ONLY —
+    * |queries|·candK rows broadcast against the corpus scan (one pass, no
+    * corpus shuffle), then a broadcast join brings in query vectors and
+    * the final rank window is candK rows per query. The corpus-wide
+    * vector column never crosses a shuffle in either stage. */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, dims: Int, m: Int, k: Int,
+                   candK: Int, topK: Int,
+                   quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(candK >= topK && topK >= 1,
+      "need candK >= topK >= 1 (shortlist at least as wide as the result)")
+    val cands = pqAdcTopK(queries, corpus, idCol, vecCol, dims, m, k,
+        candK, quantizeScale)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpusV = prepVectors(corpus, idCol, vecCol, quantizeScale)
+      .select(col("__id").as("neighbor_id"),
+        col("__v").as("__cv"), col("__vv").as("__cvv"))
+    val queryV = prepVectors(queries, idCol, vecCol, quantizeScale)
+      .select(col("__id").as("query_id"),
+        col("__v").as("__qv"), col("__vv").as("__qvv"))
+    val exact = corpusV.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(queryV), Seq("query_id"))
+      .withColumn("exact_d2",
+        col("__qvv") + col("__cvv") - lit(2.0) * dot(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("exact_d2").asc, col("neighbor_id").asc)
+    exact.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("exact_d2"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nPlanes: Int = 8,
                             seed: Long = 42L,

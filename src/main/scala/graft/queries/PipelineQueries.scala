@@ -324,6 +324,30 @@ object PipelineQueries extends QueryModule {
       Dedup.repeatedSpans(Tables(s, dir, "documents"), "text", "doc_id",
         spanLen = 24, minDocs = 2)),
 
+    // Per-language token-count quartiles via the mergeable min-k
+    // row-sampling quantile sketch. k=8192 exceeds every language group
+    // here, so the sketch is the group and every quartile is exact —
+    // which is what makes the DuckDB oracle a fair hash check; the same
+    // plan at 100 TB degrades gracefully to a deterministic
+    // uniform-sample estimate with only k pairs per group crossing the
+    // shuffle.
+    "q125_quantile_sketch" -> ((s, dir) => {
+      import s.implicits._
+      val withTok = Tables(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          TextAnalysis.tokenCount($"text").as("n_tokens"))
+      graft.operators.Sketches.groupQuantiles(withTok, "lang", "doc_id",
+        "n_tokens", qs = Seq(0.25, 0.5, 0.75), k = 8192)
+    }),
+
+    // Per-document duplicated-span coverage (exact-substring dedup's
+    // doc-level filter statistic): of each doc's 24-char windows, how
+    // many also appear in >= 2 distinct docs. Two hash-aggs + one
+    // span-keyed join of aggregated sides — no windows, no arrays.
+    "q126_span_coverage" -> ((s, dir) =>
+      Dedup.spanDuplicationStats(Tables(s, dir, "documents"), "text",
+        "doc_id", spanLen = 24, minDocs = 2)),
+
     // Corpus vocabulary: global top-100 tokens by occurrences with
     // document frequencies — deterministic tie-break (count desc, token).
     "q72_vocabulary" -> ((s, dir) =>
@@ -550,6 +574,19 @@ object PipelineQueries extends QueryModule {
           "vec_id", "embedding", dims = 64, m = 4, k = 16, topK = 3)
         .select($"query_id", $"rk", $"neighbor_id",
           $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
+    // Two-stage ANN: ADC shortlist (candK=10) then exact re-rank of the
+    // candidates on the quantized vectors — raw vectors touched for
+    // candidates only, never shuffled corpus-wide.
+    "q127_pq_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.pqRerankTopK(emb.where($"vec_id" < 8), emb,
+          "vec_id", "embedding", dims = 64, m = 4, k = 16,
+          candK = 10, topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id",
+          $"exact_d2".cast("long").as("exact_d2"))
     }),
 
     // Symmetric int8 embedding quantization — the 4x storage compression
@@ -1286,6 +1323,35 @@ object PipelineQueries extends QueryModule {
         CAST(COUNT(*) AS BIGINT) AS n_occurrences
       FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2""",
 
+    "q125_quantile_sketch" -> s"""
+      WITH m AS (SELECT lang,
+                   CAST(length(string_split(${normSql("text")}, ' ')) AS DOUBLE)
+                     AS v
+                 FROM documents),
+      cum AS (SELECT lang, v,
+                SUM(1) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                COUNT(*) OVER (PARTITION BY lang) AS n
+              FROM m)
+      SELECT lang,
+        MIN(CASE WHEN cum >= ceil(0.25 * CAST(n AS DOUBLE)) THEN v END) AS p25,
+        MIN(CASE WHEN cum >= ceil(0.50 * CAST(n AS DOUBLE)) THEN v END) AS p50,
+        MIN(CASE WHEN cum >= ceil(0.75 * CAST(n AS DOUBLE)) THEN v END) AS p75,
+        CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM cum GROUP BY 1""",
+
+    "q126_span_coverage" -> s"""
+      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+      g AS (SELECT nd.doc_id, substr(nd.nt, i.i, 24) AS span FROM nd,
+              LATERAL UNNEST(range(1, GREATEST(length(nd.nt) - 23, 1) + 1)) AS i(i)
+            WHERE length(substr(nd.nt, i.i, 24)) = 24),
+      w AS (SELECT doc_id, span, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      s AS (SELECT span, COUNT(*) AS span_docs FROM w GROUP BY 1)
+      SELECT doc_id,
+        CAST(SUM(c) AS BIGINT) AS n_windows,
+        CAST(SUM(CASE WHEN s.span_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+          AS n_dup_windows
+      FROM w JOIN s USING (span) GROUP BY 1""",
+
     "q72_vocabulary" -> s"""
       WITH t AS (SELECT doc_id,
           UNNEST(string_split(${normSql("text")}, ' ')) AS token
@@ -1793,6 +1859,33 @@ object PipelineQueries extends QueryModule {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY d2 ASC, neighbor_id ASC) AS rk
             FROM acc)
+      WHERE rk <= 3""",
+
+    "q127_pq_rerank" -> s"""$pqCommonSql,
+      q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),
+      dt AS (SELECT q.query_id, cb.s, cb.cid,
+               (q.n2 - 2.0 * list_inner_product(q.sv, cb.c)) + cb.cc AS ld
+             FROM q JOIN cb ON q.s = cb.s),
+      acc AS (SELECT dt.query_id, b.vec_id AS neighbor_id, SUM(dt.ld) AS d2
+              FROM best b JOIN dt ON b.s = dt.s AND b.cid = dt.cid
+              WHERE b.vec_id <> dt.query_id
+              GROUP BY 1, 2),
+      cand AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY d2 ASC, neighbor_id ASC) AS rk
+                 FROM acc) WHERE rk <= 10),
+      fv AS (SELECT vec_id, e, list_inner_product(e, e) AS n2 FROM v),
+      ex AS (SELECT c.query_id, c.neighbor_id,
+               (qv.n2 + cv.n2 - 2.0 * list_inner_product(qv.e, cv.e)) AS d2
+             FROM cand c
+             JOIN fv qv ON qv.vec_id = c.query_id
+             JOIN fv cv ON cv.vec_id = c.neighbor_id)
+      SELECT query_id, rk, neighbor_id, CAST(d2 AS BIGINT) AS exact_d2
+      FROM (SELECT query_id, neighbor_id, d2,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY d2 ASC, neighbor_id ASC) AS rk
+            FROM ex)
       WHERE rk <= 3""",
 
     "q85_sketch_jaccard" -> s"""

@@ -912,4 +912,49 @@ class PipelineSpec extends AnyFunSuite {
       assert(e.getMessage.contains("_ann_index.json"))
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
+
+  test("spanDuplicationStats: shared vs unique windows, repeats within one doc don't count") {
+    val d = Seq(
+      (0L, "abcdefghij"),   // shares every 4-window with doc 1
+      (1L, "abcdefghij"),
+      (2L, "zxywzxywzx"),   // repeats its own windows, shares none
+      (3L, "zz")            // shorter than spanLen: no windows, absent
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.spanDuplicationStats(d, "text", "doc_id",
+      spanLen = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == (7L, 7L) && got(1L) == (7L, 7L),
+      "dup docs: all 7 windows duplicated")
+    // doc 2's 7 windows cycle 'abcd': multiplicity within ONE doc is not
+    // cross-document duplication
+    assert(got(2L) == (7L, 0L), "self-repeats must not count as dup")
+    assert(!got.contains(3L), "sub-spanLen doc has no windows")
+  }
+
+  test("pqRerankTopK: exact ordering on the shortlist; full-width shortlist == brute force") {
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 64L).map(i =>
+      (i, Array.fill(16)(rnd.nextFloat() * 2f - 1f))).toDF("id", "vec")
+    val qs = emb.where($"id" < 2)
+    val rr = graft.operators.Similarity.pqRerankTopK(qs, emb, "id", "vec",
+      dims = 16, m = 4, k = 8, candK = 63, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // candK = corpus-1 means the shortlist is everything: result must be
+    // the true exact top-3 (cross-check against brute-force squared L2
+    // on the same quantized grid)
+    val vecs = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(x => math.floor(x * 1000.0)).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (q <- Seq(0L, 1L)) {
+      val truth = vecs.keys.filter(_ != q).toSeq
+        .map(c => (c, d2(vecs(q), vecs(c))))
+        .sortBy { case (c, d) => (d, c) }.take(3)
+      val got = rr.filter(_._1 == q).sortBy(_._2).map(t => (t._3, t._4))
+      assert(got.map(_._1).toSeq == truth.map(_._1),
+        s"query $q: rerank != brute force")
+      got.zip(truth).foreach { case ((_, gd), (_, td)) =>
+        assert(math.abs(gd - td) < 1e-6, s"query $q distance mismatch") }
+    }
+  }
 }
