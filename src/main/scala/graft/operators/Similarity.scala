@@ -1249,6 +1249,69 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("exact_d2"))
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"):
+    * k-means-cluster the embeddings, then inside each cluster drop every
+    * vector that has a LOWER-id vector at cosine ≥ `threshold`. Returns
+    * (id, centroid_id, kept) — kept = false marks the semantic
+    * duplicates to discard.
+    *
+    * The clustering is what makes this tractable at corpus scale: the
+    * quadratic pair comparison is confined to one cluster, never the
+    * corpus, so k is the knob that bounds per-cluster work (the paper
+    * uses k large enough that clusters hold ~thousands). Defense against
+    * a degenerate mega-cluster mirrors [[embeddingNearDupPairs]]: over
+    * `maxClusterSize`, the cluster degrades to an id-ordered
+    * neighbor-chain comparison (O(n) pairs) instead of all-pairs —
+    * capped ≡ uncapped whenever clusters fit, proven the same way the
+    * LSH cap is (q58).
+    *
+    * Cosines are computed on the RAW double vectors (quantization is for
+    * the cluster assignment only) with the engine's one staged-norm
+    * cosine expression, so thresholds compare bit-identically across
+    * engines. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, threshold: Double,
+               quantizeScale: Option[Double] = Some(1000.0),
+               maxClusterSize: Int = 1024): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val assign = kmeansAssign(df, idCol, vecCol, k, iters, quantizeScale)
+      .withColumnRenamed(idCol, "__id")
+    val v = df.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .join(assign, "__id")
+    val w = Window.partitionBy("centroid_id")
+    val wo = w.orderBy(col("__id"))
+    val sized = v
+      .withColumn("__cn", count(lit(1)).over(w))
+      .withColumn("__pid", lag(col("__id"), 1).over(wo))
+      .withColumn("__pv", lag(col("__v"), 1).over(wo))
+      .withColumn("__pn", lag(col("__n"), 1).over(wo))
+    val small = sized.where(col("__cn") <= maxClusterSize)
+    val l = small.select(col("centroid_id"), col("__id").as("a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val r = small.select(col("centroid_id"), col("__id").as("b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
+    val dupSmall = l.join(r, Seq("centroid_id"))
+      .where(col("a") < col("b"))
+      .where(cosineStaged(col("__va"), col("__vb"), col("__na"), col("__nb"))
+        >= threshold)
+      .select(col("b").as("__id"))
+    // over-cap clusters: each row compares against its id-order
+    // predecessor only — bounded work, same drop rule on the pairs kept
+    val dupChained = sized
+      .where(col("__cn") > maxClusterSize && col("__pid").isNotNull)
+      .where(cosineStaged(col("__pv"), col("__v"), col("__pn"), col("__n"))
+        >= threshold)
+      .select(col("__id"))
+    val dropped = dupSmall.union(dupChained).distinct()
+      .withColumn("__dup", lit(true))
+    v.join(dropped, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("centroid_id"),
+        col("__dup").isNull.as("kept"))
+  }
+
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, nPlanes: Int = 8,
                             seed: Long = 42L,

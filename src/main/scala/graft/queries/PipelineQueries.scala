@@ -576,6 +576,15 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // SemDeDup: kmeans clusters (k=8, 2 Lloyd iterations, the q77
+    // assignment) bound the pairwise cosine comparison; inside a cluster
+    // any vector with a lower-id neighbor at cosine >= 0.42 is dropped.
+    "q128_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.semDedup(Tables(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2, threshold = 0.42)
+    }),
+
     // Two-stage ANN: ADC shortlist (candK=10) then exact re-rank of the
     // candidates on the quantized vectors — raw vectors touched for
     // candidates only, never shuffled corpus-wide.
@@ -1594,6 +1603,47 @@ object PipelineQueries extends QueryModule {
                FROM vv, c1c c)
              WHERE rk = 1)
       SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM a1""",
+
+    // q77's two-iteration kmeans assignment (a1), then the SemDeDup drop
+    // rule on raw-double cosines within each cluster
+    "q128_semdedup" -> """
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+                 FROM embeddings),
+      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
+             FROM v WHERE vec_id < 8),
+      a0 AS (SELECT vec_id, cid, e FROM (
+               SELECT vv.vec_id, c.cid, vv.e,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c0 c)
+             WHERE rk = 1),
+      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
+               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
+               GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
+             FROM sums GROUP BY cid),
+      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vv.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c1c c)
+             WHERE rk = 1),
+      raw AS (SELECT vec_id, embedding::DOUBLE[] AS re FROM embeddings),
+      j AS (SELECT a1.vec_id, a1.cid, raw.re
+            FROM a1 JOIN raw ON a1.vec_id = raw.vec_id),
+      dup AS (SELECT DISTINCT r.vec_id FROM j l
+              JOIN j r ON l.cid = r.cid AND l.vec_id < r.vec_id
+              WHERE list_inner_product(l.re, r.re) /
+                (sqrt(list_inner_product(l.re, l.re)) *
+                 sqrt(list_inner_product(r.re, r.re))) >= 0.42)
+      SELECT j.vec_id, CAST(j.cid AS BIGINT) AS centroid_id,
+        (dup.vec_id IS NULL) AS kept
+      FROM j LEFT JOIN dup ON j.vec_id = dup.vec_id""",
 
     // farthest-point seeding unrolled: s0 = the min-id row, s1 = argmax
     // distance to s0, s2 = argmax of min distance to {s0, s1} (ties by

@@ -931,6 +931,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.contains(3L), "sub-spanLen doc has no windows")
   }
 
+  test("semDedup: lower-id near-dup survives, duplicates drop, cap-equivalence") {
+    val rnd = new scala.util.Random(9)
+    // 4 well-separated base directions; ids 100+ are exact copies of the
+    // base vector with tiny jitter (cosine ~1), others are distinct
+    val base = Array.fill(4)(Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val rows = (0 until 4).map(i => (i.toLong, base(i))) ++
+      (0 until 4).map(i => (100L + i, base(i).map(x => x + 0.001f)))
+    val df = rows.toDF("id", "vec")
+    val got = graft.operators.Similarity.semDedup(df, "id", "vec",
+      k = 4, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    (0 until 4).foreach { i =>
+      assert(got(i.toLong), s"base $i must be kept (lowest id in its family)")
+      assert(!got(100L + i), s"copy ${100 + i} must be dropped")
+    }
+    // cap smaller than every cluster forces the chain branch; with
+    // exactly 2 rows per cluster the chain sees the same single pair, so
+    // results must be identical
+    val capped = graft.operators.Similarity.semDedup(df, "id", "vec",
+      k = 4, iters = 2, threshold = 0.95, maxClusterSize = 1)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(capped == got, "2-row clusters: chain == all-pairs")
+  }
+
   test("pqRerankTopK: exact ordering on the shortlist; full-width shortlist == brute force") {
     val rnd = new scala.util.Random(5)
     val emb = (0L until 64L).map(i =>
