@@ -193,6 +193,26 @@ object StreamingQueries extends QueryModule {
         .where($"n" >= 2)
     }),
 
+    // Streaming windowed quantile sketch: per (hour, event_type) median
+    // of value via the min-k row sample accumulating across
+    // micro-batches. k=64 > the ≤10 rows per group, so the sample IS the
+    // group and the median is exact — hash-pinned by a sort-based oracle.
+    "q129_stream_quantile" -> ((s, dir) => {
+      import s.implicits._
+      runStaged(s, dir, "squant") { stream =>
+        StreamingOps.windowedQuantileSketch(stream,
+          window_ = "1 hour", watermark = "1 minute", time = "ts",
+          keyCols = Seq("event_type"),
+          rowKey = xxhash64($"user_id", $"event_type", $"value", $"ts"),
+          valueCol = $"value", k = 64)
+      }
+        .where($"event_type".isNotNull)
+        .select($"event_type", unix_micros($"window_start").as("hour_us"),
+          graft.functions.QuantileSketch.sketchQuantile($"qsketch", 0.5)
+            .as("p50"),
+          size($"qsketch").cast("long").as("n_sampled"))
+    }),
+
     // Stream-static enrichment join: each event looked up against the
     // broadcast customer dimension per micro-batch. Stateless, so the
     // output is batching-invariant; the -1 sentinels drop out of the
@@ -352,6 +372,20 @@ object StreamingQueries extends QueryModule {
                              CAST(kth_min AS DOUBLE)) AS BIGINT)
         END AS est_distinct
       FROM s""",
+
+    "q129_stream_quantile" -> """
+      WITH e AS (SELECT date_trunc('hour', ts) AS hr, event_type, value
+                 FROM events WHERE event_type IS NOT NULL),
+      cum AS (SELECT hr, event_type, value,
+                SUM(1) OVER (PARTITION BY hr, event_type ORDER BY value)
+                  AS cum,
+                COUNT(*) OVER (PARTITION BY hr, event_type) AS n
+              FROM e)
+      SELECT event_type, epoch_us(hr) AS hour_us,
+        MIN(CASE WHEN cum >= ceil(0.5 * CAST(n AS DOUBLE)) THEN value END)
+          AS p50,
+        CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM cum GROUP BY 1, 2""",
 
     "q91_stream_enrich" -> """
       SELECT e.user_id, e.event_type, c.c_mktsegment, epoch_us(e.ts) AS ts_us

@@ -91,6 +91,30 @@ object StreamingOps {
       .drop("w")
   }
 
+  /** Streaming windowed quantile sketch: the min-k row-sampling
+    * [[graft.functions.QuantileSketchAgg]] inside a watermarked
+    * tumbling-window aggregation — at most k (hash, value) pairs per
+    * (window, keys) accumulate across micro-batches in the state store,
+    * append mode emits each window's sample (ascending values) once the
+    * watermark passes. The min-k rule is a commutative semilattice, so
+    * the streamed sketch is BIT-IDENTICAL to a batch recomputation no
+    * matter how the input batches — and exact (the sample IS the group)
+    * whenever a group holds ≤ k rows. `rowKey` must be unique per event
+    * (it seeds the sampling hash). State per open window is O(k). */
+  def windowedQuantileSketch(events: DataFrame, window_ : String,
+                             watermark: String, time: String,
+                             keyCols: Seq[String], rowKey: Column,
+                             valueCol: Column, k: Int): DataFrame = {
+    events.withWatermark(time, watermark)
+      .withColumn("__h", rowKey)
+      .withColumn("__v", valueCol.cast("double"))
+      .groupBy((window(col(time), window_).as("w") +: keyCols.map(col)): _*)
+      .agg(graft.functions.QuantileSketch.quantileSketch(
+        col("__h"), col("__v"), k).as("qsketch"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
   /** Stream-static enrichment: inner-join a stream against a broadcast
     * batch dimension — the lookup-table join of an ingest pipeline
     * (stateless: each micro-batch joins independently, so output is

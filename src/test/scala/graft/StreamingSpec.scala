@@ -151,6 +151,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed quantile sketch matches batch sample bit-for-bit") {
+    val src = tmp("qsk_src")
+    // key "a": 30 rows > k=8 → sampling regime; key "b": 3 rows → exact
+    val rows = (0 until 30).map(u =>
+      (u.toLong, "a", u * 1.5, ts("2024-01-01 10:00:05"))) ++
+      (0 until 3).map(u => (u.toLong, "b", u * 10.0, ts("2024-01-01 10:00:06")))
+    rows.toDF("user_id", "event_type", "value", "ts")
+      .write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, value DOUBLE, ts TIMESTAMP")
+      .parquet(src)
+    val sketched = StreamingOps.windowedQuantileSketch(stream,
+      window_ = "1 hour", watermark = "1 minute", time = "ts",
+      keyCols = Seq("event_type"),
+      rowKey = xxhash64($"user_id", $"event_type"), valueCol = $"value", k = 8)
+    val q = sketched.writeStream.format("memory").queryName("q_sk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq((999L, "z", 0.0, ts("2024-01-02 10:00:00")))
+        .toDF("user_id", "event_type", "value", "ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq((999L, "z", 0.0, ts("2024-01-02 11:00:00")))
+        .toDF("user_id", "event_type", "value", "ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val streamed = spark.table("q_sk")
+        .select($"event_type", $"qsketch")
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val batch = rows.toDF("user_id", "event_type", "value", "ts")
+        .groupBy($"event_type")
+        .agg(graft.functions.QuantileSketch.quantileSketch(
+          xxhash64($"user_id", $"event_type"), $"value", 8).as("s"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(streamed("a") == batch("a"), "sampling regime must be batching-invariant")
+      assert(streamed("b") == batch("b"))
+      assert(streamed("b") == Seq(0.0, 10.0, 20.0), "below-k group is the full sorted sample")
+      assert(streamed("a").size == 8, "sampling regime fills k")
+    } finally q.stop()
+  }
+
   test("streaming bucket ingest: file source → partitioned bucket") {
     val src = tmp("granules")
     val bucket = tmp("bucket")
