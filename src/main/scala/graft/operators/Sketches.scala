@@ -72,6 +72,24 @@ object Sketches {
       .orderBy(col("count").desc, col("item").asc)
   }
 
+  /** Per-group heavy hitters: one Space-Saving sketch PER GROUP —
+    * (group, item, count, err) for every entry with count >= minCount,
+    * ordered count desc / item asc within each group. Same guarantees as
+    * [[heavyHitters]] per group; at most `capacity` counters per group
+    * per upstream partition cross the shuffle (map-side combined), so a
+    * per-domain / per-language token census at 100 TB never exchanges a
+    * vocabulary-sized frame. */
+  def groupHeavyHitters(df: DataFrame, groupCol: String, itemCol: String,
+                        capacity: Int = 1024, minCount: Long = 1L): DataFrame = {
+    df.select(col(groupCol), col(itemCol))
+      .groupBy(col(groupCol))
+      .agg(TopKSketch.topK(col(itemCol), capacity).as("__hh"))
+      .select(col(groupCol), explode(col("__hh")).as("e"))
+      .select(col(groupCol), col("e.item").as("item"),
+        col("e.count").as("count"), col("e.err").as("err"))
+      .where(col("count") >= minCount)
+  }
+
   /** Per-group quantiles of `valueCol` via the min-k row-sampling sketch
     * ([[graft.functions.QuantileSketchAgg]]): one column `p{q·100}` per
     * requested quantile plus `n_sampled`. Exact when every group holds

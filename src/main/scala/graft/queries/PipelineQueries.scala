@@ -348,6 +348,21 @@ object PipelineQueries extends QueryModule {
       Dedup.spanDuplicationStats(Tables(s, dir, "documents"), "text",
         "doc_id", spanLen = 24, minDocs = 2)),
 
+    // Per-language token heavy hitters: one Space-Saving sketch per
+    // group. capacity=64 > the 31 distinct tokens per language, so every
+    // count is exact (err 0) and the plain GROUP BY oracle hash-matches;
+    // the identical plan at 100 TB keeps per-group state bounded at 64
+    // counters instead of exchanging a vocabulary-sized frame.
+    "q130_group_topk" -> ((s, dir) => {
+      val toks = Dedup.fanOut(Tables(s, dir, "documents"))
+        .select(col("lang"),
+          explode(split(Dedup.normalizedText(coalesce(col("text"), lit(""))),
+            " ")).as("token"))
+        .where(col("token") =!= "")
+      graft.operators.Sketches.groupHeavyHitters(toks, "lang", "token",
+        capacity = 64, minCount = 5L)
+    }),
+
     // Corpus vocabulary: global top-100 tokens by occurrences with
     // document frequencies — deterministic tie-break (count desc, token).
     "q72_vocabulary" -> ((s, dir) =>
@@ -1360,6 +1375,16 @@ object PipelineQueries extends QueryModule {
         CAST(SUM(CASE WHEN s.span_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
           AS n_dup_windows
       FROM w JOIN s USING (span) GROUP BY 1""",
+
+    "q130_group_topk" -> s"""
+      WITH t AS (SELECT lang,
+          UNNEST(string_split(${normSql("text")}, ' ')) AS token
+        FROM documents)
+      SELECT lang, token AS item,
+        CAST(COUNT(*) AS BIGINT) AS count,
+        CAST(0 AS BIGINT) AS err
+      FROM t WHERE token <> ''
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5""",
 
     "q72_vocabulary" -> s"""
       WITH t AS (SELECT doc_id,
