@@ -426,4 +426,77 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"), sum(col("__q")).as("logprob_q4"))
   }
+
+  /** BPE tokenizer training (Sennrich et al. 2016, "Neural Machine
+    * Translation of Rare Words with Subword Units"): learn `merges`
+    * byte-pair merges from the corpus. Returns the merge table —
+    * (step, left_tok, right_tok, merged, n) with n the weighted pair
+    * frequency at the time of the merge. Deterministic: ties break by
+    * (count desc, left asc, right asc); merge application is leftmost
+    * non-overlapping string replace on the space-padded symbol
+    * encoding — the one deliberate deviation from canonical BPE is that
+    * two occurrences of the winning pair in DIRECT token succession
+    * (e.g. the run `a a a a` for pair (a,a)) share a separator space, so
+    * they merge alternately within one step instead of all at once;
+    * every engine's `replace` agrees on this order, which is what makes
+    * the algorithm portably exact.
+    *
+    * Scale shape — the reason BPE training is feasible at corpus scale:
+    * only the FIRST aggregation (word → frequency) touches the corpus;
+    * every merge iteration then runs on the distinct-word vocabulary
+    * frame, which is vocabulary-sized, not corpus-sized. Each iteration
+    * is one hash-agg over in-row adjacent pairs plus a 1-row
+    * TakeOrdered `collect()` (the winning pair must become a string
+    * literal in the next iteration's `replace` — k driver rows total,
+    * bounded by `merges`). The vocab frame is localCheckpointed per
+    * iteration to truncate the k-deep lineage. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = Dedup.fanOut(df)
+      .select(explode(split(Dedup.normalizedText(coalesce(col(textCol), lit(""))),
+        " ")).as("__w"))
+      .where(col("__w") =!= "")
+      .groupBy(col("__w")).agg(count(lit(1)).as("__freq"))
+    // per-word symbol sequence, space-joined, space-padded at both ends
+    // so a merge can match ' l r ' on whole tokens only
+    val charSeq = concat(lit(" "),
+      array_join(transform(sequence(lit(1), length(col("__w"))),
+        i => col("__w").substr(i, lit(1))), " "),
+      lit(" </w> "))
+    var vocab = words.select(col("__w"), col("__freq"), charSeq.as("__seq"))
+      .localCheckpoint(true)
+    val learned = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val toks = split(trim(col("__seq")), " ")
+      val best = vocab
+        .select(col("__freq"), toks.as("__t"))
+        .where(size(col("__t")) >= 2)
+        .select(col("__freq"), explode(transform(
+          sequence(lit(1), size(col("__t")) - 1),
+          i => struct(element_at(col("__t"), i).as("l"),
+            element_at(col("__t"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("__freq")).as("n"))
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        learned += ((step, l, r, n))
+        vocab = vocab.withColumn("__seq",
+          replace(col("__seq"), lit(s" $l $r "), lit(s" $l$r ")))
+          .localCheckpoint(true)
+        step += 1
+      }
+    }
+    learned.toSeq
+      .toDF("step", "left_tok", "right_tok", "n")
+      .select(col("step"), col("left_tok"), col("right_tok"),
+        concat(col("left_tok"), col("right_tok")).as("merged"), col("n"))
+  }
 }

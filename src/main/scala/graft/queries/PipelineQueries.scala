@@ -348,6 +348,12 @@ object PipelineQueries extends QueryModule {
       Dedup.spanDuplicationStats(Tables(s, dir, "documents"), "text",
         "doc_id", spanLen = 24, minDocs = 2)),
 
+    // BPE tokenizer training: 6 merges learned from the corpus. Only the
+    // word-frequency aggregation is corpus-sized; every merge iteration
+    // runs on the distinct-word vocabulary frame.
+    "q131_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(Tables(s, dir, "documents"), "text", merges = 6)),
+
     // Per-language token heavy hitters: one Space-Saving sketch per
     // group. capacity=64 > the 31 distinct tokens per language, so every
     // count is exact (err 0) and the plain GROUP BY oracle hash-matches;
@@ -1376,6 +1382,8 @@ object PipelineQueries extends QueryModule {
           AS n_dup_windows
       FROM w JOIN s USING (span) GROUP BY 1""",
 
+    "q131_bpe_train" -> bpeOracle(6),
+
     "q130_group_topk" -> s"""
       WITH t AS (SELECT lang,
           UNNEST(string_split(${normSql("text")}, ' ')) AS token
@@ -2073,6 +2081,37 @@ object PipelineQueries extends QueryModule {
       val lit = p.mkString("[", ", ", "]")
       s"(CASE WHEN list_inner_product($vecExpr, $lit::DOUBLE[]) >= 0 THEN '1' ELSE '0' END)"
     }.mkString(" || ")
+  }
+
+  /** SQL mirror of TextAnalysis.bpeTrain: the merge loop unrolled as one
+    * CTE chain per step — pair counts from the evolving symbol
+    * sequences, winner by (n DESC, l, r), applied with the same
+    * leftmost-non-overlapping `replace` on the space-padded encoding. */
+  private def bpeOracle(merges: Int): String = {
+    val steps = (1 to merges).map { i =>
+      s"""t$i AS (SELECT freq, string_split(trim(seq), ' ') AS toks FROM s${i - 1}),
+      p$i AS (SELECT toks[g.i] AS l, toks[g.i + 1] AS r, SUM(freq) AS n
+              FROM t$i, LATERAL UNNEST(range(1, len(toks))) AS g(i)
+              GROUP BY 1, 2),
+      b$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+      s$i AS (SELECT freq, replace(seq, ' ' || b$i.l || ' ' || b$i.r || ' ',
+                   ' ' || b$i.l || b$i.r || ' ') AS seq
+              FROM s${i - 1}, b$i)"""
+    }.mkString(",\n      ")
+    val sel = (1 to merges).map(i =>
+      s"""SELECT $i AS step, l AS left_tok, r AS right_tok,
+        l || r AS merged, CAST(n AS BIGINT) AS n FROM b$i""")
+      .mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+               SELECT UNNEST(string_split(${normSql("text")}, ' ')) AS tok
+               FROM documents) WHERE tok <> '' GROUP BY 1),
+      s0 AS (SELECT freq,
+               ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                 i -> substr(word, i, 1)), ' ') || ' </w> ' AS seq
+             FROM w),
+      $steps
+      $sel"""
   }
 
   /** SQL mirror of TextAnalysis.bm25 (k1=1.25, b=0.75 — dyadic, so every

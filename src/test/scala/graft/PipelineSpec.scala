@@ -931,6 +931,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(!got.contains(3L), "sub-spanLen doc has no windows")
   }
 
+  test("bpeTrain: hand-computed merges, tie-break, composition, early exhaustion") {
+    // words: "aab" ×3, "ab" ×2
+    // step 1: (a,b) n=5 ties (b,</w>) n=5 → left asc wins → merge "ab"
+    // step 2: (ab,</w>) n=5
+    // step 3: (a,ab</w>) n=3 — merged symbols keep composing
+    val df = Seq("aab aab ab", "aab ab").toDF("text")
+    val got = graft.operators.TextAnalysis.bpeTrain(df, "text", merges = 10)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1, "a", "b", "ab", 5L),
+      (2, "ab", "</w>", "ab</w>", 5L),
+      (3, "a", "ab</w>", "aab</w>", 3L)),
+      "merge table must equal the hand computation")
+    // after step 3 every word is a single symbol — no pairs remain, so
+    // training exhausts at 3 even though 10 merges were requested
+  }
+
   test("semDedup: lower-id near-dup survives, duplicates drop, cap-equivalence") {
     val rnd = new scala.util.Random(9)
     // 4 well-separated base directions; ids 100+ are exact copies of the
