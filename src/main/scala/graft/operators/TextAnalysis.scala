@@ -499,4 +499,46 @@ object TextAnalysis {
       .select(col("step"), col("left_tok"), col("right_tok"),
         concat(col("left_tok"), col("right_tok")).as("merged"), col("n"))
   }
+
+  /** Apply a learned BPE merge table ([[bpeTrain]]'s output) to
+    * documents: (id, n_words, n_bpe_tokens) — the sequence-length
+    * statistic a token-budgeted pipeline needs from its tokenizer.
+    *
+    * Scale shape: FULLY row-local. The whole normalized document becomes
+    * ONE space-padded symbol string, then the k merges apply as k nested
+    * codegen'd `replace`s in training order. No explode, no vocabulary
+    * join, nothing shuffles — the merge table itself is the only
+    * collected state (k rows, bounded by the merge count).
+    *
+    * Why this equals per-word application: word boundaries are DOUBLE
+    * spaces while merge patterns contain only single spaces, so a match
+    * can never consume a neighboring word's padding (each word segment
+    * keeps its own leading/trailing space, exactly like the isolated
+    * per-word string training used); and a pattern can never straddle
+    * the boundary because `</w>`-bearing symbols only occur
+    * word-terminally and are therefore never the LEFT of a learned
+    * pair. */
+  def bpeEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+                      mergeTable: DataFrame): DataFrame = {
+    val merges = mergeTable.orderBy(col("step"))
+      .select(col("left_tok"), col("right_tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val staged = df.select(col(idCol),
+      Dedup.normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+    val chars = filter(transform(
+      sequence(lit(1), greatest(length(col("__norm")), lit(1))),
+      i => col("__norm").substr(i, lit(1))), c => length(c) === 1)
+    // the trailing space inside the "</w> " symbol plus the join space
+    // make every word boundary a DOUBLE space — see the scaladoc
+    val symbols = transform(chars,
+      c => when(c === " ", lit("</w> ")).otherwise(c))
+    val seq0 = concat(lit(" "), array_join(symbols, " "), lit(" </w> "))
+    val encoded = merges.foldLeft(seq0) { case (acc, (l, r)) =>
+      replace(acc, lit(s" $l $r "), lit(s" $l$r "))
+    }
+    staged.select(col(idCol),
+      size(split(col("__norm"), " ")).cast("long").as("n_words"),
+      size(filter(split(trim(encoded), " "), t => t =!= ""))
+        .cast("long").as("n_bpe_tokens"))
+  }
 }

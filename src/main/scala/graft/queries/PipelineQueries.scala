@@ -354,6 +354,15 @@ object PipelineQueries extends QueryModule {
     "q131_bpe_train" -> ((s, dir) =>
       TextAnalysis.bpeTrain(Tables(s, dir, "documents"), "text", merges = 6)),
 
+    // BPE encode: the 6 learned merges applied to every document as
+    // nested row-local replaces (no explode, no vocab join) — per-doc
+    // word and BPE-token counts.
+    "q132_bpe_encode" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextAnalysis.bpeEncodeCounts(docs, "doc_id", "text",
+        TextAnalysis.bpeTrain(docs, "text", merges = 6))
+    }),
+
     // Per-language token heavy hitters: one Space-Saving sketch per
     // group. capacity=64 > the 31 distinct tokens per language, so every
     // count is exact (err 0) and the plain GROUP BY oracle hash-matches;
@@ -1384,6 +1393,8 @@ object PipelineQueries extends QueryModule {
 
     "q131_bpe_train" -> bpeOracle(6),
 
+    "q132_bpe_encode" -> bpeApplyOracle(6),
+
     "q130_group_topk" -> s"""
       WITH t AS (SELECT lang,
           UNNEST(string_split(${normSql("text")}, ' ')) AS token
@@ -2083,11 +2094,12 @@ object PipelineQueries extends QueryModule {
     }.mkString(" || ")
   }
 
-  /** SQL mirror of TextAnalysis.bpeTrain: the merge loop unrolled as one
-    * CTE chain per step — pair counts from the evolving symbol
-    * sequences, winner by (n DESC, l, r), applied with the same
-    * leftmost-non-overlapping `replace` on the space-padded encoding. */
-  private def bpeOracle(merges: Int): String = {
+  /** The shared CTE chain of the BPE oracles: word frequencies, initial
+    * symbol sequences, and per-step (pair counts → winner b$i → applied
+    * s$i) — the merge loop unrolled, winner by (n DESC, l, r), applied
+    * with the same leftmost-non-overlapping `replace` on the
+    * space-padded encoding. */
+  private def bpeCtes(merges: Int): String = {
     val steps = (1 to merges).map { i =>
       s"""t$i AS (SELECT freq, string_split(trim(seq), ' ') AS toks FROM s${i - 1}),
       p$i AS (SELECT toks[g.i] AS l, toks[g.i + 1] AS r, SUM(freq) AS n
@@ -2098,20 +2110,48 @@ object PipelineQueries extends QueryModule {
                    ' ' || b$i.l || b$i.r || ' ') AS seq
               FROM s${i - 1}, b$i)"""
     }.mkString(",\n      ")
-    val sel = (1 to merges).map(i =>
-      s"""SELECT $i AS step, l AS left_tok, r AS right_tok,
-        l || r AS merged, CAST(n AS BIGINT) AS n FROM b$i""")
-      .mkString("\n      UNION ALL\n      ")
-    s"""
-      WITH w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    s"""w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
                SELECT UNNEST(string_split(${normSql("text")}, ' ')) AS tok
                FROM documents) WHERE tok <> '' GROUP BY 1),
       s0 AS (SELECT freq,
                ' ' || array_to_string(list_transform(range(1, length(word) + 1),
                  i -> substr(word, i, 1)), ' ') || ' </w> ' AS seq
              FROM w),
-      $steps
+      $steps"""
+  }
+
+  /** SQL mirror of TextAnalysis.bpeTrain: the merge table b1..bN. */
+  private def bpeOracle(merges: Int): String = {
+    val sel = (1 to merges).map(i =>
+      s"""SELECT $i AS step, l AS left_tok, r AS right_tok,
+        l || r AS merged, CAST(n AS BIGINT) AS n FROM b$i""")
+      .mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH ${bpeCtes(merges)},
       $sel"""
+  }
+
+  /** SQL mirror of TextAnalysis.bpeEncodeCounts: each document becomes
+    * one padded symbol string (spaces → </w>), then the learned merges
+    * apply as nested replaces in training order. */
+  private def bpeApplyOracle(merges: Int): String = {
+    val repl = (1 to merges).foldLeft("seqd") { (acc, i) =>
+      s"replace($acc, ' ' || b$i.l || ' ' || b$i.r || ' ', ' ' || b$i.l || b$i.r || ' ')"
+    }
+    val bs = (1 to merges).map("b" + _).mkString(", ")
+    s"""
+      WITH ${bpeCtes(merges)},
+      d AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+      dd AS (SELECT doc_id,
+               CAST(length(string_split(nt, ' ')) AS BIGINT) AS n_words,
+               ' ' || array_to_string(list_transform(range(1, length(nt) + 1),
+                 i -> CASE WHEN substr(nt, i, 1) = ' ' THEN '</w> '
+                      ELSE substr(nt, i, 1) END), ' ') || ' </w> ' AS seqd
+             FROM d)
+      SELECT doc_id, n_words,
+        CAST(length(list_filter(string_split(trim($repl), ' '),
+          t -> t <> '')) AS BIGINT) AS n_bpe_tokens
+      FROM dd, $bs"""
   }
 
   /** SQL mirror of TextAnalysis.bm25 (k1=1.25, b=0.75 — dyadic, so every

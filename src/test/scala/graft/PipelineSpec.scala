@@ -950,6 +950,24 @@ class PipelineSpec extends AnyFunSuite {
     // training exhausts at 3 even though 10 merges were requested
   }
 
+  test("bpeEncodeCounts: doc-level replaces equal per-word application") {
+    val corpus = Seq((1L, "aab aab ab"), (2L, "aab ab")).toDF("doc_id", "text")
+    // 2 merges: (a,b)->ab then (ab,</w>)->ab</w>
+    // "aab" -> [a, ab</w>] (2), "ab" -> [ab</w>] (1)
+    val m2 = graft.operators.TextAnalysis.bpeTrain(corpus, "text", merges = 2)
+    val got2 = graft.operators.TextAnalysis
+      .bpeEncodeCounts(corpus, "doc_id", "text", m2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2(1L) == (3L, 5L) && got2(2L) == (2L, 3L))
+    // 3rd merge (a,ab</w>) fuses every word to one symbol
+    val m3 = graft.operators.TextAnalysis.bpeTrain(corpus, "text", merges = 3)
+    val got3 = graft.operators.TextAnalysis
+      .bpeEncodeCounts(corpus, "doc_id", "text", m3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got3(1L) == (3L, 3L) && got3(2L) == (2L, 2L),
+      "fully fused: one BPE token per word, boundaries intact")
+  }
+
   test("semDedup: lower-id near-dup survives, duplicates drop, cap-equivalence") {
     val rnd = new scala.util.Random(9)
     // 4 well-separated base directions; ids 100+ are exact copies of the
