@@ -485,6 +485,86 @@ object Dedup {
           .otherwise(lit(0L))).as("n_dup_windows"))
   }
 
+  /** SimHash near-duplicate pairs (Manku, Jain & Das Sarma, WWW'07 —
+    * the web-crawl dedup design): every pair of documents whose 32-bit
+    * simhashes differ in at most `maxHamming` bits, found WITHOUT an
+    * all-pairs comparison. The fingerprint splits into `bands` equal
+    * chunks; by pigeonhole, any pair within `maxHamming` ≤ bands−1
+    * differing bits agrees EXACTLY on at least one chunk — so
+    * bucket-joining on (band, chunk value) is recall-complete, and
+    * bit_count(xor) verifies the survivors. Returns (a, b, hamming).
+    *
+    * Scale shape: one shuffle on (band, chunk) + in-bucket pair
+    * expansion + one distinct to collapse cross-band duplicates — the
+    * same bucketed-candidate discipline as the MinHash LSH path, with
+    * the same degenerate-bucket cap: over `maxBucketSize`, a bucket
+    * degrades to id-ordered neighbor-chain pairs (O(n) instead of
+    * O(n²)); capped ≡ uncapped whenever buckets fit. */
+  def simHashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxBucketSize: Int = 1024): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bands,
+      "pigeonhole recall guarantee needs maxHamming <= bands - 1")
+    require(bands >= 2 && 32 % bands == 0, "bands must divide 32")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val sh = simHash(df, textCol, idCol)
+    val chunks = sh.select(col(idCol).as("__id"), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk",
+        expr(s"shiftright(simhash, band * $width)").bitwiseAND(lit(mask)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("band", "chunk")
+    val wo = w.orderBy(col("__id"))
+    val sized = chunks
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__nid", lead(col("__id"), 1).over(wo))
+      .withColumn("__nsh", lead(col("simhash"), 1).over(wo))
+    val small = sized.where(col("__bn") <= maxBucketSize)
+    val l = small.select(col("band"), col("chunk"),
+      col("__id").as("a"), col("simhash").as("__sa"))
+    val r = small.select(col("band"), col("chunk"),
+      col("__id").as("b"), col("simhash").as("__sb"))
+    val allPairs = l.join(r, Seq("band", "chunk"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("long")
+          .as("hamming"))
+    val chained = sized
+      .where(col("__bn") > maxBucketSize && col("__nid").isNotNull)
+      .select(col("__id").as("a"), col("__nid").as("b"),
+        bit_count(col("simhash").bitwiseXOR(col("__nsh"))).cast("long")
+          .as("hamming"))
+    allPairs.union(chained)
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Edit-distance verification for candidate pairs — the other classic
+    * fuzzy-dedup verify stage (n-gram Jaccard measures set overlap;
+    * Levenshtein measures sequence closeness, catching transpositions
+    * and local edits Jaccard underweights). Returns exact
+    * (a, b, edit_distance, max_len) integers — the caller thresholds on
+    * edit_distance/max_len without the engine ever emitting a float.
+    *
+    * Scale shape: two id-keyed joins bring each side's normalized text
+    * to the pair row, then Levenshtein runs row-local inside codegen.
+    * Cost is O(|a|·|b|) per pair — which is exactly why this belongs
+    * AFTER a bucketed candidate generator (LSH / SimHash), never on a
+    * cross join. */
+  def editDistancePairs(df: DataFrame, pairs: DataFrame, textCol: String,
+                        idCol: String): DataFrame = {
+    val t = fanOut(df)
+      .select(col(idCol), normalizedText(coalesce(col(textCol), lit(""))).as("__nt"))
+    pairs
+      .join(t.select(col(idCol).as("a"), col("__nt").as("__ta")), Seq("a"))
+      .join(t.select(col(idCol).as("b"), col("__nt").as("__tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_distance"),
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long")
+          .as("max_len"))
+  }
+
   /** n-gram Jaccard set sizes for candidate pairs: the distinct-shingle
     * array stays a column (no explode), each pair is two array lookups and
     * an array_intersect — set arithmetic inside codegen instead of a

@@ -53,6 +53,26 @@ object PipelineQueries extends QueryModule {
       Dedup.ngramJaccardCounts(docs, pairs, "text", "doc_id", shingleK = 3)
     }),
 
+    // SimHash hamming near-dup pairs (Manku et al.): 8-bit chunk banding
+    // makes the <=3-bit pair set recall-complete without an all-pairs
+    // scan; bit_count(xor) verifies in-bucket survivors.
+    "q134_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(Tables(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 3, bands = 4)),
+
+    // Edit-distance verification of the q34 candidate pairs: Levenshtein
+    // on normalized text, exact integers, row-local after id joins.
+    "q133_edit_distance" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bySource = docs.select($"source".as("src"), $"doc_id")
+      val pairs = bySource.toDF("src", "a")
+        .join(bySource.toDF("src", "b"), Seq("src"))
+        .where($"a" < $"b" && ($"b" - $"a") <= 40)
+        .select("a", "b")
+      Dedup.editDistancePairs(docs, pairs, "text", "doc_id")
+    }),
+
     // Brute-force cosine top-3 neighbors for the first 24 vectors.
     "q35_cosine_topk" -> ((s, dir) => {
       import s.implicits._
@@ -1155,6 +1175,28 @@ object PipelineQueries extends QueryModule {
         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id""",
 
+    "q134_simhash_pairs" -> s"""
+      WITH toks AS (
+        SELECT doc_id, md5(tok.t) AS h
+        FROM (SELECT doc_id, ${normSql("text")} AS nt FROM documents) d,
+          LATERAL UNNEST(string_split(d.nt, ' ')) AS tok(t)),
+      votes AS (
+        SELECT doc_id, j,
+          CAST(SUM(CASE WHEN strpos('89abcdef', substr(h, j, 1)) > 0 THEN 1 ELSE -1 END) AS BIGINT) AS v
+        FROM toks, generate_series(1, 32) AS g(j)
+        GROUP BY doc_id, j),
+      sh AS (SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id),
+      ch AS (SELECT doc_id, simhash, g.band,
+               (simhash >> (g.band * 8)) & 255 AS chunk
+             FROM sh, generate_series(0, 3) AS g(band))
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+        CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+      FROM ch l JOIN ch r
+        ON l.band = r.band AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+      WHERE bit_count(xor(l.simhash, r.simhash)) <= 3""",
+
     "q34_ngram_jaccard" -> s"""
       WITH sh AS (${shinglesSql(3)}),
       arrs AS (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY doc_id),
@@ -1169,6 +1211,20 @@ object PipelineQueries extends QueryModule {
       FROM pairs p
       JOIN arrs la ON la.doc_id = p.a
       JOIN arrs lb ON lb.doc_id = p.b""",
+
+    "q133_edit_distance" -> s"""
+      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+      pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM documents l JOIN documents r
+          ON l.source = r.source AND l.doc_id < r.doc_id
+          AND r.doc_id - l.doc_id <= 40)
+      SELECT p.a, p.b,
+        CAST(levenshtein(la.nt, lb.nt) AS BIGINT) AS edit_distance,
+        CAST(GREATEST(length(la.nt), length(lb.nt)) AS BIGINT) AS max_len
+      FROM pairs p
+      JOIN nd la ON la.doc_id = p.a
+      JOIN nd lb ON lb.doc_id = p.b""",
 
     "q35_cosine_topk" -> """
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

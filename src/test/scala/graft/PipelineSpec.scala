@@ -950,6 +950,28 @@ class PipelineSpec extends AnyFunSuite {
     // training exhausts at 3 even though 10 merges were requested
   }
 
+  test("simHashPairs: recall-complete vs brute force at maxHamming <= bands-1") {
+    val rnd = new scala.util.Random(31)
+    val pool = Vector("spark", "table", "query", "scan", "merge", "batch",
+      "row", "fast", "slow", "key")
+    val docs = (0L until 60L).map(i =>
+      (i, Seq.fill(12)(pool(rnd.nextInt(pool.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.simHashPairs(docs, "text", "doc_id",
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force over the same simhashes
+    val hashes = graft.operators.Dedup.simHash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute, "banding must find EXACTLY the brute-force <=3 set")
+    assert(brute.nonEmpty, "fixture must actually contain close pairs")
+  }
+
   test("bpeEncodeCounts: doc-level replaces equal per-word application") {
     val corpus = Seq((1L, "aab aab ab"), (2L, "aab ab")).toDF("doc_id", "text")
     // 2 merges: (a,b)->ab then (ab,</w>)->ab</w>
