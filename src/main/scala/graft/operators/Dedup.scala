@@ -485,6 +485,53 @@ object Dedup {
           .otherwise(lit(0L))).as("n_dup_windows"))
   }
 
+  /** Content-defined chunking (the rolling-hash boundary rule of
+    * LBFS/FastCDC storage dedup, windowed-hash form): a chunk boundary
+    * falls AFTER position i whenever the hash of the `window`-char
+    * context ending at i starts with `zeroNibbles` zero hex digits —
+    * boundary probability 16^-zeroNibbles per position, so expected
+    * chunk length is 16^zeroNibbles chars. Because boundaries depend
+    * only on LOCAL content, an insertion early in a document shifts at
+    * most one chunk — the property that makes chunk-hash dedup robust
+    * where fixed-offset blocks break. Returns
+    * (id, chunk_no, n_chars, chunk_hash) — hash + length, never the
+    * chunk text (dedup joins on the hash).
+    *
+    * Scale shape: entirely in-row (staged normalized text → boundary
+    * positions → span substrings → posexplode); one md5 per character
+    * position, the same per-element hash budget as the shingle/minhash
+    * path. No shuffle at all until the caller aggregates chunk hashes. */
+  def contentDefinedChunks(df: DataFrame, textCol: String, idCol: String,
+                           window: Int = 16, zeroNibbles: Int = 2): DataFrame = {
+    require(window >= 2 && zeroNibbles >= 1,
+      "window must be >= 2 and zeroNibbles >= 1")
+    val zeros = "0" * zeroNibbles
+    val staged = fanOut(df).select(col(idCol),
+      normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+    // cut positions: i in [window, len-1] — a boundary at len would
+    // create an empty tail chunk, so the final position never cuts
+    // NB: sequence(a, b) runs DESCENDING when a > b, so the filter must
+    // re-assert i >= window as well as the upper bound
+    val bounds = filter(
+      transform(sequence(lit(window), greatest(length(col("__norm")) - 1,
+        lit(window - 1))), i => i),
+      i => (i >= window) && (i <= length(col("__norm")) - 1) &&
+        md5(col("__norm").substr(i - (window - 1), lit(window)))
+          .startsWith(zeros))
+    val withB = staged.select(col(idCol), col("__norm"), bounds.as("__b"))
+    val starts = concat(array(lit(1)), transform(col("__b"), p => p + 1))
+    val ends = concat(col("__b"), array(length(col("__norm"))))
+    withB
+      .select(col(idCol), col("__norm"),
+        posexplode(zip_with(starts, ends,
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("chunk_no", "__sp")))
+      .select(col(idCol), col("chunk_no"),
+        (col("__sp.e") - col("__sp.s") + 1).cast("long").as("n_chars"),
+        md5(col("__norm").substr(col("__sp.s"),
+          col("__sp.e") - col("__sp.s") + 1)).as("chunk_hash"))
+      .where(col("n_chars") > 0) // empty doc → no chunks, not one empty chunk
+  }
+
   /** SimHash near-duplicate pairs (Manku, Jain & Das Sarma, WWW'07 —
     * the web-crawl dedup design): every pair of documents whose 32-bit
     * simhashes differ in at most `maxHamming` bits, found WITHOUT an

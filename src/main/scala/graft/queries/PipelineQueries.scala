@@ -53,6 +53,12 @@ object PipelineQueries extends QueryModule {
       Dedup.ngramJaccardCounts(docs, pairs, "text", "doc_id", shingleK = 3)
     }),
 
+    // Content-defined chunking: windowed-hash boundaries (expected chunk
+    // 256 chars), chunk hashes for storage-level dedup. Entirely in-row.
+    "q135_cdc_chunks" -> ((s, dir) =>
+      Dedup.contentDefinedChunks(Tables(s, dir, "documents"), "text",
+        "doc_id", window = 16, zeroNibbles = 2)),
+
     // SimHash hamming near-dup pairs (Manku et al.): 8-bit chunk banding
     // makes the <=3-bit pair set recall-complete without an all-pairs
     // scan; bit_count(xor) verifies in-bucket survivors.
@@ -1175,6 +1181,23 @@ object PipelineQueries extends QueryModule {
         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END) AS BIGINT) AS simhash
       FROM votes GROUP BY doc_id""",
 
+    "q135_cdc_chunks" -> s"""
+      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+      b AS (SELECT doc_id, nt,
+              list_filter(range(16, GREATEST(length(nt) - 1, 15) + 1),
+                i -> i >= 16 AND i <= length(nt) - 1
+                  AND md5(substr(nt, i - 15, 16)) LIKE '00%') AS bounds
+            FROM nd),
+      sp AS (SELECT doc_id, nt,
+               list_prepend(1, list_transform(bounds, p -> p + 1)) AS starts,
+               list_append(bounds, length(nt)) AS ends
+             FROM b)
+      SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS chunk_no,
+        CAST(ends[g.i] - starts[g.i] + 1 AS BIGINT) AS n_chars,
+        md5(substr(nt, starts[g.i], ends[g.i] - starts[g.i] + 1)) AS chunk_hash
+      FROM sp, LATERAL UNNEST(range(1, len(starts) + 1)) AS g(i)
+      WHERE ends[g.i] - starts[g.i] + 1 > 0""",
+
     "q134_simhash_pairs" -> s"""
       WITH toks AS (
         SELECT doc_id, md5(tok.t) AS h
@@ -2183,7 +2206,7 @@ object PipelineQueries extends QueryModule {
         l || r AS merged, CAST(n AS BIGINT) AS n FROM b$i""")
       .mkString("\n      UNION ALL\n      ")
     s"""
-      WITH ${bpeCtes(merges)},
+      WITH ${bpeCtes(merges)}
       $sel"""
   }
 

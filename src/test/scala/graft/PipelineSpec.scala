@@ -950,6 +950,26 @@ class PipelineSpec extends AnyFunSuite {
     // training exhausts at 3 even though 10 merges were requested
   }
 
+  test("contentDefinedChunks: lengths reassemble; an edit only disturbs its own chunk") {
+    val rnd = new scala.util.Random(17)
+    val body = Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, body), (2L, "PREFIX EDIT " + body)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.contentDefinedChunks(docs, "text", "doc_id",
+      window = 16, zeroNibbles = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // chunk lengths tile the normalized doc exactly
+    assert(byDoc(1L).map(_._3).sum == body.length.toLong)
+    assert(byDoc(2L).map(_._3).sum == body.length.toLong + 12L)
+    // content-defined boundaries: once past the edit, doc 2 re-synchronizes
+    // onto doc 1's chunk stream — the SHARED chunk hashes are what a
+    // storage dedup would coalesce
+    val h1 = byDoc(1L).map(_._4).toSet
+    val shared = byDoc(2L).map(_._4).count(h1.contains)
+    assert(shared >= byDoc(1L).size - 1,
+      s"edit must only disturb the leading chunk(s): shared=$shared of ${byDoc(1L).size}")
+  }
+
   test("simHashPairs: recall-complete vs brute force at maxHamming <= bands-1") {
     val rnd = new scala.util.Random(31)
     val pool = Vector("spark", "table", "query", "scan", "merge", "batch",
