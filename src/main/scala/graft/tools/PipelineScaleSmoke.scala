@@ -201,6 +201,50 @@ object PipelineScaleSmoke {
     require(math.abs(wKept - n / 4.0) / (n / 4.0) < 0.02,
       s"weighted sample: kept $wKept, expected ~${n / 4}")
     println(s"[pscale] weighted sample: $wKept kept (~25%)")
+
+    // ---- quantile sketch at 500k rows / 50 groups: k=256 sampling
+    // regime, the min-k merge must stay partition-invariant at scale
+    val qs = t(s"quantile sketch ($n rows)") {
+      graft.operators.Sketches.groupQuantiles(
+        docs.select($"doc_id", (($"doc_id" % 50).cast("string")).as("g"),
+          ($"doc_id" % 1000).cast("double").as("v")),
+        "g", "doc_id", "v", qs = Seq(0.5), k = 256)
+        .collect()
+    }
+    require(qs.length == 50, s"quantile sketch: ${qs.length} groups")
+    require(qs.forall(r => math.abs(r.getDouble(1) - 500.0) < 120.0),
+      "quantile sketch: a median strayed far from 500")
+    println(s"[pscale] quantile sketch: 50 medians within sampling error")
+
+    // ---- BPE training at 500k docs: the word-frequency pass is the only
+    // corpus-sized job; 8 merge iterations then run on the (tiny) vocab
+    val bpe = t(s"bpe train ($n docs, 8 merges)") {
+      graft.operators.TextAnalysis.bpeTrain(docs, "text", merges = 8).collect()
+    }
+    require(bpe.length == 8, s"bpe: learned ${bpe.length} merges")
+    println(s"[pscale] bpe: first merge '${bpe.head.getString(1)}'+'${bpe.head.getString(2)}' n=${bpe.head.getLong(4)}")
+
+    // ---- SimHash banded pairs on the 50-template corpus: every bucket
+    // is a ~10k-doc degenerate pile, so the >cap chain branch carries the
+    // whole load — candidate count must stay O(bands x n), not O(n^2)
+    val shPairs = t(s"simhash pairs ($n docs, capped)") {
+      Dedup.simHashPairs(docs, "text", "doc_id", maxHamming = 3, bands = 4,
+        maxBucketSize = 1024).count()
+    }
+    require(shPairs < 8L * n, s"simhash pairs exploded: $shPairs")
+    require(shPairs > 0L, "simhash pairs: exact dups must pair")
+    println(s"[pscale] simhash pairs: $shPairs candidates (chain-capped)")
+
+    // ---- content-defined chunking at 500k docs: in-row, ~1 md5/char;
+    // identical docs must produce identical chunk streams
+    val cdc = t(s"cdc chunks ($n docs)") {
+      graft.operators.Dedup.contentDefinedChunks(docs, "text", "doc_id",
+        window = 16, zeroNibbles = 1)
+        .agg(count(lit(1)), countDistinct(col("chunk_hash"))).head()
+    }
+    require(cdc.getLong(1) <= 50L * 20,
+      s"cdc: ${cdc.getLong(1)} distinct hashes from 50 templates")
+    println(s"[pscale] cdc: ${cdc.getLong(0)} chunks, ${cdc.getLong(1)} distinct (50 templates)")
     spark.stop()
   }
 }
