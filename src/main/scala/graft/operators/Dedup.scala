@@ -545,8 +545,14 @@ object Dedup {
     * expansion + one distinct to collapse cross-band duplicates — the
     * same bucketed-candidate discipline as the MinHash LSH path, with
     * the same degenerate-bucket cap: over `maxBucketSize`, a bucket
-    * degrades to id-ordered neighbor-chain pairs (O(n) instead of
-    * O(n²)); capped ≡ uncapped whenever buckets fit. */
+    * degrades to neighbor-chain pairs (O(n) instead of O(n²)); capped ≡
+    * uncapped whenever buckets fit. Unlike the LSH chain, the simhash
+    * chain orders by (simhash, id), NOT id alone: identical fingerprints
+    * then form contiguous runs, so a degenerate bucket still pairs every
+    * exact duplicate with its run neighbor even when several unrelated
+    * duplicate families collide into one bucket — and numerically close
+    * fingerprints sort near each other, keeping chain recall meaningful
+    * for near-dups too. */
   def simHashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
                    maxBucketSize: Int = 1024): DataFrame = {
@@ -562,7 +568,7 @@ object Dedup {
         expr(s"shiftright(simhash, band * $width)").bitwiseAND(lit(mask)))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("band", "chunk")
-    val wo = w.orderBy(col("__id"))
+    val wo = w.orderBy(col("simhash"), col("__id"))
     val sized = chunks
       .withColumn("__bn", count(lit(1)).over(w))
       .withColumn("__nid", lead(col("__id"), 1).over(wo))
@@ -579,7 +585,8 @@ object Dedup {
           .as("hamming"))
     val chained = sized
       .where(col("__bn") > maxBucketSize && col("__nid").isNotNull)
-      .select(col("__id").as("a"), col("__nid").as("b"),
+      .select(least(col("__id"), col("__nid")).as("a"),
+        greatest(col("__id"), col("__nid")).as("b"),
         bit_count(col("simhash").bitwiseXOR(col("__nsh"))).cast("long")
           .as("hamming"))
     allPairs.union(chained)

@@ -992,6 +992,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must actually contain close pairs")
   }
 
+  test("simHashPairs: capped pairs are a subset of uncapped and still pair exact dups") {
+    // 3 exact-dup families x 30 docs: every (band, chunk) bucket is one
+    // family, so cap=8 forces the chain branch on all of them
+    val docs = (0L until 90L).map(i =>
+      (i, s"family ${i % 3} body text shared by the whole family"))
+      .toDF("doc_id", "text")
+    val uncapped = graft.operators.Dedup.simHashPairs(docs, "text", "doc_id",
+      maxHamming = 3, bands = 4, maxBucketSize = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.operators.Dedup.simHashPairs(docs, "text", "doc_id",
+      maxHamming = 3, bands = 4, maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped), "cap must only DROP candidates")
+    assert(capped.nonEmpty, "chained branch must still emit close pairs")
+    // chain connectivity: within one family every doc pairs with its
+    // id-order neighbor, so transitive closure still recovers the family
+    val fam0 = (0L until 90L by 3L).toSeq
+    val adj = fam0.sliding(2).map { case Seq(a, b) => (a, b) }.toSet
+    assert(adj.subsetOf(capped), "id-order neighbor chain must survive the cap")
+  }
+
   test("bpeEncodeCounts: doc-level replaces equal per-word application") {
     val corpus = Seq((1L, "aab aab ab"), (2L, "aab ab")).toDF("doc_id", "text")
     // 2 merges: (a,b)->ab then (ab,</w>)->ab</w>
