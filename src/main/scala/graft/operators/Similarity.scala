@@ -1282,7 +1282,10 @@ object Similarity {
       .withColumn("__n", norm(col("__v")))
       .join(assign, "__id")
     val w = Window.partitionBy("centroid_id")
-    val wo = w.orderBy(col("__id"))
+    // chain order (vector, id), not id alone: identical embeddings form
+    // contiguous runs, so an over-cap cluster still drops every exact
+    // duplicate even when several dup families share the cluster
+    val wo = w.orderBy(col("__v"), col("__id"))
     val sized = v
       .withColumn("__cn", count(lit(1)).over(w))
       .withColumn("__pid", lag(col("__id"), 1).over(wo))
@@ -1322,7 +1325,10 @@ object Similarity {
       .withColumn("bucket", lshBucket(col("__v"), planes))
       .withColumn("__n", norm(col("__v")))
     val w = Window.partitionBy("bucket")
-    val wo = w.orderBy(col("__id"))
+    // chain order (vector, id) — identical embeddings stay adjacent, so
+    // the over-cap branch still pairs exact dup runs (same rationale as
+    // Dedup.simHashPairs' fingerprint-ordered chain)
+    val wo = w.orderBy(col("__v"), col("__id"))
     val sized = v
       .withColumn("__bn", count(lit(1)).over(w))
       .withColumn("__nid", lead(col("__id"), 1).over(wo))
@@ -1346,7 +1352,8 @@ object Similarity {
       .withColumn("cos",
         cosineStaged(col("__v"), col("__nv"), col("__n"), col("__nn")))
       .where(col("cos") >= threshold)
-      .select(col("__id").as("a"), col("__nid").as("b"), col("cos"))
+      .select(least(col("__id"), col("__nid")).as("a"),
+        greatest(col("__id"), col("__nid")).as("b"), col("cos"))
     allPairs.union(chained)
   }
 }
