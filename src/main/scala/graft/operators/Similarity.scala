@@ -1210,6 +1210,29 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_d2"))
   }
 
+  /** ANN quality evaluation: per-query recall@k of an approximate
+    * search result against the exact one — the metric that drives every
+    * index-tuning decision (nProbe, nPlanes, codebook size). Both inputs
+    * are (query_id, rk, neighbor_id) frames (what every search operator
+    * here returns); output is (query_id, possible, hits) with
+    * hits ≤ possible ≤ k, kept as exact integers so the caller computes
+    * recall = hits/possible without the engine emitting a float.
+    *
+    * Scale shape: both sides are |queries|·k rows — corpus-independent —
+    * so the join and aggregation cost nothing next to the searches that
+    * produced them. */
+  def annRecallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val e = exact.where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("possible"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+  }
+
   /** Two-stage ANN: ADC shortlist then exact re-rank — the standard
     * recall-restoring refinement (coarse PQ distances pick `candK`
     * candidates, exact distances on the raw/quantized vectors pick the

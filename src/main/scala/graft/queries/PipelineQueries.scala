@@ -185,6 +185,20 @@ object PipelineQueries extends QueryModule {
         .select($"query_id", $"rk", $"neighbor_id")
     }),
 
+    // ANN recall evaluation: multiprobe-LSH top-2 (q57's search) scored
+    // against exact brute-force top-2 — per-query (possible, hits) as
+    // exact integers; the index-tuning feedback metric.
+    "q136_ann_recall" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val queries = emb.where($"vec_id" < 24)
+      Similarity.annRecallAtK(
+        Similarity.lshTopKMultiProbe(queries, emb, "vec_id", "embedding",
+          k = 2, nPlanes = 4),
+        Similarity.cosineTopK(queries, emb, "vec_id", "embedding", k = 2),
+        k = 2)
+    }),
+
     // Capped-vs-uncapped LSH equivalence on a deliberately degenerate
     // corpus: 5 groups of exact duplicates, every LSH bucket far over the
     // cap, so candidate generation takes the CHAINED branch (consecutive
@@ -1654,6 +1668,53 @@ object PipelineQueries extends QueryModule {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
         FROM scored)
       SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 2""",
+
+    "q136_ann_recall" -> s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      b AS (SELECT vec_id, e, ${bucketSql("e", 4)} AS bucket0 FROM v),
+      probes AS (
+        SELECT vec_id, e, bucket0 AS bucket FROM b WHERE vec_id < 24
+        UNION ALL
+        SELECT vec_id, e,
+          substr(bucket0, 1, g.i) ||
+          (CASE WHEN substr(bucket0, g.i + 1, 1) = '1' THEN '0' ELSE '1' END) ||
+          substr(bucket0, g.i + 2, 4 - g.i - 1) AS bucket
+        FROM b, (SELECT UNNEST(generate_series(0, 3)) AS i) g
+        WHERE vec_id < 24),
+      cand AS (
+        SELECT DISTINCT p.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM probes p JOIN b c ON p.bucket = c.bucket0
+        WHERE p.vec_id <> c.vec_id),
+      scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+          list_inner_product(q.e, c.e) /
+            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v c ON c.vec_id = cand.neighbor_id),
+      atop AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rk
+                 FROM scored) WHERE rk <= 2),
+      escored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_inner_product(q.e, c.e) /
+            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 24),
+      etop AS (SELECT query_id, neighbor_id FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rk
+                 FROM escored) WHERE rk <= 2)
+      SELECT e.query_id,
+        CAST(COUNT(*) AS BIGINT) AS possible,
+        CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS hits
+      FROM etop e LEFT JOIN atop a
+        ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+      GROUP BY 1""",
 
     "q58_capped_lsh_equiv" -> """
       SELECT doc_id AS node,
