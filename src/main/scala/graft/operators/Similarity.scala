@@ -1210,6 +1210,44 @@ object Similarity {
       .select(col("query_id"), col("rk"), col("neighbor_id"), col("adc_d2"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    * several per-query rankings — dense ANN, BM25, a quality prior —
+    * into one, scoring each candidate Σᵢ 1/(k0 + rankᵢ) over the systems
+    * that retrieved it. Rank-based fusion needs no score calibration
+    * between systems, which is why it is the default hybrid-retrieval
+    * combiner. Inputs are (query_id, rk, neighbor_id) frames (the shape
+    * every search operator here emits); ties break by neighbor id.
+    *
+    * Determinism note: contributions are summed by a FIXED left-to-right
+    * fold over the ranking list (a full-outer join chain, absent
+    * contributions coalesced to 0), not a float aggregation whose
+    * addend order would depend on shuffle arrival — the same expression
+    * evaluates bit-identically in any engine.
+    *
+    * Scale shape: every frame is |queries|·k rows, corpus-independent;
+    * the join chain and the final per-query window are negligible next
+    * to the searches that produced the inputs. */
+  def rrfFuse(rankings: Seq[DataFrame], k0: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1 && topK >= 1, "k0 and topK must be >= 1")
+    val scored = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (lit(k0.toDouble) + col("rk").cast("double")))
+          .as(s"__c$i"))
+    }
+    val joined = scored.reduce(
+      (a, b) => a.join(b, Seq("query_id", "neighbor_id"), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id").asc)
+    joined.withColumn("rrf", score)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= topK)
+      .select(col("query_id"), col("rk"), col("neighbor_id"), col("rrf"))
+  }
+
   /** ANN quality evaluation: per-query recall@k of an approximate
     * search result against the exact one — the metric that drives every
     * index-tuning decision (nProbe, nPlanes, codebook size). Both inputs

@@ -185,6 +185,29 @@ object PipelineQueries extends QueryModule {
         .select($"query_id", $"rk", $"neighbor_id")
     }),
 
+    // Hybrid retrieval via reciprocal-rank fusion: per-query dense
+    // brute-force top-10 fused with a global BM25 quality prior
+    // (replicated per query) — RRF sums 1/(60+rank) in a fixed fold
+    // order, so the fused doubles hash-match across engines.
+    "q137_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val docs = Tables(s, dir, "documents")
+      val queries = emb.where($"vec_id" < 8)
+      val dense = Similarity.cosineTopK(queries, emb, "vec_id", "embedding",
+        k = 10)
+      val sparseTop = TextAnalysis.bm25(docs, "text", "doc_id",
+          terms = Seq("table", "scan", "merge"))
+        .orderBy($"bm25".desc, $"doc_id".asc).limit(10)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"bm25".desc, $"doc_id".asc)))
+        .select($"rk", $"doc_id".as("neighbor_id"))
+      val sparse = queries.select($"vec_id".as("query_id"))
+        .crossJoin(sparseTop)
+      Similarity.rrfFuse(Seq(dense, sparse), k0 = 60, topK = 5)
+    }),
+
     // ANN recall evaluation: multiprobe-LSH top-2 (q57's search) scored
     // against exact brute-force top-2 — per-query (possible, hits) as
     // exact integers; the index-tuning feedback metric.
@@ -1668,6 +1691,40 @@ object PipelineQueries extends QueryModule {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
         FROM scored)
       SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 2""",
+
+    "q137_hybrid_rrf" -> s"""
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      dscored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_inner_product(q.e, c.e) /
+            (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8),
+      dtop AS (SELECT query_id, neighbor_id, rk FROM (
+                 SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos DESC, neighbor_id ASC) AS rk
+                 FROM dscored) WHERE rk <= 10),
+      stop AS (SELECT neighbor_id, rk FROM (
+                 SELECT doc_id AS neighbor_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rk
+                 FROM (${bm25Oracle(Seq("table", "scan", "merge"))}) bmq)
+               WHERE rk <= 10),
+      sq AS (SELECT q.vec_id AS query_id, s.neighbor_id, s.rk
+             FROM (SELECT vec_id FROM v WHERE vec_id < 8) q, stop s),
+      fused AS (SELECT
+          COALESCE(d.query_id, s.query_id) AS query_id,
+          COALESCE(d.neighbor_id, s.neighbor_id) AS neighbor_id,
+          COALESCE(1.0 / (60.0 + CAST(d.rk AS DOUBLE)), 0.0) +
+            COALESCE(1.0 / (60.0 + CAST(s.rk AS DOUBLE)), 0.0) AS rrf
+        FROM dtop d FULL OUTER JOIN sq s
+          ON d.query_id = s.query_id AND d.neighbor_id = s.neighbor_id)
+      SELECT query_id, rk, neighbor_id, rrf FROM (
+        SELECT query_id, neighbor_id, rrf,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf DESC, neighbor_id ASC) AS rk
+        FROM fused)
+      WHERE rk <= 5""",
 
     "q136_ann_recall" -> s"""
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -950,6 +950,18 @@ class PipelineSpec extends AnyFunSuite {
     // training exhausts at 3 even though 10 merges were requested
   }
 
+  test("rrfFuse: consensus candidates outrank single-system ones; ties by id") {
+    val r1 = Seq((0L, 1, 10L), (0L, 2, 20L)).toDF("query_id", "rk", "neighbor_id")
+    val r2 = Seq((0L, 1, 20L), (0L, 2, 30L)).toDF("query_id", "rk", "neighbor_id")
+    val got = graft.operators.Similarity.rrfFuse(Seq(r1, r2), k0 = 60, topK = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // 20 appears in both (1/62 + 1/61) and must beat 10 (1/61) and 30 (1/62)
+    assert(got.map(_._2).toSeq == Seq(20L, 10L, 30L))
+    assert(math.abs(got(0)._3 - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(got(1)._3 == 1.0 / 61 && got(2)._3 == 1.0 / 62)
+  }
+
   test("contentDefinedChunks: lengths reassemble; an edit only disturbs its own chunk") {
     val rnd = new scala.util.Random(17)
     val body = Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
