@@ -40,27 +40,54 @@ object Bench {
     // trials spread by >1.5x the whole window may have been poisoned by one
     // sustained burst — take a fourth so a transient can't survive as a
     // phantom regression.
-    def trial(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A trial that throws reports None: a failed run's elapsed time is
+    // meaningless (an aborted job exits EARLY, so folding it into the min
+    // would print a fast phantom figure for a broken query — exactly what
+    // hid a FileScanRDD job abort inside the r6 run). Failures are counted
+    // per query and surfaced in the output JSON instead.
+    def trial(name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+      catch { case t: Throwable =>
+        System.err.println(s"BENCH TRIAL FAILED $name: ${t.getClass.getName}: ${t.getMessage}")
+        None
+      }
     }
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val three = Seq(trial(fn), trial(fn), trial(fn))
-      val best =
-        if (three.max > 1.5 * three.min) math.min(three.min, trial(fn))
-        else three.min
-      name -> best
+      val three = Seq(trial(name, fn), trial(name, fn), trial(name, fn))
+      var ok = three.flatten
+      var nFail = three.count(_.isEmpty)
+      // retry rules: any failure, or a >1.5x spread (one sustained external
+      // burst can poison a whole 3-trial window), earns a fourth trial
+      if (nFail > 0 || (ok.nonEmpty && ok.max > 1.5 * ok.min)) {
+        val t4 = trial(name, fn)
+        ok = ok ++ t4
+        nFail += (if (t4.isEmpty) 1 else 0)
+      }
+      if (nFail > 0) failed(name) = nFail
+      name -> (if (ok.nonEmpty) ok.min else Double.NaN)
     }
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2).filterNot(_.isNaN) match {
+      case s if s.nonEmpty => s.sum; case _ => 0.0 }
+    // JSON has no NaN: an all-trials-failed query renders as -1 (the
+    // "failed" map names it, so the marker can't read as a real time)
+    def failedJson(short: Boolean): String =
+      failed.map { case (k, n) =>
+        val key = if (short) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + n
+      }.mkString("{", ",", "}")
     def render(short: Boolean, decimals: Int): String = {
       val fmt = s"%.${decimals}f"
       val qs = results.map { case (k, v) =>
         val key = if (short) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + fmt.formatLocal(java.util.Locale.ROOT, v).toDouble
+        val num = if (v.isNaN) "-1" else
+          fmt.formatLocal(java.util.Locale.ROOT, v).toDouble.toString
+        "\"" + key + "\":" + num
       }.mkString("{", ",", "}")
       val sf = sfDir.split('/').last.stripPrefix("sf")
-      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total).toDouble},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+      s"""{"metric":"total","value":${"%.3f".formatLocal(java.util.Locale.ROOT, total).toDouble},"unit":"sec","queries":$qs,"failed":${failedJson(short)},"sf":"$sf"}"""
     }
     // Dual-channel for the driver's parser: a clean line on stdout AND a
     // dedicated file. The driver captures only the LAST ~2000 bytes of
@@ -73,8 +100,10 @@ object Bench {
     val stdoutLine = if (full.length <= 1800) full else render(short = true, decimals = 3)
     println(stdoutLine)
     val fileJson = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v.isNaN) "-1" else v.toString)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":${failedJson(short = false)},"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_OUT.json"),

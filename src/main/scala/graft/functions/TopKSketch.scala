@@ -147,14 +147,28 @@ case class TopKSketchAgg(
     buffer
   }
 
-  /** (item, count, err) structs, count desc / err asc / item asc. */
+  /** (item, count, err) structs, count desc / err asc / item asc.
+    * Emitted via an explicit sort rather than `order.descendingIterator`:
+    * descending the TreeSet would reverse the WHOLE (count, err, item)
+    * comparator, so count ties came out err desc / item desc —
+    * contradicting this contract (harmless to hash gates, which re-sort,
+    * but callers see the array order). */
   override def eval(buffer: SpaceSavingBuffer): Any = {
-    val n = buffer.order.size
-    val out = new Array[Any](n)
-    val it = buffer.order.descendingIterator()
+    val entries = new Array[SpaceSavingBuffer.Entry](buffer.order.size)
+    buffer.order.toArray(entries)
+    java.util.Arrays.sort(entries, new java.util.Comparator[SpaceSavingBuffer.Entry] {
+      override def compare(a: SpaceSavingBuffer.Entry, b: SpaceSavingBuffer.Entry): Int = {
+        val c = java.lang.Long.compare(b.count, a.count) // count DESC
+        if (c != 0) return c
+        val e = java.lang.Long.compare(a.err, b.err) // err ASC
+        if (e != 0) return e
+        a.item.compareTo(b.item) // item ASC
+      }
+    })
+    val out = new Array[Any](entries.length)
     var i = 0
-    while (it.hasNext) {
-      val e = it.next()
+    while (i < entries.length) {
+      val e = entries(i)
       out(i) = InternalRow(e.item, e.count, e.err)
       i += 1
     }

@@ -61,17 +61,23 @@ object Sampling {
     * row-local predicate: no shuffle, pushes below wider plans, and
     * join-stable for a fixed id column.
     *
-    * Overflow-safe by construction: the scaled compare only runs when
-    * num·w < denom ≤ 2^20, bounding the product below 2^60. Null or
-    * negative weights are never kept (a null id hashes like the string
-    * "null" — ids should be non-null). */
+    * Overflow-safe by construction: the p ≥ 1 short-circuit compares w
+    * against a DRIVER-computed threshold (⌈denom/num⌉) instead of forming
+    * w·num — which for a huge row weight would wrap negative and silently
+    * DROP a row that must always be kept. The scaled compare then only
+    * runs when w < ⌈denom/num⌉, so num·w < denom + num ≤ 2^21, bounding
+    * the product below 2^61. Null or negative weights are never kept (a
+    * null id hashes like the string "null" — ids should be non-null). */
   def weightedKeep(id: Column, weight: Column, num: Long, denom: Long): Column = {
     require(num >= 0 && denom >= 1 && denom <= (1L << 20),
       s"rate must be num/denom with num >= 0 and 1 <= denom <= 2^20, got $num/$denom")
+    require(num <= (1L << 20), s"num must be <= 2^20, got $num")
     val hv = conv(substring(md5(id.cast("string")), 1, 10), 16, 10).cast("long")
     val w = coalesce(weight.cast("long"), lit(-1L))
+    // smallest w with w*num >= denom; num == 0 means p = 0 (never trips)
+    val alwaysKeepW = if (num == 0) Long.MaxValue else (denom - 1) / num + 1
     when(w < 0L, lit(false))
-      .when(w * num >= denom, lit(true)) // p >= 1: always keep
+      .when(lit(num > 0) && w >= alwaysKeepW, lit(true)) // p >= 1
       .otherwise(hv * denom < w * num * lit(1L << 40))
   }
 

@@ -463,9 +463,15 @@ object Similarity {
       while (i < c.length) { acc += c(i) * c(i); i += 1 }
       acc
     }
+    // NaN fail-fast mirrors codeArgmin's batch guard: least(struct) would
+    // otherwise TOLERATE NaN (NaN loses in Spark ordering) and encode a
+    // malformed vector silently, breaking the documented byte-identical-
+    // to-batch equivalence exactly on the inputs where batch raises
     def scoreOf(vec: Column, c: Array[Double]): Column = {
-      val cLit = array(c.toSeq.map(lit): _*)
-      lit(-2.0) * dot(vec, cLit) + lit(sqNorm(c))
+      val s = lit(-2.0) * dot(vec, array(c.toSeq.map(lit): _*)) + lit(sqNorm(c))
+      when(isnan(s), raise_error(
+        lit("PQ encode: non-finite distance (NaN vector element?)")))
+        .otherwise(s)
     }
     def argminScore(vec: Column, cands: Array[(Long, Array[Double])]): Column = {
       val scored = cands.map { case (cid, c) =>

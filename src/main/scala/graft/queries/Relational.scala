@@ -57,13 +57,19 @@ object Relational extends QueryModule {
       import s.implicits._
       val h = dir.hashCode.toHexString
       val base = s"/tmp/graft_clustered_v1_$h"
+      // readerSessions = Seq(s): the input dfs come from the Tables reader
+      // CLONE, and the join below reads through `s` — whose own
+      // resolved-relation cache must be evicted after the rewrite (the r6
+      // bench abort: trial 2+ planned against trial 1's deleted files).
       graft.sources.Clustered.writeClustered(
         Tables(s, dir, "events").select($"user_id", $"value"),
-        s"graft_ev_$h", s"$base/ev", Seq("user_id"), nBuckets = 8)
+        s"graft_ev_$h", s"$base/ev", Seq("user_id"), nBuckets = 8,
+        readerSessions = Seq(s))
       graft.sources.Clustered.writeClustered(
         Tables(s, dir, "customer")
           .select($"c_custkey".as("user_id"), $"c_mktsegment"),
-        s"graft_cust_$h", s"$base/cust", Seq("user_id"), nBuckets = 8)
+        s"graft_cust_$h", s"$base/cust", Seq("user_id"), nBuckets = 8,
+        readerSessions = Seq(s))
       graft.sources.Clustered.coLocatedJoin(s,
           s"graft_ev_$h", s"graft_cust_$h", Seq("user_id"))
         .groupBy($"c_mktsegment")

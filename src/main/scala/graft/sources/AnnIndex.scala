@@ -99,13 +99,24 @@ object AnnIndex {
         codes
           .where(col("cell").isin(affected: _*) && !col(idCol).isin(ids: _*))
           .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+        // crash-safe swap per cell: move the LIVE directory aside first,
+        // then the rewrite in, then drop the old copy — a crash anywhere
+        // in the window leaves at least one complete copy of the cell
+        // (deleting live-then-move would strand the data in tmp)
         affected.foreach { c =>
-          BucketFs.deleteRecursive(s"$indexDir/codes/cell=$c")
+          val old = s"$indexDir/codes_old_cell=$c"
+          BucketFs.deleteRecursive(old)
+          val (lfs, live) = BucketFs.resolve(s"$indexDir/codes/cell=$c")
+          if (lfs.exists(live)) {
+            val (_, oldP) = BucketFs.resolve(old)
+            BucketFs.move(lfs, live, oldP)
+          }
           val (fs, src) = BucketFs.resolve(s"$tmp/cell=$c")
           if (fs.exists(src)) { // absent = the cell emptied entirely
             val (_, dst) = BucketFs.resolve(s"$indexDir/codes/cell=$c")
             BucketFs.move(fs, src, dst)
           }
+          BucketFs.deleteRecursive(old)
         }
         BucketFs.deleteRecursive(tmp)
       }
@@ -253,10 +264,17 @@ object AnnIndex {
     spark.read.parquet(codesDir)
       .withColumn("cell", col("cell").cast("long"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    BucketFs.deleteRecursive(codesDir)
-    val (fs, src) = BucketFs.resolve(tmp)
+    // crash-safe swap: live moves ASIDE (not deleted) before tmp moves in,
+    // so a crash in the window always leaves one complete copy on disk
+    val old = s"$indexDir/codes_old"
+    BucketFs.deleteRecursive(old)
+    val (fs, live) = BucketFs.resolve(codesDir)
+    val (_, oldP) = BucketFs.resolve(old)
+    BucketFs.move(fs, live, oldP)
+    val (_, src) = BucketFs.resolve(tmp)
     val (_, dst) = BucketFs.resolve(codesDir)
     BucketFs.move(fs, src, dst)
+    BucketFs.deleteRecursive(old)
   }
 
   /** Pack exploded codes to one array row per vector (position =

@@ -25,11 +25,27 @@ object Clustered {
   /** Write `df` as a hash-clustered external datasource table at `path`.
     * `nBuckets` must match on both sides of a co-located join, and should
     * be sized so one bucket of the LARGER table fits a task comfortably
-    * (≈ total size / nBuckets ≤ a few hundred MB). */
+    * (≈ total size / nBuckets ≤ a few hundred MB).
+    *
+    * `readerSessions`: every session that will READ the table afterwards
+    * and may have resolved it BEFORE this rewrite. On Spark 4.1,
+    * saveAsTable-overwrite does NOT evict the per-session resolved-relation
+    * cache (`SessionCatalog.tableRelationCache`), so a prior reader session
+    * keeps planning against the part-files this overwrite just deleted —
+    * `FAILED_READ_FILE.FILE_NOT_EXIST`; this exact stale listing aborted a
+    * q120 re-run inside the r6 bench. The cache is PER SESSION (a cloned
+    * session — e.g. a reader clone carrying parquet flags — has its own),
+    * which is why refreshing only `df.sparkSession` is not enough when the
+    * input df came from a clone: the session that runs the later join still
+    * holds the stale entry. We evict via SQL REFRESH TABLE on each reader
+    * session (verified empirically in r7: REFRESH TABLE on the reading
+    * session evicts its cached relation and the next resolution lists the
+    * rewritten files; DROP TABLE + recreate does not evict). */
   def writeClustered(df: DataFrame, table: String, path: String,
                      keyCols: Seq[String], nBuckets: Int,
                      sortCols: Seq[String] = Nil,
-                     mode: String = "overwrite"): Unit = {
+                     mode: String = "overwrite",
+                     readerSessions: Seq[SparkSession] = Nil): Unit = {
     require(keyCols.nonEmpty, "clustering needs at least one key column")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     var w = df.write.mode(mode)
@@ -38,6 +54,9 @@ object Clustered {
     val sorts = if (sortCols.nonEmpty) sortCols else keyCols
     w = w.sortBy(sorts.head, sorts.tail: _*)
     w.saveAsTable(table)
+    (df.sparkSession +: readerSessions).distinct.foreach { s =>
+      s.sql(s"REFRESH TABLE `$table`")
+    }
   }
 
   /** Equi-join two co-clustered tables on their cluster key. When both

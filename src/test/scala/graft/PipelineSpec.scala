@@ -216,6 +216,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed.where(Sampling.weightedKeep($"id", $"w", 1L, 2L)).count() == 0)
     intercept[IllegalArgumentException](
       Sampling.weightedKeep($"id", lit(1), 1L, (1L << 21)))
+    intercept[IllegalArgumentException](
+      Sampling.weightedKeep($"id", lit(1), (1L << 21), 100L)) // num bound
+    // overflow regression (r6 ADVICE): a huge weight must ALWAYS be kept —
+    // the old p>=1 check formed w*num, which wraps negative for
+    // w*num >= 2^63 and silently dropped every such row
+    val huge = ids.limit(100).withColumn("w", lit(Long.MaxValue / 2))
+    assert(huge.where(Sampling.weightedKeep($"id", $"w", 3L, 100L)).count() == 100)
   }
 
   test("weightedTopK: deterministic, fixed-size, inclusion ∝ weight") {
@@ -902,6 +909,24 @@ class PipelineSpec extends AnyFunSuite {
         graft.sources.AnnIndex.streamingCodesWriter(spark, dir, src,
           vecs.schema, "embedding", s"$dir/_ckpt"))
     } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
+  test("encodeRowsAgainstCollected: NaN vector fails fast (streaming-batch parity)") {
+    // r6 ADVICE: least(struct) tolerates NaN (NaN loses in Spark ordering),
+    // so without the guard a malformed vector encodes SILENTLY in the
+    // streaming ingest while the batch packed argmin raises on it
+    import graft.operators.Similarity
+    val df = Seq((1L, Array(Double.NaN, 1.0, 0.5, 0.25))).toDF("id", "v")
+    val cents = Array(0L -> Array(0.0, 0.0, 0.0, 0.0), 1L -> Array(1.0, 1.0, 1.0, 1.0))
+    val cb = Map(
+      0 -> Array(0L -> Array(0.0, 0.0), 1L -> Array(1.0, 1.0)),
+      1 -> Array(0L -> Array(0.0, 0.0), 1L -> Array(1.0, 1.0)))
+    val enc = Similarity.encodeRowsAgainstCollected(
+      df, "id", "v", cents, cb, dims = 4, m = 2, quantizeScale = None)
+    val e = intercept[Exception](enc.collect())
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else t.getMessage :: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("non-finite distance")))
   }
 
   test("AnnIndex: loading a non-index directory fails loudly") {

@@ -54,6 +54,16 @@ class TopKSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("eval order: count desc, then err asc, then item asc on full ties") {
+    graft.functions.GraftFunctions.register(spark)
+    // all counts tie at 2 → order must fall back to item ASC (the r6
+    // descendingIterator emitted item DESC on ties)
+    Seq("b", "c", "a", "a", "c", "b").toDF("s").createOrReplaceTempView("hh_tie")
+    val rows = spark.sql("SELECT inline(topk_sketch(s, 8)) FROM hh_tie").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 2L), ("c", 2L)))
+  }
+
   test("SQL surface: topk_sketch registered, literal capacity enforced") {
     graft.functions.GraftFunctions.register(spark)
     Seq("a", "b", "a", "c", "a", "b").toDF("s").createOrReplaceTempView("hh_in")
