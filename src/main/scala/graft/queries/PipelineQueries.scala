@@ -962,6 +962,50 @@ object PipelineQueries extends QueryModule {
       val withTok = Tables(s, dir, "documents")
         .select($"lang", TextAnalysis.tokenCount($"text").as("n_tokens"))
       graft.operators.Sampling.quantileThresholdBy(withTok, "lang", "n_tokens", 0.5)
+    }),
+
+    // Persisted dedup-index lifecycle: build a MinHash/LSH index over the
+    // archived corpus (doc_id % 4 != 0) ONCE, then find each new-batch
+    // doc's near-dup candidates in the corpus from stored band postings +
+    // signatures alone — corpus text untouched at query time. Uncapped to
+    // match the all-pairs oracle (the cap degrade is spec-tested).
+    "q138_dedup_index" -> ((s, dir) => {
+      import s.implicits._
+      val h = s"v1_${dir.hashCode.toHexString}"
+      val idxDir = s"/tmp/graft_dedupidx_$h"
+      val docs = Tables(s, dir, "documents")
+      if (!graft.sources.BucketFs.exists(s"$idxDir/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(idxDir)
+        graft.sources.DedupIndex.save(docs.where($"doc_id" % 4 =!= 0),
+          "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
+        graft.sources.BucketFs.writeString(s"$idxDir/_staged_ok", "ok\n")
+      }
+      graft.sources.DedupIndex.load(s, idxDir)
+        .candidates(docs.where($"doc_id" % 4 === 0), "text",
+          maxBucketSize = Int.MaxValue)
+    }),
+
+    // Incremental variant: the same corpus arrives as a base save plus two
+    // appends (batch-sized band/signature appends + a bucket-count-sized
+    // stats merge — nothing corpus-sized rescanned). Must answer exactly
+    // like q138's one-shot build; the oracle recomputes from scratch.
+    "q139_dedup_index_append" -> ((s, dir) => {
+      import s.implicits._
+      val h = s"v1_${dir.hashCode.toHexString}"
+      val idxDir = s"/tmp/graft_dedupidx_app_$h"
+      val docs = Tables(s, dir, "documents")
+      if (!graft.sources.BucketFs.exists(s"$idxDir/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(idxDir)
+        graft.sources.DedupIndex.save(docs.where($"doc_id" % 4 === 1),
+          "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
+        val idx = graft.sources.DedupIndex.load(s, idxDir)
+        idx.append(docs.where($"doc_id" % 4 === 2), "text")
+        idx.append(docs.where($"doc_id" % 4 === 3), "text")
+        graft.sources.BucketFs.writeString(s"$idxDir/_staged_ok", "ok\n")
+      }
+      graft.sources.DedupIndex.load(s, idxDir)
+        .candidates(docs.where($"doc_id" % 4 === 0), "text",
+          maxBucketSize = Int.MaxValue)
     })
   )
 
@@ -1182,7 +1226,40 @@ object PipelineQueries extends QueryModule {
             FROM acc)
       WHERE rk <= 3"""
 
+  /** From-scratch recompute of the q138/q139 dedup-index answer: both
+    * gates split documents into corpus (doc_id % 4 != 0) and new batch
+    * (doc_id % 4 == 0), band the 8-hash MinHash signatures 2-per-band,
+    * and report every cross-side bucket collision with its count of
+    * agreeing signature components. ONE text for both gates — q139's
+    * save+append+append build must be indistinguishable from q138's
+    * one-shot build. */
+  private def dedupIndexSql: String = s"""
+      WITH sig AS (${minhashSql(8)}),
+      bands AS (
+        SELECT doc_id, b.band,
+          CASE b.band
+            WHEN 0 THEN CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+            WHEN 1 THEN CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+            WHEN 2 THEN CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+            ELSE CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) END AS band_sig
+        FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b),
+      pairs AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM bands n JOIN bands c
+          ON n.band = c.band AND n.band_sig = c.band_sig
+        WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 <> 0)
+      SELECT p.new_id, p.corpus_id,
+        CAST((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT
+           + (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT
+           + (a.mh4 = b.mh4)::INT + (a.mh5 = b.mh5)::INT
+           + (a.mh6 = b.mh6)::INT + (a.mh7 = b.mh7)::INT AS BIGINT) AS n_match
+      FROM pairs p
+      JOIN sig a ON p.new_id = a.doc_id
+      JOIN sig b ON p.corpus_id = b.doc_id"""
+
   def oracle: Map[String, String] = Map(
+    "q138_dedup_index" -> dedupIndexSql,
+    "q139_dedup_index_append" -> dedupIndexSql,
     "q30_dedup_exact" -> s"""
       SELECT md5(${normSql("text")}) AS text_md5,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

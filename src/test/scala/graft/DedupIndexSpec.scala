@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{BucketFs, DedupIndex}
+
+/** Persisted MinHash/LSH dedup index: save/load/candidates round trip,
+  * append ≡ from-scratch equivalence, the over-cap representative degrade,
+  * and the keep-side filter. */
+class DedupIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("id", "text")
+
+  private val corpus = docs(
+    1L -> "the quick brown fox jumps over the lazy dog again and again",
+    2L -> "entirely different content describing spark execution engines",
+    3L -> "another unrelated row of words that shares nothing with others")
+
+  private val batch = docs(
+    10L -> "the quick brown fox jumps over the lazy dog again and again",
+    11L -> "completely novel text matching no archived document whatsoever")
+
+  test("save/load/candidates: duplicates surface from stored signatures only") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    try {
+      DedupIndex.save(corpus, "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      val idx = DedupIndex.load(spark, dir)
+      assert((idx.shingleK, idx.numHashes, idx.bands, idx.idCol) == (3, 8, 4, "id"))
+      val cands = idx.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // the exact duplicate agrees on every signature component
+      assert(cands.contains((10L, 1L, 8)))
+      // the novel doc matches nothing
+      assert(!cands.exists(_._1 == 11L))
+      val kept = idx.newDocsToKeep(batch, "text", minMatch = 6)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(11L))
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
+  test("append twice == one-shot save over the union (stats merged incrementally)") {
+    val extra = docs(
+      4L -> "yet more archived prose landing in its own lsh bucket somewhere",
+      5L -> "the quick brown fox jumps over the lazy dog again and again")
+    val dirA = java.nio.file.Files.createTempDirectory("dedupidx_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("dedupidx_b").toString
+    try {
+      DedupIndex.save(corpus, "text", "id", dirA,
+        shingleK = 3, numHashes = 8, bands = 4)
+      DedupIndex.load(spark, dirA)
+        .append(extra.where($"id" === 4), "text")
+        .append(extra.where($"id" === 5), "text")
+      DedupIndex.save(corpus.unionByName(extra), "text", "id", dirB,
+        shingleK = 3, numHashes = 8, bands = 4)
+      def answer(d: String) = DedupIndex.load(spark, d)
+        .candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val incremental = answer(dirA)
+      assert(incremental == answer(dirB))
+      assert(incremental.contains((10L, 5L, 8))) // appended dup is found
+      // merged stats agree with a recount of the merged postings
+      val statsA = DedupIndex.load(spark, dirA).bucketStats
+        .select("band", "band_sig", "n", "rep_id")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val recount = DedupIndex.load(spark, dirA).bandPostings
+        .groupBy("band", "band_sig")
+        .agg(count(lit(1)).as("n"), min($"id").as("rep_id"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(statsA == recount)
+    } finally { BucketFs.deleteRecursive(dirA); BucketFs.deleteRecursive(dirB) }
+  }
+
+  test("over-cap buckets degrade to the stored representative (min id)") {
+    val boiler = docs((1L to 5L).map(i =>
+      i -> "identical boilerplate body repeated across the whole archive"): _*)
+    val b = docs(10L -> "identical boilerplate body repeated across the whole archive")
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_cap").toString
+    try {
+      DedupIndex.save(boiler, "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      val idx = DedupIndex.load(spark, dir)
+      // uncapped: all five corpus copies enumerate
+      assert(idx.candidates(b, "text", Int.MaxValue).count() == 5L)
+      // capped below the bucket population: one O(1) witness, the min id
+      val capped = idx.candidates(b, "text", maxBucketSize = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(capped.toSeq == Seq((10L, 1L, 8)))
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
+  test("load: non-index directory fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("notadedupidx").toString
+    try {
+      val e = intercept[IllegalArgumentException](DedupIndex.load(spark, dir))
+      assert(e.getMessage.contains("_dedup_index.json"))
+    } finally BucketFs.deleteRecursive(dir)
+  }
+}
