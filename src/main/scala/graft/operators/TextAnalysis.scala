@@ -450,8 +450,39 @@ object TextAnalysis {
     * literal in the next iteration's `replace` — k driver rows total,
     * bounded by `merges`). The vocab frame is localCheckpointed per
     * iteration to truncate the k-deep lineage. */
-  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeTrainBatched(df, textCol, merges, batch = 1)
+
+  /** [[bpeTrain]] with BATCHED merge selection — the distributed-BPE
+    * round-collapsing trick: each round ranks pair counts once and
+    * greedily accepts up to `batch` pairs whose SYMBOL SETS are pairwise
+    * disjoint, then applies them all in one pass. Disjointness is what
+    * makes the batch sound: merging ' a b ' can only change counts of
+    * pairs sharing a or b (neighbors gain (x,ab)/(ab,y), overlaps lose),
+    * so every accepted pair's count — and its ' l r ' match sites — are
+    * invariant under the other accepted merges; application order within
+    * a round is irrelevant (they apply in rank order regardless).
+    *
+    * At `batch` = 1 the greedy selection is exactly "take the max", so
+    * the learned table is IDENTICAL to sequential BPE. At `batch` = N a
+    * 32k-merge tokenizer run schedules ~N× fewer Spark jobs (one
+    * count+collect and one checkpoint per ROUND instead of per merge) —
+    * the difference between 32k sequential job barriers and 4k at N=8.
+    * The table can differ from sequential BPE's (a merge CREATES pairs —
+    * (x,ab) may outrank the round's remaining picks), which is the
+    * standard, documented trade of batched BPE; `n` records each pair's
+    * frequency at its round's start.
+    *
+    * Greedy selection scans a DETERMINISTIC candidate window of
+    * 4·batch + 8 top pairs (by n desc, l asc, r asc) — part of the
+    * algorithm's definition (the DuckDB oracle mirrors it), and the
+    * driver-collect bound. A round always accepts ≥ 1 pair (rank 1 is
+    * never blocked), so capping the window costs acceptance, never
+    * correctness: unpicked pairs stay for the next round's recount. */
+  def bpeTrainBatched(df: DataFrame, textCol: String, merges: Int,
+                      batch: Int): DataFrame = {
     require(merges >= 1, "merges must be >= 1")
+    require(batch >= 1, "batch must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val words = Dedup.fanOut(df)
@@ -471,8 +502,10 @@ object TextAnalysis {
     var step = 1
     var exhausted = false
     while (step <= merges && !exhausted) {
+      val want = math.min(batch, merges - step + 1)
+      val window = 4 * batch + 8
       val toks = split(trim(col("__seq")), " ")
-      val best = vocab
+      val cands = vocab
         .select(col("__freq"), toks.as("__t"))
         .where(size(col("__t")) >= 2)
         .select(col("__freq"), explode(transform(
@@ -482,16 +515,26 @@ object TextAnalysis {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("__freq")).as("n"))
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
+        .limit(window).collect()
+      if (cands.isEmpty) exhausted = true
       else {
-        val (l, r, n) = (best(0).getString(0), best(0).getString(1),
-          best(0).getLong(2))
-        learned += ((step, l, r, n))
+        val used = scala.collection.mutable.Set.empty[String]
+        val picked = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        cands.iterator.takeWhile(_ => picked.length < want).foreach { row =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          if (!used(l) && !used(r)) {
+            picked += ((l, r, row.getLong(2)))
+            used += l; used += r
+          }
+        }
+        picked.foreach { case (l, r, n) =>
+          learned += ((step, l, r, n)); step += 1
+        }
         vocab = vocab.withColumn("__seq",
-          replace(col("__seq"), lit(s" $l $r "), lit(s" $l$r ")))
+            picked.foldLeft(col("__seq")) { case (acc, (l, r, _)) =>
+              replace(acc, lit(s" $l $r "), lit(s" $l$r "))
+            })
           .localCheckpoint(true)
-        step += 1
       }
     }
     learned.toSeq

@@ -964,6 +964,15 @@ object PipelineQueries extends QueryModule {
       graft.operators.Sampling.quantileThresholdBy(withTok, "lang", "n_tokens", 0.5)
     }),
 
+    // Batched BPE training: each round greedily accepts up to 4 symbol-
+    // disjoint pairs from one ranked count and applies them in one pass —
+    // 8 merges in 2 rounds instead of 8 (the job-count collapse a 32k-
+    // merge tokenizer needs). batch=4 over merges=8 deliberately spans
+    // TWO rounds so the oracle also pins the recount-and-continue seam.
+    "q141_bpe_batched" -> ((s, dir) =>
+      TextAnalysis.bpeTrainBatched(Tables(s, dir, "documents"), "text",
+        merges = 8, batch = 4)),
+
     // Persisted dedup-index lifecycle: build a MinHash/LSH index over the
     // archived corpus (doc_id % 4 != 0) ONCE, then find each new-batch
     // doc's near-dup candidates in the corpus from stored band postings +
@@ -1587,6 +1596,8 @@ object PipelineQueries extends QueryModule {
     "q131_bpe_train" -> bpeOracle(6),
 
     "q132_bpe_encode" -> bpeApplyOracle(6),
+
+    "q141_bpe_batched" -> bpeBatchedOracle(8, 4),
 
     "q130_group_topk" -> s"""
       WITH t AS (SELECT lang,
@@ -2403,6 +2414,64 @@ object PipelineQueries extends QueryModule {
     s"""
       WITH ${bpeCtes(merges)}
       $sel"""
+  }
+
+  /** SQL mirror of TextAnalysis.bpeTrainBatched: per round, rank pair
+    * counts once (candidate window 4·batch + 8, the algorithm's
+    * deterministic cap), unroll the greedy symbol-disjoint selection as
+    * c{round}_{j} / u{round}_{j} CTE pairs (pick j = first candidate
+    * whose symbols avoid the union u of symbols picked so far), apply
+    * all accepted merges in rank order, recount, repeat. */
+  private def bpeBatchedOracle(merges: Int, batch: Int): String = {
+    require(merges % batch == 0, "oracle unroll wants batch | merges")
+    val rounds = merges / batch
+    val window = 4 * batch + 8
+    val roundCtes = (1 to rounds).map { rd =>
+      val sel = (1 to batch).map { j =>
+        val excl = if (j == 1) "" else
+          s"""WHERE l NOT IN (SELECT s FROM u${rd}_${j - 1})
+              AND r NOT IN (SELECT s FROM u${rd}_${j - 1}) """
+        val u = if (j == 1)
+          s"u${rd}_1 AS (SELECT l AS s FROM c${rd}_1 UNION SELECT r FROM c${rd}_1)"
+        else
+          s"""u${rd}_$j AS (SELECT s FROM u${rd}_${j - 1}
+              UNION SELECT l FROM c${rd}_$j UNION SELECT r FROM c${rd}_$j)"""
+        s"""c${rd}_$j AS MATERIALIZED (SELECT l, r, n FROM q$rd ${excl}ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+      $u"""
+      }.mkString(",\n      ")
+      val repl = (1 to batch).foldLeft(s"s${rd - 1}.seq") { (acc, j) =>
+        s"replace($acc, ' ' || c${rd}_$j.l || ' ' || c${rd}_$j.r || ' ', ' ' || c${rd}_$j.l || c${rd}_$j.r || ' ')"
+      }
+      val cs = (1 to batch).map(j => s"c${rd}_$j").mkString(", ")
+      // MATERIALIZED: DuckDB inlines multiply-referenced CTEs by default,
+      // and the per-round cross join of `batch` selection CTEs (each
+      // expanding the whole prior chain) would blow up file opens
+      // exponentially with rounds
+      s"""t$rd AS (SELECT freq, string_split(trim(seq), ' ') AS toks FROM s${rd - 1}),
+      p$rd AS (SELECT toks[g.i] AS l, toks[g.i + 1] AS r, SUM(freq) AS n
+              FROM t$rd, LATERAL UNNEST(range(1, len(toks))) AS g(i)
+              GROUP BY 1, 2),
+      q$rd AS MATERIALIZED (SELECT l, r, n FROM p$rd ORDER BY n DESC, l ASC, r ASC LIMIT $window),
+      $sel,
+      s$rd AS MATERIALIZED (SELECT freq, $repl AS seq FROM s${rd - 1}, $cs)"""
+    }.mkString(",\n      ")
+    val out = (1 to rounds).flatMap { rd =>
+      (1 to batch).map { j =>
+        val step = (rd - 1) * batch + j
+        s"""SELECT $step AS step, l AS left_tok, r AS right_tok,
+        l || r AS merged, CAST(n AS BIGINT) AS n FROM c${rd}_$j"""
+      }
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+      WITH w AS (SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+               SELECT UNNEST(string_split(${normSql("text")}, ' ')) AS tok
+               FROM documents) WHERE tok <> '' GROUP BY 1),
+      s0 AS (SELECT freq,
+               ' ' || array_to_string(list_transform(range(1, length(word) + 1),
+                 i -> substr(word, i, 1)), ' ') || ' </w> ' AS seq
+             FROM w),
+      $roundCtes
+      $out"""
   }
 
   /** SQL mirror of TextAnalysis.bpeEncodeCounts: each document becomes

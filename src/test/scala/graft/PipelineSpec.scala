@@ -975,6 +975,46 @@ class PipelineSpec extends AnyFunSuite {
     // training exhausts at 3 even though 10 merges were requested
   }
 
+  test("bpeTrainBatched: batch=1 == sequential table; batching collapses jobs; disjoint rule holds") {
+    val corpus = Seq("aab aab ab cde cde", "aab ab fgh cde", "fgh fgh xy").toDF("text")
+    def table(df: org.apache.spark.sql.DataFrame) = df.orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    // count Spark jobs per run — batching's whole point is fewer of them
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    def counted[A](body: => A): (A, Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs = 0
+      try {
+        val a = body
+        // the listener bus is async: wait until the count stops moving
+        var last = -1
+        var spins = 0
+        while (jobs != last && spins < 50) {
+          last = jobs; spins += 1; Thread.sleep(100)
+        }
+        (a, jobs)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    import graft.operators.TextAnalysis
+    val (seq8, jSeq) = counted(table(TextAnalysis.bpeTrain(corpus, "text", merges = 8)))
+    val (one8, jOne) = counted(table(TextAnalysis.bpeTrainBatched(corpus, "text", merges = 8, batch = 1)))
+    assert(one8 == seq8, "batch=1 must reproduce the sequential table exactly")
+    val (bat8, jBat) = counted(table(TextAnalysis.bpeTrainBatched(corpus, "text", merges = 8, batch = 4)))
+    assert(bat8.map(_._1) == (1 to bat8.length), "steps stay dense and ordered")
+    // within each round, accepted pairs' symbol sets are pairwise disjoint
+    bat8.grouped(4).foreach { round =>
+      val syms = round.flatMap(m => Seq(m._2, m._3))
+      assert(syms.distinct.size == syms.size, s"round shares symbols: $round")
+    }
+    // 8 count+apply rounds collapse to 2: strictly fewer driver jobs
+    assert(jBat < jSeq / 2,
+      s"batched run should schedule far fewer jobs: sequential $jSeq (=$jOne at batch=1), batched $jBat")
+  }
+
   test("rrfFuse: consensus candidates outrank single-system ones; ties by id") {
     val r1 = Seq((0L, 1, 10L), (0L, 2, 20L)).toDF("query_id", "rk", "neighbor_id")
     val r2 = Seq((0L, 1, 20L), (0L, 2, 30L)).toDF("query_id", "rk", "neighbor_id")
