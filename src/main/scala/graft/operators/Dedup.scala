@@ -485,6 +485,78 @@ object Dedup {
           .otherwise(lit(0L))).as("n_dup_windows"))
   }
 
+  /** WINNOW-SAMPLED [[spanDuplicationStats]] — the scalable middle ground
+    * between the full-resolution exact-span coverage (every char position
+    * crosses the shuffle; petabyte-class at corpus scale) and doc-level
+    * sketches: only winnowing-SELECTED windows cross the shuffle, a
+    * ~2/(w+1) density (Schleimer, Wilkerson, Aiken, SIGMOD'03 "Winnowing:
+    * local algorithms for document fingerprinting").
+    *
+    * Selection rule (the paper's): hash every spanLen-window, slide a
+    * window of `w` consecutive hashes, select each window's MINIMUM hash
+    * position, rightmost on ties; a document with fewer than w hashes is
+    * one short window. Selection depends only on LOCAL content, so the
+    * property that makes the sample useful for duplication stats holds:
+    * inside any shared run of length ≥ spanLen + w − 1, both documents
+    * select the SAME spans (self-synchronization) — a guarantee neither
+    * mod-p sampling (no density bound) nor per-doc min-k (no cross-doc
+    * alignment at partial overlap) provides.
+    *
+    * Returns (id, n_windows_sampled, n_dup_windows_sampled): of the
+    * document's selected windows, how many hold a span that at least
+    * `minDocs` distinct documents also SELECTED. On heavily duplicated
+    * text the sampled dup RATIO tracks q126's exact ratio; counts are
+    * ~2/(w+1) of exact by construction.
+    *
+    * Scale shape: hashing and selection are in-row (the hash array and
+    * span array are staged attributes, so each md5 runs once despite the
+    * O(nWin·w) argmin scans); only selected spans explode into the same
+    * three hash-agg pipeline as [[spanDuplicationStats]] — the shuffle
+    * carries 2/(w+1) of the char positions, the knob the full-resolution
+    * operator lacks. */
+  def winnowedSpanStats(df: DataFrame, textCol: String, idCol: String,
+                        spanLen: Int, w: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanLen >= 2 && minDocs >= 2,
+      "spanLen must be >= 2 and minDocs >= 2")
+    require(w >= 2, "winnow window w must be >= 2")
+    val spansExpr = filter(transform(
+      sequence(lit(1), greatest(length(col("__norm")) - (spanLen - 1), lit(1))),
+      i => col("__norm").substr(i, lit(spanLen))),
+      g => length(g) === spanLen)
+    val hashExpr = transform(col("__spans"),
+      s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
+    val staged = fanOut(df)
+      .select(col(idCol), normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+      .select(col(idCol), spansExpr.as("__spans"))
+      .select(col(idCol), col("__spans"), hashExpr.as("__h"))
+      .where(size(col("__spans")) >= 1)
+    // rightmost argmin per hash window [i, i+w-1] (truncated at the end
+    // only for the m < w single-window case): slice -> min -> position of
+    // the min in the REVERSED slice gives the rightmost occurrence
+    val m = size(col("__h"))
+    val nWin = greatest(m - (w - 1), lit(1))
+    val pickAt = (i: Column) => {
+      val sl = slice(col("__h"), i, lit(w))
+      i + size(sl) - array_position(reverse(sl), array_min(sl)).cast("int")
+    }
+    val selected = array_distinct(transform(sequence(lit(1), nWin), pickAt))
+    val windows = staged
+      .select(col(idCol), col("__spans"), selected.as("__sel"))
+      .select(col(idCol),
+        explode(transform(col("__sel"),
+          p => element_at(col("__spans"), p))).as("__span"))
+    val perDocSpan = windows.groupBy(col(idCol), col("__span"))
+      .agg(count(lit(1)).as("__cnt"))
+    val perSpan = perDocSpan.groupBy(col("__span"))
+      .agg(count(lit(1)).as("__span_docs"))
+    perDocSpan.join(perSpan, "__span")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_windows_sampled"),
+        sum(when(col("__span_docs") >= minDocs, col("__cnt"))
+          .otherwise(lit(0L))).as("n_dup_windows_sampled"))
+  }
+
   /** Content-defined chunking (the rolling-hash boundary rule of
     * LBFS/FastCDC storage dedup, windowed-hash form): a chunk boundary
     * falls AFTER position i whenever the hash of the `window`-char

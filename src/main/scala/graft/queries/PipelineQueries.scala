@@ -964,6 +964,15 @@ object PipelineQueries extends QueryModule {
       graft.operators.Sampling.quantileThresholdBy(withTok, "lang", "n_tokens", 0.5)
     }),
 
+    // Winnow-sampled span-duplication coverage: q126's statistic at
+    // ~2/(w+1) of its shuffle cost — only winnowing-selected windows
+    // (local rightmost-argmin over w=8 consecutive span hashes) cross
+    // the shuffle. Self-synchronizing selection: shared runs >= spanLen
+    // + w - 1 select identical spans in every document containing them.
+    "q142_winnowed_spans" -> ((s, dir) =>
+      Dedup.winnowedSpanStats(Tables(s, dir, "documents"), "text", "doc_id",
+        spanLen = 24, w = 8, minDocs = 2)),
+
     // Batched BPE training: each round greedily accepts up to 4 symbol-
     // disjoint pairs from one ranked count and applies them in one pass —
     // 8 merges in 2 rounds instead of 8 (the job-count collapse a 32k-
@@ -1598,6 +1607,35 @@ object PipelineQueries extends QueryModule {
     "q132_bpe_encode" -> bpeApplyOracle(6),
 
     "q141_bpe_batched" -> bpeBatchedOracle(8, 4),
+
+    // mirror of Dedup.winnowedSpanStats at spanLen=24, w=8: per doc, hash
+    // every 24-char window, winnow-select the rightmost min of each run
+    // of 8 consecutive hashes (one short window when fewer than 8), then
+    // q126's count pipeline over the SELECTED spans only
+    "q142_winnowed_spans" -> s"""
+      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+      sp AS (SELECT doc_id,
+               list_filter(list_transform(range(1, GREATEST(length(nt) - 23, 1) + 1),
+                 i -> substr(nt, i, 24)), g -> length(g) = 24) AS spans
+             FROM nd),
+      h AS (SELECT doc_id, spans,
+              list_transform(spans,
+                s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS hs
+            FROM sp WHERE len(spans) >= 1),
+      selpos AS (SELECT doc_id, spans,
+          list_distinct(list_transform(range(1, GREATEST(len(hs) - 7, 1) + 1),
+            i -> CAST(i AS INT) + len(hs[i:i+7])
+               - CAST(list_position(list_reverse(hs[i:i+7]),
+                   list_aggregate(hs[i:i+7], 'min')) AS INT))) AS sel
+        FROM h),
+      wnd AS (SELECT doc_id, spans[p.p] AS span
+              FROM selpos, LATERAL UNNEST(sel) AS p(p)),
+      pds AS (SELECT doc_id, span, COUNT(*) AS c FROM wnd GROUP BY 1, 2),
+      ps AS (SELECT span, COUNT(*) AS span_docs FROM pds GROUP BY 1)
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows_sampled,
+        CAST(SUM(CASE WHEN ps.span_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+          AS n_dup_windows_sampled
+      FROM pds JOIN ps USING (span) GROUP BY 1""",
 
     "q130_group_topk" -> s"""
       WITH t AS (SELECT lang,

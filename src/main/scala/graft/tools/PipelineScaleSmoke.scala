@@ -245,6 +245,49 @@ object PipelineScaleSmoke {
     require(cdc.getLong(1) <= 50L * 20,
       s"cdc: ${cdc.getLong(1)} distinct hashes from 50 templates")
     println(s"[pscale] cdc: ${cdc.getLong(0)} chunks, ${cdc.getLong(1)} distinct (50 templates)")
+
+    // ---- winnow-sampled span coverage at 500k docs: every doc is one of
+    // 50 templates, so every SELECTED window is duplicated ~10k-fold —
+    // sampled coverage must be 100% dup, and the shuffle carries ~2/(w+1)
+    // of the char positions instead of all of them (q126's full cost)
+    val wsp = t(s"winnowed spans ($n docs)") {
+      Dedup.winnowedSpanStats(docs, "text", "doc_id",
+          spanLen = 24, w = 8, minDocs = 2)
+        .agg(sum($"n_windows_sampled"), sum($"n_dup_windows_sampled"),
+          count(lit(1))).head()
+    }
+    require(wsp.getLong(2) == n, s"winnowed spans covered ${wsp.getLong(2)} docs")
+    require(wsp.getLong(0) == wsp.getLong(1),
+      s"template corpus must be fully duplicated at the sampled windows: " +
+        s"${wsp.getLong(1)} of ${wsp.getLong(0)}")
+    // density: a 4-hash body (~131 chars, ~108 windows) winnows to ~2/(w+1)
+    // of positions; assert the sample stays an order of magnitude under full
+    require(wsp.getLong(0) < n * 40,
+      s"winnow sample too dense: ${wsp.getLong(0)} windows for $n docs")
+    println(s"[pscale] winnowed spans: ${wsp.getLong(0)} sampled windows, all dup")
+
+    // ---- persisted dedup index at 500k docs: index even ids, query odd
+    // ids (each odd doc's template twin set is ~5k even docs) — candidates
+    // must stay capped via bucket representatives, never bucket-quadratic
+    val idxDir = java.nio.file.Files.createTempDirectory("pscale_dedupidx").toString
+    try {
+      t(s"dedup index build (${n / 2} docs)") {
+        graft.sources.DedupIndex.save(docs.where($"doc_id" % 2 === 0),
+          "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
+      }
+      val cand = t(s"dedup index query (${n / 2} new)") {
+        graft.sources.DedupIndex.load(spark, idxDir)
+          .candidates(docs.where($"doc_id" % 2 === 1), "text",
+            maxBucketSize = 1024)
+          .agg(count(lit(1)), countDistinct($"new_id")).head()
+      }
+      require(cand.getLong(1) == n / 2,
+        s"every odd doc must find its family: ${cand.getLong(1)} of ${n / 2}")
+      require(cand.getLong(0) <= 4L * n,
+        s"capped index candidates exploded: ${cand.getLong(0)}")
+      println(s"[pscale] dedup index: ${cand.getLong(0)} candidates, " +
+        s"all ${cand.getLong(1)} new docs matched")
+    } finally graft.sources.BucketFs.deleteRecursive(idxDir)
     spark.stop()
   }
 }
