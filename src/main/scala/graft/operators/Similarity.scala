@@ -65,6 +65,37 @@ object Similarity {
       .select("query_id", "rk", "neighbor_id", "cos")
   }
 
+  /** Exact squared-L2 top-k — the ground truth an ANN recall curve is
+    * scored against: d² = ‖q‖² − 2q·c + ‖c‖² on the same `quantizeScale`
+    * integer grid the PQ index encodes on, so approximate and exact
+    * searches rank on the SAME geometry and recall@k measures the index,
+    * not a quantization mismatch. Self-pairs are excluded (recall
+    * queries are drawn from the corpus).
+    *
+    * Scale shape: identical to [[cosineTopK]] — queries broadcast, one
+    * corpus pass, per-query top-k window; the |queries|·|corpus| frame
+    * streams through the window without materializing. */
+  def l2TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int,
+             quantizeScale: Option[Double] = Some(1000.0)): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val q = prepVectors(queries, idCol, vecCol, quantizeScale)
+      .select(col("__id").as("query_id"), col("__v").as("__qv"),
+        col("__vv").as("__qvv"))
+    val c = prepVectors(corpus, idCol, vecCol, quantizeScale)
+      .select(col("__id").as("neighbor_id"), col("__v").as("__cv"),
+        col("__vv").as("__cvv"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d2",
+        col("__qvv") + col("__cvv") - lit(2.0) * dot(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d2").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "d2")
+  }
+
   /** Deterministic hyperplanes: nPlanes × dim in [-1, 1), seeded. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -222,6 +222,33 @@ object PipelineQueries extends QueryModule {
         k = 2)
     }),
 
+    // The recall-vs-nProbe tuning curve on the PERSISTED index — the
+    // workflow a user actually runs to pick nProbe: one exact-L2 ground
+    // truth (same 1000× integer grid as the index), three searches of the
+    // reloaded IVF-PQ index at nProbe ∈ {1, 2, 4}, each scored by
+    // annRecallAtK as exact integers. Widening the probe set can only add
+    // candidates, and ADC ranks a superset at least as well on this
+    // fixture, so hits are non-decreasing in nprobe (the spec asserts it;
+    // the oracle pins the exact integers).
+    "q140_recall_curve" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val idx = s"/tmp/graft_annidx_curve_v1_${dir.hashCode.toHexString}"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
+        dims = 64, m = 4, k = 16, nList = 8)
+      val loaded = graft.sources.AnnIndex.loadIvfPq(s, idx)
+      val queries = emb.where($"vec_id" < 8)
+      val exact = Similarity.l2TopK(queries, emb, "vec_id", "embedding", k = 3)
+      Seq(1, 2, 4).map { p =>
+        Similarity.annRecallAtK(
+            loaded.search(queries, "embedding", topK = 3, nProbe = p),
+            exact, k = 3)
+          .withColumn("nprobe", lit(p))
+      }.reduce(_ unionByName _)
+        .select($"nprobe", $"query_id", $"possible", $"hits")
+    }),
+
     // Capped-vs-uncapped LSH equivalence on a deliberately degenerate
     // corpus: 5 groups of exact duplicates, every LSH bucket far over the
     // cap, so candidate generation takes the CHAINED branch (consecutive
@@ -499,6 +526,31 @@ object PipelineQueries extends QueryModule {
       val docs = Tables(s, dir, "documents")
       val bench = docs.where($"doc_id" % 97 === 0)
       TextAnalysis.contamination(docs, bench, "text", "doc_id", n = 5)
+    }),
+
+    // Variable-length exact-substring repeats via the generalized suffix
+    // array (prefix doubling; Lee et al. 2022's exact-substring design):
+    // every maximal run of SA-adjacent suffixes with pairwise LCP >= 16
+    // is one repeated substring — string, exact length (capped at 48),
+    // occurrence count. Bounded slice: the corpus-wide answer at 100 TB
+    // belongs to the winnowed/fixed-window operators (q124/q142); this is
+    // the exact variable-length instrument for a shard.
+    "q144_suffix_repeats" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.SuffixArray.repeatsAtLeast(
+        Tables(s, dir, "documents").where($"doc_id" < 200),
+        "text", "doc_id", minLen = 16, cap = 48)
+    }),
+
+    // Bloom-prescreened decontamination: q74's exact result through the
+    // two-pass production shape — broadcast Bloom bits gate the corpus
+    // grams (codegen'd long probe), the exact broadcast join verifies
+    // survivors only. No false negatives → the gate shares q74's oracle.
+    "q143_bloom_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.where($"doc_id" % 97 === 0)
+      TextAnalysis.contaminationBloom(docs, bench, "text", "doc_id", n = 5)
     }),
 
     // C4-style line-level corpus dedup: documents re-chunked into 10-token
@@ -1093,6 +1145,25 @@ object PipelineQueries extends QueryModule {
     * rank-1 re-assignment — then the query side probes its `nProbe`
     * nearest trained cells and top-2 ranks candidates within them. The
     * corpus side stays rank-1 (a vector lives in exactly one cell). */
+  /** Word-5-gram benchmark-overlap oracle, shared by q74 (exact join)
+    * and q143 (Bloom prescreen + exact verify): identical output is the
+    * point — Bloom filters have no false negatives and the verify pass
+    * removes false positives. */
+  private lazy val decontaminateOracle: String = s"""
+      WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks
+                 FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+              array_to_string(toks[(i.i):(i.i + 4)], ' ') AS gram
+            FROM t, LATERAL UNNEST(range(1, len(toks) - 4 + 1)) AS i(i)
+            WHERE len(toks) >= 5),
+      b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      h AS (SELECT g.doc_id, COUNT(*) AS n FROM g JOIN b USING (gram)
+            GROUP BY 1)
+      SELECT d.doc_id,
+        CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+        COALESCE(h.n, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id"""
+
   private def ivfKmeansOracle(nProbe: Int): String = s"""
       WITH v AS (SELECT vec_id,
                    list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
@@ -1904,20 +1975,48 @@ object PipelineQueries extends QueryModule {
         CAST(MIN(doc_id) OVER (PARTITION BY doc_id % 5) AS BIGINT) AS cluster_id
       FROM documents""",
 
-    "q74_decontaminate" -> s"""
-      WITH t AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks
-                 FROM documents),
-      g AS (SELECT DISTINCT doc_id,
-              array_to_string(toks[(i.i):(i.i + 4)], ' ') AS gram
-            FROM t, LATERAL UNNEST(range(1, len(toks) - 4 + 1)) AS i(i)
-            WHERE len(toks) >= 5),
-      b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
-      h AS (SELECT g.doc_id, COUNT(*) AS n FROM g JOIN b USING (gram)
-            GROUP BY 1)
-      SELECT d.doc_id,
-        CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
-        COALESCE(h.n, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id""",
+    "q74_decontaminate" -> decontaminateOracle,
+
+    // Bloom prescreen + exact verify ≡ the exact join (no false
+    // negatives) — ONE oracle shared with q74 so the equivalence claim
+    // is the gate itself, not a copy that could drift.
+    "q143_bloom_decontaminate" -> decontaminateOracle,
+
+    // mirror of SuffixArray.repeatsAtLeast(minLen=16, cap=48) on the
+    // doc_id < 200 slice: sort ALL suffixes (DuckDB can, the slice is
+    // bounded), capped adjacent LCP (clamped to both lengths — equal
+    // short suffixes must report their own length, not the cap), maximal
+    // runs of lcp >= 16 via a running break count, min-LCP common prefix
+    "q144_suffix_repeats" -> s"""
+      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents
+                  WHERE doc_id < 200),
+      sfx AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos, substr(nt, i.i) AS s
+              FROM nd, LATERAL UNNEST(range(1, length(nt) + 1)) AS i(i)),
+      orded AS (SELECT doc_id, pos, s,
+                  row_number() OVER (ORDER BY s, doc_id, pos) AS idx
+                FROM sfx),
+      adj AS (SELECT a.idx, substr(a.s, 1, 48) AS cur, substr(b.s, 1, 48) AS prv
+              FROM orded a LEFT JOIN orded b ON b.idx = a.idx - 1),
+      lcps AS (SELECT idx, cur,
+                 CASE WHEN prv IS NULL THEN 0
+                      ELSE LEAST(list_max(list_prepend(CAST(0 AS BIGINT),
+                             list_filter(range(1, 49),
+                               l -> substr(cur, 1, CAST(l AS INT))
+                                  = substr(prv, 1, CAST(l AS INT))))),
+                           length(cur), length(prv))
+                 END AS lcp
+               FROM adj),
+      runs AS (SELECT idx, cur, lcp,
+                 SUM(CASE WHEN lcp < 16 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY idx) AS rid
+               FROM lcps),
+      g AS (SELECT rid, COUNT(*) AS n_occ,
+              MIN(CASE WHEN lcp >= 16 THEN lcp END) AS replen,
+              arg_min(cur, idx) AS head
+            FROM runs GROUP BY rid HAVING COUNT(*) >= 2)
+      SELECT substr(head, 1, CAST(replen AS INT)) AS repeat,
+        CAST(replen AS BIGINT) AS repeat_len, CAST(n_occ AS BIGINT) AS n_occ
+      FROM g""",
 
     "q75_line_dedup" -> s"""
       WITH t AS (SELECT doc_id, string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
@@ -2172,6 +2271,54 @@ object PipelineQueries extends QueryModule {
     // the persisted-index search must return exactly what the inline
     // search returns, so it shares q96's oracle
     "q100_pq_persist" -> ivfPqOracle(nProbe = 1),
+
+    // mirror of q140: the ivfPqOracle search body with the probe rank
+    // kept (rk <= 4) and cross-joined against np ∈ {1,2,4}, scored
+    // against the exact quantized-L2 top-3 — per (nprobe, query) exact
+    // integer (possible, hits)
+    "q140_recall_curve" -> s"""$pqCommonSql,
+      $ivfCellsSql,
+      qc AS (SELECT fv.vec_id, c.ccell,
+               row_number() OVER (PARTITION BY fv.vec_id ORDER BY
+                 ((fv.sq - 2.0 * list_inner_product(fv.e, c.ce)) + c.cc2)
+                   ASC, c.ccell ASC) AS rk
+             FROM fv, cen c WHERE fv.vec_id < 8),
+      nps AS (SELECT UNNEST([1, 2, 4]) AS np),
+      qcells AS (SELECT nps.np, qc.vec_id AS query_id, qc.ccell AS cell
+                 FROM qc, nps WHERE qc.rk <= nps.np),
+      q AS (SELECT vec_id AS query_id, s, sv, n2 FROM svv WHERE vec_id < 8),
+      dt AS (SELECT q.query_id, cb.s, cb.cid,
+               (q.n2 - 2.0 * list_inner_product(q.sv, cb.c)) + cb.cc AS ld
+             FROM q JOIN cb ON q.s = cb.s),
+      acc AS (SELECT qc.np, dt.query_id, b.vec_id AS neighbor_id,
+                SUM(dt.ld) AS d2
+              FROM best b
+              JOIN dt ON b.s = dt.s AND b.cid = dt.cid
+              JOIN cells nc ON nc.vec_id = b.vec_id
+              JOIN qcells qc ON qc.query_id = dt.query_id AND qc.cell = nc.cell
+              WHERE b.vec_id <> dt.query_id
+              GROUP BY 1, 2, 3),
+      approx AS (SELECT np, query_id, neighbor_id FROM (
+                   SELECT np, query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY np, query_id
+                       ORDER BY d2 ASC, neighbor_id ASC) AS rk
+                   FROM acc) WHERE rk <= 3),
+      ex AS (SELECT query_id, neighbor_id FROM (
+               SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   ((q.sq - 2.0 * list_inner_product(q.e, n.e)) + n.sq) ASC,
+                   n.vec_id ASC) AS rk
+               FROM fv q JOIN fv n ON n.vec_id <> q.vec_id
+               WHERE q.vec_id < 8) WHERE rk <= 3),
+      exn AS (SELECT nps.np, ex.query_id, ex.neighbor_id FROM ex, nps)
+      SELECT e.np AS nprobe, e.query_id,
+        CAST(COUNT(*) AS BIGINT) AS possible,
+        CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS hits
+      FROM exn e
+      LEFT JOIN approx a ON a.np = e.np AND a.query_id = e.query_id
+        AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1, 2""",
 
     // post-delete search = inline search minus the tombstoned corpus
     // rows (frozen quantizers, so only the candidate set shrinks)

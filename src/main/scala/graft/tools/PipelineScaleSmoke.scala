@@ -269,14 +269,14 @@ object PipelineScaleSmoke {
     // ---- persisted dedup index at 500k docs: index even ids, query odd
     // ids (each odd doc's template twin set is ~5k even docs) — candidates
     // must stay capped via bucket representatives, never bucket-quadratic
-    val idxDir = java.nio.file.Files.createTempDirectory("pscale_dedupidx").toString
+    val dedupIdxDir = java.nio.file.Files.createTempDirectory("pscale_dedupidx").toString
     try {
       t(s"dedup index build (${n / 2} docs)") {
         graft.sources.DedupIndex.save(docs.where($"doc_id" % 2 === 0),
-          "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
+          "text", "doc_id", dedupIdxDir, shingleK = 8, numHashes = 8, bands = 4)
       }
       val cand = t(s"dedup index query (${n / 2} new)") {
-        graft.sources.DedupIndex.load(spark, idxDir)
+        graft.sources.DedupIndex.load(spark, dedupIdxDir)
           .candidates(docs.where($"doc_id" % 2 === 1), "text",
             maxBucketSize = 1024)
           .agg(count(lit(1)), countDistinct($"new_id")).head()
@@ -287,7 +287,7 @@ object PipelineScaleSmoke {
         s"capped index candidates exploded: ${cand.getLong(0)}")
       println(s"[pscale] dedup index: ${cand.getLong(0)} candidates, " +
         s"all ${cand.getLong(1)} new docs matched")
-    } finally graft.sources.BucketFs.deleteRecursive(idxDir)
+    } finally graft.sources.BucketFs.deleteRecursive(dedupIdxDir)
     spark.stop()
   }
 }

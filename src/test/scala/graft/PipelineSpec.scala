@@ -1015,6 +1015,120 @@ class PipelineSpec extends AnyFunSuite {
       s"batched run should schedule far fewer jobs: sequential $jSeq (=$jOne at batch=1), batched $jBat")
   }
 
+  test("suffixRanks: prefix-doubling matches brute-force generalized suffix sort") {
+    val rnd = new scala.util.Random(11)
+    val fixture = (0L until 6L).map { i =>
+      (i, Seq.fill(30)(('a' + rnd.nextInt(3)).toChar).mkString)
+    } :+ (6L, Seq.fill(30)(('a' + rnd.nextInt(3)).toChar).mkString.take(30)) :+
+      (7L, "") // empty doc contributes no suffixes
+    val dup = fixture.head._2
+    val docs = (fixture :+ (8L, dup)).toDF("doc_id", "text") // exact dup doc
+    val got = graft.operators.SuffixArray.suffixRanks(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val texts = (fixture :+ (8L, dup)).toMap
+    val sfx = texts.toSeq.flatMap { case (d, t) =>
+      (1 to t.length).map(p => (d, p.toLong, t.substring(p - 1))) }
+    val rankOf = sfx.map(_._3).distinct.sorted.zipWithIndex.toMap
+    val expect = sfx.map { case (d, p, s) => (d, p, rankOf(s).toLong) }.toSet
+    assert(got == expect)
+  }
+
+  test("repeatsAtLeast: maximal SA runs match a brute-force replica") {
+    val docs = Seq(
+      (0L, "aaa the common repeated segment xxx"),
+      (1L, "bbb the common repeated segment yyy"),
+      (2L, "ccc the common repeated segment yyy"),
+      (3L, "nothing shared in this document at all"),
+      (4L, "aaa the common repeated segment xxx") // exact dup of 0
+    ).toDF("doc_id", "text")
+    val minLen = 10; val cap = 20
+    val got = graft.operators.SuffixArray.repeatsAtLeast(docs, "text", "doc_id",
+        minLen, cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force replica of the definition: sort all suffixes, capped
+    // adjacent lcp, maximal runs of lcp >= minLen, min-lcp common prefix
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1))
+    val sfx = texts.flatMap { case (d, t) =>
+      (1 to t.length).map(p => (d, p, t.substring(p - 1))) }
+      .sortBy { case (d, p, s) => (s, d, p) }
+    def lcpOf(x: String, y: String): Long =
+      x.take(cap).zip(y.take(cap)).takeWhile { case (u, v) => u == v }.size.toLong
+    val lcps = sfx.indices.map(i =>
+      if (i == 0) 0L else lcpOf(sfx(i)._3, sfx(i - 1)._3))
+    val expect = scala.collection.mutable.Set.empty[(String, Long, Long)]
+    var i = 0
+    while (i < sfx.length) {
+      var j = i + 1
+      while (j < sfx.length && lcps(j) >= minLen) j += 1
+      if (j - i >= 2) {
+        val replen = (i + 1 until j).map(lcps).min
+        expect += ((sfx(i)._3.take(replen.toInt), replen, (j - i).toLong))
+      }
+      i = j
+    }
+    assert(got == expect.toSet)
+    // sanity: the shared segment surfaces as a multi-doc repeat (capped
+    // at 20 chars, so the run head reads "the common repeated ")
+    assert(got.exists(r => r._1.startsWith("the common repeated") && r._3 >= 3))
+  }
+
+  test("contaminationBloom: bit-identical to the exact contamination join") {
+    val bench = docs.where($"doc_id" === 2L)
+    val exact = TextAnalysis.contamination(docs, bench, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect().toSeq
+    // the near-dup docs share 3-grams with doc 2, doc 3 shares none —
+    // both sides of the equivalence must see hits AND zero-hit docs
+    assert(exact.exists(_.getLong(1) > 0) && exact.exists(_.getLong(1) == 0))
+    val bloomed = TextAnalysis.contaminationBloom(docs, bench, "text", "doc_id",
+      n = 3).orderBy("doc_id").collect().toSeq
+    assert(bloomed == exact)
+  }
+
+  test("l2TopK: exact nearest by squared L2, self excluded, quantized grid") {
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.001f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(0f, 3f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.l2TopK(vecs.where($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 3)
+      .select("rk", "neighbor_id", "d2").as[(Int, Long, Double)].collect()
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    // floor(0.001*1000)=1 → d2=1; 1000² and 3000² for the others
+    assert(got.map(_._3).toSeq == Seq(1.0, 1e6, 9e6))
+  }
+
+  test("recall curve: hits non-decreasing in nProbe, exact at full probe") {
+    // 8 integer-valued patterns × 3 copies; the k=8 codebook is trained
+    // on the first 8 vectors = one of each pattern, so every vector
+    // PQ-encodes LOSSLESSLY and ADC distance = exact distance. Then
+    // nProbe=4 (all cells) must recover the exact top-3 bit-for-bit, and
+    // with distances agreeing and both sides tie-breaking by neighbor id,
+    // a wider probe set can never displace a true hit → hits monotone.
+    val vecs = (0 until 24).map { i =>
+      val p = i % 8
+      (i.toLong, Array.tabulate(8)(d => ((p + 1) * (d + 3) % 11).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft_curve").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", idx,
+        dims = 8, m = 4, k = 8, nList = 4)
+      val loaded = graft.sources.AnnIndex.loadIvfPq(spark, idx)
+      val queries = vecs.where($"vec_id" < 4)
+      val exact = Similarity.l2TopK(queries, vecs, "vec_id", "embedding", k = 3)
+      val byProbe = Seq(1, 2, 4).map { p =>
+        p -> Similarity.annRecallAtK(
+            loaded.search(queries, "embedding", topK = 3, nProbe = p),
+            exact, k = 3)
+          .agg(sum($"hits"), sum($"possible")).as[(Long, Long)].head()
+      }
+      val hits = byProbe.map(_._2._1)
+      assert(hits == hits.sorted, s"recall must not decrease with nProbe: $byProbe")
+      assert(byProbe.last._2._1 == byProbe.last._2._2,
+        s"full probe must recover exact top-3: $byProbe")
+    } finally graft.sources.BucketFs.deleteRecursive(idx)
+  }
+
   test("rrfFuse: consensus candidates outrank single-system ones; ties by id") {
     val r1 = Seq((0L, 1, 10L), (0L, 2, 20L)).toDF("query_id", "rk", "neighbor_id")
     val r2 = Seq((0L, 1, 20L), (0L, 2, 30L)).toDF("query_id", "rk", "neighbor_id")
