@@ -528,6 +528,37 @@ object PipelineQueries extends QueryModule {
       TextAnalysis.contamination(docs, bench, "text", "doc_id", n = 5)
     }),
 
+    // Persisted BM25 text index lifecycle: build the bucket-partitioned
+    // postings on disk, reload, search fixed terms — only the query
+    // terms' bucket directories are read (static partition filter), and
+    // quantize-before-sum scoring (bm25_q4) keeps the result
+    // hash-exact against an oracle that recomputes BM25 from scratch.
+    "q145_text_index" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val idx = s"/tmp/graft_textidx_v1_${dir.hashCode.toHexString}"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.TextIndex.save(docs, "text", "doc_id", idx, nBuckets = 16)
+      graft.sources.TextIndex.load(s, idx)
+        .search(Seq("table", "scan", "merge"), topK = 10)
+    }),
+
+    // Incremental text-index growth: index even ids, append odd ids —
+    // postings/df-deltas append into the bucket layout, manifest
+    // constants add — then the same search must equal the from-scratch
+    // full-corpus oracle exactly.
+    "q146_text_index_append" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val idx = s"/tmp/graft_textidx_app_v1_${dir.hashCode.toHexString}"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.TextIndex.save(docs.where($"doc_id" % 2 === 0),
+        "text", "doc_id", idx, nBuckets = 16)
+      graft.sources.TextIndex.load(s, idx)
+        .append(docs.where($"doc_id" % 2 === 1), "text")
+        .search(Seq("table", "scan", "merge"), topK = 10)
+    }),
+
     // Variable-length exact-substring repeats via the generalized suffix
     // array (prefix doubling; Lee et al. 2022's exact-substring design):
     // every maximal run of SA-adjacent suffixes with pairwise LCP >= 16
@@ -2041,6 +2072,11 @@ object PipelineQueries extends QueryModule {
 
     "q76_bm25" -> bm25Oracle(Seq("spark", "window", "merge")),
 
+    "q145_text_index" ->
+      bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
+    "q146_text_index_append" ->
+      bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
+
     "q77_kmeans" -> """
       WITH v AS (SELECT vec_id,
                    list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
@@ -2685,6 +2721,45 @@ object PipelineQueries extends QueryModule {
   /** SQL mirror of TextAnalysis.bm25 (k1=1.25, b=0.75 — dyadic, so every
     * constant is an exact double; rational IDF, no ln; same left-assoc
     * term-sum order as the Scala reduce). */
+  /** Mirror of TextIndex search (k1=1.25, b=0.75): BM25 recomputed from
+    * scratch over documents, per-term scores quantized BEFORE the sum
+    * (floor(10⁴·x) — doubles from exact integer inputs are bit-identical
+    * across engines, the long sum is order-independent), docs containing
+    * no query term excluded, (bm25_q4 desc, doc_id asc) top-k. The
+    * append gate shares it: growing even-ids + odd-ids must equal the
+    * from-scratch index. */
+  private def bm25IndexOracle(terms: Seq[String], topK: Int): String = {
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
+      .mkString(",\n              ")
+    val dfAggs = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n              ")
+    val q4s = terms.indices.map { i =>
+      s"""CAST(floor(10000.0 * ((((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE)) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         | * ((CAST(tf$i AS DOUBLE) * 2.25) /
+         |    (CAST(tf$i AS DOUBLE) + 1.25 * (0.25 + 0.75 *
+         |      (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))))))) AS BIGINT)""".stripMargin
+    }
+    val total = q4s.reduce((a, b) => s"($a + $b)")
+    val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
+       |           FROM documents),
+       |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |              $tfCols
+       |      FROM t),
+       |s AS (SELECT CAST(SUM(dl) AS BIGINT) AS sumdl, COUNT(*) AS n,
+       |              $dfAggs
+       |      FROM w),
+       |sc AS (SELECT doc_id, $total AS bm25_q4
+       |       FROM w, s WHERE ($anyTf) > 0)
+       |SELECT doc_id, rk, bm25_q4 FROM (
+       |  SELECT doc_id, bm25_q4,
+       |    row_number() OVER (ORDER BY bm25_q4 DESC, doc_id ASC) AS rk
+       |  FROM sc)
+       |WHERE rk <= $topK""".stripMargin
+  }
+
   private def bm25Oracle(terms: Seq[String]): String = {
     val tfCols = terms.indices.map(i =>
       s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
