@@ -28,6 +28,11 @@ object GraftSession {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
+      // naive parquet timestamps are naive-UTC in this engine's data model:
+      // read them as TIMESTAMP (session zone = UTC), never TIMESTAMP_NTZ.
+      // Set at builder level so readStream sources and newSession() clones
+      // (streaming gates) inherit it, not just ReaderSession batch reads.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")

@@ -4,9 +4,11 @@ import org.apache.spark.sql.SparkSession
 
 /** Isolated session for the engine's parquet reads.
   *
-  * Bucket/table reads need two non-default SQL confs: partition label
-  * strings must not be type-inferred, and TIMESTAMP(NANOS) parquet must be
-  * read as long nanos. Both are session confs consulted lazily (the nanos
+  * Bucket/table reads need non-default SQL confs: partition label
+  * strings must not be type-inferred, TIMESTAMP(NANOS) parquet must be
+  * read as long nanos, and naive (us/ms, isAdjustedToUTC=false) timestamps
+  * must read as TIMESTAMP, not TIMESTAMP_NTZ. These are session confs
+  * consulted lazily (the nanos
   * flag at physical-reader build time), so a set-then-restore around the
   * lazy `spark.read` would corrupt later execution — and mutating the
   * caller's session leaks the flags into every unrelated read (round-1
@@ -33,6 +35,11 @@ object ReaderSession {
       ns = spark.newSession()
       ns.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       ns.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive (unadjusted-to-UTC) parquet timestamps must read as TIMESTAMP
+      // under the UTC session zone — the reference's naive-UTC model
+      // (satbucket/checks.py:40-89) — not as TIMESTAMP_NTZ, which breaks
+      // unix_micros and typed Timestamp consumers downstream.
+      ns.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       cache.put(spark, ns)
     }
     ns

@@ -67,8 +67,8 @@ object AnalysisQueries extends QueryModule {
     // merged bucket; hash-compared against plain SQL on the raw table.
     "q27_merge_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val src = s"/tmp/graft_merge_src_${dir.hashCode.toHexString}"
-      val dst = s"/tmp/graft_merge_dst_${dir.hashCode.toHexString}"
+      val src = s"/tmp/graft_merge_src_${QueryModule.cacheKey(dir)}"
+      val dst = s"/tmp/graft_merge_dst_${QueryModule.cacheKey(dir)}"
       // fresh destination: period files from a previous code revision would
       // otherwise linger beside the newly merged ones
       def rmrf(d: String): Unit = {
@@ -102,7 +102,7 @@ object AnalysisQueries extends QueryModule {
     "q54_update_merge" -> ((s, dir) => {
       import s.implicits._
       // v-token: bump when the synth/source shape changes (stale /tmp cache)
-      val h = s"v1_${dir.hashCode.toHexString}"
+      val h = s"v1_${QueryModule.cacheKey(dir)}"
       val srcA = s"/tmp/graft_upd_srcA_$h"; val srcB = s"/tmp/graft_upd_srcB_$h"
       val dst = s"/tmp/graft_upd_dst_$h"
       // the MERGES are the operation under test and run fresh every time;
@@ -212,7 +212,7 @@ object AnalysisQueries extends QueryModule {
     // granule exercises the error-capture contract without aborting.
     "q56_granule_etl" -> ((s, dir) => {
       import s.implicits._
-      val dst = s"/tmp/graft_getl_v1_${dir.hashCode.toHexString}"
+      val dst = s"/tmp/graft_getl_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(dst)
       val paths = (0 until 6).map(i => s"granule_$i") :+ "granule_bad"
       val errs = BucketWriter.writeGranulesBucketDistributed(
@@ -231,7 +231,7 @@ object AnalysisQueries extends QueryModule {
     // `_common_metadata` existing is asserted inline.
     "q63_metadata_sidecar" -> ((s, dir) => {
       import s.implicits._
-      val dst = s"/tmp/graft_meta_v1_${dir.hashCode.toHexString}"
+      val dst = s"/tmp/graft_meta_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(dst)
       val ev = Tables(s, dir, "events")
         .withColumn("lon", (($"event_id" % 3600).cast("double") / 10.0) - 180.0)
@@ -255,7 +255,7 @@ object AnalysisQueries extends QueryModule {
     // only granule 1's files must return exactly granule 1's rows.
     "q64_glob_read" -> ((s, dir) => {
       import s.implicits._
-      val dst = s"/tmp/graft_glob_v1_${dir.hashCode.toHexString}"
+      val dst = s"/tmp/graft_glob_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(dst)
       val reader = new BucketWriter.GranuleReader {
         def read(spark: SparkSession, path: String): Option[DataFrame] = {

@@ -233,7 +233,7 @@ object PipelineQueries extends QueryModule {
     "q140_recall_curve" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      val idx = s"/tmp/graft_annidx_curve_v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_annidx_curve_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(idx)
       graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
         dims = 64, m = 4, k = 16, nList = 8)
@@ -536,7 +536,7 @@ object PipelineQueries extends QueryModule {
     "q145_text_index" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val idx = s"/tmp/graft_textidx_v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_textidx_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(idx)
       graft.sources.TextIndex.save(docs, "text", "doc_id", idx, nBuckets = 16)
       graft.sources.TextIndex.load(s, idx)
@@ -550,7 +550,7 @@ object PipelineQueries extends QueryModule {
     "q146_text_index_append" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val idx = s"/tmp/graft_textidx_app_v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_textidx_app_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(idx)
       graft.sources.TextIndex.save(docs.where($"doc_id" % 2 === 0),
         "text", "doc_id", idx, nBuckets = 16)
@@ -883,7 +883,7 @@ object PipelineQueries extends QueryModule {
     "q122_index_compact" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      val h = s"v1_${dir.hashCode.toHexString}"
+      val h = s"v1_${QueryModule.cacheKey(dir)}"
       val idx = s"/tmp/graft_annidx_cmp_$h"
       val src = s"/tmp/graft_annidx_cmpsrc_$h"
       graft.sources.BucketFs.deleteRecursive(idx)
@@ -910,7 +910,7 @@ object PipelineQueries extends QueryModule {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
       // fresh build every run: delete mutates the index in place
-      val idx = s"/tmp/graft_annidx_del_v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_annidx_del_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(idx)
       graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
         dims = 64, m = 4, k = 16, nList = 8)
@@ -925,7 +925,7 @@ object PipelineQueries extends QueryModule {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
       // v-token: bump when the index layout/params change (stale /tmp cache)
-      val idx = s"/tmp/graft_annidx_v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_annidx_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
         dims = 64, m = 4, k = 16, nList = 8)
       graft.sources.AnnIndex.loadIvfPq(s, idx)
@@ -943,7 +943,7 @@ object PipelineQueries extends QueryModule {
     "q113_stream_index_ingest" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      val h = s"v1_${dir.hashCode.toHexString}"
+      val h = s"v1_${QueryModule.cacheKey(dir)}"
       val idx = s"/tmp/graft_annidx_stream_$h"
       val src = s"/tmp/graft_annidx_ssrc_$h"
       // fresh lifecycle per run: a reused checkpoint would no-op the
@@ -968,7 +968,7 @@ object PipelineQueries extends QueryModule {
     "q114_stream_residual_ingest" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      val h = s"v1_${dir.hashCode.toHexString}"
+      val h = s"v1_${QueryModule.cacheKey(dir)}"
       val idx = s"/tmp/graft_annidx_rstream_$h"
       val src = s"/tmp/graft_annidx_rssrc_$h"
       graft.sources.BucketFs.deleteRecursive(idx)
@@ -992,7 +992,7 @@ object PipelineQueries extends QueryModule {
     "q109_pq_persist_residual" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      val idx = s"/tmp/graft_annidx_res_v1_${dir.hashCode.toHexString}"
+      val idx = s"/tmp/graft_annidx_res_v1_${QueryModule.cacheKey(dir)}"
       graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
         dims = 64, m = 4, k = 16, nList = 8, residual = true)
       graft.sources.AnnIndex.loadIvfPq(s, idx)
@@ -1072,7 +1072,7 @@ object PipelineQueries extends QueryModule {
     // match the all-pairs oracle (the cap degrade is spec-tested).
     "q138_dedup_index" -> ((s, dir) => {
       import s.implicits._
-      val h = s"v1_${dir.hashCode.toHexString}"
+      val h = s"v1_${QueryModule.cacheKey(dir)}"
       val idxDir = s"/tmp/graft_dedupidx_$h"
       val docs = Tables(s, dir, "documents")
       if (!graft.sources.BucketFs.exists(s"$idxDir/_staged_ok")) {
@@ -1092,7 +1092,7 @@ object PipelineQueries extends QueryModule {
     // like q138's one-shot build; the oracle recomputes from scratch.
     "q139_dedup_index_append" -> ((s, dir) => {
       import s.implicits._
-      val h = s"v1_${dir.hashCode.toHexString}"
+      val h = s"v1_${QueryModule.cacheKey(dir)}"
       val idxDir = s"/tmp/graft_dedupidx_app_$h"
       val docs = Tables(s, dir, "documents")
       if (!graft.sources.BucketFs.exists(s"$idxDir/_staged_ok")) {

@@ -55,7 +55,7 @@ object Relational extends QueryModule {
     // fact-to-fact join strategy when neither side broadcasts.
     "q120_clustered_join" -> ((s, dir) => {
       import s.implicits._
-      val h = dir.hashCode.toHexString
+      val h = QueryModule.cacheKey(dir)
       val base = s"/tmp/graft_clustered_v1_$h"
       // readerSessions = Seq(s): the input dfs come from the Tables reader
       // CLONE, and the join below reads through `s` — whose own

@@ -225,7 +225,7 @@ object Spatial extends QueryModule {
     * arbitrary order, so each builds it if missing). */
   private def ensureBucket(s: SparkSession, dir: String): String = {
     import s.implicits._
-    val bucketDir = s"/tmp/graft_bucket_${BucketVersion}_${dir.hashCode.toHexString}"
+    val bucketDir = s"/tmp/graft_bucket_${BucketVersion}_${QueryModule.cacheKey(dir)}"
     if (!new java.io.File(s"$bucketDir/_bucket_info.json").exists()) {
       val events = Tables(s, dir, "events")
         .withColumn("lon", synthLon($"event_id"))

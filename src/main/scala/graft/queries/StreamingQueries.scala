@@ -40,7 +40,9 @@ object StreamingQueries extends QueryModule {
     import s.implicits._
     // v-token: bump when the staged-input shape changes — /tmp outlives
     // code revisions and the marker would otherwise bless a stale cache
-    val base = s"/tmp/graft_stream_v2_${dir.hashCode.toHexString}"
+    // (and QueryModule.cacheKey folds in the source-table fingerprint,
+    // guarding against in-place testdata regeneration)
+    val base = s"/tmp/graft_stream_v3_${QueryModule.cacheKey(dir)}"
     val inDir = s"$base/in"
     val marker = s"$inDir/_staged_ok"
     if (!graft.sources.BucketFs.exists(marker)) {

@@ -86,6 +86,17 @@ object BucketFs {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Write via a sibling temp file + rename — the rename is the commit
+    * point, so a reader never observes a half-written file and a crash
+    * mid-write leaves the previous version intact. */
+  def writeStringAtomic(path: String, s: String): Unit = {
+    val (fs, p) = resolve(path)
+    val tmp = new Path(p.getParent, "." + p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    move(fs, tmp, p)
+  }
+
   def mkdirs(fs: FileSystem, p: Path): Unit = { fs.mkdirs(p); () }
 
   /** Move with REPLACE_EXISTING semantics (Hadoop rename refuses an

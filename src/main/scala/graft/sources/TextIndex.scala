@@ -14,18 +14,30 @@ import graft.operators.Dedup
   * layout whose partitioning IS the query plan.
   *
   * Layout under `indexDir/`:
-  *  - `postings/bucket=B/…` — (term, id, tf, dl) rows, hash-partitioned
-  *    by `bucket = pmod(xxhash64(term), nBuckets)`. A query's terms map
-  *    to a bounded bucket set, pushed as a static partition filter: the
-  *    search lists and reads ONLY those directories — the inverted-list
-  *    pruning that makes a 100 TB corpus searchable without touching
+  *  - `postings/gen=N/bucket=B/…` — (term, id, tf, dl) rows, hash-
+  *    partitioned by `bucket = pmod(xxhash64(term), nBuckets)` inside a
+  *    generation directory (see commit protocol below). A query's terms
+  *    map to a bounded bucket set, pushed as a static partition filter:
+  *    the search lists and reads ONLY those directories — the inverted-
+  *    list pruning that makes a 100 TB corpus searchable without touching
   *    its postings. Document length rides denormalized on each posting
   *    so scoring never joins a corpus-sized side.
-  *  - `termstats/bucket=B/…` — (term, df) DELTA rows, same bucketing.
-  *    Appends add delta rows instead of rewriting; readers aggregate
-  *    (sum of deltas = document frequency), so append is O(batch).
+  *  - `termstats/gen=N/bucket=B/…` — (term, df) DELTA rows, same
+  *    bucketing. Appends add delta rows instead of rewriting; readers
+  *    aggregate (sum of deltas = document frequency), so append is
+  *    O(batch).
   *  - `_text_index.json` — n_docs, sum_dl (corpus-level BM25 constants,
-  *    additive under append), n_buckets, id column.
+  *    additive under append), n_buckets, n_gens, id column, id range.
+  *
+  * Commit protocol: the manifest is the single commit point. Each append
+  * writes its postings/termstats into a NEW generation directory
+  * (`gen = n_gens`), then atomically replaces the manifest (temp+rename)
+  * with `n_gens + 1`; readers filter `gen < n_gens`, so a crash anywhere
+  * before the rename leaves a loadable index that scores exactly
+  * as-before (orphan gen dirs are invisible and are cleaned up by the
+  * next append). Batch ids must be new: a cheap manifest id-range check
+  * screens the batch, and only on range overlap does a precise
+  * postings-id semi-join (id column only, committed gens) run.
   *
   * Scores are emitted as `bm25_q4` = Σ_term floor(10⁴·termScore) — the
   * same quantize-before-sum trick as charLmScore: per-term IEEE doubles
@@ -38,8 +50,10 @@ object TextIndex {
 
   private val ManifestFile = "_text_index.json"
 
-  private def tokens(textCol: String) =
-    split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " ")
+  private def tokensOf(text: org.apache.spark.sql.Column) =
+    split(Dedup.normalizedText(coalesce(text, lit(""))), " ")
+
+  private def tokens(textCol: String) = tokensOf(col(textCol))
 
   /** (id, term, tf, dl) for every non-empty term occurrence. */
   private def postingsOf(corpus: DataFrame, textCol: String,
@@ -55,71 +69,132 @@ object TextIndex {
   private def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
 
-  /** Corpus-level constants: (n_docs, sum_dl). Empty-text docs count
-    * toward both (dl 0), mirroring the inline [[graft.operators
+  /** Corpus-level constants: (n_docs, sum_dl, id range). Empty-text docs
+    * count toward both (dl 0), mirroring the inline [[graft.operators
     * .TextAnalysis.bm25]] statistics. */
-  private def corpusStats(corpus: DataFrame, textCol: String): (Long, Long) = {
-    val r = corpus.select(size(tokens(textCol)).cast("long").as("__dl"))
-      .agg(count(lit(1)), sum(col("__dl"))).head()
-    (r.getLong(0), r.getLong(1))
+  private def corpusStats(corpus: DataFrame, textCol: String,
+                          idCol: String): (Long, Long, Option[(Long, Long)]) = {
+    val r = corpus
+      .select(size(tokens(textCol)).cast("long").as("__dl"),
+        col(idCol).cast("long").as("__id"))
+      .agg(count(lit(1)), sum(col("__dl")),
+        min(col("__id")), max(col("__id"))).head()
+    val n = r.getLong(0)
+    (n,
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      if (n == 0 || r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))
   }
+
+  /** Write one generation of postings + termstats delta rows. */
+  private def writeGen(posts: DataFrame, indexDir: String, gen: Int): Unit = {
+    val g = posts.withColumn("gen", lit(gen))
+    g.select(col("gen"), col("bucket"), col("term"), col("id"),
+        col("tf"), col("dl"))
+      .write.mode("append").partitionBy("gen", "bucket")
+      .parquet(s"$indexDir/postings")
+    g.groupBy(col("gen"), col("bucket"), col("term"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("append").partitionBy("gen", "bucket")
+      .parquet(s"$indexDir/termstats")
+  }
+
+  /** Delete generation directories the manifest never committed (debris
+    * of a crashed append) so a retry cannot double-write into them. */
+  private def dropUncommittedGens(indexDir: String, committed: Int): Unit =
+    Seq("postings", "termstats").foreach { sub =>
+      val (fs, root) = BucketFs.resolve(s"$indexDir/$sub")
+      if (fs.exists(root))
+        fs.listStatus(root).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("gen=") &&
+              scala.util.Try(n.drop(4).toInt).toOption.exists(_ >= committed))
+            fs.delete(st.getPath, true)
+        }
+    }
 
   /** Build the index. One pass over the corpus: tokenize → per-(doc,
     * term) tf with dl denormalized → bucket-partitioned postings and
-    * per-term df rows; corpus constants land in the manifest. */
+    * per-term df rows in generation 0; corpus constants land in the
+    * manifest, whose (atomic) write commits the build. */
   def save(corpus: DataFrame, textCol: String, idCol: String,
            indexDir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val posts = withBucket(postingsOf(corpus, textCol, idCol), nBuckets)
       .localCheckpoint(true) // postings feed both writes; tokenize once
-    posts.select(col("bucket"), col("term"), col("id"), col("tf"), col("dl"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/postings")
-    posts.groupBy(col("bucket"), col("term"))
-      .agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$indexDir/termstats")
-    val (nDocs, sumDl) = corpusStats(corpus, textCol)
-    writeManifest(indexDir, nDocs, sumDl, nBuckets, idCol)
+    writeGen(posts, indexDir, gen = 0)
+    val (nDocs, sumDl, idRange) = corpusStats(corpus, textCol, idCol)
+    writeManifest(indexDir, nDocs, sumDl, nBuckets, 1, idCol, idRange)
   }
 
   private def writeManifest(indexDir: String, nDocs: Long, sumDl: Long,
-                            nBuckets: Int, idCol: String): Unit = {
-    val j: JValue = JObject(List(
+                            nBuckets: Int, nGens: Int, idCol: String,
+                            idRange: Option[(Long, Long)]): Unit = {
+    val range: List[(String, JValue)] = idRange.toList.flatMap {
+      case (lo, hi) => List("min_id" -> JInt(lo), "max_id" -> JInt(hi))
+    }
+    val j: JValue = JObject(List[(String, JValue)](
       "index_type" -> JString("bm25"), "n_docs" -> JInt(nDocs),
       "sum_dl" -> JInt(sumDl), "n_buckets" -> JInt(nBuckets),
-      "id_col" -> JString(idCol)))
-    BucketFs.writeString(s"$indexDir/$ManifestFile",
+      "n_gens" -> JInt(nGens), "id_col" -> JString(idCol)) ++ range)
+    BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(j)))
   }
 
   final case class Bm25Index(spark: SparkSession, indexDir: String,
                              nDocs: Long, sumDl: Long, nBuckets: Int,
-                             idCol: String) {
+                             nGens: Int, idCol: String,
+                             idRange: Option[(Long, Long)]) {
 
-    /** Grow the index: the batch's postings and df-delta rows append
-      * into the bucket layout (dynamic partition append — only touched
-      * buckets gain files, nothing rewrites), the manifest constants add.
-      * Ids must be new; re-indexing an id double-counts it. Returns a
-      * fresh load so the new files are visible. */
+    /** Committed rows of `postings` or `termstats`: partition filter
+      * `gen < nGens` hides any crashed-append debris. */
+    private def committed(sub: String): DataFrame =
+      spark.read.parquet(s"$indexDir/$sub").where(col("gen") < lit(nGens))
+
+    /** Grow the index: the batch's postings and df-delta rows land in a
+      * new generation directory, then one atomic manifest replace
+      * commits them together with the added constants (see the commit
+      * protocol in the object doc — a crash before the manifest rename
+      * leaves the index exactly as-before). Ids must be new; the
+      * manifest id-range screens the batch and a precise postings
+      * semi-join settles range overlaps. Returns a fresh load. */
     def append(batch: DataFrame, textCol: String): Bm25Index = {
+      dropUncommittedGens(indexDir, nGens)
       val posts = withBucket(postingsOf(batch, textCol, idCol), nBuckets)
         .localCheckpoint(true)
-      posts.select(col("bucket"), col("term"), col("id"), col("tf"), col("dl"))
-        .write.mode("append").partitionBy("bucket")
-        .parquet(s"$indexDir/postings")
-      posts.groupBy(col("bucket"), col("term"))
-        .agg(count(lit(1)).as("df"))
-        .write.mode("append").partitionBy("bucket")
-        .parquet(s"$indexDir/termstats")
-      val (bN, bDl) = corpusStats(batch, textCol)
-      writeManifest(indexDir, nDocs + bN, sumDl + bDl, nBuckets, idCol)
+      val (bN, bDl, bRange) = corpusStats(batch, textCol, idCol)
+      val overlaps = (idRange, bRange) match {
+        case (Some((lo, hi)), Some((bLo, bHi))) => bLo <= hi && bHi >= lo
+        case _ => false
+      }
+      if (overlaps) {
+        // range overlap: precise check — committed postings pruned to the
+        // id column, semi-joined against the batch's distinct ids
+        val dup = committed("postings").select(col("id"))
+          .join(posts.select(col("id")).distinct(), Seq("id"), "left_semi")
+          .limit(1).count()
+        require(dup == 0,
+          s"append batch contains ids already in the index at $indexDir " +
+            "— re-indexing an id would double-count it")
+      }
+      writeGen(posts, indexDir, gen = nGens)
+      val newRange = (idRange, bRange) match {
+        case (Some((lo, hi)), Some((bLo, bHi))) =>
+          Some((math.min(lo, bLo), math.max(hi, bHi)))
+        case (r, None) => r
+        case (None, r) => r
+      }
+      writeManifest(indexDir, nDocs + bN, sumDl + bDl, nBuckets,
+        nGens + 1, idCol, newRange)
       load(spark, indexDir)
     }
 
-    /** BM25 top-k for a fixed term set. Reads ONLY the query terms'
-      * bucket directories (static partition filter computed from the
-      * terms — one LocalTableScan job, no file I/O), aggregates df
+    /** BM25 top-k for a term set. Query terms go through the SAME
+      * normalization as the indexed text (lowercase, whitespace-collapse,
+      * multi-word strings splitting into tokens), so `search(Seq("Table"))`
+      * ≡ `search(Seq("table"))` — raw terms would silently miss every
+      * posting. Reads ONLY the committed generations of the normalized
+      * terms' bucket directories (static partition filter computed from
+      * the terms — one LocalTableScan job, no file I/O), aggregates df
       * deltas for those terms, scores postings row-local against the
       * manifest constants, and ranks. Output: (id, rk, bm25_q4),
       * bm25_q4 desc / id asc, only documents containing ≥ 1 term. */
@@ -128,14 +203,22 @@ object TextIndex {
       require(terms.nonEmpty, "search needs at least one term")
       require(topK >= 1, s"topK must be >= 1, got $topK")
       import spark.implicits._
-      val buckets = terms.toDF("term")
+      // build-time transform, applied via the identical Column expression
+      // so index and query tokenization can never drift
+      val normTerms = terms.toDF("t")
+        .select(explode(tokensOf(col("t"))).as("term"))
+        .where(col("term") =!= "").distinct()
+        .collect().map(_.getString(0)).toSeq
+      if (normTerms.isEmpty)
+        return Seq.empty[(Long, Int, Long)].toDF(idCol, "rk", "bm25_q4")
+      val buckets = normTerms.toDF("term")
         .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
         .collect().map(_.getLong(0)).distinct.toSeq
-      def pruned(path: String): DataFrame =
-        spark.read.parquet(path)
+      def pruned(sub: String): DataFrame =
+        committed(sub)
           .where(col("bucket").isin(buckets: _*) &&
-            col("term").isin(terms: _*))
-      val dfOf = pruned(s"$indexDir/termstats")
+            col("term").isin(normTerms: _*))
+      val dfOf = pruned("termstats")
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
       val avgdl = lit(sumDl.toDouble) / lit(nDocs.toDouble)
       val idf = ((lit(nDocs.toDouble) - col("df").cast("double")) + lit(0.5)) /
@@ -147,7 +230,7 @@ object TextIndex {
       // orderBy+limit plans as TakeOrderedAndProject (per-partition
       // heads merged on the driver) — no global sort; the row_number
       // window then ranks only the topK survivors
-      pruned(s"$indexDir/postings")
+      pruned("postings")
         .join(broadcast(dfOf), Seq("term"))
         .withColumn("__q4", floor(lit(1e4) * termScore).cast("long"))
         .groupBy(col("id"))
@@ -171,13 +254,21 @@ object TextIndex {
       case other => throw new IllegalArgumentException(
         s"manifest field '$field' missing or non-integer: $other")
     }
+    def optLong(field: String): Option[Long] = mf \ field match {
+      case JInt(x) => Some(x.toLong)
+      case _ => None
+    }
     val idxType = mf \ "index_type" match { case JString(s) => s; case _ => "?" }
     require(idxType == "bm25", s"unsupported index_type '$idxType'")
     val idCol = mf \ "id_col" match {
       case JString(s) => s
       case _ => throw new IllegalArgumentException("manifest missing id_col")
     }
+    val idRange = (optLong("min_id"), optLong("max_id")) match {
+      case (Some(lo), Some(hi)) => Some((lo, hi))
+      case _ => None
+    }
     Bm25Index(spark, indexDir, long("n_docs"), long("sum_dl"),
-      long("n_buckets").toInt, idCol)
+      long("n_buckets").toInt, long("n_gens").toInt, idCol, idRange)
   }
 }

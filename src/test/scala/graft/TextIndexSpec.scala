@@ -57,4 +57,68 @@ class TextIndexSpec extends AnyFunSuite {
       graft.sources.BucketFs.deleteRecursive(dir2)
     }
   }
+
+  test("search normalizes query terms like the indexed text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_n").toString
+    try {
+      TextIndex.save(fixture, "text", "doc_id", dir, nBuckets = 8)
+      val idx = TextIndex.load(spark, dir)
+      def rows(terms: Seq[String]) = idx.search(terms, topK = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val plain = rows(Seq("table"))
+      assert(plain.nonEmpty)
+      assert(rows(Seq("Table")) == plain, "case must not matter")
+      assert(rows(Seq("  TABLE  ")) == plain, "whitespace must not matter")
+      // a multi-word query string tokenizes like indexed text does
+      assert(rows(Seq("Table SCAN")) == rows(Seq("table", "scan")))
+      // terms that normalize to nothing return an empty, well-formed frame
+      val empty = idx.search(Seq("   "), topK = 5)
+      assert(empty.columns.toSeq == Seq("doc_id", "rk", "bm25_q4"))
+      assert(empty.count() == 0)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
+  test("crashed append: uncommitted generation is invisible and cleaned up") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_c").toString
+    try {
+      TextIndex.save(fixture.where($"doc_id" < 4), "text", "doc_id", dir,
+        nBuckets = 8)
+      val idx = TextIndex.load(spark, dir)
+      val before = idx.search(Seq("table", "scan"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // simulate an append that died after its data writes but BEFORE the
+      // manifest commit: a gen=1 directory the manifest doesn't know about
+      Seq(("table", 99L, 5L, 5L)).toDF("term", "id", "tf", "dl")
+        .write.parquet(s"$dir/postings/gen=1/bucket=0")
+      Seq(("table", 1L)).toDF("term", "df")
+        .write.parquet(s"$dir/termstats/gen=1/bucket=0")
+      val reloaded = TextIndex.load(spark, dir)
+      val after = reloaded.search(Seq("table", "scan"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(after == before, "uncommitted generation leaked into scoring")
+      // the retry (a real append) must clean the debris, not merge with it
+      val grown = reloaded.append(
+        Seq((10L, "table fresh")).toDF("doc_id", "text"), "text")
+      val ids = grown.search(Seq("table"), topK = 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(ids.contains(10L) && !ids.contains(99L))
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
+  test("append rejects ids already in the index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_d").toString
+    try {
+      TextIndex.save(fixture.where($"doc_id" % 2 === 0), "text", "doc_id",
+        dir, nBuckets = 8) // ids 0, 2, 4
+      val idx = TextIndex.load(spark, dir)
+      val ex = intercept[IllegalArgumentException] {
+        idx.append(Seq((2L, "scan again")).toDF("doc_id", "text"), "text")
+      }
+      assert(ex.getMessage.contains("already in the index"))
+      // interleaved-but-new ids (range overlap, no id overlap) still append
+      val ok = TextIndex.load(spark, dir).append(
+        Seq((3L, "brand new doc")).toDF("doc_id", "text"), "text")
+      assert(ok.nDocs == 4)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import graft.core.{ReaderSession, Tables}
+
+/** Regression guard for parquet timestamp flavors (round-9 incident).
+  *
+  * The driver regenerates `/root/testdata` with whatever flavor its
+  * writer du jour emits; the reference reads any of them transparently
+  * (pyarrow/polars) under a naive-UTC model. Round 9 lost 18 gates when
+  * the data switched from TIMESTAMP(NANOS) to naive `timestamp[us]`,
+  * which Spark 4 infers as TIMESTAMP_NTZ by default — breaking
+  * `unix_micros` at analysis and typed `java.sql.Timestamp` consumers at
+  * runtime — and the suite never noticed because no spec read
+  * testdata-shaped files. This one does: golden fixtures (generated
+  * once with pyarrow, same three instants in each flavor) in
+  * us-naive, us-UTC, and ns-naive, each read through the engine's
+  * `Tables`/`ReaderSession` path and through a streaming source, must
+  * all yield TimestampType with identical micros.
+  */
+class TimestampFlavorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val fixtures = "src/test/resources/tsflavors"
+  // 2026-01-02T03:04:05.123456Z, +1h, +1d+654321us — as micros since epoch
+  private val wantUs = Seq(1767323045123456L, 1767326645123456L,
+    1767409445777777L).sorted
+
+  private def microsVia(dir: String): Seq[Long] =
+    Tables(spark, s"$fixtures/$dir", "events")
+      .select(unix_micros(col("ts")))
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  test("precondition: a default session DOES infer NTZ from naive us files") {
+    // if Spark's default flips, this spec's premise changed — revisit
+    val t = spark.read.parquet(s"$fixtures/us_ntz/events.parquet")
+      .schema("ts").dataType
+    assert(t == TimestampNTZType, s"expected the NTZ trap, got $t")
+  }
+
+  test("Tables reads every flavor as TIMESTAMP with identical micros") {
+    for (dir <- Seq("us_ntz", "us_utc", "ns")) {
+      val df = Tables(spark, s"$fixtures/$dir", "events")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$dir: got ${df.schema("ts").dataType}")
+      assert(microsVia(dir) == wantUs, s"$dir: wrong instants")
+      // the typed path streaming state ops use — must not see LocalDateTime
+      val first = df.orderBy(col("ts")).select(col("ts")).head().getTimestamp(0)
+      assert(first.getTime == wantUs.head / 1000, s"$dir: typed read broken")
+    }
+  }
+
+  test("a GraftSession-configured clone streams naive-us files as TIMESTAMP") {
+    // mirrors the streaming gates: schema inferred by a batch read on a
+    // session carrying the GraftSession builder conf, then readStream
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val inDir = s"$fixtures/us_ntz"
+    val schema = ss.read.parquet(s"$inDir/events.parquet").schema
+    assert(schema("ts").dataType == TimestampType)
+    val q = ss.readStream.schema(schema).parquet(inDir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .writeStream.format("memory").queryName("tsflavor_smoke")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(ss.table("tsflavor_smoke").count() == 3)
+  }
+
+  test("ReaderSession pins inferTimestampNTZ off") {
+    // (GraftSession.builder carries the same flag for streaming clones —
+    // exercised above — but a builder can't be applied to the already-
+    // running test context, so the batch half is probed here)
+    val rs = ReaderSession(spark)
+    assert(rs.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == "false")
+  }
+}
