@@ -508,43 +508,28 @@ object Dedup {
     * text the sampled dup RATIO tracks q126's exact ratio; counts are
     * ~2/(w+1) of exact by construction.
     *
-    * Scale shape: hashing and selection are in-row (the hash array and
-    * span array are staged attributes, so each md5 runs once despite the
-    * O(nWin·w) argmin scans); only selected spans explode into the same
-    * three hash-agg pipeline as [[spanDuplicationStats]] — the shuffle
-    * carries 2/(w+1) of the char positions, the knob the full-resolution
-    * operator lacks. */
+    * Scale shape: hashing and selection are one fused codegen'd
+    * Expression per document ([[graft.functions.WinnowSelectSpans]] — a
+    * single JVM pass: md5 per window position, monotonic-deque sliding
+    * argmin, only SELECTED spans materialized; the earlier Catalyst-HOF
+    * formulation paid O(n·w) interpreted lambda steps and was the
+    * board's most expensive line). Only selected spans explode into the
+    * same three hash-agg pipeline as [[spanDuplicationStats]] — the
+    * shuffle carries 2/(w+1) of the char positions, the knob the
+    * full-resolution operator lacks. */
   def winnowedSpanStats(df: DataFrame, textCol: String, idCol: String,
                         spanLen: Int, w: Int = 8, minDocs: Int = 2): DataFrame = {
     require(spanLen >= 2 && minDocs >= 2,
       "spanLen must be >= 2 and minDocs >= 2")
     require(w >= 2, "winnow window w must be >= 2")
-    val spansExpr = filter(transform(
-      sequence(lit(1), greatest(length(col("__norm")) - (spanLen - 1), lit(1))),
-      i => col("__norm").substr(i, lit(spanLen))),
-      g => length(g) === spanLen)
-    val hashExpr = transform(col("__spans"),
-      s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
-    val staged = fanOut(df)
+    // explode drops empty arrays, so sub-spanLen docs vanish here — the
+    // same semantics the old size()>=1 filter enforced, without a second
+    // evaluation of the expression
+    val windows = fanOut(df)
       .select(col(idCol), normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
-      .select(col(idCol), spansExpr.as("__spans"))
-      .select(col(idCol), col("__spans"), hashExpr.as("__h"))
-      .where(size(col("__spans")) >= 1)
-    // rightmost argmin per hash window [i, i+w-1] (truncated at the end
-    // only for the m < w single-window case): slice -> min -> position of
-    // the min in the REVERSED slice gives the rightmost occurrence
-    val m = size(col("__h"))
-    val nWin = greatest(m - (w - 1), lit(1))
-    val pickAt = (i: Column) => {
-      val sl = slice(col("__h"), i, lit(w))
-      i + size(sl) - array_position(reverse(sl), array_min(sl)).cast("int")
-    }
-    val selected = array_distinct(transform(sequence(lit(1), nWin), pickAt))
-    val windows = staged
-      .select(col(idCol), col("__spans"), selected.as("__sel"))
       .select(col(idCol),
-        explode(transform(col("__sel"),
-          p => element_at(col("__spans"), p))).as("__span"))
+        explode(graft.functions.WinnowSelectSpans.column(
+          col("__norm"), spanLen, w)).as("__span"))
     val perDocSpan = windows.groupBy(col(idCol), col("__span"))
       .agg(count(lit(1)).as("__cnt"))
     val perSpan = perDocSpan.groupBy(col("__span"))

@@ -59,7 +59,15 @@ object SuffixArray {
         col("__nt"))
       .select(col("doc_id"), col("pos"),
         col("__nt").substr(col("pos").cast("int"), lit(seedLen)).as("__g"))
-    val maxLen = nd.agg(max(length(col("__nt")))).head().getInt(0)
+    // empty corpus: max(length) is NULL — return the empty rank frame
+    // instead of NPEing on the aggregate row
+    val maxLenRow = nd.agg(max(length(col("__nt")))).head()
+    if (maxLenRow.isNullAt(0))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("pos", LongType), StructField("rank", LongType))))
+    val maxLen = maxLenRow.getInt(0)
 
     // distributed dense rank: DISTINCT keys, range-partitioned sort,
     // zipWithIndex (the standard two-job rank idiom — a global Window

@@ -244,10 +244,14 @@ object TextAnalysis {
                          textCol: String, idCol: String, n: Int = 5,
                          fpp: Double = 0.01): DataFrame = {
     def toksOf(c: Column) = split(Dedup.normalizedText(c), " ")
+    // materialized once: the gram frame feeds three consumers (sizing
+    // count, Bloom build, exact verify join) and would otherwise
+    // re-tokenize the benchmark for each
     val benchGrams = benchmark
       .select(toksOf(col(textCol)).as("__toks"))
       .select(explode(wordNgramsOfTokens(col("__toks"), n)).as("__gram"))
       .distinct()
+      .localCheckpoint(true)
     val benchHashes = benchGrams.select(xxhash64(col("__gram")).as("__h"))
     // benchmark-side sizing job (bounded by the eval suite, not the
     // corpus); the filter itself is built by one tree-aggregated job

@@ -1033,6 +1033,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("suffixRanks: empty and all-null corpora return the empty rank frame") {
+    for (fixture <- Seq(
+        Seq.empty[(Long, String)],
+        Seq((0L, null.asInstanceOf[String]), (1L, null.asInstanceOf[String])))) {
+      val df = fixture.toDF("doc_id", "text")
+      val ranks = graft.operators.SuffixArray.suffixRanks(df, "text", "doc_id")
+      assert(ranks.columns.toSeq == Seq("doc_id", "pos", "rank"))
+      assert(ranks.count() == 0)
+    }
+  }
+
   test("repeatsAtLeast: maximal SA runs match a brute-force replica") {
     val docs = Seq(
       (0L, "aaa the common repeated segment xxx"),
@@ -1070,6 +1081,72 @@ class PipelineSpec extends AnyFunSuite {
     // sanity: the shared segment surfaces as a multi-doc repeat (capped
     // at 20 chars, so the run head reads "the common repeated ")
     assert(got.exists(r => r._1.startsWith("the common repeated") && r._3 >= 3))
+  }
+
+  test("WinnowSelect: deque pass matches brute-force rightmost-argmin windows") {
+    val rnd = new scala.util.Random(7)
+    def brute(h: Array[Long], w: Int): Seq[Int] = {
+      val m = h.length
+      val ww = math.min(m, w)
+      (0 to m - ww).map { s =>
+        val win = h.slice(s, s + ww)
+        s + win.lastIndexOf(win.min) // 0-based, rightmost tie
+      }.distinct
+    }
+    for (trial <- 0 until 200) {
+      val m = 1 + rnd.nextInt(40)
+      val w = 2 + rnd.nextInt(10)
+      // small value range forces heavy ties — the tricky case
+      val h = Array.fill(m)(rnd.nextInt(4).toLong)
+      val got = graft.functions.WinnowSelect.positions(h, w).toSeq
+      assert(got == brute(h, w), s"trial $trial: w=$w h=${h.mkString(",")}")
+    }
+  }
+
+  test("WinnowSelectSpans: fused expression matches the Catalyst-HOF replica") {
+    // the exact pre-fusion formulation, as columns — the semantics the
+    // fused expression must reproduce bit-for-bit (and what the q142
+    // DuckDB oracle mirrors)
+    def hofSpans(spanLen: Int, w: Int) = {
+      val spansE = filter(transform(
+        sequence(lit(1), greatest(length($"norm") - (spanLen - 1), lit(1))),
+        i => $"norm".substr(i, lit(spanLen))),
+        g => length(g) === spanLen)
+      val hashE = transform($"spans",
+        s => conv(substring(md5(s), 1, 12), 16, 10).cast("long"))
+      val mC = size($"h")
+      val nWin = greatest(mC - (w - 1), lit(1))
+      val pickAt = (i: org.apache.spark.sql.Column) => {
+        val sl = slice($"h", i, lit(w))
+        i + size(sl) - array_position(reverse(sl), array_min(sl)).cast("int")
+      }
+      val sel = array_distinct(transform(sequence(lit(1), nWin), pickAt))
+      (spansE, hashE, sel)
+    }
+    val rnd = new scala.util.Random(13)
+    val docs = ((0 until 30).map { i =>
+      (i.toLong, Seq.fill(5 + rnd.nextInt(120))(
+        ('a' + rnd.nextInt(3)).toChar).mkString)
+    } ++ Seq((100L, "exact"), (101L, ""), (102L, "ab"),
+      (103L, "añ∂é multibyte ∆ text añ∂é multibyte ∆"))).toDF("doc_id", "text")
+    for ((spanLen, w) <- Seq((6, 4), (24, 8), (2, 2))) {
+      val (spansE, hashE, sel) = hofSpans(spanLen, w)
+      val expect = docs
+        .select($"doc_id", graft.operators.Dedup.normalizedText($"text").as("norm"))
+        .select($"doc_id", spansE.as("spans"))
+        .select($"doc_id", $"spans", hashE.as("h"))
+        .where(size($"spans") >= 1)
+        .select($"doc_id", $"spans", sel.as("sel"))
+        .select($"doc_id", explode(transform($"sel",
+          p => element_at($"spans", p))).as("span"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val got = docs
+        .select($"doc_id", graft.operators.Dedup.normalizedText($"text").as("norm"))
+        .select($"doc_id", explode(graft.functions.WinnowSelectSpans
+          .column($"norm", spanLen, w)).as("span"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(got == expect, s"spanLen=$spanLen w=$w")
+    }
   }
 
   test("contaminationBloom: bit-identical to the exact contamination join") {
