@@ -1072,7 +1072,7 @@ object PipelineQueries extends QueryModule {
     // match the all-pairs oracle (the cap degrade is spec-tested).
     "q138_dedup_index" -> ((s, dir) => {
       import s.implicits._
-      val h = s"v1_${QueryModule.cacheKey(dir)}"
+      val h = s"v2_${QueryModule.cacheKey(dir)}" // v2: generational layout
       val idxDir = s"/tmp/graft_dedupidx_$h"
       val docs = Tables(s, dir, "documents")
       if (!graft.sources.BucketFs.exists(s"$idxDir/_staged_ok")) {
@@ -1092,16 +1092,16 @@ object PipelineQueries extends QueryModule {
     // like q138's one-shot build; the oracle recomputes from scratch.
     "q139_dedup_index_append" -> ((s, dir) => {
       import s.implicits._
-      val h = s"v1_${QueryModule.cacheKey(dir)}"
+      val h = s"v2_${QueryModule.cacheKey(dir)}" // v2: generational layout
       val idxDir = s"/tmp/graft_dedupidx_app_$h"
       val docs = Tables(s, dir, "documents")
       if (!graft.sources.BucketFs.exists(s"$idxDir/_staged_ok")) {
         graft.sources.BucketFs.deleteRecursive(idxDir)
         graft.sources.DedupIndex.save(docs.where($"doc_id" % 4 === 1),
           "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
-        val idx = graft.sources.DedupIndex.load(s, idxDir)
-        idx.append(docs.where($"doc_id" % 4 === 2), "text")
-        idx.append(docs.where($"doc_id" % 4 === 3), "text")
+        graft.sources.DedupIndex.load(s, idxDir)
+          .append(docs.where($"doc_id" % 4 === 2), "text")
+          .append(docs.where($"doc_id" % 4 === 3), "text")
         graft.sources.BucketFs.writeString(s"$idxDir/_staged_ok", "ok\n")
       }
       graft.sources.DedupIndex.load(s, idxDir)

@@ -53,7 +53,16 @@ object AnnIndex {
       * ids must be new (no dedup against existing codes is attempted).
       * Returns a freshly loaded index: this instance's `codes` frame
       * pinned its file listing at load time and will not see the
-      * appended files. */
+      * appended files.
+      *
+      * Crash contract: this is a single-dataset parquet append with no
+      * generation/manifest commit (unlike [[DedupIndex]]/[[TextIndex]],
+      * whose multi-dataset appends NEED one to stay mutually
+      * consistent) — a job that dies mid-append can leave a PARTIAL
+      * batch visible, and rerunning it double-posts the batch's ids.
+      * Recovery is by id, not by generation: `delete(batchIds)` then
+      * re-append. Continuous ingest should use [[streamingCodesWriter]],
+      * whose file-sink log gives exactly-once batches. */
     def append(newCorpus: DataFrame, vecCol: String): IvfPqIndex = {
       // a stream-managed codes dir (file-sink _spark_metadata) reads ONLY
       // the files in the sink log — a batch append here would write rows

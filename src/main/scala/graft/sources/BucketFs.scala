@@ -86,6 +86,24 @@ object BucketFs {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Delete `dir/gen=G` partition directories with G >= `committed` —
+    * the cleanup half of the generation-commit protocol shared by the
+    * persisted indexes (TextIndex, DedupIndex): data writes land in a new
+    * `gen=N` directory, an atomic manifest rename commits N+1, readers
+    * filter `gen < committed`, and this sweep removes the debris of any
+    * append that died before its manifest commit so a retry cannot
+    * double-write into a generation. */
+  def dropGensAtOrAbove(dir: String, committed: Int): Unit = {
+    val (fs, root) = resolve(dir)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen=") &&
+            scala.util.Try(n.drop(4).toInt).toOption.exists(_ >= committed))
+          fs.delete(st.getPath, true)
+      }
+  }
+
   /** Write via a sibling temp file + rename — the rename is the commit
     * point, so a reader never observes a half-written file and a crash
     * mid-write leaves the previous version intact. */

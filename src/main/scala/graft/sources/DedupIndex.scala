@@ -46,37 +46,56 @@ object DedupIndex {
   private def packedSig(numHashes: Int) =
     array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig")
 
-  /** Build and persist the index over `corpus`. Overwrites `indexDir`. */
+  /** Write one generation of band postings + signatures. */
+  private def writeGen(sigs: DataFrame, banded: DataFrame, idCol: String,
+                       numHashes: Int, indexDir: String, gen: Int): Unit = {
+    banded.withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("gen", "band")
+      .parquet(s"$indexDir/bands")
+    sigs.select(col(idCol), packedSig(numHashes))
+      .withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("gen")
+      .parquet(s"$indexDir/signatures")
+  }
+
+  private def writeManifest(indexDir: String, shingleK: Int, numHashes: Int,
+                            bands: Int, nGens: Int, idCol: String): Unit = {
+    val j: JValue = JObject(List(
+      "index_type" -> JString("minhash_lsh"), "shingle_k" -> JInt(shingleK),
+      "num_hashes" -> JInt(numHashes), "bands" -> JInt(bands),
+      "n_gens" -> JInt(nGens), "id_col" -> JString(idCol)))
+    BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
+      JsonMethods.pretty(JsonMethods.render(j)))
+  }
+
+  /** Build and persist the index over `corpus`. Overwrites `indexDir`.
+    * All three datasets land in generation 0; the (atomic) manifest
+    * write commits the build — see the commit protocol on [[MinHashIndex
+    * .append]]. */
   def save(corpus: DataFrame, textCol: String, idCol: String, indexDir: String,
            shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val sigs = Dedup.minHashSignature(corpus, textCol, idCol, shingleK, numHashes)
-    Dedup.lshBands(sigs, idCol, numHashes, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$indexDir/bands")
-    sigs.select(col(idCol), packedSig(numHashes))
-      .write.mode("overwrite").parquet(s"$indexDir/signatures")
+    val banded = Dedup.lshBands(sigs, idCol, numHashes, bands)
+    writeGen(sigs, banded, idCol, numHashes, indexDir, gen = 0)
     // stats from the WRITTEN postings (not a recompute) — guarantees the
     // counts and the band files can never disagree
     val spark = corpus.sparkSession
-    bandsOf(spark, indexDir)
+    bandsOf(spark, indexDir, maxGen = 1)
       .groupBy("band", "band_sig")
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep_id"))
-      .write.mode("overwrite").parquet(s"$indexDir/bucket_stats")
-    val manifest: Map[String, Any] = Map(
-      "index_type" -> "minhash_lsh", "shingle_k" -> shingleK,
-      "num_hashes" -> numHashes, "bands" -> bands, "id_col" -> idCol)
-    BucketFs.writeString(s"$indexDir/$ManifestFile",
-      JsonMethods.pretty(JsonMethods.render(
-        JObject(manifest.toList.map {
-          case (k, s: String) => k -> (JString(s): JValue)
-          case (k, i: Int) => k -> (JInt(i): JValue)
-          case (k, other) => k -> (JString(other.toString): JValue)
-        }))))
+      .withColumn("gen", lit(0))
+      .write.mode("append").partitionBy("gen")
+      .parquet(s"$indexDir/bucket_stats")
+    writeManifest(indexDir, shingleK, numHashes, bands, 1, idCol)
   }
 
-  // band is a directory-partition column: pin its read-back type
-  private def bandsOf(spark: SparkSession, indexDir: String): DataFrame =
+  // band/gen are directory-partition columns: pin band's read-back type,
+  // keep only committed generations, hide the bookkeeping column
+  private def bandsOf(spark: SparkSession, indexDir: String,
+                      maxGen: Int): DataFrame =
     spark.read.parquet(s"$indexDir/bands")
+      .where(col("gen") < lit(maxGen)).drop("gen")
       .withColumn("band", col("band").cast("int"))
 
   /** Reload a persisted dedup index (manifest + lazy parquet frames). */
@@ -98,54 +117,65 @@ object DedupIndex {
       case _ => throw new IllegalArgumentException("manifest missing id_col")
     }
     MinHashIndex(spark, indexDir, int("shingle_k"), int("num_hashes"),
-      int("bands"), idCol)
+      int("bands"), int("n_gens"), idCol)
   }
 
   final case class MinHashIndex(spark: SparkSession, indexDir: String,
                                 shingleK: Int, numHashes: Int, bands: Int,
-                                idCol: String) {
+                                nGens: Int, idCol: String) {
 
-    def bandPostings: DataFrame = bandsOf(spark, indexDir)
+    def bandPostings: DataFrame = bandsOf(spark, indexDir, nGens)
     def signatures: DataFrame = spark.read.parquet(s"$indexDir/signatures")
+      .where(col("gen") < lit(nGens)).drop("gen")
+    /** Bucket stats are a REPLACEMENT dataset: each committed append
+      * writes the full merged copy into its generation, and only the
+      * NEWEST committed generation is live. */
     def bucketStats: DataFrame = spark.read.parquet(s"$indexDir/bucket_stats")
+      .where(col("gen") === lit(nGens - 1)).drop("gen")
 
     /** Index `batch` incrementally: batch-sized appends to the band
       * postings and signatures, plus a stats merge that touches only
       * bucket-count rows — the whole corpus side is never rescanned.
-      * Appending rows whose ids are already indexed double-posts them
-      * (same contract as [[AnnIndex.IvfPqIndex.append]]: ids are keys,
-      * the caller dedups ingest batches). Returns the refreshed index. */
+      *
+      * Commit protocol (same discipline as [[TextIndex]]): all three
+      * writes land in a NEW generation directory (`gen = nGens`), then
+      * one atomic manifest rename commits them together. Readers filter
+      * `gen < n_gens` (stats: `gen == n_gens - 1`), so an append that
+      * dies anywhere before the manifest rename leaves a loadable index
+      * that answers exactly as-before, and the next append sweeps the
+      * debris — without this, a crashed-then-retried append double-posts
+      * signatures and DUPLICATES candidate rows. Appending rows whose
+      * ids are already indexed still double-posts them (same contract as
+      * [[AnnIndex.IvfPqIndex.append]]: ids are keys, the caller dedups
+      * ingest batches). Returns the refreshed index. */
     def append(batch: DataFrame, textCol: String): MinHashIndex = {
+      // a handle loaded before someone else's append would sweep THEIR
+      // committed generation as "debris" — refuse loudly instead
+      val live = load(spark, indexDir).nGens
+      require(live == nGens,
+        s"stale index handle: $indexDir has $live committed generations, " +
+          s"this handle was loaded at $nGens — chain the index returned " +
+          "by append instead of reusing the old one")
+      Seq("bands", "signatures", "bucket_stats").foreach(sub =>
+        BucketFs.dropGensAtOrAbove(s"$indexDir/$sub", nGens))
       val sigs = Dedup.minHashSignature(batch, textCol, idCol, shingleK, numHashes)
+        .localCheckpoint(true) // feeds bands + signatures writes: hash once
       val banded = Dedup.lshBands(sigs, idCol, numHashes, bands)
-      banded.write.mode("append").partitionBy("band").parquet(s"$indexDir/bands")
-      sigs.select(col(idCol), packedSig(numHashes))
-        .write.mode("append").parquet(s"$indexDir/signatures")
+      writeGen(sigs, banded, idCol, numHashes, indexDir, gen = nGens)
       // incremental stats merge: old stats ∪ batch stats → sum n, min rep.
       // The batch side re-derives from `banded` (batch-sized recompute)
       // rather than rescanning the appended files — cheaper and append-
       // atomicity-independent.
       val batchStats = banded.groupBy("band", "band_sig")
         .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep_id"))
-      val merged = bucketStats.unionByName(batchStats)
+      bucketStats.unionByName(batchStats)
         .groupBy("band", "band_sig")
         .agg(sum(col("n")).as("n"), min(col("rep_id")).as("rep_id"))
-      val tmp = s"$indexDir/bucket_stats_tmp"
-      BucketFs.deleteRecursive(tmp)
-      merged.write.mode("overwrite").parquet(tmp)
-      // crash-safe swap (same discipline as AnnIndex.compactCodes): the
-      // live stats move ASIDE before the rewrite moves in, so one complete
-      // copy always exists on disk
-      val old = s"$indexDir/bucket_stats_old"
-      BucketFs.deleteRecursive(old)
-      val (fs, live) = BucketFs.resolve(s"$indexDir/bucket_stats")
-      val (_, oldP) = BucketFs.resolve(old)
-      BucketFs.move(fs, live, oldP)
-      val (_, src) = BucketFs.resolve(tmp)
-      val (_, dst) = BucketFs.resolve(s"$indexDir/bucket_stats")
-      BucketFs.move(fs, src, dst)
-      BucketFs.deleteRecursive(old)
-      this
+        .withColumn("gen", lit(nGens))
+        .write.mode("append").partitionBy("gen")
+        .parquet(s"$indexDir/bucket_stats")
+      writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol)
+      load(spark, indexDir)
     }
 
     /** Near-duplicate candidates of `batch` against the INDEXED corpus:

@@ -101,16 +101,8 @@ object TextIndex {
   /** Delete generation directories the manifest never committed (debris
     * of a crashed append) so a retry cannot double-write into them. */
   private def dropUncommittedGens(indexDir: String, committed: Int): Unit =
-    Seq("postings", "termstats").foreach { sub =>
-      val (fs, root) = BucketFs.resolve(s"$indexDir/$sub")
-      if (fs.exists(root))
-        fs.listStatus(root).foreach { st =>
-          val n = st.getPath.getName
-          if (n.startsWith("gen=") &&
-              scala.util.Try(n.drop(4).toInt).toOption.exists(_ >= committed))
-            fs.delete(st.getPath, true)
-        }
-    }
+    Seq("postings", "termstats").foreach(sub =>
+      BucketFs.dropGensAtOrAbove(s"$indexDir/$sub", committed))
 
   /** Build the index. One pass over the corpus: tokenize → per-(doc,
     * term) tf with dl denormalized → bucket-partitioned postings and
@@ -158,6 +150,13 @@ object TextIndex {
       * manifest id-range screens the batch and a precise postings
       * semi-join settles range overlaps. Returns a fresh load. */
     def append(batch: DataFrame, textCol: String): Bm25Index = {
+      // a handle loaded before someone else's append would sweep THEIR
+      // committed generation as "debris" — refuse loudly instead
+      val live = load(spark, indexDir).nGens
+      require(live == nGens,
+        s"stale index handle: $indexDir has $live committed generations, " +
+          s"this handle was loaded at $nGens — chain the index returned " +
+          "by append instead of reusing the old one")
       dropUncommittedGens(indexDir, nGens)
       val posts = withBucket(postingsOf(batch, textCol, idCol), nBuckets)
         .localCheckpoint(true)

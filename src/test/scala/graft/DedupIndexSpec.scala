@@ -92,6 +92,46 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("crashed append: uncommitted generation is invisible and swept on retry") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_c").toString
+    try {
+      DedupIndex.save(corpus, "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      val before = DedupIndex.load(spark, dir)
+        .candidates(batch, "text", Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      // simulate an append that died after its data writes but BEFORE the
+      // manifest commit: gen=1 band/signature debris the manifest ignores
+      Seq(("sig_x", 99L)).toDF("band_sig", "id").withColumn("band", lit(0))
+        .write.parquet(s"$dir/bands/gen=1/band=0")
+      Seq((99L, Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L))).toDF("id", "sig")
+        .write.parquet(s"$dir/signatures/gen=1")
+      val reloaded = DedupIndex.load(spark, dir)
+      val after = reloaded.candidates(batch, "text", Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(after == before, "uncommitted generation leaked into candidates")
+      // the retry (a real append) sweeps the debris instead of merging it
+      val grown = reloaded.append(
+        docs(50L -> "fresh archived content for the retry append"), "text")
+      assert(grown.nGens == 2)
+      assert(grown.signatures.where($"id" === 99L).count() == 0,
+        "crashed-append debris survived the retry sweep")
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
+  test("append refuses a stale handle (would sweep a committed generation)") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_s").toString
+    try {
+      DedupIndex.save(corpus, "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      val idx = DedupIndex.load(spark, dir)
+      idx.append(docs(40L -> "first append committed elsewhere"), "text")
+      val e = intercept[IllegalArgumentException](
+        idx.append(docs(41L -> "second append through the stale handle"), "text"))
+      assert(e.getMessage.contains("stale index handle"))
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("load: non-index directory fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notadedupidx").toString
     try {
