@@ -1107,6 +1107,61 @@ object PipelineQueries extends QueryModule {
       graft.sources.DedupIndex.load(s, idxDir)
         .candidates(docs.where($"doc_id" % 4 === 0), "text",
           maxBucketSize = Int.MaxValue)
+    }),
+
+    // Streaming deduplicated ingest — the production corpus-dedup shape
+    // end-to-end: odd-id docs are the archived corpus (persisted MinHash
+    // index); three mtime-ordered files (doc_id % 8 = 0 / 2 / 4) stream
+    // through foreachBatch, each batch keeping only docs that near-dup
+    // neither the archive nor any EARLIER KEPT batch; kept docs grow the
+    // index between batches. Uncapped to match the all-pairs oracle,
+    // which replays the same three-batch sequence in SQL.
+    "q147_stream_dedup_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_sdedup_v1_${QueryModule.cacheKey(dir)}"
+      val inDir = s"$base/in"
+      if (!graft.sources.BucketFs.exists(s"$inDir/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(inDir)
+        val docs = Tables(s, dir, "documents")
+        // one file per batch, named + mtime-spaced so FileStreamSource
+        // (maxFilesPerTrigger=1) batches them in a fixed order
+        Seq(0L, 2L, 4L).zipWithIndex.foreach { case (m, k) =>
+          val tmp = s"$base/stage_tmp"
+          graft.sources.BucketFs.deleteRecursive(tmp)
+          docs.where($"doc_id" % 8 === m).coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(f => f.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(s"$inDir/b$k.parquet")
+          dst.getParentFile.mkdirs()
+          require(part.renameTo(dst), s"staging rename failed for batch $k")
+          graft.sources.BucketFs.deleteRecursive(tmp)
+        }
+        val files = new java.io.File(inDir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        files.zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(((files.head.lastModified() / 60000L) * 60000L)
+            + i * 60000L)
+        }
+        graft.sources.BucketFs.writeString(s"$inDir/_staged_ok", "ok\n")
+      }
+      // the INGEST mutates the index, so index/sink/checkpoint are fresh
+      // every invocation; only the staged input is cached
+      val idxDir = s"$base/idx"; val outDir = s"$base/out"
+      val ckpt = s"$base/ckpt"
+      Seq(idxDir, outDir, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      val docs = Tables(ss, dir, "documents")
+      graft.sources.DedupIndex.save(docs.where($"doc_id" % 2 === 1),
+        "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
+      val schema = ss.read.parquet(s"$inDir/b0.parquet").schema
+      val q = graft.streaming.StreamingOps.dedupIngest(ss, inDir, schema,
+          idxDir, outDir, ckpt, "text", minMatch = 6,
+          maxBucketSize = Int.MaxValue, maxFilesPerTrigger = Some(1))
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("batch").cast("long").as("batch"), $"doc_id")
     })
   )
 
@@ -1377,9 +1432,55 @@ object PipelineQueries extends QueryModule {
       JOIN sig a ON p.new_id = a.doc_id
       JOIN sig b ON p.corpus_id = b.doc_id"""
 
+  /** Sequential replay of the q147 streaming ingest: batch k's kept set
+    * is defined against the archive (odd ids) PLUS the kept sets of
+    * batches < k — the same banded-candidate + component-count rule as
+    * the engine (a doc is dropped iff some banded collision agrees on
+    * ≥ 6 of 8 signature components). */
+  private def streamDedupIngestSql: String = s"""
+      WITH sig AS (${minhashSql(8)}),
+      bands AS (
+        SELECT doc_id, b.band,
+          CASE b.band
+            WHEN 0 THEN CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+            WHEN 1 THEN CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+            WHEN 2 THEN CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+            ELSE CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) END AS band_sig
+        FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b),
+      hit AS (
+        SELECT DISTINCT n.doc_id AS x, c.doc_id AS y
+        FROM bands n JOIN bands c
+          ON n.band = c.band AND n.band_sig = c.band_sig
+        JOIN sig a ON n.doc_id = a.doc_id
+        JOIN sig b ON c.doc_id = b.doc_id
+        WHERE n.doc_id <> c.doc_id
+          AND (a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT
+            + (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT
+            + (a.mh4 = b.mh4)::INT + (a.mh5 = b.mh5)::INT
+            + (a.mh6 = b.mh6)::INT + (a.mh7 = b.mh7)::INT >= 6),
+      k0 AS (
+        SELECT doc_id FROM documents d WHERE doc_id % 8 = 0
+          AND NOT EXISTS (SELECT 1 FROM hit
+            WHERE hit.x = d.doc_id AND hit.y % 2 = 1)),
+      k1 AS (
+        SELECT doc_id FROM documents d WHERE doc_id % 8 = 2
+          AND NOT EXISTS (SELECT 1 FROM hit
+            WHERE hit.x = d.doc_id AND (hit.y % 2 = 1
+              OR hit.y IN (SELECT doc_id FROM k0)))),
+      k2 AS (
+        SELECT doc_id FROM documents d WHERE doc_id % 8 = 4
+          AND NOT EXISTS (SELECT 1 FROM hit
+            WHERE hit.x = d.doc_id AND (hit.y % 2 = 1
+              OR hit.y IN (SELECT doc_id FROM k0)
+              OR hit.y IN (SELECT doc_id FROM k1))))
+      SELECT CAST(0 AS BIGINT) AS batch, doc_id FROM k0
+      UNION ALL SELECT CAST(1 AS BIGINT), doc_id FROM k1
+      UNION ALL SELECT CAST(2 AS BIGINT), doc_id FROM k2"""
+
   def oracle: Map[String, String] = Map(
     "q138_dedup_index" -> dedupIndexSql,
     "q139_dedup_index_append" -> dedupIndexSql,
+    "q147_stream_dedup_ingest" -> streamDedupIngestSql,
     "q30_dedup_exact" -> s"""
       SELECT md5(${normSql("text")}) AS text_md5,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -218,6 +218,67 @@ object StreamingOps {
       }
   }
 
+  /** Continuous DEDUPLICATED ingest against a persisted MinHash index —
+    * the production shape of corpus dedup: today's crawl streams in,
+    * every micro-batch keeps only documents that near-duplicate neither
+    * the archived corpus nor any earlier kept batch, kept rows land in a
+    * per-batch output directory AND grow the index (so later batches
+    * dedup against them). The batch path is
+    * [[graft.sources.DedupIndex.MinHashIndex.newDocsToKeep]]; this wires
+    * it into `foreachBatch` with REPLAY-IDEMPOTENT commits:
+    *
+    *  - the index's generation counter at stream START is pinned to a
+    *    sidecar (`outDir/_base_gens`), so batch `k` owns generation
+    *    `base + k` across checkpoint restarts;
+    *  - a replayed batch whose generation is already committed skips the
+    *    append (the atomic manifest commit decides), and its sink write
+    *    is an overwrite of its OWN `batch=k` directory — both effects
+    *    idempotent, which upgrades foreachBatch's at-least-once to
+    *    exactly-once observable behavior;
+    *  - sink-before-append ordering: a crash between the two replays
+    *    into an overwrite + a swept-debris append, never a double.
+    *
+    * Every batch commits a generation (even an all-duplicates one), so
+    * the batch↔generation mapping never drifts. Caller starts/stops the
+    * returned writer; read `outDir` back for (batch, kept rows). */
+  def dedupIngest(spark: SparkSession, sourceDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  indexDir: String, outDir: String, checkpointDir: String,
+                  textCol: String, minMatch: Int,
+                  maxBucketSize: Int = 1024,
+                  maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
+    import graft.sources.{BucketFs, DedupIndex}
+    val baseFile = s"$outDir/_base_gens"
+    val baseGens =
+      if (BucketFs.exists(baseFile)) BucketFs.readString(baseFile).trim.toInt
+      else {
+        val g = DedupIndex.load(spark, indexDir).nGens
+        BucketFs.writeStringAtomic(baseFile, s"$g\n")
+        g
+      }
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader.parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val idx = DedupIndex.load(spark, indexDir)
+        val target = baseGens + batchId
+        if (idx.nGens <= target) {
+          require(idx.nGens == target,
+            s"generation gap: index at ${idx.nGens}, batch $batchId " +
+              s"expects $target — was the index mutated outside the stream?")
+          val kept = idx
+            .newDocsToKeep(batch.toDF(), textCol, minMatch, maxBucketSize)
+            .localCheckpoint(true) // feeds sink AND append: dedup once
+          kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          idx.append(kept, textCol)
+        } // else: replayed, already-committed batch — idempotent skip
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Continuous bucket ingest: stream granule rows (file source) into a
     * spatially partitioned bucket — the streaming version of
     * write_granules_bucket: same layout, exactly-once via checkpoint.

@@ -193,6 +193,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupIngest: sequential batches dedup against archive + earlier kept; replay is idempotent") {
+    val base = tmp("sdedup")
+    val inDir = s"$base/in"; val idxDir = s"$base/idx"
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val archived = "the quick brown fox jumps over the lazy dog again and again"
+    val novel0 = "entirely different content describing spark execution engines"
+    val novel1 = "another unrelated row of words that shares nothing with others"
+    graft.sources.DedupIndex.save(
+      Seq((1L, archived)).toDF("doc_id", "text"), "text", "doc_id", idxDir,
+      shingleK = 3, numHashes = 8, bands = 4)
+    // batch 0: a dup of the archive + a novel doc; batch 1: a dup of the
+    // doc batch 0 KEPT (only detectable if kept docs grew the index) + a
+    // novel doc
+    def stage(k: Int, rows: Seq[(Long, String)]): Unit = {
+      val tmpDir = s"$base/stage_tmp"
+      graft.sources.BucketFs.deleteRecursive(tmpDir)
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmpDir)
+      val part = new java.io.File(tmpDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$inDir/b$k.parquet")
+      dst.getParentFile.mkdirs()
+      assert(part.renameTo(dst))
+      dst.setLastModified(1700000000000L + k * 60000L)
+      graft.sources.BucketFs.deleteRecursive(tmpDir)
+    }
+    stage(0, Seq((10L, archived), (11L, novel0)))
+    stage(1, Seq((20L, novel0), (21L, novel1)))
+    val schema = spark.read.parquet(s"$inDir/b0.parquet").schema
+    def run(): Set[(Int, Long)] = {
+      val q = StreamingOps.dedupIngest(spark, inDir, schema, idxDir, outDir,
+          ckpt, "text", minMatch = 6, maxBucketSize = Int.MaxValue,
+          maxFilesPerTrigger = Some(1))
+        .start()
+      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      spark.read.parquet(outDir).select($"batch", $"doc_id")
+        .as[(Int, Long)].collect().toSet
+    }
+    val first = run()
+    // 10 dups the archive; 20 dups batch 0's kept doc 11
+    assert(first == Set((0, 11L), (1, 21L)))
+    val grown = graft.sources.DedupIndex.load(spark, idxDir)
+    assert(grown.nGens == 3) // base + one generation per batch
+    // replay from scratch: lose the checkpoint, keep index + sink — every
+    // batch re-fires, the generation guard must skip the appends and the
+    // sink overwrites must converge to the identical state
+    graft.sources.BucketFs.deleteRecursive(ckpt)
+    assert(run() == first)
+    val replayed = graft.sources.DedupIndex.load(spark, idxDir)
+    assert(replayed.nGens == 3, "replay committed extra generations")
+    assert(replayed.signatures.groupBy($"doc_id").count()
+      .where($"count" > 1).count() == 0, "replay double-posted signatures")
+  }
+
   test("streaming bucket ingest: file source → partitioned bucket") {
     val src = tmp("granules")
     val bucket = tmp("bucket")
