@@ -1149,8 +1149,11 @@ object PipelineQueries extends QueryModule {
       val idxDir = s"$base/idx"; val outDir = s"$base/out"
       val ckpt = s"$base/ckpt"
       Seq(idxDir, outDir, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
+      // 4 shuffle partitions: ~18 tiny sequential jobs (3 batches × the
+      // dedup/sink/append/stats chain) — per-job overhead dominates at
+      // gate scale, so fewer tasks beats more parallelism here
       val ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
       val docs = Tables(ss, dir, "documents")
       graft.sources.DedupIndex.save(docs.where($"doc_id" % 2 === 1),
         "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
