@@ -148,7 +148,14 @@ object DedupIndex {
       * ids are already indexed still double-posts them (same contract as
       * [[AnnIndex.IvfPqIndex.append]]: ids are keys, the caller dedups
       * ingest batches). Returns the refreshed index. */
-    def append(batch: DataFrame, textCol: String): MinHashIndex = {
+    def append(batch: DataFrame, textCol: String): MinHashIndex =
+      appendSigs(
+        Dedup.minHashSignature(batch, textCol, idCol, shingleK, numHashes))
+
+    /** [[append]] from already-computed signature rows (id, mh0..mh{n-1})
+      * — the fused-ingest path reuses the batch's signatures instead of
+      * hashing the kept rows a second time. */
+    private[graft] def appendSigs(sigsRaw: DataFrame): MinHashIndex = {
       // a handle loaded before someone else's append would sweep THEIR
       // committed generation as "debris" — refuse loudly instead
       val live = load(spark, indexDir).nGens
@@ -158,7 +165,7 @@ object DedupIndex {
           "by append instead of reusing the old one")
       Seq("bands", "signatures", "bucket_stats").foreach(sub =>
         BucketFs.dropGensAtOrAbove(s"$indexDir/$sub", nGens))
-      val sigs = Dedup.minHashSignature(batch, textCol, idCol, shingleK, numHashes)
+      val sigs = sigsRaw
         .localCheckpoint(true) // feeds bands + signatures writes: hash once
       val banded = Dedup.lshBands(sigs, idCol, numHashes, bands)
       writeGen(sigs, banded, idCol, numHashes, indexDir, gen = nGens)
@@ -195,8 +202,13 @@ object DedupIndex {
       * away. `Int.MaxValue` disables the cap (exact all-pairs — what the
       * DuckDB oracle gates). */
     def candidates(batch: DataFrame, textCol: String,
-                   maxBucketSize: Int = 1024): DataFrame = {
-      val sigs = Dedup.minHashSignature(batch, textCol, idCol, shingleK, numHashes)
+                   maxBucketSize: Int = 1024): DataFrame =
+      candidatesFromSigs(
+        Dedup.minHashSignature(batch, textCol, idCol, shingleK, numHashes),
+        maxBucketSize)
+
+    private def candidatesFromSigs(sigs: DataFrame,
+                                   maxBucketSize: Int): DataFrame = {
       val newSigs = sigs.select(col(idCol).as("new_id"),
         packedSig(numHashes).as("new_sig"))
       val newBands = Dedup.lshBands(sigs, idCol, numHashes, bands)
@@ -232,6 +244,31 @@ object DedupIndex {
         .where(col("n_match") >= minMatch)
         .select(col("new_id")).distinct()
       batch.join(dup, batch(idCol) === dup("new_id"), "left_anti")
+    }
+
+    /** Fused dedup-then-grow for one ingest batch: the batch is hashed
+      * ONCE — its signatures drive both the candidate lookup and the
+      * append, instead of re-hashing the kept rows (at corpus scale the
+      * minhash pass IS the batch-side cost, so the naive
+      * newDocsToKeep-then-append sequence doubles it). Kept rows (no
+      * banded candidate agreeing on ≥ `minMatch` components) go to
+      * `commitKept` — e.g. the ingest sink write — BEFORE the index
+      * append commits, preserving the crash ordering [[graft.streaming
+      * .StreamingOps.dedupIngest]] relies on (sink overwrite is
+      * idempotent, append is generation-guarded). Returns the refreshed
+      * index. */
+    def ingest(batch: DataFrame, textCol: String, minMatch: Int,
+               maxBucketSize: Int = 1024)
+              (commitKept: DataFrame => Unit): MinHashIndex = {
+      val sigs = Dedup
+        .minHashSignature(batch, textCol, idCol, shingleK, numHashes)
+        .localCheckpoint(true) // feeds lookup AND append: hash once
+      val dup = candidatesFromSigs(sigs, maxBucketSize)
+        .where(col("n_match") >= minMatch)
+        .select(col("new_id")).distinct()
+        .localCheckpoint(true) // feeds both anti-joins below
+      commitKept(batch.join(dup, batch(idCol) === dup("new_id"), "left_anti"))
+      appendSigs(sigs.join(dup, sigs(idCol) === dup("new_id"), "left_anti"))
     }
   }
 }

@@ -267,11 +267,12 @@ object StreamingOps {
           require(idx.nGens == target,
             s"generation gap: index at ${idx.nGens}, batch $batchId " +
               s"expects $target — was the index mutated outside the stream?")
-          val kept = idx
-            .newDocsToKeep(batch.toDF(), textCol, minMatch, maxBucketSize)
-            .localCheckpoint(true) // feeds sink AND append: dedup once
-          kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-          idx.append(kept, textCol)
+          // fused path: one minhash pass serves lookup + append; the
+          // sink write happens before the generation commit (see ingest)
+          idx.ingest(batch.toDF(), textCol, minMatch, maxBucketSize) {
+            kept => kept.write.mode("overwrite")
+              .parquet(s"$outDir/batch=$batchId")
+          }
         } // else: replayed, already-committed batch — idempotent skip
         ()
       }
