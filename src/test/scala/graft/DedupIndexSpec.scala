@@ -30,6 +30,12 @@ class DedupIndexSpec extends AnyFunSuite {
         shingleK = 3, numHashes = 8, bands = 4)
       val idx = DedupIndex.load(spark, dir)
       assert((idx.shingleK, idx.numHashes, idx.bands, idx.idCol) == (3, 8, 4, "id"))
+      // every index scan filters to committed generations statically
+      val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(
+        idx.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+          .queryExecution.executedPlan.toString).toSeq
+      assert(pf.nonEmpty && pf.forall(_.contains("gen#")),
+        s"index scans lost gen partition pruning: $pf")
       val cands = idx.candidates(batch, "text", maxBucketSize = Int.MaxValue)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
       // the exact duplicate agrees on every signature component

@@ -25,9 +25,15 @@ class TextIndexSpec extends AnyFunSuite {
       // dl: 5 + 3 + 3 + 3 + 1 (null text → one empty token, like bm25)
       assert(idx.sumDl == 15)
       val res = idx.search(Seq("table", "scan"), topK = 10)
-      // only the query terms' buckets appear in the physical scan
-      val plan = res.queryExecution.executedPlan.toString
-      assert(plan.contains("bucket"), "postings scan should carry a bucket filter")
+      // only committed generations of the query terms' buckets appear in
+      // the physical scan — STATIC partition filters, not best-effort DPP
+      val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+        .findAllIn(res.queryExecution.executedPlan.toString).toSeq
+      assert(pf.nonEmpty && pf.forall(l =>
+          l.contains("gen#") &&
+          (l.contains("bucket# IN") || "bucket#\\d+ (IN|=)".r
+            .findFirstIn(l).isDefined)),
+        s"postings scan lost gen/bucket partition pruning: $pf")
       val got = res.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
       // docs 0,1,2 contain a query term; 3 and 4 must be absent
       assert(got.keySet == Set(0L, 1L, 2L))
