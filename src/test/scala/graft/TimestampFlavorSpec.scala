@@ -16,9 +16,9 @@ import graft.core.{ReaderSession, Tables}
   * runtime — and the suite never noticed because no spec read
   * testdata-shaped files. This one does: golden fixtures (generated
   * once with pyarrow, same three instants in each flavor) in
-  * us-naive, us-UTC, and ns-naive, each read through the engine's
-  * `Tables`/`ReaderSession` path and through a streaming source, must
-  * all yield TimestampType with identical micros.
+  * us-naive, us-UTC, ns-naive, and legacy INT96, each read through the
+  * engine's `Tables`/`ReaderSession` path and through a streaming
+  * source, must all yield TimestampType with identical micros.
   */
 class TimestampFlavorSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -41,7 +41,7 @@ class TimestampFlavorSpec extends AnyFunSuite {
   }
 
   test("Tables reads every flavor as TIMESTAMP with identical micros") {
-    for (dir <- Seq("us_ntz", "us_utc", "ns")) {
+    for (dir <- Seq("us_ntz", "us_utc", "ns", "int96")) {
       val df = Tables(spark, s"$fixtures/$dir", "events")
       assert(df.schema("ts").dataType == TimestampType,
         s"$dir: got ${df.schema("ts").dataType}")
