@@ -233,7 +233,7 @@ object PipelineQueries extends QueryModule {
     "q140_recall_curve" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      val idx = s"/tmp/graft_annidx_curve_v1_${QueryModule.cacheKey(dir)}"
+      val idx = s"/tmp/graft_annidx_curve_v2_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(idx)
       graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
         dims = 64, m = 4, k = 16, nList = 8)
@@ -910,7 +910,7 @@ object PipelineQueries extends QueryModule {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
       // fresh build every run: delete mutates the index in place
-      val idx = s"/tmp/graft_annidx_del_v1_${QueryModule.cacheKey(dir)}"
+      val idx = s"/tmp/graft_annidx_del_v2_${QueryModule.cacheKey(dir)}"
       graft.sources.BucketFs.deleteRecursive(idx)
       graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
         dims = 64, m = 4, k = 16, nList = 8)
@@ -925,7 +925,7 @@ object PipelineQueries extends QueryModule {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
       // v-token: bump when the index layout/params change (stale /tmp cache)
-      val idx = s"/tmp/graft_annidx_v1_${QueryModule.cacheKey(dir)}"
+      val idx = s"/tmp/graft_annidx_v2_${QueryModule.cacheKey(dir)}"
       graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
         dims = 64, m = 4, k = 16, nList = 8)
       graft.sources.AnnIndex.loadIvfPq(s, idx)
@@ -992,7 +992,7 @@ object PipelineQueries extends QueryModule {
     "q109_pq_persist_residual" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
-      val idx = s"/tmp/graft_annidx_res_v1_${QueryModule.cacheKey(dir)}"
+      val idx = s"/tmp/graft_annidx_res_v2_${QueryModule.cacheKey(dir)}"
       graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
         dims = 64, m = 4, k = 16, nList = 8, residual = true)
       graft.sources.AnnIndex.loadIvfPq(s, idx)

@@ -19,15 +19,26 @@ import graft.operators.Similarity
   *
   * Layout under `indexDir`:
   *  - `_ann_index.json` — manifest: index type + (dims, m, k, nList,
-  *    quantizeScale, idCol). Underscore prefix so Spark's file index
-  *    treats it as metadata, like `_bucket_info.json`.
+  *    quantizeScale, idCol, n_gens). Underscore prefix so Spark's file
+  *    index treats it as metadata, like `_bucket_info.json`.
   *  - `centroids/` — nList rows (cell, centroid array<double>).
   *  - `codebook/`  — m·k rows (subspace, code_id, centroid array<double>).
-  *  - `codes/`     — one row per corpus vector (id, pq_code array<long>),
-  *    PARTITIONED BY cell: an nProbe search reads only the probed cells'
+  *  - `codes/gen=N/cell=C/` — one row per corpus vector (id, pq_code
+  *    array<long>), partitioned by generation and cell: an nProbe search
+  *    reads only the committed generations of the probed cells'
   *    directories (Catalyst partition pruning), the on-disk equivalent of
   *    an inverted list. At 100 TB the codes frame is the only large one
   *    (~m bytes-ish per vector), and a probe touches nProbe/nList of it.
+  *
+  * Batch appends follow the same generation-commit protocol as
+  * [[DedupIndex]]/[[TextIndex]]: each append writes into a NEW `gen=N`
+  * directory and an atomic manifest rename commits `n_gens = N+1`;
+  * readers filter committed generations, so a crashed append is
+  * invisible and the retry sweeps its debris instead of double-posting
+  * the batch. STREAM-managed codes (see [[streamingCodesWriter]]) use
+  * the file-sink `_spark_metadata` log as their transaction mechanism
+  * instead — flat `cell=C` layout, no generations; [[compactCodes]]
+  * converts to the generational batch layout.
   *
   * Exactness: every persisted value is a long or an integer-valued double
   * (the quantized grid), so the parquet round trip is bit-exact and a
@@ -42,34 +53,41 @@ object AnnIndex {
   final case class IvfPqIndex(dims: Int, m: Int, k: Int, nList: Int,
                               quantizeScale: Option[Double], idCol: String,
                               residual: Boolean, trainUpdates: Int,
-                              indexDir: String,
+                              nGens: Int, indexDir: String,
                               centroids: DataFrame, codebook: DataFrame,
                               codes: DataFrame) {
 
+    private def requireBatchManaged(verb: String): Unit = {
+      // a stream-managed codes dir (file-sink _spark_metadata) reads ONLY
+      // the files in the sink log — a batch write here would add rows
+      // that are silently invisible; route new data through
+      // streamingCodesWriter (or compact first)
+      require(!BucketFs.exists(s"$indexDir/codes/_spark_metadata"),
+        s"codes under $indexDir are stream-managed; $verb")
+      require(nGens >= 0,
+        s"codes under $indexDir use the pre-generational flat layout — " +
+          "rebuild the index (saveIvfPq) to enable batch mutation verbs")
+      // a handle loaded before someone else's append would sweep THEIR
+      // committed generation as "debris" — refuse loudly instead
+      val live = readMeta(indexDir).nGens
+      require(live == nGens,
+        s"stale index handle: $indexDir has $live committed generations, " +
+          s"this handle was loaded at $nGens — chain the returned index")
+    }
+
     /** Incremental ingest: encode `newCorpus` against the PERSISTED
       * centroids and codebook — nothing retrains, existing codes are
-      * untouched — and append the new (id, cell, pq_code) rows to the
-      * cell-partitioned codes. The standard grow-an-index operation;
-      * ids must be new (no dedup against existing codes is attempted).
-      * Returns a freshly loaded index: this instance's `codes` frame
-      * pinned its file listing at load time and will not see the
-      * appended files.
-      *
-      * Crash contract: this is a single-dataset parquet append with no
-      * generation/manifest commit (unlike [[DedupIndex]]/[[TextIndex]],
-      * whose multi-dataset appends NEED one to stay mutually
-      * consistent) — a job that dies mid-append can leave a PARTIAL
-      * batch visible, and rerunning it double-posts the batch's ids.
-      * Recovery is by id, not by generation: `delete(batchIds)` then
-      * re-append. Continuous ingest should use [[streamingCodesWriter]],
-      * whose file-sink log gives exactly-once batches. */
+      * untouched — and append the new (id, cell, pq_code) rows as a new
+      * generation of the cell-partitioned codes, committed by one atomic
+      * manifest rename (see the commit protocol in the object doc: a
+      * crashed append is invisible and swept on retry, never
+      * double-posted). Ids must be new (no dedup against existing codes
+      * is attempted). Returns a freshly loaded index. Continuous ingest
+      * should use [[streamingCodesWriter]], whose file-sink log gives
+      * exactly-once batches. */
     def append(newCorpus: DataFrame, vecCol: String): IvfPqIndex = {
-      // a stream-managed codes dir (file-sink _spark_metadata) reads ONLY
-      // the files in the sink log — a batch append here would write rows
-      // that are silently invisible; route new data through
-      // streamingCodesWriter instead
-      require(!BucketFs.exists(s"$indexDir/codes/_spark_metadata"),
-        s"codes under $indexDir are stream-managed; use streamingCodesWriter")
+      requireBatchManaged("use streamingCodesWriter")
+      BucketFs.dropGensAtOrAbove(s"$indexDir/codes", nGens)
       val exploded = Similarity.encodeAgainstIndex(newCorpus, idCol, vecCol,
         centroids.select(col("cell").as("centroid_id"),
           col("centroid").as("__c")),
@@ -77,7 +95,9 @@ object AnnIndex {
           col("centroid").as("__c")),
         dims, m, k, nList, residual, quantizeScale,
         integerCb = trainUpdates == 0)
-      writeCodes(exploded, idCol, indexDir, "append")
+      writeCodes(exploded, idCol, indexDir, gen = nGens)
+      writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+        quantizeScale, idCol, nGens + 1)
       loadIvfPq(newCorpus.sparkSession, indexDir)
     }
     /** Delete vectors by id — the remaining lifecycle verb after
@@ -92,37 +112,43 @@ object AnnIndex {
       * Unknown ids are ignored; a fully-emptied cell's directory is
       * removed. Returns a freshly loaded index. */
     def delete(ids: Seq[Long]): IvfPqIndex = {
-      require(!BucketFs.exists(s"$indexDir/codes/_spark_metadata"),
-        s"codes under $indexDir are stream-managed; stop the stream and " +
-          "compact before deleting")
+      requireBatchManaged("stop the stream and compact before deleting")
       require(ids.nonEmpty, "delete needs at least one id")
       require(ids.length <= 1000000,
         "literal tombstone sets are bounded at 1M ids — stage larger " +
           "deletes as a frame and anti-join a rebuild")
       val spark = codes.sparkSession
-      val affected = codes.where(col(idCol).isin(ids: _*))
-        .select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
+      // the raw read keeps `gen`: deleted ids may live in any committed
+      // generation, and the rewrite must land back in the SAME one
+      val raw = spark.read.parquet(s"$indexDir/codes")
+        .where(col("gen") < lit(nGens))
+        .withColumn("cell", col("cell").cast("long"))
+      val affected = raw.where(col(idCol).isin(ids: _*))
+        .select(col("gen"), col("cell")).distinct()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       if (affected.nonEmpty) {
         val tmp = s"$indexDir/codes_rewrite_tmp"
         BucketFs.deleteRecursive(tmp)
-        codes
-          .where(col("cell").isin(affected: _*) && !col(idCol).isin(ids: _*))
-          .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-        // crash-safe swap per cell: move the LIVE directory aside first,
-        // then the rewrite in, then drop the old copy — a crash anywhere
-        // in the window leaves at least one complete copy of the cell
+        val pairs = affected.map { case (g, c) =>
+          col("gen") === g && col("cell") === c }.reduce(_ || _)
+        raw.where(pairs && !col(idCol).isin(ids: _*))
+          .write.mode("overwrite").partitionBy("gen", "cell").parquet(tmp)
+        // crash-safe swap per (gen, cell) dir: move the LIVE directory
+        // aside first, then the rewrite in, then drop the old copy — a
+        // crash anywhere in the window leaves at least one complete copy
         // (deleting live-then-move would strand the data in tmp)
-        affected.foreach { c =>
-          val old = s"$indexDir/codes_old_cell=$c"
+        affected.foreach { case (g, c) =>
+          val sub = s"gen=$g/cell=$c"
+          val old = s"$indexDir/codes_old_gen=${g}_cell=$c"
           BucketFs.deleteRecursive(old)
-          val (lfs, live) = BucketFs.resolve(s"$indexDir/codes/cell=$c")
+          val (lfs, live) = BucketFs.resolve(s"$indexDir/codes/$sub")
           if (lfs.exists(live)) {
             val (_, oldP) = BucketFs.resolve(old)
             BucketFs.move(lfs, live, oldP)
           }
-          val (fs, src) = BucketFs.resolve(s"$tmp/cell=$c")
+          val (fs, src) = BucketFs.resolve(s"$tmp/$sub")
           if (fs.exists(src)) { // absent = the cell emptied entirely
-            val (_, dst) = BucketFs.resolve(s"$indexDir/codes/cell=$c")
+            val (_, dst) = BucketFs.resolve(s"$indexDir/codes/$sub")
             BucketFs.move(fs, src, dst)
           }
           BucketFs.deleteRecursive(old)
@@ -194,15 +220,26 @@ object AnnIndex {
         col("__c").as("centroid"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebook")
     // codes pack to one array row per vector (position = subspace) and
-    // partition by cell — the inverted-list layout searches prune on
-    if (includeCodes) writeCodes(codesExploded, idCol, indexDir, "overwrite")
+    // land in generation 0 of the gen/cell layout searches prune on;
+    // n_gens = 0 marks a codes-free build (stream-managed codes never
+    // use generations — their sink log is the transaction mechanism)
+    BucketFs.deleteRecursive(s"$indexDir/codes")
+    if (includeCodes) writeCodes(codesExploded, idCol, indexDir, gen = 0)
+    writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+      quantizeScale, idCol, if (includeCodes) 1 else 0)
+  }
+
+  private def writeManifest(indexDir: String, residual: Boolean, dims: Int,
+                            m: Int, k: Int, nList: Int, trainUpdates: Int,
+                            quantizeScale: Option[Double], idCol: String,
+                            nGens: Int): Unit = {
     val manifest: Map[String, Any] = Map(
       "index_type" -> "ivf_pq", "residual" -> residual,
       "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
       "train_updates" -> trainUpdates,
       "quantize_scale" -> quantizeScale.map(_.asInstanceOf[Any]).orNull,
-      "id_col" -> idCol)
-    BucketFs.writeString(s"$indexDir/$ManifestFile",
+      "id_col" -> idCol, "n_gens" -> nGens)
+    BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(toJValue(manifest))))
   }
 
@@ -272,7 +309,8 @@ object AnnIndex {
     BucketFs.deleteRecursive(tmp)
     spark.read.parquet(codesDir)
       .withColumn("cell", col("cell").cast("long"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      .withColumn("gen", lit(0))
+      .write.mode("overwrite").partitionBy("gen", "cell").parquet(tmp)
     // crash-safe swap: live moves ASIDE (not deleted) before tmp moves in,
     // so a crash in the window always leaves one complete copy on disk
     val old = s"$indexDir/codes_old"
@@ -284,26 +322,34 @@ object AnnIndex {
     val (_, dst) = BucketFs.resolve(codesDir)
     BucketFs.move(fs, src, dst)
     BucketFs.deleteRecursive(old)
+    // the handoff commit: codes are now generation 0 of the batch layout
+    val mt = readMeta(indexDir)
+    writeManifest(indexDir, mt.residual, mt.dims, mt.m, mt.k, mt.nList,
+      mt.trainUpdates, mt.scale, mt.idCol, 1)
   }
 
   /** Pack exploded codes to one array row per vector (position =
-    * subspace) and write them cell-partitioned — shared by the initial
-    * save (overwrite) and incremental append. */
+    * subspace) and write them into one generation of the gen/cell
+    * layout — shared by the initial save (gen 0) and incremental
+    * appends (gen = nGens). */
   private def writeCodes(codesExploded: DataFrame, idCol: String,
-                         indexDir: String, mode: String): Unit =
+                         indexDir: String, gen: Int): Unit =
     codesExploded
       .groupBy(col("neighbor_id"), col("centroid_id"))
       .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
         s => s.getField("__code")).as("pq_code"))
       .select(col("neighbor_id").as(idCol), col("centroid_id").as("cell"),
         col("pq_code"))
-      .write.mode(mode).partitionBy("cell").parquet(s"$indexDir/codes")
+      .withColumn("gen", lit(gen))
+      .write.mode("append").partitionBy("gen", "cell")
+      .parquet(s"$indexDir/codes")
 
   /** Manifest fields, parsed once — shared by the full load and the
     * codes-free paths (streamingCodesWriter runs before codes exist). */
   private final case class Meta(dims: Int, m: Int, k: Int, nList: Int,
                                 scale: Option[Double], idCol: String,
-                                residual: Boolean, trainUpdates: Int)
+                                residual: Boolean, trainUpdates: Int,
+                                nGens: Int)
 
   private def readMeta(indexDir: String): Meta = {
     val p = s"$indexDir/$ManifestFile"
@@ -343,19 +389,32 @@ object AnnIndex {
       case other => throw new IllegalArgumentException(
         s"bad train_updates in manifest: $other")
     }
+    val nGens = mf \ "n_gens" match {
+      case JInt(x) => x.toInt
+      case JNothing | JNull => -1 // pre-generational flat codes layout
+      case other => throw new IllegalArgumentException(
+        s"bad n_gens in manifest: $other")
+    }
     Meta(num("dims").toInt, num("m").toInt, num("k").toInt,
-      num("n_list").toInt, scale, idCol, residual, trainUpdates)
+      num("n_list").toInt, scale, idCol, residual, trainUpdates, nGens)
   }
 
   /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames). */
   def loadIvfPq(spark: SparkSession, indexDir: String): IvfPqIndex = {
     val mt = readMeta(indexDir)
     // cell is a directory-partition column: its read-back type depends on
-    // session inference settings (string with inference off), so pin it
-    val codes = spark.read.parquet(s"$indexDir/codes")
-      .withColumn("cell", col("cell").cast("long"))
+    // session inference settings (string with inference off), so pin it.
+    // Stream-managed codes read through the sink log (flat layout, the
+    // log IS the commit filter); batch codes filter committed generations
+    val raw = spark.read.parquet(s"$indexDir/codes")
+    val codes =
+      (if (mt.nGens >= 0 &&
+           !BucketFs.exists(s"$indexDir/codes/_spark_metadata"))
+         raw.where(col("gen") < lit(mt.nGens)).drop("gen")
+       else raw)
+        .withColumn("cell", col("cell").cast("long"))
     IvfPqIndex(mt.dims, mt.m, mt.k, mt.nList, mt.scale, mt.idCol,
-      mt.residual, mt.trainUpdates, indexDir,
+      mt.residual, mt.trainUpdates, mt.nGens, indexDir,
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebook"), codes)
   }

@@ -144,7 +144,7 @@ object PipelineScaleSmoke {
       }
       require(idxCross == 0,
         s"ann index: $idxCross cross-family neighbors in top-5")
-      val cellDirs = new java.io.File(s"$idxDir/codes").listFiles()
+      val cellDirs = new java.io.File(s"$idxDir/codes/gen=0").listFiles()
         .count(f => f.isDirectory && f.getName.startsWith("cell="))
       require(cellDirs == 8, s"expected 8 cell dirs, got $cellDirs")
       println(s"[pscale] ann index: persisted search in-family, $cellDirs cell dirs")

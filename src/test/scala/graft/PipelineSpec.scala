@@ -717,8 +717,9 @@ class PipelineSpec extends AnyFunSuite {
       // manifest present, underscore-prefixed (metadata to Spark's lister)
       assert(graft.sources.BucketFs.exists(
         s"$dir/${graft.sources.AnnIndex.ManifestFile}"))
-      // codes laid out as one directory per cell (the inverted list)
-      val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      // codes laid out as one directory per cell inside generation 0
+      // (the inverted list, committed by the manifest)
+      val cellDirs = new java.io.File(s"$dir/codes/gen=0").listFiles()
         .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
       assert(cellDirs.nonEmpty)
       val idx = graft.sources.AnnIndex.loadIvfPq(spark, dir)
@@ -776,11 +777,11 @@ class PipelineSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(1))
       val (victimCell, victimIds) =
         cellOfRow.groupBy(_._2).view.mapValues(_.map(_._1).toSeq).minBy(_._2.size)
-      val untouched = new java.io.File(s"$dir/codes/cell=${(victimCell + 1) % 4}")
+      val untouched = new java.io.File(s"$dir/codes/gen=0/cell=${(victimCell + 1) % 4}")
       val beforeMtimes = untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
       val idx = idx0.delete(victimIds :+ 9999L)
       // the emptied cell's directory is gone; the untouched cell's files unmoved
-      assert(!new java.io.File(s"$dir/codes/cell=$victimCell").exists())
+      assert(!new java.io.File(s"$dir/codes/gen=0/cell=$victimCell").exists())
       assert(untouched.listFiles().map(f => f.getName -> f.lastModified()).toMap
         == beforeMtimes)
       // search equals a rebuild-free recompute over the surviving ids
@@ -833,6 +834,41 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.exists(_._3 >= 40L))
       // the stale pre-append instance still sees only the original codes
       assert(idx0.codes.count() == 40L && idx.codes.count() == 64L)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
+  test("AnnIndex: crashed append is invisible, swept on retry; stale handles refused") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 48L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val queries = vecs.where($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_crash").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(vecs.where($"vec_id" < 32),
+        "vec_id", "embedding", dir, dims = 8, m = 2, k = 4, nList = 4)
+      val idx0 = graft.sources.AnnIndex.loadIvfPq(spark, dir)
+      val before = idx0.search(queries, "embedding", topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      // simulate an append that died after its codes write but BEFORE the
+      // manifest commit: a gen=1 directory the manifest doesn't know about
+      Seq((99L, Seq(0L, 0L))).toDF("vec_id", "pq_code")
+        .write.parquet(s"$dir/codes/gen=1/cell=0")
+      val reloaded = graft.sources.AnnIndex.loadIvfPq(spark, dir)
+      assert(reloaded.codes.count() == 32L,
+        "uncommitted generation leaked into the codes frame")
+      assert(reloaded.search(queries, "embedding", topK = 5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet == before)
+      // the retry (a real append) sweeps the debris, not merges it
+      val grown = reloaded.append(vecs.where($"vec_id" >= 32), "embedding")
+      assert(grown.nGens == 2)
+      assert(grown.codes.where($"vec_id" === 99L).count() == 0,
+        "crashed-append debris survived the retry sweep")
+      assert(grown.codes.count() == 48L)
+      // a stale handle must not append (it would sweep gen=1 as debris)
+      val e = intercept[IllegalArgumentException](
+        reloaded.append(vecs.limit(1), "embedding"))
+      assert(e.getMessage.contains("stale index handle"))
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
