@@ -1164,7 +1164,8 @@ class PipelineSpec extends AnyFunSuite {
       (i.toLong, Seq.fill(5 + rnd.nextInt(120))(
         ('a' + rnd.nextInt(3)).toChar).mkString)
     } ++ Seq((100L, "exact"), (101L, ""), (102L, "ab"),
-      (103L, "añ∂é multibyte ∆ text añ∂é multibyte ∆"))).toDF("doc_id", "text")
+      (103L, "añ∂é multibyte ∆ text añ∂é multibyte ∆"),
+      (104L, "astral 😀🎉 chars 😀🎉 astral 😀🎉 chars"))).toDF("doc_id", "text")
     for ((spanLen, w) <- Seq((6, 4), (24, 8), (2, 2))) {
       val (spansE, hashE, sel) = hofSpans(spanLen, w)
       val expect = docs
