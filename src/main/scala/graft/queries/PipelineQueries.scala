@@ -1123,25 +1123,8 @@ object PipelineQueries extends QueryModule {
       if (!graft.sources.BucketFs.exists(s"$inDir/_staged_ok")) {
         graft.sources.BucketFs.deleteRecursive(inDir)
         val docs = Tables(s, dir, "documents")
-        // one file per batch, named + mtime-spaced so FileStreamSource
-        // (maxFilesPerTrigger=1) batches them in a fixed order
-        Seq(0L, 2L, 4L).zipWithIndex.foreach { case (m, k) =>
-          val tmp = s"$base/stage_tmp"
-          graft.sources.BucketFs.deleteRecursive(tmp)
-          docs.where($"doc_id" % 8 === m).coalesce(1).write.parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .filter(f => f.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(s"$inDir/b$k.parquet")
-          dst.getParentFile.mkdirs()
-          require(part.renameTo(dst), s"staging rename failed for batch $k")
-          graft.sources.BucketFs.deleteRecursive(tmp)
-        }
-        val files = new java.io.File(inDir).listFiles()
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-        files.zipWithIndex.foreach { case (f, i) =>
-          f.setLastModified(((files.head.lastModified() / 60000L) * 60000L)
-            + i * 60000L)
-        }
+        graft.streaming.StreamingOps.stageOrderedBatches(
+          Seq(0L, 2L, 4L).map(m => docs.where($"doc_id" % 8 === m)), inDir)
         graft.sources.BucketFs.writeString(s"$inDir/_staged_ok", "ok\n")
       }
       // the INGEST mutates the index, so index/sink/checkpoint are fresh

@@ -119,8 +119,11 @@ object AnnIndex {
           "deletes as a frame and anti-join a rebuild")
       val spark = codes.sparkSession
       // the raw read keeps `gen`: deleted ids may live in any committed
-      // generation, and the rewrite must land back in the SAME one
+      // generation, and the rewrite must land back in the SAME one.
+      // Both partition columns get their types pinned — read-back type
+      // depends on session inference settings
       val raw = spark.read.parquet(s"$indexDir/codes")
+        .withColumn("gen", col("gen").cast("int"))
         .where(col("gen") < lit(nGens))
         .withColumn("cell", col("cell").cast("long"))
       val affected = raw.where(col(idCol).isin(ids: _*))

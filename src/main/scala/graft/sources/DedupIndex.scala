@@ -75,6 +75,10 @@ object DedupIndex {
   def save(corpus: DataFrame, textCol: String, idCol: String, indexDir: String,
            shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    // save overwrites: clear any previous index's data (writeGen appends
+    // into generation dirs, so stale files would otherwise merge in)
+    Seq("bands", "signatures", "bucket_stats").foreach(sub =>
+      BucketFs.deleteRecursive(s"$indexDir/$sub"))
     val sigs = Dedup.minHashSignature(corpus, textCol, idCol, shingleK, numHashes)
     val banded = Dedup.lshBands(sigs, idCol, numHashes, bands)
     writeGen(sigs, banded, idCol, numHashes, indexDir, gen = 0)
@@ -91,12 +95,14 @@ object DedupIndex {
   }
 
   // band/gen are directory-partition columns: pin band's read-back type,
-  // keep only committed generations, hide the bookkeeping column
+  // keep only committed generations, hide the bookkeeping column. A
+  // pre-generational index (maxGen < 0, flat layout) reads as-is.
   private def bandsOf(spark: SparkSession, indexDir: String,
-                      maxGen: Int): DataFrame =
-    spark.read.parquet(s"$indexDir/bands")
-      .where(col("gen") < lit(maxGen)).drop("gen")
+                      maxGen: Int): DataFrame = {
+    val raw = spark.read.parquet(s"$indexDir/bands")
+    (if (maxGen < 0) raw else raw.where(col("gen") < lit(maxGen)).drop("gen"))
       .withColumn("band", col("band").cast("int"))
+  }
 
   /** Reload a persisted dedup index (manifest + lazy parquet frames). */
   def load(spark: SparkSession, indexDir: String): MinHashIndex = {
@@ -116,8 +122,15 @@ object DedupIndex {
       case JString(s) => s
       case _ => throw new IllegalArgumentException("manifest missing id_col")
     }
+    // missing n_gens = a pre-generational index: loadable read-only
+    val nGens = mf \ "n_gens" match {
+      case JInt(x) => x.toInt
+      case JNothing | JNull => -1
+      case other => throw new IllegalArgumentException(
+        s"bad n_gens in manifest: $other")
+    }
     MinHashIndex(spark, indexDir, int("shingle_k"), int("num_hashes"),
-      int("bands"), int("n_gens"), idCol)
+      int("bands"), nGens, idCol)
   }
 
   final case class MinHashIndex(spark: SparkSession, indexDir: String,
@@ -125,13 +138,18 @@ object DedupIndex {
                                 nGens: Int, idCol: String) {
 
     def bandPostings: DataFrame = bandsOf(spark, indexDir, nGens)
-    def signatures: DataFrame = spark.read.parquet(s"$indexDir/signatures")
-      .where(col("gen") < lit(nGens)).drop("gen")
+    def signatures: DataFrame = {
+      val raw = spark.read.parquet(s"$indexDir/signatures")
+      if (nGens < 0) raw else raw.where(col("gen") < lit(nGens)).drop("gen")
+    }
     /** Bucket stats are a REPLACEMENT dataset: each committed append
       * writes the full merged copy into its generation, and only the
       * NEWEST committed generation is live. */
-    def bucketStats: DataFrame = spark.read.parquet(s"$indexDir/bucket_stats")
-      .where(col("gen") === lit(nGens - 1)).drop("gen")
+    def bucketStats: DataFrame = {
+      val raw = spark.read.parquet(s"$indexDir/bucket_stats")
+      if (nGens < 0) raw
+      else raw.where(col("gen") === lit(nGens - 1)).drop("gen")
+    }
 
     /** Index `batch` incrementally: batch-sized appends to the band
       * postings and signatures, plus a stats merge that touches only
@@ -156,6 +174,9 @@ object DedupIndex {
       * — the fused-ingest path reuses the batch's signatures instead of
       * hashing the kept rows a second time. */
     private[graft] def appendSigs(sigsRaw: DataFrame): MinHashIndex = {
+      require(nGens >= 0,
+        s"index at $indexDir uses the pre-generational flat layout — " +
+          "rebuild it (save) to enable appends")
       // a handle loaded before someone else's append would sweep THEIR
       // committed generation as "debris" — refuse loudly instead
       val live = load(spark, indexDir).nGens

@@ -111,6 +111,10 @@ object TextIndex {
   def save(corpus: DataFrame, textCol: String, idCol: String,
            indexDir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // save overwrites: clear any previous index's data (writeGen appends
+    // into generation dirs, so stale files would otherwise merge in)
+    Seq("postings", "termstats").foreach(sub =>
+      BucketFs.deleteRecursive(s"$indexDir/$sub"))
     val posts = withBucket(postingsOf(corpus, textCol, idCol), nBuckets)
       .localCheckpoint(true) // postings feed both writes; tokenize once
     writeGen(posts, indexDir, gen = 0)
@@ -138,9 +142,13 @@ object TextIndex {
                              idRange: Option[(Long, Long)]) {
 
     /** Committed rows of `postings` or `termstats`: partition filter
-      * `gen < nGens` hides any crashed-append debris. */
-    private def committed(sub: String): DataFrame =
-      spark.read.parquet(s"$indexDir/$sub").where(col("gen") < lit(nGens))
+      * `gen < nGens` hides any crashed-append debris. A pre-generational
+      * index (nGens < 0, flat layout without a gen column) reads as-is —
+      * searchable, but append is refused. */
+    private def committed(sub: String): DataFrame = {
+      val raw = spark.read.parquet(s"$indexDir/$sub")
+      if (nGens < 0) raw else raw.where(col("gen") < lit(nGens))
+    }
 
     /** Grow the index: the batch's postings and df-delta rows land in a
       * new generation directory, then one atomic manifest replace
@@ -150,6 +158,9 @@ object TextIndex {
       * manifest id-range screens the batch and a precise postings
       * semi-join settles range overlaps. Returns a fresh load. */
     def append(batch: DataFrame, textCol: String): Bm25Index = {
+      require(nGens >= 0,
+        s"index at $indexDir uses the pre-generational flat layout — " +
+          "rebuild it (save) to enable appends")
       // a handle loaded before someone else's append would sweep THEIR
       // committed generation as "debris" — refuse loudly instead
       val live = load(spark, indexDir).nGens
@@ -267,7 +278,9 @@ object TextIndex {
       case (Some(lo), Some(hi)) => Some((lo, hi))
       case _ => None
     }
+    // missing n_gens = a pre-generational index: loadable read-only
+    val nGens = optLong("n_gens").map(_.toInt).getOrElse(-1)
     Bm25Index(spark, indexDir, long("n_docs"), long("sum_dl"),
-      long("n_buckets").toInt, long("n_gens").toInt, idCol, idRange)
+      long("n_buckets").toInt, nGens, idCol, idRange)
   }
 }

@@ -218,6 +218,32 @@ object StreamingOps {
       }
   }
 
+  /** Stage `batches` as one parquet file each under `inDir` (`b0.parquet`,
+    * `b1.parquet`, …), mtime-spaced a minute apart, so a file source with
+    * `maxFilesPerTrigger=1` processes them as micro-batches in exactly
+    * this order (FileStreamSource batches in mtime order) — the
+    * determinism idiom every staged streaming gate and spec relies on. */
+  def stageOrderedBatches(batches: Seq[DataFrame], inDir: String): Unit = {
+    import graft.sources.BucketFs
+    val tmp = s"${inDir}_stage_tmp" // sibling: never visible to the source
+    batches.zipWithIndex.foreach { case (b, k) =>
+      BucketFs.deleteRecursive(tmp)
+      b.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(s"$inDir/b$k.parquet")
+      dst.getParentFile.mkdirs()
+      require(part.renameTo(dst), s"staging rename failed for batch $k")
+      BucketFs.deleteRecursive(tmp)
+    }
+    val files = new java.io.File(inDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    files.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(((files.head.lastModified() / 60000L) * 60000L)
+        + i * 60000L)
+    }
+  }
+
   /** Continuous DEDUPLICATED ingest against a persisted MinHash index —
     * the production shape of corpus dedup: today's crawl streams in,
     * every micro-batch keeps only documents that near-duplicate neither

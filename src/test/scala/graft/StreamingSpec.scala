@@ -206,20 +206,9 @@ class StreamingSpec extends AnyFunSuite {
     // batch 0: a dup of the archive + a novel doc; batch 1: a dup of the
     // doc batch 0 KEPT (only detectable if kept docs grew the index) + a
     // novel doc
-    def stage(k: Int, rows: Seq[(Long, String)]): Unit = {
-      val tmpDir = s"$base/stage_tmp"
-      graft.sources.BucketFs.deleteRecursive(tmpDir)
-      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmpDir)
-      val part = new java.io.File(tmpDir).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val dst = new java.io.File(s"$inDir/b$k.parquet")
-      dst.getParentFile.mkdirs()
-      assert(part.renameTo(dst))
-      dst.setLastModified(1700000000000L + k * 60000L)
-      graft.sources.BucketFs.deleteRecursive(tmpDir)
-    }
-    stage(0, Seq((10L, archived), (11L, novel0)))
-    stage(1, Seq((20L, novel0), (21L, novel1)))
+    StreamingOps.stageOrderedBatches(Seq(
+      Seq((10L, archived), (11L, novel0)).toDF("doc_id", "text"),
+      Seq((20L, novel0), (21L, novel1)).toDF("doc_id", "text")), inDir)
     val schema = spark.read.parquet(s"$inDir/b0.parquet").schema
     def run(): Set[(Int, Long)] = {
       val q = StreamingOps.dedupIngest(spark, inDir, schema, idxDir, outDir,
