@@ -53,12 +53,6 @@ object SuffixArray {
     val spark = docs.sparkSession
     val nd = docs.select(col(idCol).cast("long").as("doc_id"),
       Dedup.normalizedText(coalesce(col(textCol), lit(""))).as("__nt"))
-    val sfx0 = nd.where(length(col("__nt")) >= 1)
-      .select(col("doc_id"),
-        explode(sequence(lit(1L), length(col("__nt")).cast("long"))).as("pos"),
-        col("__nt"))
-      .select(col("doc_id"), col("pos"),
-        col("__nt").substr(col("pos").cast("int"), lit(seedLen)).as("__g"))
     // empty corpus: max(length) is NULL — return the empty rank frame
     // instead of NPEing on the aggregate row
     val maxLenRow = nd.agg(max(length(col("__nt")))).head()
@@ -68,6 +62,18 @@ object SuffixArray {
         StructType(Seq(StructField("doc_id", LongType),
           StructField("pos", LongType), StructField("rank", LongType))))
     val maxLen = maxLenRow.getInt(0)
+    // maxLen is known BEFORE round zero, so a short-doc corpus sorts its
+    // FULL suffixes in the one string sort and skips every doubling
+    // round (each round is a distinct+sort+join job chain; at gate scale
+    // the rounds, not the sort keys, dominate). Long docs keep the
+    // capped seed so round zero never ships multi-KB sort keys.
+    val effSeed = if (maxLen <= 1024) maxLen else seedLen
+    val sfx0 = nd.where(length(col("__nt")) >= 1)
+      .select(col("doc_id"),
+        explode(sequence(lit(1L), length(col("__nt")).cast("long"))).as("pos"),
+        col("__nt"))
+      .select(col("doc_id"), col("pos"),
+        col("__nt").substr(col("pos").cast("int"), lit(effSeed)).as("__g"))
 
     // distributed dense rank: DISTINCT keys, range-partitioned sort,
     // zipWithIndex (the standard two-job rank idiom — a global Window
@@ -93,7 +99,7 @@ object SuffixArray {
     }
 
     var r = assignRanks(sfx0, Seq("__g"), row => Seq(row.getString(0)))
-    var k = seedLen
+    var k = effSeed
     while (k < maxLen) {
       val shifted = r.select(col("doc_id"), (col("pos") - k).as("pos"),
         col("rank").as("r2"))
