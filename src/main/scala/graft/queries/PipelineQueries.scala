@@ -1148,6 +1148,39 @@ object PipelineQueries extends QueryModule {
       q.awaitTermination()
       s.read.parquet(outDir)
         .select(col("batch").cast("long").as("batch"), $"doc_id")
+    }),
+
+    // Streaming BM25 index growth: a quarter of the corpus is the saved
+    // base index, the other three quarters stream in as mtime-ordered
+    // micro-batches appending generation-committed postings — the final
+    // search must equal q145's from-scratch full-corpus build exactly
+    // (same oracle).
+    "q148_stream_text_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val base = s"/tmp/graft_stext_v1_${QueryModule.cacheKey(dir)}"
+      val inDir = s"$base/in"
+      if (!graft.sources.BucketFs.exists(s"$inDir/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(inDir)
+        val docs = Tables(s, dir, "documents")
+        graft.streaming.StreamingOps.stageOrderedBatches(
+          Seq(1L, 2L, 3L).map(m => docs.where($"doc_id" % 4 === m)), inDir)
+        graft.sources.BucketFs.writeString(s"$inDir/_staged_ok", "ok\n")
+      }
+      // the ingest mutates the index: index + checkpoint fresh every run
+      val idxDir = s"$base/idx"; val ckpt = s"$base/ckpt"
+      Seq(idxDir, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val docs = Tables(ss, dir, "documents")
+      graft.sources.TextIndex.save(docs.where($"doc_id" % 4 === 0),
+        "text", "doc_id", idxDir, nBuckets = 16)
+      val schema = ss.read.parquet(s"$inDir/b0.parquet").schema
+      val q = graft.streaming.StreamingOps.textIndexIngest(ss, inDir, schema,
+          idxDir, ckpt, "text", maxFilesPerTrigger = Some(1))
+        .start()
+      q.awaitTermination()
+      graft.sources.TextIndex.load(s, idxDir)
+        .search(Seq("table", "scan", "merge"), topK = 10)
     })
   )
 
@@ -2162,6 +2195,8 @@ object PipelineQueries extends QueryModule {
     "q145_text_index" ->
       bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
     "q146_text_index_append" ->
+      bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
+    "q148_stream_text_ingest" ->
       bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
 
     "q77_kmeans" -> """

@@ -306,6 +306,50 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Continuous BM25 text-index growth: each micro-batch of new
+    * documents appends into the persisted [[graft.sources.TextIndex]] —
+    * the lexical sibling of [[dedupIngest]]'s index growth, with the
+    * same replay-idempotent commit scheme: the index's generation count
+    * at stream start is pinned to a sidecar (`indexDir/_stream_base_gens`),
+    * batch `k` owns generation `base + k`, and a replayed batch whose
+    * generation is already committed skips its append — foreachBatch's
+    * at-least-once becomes exactly-once observable. Batch ids must be
+    * new across the whole stream (TextIndex.append's id screen applies
+    * per batch). Caller starts/stops the returned writer. */
+  def textIndexIngest(spark: SparkSession, sourceDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      indexDir: String, checkpointDir: String,
+                      textCol: String,
+                      maxFilesPerTrigger: Option[Int] = None)
+      : DataStreamWriter[Row] = {
+    import graft.sources.{BucketFs, TextIndex}
+    val baseFile = s"$indexDir/_stream_base_gens"
+    val baseGens =
+      if (BucketFs.exists(baseFile)) BucketFs.readString(baseFile).trim.toInt
+      else {
+        val g = TextIndex.load(spark, indexDir).nGens
+        BucketFs.writeStringAtomic(baseFile, s"$g\n")
+        g
+      }
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader.parquet(sourceDir)
+      .writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val idx = TextIndex.load(spark, indexDir)
+        val target = baseGens + batchId
+        if (idx.nGens <= target) {
+          require(idx.nGens == target,
+            s"generation gap: index at ${idx.nGens}, batch $batchId " +
+              s"expects $target — was the index mutated outside the stream?")
+          idx.append(batch.toDF(), textCol)
+        } // else: replayed, already-committed batch — idempotent skip
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Continuous bucket ingest: stream granule rows (file source) into a
     * spatially partitioned bucket — the streaming version of
     * write_granules_bucket: same layout, exactly-once via checkpoint.

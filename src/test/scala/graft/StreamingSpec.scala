@@ -235,6 +235,44 @@ class StreamingSpec extends AnyFunSuite {
       .where($"count" > 1).count() == 0, "replay double-posted signatures")
   }
 
+  test("textIndexIngest: streamed appends equal a one-shot build; replay is idempotent") {
+    val base = tmp("stext")
+    val inDir = s"$base/in"; val idxDir = s"$base/idx"; val ckpt = s"$base/ckpt"
+    val all = Seq(
+      0L -> "spark table scan fast table", 1L -> "merge table slow",
+      2L -> "scan scan scan", 3L -> "nothing relevant here")
+    graft.sources.TextIndex.save(
+      all.take(2).toDF("doc_id", "text"), "text", "doc_id", idxDir, nBuckets = 8)
+    StreamingOps.stageOrderedBatches(Seq(
+      Seq(all(2)).toDF("doc_id", "text"),
+      Seq(all(3)).toDF("doc_id", "text")), inDir)
+    val schema = spark.read.parquet(s"$inDir/b0.parquet").schema
+    def run(): Set[(Long, Int, Long)] = {
+      val q = StreamingOps.textIndexIngest(spark, inDir, schema, idxDir, ckpt,
+          "text", maxFilesPerTrigger = Some(1)).start()
+      try q.awaitTermination(120000) finally if (q.isActive) q.stop()
+      graft.sources.TextIndex.load(spark, idxDir)
+        .search(Seq("table", "scan"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    val streamed = run()
+    assert(graft.sources.TextIndex.load(spark, idxDir).nGens == 3)
+    // one-shot build over the same 4 docs must score identically
+    val oneDir = s"$base/one"
+    graft.sources.TextIndex.save(all.toDF("doc_id", "text"),
+      "text", "doc_id", oneDir, nBuckets = 8)
+    val oneShot = graft.sources.TextIndex.load(spark, oneDir)
+      .search(Seq("table", "scan"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == oneShot)
+    // checkpoint loss: every batch re-fires, the generation guard skips
+    // the appends, and the index converges to the identical state
+    graft.sources.BucketFs.deleteRecursive(ckpt)
+    assert(run() == streamed)
+    assert(graft.sources.TextIndex.load(spark, idxDir).nGens == 3,
+      "replay committed extra generations")
+  }
+
   test("streaming bucket ingest: file source → partitioned bucket") {
     val src = tmp("granules")
     val bucket = tmp("bucket")
