@@ -48,7 +48,7 @@ object SuffixArray {
     * would spend a job per round to never fire; k ≥ maxDocLen is the
     * terminator. */
   def suffixRanks(docs: DataFrame, textCol: String, idCol: String,
-                  seedLen: Int = 64): DataFrame = {
+                  seedLen: Int = 64, fullSortMaxLen: Int = 1024): DataFrame = {
     require(seedLen >= 1, s"seedLen must be >= 1, got $seedLen")
     val spark = docs.sparkSession
     val nd = docs.select(col(idCol).cast("long").as("doc_id"),
@@ -62,12 +62,15 @@ object SuffixArray {
         StructType(Seq(StructField("doc_id", LongType),
           StructField("pos", LongType), StructField("rank", LongType))))
     val maxLen = maxLenRow.getInt(0)
-    // maxLen is known BEFORE round zero, so a short-doc corpus sorts its
-    // FULL suffixes in the one string sort and skips every doubling
-    // round (each round is a distinct+sort+join job chain; at gate scale
-    // the rounds, not the sort keys, dominate). Long docs keep the
-    // capped seed so round zero never ships multi-KB sort keys.
-    val effSeed = if (maxLen <= 1024) maxLen else seedLen
+    // maxLen is known BEFORE round zero, so a short-doc corpus (maxLen
+    // <= fullSortMaxLen) sorts its FULL suffixes in the one string sort
+    // and skips every doubling round (each round is a distinct+sort+join
+    // job chain; at gate scale the rounds, not the sort keys, dominate).
+    // Long docs keep the caller's capped seed so round zero never ships
+    // multi-KB sort keys; pass fullSortMaxLen = 0 to force the cap
+    // unconditionally (e.g. huge corpora of ~1 KB docs, where widening
+    // keys 16x costs more shuffle bytes than the saved rounds).
+    val effSeed = if (maxLen <= fullSortMaxLen) maxLen else seedLen
     val sfx0 = nd.where(length(col("__nt")) >= 1)
       .select(col("doc_id"),
         explode(sequence(lit(1L), length(col("__nt")).cast("long"))).as("pos"),

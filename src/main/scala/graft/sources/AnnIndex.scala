@@ -211,6 +211,9 @@ object AnnIndex {
                 quantizeScale: Option[Double] = Some(1000.0),
                 trainUpdates: Int = 0, residual: Boolean = false,
                 includeCodes: Boolean = true): Unit = {
+    // the old manifest goes first — a crash anywhere in this rewrite must
+    // fail to load loudly, never serve stale parameters over mixed data
+    BucketFs.deleteRecursive(s"$indexDir/$ManifestFile")
     val (centroids, codebook, codesExploded) =
       if (residual) Similarity.ivfPqResidualIndexExploded(
         corpus, idCol, vecCol, dims, m, k, nList, quantizeScale, trainUpdates)

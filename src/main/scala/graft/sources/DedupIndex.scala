@@ -75,8 +75,12 @@ object DedupIndex {
   def save(corpus: DataFrame, textCol: String, idCol: String, indexDir: String,
            shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    // save overwrites: clear any previous index's data (writeGen appends
-    // into generation dirs, so stale files would otherwise merge in)
+    // save overwrites: the OLD MANIFEST goes first, so a crash mid-save
+    // leaves an index that fails to load LOUDLY instead of one whose
+    // stale manifest silently mis-reads the new data; then clear
+    // previous data (writeGen appends into generation dirs, so stale
+    // files would otherwise merge in)
+    BucketFs.deleteRecursive(s"$indexDir/$ManifestFile")
     Seq("bands", "signatures", "bucket_stats").foreach(sub =>
       BucketFs.deleteRecursive(s"$indexDir/$sub"))
     val sigs = Dedup.minHashSignature(corpus, textCol, idCol, shingleK, numHashes)

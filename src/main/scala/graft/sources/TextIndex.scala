@@ -111,8 +111,19 @@ object TextIndex {
   def save(corpus: DataFrame, textCol: String, idCol: String,
            indexDir: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    // save overwrites: clear any previous index's data (writeGen appends
-    // into generation dirs, so stale files would otherwise merge in)
+    // save overwrites: the OLD MANIFEST goes first, so a crash mid-save
+    // leaves an index that fails to load LOUDLY instead of one whose
+    // stale constants silently mis-score the new postings; then clear
+    // previous data (writeGen appends into generation dirs, so stale
+    // files would otherwise merge in) and any stream-ingest sidecars
+    // (their pinned generation base died with the old index)
+    BucketFs.deleteRecursive(s"$indexDir/$ManifestFile")
+    val (fs, root) = BucketFs.resolve(indexDir)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName.startsWith("_stream_base_gens"))
+          fs.delete(st.getPath, false)
+      }
     Seq("postings", "termstats").foreach(sub =>
       BucketFs.deleteRecursive(s"$indexDir/$sub"))
     val posts = withBucket(postingsOf(corpus, textCol, idCol), nBuckets)
@@ -278,8 +289,15 @@ object TextIndex {
       case (Some(lo), Some(hi)) => Some((lo, hi))
       case _ => None
     }
-    // missing n_gens = a pre-generational index: loadable read-only
-    val nGens = optLong("n_gens").map(_.toInt).getOrElse(-1)
+    // missing n_gens = a pre-generational index: loadable read-only.
+    // Present-but-malformed is CORRUPTION, not legacy — fail loudly
+    // (a -1 fallback would silently drop the generation filter)
+    val nGens = mf \ "n_gens" match {
+      case JInt(x) => x.toInt
+      case JNothing | JNull => -1
+      case other => throw new IllegalArgumentException(
+        s"bad n_gens in manifest: $other")
+    }
     Bm25Index(spark, indexDir, long("n_docs"), long("sum_dl"),
       long("n_buckets").toInt, nGens, idCol, idRange)
   }

@@ -225,6 +225,11 @@ object StreamingOps {
     * determinism idiom every staged streaming gate and spec relies on. */
   def stageOrderedBatches(batches: Seq[DataFrame], inDir: String): Unit = {
     import graft.sources.BucketFs
+    require(batches.nonEmpty, "stageOrderedBatches needs at least one batch")
+    // the batch order is derived from the FULL directory listing below,
+    // so leftovers from a previous staging would silently replay as
+    // extra batches — the helper owns the clean-directory precondition
+    BucketFs.deleteRecursive(inDir)
     val tmp = s"${inDir}_stage_tmp" // sibling: never visible to the source
     batches.zipWithIndex.foreach { case (b, k) =>
       BucketFs.deleteRecursive(tmp)
@@ -241,6 +246,43 @@ object StreamingOps {
     files.zipWithIndex.foreach { case (f, i) =>
       f.setLastModified(((files.head.lastModified() / 60000L) * 60000L)
         + i * 60000L)
+    }
+  }
+
+  /** Shared replay-idempotence core of the index-growth streams: pin the
+    * index's generation count at stream START to `sidecarPath`, so batch
+    * `k` owns generation `base + k` across checkpoint restarts; a
+    * micro-batch whose generation is already committed is skipped (the
+    * index's atomic manifest commit decides), which upgrades
+    * foreachBatch's at-least-once to exactly-once observable behavior.
+    * The sidecar must be scoped to THIS stream — it has to SURVIVE
+    * checkpoint loss (a replay after ckpt deletion must keep the original
+    * base, or re-fired batches would re-append) but not leak to a later,
+    * different stream over the same index (which would silently skip its
+    * batches as "replayed"). `apply` gets the batch's single freshly
+    * loaded index view. */
+  private def genGuardedBatches[I](sidecarPath: String, load: () => I,
+      gensOf: I => Int)(apply: (I, DataFrame, Long) => Unit)
+      : (Dataset[Row], Long) => Unit = {
+    import graft.sources.BucketFs
+    val baseGens =
+      if (BucketFs.exists(sidecarPath))
+        BucketFs.readString(sidecarPath).trim.toInt
+      else {
+        val g = gensOf(load())
+        BucketFs.writeStringAtomic(sidecarPath, s"$g\n")
+        g
+      }
+    (batch: Dataset[Row], batchId: Long) => {
+      val idx = load()
+      val target = baseGens + batchId
+      if (gensOf(idx) <= target) {
+        require(gensOf(idx) == target,
+          s"generation gap: index at ${gensOf(idx)}, batch $batchId " +
+            s"expects $target — was the index mutated outside the stream?")
+        apply(idx, batch.toDF(), batchId)
+      } // else: replayed, already-committed batch — idempotent skip
+      ()
     }
   }
 
@@ -273,79 +315,56 @@ object StreamingOps {
                   textCol: String, minMatch: Int,
                   maxBucketSize: Int = 1024,
                   maxFilesPerTrigger: Option[Int] = None): DataStreamWriter[Row] = {
-    import graft.sources.{BucketFs, DedupIndex}
-    val baseFile = s"$outDir/_base_gens"
-    val baseGens =
-      if (BucketFs.exists(baseFile)) BucketFs.readString(baseFile).trim.toInt
-      else {
-        val g = DedupIndex.load(spark, indexDir).nGens
-        BucketFs.writeStringAtomic(baseFile, s"$g\n")
-        g
+    import graft.sources.DedupIndex
+    // the per-stream outDir scopes the sidecar to this stream's lifetime
+    val guarded = genGuardedBatches(s"$outDir/_base_gens",
+      () => DedupIndex.load(spark, indexDir), (i: DedupIndex.MinHashIndex) =>
+        i.nGens) { (idx, batch, batchId) =>
+      // fused path: one minhash pass serves lookup + append; the sink
+      // write happens before the generation commit (see ingest)
+      idx.ingest(batch, textCol, minMatch, maxBucketSize) { kept =>
+        kept.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
+      ()
+    }
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     reader.parquet(sourceDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val idx = DedupIndex.load(spark, indexDir)
-        val target = baseGens + batchId
-        if (idx.nGens <= target) {
-          require(idx.nGens == target,
-            s"generation gap: index at ${idx.nGens}, batch $batchId " +
-              s"expects $target — was the index mutated outside the stream?")
-          // fused path: one minhash pass serves lookup + append; the
-          // sink write happens before the generation commit (see ingest)
-          idx.ingest(batch.toDF(), textCol, minMatch, maxBucketSize) {
-            kept => kept.write.mode("overwrite")
-              .parquet(s"$outDir/batch=$batchId")
-          }
-        } // else: replayed, already-committed batch — idempotent skip
-        ()
-      }
+      .foreachBatch(guarded)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
   }
 
   /** Continuous BM25 text-index growth: each micro-batch of new
     * documents appends into the persisted [[graft.sources.TextIndex]] —
-    * the lexical sibling of [[dedupIngest]]'s index growth, with the
-    * same replay-idempotent commit scheme: the index's generation count
-    * at stream start is pinned to a sidecar (`indexDir/_stream_base_gens`),
-    * batch `k` owns generation `base + k`, and a replayed batch whose
-    * generation is already committed skips its append — foreachBatch's
-    * at-least-once becomes exactly-once observable. Batch ids must be
-    * new across the whole stream (TextIndex.append's id screen applies
-    * per batch). Caller starts/stops the returned writer. */
+    * the lexical sibling of [[dedupIngest]]'s index growth, on the same
+    * [[genGuardedBatches]] replay-idempotent commit scheme. The sidecar
+    * is keyed by the CHECKPOINT path (`_stream_base_gens_<ckpt-hash>` in
+    * `indexDir`), so a later stream with its own checkpoint gets a fresh
+    * base instead of silently skipping its batches, while a replay of
+    * THIS stream (same checkpoint path, even after checkpoint loss)
+    * keeps the pinned base; `TextIndex.save` sweeps the sidecars on
+    * rebuild. Batch ids must be new across the whole stream
+    * (TextIndex.append's id screen applies per batch). Caller
+    * starts/stops the returned writer. */
   def textIndexIngest(spark: SparkSession, sourceDir: String,
                       schema: org.apache.spark.sql.types.StructType,
                       indexDir: String, checkpointDir: String,
                       textCol: String,
                       maxFilesPerTrigger: Option[Int] = None)
       : DataStreamWriter[Row] = {
-    import graft.sources.{BucketFs, TextIndex}
-    val baseFile = s"$indexDir/_stream_base_gens"
-    val baseGens =
-      if (BucketFs.exists(baseFile)) BucketFs.readString(baseFile).trim.toInt
-      else {
-        val g = TextIndex.load(spark, indexDir).nGens
-        BucketFs.writeStringAtomic(baseFile, s"$g\n")
-        g
-      }
+    import graft.sources.TextIndex
+    val sidecar = s"$indexDir/_stream_base_gens_" +
+      Integer.toHexString(checkpointDir.hashCode)
+    val guarded = genGuardedBatches(sidecar,
+      () => TextIndex.load(spark, indexDir), (i: TextIndex.Bm25Index) =>
+        i.nGens) { (idx, batch, _) => idx.append(batch, textCol); () }
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
     reader.parquet(sourceDir)
       .writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val idx = TextIndex.load(spark, indexDir)
-        val target = baseGens + batchId
-        if (idx.nGens <= target) {
-          require(idx.nGens == target,
-            s"generation gap: index at ${idx.nGens}, batch $batchId " +
-              s"expects $target — was the index mutated outside the stream?")
-          idx.append(batch.toDF(), textCol)
-        } // else: replayed, already-committed batch — idempotent skip
-        ()
-      }
+      .foreachBatch(guarded)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
   }

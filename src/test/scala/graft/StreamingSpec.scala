@@ -271,6 +271,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(run() == streamed)
     assert(graft.sources.TextIndex.load(spark, idxDir).nGens == 3,
       "replay committed extra generations")
+    // a LATER stream (own source + checkpoint) over the same index must
+    // append its batches, not inherit the first stream's pinned base and
+    // silently skip them as "replayed"
+    val in2 = s"$base/in2"; val ckpt2 = s"$base/ckpt2"
+    StreamingOps.stageOrderedBatches(Seq(
+      Seq(4L -> "brand new table content").toDF("doc_id", "text")), in2)
+    val q2 = StreamingOps.textIndexIngest(spark, in2, schema, idxDir, ckpt2,
+        "text", maxFilesPerTrigger = Some(1)).start()
+    try q2.awaitTermination(120000) finally if (q2.isActive) q2.stop()
+    val after2 = graft.sources.TextIndex.load(spark, idxDir)
+    assert(after2.nGens == 4, "second stream's batch was silently skipped")
+    assert(after2.search(Seq("table"), topK = 10)
+      .collect().map(_.getLong(0)).toSet.contains(4L))
   }
 
   test("streaming bucket ingest: file source → partitioned bucket") {
