@@ -216,6 +216,47 @@ object Sampling {
       s -> math.max(1L, math.floor(totalBudget * w / z).toLong) }.toMap
   }
 
+  /** Cluster-balanced resampling (the DataComp/DCLM-style curation move:
+    * rebalance a corpus across embedding clusters so no dense region
+    * dominates): given rows with a cluster assignment, keep
+    * `budget(c) = max(1, totalBudget · wq(c) / z)` rows per cluster where
+    * `wq(c) = floor(10^6 · sqrt(n_c))` and `z = Σ wq` — temperature
+    * alpha = 0.5 in EXACT portable arithmetic (IEEE sqrt is correctly
+    * rounded, the 10^6 quantization makes z an order-free integer sum,
+    * and the budget is pure integer math — no float pow, no
+    * summation-order drift, so an oracle recomputes it bit-for-bit).
+    * Within a cluster, rows are taken in md5(id) order (deterministic
+    * shuffle, stable under repartitioning) — the same selection rule as
+    * [[mixtureSample]].
+    *
+    * Scale shape: one k-row aggregate (collected — k clusters, bounded),
+    * then one window partitioned by cluster — the natural shuffle for
+    * per-cluster selection; skewed mega-clusters are exactly what the
+    * sqrt budget shrinks. */
+  def clusterBalancedSample(assigned: DataFrame, idCol: String,
+                            clusterCol: String, totalBudget: Long): DataFrame = {
+    require(totalBudget >= 1, "totalBudget must be >= 1")
+    // bounded collect: one row per cluster
+    val counts = assigned.groupBy(col(clusterCol).cast("string").as("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val wq = counts.map { case (c, n) =>
+      c -> math.floor(1e6 * math.sqrt(n.toDouble)).toLong }
+    val z = wq.map(_._2).sum
+    val budgets = wq.map { case (c, w) =>
+      c -> math.max(1L, (BigInt(totalBudget) * w / z).toLong) }.toMap
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (c, b)) =>
+        when(col(clusterCol).cast("string") === c, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assigned
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= budgetCol)
+      .drop("__rk")
+  }
+
   /** Deterministic mixture sampling: build a training mix that fills a
     * per-source token budget — the data-mixing step of a pretraining
     * pipeline ("X tokens of web, Y of code, Z of papers"). Within each

@@ -635,4 +635,158 @@ object TextAnalysis {
       size(filter(split(trim(encoded), " "), t => t =!= ""))
         .cast("long").as("n_bpe_tokens"))
   }
+
+  // ---- DSIR importance resampling + Naive Bayes quality classifier ----
+
+  /** Word tokens (with multiplicity) of normalized text; empty docs give
+    * an empty array, never [""]. */
+  private[graft] def wordTokens(text: Column): Column =
+    filter(split(Dedup.normalizedText(coalesce(text, lit(""))), " "),
+      t => t =!= "")
+
+  /** DSIR's hashed bag-of-ngrams feature list: word unigrams ++ bigrams,
+    * WITH multiplicity (importance weights are per-occurrence). Bigrams
+    * via zip_with against the 1-shifted token list (the null-padded tail
+    * pair is filtered). Row-local. */
+  private[graft] def wordFeatures(text: Column): Column = {
+    val toks = wordTokens(text)
+    val bi = filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => when(b.isNotNull, concat(a, lit(" "), b))),
+      g => g.isNotNull)
+    concat(toks, bi)
+  }
+
+  /** Feature → hash bucket in [0, buckets): first 48 bits of md5 mod
+    * buckets — the same portable construction as
+    * [[Sampling.hashBucket]], applied to the feature string itself. */
+  private[graft] def featureBucket(f: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(f), 1, 12), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** floor(10^4 · ln(num/den)) as a long — the per-term quantization that
+    * keeps downstream sums in exact integer arithmetic (see
+    * [[charLmScore]] for the rationale). */
+  private def qlog(num: Column, den: Column): Column =
+    floor(lit(1e4) * log(num.cast("double") / den.cast("double")))
+      .cast("long")
+
+  /** DSIR bucket weights (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): estimate target and raw
+    * distributions over `buckets` hashed n-gram features and return ONE
+    * ROW PER BUCKET with the quantized log-importance ratio
+    *   wq_q4(b) = floor(1e4·ln((t_b+1)/(T+B))) − floor(1e4·ln((r_b+1)/(R+B)))
+    * (add-one smoothing on both sides; T/R = total target/raw feature
+    * occurrences). The frame is CLOSED over the bucket space — buckets
+    * unseen in either corpus still get their smoothed weight — so scoring
+    * can inner-join it without an unknown-feature fallback path.
+    *
+    * Scale shape: both corpora reduce to B-row count frames via one
+    * explode + hash aggregation each (map-side combine; the corpora never
+    * shuffle), totals ride along as 1-row broadcast-nested-loop factors,
+    * and the result is B rows — broadcastable at any corpus scale. */
+  def dsirBucketWeights(raw: DataFrame, target: DataFrame, textCol: String,
+                        buckets: Int = 512): DataFrame = {
+    require(buckets >= 2, "bucket space must have at least 2 buckets")
+    def counts(df: DataFrame, as: String) = Dedup.fanOut(df)
+      .select(explode(wordFeatures(col(textCol))).as("__f"))
+      .select(featureBucket(col("__f"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(as))
+    val rb = counts(raw, "__r")
+    val tb = counts(target, "__t")
+    val totals = rb.agg(coalesce(sum(col("__r")), lit(0L)).as("__rtot"))
+      .crossJoin(tb.agg(coalesce(sum(col("__t")), lit(0L)).as("__ttot")))
+    val b = lit(buckets.toLong)
+    raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+      .join(rb, Seq("bucket"), "left")
+      .join(tb, Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"),
+        (qlog(coalesce(col("__t"), lit(0L)) + 1L, col("__ttot") + b) -
+         qlog(coalesce(col("__r"), lit(0L)) + 1L, col("__rtot") + b))
+          .as("wq_q4"))
+  }
+
+  /** Per-document DSIR importance score: the sum of bucket weights over
+    * every feature occurrence, plus the occurrence count. Docs with no
+    * features (empty text) are absent, as in [[charLmScore]]. Downstream,
+    * resampling = top-k (or Gumbel-k) by `logratio_q4`.
+    *
+    * Scale shape: explode + broadcast join against the B-row weights +
+    * one hash aggregation — the corpus never shuffles. */
+  def dsirScore(df: DataFrame, idCol: String, textCol: String,
+                weights: DataFrame, buckets: Int = 512): DataFrame =
+    Dedup.fanOut(df)
+      .select(col(idCol), explode(wordFeatures(col(textCol))).as("__f"))
+      .select(col(idCol), featureBucket(col("__f"), buckets).as("bucket"))
+      .join(broadcast(weights), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("wq_q4")).as("logratio_q4"))
+
+  /** A trained Naive Bayes scorer: vocab-bounded per-token log-likelihood
+    * ratio weights (broadcast at score time) plus the two scalar terms —
+    * the class-prior log-ratio and the out-of-vocabulary token weight,
+    * both already quantized to 0.1 milli-nats. */
+  final case class NaiveBayesModel(tokenWeights: DataFrame,
+                                   priorQ4: Long, unknownQ4: Long)
+
+  /** Train a multinomial Naive Bayes quality classifier (the fastText-
+    * style model-based filter of CCNet/GPT-3-era pipelines: label a seed
+    * set "high quality" vs "raw", score the corpus, keep what scores
+    * positive). Add-one smoothing; every log term is quantized with
+    * floor(1e4·ln) BEFORE any summation, so scoring is exact integer
+    * arithmetic end to end (see [[charLmScore]]).
+    *
+    * Scale shape: one explode + vocab-sized hash aggregation over the
+    * LABELED set (labeled sets are small by construction), one 1-row
+    * totals collect, one 2-row prior collect — the model is a
+    * vocab-bounded frame plus two longs. */
+  def naiveBayesTrain(labeled: DataFrame, textCol: String,
+                      labelCol: String): NaiveBayesModel = {
+    val counts = Dedup.fanOut(labeled)
+      .select(col(labelCol).as("__y"),
+        explode(wordTokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
+           sum(when(col("__y"), 0L).otherwise(1L)).as("__cn"))
+      .localCheckpoint(true) // feeds totals AND weights; train once
+    // bounded collects: a 1-row vocab-totals agg and a 1-row doc-prior agg
+    val t = counts.agg(coalesce(sum(col("__cp")), lit(0L)),
+      coalesce(sum(col("__cn")), lit(0L)), count(lit(1))).head()
+    val (np, nn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val d = labeled.agg(sum(when(col(labelCol), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val (ndPos, nd) = (d.getLong(0), d.getLong(1))
+    require(nd > 0 && ndPos > 0 && ndPos < nd,
+      "training needs at least one document of each class")
+    def q(num: Long, den: Long): Long =
+      math.floor(1e4 * math.log(num.toDouble / den.toDouble)).toLong
+    val vs = v + 1 // vocab + the OOV pseudo-token, mirrored in unknownQ4
+    val weights = counts.select(col("token"),
+      (qlog(col("__cp") + 1L, lit(np + vs)) -
+       qlog(col("__cn") + 1L, lit(nn + vs))).as("wq_q4"))
+    NaiveBayesModel(weights, q(ndPos, nd) - q(nd - ndPos, nd),
+      q(1L, np + vs) - q(1L, nn + vs))
+  }
+
+  /** Score documents with a trained [[NaiveBayesModel]]: per doc,
+    * score_q4 = prior + Σ_tokens wq(token) (OOV tokens take the smoothed
+    * unknown weight), pred_pos = score > 0. Docs with no tokens are
+    * absent (score them as unknown downstream).
+    *
+    * Scale shape: explode + broadcast join against the vocab-bounded
+    * weights + one hash aggregation — the corpus never shuffles. */
+  def naiveBayesScore(df: DataFrame, idCol: String, textCol: String,
+                      model: NaiveBayesModel): DataFrame = {
+    val w = model.tokenWeights.select(col("token").as("__tk"),
+      col("wq_q4").as("__wq"))
+    Dedup.fanOut(df)
+      .select(col(idCol), explode(wordTokens(col(textCol))).as("__tok"))
+      .join(broadcast(w), col("__tok") === col("__tk"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (lit(model.priorQ4) +
+         sum(coalesce(col("__wq"), lit(model.unknownQ4)))).as("score_q4"))
+      .withColumn("pred_pos", col("score_q4") > 0L)
+  }
 }

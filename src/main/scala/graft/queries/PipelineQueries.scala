@@ -1181,13 +1181,186 @@ object PipelineQueries extends QueryModule {
       q.awaitTermination()
       graft.sources.TextIndex.load(s, idxDir)
         .search(Seq("table", "scan", "merge"), topK = 10)
+    }),
+
+    // DSIR importance resampling (Xie et al. 2023): hashed uni+bigram
+    // bucket weights estimated from a target slice (lang=en) vs the raw
+    // corpus, per-doc quantized log-importance scores, top-64 selection.
+    // Weights are B=512 rows (broadcast); the corpus never shuffles —
+    // one explode + broadcast join + hash agg, then a TakeOrdered.
+    "q149_dsir_resample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val w = TextAnalysis.dsirBucketWeights(
+        raw = docs, target = docs.where($"lang" === "en"), "text",
+        buckets = 512)
+      val scored = TextAnalysis.dsirScore(docs, "doc_id", "text", w,
+        buckets = 512)
+      // TakeOrdered top-64 FIRST (distributed partial sort, no global
+      // single-partition window over the corpus), then rank the 64 rows
+      scored.orderBy($"logratio_q4".desc, $"doc_id").limit(64)
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+          .Window.orderBy($"logratio_q4".desc, $"doc_id")).cast("long"))
+        .select($"rk", $"doc_id", $"n_feats", $"logratio_q4")
+    }),
+
+    // Model-based quality filtering (the CCNet/GPT-3-style classifier
+    // pass): train a multinomial Naive Bayes on a 50% hash split with
+    // lang=en as the "high quality" label, score EVERY doc with the
+    // broadcast vocab weights, report prediction + agreement with truth.
+    "q150_nb_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val labeled = docs
+        .where(graft.operators.Sampling.hashBucket($"doc_id") < 50)
+        .withColumn("__hq", $"lang" === "en")
+      val model = TextAnalysis.naiveBayesTrain(labeled, "text", "__hq")
+      TextAnalysis.naiveBayesScore(docs, "doc_id", "text", model)
+        .join(docs.select($"doc_id", ($"lang" === "en").as("__truth")),
+          Seq("doc_id"))
+        .select($"doc_id", $"n_tokens", $"score_q4", $"pred_pos",
+          ($"pred_pos" === $"__truth").cast("int").as("hit"))
+    }),
+
+    // JSONL ingestion with corrupt-record quarantine: the corpus staged
+    // as line-delimited JSON with a deterministic 1-in-25 slice of lines
+    // truncated (invalid JSON), read back through Jsonl.read — per-source
+    // stats over the parsed rows plus a '__corrupt' quarantine row. The
+    // oracle recomputes both from the parquet table and the same md5
+    // corruption rule, so the gate proves parse + quarantine fidelity.
+    "q151_jsonl_ingest" -> ((s, dir) => {
+      val parsed = graft.sources.Jsonl.read(s, s"${stagedJsonl(s, dir)}/data",
+        jsonlDocSchema)
+      jsonlStats(parsed)
+    }),
+
+    // Streaming JSONL ingestion: the same staged corpus tailed as a
+    // file-source stream (from_json parse + quarantine per micro-batch,
+    // parquet sink, AvailableNow), then the q151 aggregation over the
+    // sink — batch and streaming ingestion must account every valid and
+    // quarantined line identically (same oracle).
+    "q152_stream_jsonl_ingest" -> ((s, dir) => {
+      val stage = stagedJsonl(s, dir)
+      val base = s"/tmp/graft_sjsonl_v1_${QueryModule.cacheKey(dir)}"
+      val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      Seq(sink, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.sources.Jsonl.readStream(ss, s"$stage/data",
+          jsonlDocSchema, maxFilesPerTrigger = Some(8))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      jsonlStats(s.read.parquet(sink))
+    }),
+
+    // Cluster-balanced corpus resampling (DataComp-style curation):
+    // 2-iter kmeans assignment over the embeddings, then a sqrt-
+    // temperature per-cluster budget in exact integer arithmetic and
+    // md5-order selection — dense embedding regions are downweighted,
+    // small clusters survive whole.
+    "q153_cluster_balanced" -> ((s, dir) => {
+      import s.implicits._
+      val assigned = Similarity.kmeansAssign(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      graft.operators.Sampling.clusterBalancedSample(assigned, "vec_id",
+          "centroid_id", totalBudget = 200)
+        .select($"vec_id", $"centroid_id")
     })
   )
+
+  /** documents-table JSONL schema for the q151/q152 ingestion gates. */
+  private def jsonlDocSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+      .add("lang", StringType).add("source", StringType)
+      .add("n_chars", LongType)
+  }
+
+  /** Stage the documents table as JSONL with a deterministic 1-in-25
+    * slice of lines truncated (invalid JSON); cacheKey-marker-gated. */
+  private def stagedJsonl(s: SparkSession, dir: String): String = {
+    val stage = s"/tmp/graft_jsonl_v1_${QueryModule.cacheKey(dir)}"
+    if (!graft.sources.BucketFs.exists(s"$stage/_staged_ok")) {
+      graft.sources.BucketFs.deleteRecursive(stage)
+      val line = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+      Tables(s, dir, "documents")
+        .select(when(graft.operators.Sampling.hashBucket(col("doc_id"), 25) === 0,
+            line.substr(lit(1), length(line) - 5))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(s"$stage/data")
+      graft.sources.BucketFs.writeString(s"$stage/_staged_ok", "ok\n")
+    }
+    stage
+  }
+
+  /** Per-source stats over the valid rows + the quarantine row — shared
+    * by the batch (q151) and streaming (q152) ingestion gates. */
+  private def jsonlStats(parsed: DataFrame): DataFrame = {
+    val perSource = graft.sources.Jsonl.valid(parsed)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+    val quarantined = graft.sources.Jsonl.corrupt(parsed)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("__corrupt").as("source"), col("n_docs"),
+        lit(0L).as("chars_sum"))
+    perSource.unionByName(quarantined)
+  }
 
   // ---- oracle SQL ----
 
   private def normSql(t: String) =
     s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
+
+  /** q151/q152 shared oracle: valid per-source stats + quarantine row,
+    * from the parquet table and the staged md5 corruption rule. */
+  private val jsonlStatsSql = """
+      WITH b AS (SELECT *,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 25
+            AS bk
+        FROM documents)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+      FROM b WHERE bk <> 0 GROUP BY 1
+      UNION ALL
+      SELECT '__corrupt' AS source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(0 AS BIGINT) AS chars_sum
+      FROM b WHERE bk = 0"""
+
+  /** The q77 two-iteration kmeans assignment as a reusable CTE chain
+    * (ends at `a1(vec_id, cid)`); mirrors Similarity.kmeansAssign at
+    * k=8, iters=2. */
+  private val kmeans2AssignCte = """
+      WITH v AS (SELECT vec_id,
+                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+                 FROM embeddings),
+      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
+      c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
+             FROM v WHERE vec_id < 8),
+      a0 AS (SELECT vec_id, cid, e FROM (
+               SELECT vv.vec_id, c.cid, vv.e,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c0 c)
+             WHERE rk = 1),
+      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
+               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
+               GROUP BY 1, 2),
+      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
+             FROM sums GROUP BY cid),
+      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vv.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
+                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
+                   c.cid ASC) AS rk
+               FROM vv, c1c c)
+             WHERE rk = 1)"""
 
   /** distinct k-shingles of the normalized text. Correlated
     * generate_series is unsupported in DuckDB 1.0; UNNEST over a
@@ -1500,6 +1673,113 @@ object PipelineQueries extends QueryModule {
     "q138_dedup_index" -> dedupIndexSql,
     "q139_dedup_index_append" -> dedupIndexSql,
     "q147_stream_dedup_ingest" -> streamDedupIngestSql,
+
+    // DSIR: hashed uni+bigram bucket weights (target=en vs raw), per-doc
+    // quantized log-importance, top-64. ln terms quantized with floor
+    // BEFORE summation — exact integer arithmetic end to end (see q118).
+    "q149_dsir_resample" -> s"""
+      WITH nd AS (SELECT doc_id, lang,
+          ${normSql("COALESCE(text, '')")} AS nt FROM documents),
+      tk AS (SELECT doc_id, lang,
+               list_filter(string_split(nt, ' '), x -> x <> '') AS t
+             FROM nd),
+      ft AS (SELECT doc_id, lang, UNNEST(list_concat(t,
+               list_transform(range(1, GREATEST(len(t), 1)),
+                 i -> t[i] || ' ' || t[i + 1]))) AS f
+             FROM tk),
+      b AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(f), 1, 12))::BIGINT % 512 AS bucket
+            FROM ft),
+      rb AS (SELECT bucket, COUNT(*) AS r FROM b GROUP BY 1),
+      tb AS (SELECT bucket, COUNT(*) AS t FROM b WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM rb) AS rr,
+                     (SELECT COALESCE(SUM(t), 0) FROM tb) AS tt),
+      w AS (SELECT g.bucket,
+              (CAST(FLOOR(10000.0 * ln(CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE)
+                 / CAST(tot.tt + 512 AS DOUBLE))) AS BIGINT)
+             - CAST(FLOOR(10000.0 * ln(CAST(COALESCE(rb.r, 0) + 1 AS DOUBLE)
+                 / CAST(tot.rr + 512 AS DOUBLE))) AS BIGINT)) AS wq
+            FROM (SELECT UNNEST(range(0, 512)) AS bucket) g
+            LEFT JOIN rb ON rb.bucket = g.bucket
+            LEFT JOIN tb ON tb.bucket = g.bucket, tot),
+      s AS (SELECT b.doc_id, COUNT(*) AS n_feats, SUM(w.wq) AS lr
+            FROM b JOIN w ON w.bucket = b.bucket GROUP BY 1)
+      SELECT CAST(rk AS BIGINT) AS rk, doc_id,
+        CAST(n_feats AS BIGINT) AS n_feats, CAST(lr AS BIGINT) AS logratio_q4
+      FROM (SELECT ROW_NUMBER() OVER (ORDER BY lr DESC, doc_id) AS rk,
+              doc_id, n_feats, lr FROM s)
+      WHERE rk <= 64""",
+
+    // Naive Bayes quality classifier: train on the bk<50 hash split with
+    // lang=en as positive, add-one smoothing over vocab+1 (the OOV
+    // pseudo-token), floor(1e4*ln) per term, integer sums.
+    "q150_nb_quality" -> s"""
+      WITH nd AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+            AS bk,
+          ${normSql("COALESCE(text, '')")} AS nt FROM documents),
+      tok AS (SELECT doc_id, lang, bk,
+                UNNEST(list_filter(string_split(nt, ' '), x -> x <> ''))
+                  AS token
+              FROM nd),
+      cnt AS (SELECT token,
+                SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+                SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cn
+              FROM tok WHERE bk < 50 GROUP BY 1),
+      tot AS (SELECT COALESCE(SUM(cp), 0) AS np, COALESCE(SUM(cn), 0) AS nn,
+                COUNT(*) + 1 AS vs FROM cnt),
+      pri AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ndp,
+                COUNT(*) AS ndd FROM nd WHERE bk < 50),
+      k AS (SELECT
+              (CAST(FLOOR(10000.0 * ln(CAST(ndp AS DOUBLE) / ndd)) AS BIGINT)
+             - CAST(FLOOR(10000.0 * ln(CAST(ndd - ndp AS DOUBLE) / ndd))
+                 AS BIGINT)) AS pq,
+              (CAST(FLOOR(10000.0 * ln(1.0 / CAST(np + vs AS DOUBLE)))
+                 AS BIGINT)
+             - CAST(FLOOR(10000.0 * ln(1.0 / CAST(nn + vs AS DOUBLE)))
+                 AS BIGINT)) AS uq
+            FROM tot, pri),
+      w AS (SELECT token,
+              (CAST(FLOOR(10000.0 * ln(CAST(cp + 1 AS DOUBLE)
+                 / CAST(np + vs AS DOUBLE))) AS BIGINT)
+             - CAST(FLOOR(10000.0 * ln(CAST(cn + 1 AS DOUBLE)
+                 / CAST(nn + vs AS DOUBLE))) AS BIGINT)) AS wq
+            FROM cnt, tot),
+      s AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+              MIN(k.pq) + SUM(COALESCE(w.wq, k.uq)) AS sc
+            FROM tok t LEFT JOIN w ON w.token = t.token, k GROUP BY 1, 2)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(sc AS BIGINT) AS score_q4, sc > 0 AS pred_pos,
+        CAST((sc > 0) = (lang = 'en') AS INT) AS hit
+      FROM s""",
+
+    // JSONL round trip: valid per-source stats + the quarantine row,
+    // recomputed from the parquet table and the same md5 corruption rule
+    // (1-in-25 lines truncated at stage time).
+    "q151_jsonl_ingest" -> jsonlStatsSql,
+
+    // streamed ingestion must account identically to the batch read
+    "q152_stream_jsonl_ingest" -> jsonlStatsSql,
+
+    // q77's two-iteration kmeans assignment (a1), then sqrt-temperature
+    // budgets in exact integer arithmetic and md5-order selection
+    "q153_cluster_balanced" -> s"""
+      $kmeans2AssignCte,
+      cntc AS (SELECT cid, COUNT(*) AS n FROM a1 GROUP BY 1),
+      wq AS (SELECT cid,
+               CAST(FLOOR(1000000.0 * sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+                 AS w
+             FROM cntc),
+      z AS (SELECT CAST(SUM(w) AS BIGINT) AS z FROM wq),
+      bud AS (SELECT cid,
+                GREATEST(CAST(1 AS BIGINT), CAST((200 * w) // z.z AS BIGINT))
+                  AS b
+              FROM wq, z),
+      rk AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY cid
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+             FROM a1)
+      SELECT rk.vec_id, CAST(rk.cid AS BIGINT) AS centroid_id
+      FROM rk JOIN bud ON bud.cid = rk.cid WHERE rk.rk <= bud.b""",
     "q30_dedup_exact" -> s"""
       SELECT md5(${normSql("text")}) AS text_md5,
         MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** DSIR importance resampling, the Naive Bayes quality classifier, and
+  * the JSONL ingestion source. */
+class TextModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("wordFeatures: unigrams plus bigrams with multiplicity, empty-safe") {
+    val df = Seq("The  quick fox", "solo", "", "a a a").toDF("text")
+    val got = df.select(TextAnalysis.wordFeatures($"text").as("f"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("the", "quick", "fox", "the quick", "quick fox"))
+    assert(got(1) == Seq("solo"))
+    assert(got(2) == Seq.empty)
+    assert(got(3) == Seq("a", "a", "a", "a a", "a a"))
+  }
+
+  test("dsirBucketWeights: closed over the bucket space, smoothed ratios") {
+    val raw = Seq("x x y", "y z").toDF("text")        // feats: uni 5 + bi 3 = 8
+    val target = Seq("x x").toDF("text")              // feats: x, x, "x x" = 3
+    val b = 16
+    val w = TextAnalysis.dsirBucketWeights(raw, target, "text", buckets = b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w.size == b && w.keySet == (0L until b.toLong).toSet)
+    def q(num: Long, den: Long) =
+      math.floor(1e4 * math.log(num.toDouble / den.toDouble)).toLong
+    // a bucket unseen in BOTH corpora carries the pure smoothing weight
+    val unseen = q(1, 3 + b) - q(1, 8 + b)
+    // raw has 8 occurrences spread over <=7 buckets, target 3 over <=2:
+    // at least one of 16 buckets is empty on both sides
+    assert(w.values.count(_ == unseen) >= b - 9)
+    // total ratio mass is conserved: every weight is a difference of two
+    // monotone terms, so the max weight must come from a target-heavy
+    // bucket ("x" appears twice in target, twice in raw)
+    val xB = TextAnalysis.featureBucket(lit("x"), b)
+    val xBucket = raw.select(xB).head().getLong(0)
+    assert(w(xBucket) == q(2 + 1, 3 + b) - q(2 + 1, 8 + b))
+  }
+
+  test("dsirScore: brute-force agreement on a tiny corpus") {
+    val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "")).toDF("id", "text")
+    val w = TextAnalysis.dsirBucketWeights(docs, docs.where($"id" === 1), "text", 32)
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val feats = Map(1L -> Seq("x", "x", "y", "x x", "x y"),
+                    2L -> Seq("y", "z", "y z"))
+    def bk(f: String): Long =
+      docs.select(TextAnalysis.featureBucket(lit(f), 32)).head().getLong(0)
+    val got = TextAnalysis.dsirScore(docs, "id", "text", w, 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = feats.map { case (id, fs) =>
+      (id, fs.size.toLong, fs.map(f => wm(bk(f))).sum)
+    }.toSet
+    assert(got == want) // empty doc 3 absent from both
+  }
+
+  test("naive bayes: hand-checked weights, OOV path, prior, single-class guard") {
+    val labeled = Seq(
+      (true, "good good fine"), (true, "good"),
+      (false, "bad awful"), (false, "bad")).toDF("y", "text")
+    val m = TextAnalysis.naiveBayesTrain(labeled, "text", "y")
+    def q(num: Long, den: Long) =
+      math.floor(1e4 * math.log(num.toDouble / den.toDouble)).toLong
+    // vocab = {good, fine, bad, awful} -> v=4, vs=5; np=4, nn=3
+    assert(m.priorQ4 == q(2, 4) - q(2, 4))
+    assert(m.unknownQ4 == q(1, 9) - q(1, 8))
+    val wm = m.tokenWeights.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wm("good") == q(4, 9) - q(1, 8))
+    assert(wm("bad") == q(1, 9) - q(3, 8))
+    // scoring: known-token doc classifies positive, OOV-only doc takes
+    // unknownQ4 per token
+    val score = TextAnalysis.naiveBayesScore(
+      Seq((10L, "good fine"), (11L, "zzz zzz")).toDF("id", "text"),
+      "id", "text", m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(score(10L) == (2L, m.priorQ4 + wm("good") + wm("fine")))
+    assert(score(11L) == (2L, m.priorQ4 + 2 * m.unknownQ4))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.naiveBayesTrain(
+        Seq((true, "a")).toDF("y", "text"), "text", "y")
+    }
+  }
+
+  test("jsonl: valid rows parse, malformed lines quarantine without a throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec")
+      .toString
+    val lines = Seq(
+      """{"id":1,"text":"hello world","n":11}""",
+      """{"id":2,"text":"bye","n":3}""",
+      """{"id":3,"text":"truncat""", // malformed
+      """not json at all""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = new StructType()
+      .add("id", LongType).add("text", StringType).add("n", LongType)
+    val parsed = graft.sources.Jsonl.read(spark, dir, schema)
+    val valid = graft.sources.Jsonl.valid(parsed)
+    assert(valid.count() == 2)
+    assert(valid.agg(sum($"n")).head().getLong(0) == 14L)
+    // partial parses (line 3 decodes id before the syntax error) must
+    // still quarantine whole — valid/corrupt key off the quarantine
+    // column, never field nullness
+    val corrupt = graft.sources.Jsonl.corrupt(parsed)
+      .as[String].collect().toSet
+    assert(corrupt == Set(lines(2), lines(3)))
+    intercept[IllegalArgumentException] {
+      graft.sources.Jsonl.read(spark, dir,
+        schema.add(graft.sources.Jsonl.CorruptCol, StringType))
+    }
+    // streaming read over the same dir: identical valid/corrupt split
+    val sq = graft.sources.Jsonl.readStream(spark, dir, schema,
+        maxFilesPerTrigger = Some(1))
+      .writeStream.format("memory").queryName("jsonl_stream_spec")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    sq.awaitTermination()
+    val streamed = spark.table("jsonl_stream_spec")
+    assert(graft.sources.Jsonl.valid(streamed).count() == 2)
+    assert(graft.sources.Jsonl.corrupt(streamed)
+      .as[String].collect().toSet == corrupt)
+  }
+
+  test("clusterBalancedSample: sqrt budgets, md5-order selection, floor-to-1") {
+    import graft.operators.Sampling
+    // clusters: a=16 rows, b=4 rows, c=1 row
+    val rows = (0 until 16).map(i => (i.toLong, "a")) ++
+      (16 until 20).map(i => (i.toLong, "b")) :+ (20L, "c")
+    val df = rows.toDF("id", "cl")
+    val kept = Sampling.clusterBalancedSample(df, "id", "cl", totalBudget = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    // wq = 1e6*{4, 2, 1}, z = 7e6 -> budgets floor(10*w/z) = {5, 2, 1}
+    val byCl = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCl("a").size == 5 && byCl("b").size == 2 && byCl("c") == Set(20L))
+    // selection = first-k in md5(id) order
+    def md5Order(ids: Seq[Long], k: Int): Set[Long] = {
+      val m = java.security.MessageDigest.getInstance("MD5")
+      ids.sortBy { i =>
+        m.reset()
+        m.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.take(k).toSet
+    }
+    assert(byCl("a") == md5Order(0L until 16L, 5))
+    assert(byCl("b") == md5Order(16L until 20L, 2))
+  }
+}
