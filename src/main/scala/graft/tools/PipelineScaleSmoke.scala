@@ -294,6 +294,79 @@ object PipelineScaleSmoke {
       println(s"[pscale] dedup index: ${cand.getLong(0)} candidates, " +
         s"all ${cand.getLong(1)} new docs matched")
     } finally graft.sources.BucketFs.deleteRecursive(dedupIdxDir)
+
+    // ---- DSIR importance weights at 500k docs: target = families 0-9.
+    // Family vocabularies are disjoint, so every target-family doc must
+    // outscore every non-target doc (weights broadcast; corpus never
+    // shuffles). Scores are per-family constants — compare the 50.
+    val dsirOk = t(s"dsir score ($n docs)") {
+      val w = graft.operators.TextAnalysis.dsirBucketWeights(
+        docs, docs.where($"doc_id" % 50 < 10), "text", buckets = 4096)
+      val famScores = graft.operators.TextAnalysis
+        .dsirScore(docs, "doc_id", "text", w, buckets = 4096)
+        .select(($"doc_id" % 50).as("fam"), $"logratio_q4").distinct()
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      (famScores.length,
+        famScores.filter(_._1 < 10).map(_._2).min,
+        famScores.filter(_._1 >= 10).map(_._2).max)
+    }
+    require(dsirOk._1 == 50, s"dsir: ${dsirOk._1} family scores, expect 50")
+    require(dsirOk._2 > dsirOk._3,
+      s"dsir: target families must outscore raw (min target ${dsirOk._2} " +
+        s"<= max other ${dsirOk._3})")
+    println(s"[pscale] dsir: 50 family scores, target min ${dsirOk._2} > other max ${dsirOk._3}")
+
+    // ---- Naive Bayes classifier at 500k docs: train on the ~50% hash
+    // split (label = family < 25), score everything — disjoint family
+    // vocabularies make the classifier exact, so accuracy must be 100%
+    val nbWrong = t(s"naive bayes train+score ($n docs)") {
+      val labeled = docs
+        .where(graft.operators.Sampling.hashBucket($"doc_id") < 50)
+        .withColumn("__hq", $"doc_id" % 50 < 25)
+      val m = graft.operators.TextAnalysis.naiveBayesTrain(labeled, "text", "__hq")
+      graft.operators.TextAnalysis.naiveBayesScore(docs, "doc_id", "text", m)
+        .where($"pred_pos" =!= ($"doc_id" % 50 < 25)).count()
+    }
+    require(nbWrong == 0, s"naive bayes: $nbWrong of $n misclassified")
+    println(s"[pscale] naive bayes: $n docs scored, 0 misclassified")
+
+    // ---- JSONL ingest at 500k lines (~100 MB): to_json stage with the
+    // 1-in-25 md5 truncation rule, from_json parse back — valid+corrupt
+    // must partition the corpus exactly
+    val jsonlDir = java.nio.file.Files.createTempDirectory("pscale_jsonl").toString
+    try {
+      val line = to_json(struct($"doc_id", $"text"))
+      val corruptExpected = docs
+        .where(graft.operators.Sampling.hashBucket($"doc_id", 25) === 0).count()
+      docs.select(
+          when(graft.operators.Sampling.hashBucket($"doc_id", 25) === 0,
+            line.substr(lit(1), length(line) - 5)).otherwise(line).as("value"))
+        .write.mode("overwrite").text(jsonlDir)
+      val (nValid, nCorrupt) = t(s"jsonl parse ($n lines)") {
+        val schema = new org.apache.spark.sql.types.StructType()
+          .add("doc_id", org.apache.spark.sql.types.LongType)
+          .add("text", org.apache.spark.sql.types.StringType)
+        val parsed = graft.sources.Jsonl.read(spark, jsonlDir, schema)
+          .localCheckpoint(false)
+        (graft.sources.Jsonl.valid(parsed).count(),
+          graft.sources.Jsonl.corrupt(parsed).count())
+      }
+      require(nValid + nCorrupt == n && nCorrupt == corruptExpected,
+        s"jsonl: $nValid valid + $nCorrupt corrupt != $n ($corruptExpected expected corrupt)")
+      println(s"[pscale] jsonl: $nValid valid, $nCorrupt quarantined")
+    } finally graft.sources.BucketFs.deleteRecursive(jsonlDir)
+
+    // ---- cluster-balanced resample over the kmeans assignment: 8 equal
+    // clusters -> equal sqrt budgets, exactly 1000/8 kept per cluster
+    val cbCounts = t(s"cluster-balanced sample ($n vecs)") {
+      graft.operators.Sampling.clusterBalancedSample(asgn, "vec_id",
+          "centroid_id", totalBudget = 1000)
+        .groupBy($"centroid_id").agg(count(lit(1)).as("kept"))
+        .collect().map(_.getLong(1))
+    }
+    require(cbCounts.length == 8 && cbCounts.forall(_ == 125L),
+      s"cluster-balanced: kept ${cbCounts.mkString(",")}, expect 8 x 125")
+    println(s"[pscale] cluster-balanced: 8 clusters x 125 kept")
     spark.stop()
   }
 }
