@@ -684,7 +684,11 @@ object TextAnalysis {
     * Scale shape: both corpora reduce to B-row count frames via one
     * explode + hash aggregation each (map-side combine; the corpora never
     * shuffle), totals ride along as 1-row broadcast-nested-loop factors,
-    * and the result is B rows — broadcastable at any corpus scale. */
+    * and the result is B rows — broadcastable at any corpus scale. The
+    * distributions are counts, so at 100 TB estimate them on a hash
+    * sample (`raw.where(Sampling.sampledBy(id, pct))`) — B-bucket
+    * frequencies converge long before the full pass, and scoring (the
+    * part that must see every row) is unchanged. */
   def dsirBucketWeights(raw: DataFrame, target: DataFrame, textCol: String,
                         buckets: Int = 512): DataFrame = {
     require(buckets >= 2, "bucket space must have at least 2 buckets")
