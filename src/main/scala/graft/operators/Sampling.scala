@@ -236,25 +236,35 @@ object Sampling {
   def clusterBalancedSample(assigned: DataFrame, idCol: String,
                             clusterCol: String, totalBudget: Long): DataFrame = {
     require(totalBudget >= 1, "totalBudget must be >= 1")
+    // null-cluster rows (e.g. unassigned leftovers of an outer join) are
+    // excluded up front: they can't be selected (no key to balance on),
+    // and leaving them in the counts would silently deflate every real
+    // cluster's budget through z
+    val keyed = assigned.where(col(clusterCol).isNotNull)
     // bounded collect: one row per cluster
-    val counts = assigned.groupBy(col(clusterCol).cast("string").as("__c"))
+    val counts = keyed.groupBy(col(clusterCol).cast("string").as("__c"))
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     val wq = counts.map { case (c, n) =>
       c -> math.floor(1e6 * math.sqrt(n.toDouble)).toLong }
     val z = wq.map(_._2).sum
     val budgets = wq.map { case (c, w) =>
-      c -> math.max(1L, (BigInt(totalBudget) * w / z).toLong) }.toMap
-    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
-      case (acc, (c, b)) =>
-        when(col(clusterCol).cast("string") === c, lit(b)).otherwise(acc)
-    }
+      c -> math.max(1L, (BigInt(totalBudget) * w / z).toLong) }
+    // k is data-derived (can be tens of thousands of clusters): the
+    // budgets ship as a broadcast-joined k-row frame, not a k-deep
+    // when-chain (which would cost k comparisons per row and risk
+    // blowing the expression tree at analysis time)
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val budgetDf = broadcast(
+      budgets.toSeq.toDF("__c", "__budget"))
     val w = Window.partitionBy(col(clusterCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    assigned
+    keyed
       .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= budgetCol)
-      .drop("__rk")
+      .join(budgetDf, col(clusterCol).cast("string") === col("__c"))
+      .where(col("__rk") <= col("__budget"))
+      .drop("__rk", "__c", "__budget")
   }
 
   /** Deterministic mixture sampling: build a training mix that fills a

@@ -671,6 +671,12 @@ object TextAnalysis {
     floor(lit(1e4) * log(num.cast("double") / den.cast("double")))
       .cast("long")
 
+  /** DSIR importance weights bundled with the bucket-space size they
+    * were estimated over — scoring derives the feature hash modulus from
+    * here, so weights and scores can never silently disagree on the
+    * bucket space. */
+  final case class DsirWeights(weights: DataFrame, buckets: Int)
+
   /** DSIR bucket weights (Xie et al. 2023, "Data Selection for Language
     * Models via Importance Resampling"): estimate target and raw
     * distributions over `buckets` hashed n-gram features and return ONE
@@ -690,7 +696,7 @@ object TextAnalysis {
     * frequencies converge long before the full pass, and scoring (the
     * part that must see every row) is unchanged. */
   def dsirBucketWeights(raw: DataFrame, target: DataFrame, textCol: String,
-                        buckets: Int = 512): DataFrame = {
+                        buckets: Int = 512): DsirWeights = {
     require(buckets >= 2, "bucket space must have at least 2 buckets")
     def counts(df: DataFrame, as: String) = Dedup.fanOut(df)
       .select(explode(wordFeatures(col(textCol))).as("__f"))
@@ -701,14 +707,16 @@ object TextAnalysis {
     val totals = rb.agg(coalesce(sum(col("__r")), lit(0L)).as("__rtot"))
       .crossJoin(tb.agg(coalesce(sum(col("__t")), lit(0L)).as("__ttot")))
     val b = lit(buckets.toLong)
-    raw.sparkSession.range(buckets).select(col("id").as("bucket"))
-      .join(rb, Seq("bucket"), "left")
-      .join(tb, Seq("bucket"), "left")
-      .crossJoin(totals)
-      .select(col("bucket"),
-        (qlog(coalesce(col("__t"), lit(0L)) + 1L, col("__ttot") + b) -
-         qlog(coalesce(col("__r"), lit(0L)) + 1L, col("__rtot") + b))
-          .as("wq_q4"))
+    DsirWeights(
+      raw.sparkSession.range(buckets).select(col("id").as("bucket"))
+        .join(rb, Seq("bucket"), "left")
+        .join(tb, Seq("bucket"), "left")
+        .crossJoin(totals)
+        .select(col("bucket"),
+          (qlog(coalesce(col("__t"), lit(0L)) + 1L, col("__ttot") + b) -
+           qlog(coalesce(col("__r"), lit(0L)) + 1L, col("__rtot") + b))
+            .as("wq_q4")),
+      buckets)
   }
 
   /** Per-document DSIR importance score: the sum of bucket weights over
@@ -719,11 +727,12 @@ object TextAnalysis {
     * Scale shape: explode + broadcast join against the B-row weights +
     * one hash aggregation — the corpus never shuffles. */
   def dsirScore(df: DataFrame, idCol: String, textCol: String,
-                weights: DataFrame, buckets: Int = 512): DataFrame =
+                model: DsirWeights): DataFrame =
     Dedup.fanOut(df)
       .select(col(idCol), explode(wordFeatures(col(textCol))).as("__f"))
-      .select(col(idCol), featureBucket(col("__f"), buckets).as("bucket"))
-      .join(broadcast(weights), Seq("bucket"))
+      .select(col(idCol),
+        featureBucket(col("__f"), model.buckets).as("bucket"))
+      .join(broadcast(model.weights), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_feats"), sum(col("wq_q4")).as("logratio_q4"))
 
@@ -758,7 +767,8 @@ object TextAnalysis {
     val t = counts.agg(coalesce(sum(col("__cp")), lit(0L)),
       coalesce(sum(col("__cn")), lit(0L)), count(lit(1))).head()
     val (np, nn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
-    val d = labeled.agg(sum(when(col(labelCol), 1L).otherwise(0L)),
+    val d = labeled.agg(
+      coalesce(sum(when(col(labelCol), 1L).otherwise(0L)), lit(0L)),
       count(lit(1))).head()
     val (ndPos, nd) = (d.getLong(0), d.getLong(1))
     require(nd > 0 && ndPos > 0 && ndPos < nd,

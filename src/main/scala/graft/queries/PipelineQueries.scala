@@ -1194,8 +1194,7 @@ object PipelineQueries extends QueryModule {
       val w = TextAnalysis.dsirBucketWeights(
         raw = docs, target = docs.where($"lang" === "en"), "text",
         buckets = 512)
-      val scored = TextAnalysis.dsirScore(docs, "doc_id", "text", w,
-        buckets = 512)
+      val scored = TextAnalysis.dsirScore(docs, "doc_id", "text", w)
       // TakeOrdered top-64 FIRST (distributed partial sort, no global
       // single-partition window over the corpus), then rank the 64 rows
       scored.orderBy($"logratio_q4".desc, $"doc_id").limit(64)
@@ -2479,64 +2478,14 @@ object PipelineQueries extends QueryModule {
     "q148_stream_text_ingest" ->
       bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
 
-    "q77_kmeans" -> """
-      WITH v AS (SELECT vec_id,
-                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
-                 FROM embeddings),
-      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
-      c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
-             FROM v WHERE vec_id < 8),
-      a0 AS (SELECT vec_id, cid, e FROM (
-               SELECT vv.vec_id, c.cid, vv.e,
-                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
-                   c.cid ASC) AS rk
-               FROM vv, c0 c)
-             WHERE rk = 1),
-      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
-               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
-               GROUP BY 1, 2),
-      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
-             FROM sums GROUP BY cid),
-      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
-      a1 AS (SELECT vec_id, cid FROM (
-               SELECT vv.vec_id, c.cid,
-                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
-                   c.cid ASC) AS rk
-               FROM vv, c1c c)
-             WHERE rk = 1)
+    "q77_kmeans" -> s"""
+      $kmeans2AssignCte
       SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM a1""",
 
     // q77's two-iteration kmeans assignment (a1), then the SemDeDup drop
     // rule on raw-double cosines within each cluster
-    "q128_semdedup" -> """
-      WITH v AS (SELECT vec_id,
-                   list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
-                 FROM embeddings),
-      vv AS (SELECT vec_id, e, list_inner_product(e, e) AS sq FROM v),
-      c0 AS (SELECT vec_id AS cid, e AS ce, list_inner_product(e, e) AS cc
-             FROM v WHERE vec_id < 8),
-      a0 AS (SELECT vec_id, cid, e FROM (
-               SELECT vv.vec_id, c.cid, vv.e,
-                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
-                   c.cid ASC) AS rk
-               FROM vv, c0 c)
-             WHERE rk = 1),
-      sums AS (SELECT cid, g.i AS pos, SUM(e[g.i]) AS sx, COUNT(*) AS cnt
-               FROM a0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)
-               GROUP BY 1, 2),
-      c1 AS (SELECT cid, list(sx / CAST(cnt AS DOUBLE) ORDER BY pos) AS ce
-             FROM sums GROUP BY cid),
-      c1c AS (SELECT cid, ce, list_inner_product(ce, ce) AS cc FROM c1),
-      a1 AS (SELECT vec_id, cid FROM (
-               SELECT vv.vec_id, c.cid,
-                 row_number() OVER (PARTITION BY vv.vec_id ORDER BY
-                   ((vv.sq - 2.0 * list_inner_product(vv.e, c.ce)) + c.cc) ASC,
-                   c.cid ASC) AS rk
-               FROM vv, c1c c)
-             WHERE rk = 1),
+    "q128_semdedup" -> s"""
+      $kmeans2AssignCte,
       raw AS (SELECT vec_id, embedding::DOUBLE[] AS re FROM embeddings),
       j AS (SELECT a1.vec_id, a1.cid, raw.re
             FROM a1 JOIN raw ON a1.vec_id = raw.vec_id),

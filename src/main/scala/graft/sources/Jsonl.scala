@@ -32,15 +32,26 @@ object Jsonl {
   val CorruptCol = "_corrupt_record"
 
   /** Parse a frame of raw lines (column `value`; batch OR streaming —
-    * this is pure column algebra) into data + quarantine columns. */
+    * this is pure column algebra) into data + quarantine columns.
+    * `from_json` returns a NULL STRUCT (not a corrupt-record row) for
+    * empty/whitespace input, so the quarantine column is rebuilt as
+    * "parser's corrupt record, else the raw line whenever the struct is
+    * null" — otherwise a blank line in a crawl dump would surface as a
+    * 'valid' all-null document and valid+corrupt would no longer
+    * partition the input. */
   def parseLines(lines: DataFrame, schema: StructType): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not already contain $CorruptCol")
-    lines
-      .select(from_json(col("value"), schema.add(CorruptCol, StringType),
-        Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> CorruptCol)).as("__parsed"))
-      .select(col("__parsed.*"))
+    val parsed = lines
+      .select(col("value"),
+        from_json(col("value"), schema.add(CorruptCol, StringType),
+          Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> CorruptCol)).as("__parsed"))
+    val dataCols = schema.fieldNames.toSeq
+      .map(f => col("__parsed").getField(f).as(f))
+    val quarantine = coalesce(col("__parsed").getField(CorruptCol),
+      when(col("__parsed").isNull, col("value"))).as(CorruptCol)
+    parsed.select(dataCols :+ quarantine: _*)
   }
 
   /** Read JSONL under `path` with an explicit data schema; a malformed

@@ -303,7 +303,7 @@ object PipelineScaleSmoke {
       val w = graft.operators.TextAnalysis.dsirBucketWeights(
         docs, docs.where($"doc_id" % 50 < 10), "text", buckets = 4096)
       val famScores = graft.operators.TextAnalysis
-        .dsirScore(docs, "doc_id", "text", w, buckets = 4096)
+        .dsirScore(docs, "doc_id", "text", w)
         .select(($"doc_id" % 50).as("fam"), $"logratio_q4").distinct()
         .collect().map(r => r.getLong(0) -> r.getLong(1))
       (famScores.length,

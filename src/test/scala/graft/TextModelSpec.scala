@@ -26,7 +26,7 @@ class TextModelSpec extends AnyFunSuite {
     val target = Seq("x x").toDF("text")              // feats: x, x, "x x" = 3
     val b = 16
     val w = TextAnalysis.dsirBucketWeights(raw, target, "text", buckets = b)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(w.size == b && w.keySet == (0L until b.toLong).toSet)
     def q(num: Long, den: Long) =
       math.floor(1e4 * math.log(num.toDouble / den.toDouble)).toLong
@@ -46,12 +46,12 @@ class TextModelSpec extends AnyFunSuite {
   test("dsirScore: brute-force agreement on a tiny corpus") {
     val docs = Seq((1L, "x x y"), (2L, "y z"), (3L, "")).toDF("id", "text")
     val w = TextAnalysis.dsirBucketWeights(docs, docs.where($"id" === 1), "text", 32)
-    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wm = w.weights.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val feats = Map(1L -> Seq("x", "x", "y", "x x", "x y"),
                     2L -> Seq("y", "z", "y z"))
     def bk(f: String): Long =
       docs.select(TextAnalysis.featureBucket(lit(f), 32)).head().getLong(0)
-    val got = TextAnalysis.dsirScore(docs, "id", "text", w, 32)
+    val got = TextAnalysis.dsirScore(docs, "id", "text", w)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val want = feats.map { case (id, fs) =>
       (id, fs.size.toLong, fs.map(f => wm(bk(f))).sum)
@@ -85,6 +85,11 @@ class TextModelSpec extends AnyFunSuite {
       TextAnalysis.naiveBayesTrain(
         Seq((true, "a")).toDF("y", "text"), "text", "y")
     }
+    // empty frame must hit the same guard, not an NPE on the null SUM
+    intercept[IllegalArgumentException] {
+      TextAnalysis.naiveBayesTrain(
+        Seq.empty[(Boolean, String)].toDF("y", "text"), "text", "y")
+    }
   }
 
   test("jsonl: valid rows parse, malformed lines quarantine without a throw") {
@@ -92,9 +97,11 @@ class TextModelSpec extends AnyFunSuite {
       .toString
     val lines = Seq(
       """{"id":1,"text":"hello world","n":11}""",
+      "", // blank line: from_json yields a NULL STRUCT, not a corrupt row
       """{"id":2,"text":"bye","n":3}""",
       """{"id":3,"text":"truncat""", // malformed
-      """not json at all""")
+      """not json at all""",
+      "   ") // whitespace-only: also a null struct
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "part-0.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
@@ -109,7 +116,7 @@ class TextModelSpec extends AnyFunSuite {
     // column, never field nullness
     val corrupt = graft.sources.Jsonl.corrupt(parsed)
       .as[String].collect().toSet
-    assert(corrupt == Set(lines(2), lines(3)))
+    assert(corrupt == Set("", "   ", lines(3), lines(4)))
     intercept[IllegalArgumentException] {
       graft.sources.Jsonl.read(spark, dir,
         schema.add(graft.sources.Jsonl.CorruptCol, StringType))
@@ -148,5 +155,11 @@ class TextModelSpec extends AnyFunSuite {
     }
     assert(byCl("a") == md5Order(0L until 16L, 5))
     assert(byCl("b") == md5Order(16L until 20L, 2))
+    // null-cluster rows are excluded AND don't deflate real budgets
+    val withNulls = df.unionByName(
+      Seq.fill(30)((99L, null: String)).toDF("id", "cl"))
+    val kept2 = Sampling.clusterBalancedSample(withNulls, "id", "cl", 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(kept2.sorted.sameElements(kept.sorted))
   }
 }
