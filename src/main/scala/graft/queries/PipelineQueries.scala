@@ -1191,16 +1191,11 @@ object PipelineQueries extends QueryModule {
     "q149_dsir_resample" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val w = TextAnalysis.dsirBucketWeights(
+      // dsirTop64: TakeOrdered top-64 FIRST (distributed partial sort,
+      // no global single-partition window over the corpus), then rank
+      dsirTop64(docs, TextAnalysis.dsirBucketWeights(
         raw = docs, target = docs.where($"lang" === "en"), "text",
-        buckets = 512)
-      val scored = TextAnalysis.dsirScore(docs, "doc_id", "text", w)
-      // TakeOrdered top-64 FIRST (distributed partial sort, no global
-      // single-partition window over the corpus), then rank the 64 rows
-      scored.orderBy($"logratio_q4".desc, $"doc_id").limit(64)
-        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
-          .Window.orderBy($"logratio_q4".desc, $"doc_id")).cast("long"))
-        .select($"rk", $"doc_id", $"n_feats", $"logratio_q4")
+        buckets = 512))
     }),
 
     // Model-based quality filtering (the CCNet/GPT-3-style classifier
@@ -1210,10 +1205,7 @@ object PipelineQueries extends QueryModule {
     "q150_nb_quality" -> ((s, dir) => {
       import s.implicits._
       val docs = Tables(s, dir, "documents")
-      val labeled = docs
-        .where(graft.operators.Sampling.hashBucket($"doc_id") < 50)
-        .withColumn("__hq", $"lang" === "en")
-      val model = TextAnalysis.naiveBayesTrain(labeled, "text", "__hq")
+      val model = trainNbQuality(s, dir)
       TextAnalysis.naiveBayesScore(docs, "doc_id", "text", model)
         .join(docs.select($"doc_id", ($"lang" === "en").as("__truth")),
           Seq("doc_id"))
@@ -1267,8 +1259,82 @@ object PipelineQueries extends QueryModule {
       graft.operators.Sampling.clusterBalancedSample(assigned, "vec_id",
           "centroid_id", totalBudget = 200)
         .select($"vec_id", $"centroid_id")
+    }),
+
+    // Persisted-model lifecycle (the fourth persisted artifact, next to
+    // the ANN/dedup/BM25 indexes): the q150 classifier saved via
+    // TextModelStore, reloaded, and applied — integer weights round-trip
+    // parquet exactly, so scores are bit-identical to in-memory training
+    // (save+load run fresh every invocation; they ARE the op under test).
+    "q154_nb_model_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val mDir = s"/tmp/graft_nbmodel_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.TextModelStore.saveNaiveBayes(trainNbQuality(s, dir), mDir)
+      val loaded = graft.sources.TextModelStore.loadNaiveBayes(s, mDir)
+      TextAnalysis.naiveBayesScore(Tables(s, dir, "documents"),
+          "doc_id", "text", loaded)
+        .select($"doc_id", $"n_tokens", $"score_q4", $"pred_pos")
+    }),
+
+    // Streaming model-based quality filtering — the production filter
+    // shape end to end: JSONL tailed as a stream, per-micro-batch parse +
+    // quarantine, scoring against the PERSISTED classifier, positives
+    // landed in per-batch sink dirs. Batch replica: the same model over
+    // the JSONL-surviving docs, positives only (shared oracle CTEs).
+    "q155_stream_quality_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val stage = stagedJsonl(s, dir)
+      val base = s"/tmp/graft_squal_v1_${QueryModule.cacheKey(dir)}"
+      val mDir = s"$base/model"; val sink = s"$base/sink"
+      val ckpt = s"$base/ckpt"
+      Seq(mDir, sink, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
+      graft.sources.TextModelStore.saveNaiveBayes(trainNbQuality(s, dir), mDir)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.streaming.StreamingOps.qualityFilterIngest(ss,
+          s"$stage/data", jsonlDocSchema, mDir, sink, ckpt,
+          "doc_id", "text", maxFilesPerTrigger = Some(8))
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink).select($"doc_id", $"n_tokens", $"score_q4")
+    }),
+
+    // DSIR weights saved + reloaded must select the identical top-64
+    // (bucket modulus rides in the manifest)
+    "q156_dsir_model_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val mDir = s"/tmp/graft_dsirmodel_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.TextModelStore.saveDsir(
+        TextAnalysis.dsirBucketWeights(docs,
+          docs.where($"lang" === "en"), "text", buckets = 512), mDir)
+      dsirTop64(docs,
+        graft.sources.TextModelStore.loadDsir(s, mDir))
     })
   )
+
+  /** The q150/q154/q155 classifier: Naive Bayes on the 50% md5 split
+    * with lang=en as the positive label. */
+  private def trainNbQuality(s: SparkSession, dir: String)
+      : TextAnalysis.NaiveBayesModel = {
+    import s.implicits._
+    TextAnalysis.naiveBayesTrain(
+      Tables(s, dir, "documents")
+        .where(graft.operators.Sampling.hashBucket($"doc_id") < 50)
+        .withColumn("__hq", $"lang" === "en"),
+      "text", "__hq")
+  }
+
+  /** q149/q156 shared tail: score + distributed top-64 + rank. */
+  private def dsirTop64(docs: DataFrame,
+                        w: TextAnalysis.DsirWeights): DataFrame = {
+    import docs.sparkSession.implicits._
+    TextAnalysis.dsirScore(docs, "doc_id", "text", w)
+      .orderBy($"logratio_q4".desc, $"doc_id").limit(64)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy($"logratio_q4".desc, $"doc_id")).cast("long"))
+      .select($"rk", $"doc_id", $"n_feats", $"logratio_q4")
+  }
 
   /** documents-table JSONL schema for the q151/q152 ingestion gates. */
   private def jsonlDocSchema: org.apache.spark.sql.types.StructType = {
@@ -1314,6 +1380,84 @@ object PipelineQueries extends QueryModule {
 
   private def normSql(t: String) =
     s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
+
+  /** q149/q156 shared oracle: DSIR hashed uni+bigram bucket weights
+    * (target lang=en vs raw), quantized log-importance, top-64. */
+  private lazy val dsirResampleSql = s"""
+      WITH nd AS (SELECT doc_id, lang,
+          ${normSql("COALESCE(text, '')")} AS nt FROM documents),
+      tk AS (SELECT doc_id, lang,
+               list_filter(string_split(nt, ' '), x -> x <> '') AS t
+             FROM nd),
+      ft AS (SELECT doc_id, lang, UNNEST(list_concat(t,
+               list_transform(range(1, GREATEST(len(t), 1)),
+                 i -> t[i] || ' ' || t[i + 1]))) AS f
+             FROM tk),
+      b AS (SELECT doc_id, lang,
+              ('0x' || substr(md5(f), 1, 12))::BIGINT % 512 AS bucket
+            FROM ft),
+      rb AS (SELECT bucket, COUNT(*) AS r FROM b GROUP BY 1),
+      tb AS (SELECT bucket, COUNT(*) AS t FROM b WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM rb) AS rr,
+                     (SELECT COALESCE(SUM(t), 0) FROM tb) AS tt),
+      w AS (SELECT g.bucket,
+              (CAST(FLOOR(10000.0 * ln(CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE)
+                 / CAST(tot.tt + 512 AS DOUBLE))) AS BIGINT)
+             - CAST(FLOOR(10000.0 * ln(CAST(COALESCE(rb.r, 0) + 1 AS DOUBLE)
+                 / CAST(tot.rr + 512 AS DOUBLE))) AS BIGINT)) AS wq
+            FROM (SELECT UNNEST(range(0, 512)) AS bucket) g
+            LEFT JOIN rb ON rb.bucket = g.bucket
+            LEFT JOIN tb ON tb.bucket = g.bucket, tot),
+      s AS (SELECT b.doc_id, COUNT(*) AS n_feats, SUM(w.wq) AS lr
+            FROM b JOIN w ON w.bucket = b.bucket GROUP BY 1)
+      SELECT CAST(rk AS BIGINT) AS rk, doc_id,
+        CAST(n_feats AS BIGINT) AS n_feats, CAST(lr AS BIGINT) AS logratio_q4
+      FROM (SELECT ROW_NUMBER() OVER (ORDER BY lr DESC, doc_id) AS rk,
+              doc_id, n_feats, lr FROM s)
+      WHERE rk <= 64"""
+
+  /** Shared Naive Bayes CTE chain for q150/q154/q155: train on the
+    * bk<50 md5 split (label lang=en), per-token quantized log-likelihood
+    * ratios over vocab+1, per-doc integer score `sc` in CTE `s`; `nd`
+    * also carries `jbk` (the q151 JSONL 1-in-25 corruption bucket) for
+    * the streamed-ingest gate's survivor filter. */
+  private val nbQualityBaseSql = s"""
+      WITH nd AS (SELECT doc_id, lang,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+            AS bk,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 25
+            AS jbk,
+          ${normSql("COALESCE(text, '')")} AS nt FROM documents),
+      tok AS (SELECT doc_id, lang, bk,
+                UNNEST(list_filter(string_split(nt, ' '), x -> x <> ''))
+                  AS token
+              FROM nd),
+      cnt AS (SELECT token,
+                SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
+                SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cn
+              FROM tok WHERE bk < 50 GROUP BY 1),
+      tot AS (SELECT COALESCE(SUM(cp), 0) AS np, COALESCE(SUM(cn), 0) AS nn,
+                COUNT(*) + 1 AS vs FROM cnt),
+      pri AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ndp,
+                COUNT(*) AS ndd FROM nd WHERE bk < 50),
+      k AS (SELECT
+              (CAST(FLOOR(10000.0 * ln(CAST(ndp AS DOUBLE) / ndd)) AS BIGINT)
+             - CAST(FLOOR(10000.0 * ln(CAST(ndd - ndp AS DOUBLE) / ndd))
+                 AS BIGINT)) AS pq,
+              (CAST(FLOOR(10000.0 * ln(1.0 / CAST(np + vs AS DOUBLE)))
+                 AS BIGINT)
+             - CAST(FLOOR(10000.0 * ln(1.0 / CAST(nn + vs AS DOUBLE)))
+                 AS BIGINT)) AS uq
+            FROM tot, pri),
+      w AS (SELECT token,
+              (CAST(FLOOR(10000.0 * ln(CAST(cp + 1 AS DOUBLE)
+                 / CAST(np + vs AS DOUBLE))) AS BIGINT)
+             - CAST(FLOOR(10000.0 * ln(CAST(cn + 1 AS DOUBLE)
+                 / CAST(nn + vs AS DOUBLE))) AS BIGINT)) AS wq
+            FROM cnt, tot),
+      s AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+              MIN(k.pq) + SUM(COALESCE(w.wq, k.uq)) AS sc
+            FROM tok t LEFT JOIN w ON w.token = t.token, k GROUP BY 1, 2)"""
 
   /** q151/q152 shared oracle: valid per-source stats + quarantine row,
     * from the parquet table and the staged md5 corruption rule. */
@@ -1676,81 +1820,37 @@ object PipelineQueries extends QueryModule {
     // DSIR: hashed uni+bigram bucket weights (target=en vs raw), per-doc
     // quantized log-importance, top-64. ln terms quantized with floor
     // BEFORE summation — exact integer arithmetic end to end (see q118).
-    "q149_dsir_resample" -> s"""
-      WITH nd AS (SELECT doc_id, lang,
-          ${normSql("COALESCE(text, '')")} AS nt FROM documents),
-      tk AS (SELECT doc_id, lang,
-               list_filter(string_split(nt, ' '), x -> x <> '') AS t
-             FROM nd),
-      ft AS (SELECT doc_id, lang, UNNEST(list_concat(t,
-               list_transform(range(1, GREATEST(len(t), 1)),
-                 i -> t[i] || ' ' || t[i + 1]))) AS f
-             FROM tk),
-      b AS (SELECT doc_id, lang,
-              ('0x' || substr(md5(f), 1, 12))::BIGINT % 512 AS bucket
-            FROM ft),
-      rb AS (SELECT bucket, COUNT(*) AS r FROM b GROUP BY 1),
-      tb AS (SELECT bucket, COUNT(*) AS t FROM b WHERE lang = 'en' GROUP BY 1),
-      tot AS (SELECT (SELECT COALESCE(SUM(r), 0) FROM rb) AS rr,
-                     (SELECT COALESCE(SUM(t), 0) FROM tb) AS tt),
-      w AS (SELECT g.bucket,
-              (CAST(FLOOR(10000.0 * ln(CAST(COALESCE(tb.t, 0) + 1 AS DOUBLE)
-                 / CAST(tot.tt + 512 AS DOUBLE))) AS BIGINT)
-             - CAST(FLOOR(10000.0 * ln(CAST(COALESCE(rb.r, 0) + 1 AS DOUBLE)
-                 / CAST(tot.rr + 512 AS DOUBLE))) AS BIGINT)) AS wq
-            FROM (SELECT UNNEST(range(0, 512)) AS bucket) g
-            LEFT JOIN rb ON rb.bucket = g.bucket
-            LEFT JOIN tb ON tb.bucket = g.bucket, tot),
-      s AS (SELECT b.doc_id, COUNT(*) AS n_feats, SUM(w.wq) AS lr
-            FROM b JOIN w ON w.bucket = b.bucket GROUP BY 1)
-      SELECT CAST(rk AS BIGINT) AS rk, doc_id,
-        CAST(n_feats AS BIGINT) AS n_feats, CAST(lr AS BIGINT) AS logratio_q4
-      FROM (SELECT ROW_NUMBER() OVER (ORDER BY lr DESC, doc_id) AS rk,
-              doc_id, n_feats, lr FROM s)
-      WHERE rk <= 64""",
+    "q149_dsir_resample" -> dsirResampleSql,
+
+    // saved+reloaded DSIR weights must select the identical top-64
+    "q156_dsir_model_roundtrip" -> dsirResampleSql,
 
     // Naive Bayes quality classifier: train on the bk<50 hash split with
     // lang=en as positive, add-one smoothing over vocab+1 (the OOV
     // pseudo-token), floor(1e4*ln) per term, integer sums.
     "q150_nb_quality" -> s"""
-      WITH nd AS (SELECT doc_id, lang,
-          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
-            AS bk,
-          ${normSql("COALESCE(text, '')")} AS nt FROM documents),
-      tok AS (SELECT doc_id, lang, bk,
-                UNNEST(list_filter(string_split(nt, ' '), x -> x <> ''))
-                  AS token
-              FROM nd),
-      cnt AS (SELECT token,
-                SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp,
-                SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS cn
-              FROM tok WHERE bk < 50 GROUP BY 1),
-      tot AS (SELECT COALESCE(SUM(cp), 0) AS np, COALESCE(SUM(cn), 0) AS nn,
-                COUNT(*) + 1 AS vs FROM cnt),
-      pri AS (SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ndp,
-                COUNT(*) AS ndd FROM nd WHERE bk < 50),
-      k AS (SELECT
-              (CAST(FLOOR(10000.0 * ln(CAST(ndp AS DOUBLE) / ndd)) AS BIGINT)
-             - CAST(FLOOR(10000.0 * ln(CAST(ndd - ndp AS DOUBLE) / ndd))
-                 AS BIGINT)) AS pq,
-              (CAST(FLOOR(10000.0 * ln(1.0 / CAST(np + vs AS DOUBLE)))
-                 AS BIGINT)
-             - CAST(FLOOR(10000.0 * ln(1.0 / CAST(nn + vs AS DOUBLE)))
-                 AS BIGINT)) AS uq
-            FROM tot, pri),
-      w AS (SELECT token,
-              (CAST(FLOOR(10000.0 * ln(CAST(cp + 1 AS DOUBLE)
-                 / CAST(np + vs AS DOUBLE))) AS BIGINT)
-             - CAST(FLOOR(10000.0 * ln(CAST(cn + 1 AS DOUBLE)
-                 / CAST(nn + vs AS DOUBLE))) AS BIGINT)) AS wq
-            FROM cnt, tot),
-      s AS (SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
-              MIN(k.pq) + SUM(COALESCE(w.wq, k.uq)) AS sc
-            FROM tok t LEFT JOIN w ON w.token = t.token, k GROUP BY 1, 2)
+      $nbQualityBaseSql
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         CAST(sc AS BIGINT) AS score_q4, sc > 0 AS pred_pos,
         CAST((sc > 0) = (lang = 'en') AS INT) AS hit
       FROM s""",
+
+    // the SAVED+RELOADED model must score bit-identically to q150's
+    // in-memory one (integer weights round-trip parquet exactly)
+    "q154_nb_model_roundtrip" -> s"""
+      $nbQualityBaseSql
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(sc AS BIGINT) AS score_q4, sc > 0 AS pred_pos
+      FROM s""",
+
+    // streamed quality-filtered ingest: the same trained model applied
+    // to the JSONL-surviving docs (staging bucket <> 0), positives only
+    "q155_stream_quality_ingest" -> s"""
+      $nbQualityBaseSql
+      SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+        CAST(s.sc AS BIGINT) AS score_q4
+      FROM s JOIN nd ON nd.doc_id = s.doc_id
+      WHERE nd.jbk <> 0 AND s.sc > 0""",
 
     // JSONL round trip: valid per-source stats + the quarantine row,
     // recomputed from the parquet table and the same md5 corruption rule

@@ -369,6 +369,41 @@ object StreamingOps {
       .trigger(Trigger.AvailableNow())
   }
 
+  /** Streaming model-based quality filtering — the production shape of
+    * the classifier pass: tail a JSONL directory, parse + quarantine
+    * each micro-batch ([[graft.sources.Jsonl]] semantics), score the
+    * valid documents with a PERSISTED Naive Bayes model
+    * ([[graft.sources.TextModelStore]], loaded once — the model is
+    * read-only so no generation guard is needed), keep positive scorers,
+    * and land them in per-batch sink directories (`batch=N` overwrite →
+    * checkpoint replay is idempotent). Scoring aggregates per document,
+    * which streaming append mode can't express — hence foreachBatch,
+    * where each micro-batch is a plain batch frame. Caller starts/stops
+    * the returned writer. */
+  def qualityFilterIngest(spark: SparkSession, sourceDir: String,
+                          schema: org.apache.spark.sql.types.StructType,
+                          modelDir: String, outDir: String,
+                          checkpointDir: String, idCol: String,
+                          textCol: String,
+                          maxFilesPerTrigger: Option[Int] = None)
+      : DataStreamWriter[Row] = {
+    val model = graft.sources.TextModelStore.loadNaiveBayes(spark, modelDir)
+    val fn: (Dataset[Row], Long) => Unit = { (batch, batchId) =>
+      val valid = graft.sources.Jsonl.valid(batch.toDF())
+      graft.operators.TextAnalysis
+        .naiveBayesScore(valid, idCol, textCol, model)
+        .where(col("pred_pos"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      ()
+    }
+    graft.sources.Jsonl.readStream(spark, sourceDir, schema,
+        maxFilesPerTrigger)
+      .writeStream
+      .foreachBatch(fn)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+  }
+
   /** Continuous bucket ingest: stream granule rows (file source) into a
     * spatially partitioned bucket — the streaming version of
     * write_granules_bucket: same layout, exactly-once via checkpoint.

@@ -162,4 +162,39 @@ class TextModelSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1))
     assert(kept2.sorted.sameElements(kept.sorted))
   }
+
+  test("TextModelStore: exact round trips, crashed save fails loudly, type check") {
+    import graft.sources.TextModelStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_tms").toString
+    val labeled = Seq((true, "good good fine"), (true, "good"),
+      (false, "bad awful"), (false, "bad")).toDF("y", "text")
+    val m = TextAnalysis.naiveBayesTrain(labeled, "text", "y")
+    TextModelStore.saveNaiveBayes(m, s"$dir/nb")
+    val lm = TextModelStore.loadNaiveBayes(spark, s"$dir/nb")
+    assert(lm.priorQ4 == m.priorQ4 && lm.unknownQ4 == m.unknownQ4)
+    val score = (mm: TextAnalysis.NaiveBayesModel) =>
+      TextAnalysis.naiveBayesScore(
+        Seq((1L, "good zzz")).toDF("id", "text"), "id", "text", mm)
+        .head().getLong(2)
+    assert(score(lm) == score(m))
+    // dsir round trip keeps the bucket modulus
+    val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("id", "text")
+    val dw = TextAnalysis.dsirBucketWeights(docs, docs.where($"id" === 1),
+      "text", buckets = 64)
+    TextModelStore.saveDsir(dw, s"$dir/dsir")
+    val ldw = TextModelStore.loadDsir(spark, s"$dir/dsir")
+    assert(ldw.buckets == 64)
+    assert(TextAnalysis.dsirScore(docs, "id", "text", ldw).collect().toSet
+      == TextAnalysis.dsirScore(docs, "id", "text", dw).collect().toSet)
+    // a save that died before the manifest commit must refuse to load
+    graft.sources.BucketFs.deleteRecursive(
+      s"$dir/nb/${TextModelStore.ManifestFile}")
+    intercept[IllegalArgumentException] {
+      TextModelStore.loadNaiveBayes(spark, s"$dir/nb")
+    }
+    // and a model dir of the wrong type must be rejected by name
+    intercept[IllegalArgumentException] {
+      TextModelStore.loadNaiveBayes(spark, s"$dir/dsir")
+    }
+  }
 }
