@@ -743,45 +743,80 @@ object TextAnalysis {
   final case class NaiveBayesModel(tokenWeights: DataFrame,
                                    priorQ4: Long, unknownQ4: Long)
 
-  /** Train a multinomial Naive Bayes quality classifier (the fastText-
-    * style model-based filter of CCNet/GPT-3-era pipelines: label a seed
-    * set "high quality" vs "raw", score the corpus, keep what scores
-    * positive). Add-one smoothing; every log term is quantized with
-    * floor(1e4·ln) BEFORE any summation, so scoring is exact integer
-    * arithmetic end to end (see [[charLmScore]]).
-    *
-    * Scale shape: one explode + vocab-sized hash aggregation over the
-    * LABELED set (labeled sets are small by construction), one 1-row
-    * totals collect, one 2-row prior collect — the model is a
-    * vocab-bounded frame plus two longs. */
-  def naiveBayesTrain(labeled: DataFrame, textCol: String,
-                      labelCol: String): NaiveBayesModel = {
+  /** The ADDITIVE form of a Naive Bayes model: per-token class counts
+    * plus document priors. Two count sets over disjoint labeled batches
+    * merge by plain addition ([[naiveBayesMerge]]), which is what makes
+    * the persisted classifier incrementally updatable — ratios aren't
+    * additive, counts are. `tokenCounts` columns: (token, cp, cn). */
+  final case class NaiveBayesCounts(tokenCounts: DataFrame,
+                                    ndPos: Long, nd: Long)
+
+  /** Aggregate a labeled batch into [[NaiveBayesCounts]]: one explode +
+    * vocab-sized hash aggregation plus a 1-row prior collect. */
+  def naiveBayesCounts(labeled: DataFrame, textCol: String,
+                       labelCol: String): NaiveBayesCounts = {
     val counts = Dedup.fanOut(labeled)
       .select(col(labelCol).as("__y"),
         explode(wordTokens(col(textCol))).as("token"))
       .groupBy("token")
-      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__cp"),
-           sum(when(col("__y"), 0L).otherwise(1L)).as("__cn"))
-      .localCheckpoint(true) // feeds totals AND weights; train once
-    // bounded collects: a 1-row vocab-totals agg and a 1-row doc-prior agg
-    val t = counts.agg(coalesce(sum(col("__cp")), lit(0L)),
-      coalesce(sum(col("__cn")), lit(0L)), count(lit(1))).head()
-    val (np, nn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("cp"),
+           sum(when(col("__y"), 0L).otherwise(1L)).as("cn"))
     val d = labeled.agg(
       coalesce(sum(when(col(labelCol), 1L).otherwise(0L)), lit(0L)),
       count(lit(1))).head()
-    val (ndPos, nd) = (d.getLong(0), d.getLong(1))
+    NaiveBayesCounts(counts, d.getLong(0), d.getLong(1))
+  }
+
+  /** Merge two count sets (disjoint labeled batches): full-outer sum on
+    * token, scalar adds — exact, order-independent. */
+  def naiveBayesMerge(a: NaiveBayesCounts, b: NaiveBayesCounts): NaiveBayesCounts = {
+    val bb = b.tokenCounts.select(col("token"),
+      col("cp").as("__bcp"), col("cn").as("__bcn"))
+    NaiveBayesCounts(
+      a.tokenCounts.join(bb, Seq("token"), "full_outer")
+        .select(col("token"),
+          (coalesce(col("cp"), lit(0L)) + coalesce(col("__bcp"), lit(0L))).as("cp"),
+          (coalesce(col("cn"), lit(0L)) + coalesce(col("__bcn"), lit(0L))).as("cn")),
+      a.ndPos + b.ndPos, a.nd + b.nd)
+  }
+
+  /** Derive the scoring-form model from counts: add-one smoothing over
+    * vocab + the OOV pseudo-token, every log term quantized with
+    * floor(1e4·ln) BEFORE summation (see [[charLmScore]]). The derived
+    * weights are a pure function of the counts, so counts → model →
+    * score is bit-reproducible wherever the counts came from (fresh
+    * training, a disk round trip, or an incremental merge). */
+  def naiveBayesFromCounts(c: NaiveBayesCounts): NaiveBayesModel = {
+    val counts = c.tokenCounts.localCheckpoint(true) // totals + weights
+    val t = counts.agg(coalesce(sum(col("cp")), lit(0L)),
+      coalesce(sum(col("cn")), lit(0L)), count(lit(1))).head()
+    val (np, nn, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val (ndPos, nd) = (c.ndPos, c.nd)
     require(nd > 0 && ndPos > 0 && ndPos < nd,
       "training needs at least one document of each class")
     def q(num: Long, den: Long): Long =
       math.floor(1e4 * math.log(num.toDouble / den.toDouble)).toLong
     val vs = v + 1 // vocab + the OOV pseudo-token, mirrored in unknownQ4
     val weights = counts.select(col("token"),
-      (qlog(col("__cp") + 1L, lit(np + vs)) -
-       qlog(col("__cn") + 1L, lit(nn + vs))).as("wq_q4"))
+      (qlog(col("cp") + 1L, lit(np + vs)) -
+       qlog(col("cn") + 1L, lit(nn + vs))).as("wq_q4"))
     NaiveBayesModel(weights, q(ndPos, nd) - q(nd - ndPos, nd),
       q(1L, np + vs) - q(1L, nn + vs))
   }
+
+  /** Train a multinomial Naive Bayes quality classifier (the fastText-
+    * style model-based filter of CCNet/GPT-3-era pipelines: label a seed
+    * set "high quality" vs "raw", score the corpus, keep what scores
+    * positive) — [[naiveBayesCounts]] composed with
+    * [[naiveBayesFromCounts]].
+    *
+    * Scale shape: one explode + vocab-sized hash aggregation over the
+    * LABELED set (labeled sets are small by construction), one 1-row
+    * totals collect, one 1-row prior collect — the model is a
+    * vocab-bounded frame plus two longs. */
+  def naiveBayesTrain(labeled: DataFrame, textCol: String,
+                      labelCol: String): NaiveBayesModel =
+    naiveBayesFromCounts(naiveBayesCounts(labeled, textCol, labelCol))
 
   /** Score documents with a trained [[NaiveBayesModel]]: per doc,
     * score_q4 = prior + Σ_tokens wq(token) (OOV tokens take the smoothed

@@ -1269,7 +1269,8 @@ object PipelineQueries extends QueryModule {
     "q154_nb_model_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val mDir = s"/tmp/graft_nbmodel_v1_${QueryModule.cacheKey(dir)}"
-      graft.sources.TextModelStore.saveNaiveBayes(trainNbQuality(s, dir), mDir)
+      graft.sources.TextModelStore.saveNaiveBayes(
+        labeledNbQuality(s, dir), "text", "__hq", mDir)
       val loaded = graft.sources.TextModelStore.loadNaiveBayes(s, mDir)
       TextAnalysis.naiveBayesScore(Tables(s, dir, "documents"),
           "doc_id", "text", loaded)
@@ -1288,7 +1289,8 @@ object PipelineQueries extends QueryModule {
       val mDir = s"$base/model"; val sink = s"$base/sink"
       val ckpt = s"$base/ckpt"
       Seq(mDir, sink, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
-      graft.sources.TextModelStore.saveNaiveBayes(trainNbQuality(s, dir), mDir)
+      graft.sources.TextModelStore.saveNaiveBayes(
+        labeledNbQuality(s, dir), "text", "__hq", mDir)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
       val q = graft.streaming.StreamingOps.qualityFilterIngest(ss,
@@ -1297,6 +1299,27 @@ object PipelineQueries extends QueryModule {
         .start()
       q.awaitTermination()
       s.read.parquet(sink).select($"doc_id", $"n_tokens", $"score_q4")
+    }),
+
+    // Incremental classifier update: train-and-save on the first half of
+    // the labeled split (bk<25), APPEND the second half (25<=bk<50) into
+    // the persisted counts — the two-step model must score every doc
+    // bit-identically to one-shot training on the whole split (q154's
+    // oracle verbatim). Counts are the additive form; weights derive.
+    "q157_nb_model_append" -> ((s, dir) => {
+      import s.implicits._
+      val mDir = s"/tmp/graft_nbappend_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.BucketFs.deleteRecursive(mDir)
+      val labeled = labeledNbQuality(s, dir)
+      val bk = graft.operators.Sampling.hashBucket($"doc_id")
+      graft.sources.TextModelStore.saveNaiveBayes(
+        labeled.where(bk < 25), "text", "__hq", mDir)
+      graft.sources.TextModelStore.appendNaiveBayes(s,
+        labeled.where(bk >= 25), "text", "__hq", mDir)
+      TextAnalysis.naiveBayesScore(Tables(s, dir, "documents"),
+          "doc_id", "text",
+          graft.sources.TextModelStore.loadNaiveBayes(s, mDir))
+        .select($"doc_id", $"n_tokens", $"score_q4", $"pred_pos")
     }),
 
     // DSIR weights saved + reloaded must select the identical top-64
@@ -1313,17 +1336,18 @@ object PipelineQueries extends QueryModule {
     })
   )
 
-  /** The q150/q154/q155 classifier: Naive Bayes on the 50% md5 split
+  /** The q150/q154/q155/q157 labeled training set: the 50% md5 split
     * with lang=en as the positive label. */
-  private def trainNbQuality(s: SparkSession, dir: String)
-      : TextAnalysis.NaiveBayesModel = {
+  private def labeledNbQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    TextAnalysis.naiveBayesTrain(
-      Tables(s, dir, "documents")
-        .where(graft.operators.Sampling.hashBucket($"doc_id") < 50)
-        .withColumn("__hq", $"lang" === "en"),
-      "text", "__hq")
+    Tables(s, dir, "documents")
+      .where(graft.operators.Sampling.hashBucket($"doc_id") < 50)
+      .withColumn("__hq", $"lang" === "en")
   }
+
+  private def trainNbQuality(s: SparkSession, dir: String)
+      : TextAnalysis.NaiveBayesModel =
+    TextAnalysis.naiveBayesTrain(labeledNbQuality(s, dir), "text", "__hq")
 
   /** q149/q156 shared tail: score + distributed top-64 + rank. */
   private def dsirTop64(docs: DataFrame,
@@ -1836,8 +1860,17 @@ object PipelineQueries extends QueryModule {
       FROM s""",
 
     // the SAVED+RELOADED model must score bit-identically to q150's
-    // in-memory one (integer weights round-trip parquet exactly)
+    // in-memory one (integer counts round-trip parquet exactly and the
+    // weights are a pure derived function of them)
     "q154_nb_model_roundtrip" -> s"""
+      $nbQualityBaseSql
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(sc AS BIGINT) AS score_q4, sc > 0 AS pred_pos
+      FROM s""",
+
+    // two-step train+append ≡ one-shot training on the union (counts
+    // are additive) — q154's oracle verbatim
+    "q157_nb_model_append" -> s"""
       $nbQualityBaseSql
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         CAST(sc AS BIGINT) AS score_q4, sc > 0 AS pred_pos

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-import graft.operators.TextAnalysis.{DsirWeights, NaiveBayesModel}
+import graft.operators.TextAnalysis
+import graft.operators.TextAnalysis.{DsirWeights, NaiveBayesCounts, NaiveBayesModel}
 
 /** Persisted lifecycle for trained text-scoring models — the fourth
   * persisted artifact next to [[AnnIndex]]/[[DedupIndex]]/[[TextIndex]]:
@@ -14,13 +15,22 @@ import graft.operators.TextAnalysis.{DsirWeights, NaiveBayesModel}
   * future corpus batch, so it must round-trip disk exactly and load
   * without the training data.
   *
-  * Layout: `weights/` (one small parquet table — vocab- or
-  * bucket-bounded) plus a JSON manifest carrying the scalar terms. The
-  * manifest is the commit point (same protocol as the indexes: old
-  * manifest deleted first so a crashed save fails to load LOUDLY, new
-  * manifest written last via atomic temp+rename). Weights are integer
-  * `wq_q4` columns, so a reloaded model scores BIT-IDENTICALLY to the
-  * in-memory one on any engine.
+  * The classifier persists in its ADDITIVE form — per-token class
+  * COUNTS plus document priors, not likelihood ratios — because counts
+  * are what new labeled batches can merge into ([[appendNaiveBayes]]);
+  * the scoring weights are a pure derived function of the counts
+  * (quantized integer arithmetic), so counts → model → score is
+  * bit-reproducible whether the counts came from fresh training, a disk
+  * round trip, or k incremental appends. Appends follow the shared
+  * generation-commit protocol: merged counts land in `counts/gen=N+1`,
+  * then one atomic manifest rename moves the live generation — a
+  * crashed append leaves the old model loadable and its debris is
+  * swept on retry. DSIR weights persist in weight form (one frozen
+  * estimation pass; re-estimation is retraining, not appending).
+  *
+  * The manifest is the commit point (same protocol as the indexes: old
+  * manifest deleted first on save so a crashed SAVE fails to load
+  * LOUDLY, new manifest written last via atomic temp+rename).
   */
 object TextModelStore {
 
@@ -49,24 +59,59 @@ object TextModelStore {
       s"manifest field '$field' missing or non-integer: $other")
   }
 
-  /** Persist a trained Naive Bayes quality model. */
-  def saveNaiveBayes(model: NaiveBayesModel, dir: String): Unit = {
-    BucketFs.deleteRecursive(s"$dir/$ManifestFile")
-    BucketFs.deleteRecursive(s"$dir/weights")
-    model.tokenWeights.select(col("token"), col("wq_q4"))
-      .write.mode("overwrite").parquet(s"$dir/weights")
+  private def commitNb(dir: String, c: NaiveBayesCounts, gen: Long): Unit =
     commit(dir, List(
       "model_type" -> JString("naive_bayes"),
-      "prior_q4" -> JInt(model.priorQ4),
-      "unknown_q4" -> JInt(model.unknownQ4)))
+      "nd_pos" -> JInt(c.ndPos), "nd" -> JInt(c.nd),
+      "gen" -> JInt(gen)))
+
+  /** Train-and-persist: aggregate the labeled batch into counts,
+    * validate it derives a scorable model, write generation 0, commit. */
+  def saveNaiveBayes(labeled: org.apache.spark.sql.DataFrame,
+                     textCol: String, labelCol: String, dir: String): Unit = {
+    val c = TextAnalysis.naiveBayesCounts(labeled, textCol, labelCol)
+    TextAnalysis.naiveBayesFromCounts(c) // class-balance guard pre-commit
+    BucketFs.deleteRecursive(s"$dir/$ManifestFile")
+    BucketFs.deleteRecursive(s"$dir/counts")
+    c.tokenCounts.write.mode("overwrite").parquet(s"$dir/counts/gen=0")
+    commitNb(dir, c, gen = 0)
   }
 
-  /** Load a Naive Bayes model; scores bit-identically to the saved one. */
-  def loadNaiveBayes(spark: SparkSession, dir: String): NaiveBayesModel = {
+  /** Merge a NEW labeled batch into the persisted counts (counts are
+    * additive; the batch must be disjoint from earlier training data —
+    * re-appending the same documents double-counts, exactly as it would
+    * in any count-based model). Generation-committed: merged counts land
+    * in `gen=N+1`, the atomic manifest rename is the commit, and debris
+    * of a crashed earlier append is swept before writing. */
+  def appendNaiveBayes(spark: SparkSession,
+                       newLabeled: org.apache.spark.sql.DataFrame,
+                       textCol: String, labelCol: String, dir: String): Unit = {
     val mf = manifest(dir, "naive_bayes")
-    NaiveBayesModel(spark.read.parquet(s"$dir/weights"),
-      long(mf, "prior_q4"), long(mf, "unknown_q4"))
+    val gen = long(mf, "gen")
+    BucketFs.dropGensAtOrAbove(s"$dir/counts", (gen + 1).toInt)
+    val prior = NaiveBayesCounts(
+      spark.read.parquet(s"$dir/counts/gen=$gen"),
+      long(mf, "nd_pos"), long(mf, "nd"))
+    val merged = TextAnalysis.naiveBayesMerge(prior,
+      TextAnalysis.naiveBayesCounts(newLabeled, textCol, labelCol))
+    TextAnalysis.naiveBayesFromCounts(merged) // guard before committing
+    merged.tokenCounts.write.mode("overwrite")
+      .parquet(s"$dir/counts/gen=${gen + 1}")
+    commitNb(dir, merged, gen + 1)
   }
+
+  /** Load the committed counts (the additive form). */
+  def loadNaiveBayesCounts(spark: SparkSession, dir: String): NaiveBayesCounts = {
+    val mf = manifest(dir, "naive_bayes")
+    NaiveBayesCounts(
+      spark.read.parquet(s"$dir/counts/gen=${long(mf, "gen")}"),
+      long(mf, "nd_pos"), long(mf, "nd"))
+  }
+
+  /** Load the scoring-form model; scores bit-identically to a model
+    * trained in memory on the same (merged) labeled data. */
+  def loadNaiveBayes(spark: SparkSession, dir: String): NaiveBayesModel =
+    TextAnalysis.naiveBayesFromCounts(loadNaiveBayesCounts(spark, dir))
 
   /** Persist DSIR importance weights with their bucket-space size. */
   def saveDsir(model: DsirWeights, dir: String): Unit = {

@@ -169,7 +169,7 @@ class TextModelSpec extends AnyFunSuite {
     val labeled = Seq((true, "good good fine"), (true, "good"),
       (false, "bad awful"), (false, "bad")).toDF("y", "text")
     val m = TextAnalysis.naiveBayesTrain(labeled, "text", "y")
-    TextModelStore.saveNaiveBayes(m, s"$dir/nb")
+    TextModelStore.saveNaiveBayes(labeled, "text", "y", s"$dir/nb")
     val lm = TextModelStore.loadNaiveBayes(spark, s"$dir/nb")
     assert(lm.priorQ4 == m.priorQ4 && lm.unknownQ4 == m.unknownQ4)
     val score = (mm: TextAnalysis.NaiveBayesModel) =>
@@ -177,6 +177,20 @@ class TextModelSpec extends AnyFunSuite {
         Seq((1L, "good zzz")).toDF("id", "text"), "id", "text", mm)
         .head().getLong(2)
     assert(score(lm) == score(m))
+    // incremental append: save(half) + append(half) == one-shot train,
+    // including the OOV/prior scalars; crashed-append debris is swept
+    val firstHalf = labeled.where($"text".isin("good", "bad"))
+    TextModelStore.saveNaiveBayes(firstHalf, "text", "y", s"$dir/nb2")
+    graft.sources.BucketFs.writeString(
+      s"$dir/nb2/counts/gen=1/junk.parquet", "debris of a crashed append\n")
+    TextModelStore.appendNaiveBayes(spark,
+      labeled.where(!$"text".isin("good", "bad")), "text", "y", s"$dir/nb2")
+    val am = TextModelStore.loadNaiveBayes(spark, s"$dir/nb2")
+    assert(am.priorQ4 == m.priorQ4 && am.unknownQ4 == m.unknownQ4)
+    assert(score(am) == score(m))
+    assert(am.tokenWeights.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap == m.tokenWeights.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap)
     // dsir round trip keeps the bucket modulus
     val docs = Seq((1L, "x x y"), (2L, "y z")).toDF("id", "text")
     val dw = TextAnalysis.dsirBucketWeights(docs, docs.where($"id" === 1),
