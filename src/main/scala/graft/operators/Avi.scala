@@ -1,0 +1,422 @@
+package graft.operators
+
+/** Minimal RIFF/AVI video container codec — pure JVM, no external codec
+  * libraries. Closes the "video is GIF-only" gap in [[Multimodal]]: real
+  * AVI files carrying either uncompressed DIB frames (`BI_RGB`, 8-bit
+  * paletted or 24-bit BGR — the classic "raw video" flavor) or MJPEG
+  * frames (one baseline JPEG per chunk, decoded with the JDK's
+  * `javax.imageio` JPEG reader) parse into the same (width, height,
+  * per-frame grayscale luma) contract as [[Multimodal.decodeGifFrames]].
+  * Anything needing a non-JDK codec (H.264, VP9, ...) is rejected loudly
+  * with the compression fourcc in the message — same honest-failure
+  * policy as the rest of the media seam (swap in e.g. JavaCV there).
+  *
+  * Container support (reference treats media as opaque binary payloads;
+  * this engine's decode stage is the extension the training-data pipeline
+  * needs — see `satbucket/readers.py:101-159` for the reference's
+  * format-agnostic ingest posture):
+  *  - chunked `movi` payloads, both bare `##db`/`##dc` frame chunks and
+  *    frames wrapped in interleaved `LIST rec ` groups;
+  *  - bottom-up (positive biHeight) and top-down (negative) DIBs;
+  *  - 8-bit DIBs with arbitrary palettes (luma through the palette, so an
+  *    identity grayscale palette round-trips pixel values exactly);
+  *  - the `idx1` index chunk is tolerated and ignored (frames are read
+  *    in stream order, which the AVI spec requires to match).
+  *
+  * The synthetic writers emit spec-conformant files (hdrl with avih +
+  * strh/strf, movi, idx1) whose DIB pixel values have a closed form —
+  * lossless raw frames mean a decode returns exactly those values, so an
+  * oracle can recompute frame histograms without any decoder (the
+  * q49/q59/q68 construction, for a second real video container).
+  */
+object Avi {
+
+  private val FccRiff = 0x46464952 // "RIFF" little-endian
+  private val FccAvi = 0x20495641 // "AVI "
+  private val FccList = 0x5453494c // "LIST"
+  private val FccHdrl = 0x6c726468 // "hdrl"
+  private val FccStrl = 0x6c727473 // "strl"
+  private val FccStrh = 0x68727473 // "strh"
+  private val FccStrf = 0x66727473 // "strf"
+  private val FccVids = 0x73646976 // "vids"
+  private val FccMovi = 0x69766f6d // "movi"
+  private val FccRec = 0x20636572 // "rec "
+  private val FccMjpg = 0x47504a4d // "MJPG"
+  private val BiRgb = 0
+
+  def isAvi(payload: Array[Byte]): Boolean =
+    payload.length >= 12 &&
+      leU32(payload, 0) == FccRiff && leU32(payload, 8) == FccAvi
+
+  /** Decode the first `vids` stream: (width, height, one row-major
+    * grayscale byte array per frame, ITU-601 integer luma). */
+  def decodeAviFrames(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    require(isAvi(payload), "payload is not a RIFF/AVI container")
+    // --- pass 1 (hdrl): locate the first video stream and its format ---
+    var streamIdx = -1 // running strl ordinal
+    var vidsStream = -1 // ordinal of the first vids stream
+    var handler = 0
+    var biWidth = 0; var biHeight = 0; var biBitCount = 0; var biCompression = 0
+    var palette: Array[Byte] = null // luma per palette index, 8-bit DIBs
+    var inVidsStrl = false
+
+    def walkHdrl(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val ckid = leU32(payload, off)
+        val sz = leU32(payload, off + 4)
+        val body = off + 8
+        if (ckid == FccList && sz >= 4) {
+          val listType = leU32(payload, body)
+          if (listType == FccStrl) {
+            streamIdx += 1
+            inVidsStrl = false
+            walkHdrl(body + 4, body + sz)
+          } else walkHdrl(body + 4, body + sz)
+        } else if (ckid == FccStrh && sz >= 8) {
+          val fccType = leU32(payload, body)
+          if (fccType == FccVids && vidsStream < 0) {
+            vidsStream = streamIdx
+            handler = leU32(payload, body + 4)
+            inVidsStrl = true
+          } else inVidsStrl = false
+        } else if (ckid == FccStrf && inVidsStrl && sz >= 40) {
+          biWidth = leU32(payload, body + 4)
+          biHeight = leU32(payload, body + 8)
+          biBitCount = leU32(payload, body + 14) & 0xffff
+          biCompression = leU32(payload, body + 16)
+          if (biBitCount == 8) {
+            var clrUsed = leU32(payload, body + 32)
+            if (clrUsed == 0) clrUsed = 256
+            require(40 + 4 * clrUsed <= sz,
+              s"8-bit DIB strf truncated: $clrUsed palette entries do not fit")
+            palette = new Array[Byte](clrUsed)
+            var i = 0
+            while (i < clrUsed) { // RGBQUAD is B,G,R,reserved
+              val p = body + 40 + 4 * i
+              val b = payload(p) & 0xff
+              val g = payload(p + 1) & 0xff
+              val r = payload(p + 2) & 0xff
+              palette(i) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+              i += 1
+            }
+          }
+        }
+        off = body + sz + (sz & 1) // chunks are word-aligned
+      }
+    }
+
+    // --- frame chunk decode ---
+    def decodeFrame(ckid: Int, off: Int, sz: Int): Array[Byte] = {
+      val isDc = (ckid >>> 16) == 0x6364 // "dc" suffix: compressed
+      if (biCompression == BiRgb && !isDc) {
+        decodeDib(payload, off, sz, biWidth, biHeight, biBitCount, palette)
+      } else if (biCompression == FccMjpg || handler == FccMjpg) {
+        decodeJpegLuma(payload, off, sz, biWidth, math.abs(biHeight))
+      } else {
+        require(requirement = false,
+          s"unsupported AVI video compression fourcc 0x${biCompression.toHexString}" +
+            " (BI_RGB raw DIB and MJPG only; use an external codec for others)")
+        null
+      }
+    }
+
+    // --- pass 2 (movi): collect this stream's frame chunks in order ---
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // "%02d" stream number as the two leading fourcc bytes; lazy because
+    // vidsStream is only known after the hdrl walk (movi is walked later)
+    lazy val wantPrefix =
+      ((('0' + vidsStream % 10) & 0xff) << 8) | (('0' + vidsStream / 10) & 0xff)
+
+    def walkMovi(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val ckid = leU32(payload, off)
+        val sz = leU32(payload, off + 4)
+        val body = off + 8
+        if (ckid == FccList && sz >= 4 && leU32(payload, body) == FccRec) {
+          walkMovi(body + 4, body + sz) // interleaved record group
+        } else if ((ckid & 0xffff) == wantPrefix) {
+          val suffix = ckid >>> 16
+          if (suffix == 0x6264 || suffix == 0x6364) // "db" | "dc"
+            frames += decodeFrame(ckid, body, sz)
+        }
+        off = body + sz + (sz & 1)
+      }
+    }
+
+    // --- top-level walk ---
+    var off = 12
+    val fileEnd = math.min(payload.length, 8 + leU32(payload, 4))
+    var moviAt = -1; var moviEnd = -1
+    while (off + 8 <= fileEnd) {
+      val ckid = leU32(payload, off)
+      val sz = leU32(payload, off + 4)
+      val body = off + 8
+      if (ckid == FccList && sz >= 4) {
+        val listType = leU32(payload, body)
+        if (listType == FccHdrl) walkHdrl(body + 4, body + sz)
+        else if (listType == FccMovi) { moviAt = body + 4; moviEnd = body + sz }
+      }
+      off = body + sz + (sz & 1)
+    }
+    require(vidsStream >= 0, "AVI has no 'vids' stream")
+    require(biWidth > 0 && biHeight != 0,
+      "AVI 'vids' stream has no usable strf BITMAPINFOHEADER")
+    require(moviAt >= 0, "AVI has no 'movi' list")
+    walkMovi(moviAt, moviEnd)
+    (biWidth, math.abs(biHeight), frames.toArray)
+  }
+
+  /** Raw BI_RGB DIB → row-major top-down grayscale. Positive biHeight is
+    * bottom-up (the common case), negative is top-down. Rows are padded
+    * to 4-byte stride. */
+  private def decodeDib(buf: Array[Byte], off: Int, sz: Int,
+                        w: Int, biHeight: Int, bitCount: Int,
+                        palette: Array[Byte]): Array[Byte] = {
+    val h = math.abs(biHeight)
+    val topDown = biHeight < 0
+    val out = new Array[Byte](w * h)
+    bitCount match {
+      case 8 =>
+        require(palette != null, "8-bit DIB without a palette")
+        val stride = (w + 3) & ~3
+        require(stride * h <= sz, s"8-bit DIB chunk truncated: need ${stride * h}, have $sz")
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          val src = off + srcRow * stride
+          var x = 0
+          while (x < w) {
+            out(y * w + x) = palette(buf(src + x) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+      case 24 =>
+        val stride = (3 * w + 3) & ~3
+        require(stride * h <= sz, s"24-bit DIB chunk truncated: need ${stride * h}, have $sz")
+        var y = 0
+        while (y < h) {
+          val srcRow = if (topDown) y else h - 1 - y
+          val src = off + srcRow * stride
+          var x = 0
+          while (x < w) {
+            val b = buf(src + 3 * x) & 0xff
+            val g = buf(src + 3 * x + 1) & 0xff
+            val r = buf(src + 3 * x + 2) & 0xff
+            out(y * w + x) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+            x += 1
+          }
+          y += 1
+        }
+      case other =>
+        require(requirement = false,
+          s"unsupported DIB bit depth $other (8-bit paletted / 24-bit BGR only)")
+    }
+    out
+  }
+
+  private def decodeJpegLuma(buf: Array[Byte], off: Int, sz: Int,
+                             w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(buf, off, sz))
+    require(img != null, "MJPEG frame chunk is not a decodable JPEG")
+    require(img.getWidth == w && img.getHeight == h,
+      s"MJPEG frame is ${img.getWidth}x${img.getHeight}, strf says ${w}x$h")
+    val out = new Array[Byte](w * h)
+    val raster = img.getRaster
+    val gray = raster.getNumBands == 1
+    var k = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (gray) {
+          // single-band JPEG: the sample IS the luma. getRGB would run a
+          // linear-gray → sRGB conversion here and distort every value.
+          out(k) = raster.getSample(x, y, 0).toByte
+        } else {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          out(k) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+        }
+        k += 1; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // Synthetic writers (deterministic fixtures; see object scaladoc)
+  // ------------------------------------------------------------------
+
+  /** Closed-form luma for the synthetic fixtures (the q68 construction
+    * with distinct constants, so the two video gates cannot mask each
+    * other): pixel (x, y) of frame f in asset `id`. */
+  def syntheticLuma(id: Long, f: Int, x: Int, y: Int): Int =
+    java.lang.Math.floorMod(id * 37 + f * 43 + x * 5 + y * 11, 256L).toInt
+
+  /** Raw-DIB AVI with closed-form pixels. `bitCount` 8 writes paletted
+    * grayscale (identity palette), 24 writes BGR with B=G=R=v — both
+    * decode back to [[syntheticLuma]] exactly. `topDown` negates biHeight
+    * and stores rows top-first (decoder coverage for both layouts). */
+  def syntheticAviDib(id: Long, w: Int, h: Int, nFrames: Int,
+                      bitCount: Int = 8, topDown: Boolean = false): Array[Byte] = {
+    require(bitCount == 8 || bitCount == 24, "bitCount must be 8 or 24")
+    val stride = if (bitCount == 8) (w + 3) & ~3 else (3 * w + 3) & ~3
+    val frames = Array.tabulate(nFrames) { f =>
+      val data = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val row = if (topDown) y else h - 1 - y // storage row for image row y
+        var x = 0
+        while (x < w) {
+          val v = syntheticLuma(id, f, x, y)
+          if (bitCount == 8) data(row * stride + x) = v.toByte
+          else {
+            data(row * stride + 3 * x) = v.toByte
+            data(row * stride + 3 * x + 1) = v.toByte
+            data(row * stride + 3 * x + 2) = v.toByte
+          }
+          x += 1
+        }
+        y += 1
+      }
+      data
+    }
+    buildAvi(w, h, frames, bitCount, topDown, compression = BiRgb,
+      handler = 0x20424944 /* "DIB " */, chunkSuffix = "db")
+  }
+
+  /** Smooth (non-wrapping) closed-form luma for the MJPEG fixture:
+    * [[syntheticLuma]]'s mod-256 sawtooth has 255→0 cliffs that ring
+    * hard under JPEG's 8x8 DCT; a bounded gradient keeps lossy error
+    * within a small tolerance so the spec can assert near-exactness. */
+  def mjpegLuma(id: Long, f: Int, x: Int, y: Int, w: Int, h: Int): Int =
+    math.min(255,
+      (java.lang.Math.floorMod(id, 16L).toInt + f * 16
+        + x * 120 / math.max(1, w - 1) + y * 60 / math.max(1, h - 1)))
+
+  /** MJPEG AVI: one baseline JPEG (JDK encoder, fixed quality) per frame
+    * over [[mjpegLuma]]. JPEG is lossy, so this fixture is for spec-level
+    * tolerance tests, not hash oracles. */
+  def syntheticAviMjpeg(id: Long, w: Int, h: Int, nFrames: Int,
+                        quality: Float = 0.9f): Array[Byte] = {
+    val frames = Array.tabulate(nFrames) { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, mjpegLuma(id, f, x, y, w, h))
+          x += 1
+        }
+        y += 1
+      }
+      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+      require(writers.hasNext, "no JPEG writer available")
+      val writer = writers.next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(quality)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    buildAvi(w, h, frames, bitCount = 24, topDown = false,
+      compression = FccMjpg, handler = FccMjpg, chunkSuffix = "dc")
+  }
+
+  /** Assemble RIFF/AVI: hdrl (avih + one strl), movi, idx1. */
+  private def buildAvi(w: Int, h: Int, frames: Array[Array[Byte]],
+                       bitCount: Int, topDown: Boolean, compression: Int,
+                       handler: Int, chunkSuffix: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >>> 8) & 0xff)
+      bos.write((v >>> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def fcc(s: String): Unit = { require(s.length == 4); s.foreach(c => bos.write(c & 0xff)) }
+
+    val paletteBytes = if (bitCount == 8) 256 * 4 else 0
+    val strfSize = 40 + paletteBytes
+    val strlSize = 4 + (8 + 56) + (8 + strfSize)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val frameSizes = frames.map(_.length)
+    val moviSize = 4 + frameSizes.map(s => 8 + s + (s & 1)).sum
+    val idx1Size = 16 * frames.length
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize) + (8 + idx1Size)
+    val maxFrame = if (frameSizes.isEmpty) 0 else frameSizes.max
+
+    fcc("RIFF"); u32(riffSize); fcc("AVI ")
+    // hdrl
+    fcc("LIST"); u32(hdrlSize); fcc("hdrl")
+    fcc("avih"); u32(56)
+    u32(40000) // dwMicroSecPerFrame (25 fps)
+    u32(maxFrame * 25); u32(0)
+    u32(0x10) // AVIF_HASINDEX
+    u32(frames.length); u32(0); u32(1); u32(maxFrame)
+    u32(w); u32(h)
+    u32(0); u32(0); u32(0); u32(0)
+    // strl
+    fcc("LIST"); u32(strlSize); fcc("strl")
+    fcc("strh"); u32(56)
+    fcc("vids"); u32(handler)
+    u32(0); u16(0); u16(0) // flags, priority, language
+    u32(0) // initial frames
+    u32(1); u32(25) // scale / rate
+    u32(0); u32(frames.length)
+    u32(maxFrame); u32(-1) // suggested buffer, quality
+    u32(0) // sample size (0 = varying)
+    u16(0); u16(0); u16(w); u16(h) // rcFrame
+    fcc("strf"); u32(strfSize)
+    u32(40); u32(w); u32(if (topDown) -h else h)
+    u16(1); u16(bitCount)
+    u32(compression)
+    u32(if (compression == BiRgb) frames.headOption.map(_.length).getOrElse(0) else 0)
+    u32(0); u32(0)
+    u32(if (bitCount == 8) 256 else 0); u32(0)
+    if (bitCount == 8) { // identity grayscale palette: B,G,R,reserved
+      var i = 0
+      while (i < 256) { bos.write(i); bos.write(i); bos.write(i); bos.write(0); i += 1 }
+    }
+    // movi
+    fcc("LIST"); u32(moviSize); fcc("movi")
+    val offsets = new Array[Int](frames.length)
+    var rel = 4 // offset of each chunk from the start of 'movi' list data
+    var i = 0
+    while (i < frames.length) {
+      offsets(i) = rel
+      fcc("00" + chunkSuffix); u32(frames(i).length)
+      bos.write(frames(i))
+      if ((frames(i).length & 1) == 1) bos.write(0)
+      rel += 8 + frames(i).length + (frames(i).length & 1)
+      i += 1
+    }
+    // idx1 (offsets relative to the 'movi' fourcc, the common convention)
+    fcc("idx1"); u32(idx1Size)
+    i = 0
+    while (i < frames.length) {
+      fcc("00" + chunkSuffix)
+      u32(0x10) // AVIIF_KEYFRAME
+      u32(offsets(i)); u32(frames(i).length)
+      i += 1
+    }
+    bos.toByteArray
+  }
+
+  private def leU32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+}

@@ -15,8 +15,10 @@ import org.apache.spark.sql.types._
   * decode is REAL ([[JdkMediaDecoder]], JDK `javax.sound.sampled` —
   * WAV/AIFF/AU PCM), and VIDEO decode is REAL for multi-frame animated
   * GIF ([[JdkMediaDecoder]]/[[JdkFrameDecoder]], `javax.imageio`'s GIF
-  * reader enumerates frames). Container codecs outside the JDK (MP4/H.264
-  * etc.) still need an external decoder (e.g. JavaCV) behind the same
+  * reader enumerates frames) and for RIFF/AVI containers carrying
+  * raw-DIB or MJPEG streams ([[Avi]] — container sniffed per payload by
+  * [[decodeVideoFrames]]). Codecs outside the JDK (MP4/H.264 etc.) still
+  * need an external decoder (e.g. JavaCV) behind the same
   * [[MediaDecoder]]/[[FrameDecoder]] seams.
   */
 object Multimodal {
@@ -152,11 +154,19 @@ object Multimodal {
             (fmt.getSampleRate.toInt, fmt.getChannels, nFrames, samples)
           } finally in.close()
         case "video" =>
-          val (w, h, frames) = decodeGifFrames(payload)
+          val (w, h, frames) = decodeVideoFrames(payload)
           (w, h, frames.length, frames.headOption.getOrElse(Array.emptyByteArray))
         case other => ImageIoDecoder.decode(other, payload)
       }
   }
+
+  /** Container-sniffing video decode: RIFF/AVI payloads (raw-DIB or
+    * MJPEG streams) go through [[Avi.decodeAviFrames]], anything else is
+    * treated as animated GIF. Both return the same (width, height,
+    * per-frame grayscale luma) contract. */
+  def decodeVideoFrames(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) =
+    if (Avi.isAvi(payload)) Avi.decodeAviFrames(payload)
+    else decodeGifFrames(payload)
 
   /** REAL multi-frame video decode for animated GIF via the JDK's
     * `javax.imageio` GIF reader: returns (width, height, per-frame
@@ -225,7 +235,7 @@ object Multimodal {
   object JdkFrameDecoder extends FrameDecoder {
     def decodeFrames(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) =
       mediaType match {
-        case "video" => decodeGifFrames(payload)
+        case "video" => decodeVideoFrames(payload)
         case other =>
           val (w, h, _, px) = JdkMediaDecoder.decode(other, payload)
           (w, h, Array(px))

@@ -1454,4 +1454,42 @@ object Similarity {
         greatest(col("__id"), col("__nid")).as("b"), col("cos"))
     allPairs.union(chained)
   }
+
+  /** Deterministic ±1 sign for the random-projection matrix: parity of
+    * the first 48 bits of `md5("rp:<i>:<j>")` — the engine-portable hash
+    * convention [[graft.operators.Sampling.hashBucket]] established (an
+    * oracle recomputes it as `('0x' || substr(md5(...), 1, 12))::BIGINT`).
+    */
+  def rpSign(i: Int, j: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$i:$j".getBytes("UTF-8"))
+    val hex = d.take(6).map(b => f"${b & 0xff}%02x").mkString // 12 hex chars
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1 else -1
+  }
+
+  /** Johnson-Lindenstrauss random projection `inDim → outDim` with a
+    * deterministic ±1 (Achlioptas) sign matrix — the cheap dimensionality
+    * reduction a pipeline applies before LSH bucketing or brute scoring
+    * when the embedding dim is large. Vectors are grid-quantized first
+    * ([[quantize]]), so each output coordinate is an exact integer sum —
+    * bit-reproducible on any engine, partitioning, or add order.
+    *
+    * Scale shape: the sign matrix is an `outDim × inDim` LITERAL baked
+    * into the plan (no join, no broadcast round-trip) and the projection
+    * is row-local `zip_with`/`aggregate` arithmetic — zero shuffle, so it
+    * streams at scan speed over 100 TB and composes under whatever
+    * partitioning the downstream op (LSH, k-means) wants. Output: one row
+    * per (id, output coordinate j) with the exact integer value. */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       inDim: Int, outDim: Int): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, "dims must be >= 1")
+    val signs: Seq[Seq[Double]] =
+      Seq.tabulate(outDim, inDim)((j, i) => rpSign(i, j).toDouble)
+    val signsLit = typedLit(signs)
+    val q = quantize(col(vecCol))
+    df.select(col(idCol), posexplode(
+      transform(signsLit, row =>
+        aggregate(zip_with(q, row, (a, b) => a * b), lit(0d), _ + _)
+          .cast("long"))).as(Seq("j", "val")))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Avi, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators on the documents/embeddings tables,
   * hash-checked against DuckDB transcriptions (md5 is identical across
@@ -352,6 +352,29 @@ object PipelineQueries extends QueryModule {
         .toDF("doc_id", "gif")
         .withColumn("src", lit("synthetic_gif"))
       val assets = Multimodal.toAssets(gifs, "doc_id", "gif", "video", "src")
+      Multimodal.extractFrameFeatures(s, assets, stride = 2)
+        .select($"asset_id", $"width", $"height", $"n_frames", $"frame_idx",
+          posexplode($"hist").as(Seq("bin", "cnt")))
+    }),
+
+    // REAL second video container: a spec-conformant RIFF/AVI file per doc
+    // (raw BI_RGB DIB frames — even ids 8-bit paletted, odd ids 24-bit
+    // BGR; every 5th id stored top-down) is parsed and decoded back frame
+    // by frame on executors through the same frame-sampling path as q68.
+    // Raw DIB is lossless and the pixels have a closed form, so the
+    // oracle recomputes the histograms with no container parser.
+    "q158_video_avi" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val avis = ids
+        .mapPartitions(it => it.map { id =>
+          val bits = if (id % 2 == 0) 8 else 24
+          (id, Avi.syntheticAviDib(id, 8, 8, (id % 3 + 2).toInt,
+            bitCount = bits, topDown = id % 5 == 0))
+        })
+        .toDF("doc_id", "avi")
+        .withColumn("src", lit("synthetic_avi"))
+      val assets = Multimodal.toAssets(avis, "doc_id", "avi", "video", "src")
       Multimodal.extractFrameFeatures(s, assets, stride = 2)
         .select($"asset_id", $"width", $"height", $"n_frames", $"frame_idx",
           posexplode($"hist").as(Seq("bin", "cnt")))
@@ -2119,6 +2142,25 @@ object PipelineQueries extends QueryModule {
       px AS (
         SELECT asset_id, nf, f,
           (asset_id * 31 + f * 41 + x * 7 + y * 13) % 256 AS v
+        FROM fr, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
+      c AS (SELECT asset_id, f, v // 16 AS bin, COUNT(*) AS cnt
+            FROM px GROUP BY 1, 2, 3),
+      db AS (SELECT asset_id, nf, f, bin
+             FROM fr, (SELECT UNNEST(generate_series(0, 15)) AS bin))
+      SELECT db.asset_id, 8 AS width, 8 AS height, CAST(db.nf AS INT) AS n_frames,
+        CAST(db.f AS INT) AS frame_idx, CAST(db.bin AS INT) AS bin,
+        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM db LEFT JOIN c
+        ON db.asset_id = c.asset_id AND db.f = c.f AND db.bin = c.bin""",
+
+    "q158_video_avi" -> """
+      WITH d AS (SELECT doc_id AS asset_id, doc_id % 3 + 2 AS nf FROM documents),
+      fr AS (SELECT asset_id, nf, f
+             FROM d, generate_series(0, 3) g(f)
+             WHERE f < nf AND f % 2 = 0),
+      px AS (
+        SELECT asset_id, nf, f,
+          (asset_id * 37 + f * 43 + x * 5 + y * 11) % 256 AS v
         FROM fr, generate_series(0, 7) gx(x), generate_series(0, 7) gy(y)),
       c AS (SELECT asset_id, f, v // 16 AS bin, COUNT(*) AS cnt
             FROM px GROUP BY 1, 2, 3),

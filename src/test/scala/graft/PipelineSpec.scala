@@ -160,6 +160,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(sampled.count() == r.getAs[Int]("n_frames"))
   }
 
+  test("avi: raw-DIB frames round-trip the closed form in all four layouts") {
+    import graft.operators.Avi
+    for (bits <- Seq(8, 24); topDown <- Seq(false, true)) {
+      val payload = Avi.syntheticAviDib(11L, 7, 5, 3, bits, topDown)
+      assert(Avi.isAvi(payload))
+      val (w, h, frames) = Avi.decodeAviFrames(payload)
+      assert((w, h, frames.length) == (7, 5, 3),
+        s"dims wrong for bits=$bits topDown=$topDown")
+      for (f <- 0 until 3; y <- 0 until 5; x <- 0 until 7)
+        assert((frames(f)(y * 7 + x) & 0xff) == Avi.syntheticLuma(11L, f, x, y),
+          s"pixel ($x,$y) frame $f, bits=$bits topDown=$topDown")
+    }
+  }
+
+  test("avi: MJPEG frames decode with the right shape and near-exact pixels") {
+    import graft.operators.Avi
+    val payload = Avi.syntheticAviMjpeg(4L, 16, 12, 2)
+    val (w, h, frames) = Avi.decodeAviFrames(payload)
+    assert((w, h, frames.length) == (16, 12, 2))
+    // JPEG is lossy: tolerate small per-pixel drift on this smooth ramp
+    for (f <- 0 until 2) {
+      val diffs = for (y <- 0 until 12; x <- 0 until 16)
+        yield math.abs((frames(f)(y * 16 + x) & 0xff) -
+          Avi.mjpegLuma(4L, f, x, y, 16, 12))
+      assert(diffs.sum.toDouble / diffs.length < 8.0,
+        s"frame $f mean abs error ${diffs.sum.toDouble / diffs.length}")
+    }
+  }
+
+  test("avi: container sniffing routes AVI and GIF through one video seam") {
+    import graft.operators.Avi
+    val gif = Multimodal.syntheticGif(3L, 6, 6, 2)
+    assert(!Avi.isAvi(gif))
+    val (gw, gh, gifFrames) = Multimodal.decodeVideoFrames(gif)
+    assert((gw, gh, gifFrames.length) == (6, 6, 2))
+    val avi = Avi.syntheticAviDib(3L, 6, 6, 2)
+    val (aw, ah, aviFrames) = Multimodal.decodeVideoFrames(avi)
+    assert((aw, ah, aviFrames.length) == (6, 6, 2))
+    // non-AVI payloads fail the AVI parser loudly, not silently
+    intercept[IllegalArgumentException](Avi.decodeAviFrames(gif))
+    // unknown codec fourcc is rejected with the fourcc in the message:
+    // patch biCompression (it is unique bytes in the strf of an 8-bit file)
+    val patched = avi.clone()
+    val strfAt = indexOfBytes(patched, "strf".getBytes("US-ASCII"))
+    assert(strfAt > 0)
+    patched(strfAt + 8 + 16) = 0x34 // biCompression = "4..." (fake codec)
+    patched(strfAt + 8 + 17) = 0x32
+    patched(strfAt + 8 + 18) = 0x36
+    patched(strfAt + 8 + 19) = 0x68
+    val e = intercept[IllegalArgumentException](Avi.decodeAviFrames(patched))
+    assert(e.getMessage.contains("unsupported AVI video compression"))
+  }
+
+  private def indexOfBytes(hay: Array[Byte], needle: Array[Byte]): Int = {
+    var i = 0
+    while (i + needle.length <= hay.length) {
+      if (hay.slice(i, i + needle.length).sameElements(needle)) return i
+      i += 1
+    }
+    -1
+  }
+
   test("repetition metrics: duplicate-token and top-2-gram counts") {
     val docs = Seq((1L, "A a  a b"), (2L, "x"), (3L, "one two three"))
       .toDF("doc_id", "text")
