@@ -88,6 +88,17 @@ object PipelineQueries extends QueryModule {
         .select($"query_id", $"rk", $"neighbor_id")
     }),
 
+    // Johnson-Lindenstrauss ±1 random projection 64 → 16: the sign matrix
+    // is a deterministic md5-parity literal and vectors are grid-quantized
+    // first, so every output coordinate is an exact integer — row-local
+    // arithmetic, zero shuffle, reproducible on any engine.
+    "q159_random_projection" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.randomProjection(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding", inDim = 64, outDim = 16)
+        .select($"vec_id", $"j".cast("int").as("j"), $"val")
+    }),
+
     // LSH bucket signatures (deterministic hyperplanes) + bucket sizes.
     "q36_ann_lsh_buckets" -> ((s, dir) => {
       import s.implicits._
@@ -2051,6 +2062,19 @@ object PipelineQueries extends QueryModule {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
         FROM scored)
       SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 3""",
+
+    "q159_random_projection" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      q AS (SELECT vec_id, i, CAST(FLOOR(e[i + 1] * 1000) AS BIGINT) AS qv
+            FROM v, generate_series(0, 63) g(i)),
+      s AS (SELECT i, j,
+              CASE WHEN ('0x' || substr(md5('rp:' || i || ':' || j), 1, 12))::BIGINT
+                        % 2 = 0
+                   THEN 1 ELSE -1 END AS sgn
+            FROM generate_series(0, 63) gi(i), generate_series(0, 15) gj(j))
+      SELECT q.vec_id, CAST(s.j AS INT) AS j,
+        CAST(SUM(q.qv * s.sgn) AS BIGINT) AS val
+      FROM q JOIN s USING (i) GROUP BY 1, 2""",
 
     "q37_langid" -> langIdOracle,
 

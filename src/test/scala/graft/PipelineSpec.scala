@@ -222,6 +222,27 @@ class PipelineSpec extends AnyFunSuite {
     -1
   }
 
+  test("random projection: exact integer JL transform matches brute force") {
+    import graft.operators.Similarity
+    val vecs = Seq(
+      (1L, Seq(0.5f, -1.25f, 2.0f, 0.001f)),
+      (2L, Seq(-0.75f, 0.0f, 1.5f, -2.5f))).toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(vecs, "vec_id", "embedding",
+        inDim = 4, outDim = 3)
+      .as[(Long, Int, Long)].collect().toSet
+    val expect = for {
+      (id, e) <- Seq(1L -> Seq(0.5f, -1.25f, 2.0f, 0.001f),
+                     2L -> Seq(-0.75f, 0.0f, 1.5f, -2.5f))
+      j <- 0 until 3
+    } yield (id, j, (0 until 4).map(i =>
+      math.floor(e(i).toDouble * 1000).toLong * Similarity.rpSign(i, j)).sum)
+    assert(got == expect.toSet)
+    // signs are balanced-ish and deterministic
+    assert(Similarity.rpSign(0, 0) == Similarity.rpSign(0, 0))
+    val signs = for (i <- 0 until 64; j <- 0 until 16) yield Similarity.rpSign(i, j)
+    assert(math.abs(signs.sum) < signs.length / 4, "sign matrix heavily biased")
+  }
+
   test("repetition metrics: duplicate-token and top-2-gram counts") {
     val docs = Seq((1L, "A a  a b"), (2L, "x"), (3L, "one two three"))
       .toDF("doc_id", "text")
