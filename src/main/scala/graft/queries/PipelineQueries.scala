@@ -955,6 +955,28 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // TIME-TRAVEL read: build the index on the first half of the corpus,
+    // append the second half as generation 1, then search AS-OF
+    // generation 1 — the pre-append state. Must equal the inline search
+    // with candidates restricted to the first half: appends never retrain
+    // (centroids/codebook frozen at save), so historical generations are
+    // exact, and the gen filter is a pruned partition-directory predicate.
+    "q160_index_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      // fresh build every run: the gate exercises the append lifecycle
+      val idx = s"/tmp/graft_annidx_tt_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.AnnIndex.saveIvfPq(emb.where($"vec_id" < 250),
+        "vec_id", "embedding", idx, dims = 64, m = 4, k = 16, nList = 8)
+      graft.sources.AnnIndex.loadIvfPq(s, idx)
+        .append(emb.where($"vec_id" >= 250), "embedding")
+      graft.sources.AnnIndex.loadIvfPq(s, idx, asOfGen = 1)
+        .search(emb.where($"vec_id" < 8), "embedding", topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     "q100_pq_persist" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
@@ -1696,7 +1718,8 @@ object PipelineQueries extends QueryModule {
   private val DeletedIds: Seq[Long] = Seq(88L, 126L, 209L, 364L, 450L, 1999L)
 
   private def ivfPqOracle(nProbe: Int, trained: Boolean = false,
-                          excludeIds: Seq[Long] = Nil): String = {
+                          excludeIds: Seq[Long] = Nil,
+                          corpusBelow: Option[Long] = None): String = {
     val trainCtes = if (!trained) "" else """,
       tsums AS (SELECT b.s, b.cid, g.i AS pos, SUM(t.sv[g.i]) AS sx,
                   COUNT(*) AS cnt
@@ -1718,8 +1741,9 @@ object PipelineQueries extends QueryModule {
     val bestRef = if (trained) "best1" else "best"
     val d2Out = if (trained) "CAST(floor(d2) AS BIGINT)" else "CAST(d2 AS BIGINT)"
     val excludeSql =
-      if (excludeIds.isEmpty) ""
-      else s" AND b.vec_id NOT IN (${excludeIds.mkString(", ")})"
+      (if (excludeIds.isEmpty) ""
+       else s" AND b.vec_id NOT IN (${excludeIds.mkString(", ")})") +
+        corpusBelow.map(n => s" AND b.vec_id < $n").getOrElse("")
     s"""$pqCommonSql$trainCtes,
       $ivfCellsSql,
       qcells AS (SELECT vec_id AS query_id, ccell AS cell FROM (
@@ -2857,6 +2881,12 @@ object PipelineQueries extends QueryModule {
     // the persisted-index search must return exactly what the inline
     // search returns, so it shares q96's oracle
     "q100_pq_persist" -> ivfPqOracle(nProbe = 1),
+
+    // as-of gen 1 = the index the first half built: candidates (codes)
+    // restricted to vec_id < 250, quantizer seeds (id < 16 / id < 8)
+    // unchanged because they live in the first half
+    "q160_index_time_travel" -> ivfPqOracle(nProbe = 1,
+      corpusBelow = Some(250L)),
 
     // mirror of q140: the ivfPqOracle search body with the probe rank
     // kept (rk <= 4) and cross-joined against np ∈ {1,2,4}, scored

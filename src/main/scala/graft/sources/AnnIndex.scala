@@ -55,9 +55,14 @@ object AnnIndex {
                               residual: Boolean, trainUpdates: Int,
                               nGens: Int, indexDir: String,
                               centroids: DataFrame, codebook: DataFrame,
-                              codes: DataFrame) {
+                              codes: DataFrame, asOf: Boolean = false) {
 
     private def requireBatchManaged(verb: String): Unit = {
+      // a time-travel handle reads a historical prefix of the committed
+      // generations; letting it append/delete would fork history
+      require(!asOf,
+        s"as-of (time-travel) handles are read-only; reload $indexDir at " +
+          "head to mutate")
       // a stream-managed codes dir (file-sink _spark_metadata) reads ONLY
       // the files in the sink log — a batch write here would add rows
       // that are silently invisible; route new data through
@@ -405,24 +410,47 @@ object AnnIndex {
       num("n_list").toInt, scale, idCol, residual, trainUpdates, nGens)
   }
 
-  /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames). */
-  def loadIvfPq(spark: SparkSession, indexDir: String): IvfPqIndex = {
+  /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames).
+    *
+    * `asOfGen >= 0` is a TIME-TRAVEL read: the codes frame is pinned to
+    * generations `< asOfGen` — the exact index state after the asOfGen-th
+    * committed batch — and the handle is read-only (mutation verbs refuse,
+    * since appending to a historical prefix would fork history). Exact by
+    * construction: centroids and codebook are frozen at save time and
+    * appends only add code generations, so a search as-of gen G returns
+    * byte-identical results to a search run when gen G was the head. The
+    * generation filter is a partition-directory predicate — Catalyst
+    * prunes the newer `gen=N` directories, so an as-of read never even
+    * lists the data it excludes. Requires the generational layout (not
+    * stream-managed / pre-generational codes). */
+  def loadIvfPq(spark: SparkSession, indexDir: String,
+                asOfGen: Int = -1): IvfPqIndex = {
     val mt = readMeta(indexDir)
+    val streamManaged = BucketFs.exists(s"$indexDir/codes/_spark_metadata")
+    val effGens =
+      if (asOfGen >= 0) {
+        require(mt.nGens >= 0 && !streamManaged,
+          s"as-of reads need the generational batch codes layout: $indexDir")
+        require(asOfGen <= mt.nGens,
+          s"as-of generation $asOfGen is ahead of the ${mt.nGens} committed " +
+            s"generations in $indexDir")
+        asOfGen
+      } else mt.nGens
     // cell is a directory-partition column: its read-back type depends on
     // session inference settings (string with inference off), so pin it.
     // Stream-managed codes read through the sink log (flat layout, the
     // log IS the commit filter); batch codes filter committed generations
     val raw = spark.read.parquet(s"$indexDir/codes")
     val codes =
-      (if (mt.nGens >= 0 &&
-           !BucketFs.exists(s"$indexDir/codes/_spark_metadata"))
-         raw.where(col("gen") < lit(mt.nGens)).drop("gen")
+      (if (mt.nGens >= 0 && !streamManaged)
+         raw.where(col("gen") < lit(effGens)).drop("gen")
        else raw)
         .withColumn("cell", col("cell").cast("long"))
     IvfPqIndex(mt.dims, mt.m, mt.k, mt.nList, mt.scale, mt.idCol,
-      mt.residual, mt.trainUpdates, mt.nGens, indexDir,
+      mt.residual, mt.trainUpdates, effGens, indexDir,
       spark.read.parquet(s"$indexDir/centroids"),
-      spark.read.parquet(s"$indexDir/codebook"), codes)
+      spark.read.parquet(s"$indexDir/codebook"), codes,
+      asOf = asOfGen >= 0)
   }
 
   private def toJValue(v: Any): JValue = v match {

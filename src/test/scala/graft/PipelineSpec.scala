@@ -920,6 +920,36 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("AnnIndex: as-of reads pin a historical generation and are read-only") {
+    val rnd = new scala.util.Random(23)
+    val all = (0L until 64L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val first = all.filter(_._1 < 40).toDF("vec_id", "embedding")
+    val rest = all.filter(_._1 >= 40).toDF("vec_id", "embedding")
+    val queries = first.where($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_asof").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(first, "vec_id", "embedding", dir,
+        dims = 8, m = 2, k = 4, nList = 4)
+      val preAppend = graft.sources.AnnIndex.loadIvfPq(spark, dir)
+        .search(queries, "embedding", topK = 5).collect().toSeq.map(_.toSeq)
+      graft.sources.AnnIndex.loadIvfPq(spark, dir).append(rest, "embedding")
+      // time travel back to gen 1 = the pre-append search, exactly
+      val asOf = graft.sources.AnnIndex.loadIvfPq(spark, dir, asOfGen = 1)
+      assert(asOf.search(queries, "embedding", topK = 5)
+        .collect().toSeq.map(_.toSeq) == preAppend)
+      assert(asOf.codes.count() == 40L)
+      // read-only: history cannot be forked
+      val e = intercept[IllegalArgumentException](asOf.append(rest, "embedding"))
+      assert(e.getMessage.contains("read-only"))
+      // a generation ahead of head is refused
+      intercept[IllegalArgumentException](
+        graft.sources.AnnIndex.loadIvfPq(spark, dir, asOfGen = 3))
+      // head load still sees everything
+      assert(graft.sources.AnnIndex.loadIvfPq(spark, dir).codes.count() == 64L)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("AnnIndex: crashed append is invisible, swept on retry; stale handles refused") {
     val rnd = new scala.util.Random(19)
     val vecs = (0L until 48L).map(i =>
