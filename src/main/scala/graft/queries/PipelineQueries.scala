@@ -593,6 +593,24 @@ object PipelineQueries extends QueryModule {
         .search(Seq("table", "scan", "merge"), topK = 10)
     }),
 
+    // TIME-TRAVEL read on the text index: index even ids, append odd ids,
+    // search AS-OF generation 1 — the pre-append state. The manifest
+    // records per-generation (n_docs, sum_dl) deltas, so the historical
+    // BM25 constants are exact prefix sums and the as-of search equals
+    // the from-scratch even-ids search byte for byte.
+    "q161_text_index_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val idx = s"/tmp/graft_textidx_tt_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.TextIndex.save(docs.where($"doc_id" % 2 === 0),
+        "text", "doc_id", idx, nBuckets = 16)
+      graft.sources.TextIndex.load(s, idx)
+        .append(docs.where($"doc_id" % 2 === 1), "text")
+      graft.sources.TextIndex.load(s, idx, asOfGen = 1)
+        .search(Seq("table", "scan", "merge"), topK = 10)
+    }),
+
     // Variable-length exact-substring repeats via the generalized suffix
     // array (prefix doubling; Lee et al. 2022's exact-substring design):
     // every maximal run of SA-adjacent suffixes with pairwise LCP >= 16
@@ -2700,6 +2718,10 @@ object PipelineQueries extends QueryModule {
       bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
     "q148_stream_text_ingest" ->
       bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
+    // as-of gen 1 = the index the even ids built
+    "q161_text_index_time_travel" ->
+      bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10,
+        corpusWhere = " WHERE doc_id % 2 = 0"),
 
     "q77_kmeans" -> s"""
       $kmeans2AssignCte
@@ -3308,7 +3330,8 @@ object PipelineQueries extends QueryModule {
     * no query term excluded, (bm25_q4 desc, doc_id asc) top-k. The
     * append gate shares it: growing even-ids + odd-ids must equal the
     * from-scratch index. */
-  private def bm25IndexOracle(terms: Seq[String], topK: Int): String = {
+  private def bm25IndexOracle(terms: Seq[String], topK: Int,
+                              corpusWhere: String = ""): String = {
     val tfCols = terms.indices.map(i =>
       s"CAST(len(list_filter(toks, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i")
       .mkString(",\n              ")
@@ -3324,7 +3347,7 @@ object PipelineQueries extends QueryModule {
     val total = q4s.reduce((a, b) => s"($a + $b)")
     val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
     s"""WITH t AS (SELECT doc_id, string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
-       |           FROM documents),
+       |           FROM documents$corpusWhere),
        |w AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
        |              $tfCols
        |      FROM t),

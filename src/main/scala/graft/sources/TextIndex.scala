@@ -130,19 +130,30 @@ object TextIndex {
       .localCheckpoint(true) // postings feed both writes; tokenize once
     writeGen(posts, indexDir, gen = 0)
     val (nDocs, sumDl, idRange) = corpusStats(corpus, textCol, idCol)
-    writeManifest(indexDir, nDocs, sumDl, nBuckets, 1, idCol, idRange)
+    writeManifest(indexDir, nDocs, sumDl, nBuckets, 1, idCol, idRange,
+      Seq((nDocs, sumDl)))
   }
 
   private def writeManifest(indexDir: String, nDocs: Long, sumDl: Long,
                             nBuckets: Int, nGens: Int, idCol: String,
-                            idRange: Option[(Long, Long)]): Unit = {
+                            idRange: Option[(Long, Long)],
+                            genStats: Seq[(Long, Long)]): Unit = {
     val range: List[(String, JValue)] = idRange.toList.flatMap {
       case (lo, hi) => List("min_id" -> JInt(lo), "max_id" -> JInt(hi))
     }
+    // per-generation (n_docs, sum_dl) deltas: the BM25 constants of any
+    // HISTORICAL prefix are prefix sums over this list, which is what
+    // makes as-of (time-travel) loads exact. Empty for indexes whose
+    // history predates this field (as-of refused there).
+    val stats: List[(String, JValue)] =
+      if (genStats.isEmpty) Nil
+      else List("gen_stats" -> JArray(genStats.toList.map { case (n, dl) =>
+        JArray(List(JInt(n), JInt(dl)))
+      }))
     val j: JValue = JObject(List[(String, JValue)](
       "index_type" -> JString("bm25"), "n_docs" -> JInt(nDocs),
       "sum_dl" -> JInt(sumDl), "n_buckets" -> JInt(nBuckets),
-      "n_gens" -> JInt(nGens), "id_col" -> JString(idCol)) ++ range)
+      "n_gens" -> JInt(nGens), "id_col" -> JString(idCol)) ++ range ++ stats)
     BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(j)))
   }
@@ -150,7 +161,9 @@ object TextIndex {
   final case class Bm25Index(spark: SparkSession, indexDir: String,
                              nDocs: Long, sumDl: Long, nBuckets: Int,
                              nGens: Int, idCol: String,
-                             idRange: Option[(Long, Long)]) {
+                             idRange: Option[(Long, Long)],
+                             genStats: Seq[(Long, Long)] = Nil,
+                             asOf: Boolean = false) {
 
     /** Committed rows of `postings` or `termstats`: partition filter
       * `gen < nGens` hides any crashed-append debris. A pre-generational
@@ -169,6 +182,9 @@ object TextIndex {
       * manifest id-range screens the batch and a precise postings
       * semi-join settles range overlaps. Returns a fresh load. */
     def append(batch: DataFrame, textCol: String): Bm25Index = {
+      require(!asOf,
+        s"as-of (time-travel) handles are read-only; reload $indexDir at " +
+          "head to append")
       require(nGens >= 0,
         s"index at $indexDir uses the pre-generational flat layout — " +
           "rebuild it (save) to enable appends")
@@ -204,8 +220,12 @@ object TextIndex {
         case (r, None) => r
         case (None, r) => r
       }
+      // only extend per-gen stats when the full history is present —
+      // claiming a partial history would make as-of reads silently wrong
+      val newStats =
+        if (genStats.length == nGens) genStats :+ ((bN, bDl)) else Nil
       writeManifest(indexDir, nDocs + bN, sumDl + bDl, nBuckets,
-        nGens + 1, idCol, newRange)
+        nGens + 1, idCol, newRange, newStats)
       load(spark, indexDir)
     }
 
@@ -264,7 +284,15 @@ object TextIndex {
     }
   }
 
-  def load(spark: SparkSession, indexDir: String): Bm25Index = {
+  /** Reload a persisted BM25 index. `asOfGen >= 0` is a TIME-TRAVEL
+    * read: postings/termstats pin to generations `< asOfGen` and the
+    * BM25 constants (n_docs, sum_dl) are recomputed as prefix sums over
+    * the per-generation deltas the manifest records — so a historical
+    * search scores EXACTLY as it did when that generation was head. The
+    * handle is read-only. Requires the full per-gen history in the
+    * manifest (indexes whose history predates `gen_stats` refuse). */
+  def load(spark: SparkSession, indexDir: String,
+           asOfGen: Int = -1): Bm25Index = {
     val p = s"$indexDir/$ManifestFile"
     if (!BucketFs.exists(p))
       throw new IllegalArgumentException(
@@ -298,7 +326,30 @@ object TextIndex {
       case other => throw new IllegalArgumentException(
         s"bad n_gens in manifest: $other")
     }
-    Bm25Index(spark, indexDir, long("n_docs"), long("sum_dl"),
-      long("n_buckets").toInt, nGens, idCol, idRange)
+    val genStats: Seq[(Long, Long)] = mf \ "gen_stats" match {
+      case JArray(xs) => xs.map {
+        case JArray(List(JInt(n), JInt(dl))) => (n.toLong, dl.toLong)
+        case other => throw new IllegalArgumentException(
+          s"bad gen_stats entry in manifest: $other")
+      }
+      case _ => Nil
+    }
+    if (asOfGen < 0)
+      Bm25Index(spark, indexDir, long("n_docs"), long("sum_dl"),
+        long("n_buckets").toInt, nGens, idCol, idRange, genStats)
+    else {
+      require(nGens >= 0,
+        s"as-of reads need the generational layout: $indexDir")
+      require(asOfGen <= nGens,
+        s"as-of generation $asOfGen is ahead of the $nGens committed " +
+          s"generations in $indexDir")
+      require(genStats.length == nGens,
+        s"index at $indexDir has no full per-generation history " +
+          "(gen_stats) — its lineage predates as-of support; rebuild")
+      val hist = genStats.take(asOfGen)
+      Bm25Index(spark, indexDir, hist.map(_._1).sum, hist.map(_._2).sum,
+        long("n_buckets").toInt, asOfGen, idCol, idRange,
+        genStats, asOf = true)
+    }
   }
 }

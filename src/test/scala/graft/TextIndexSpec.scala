@@ -42,6 +42,37 @@ class TextIndexSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("as-of: historical search equals the pre-append index, read-only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_tt").toString
+    val ref = java.nio.file.Files.createTempDirectory("graft_ti_ttr").toString
+    try {
+      TextIndex.save(fixture.where($"doc_id" < 2), "text", "doc_id", dir,
+        nBuckets = 8)
+      TextIndex.load(spark, dir).append(fixture.where($"doc_id" >= 2), "text")
+      val asOf = TextIndex.load(spark, dir, asOfGen = 1)
+      // constants are the gen-0 prefix sums, not the head totals
+      assert(asOf.nDocs == 2 && asOf.sumDl == 8)
+      TextIndex.save(fixture.where($"doc_id" < 2), "text", "doc_id", ref,
+        nBuckets = 8)
+      val expect = TextIndex.load(spark, ref)
+        .search(Seq("table", "scan"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val got = asOf.search(Seq("table", "scan"), topK = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expect)
+      // read-only + bounds
+      val e = intercept[IllegalArgumentException](
+        asOf.append(fixture.where($"doc_id" >= 2), "text"))
+      assert(e.getMessage.contains("read-only"))
+      intercept[IllegalArgumentException](TextIndex.load(spark, dir, asOfGen = 3))
+      // head load unchanged
+      assert(TextIndex.load(spark, dir).nDocs == 5)
+    } finally {
+      graft.sources.BucketFs.deleteRecursive(dir)
+      graft.sources.BucketFs.deleteRecursive(ref)
+    }
+  }
+
   test("append: grown index equals a from-scratch build, exactly") {
     val dir1 = java.nio.file.Files.createTempDirectory("graft_ti_a").toString
     val dir2 = java.nio.file.Files.createTempDirectory("graft_ti_b").toString
