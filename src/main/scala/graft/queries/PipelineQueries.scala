@@ -1183,6 +1183,29 @@ object PipelineQueries extends QueryModule {
           maxBucketSize = Int.MaxValue)
     }),
 
+    // TIME-TRAVEL read on the dedup index: same staged lineage as q139
+    // (save %4=1, append %4=2, append %4=3), but candidates run against
+    // the index AS-OF generation 1 — only the save batch is corpus, the
+    // two appended generations are pruned out at the directory level.
+    "q162_dedup_index_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val h = s"v2_${QueryModule.cacheKey(dir)}" // shares q139's staging
+      val idxDir = s"/tmp/graft_dedupidx_app_$h"
+      val docs = Tables(s, dir, "documents")
+      if (!graft.sources.BucketFs.exists(s"$idxDir/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(idxDir)
+        graft.sources.DedupIndex.save(docs.where($"doc_id" % 4 === 1),
+          "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
+        graft.sources.DedupIndex.load(s, idxDir)
+          .append(docs.where($"doc_id" % 4 === 2), "text")
+          .append(docs.where($"doc_id" % 4 === 3), "text")
+        graft.sources.BucketFs.writeString(s"$idxDir/_staged_ok", "ok\n")
+      }
+      graft.sources.DedupIndex.load(s, idxDir, asOfGen = 1)
+        .candidates(docs.where($"doc_id" % 4 === 0), "text",
+          maxBucketSize = Int.MaxValue)
+    }),
+
     // Streaming deduplicated ingest — the production corpus-dedup shape
     // end-to-end: odd-id docs are the archived corpus (persisted MinHash
     // index); three mtime-ordered files (doc_id % 8 = 0 / 2 / 4) stream
@@ -1843,7 +1866,11 @@ object PipelineQueries extends QueryModule {
     * agreeing signature components. ONE text for both gates — q139's
     * save+append+append build must be indistinguishable from q138's
     * one-shot build. */
-  private def dedupIndexSql: String = s"""
+  private def dedupIndexSql: String = dedupIndexSql("c.doc_id % 4 <> 0")
+
+  /** `corpusPred` narrows which docs count as the indexed corpus —
+    * the as-of gate pins it to the generation-0 save batch. */
+  private def dedupIndexSql(corpusPred: String): String = s"""
       WITH sig AS (${minhashSql(8)}),
       bands AS (
         SELECT doc_id, b.band,
@@ -1857,7 +1884,7 @@ object PipelineQueries extends QueryModule {
         SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
         FROM bands n JOIN bands c
           ON n.band = c.band AND n.band_sig = c.band_sig
-        WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 <> 0)
+        WHERE n.doc_id % 4 = 0 AND ($corpusPred))
       SELECT p.new_id, p.corpus_id,
         CAST((a.mh0 = b.mh0)::INT + (a.mh1 = b.mh1)::INT
            + (a.mh2 = b.mh2)::INT + (a.mh3 = b.mh3)::INT
@@ -1915,6 +1942,8 @@ object PipelineQueries extends QueryModule {
   def oracle: Map[String, String] = Map(
     "q138_dedup_index" -> dedupIndexSql,
     "q139_dedup_index_append" -> dedupIndexSql,
+    // as-of gen 1 = only the save batch (doc_id % 4 = 1) is corpus
+    "q162_dedup_index_time_travel" -> dedupIndexSql("c.doc_id % 4 = 1"),
     "q147_stream_dedup_ingest" -> streamDedupIngestSql,
 
     // DSIR: hashed uni+bigram bucket weights (target=en vs raw), per-doc

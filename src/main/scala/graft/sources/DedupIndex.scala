@@ -108,8 +108,16 @@ object DedupIndex {
       .withColumn("band", col("band").cast("int"))
   }
 
-  /** Reload a persisted dedup index (manifest + lazy parquet frames). */
-  def load(spark: SparkSession, indexDir: String): MinHashIndex = {
+  /** Reload a persisted dedup index (manifest + lazy parquet frames).
+    *
+    * `asOfGen >= 0` is a TIME-TRAVEL read: bands/signatures pin to
+    * generations `< asOfGen` and bucket_stats to the stats snapshot that
+    * generation committed — the exact index state after the asOfGen-th
+    * batch, with the newer generation directories pruned at the
+    * partition-filter level. Exact by construction (appends only add
+    * generations; nothing is rewritten). As-of handles are read-only. */
+  def load(spark: SparkSession, indexDir: String,
+           asOfGen: Int = -1): MinHashIndex = {
     val p = s"$indexDir/$ManifestFile"
     if (!BucketFs.exists(p))
       throw new IllegalArgumentException(
@@ -133,13 +141,23 @@ object DedupIndex {
       case other => throw new IllegalArgumentException(
         s"bad n_gens in manifest: $other")
     }
+    val effGens =
+      if (asOfGen >= 0) {
+        require(nGens >= 0,
+          s"as-of reads need the generational layout: $indexDir")
+        require(asOfGen <= nGens,
+          s"as-of generation $asOfGen is ahead of the $nGens committed " +
+            s"generations in $indexDir")
+        asOfGen
+      } else nGens
     MinHashIndex(spark, indexDir, int("shingle_k"), int("num_hashes"),
-      int("bands"), nGens, idCol)
+      int("bands"), effGens, idCol, asOf = asOfGen >= 0)
   }
 
   final case class MinHashIndex(spark: SparkSession, indexDir: String,
                                 shingleK: Int, numHashes: Int, bands: Int,
-                                nGens: Int, idCol: String) {
+                                nGens: Int, idCol: String,
+                                asOf: Boolean = false) {
 
     def bandPostings: DataFrame = bandsOf(spark, indexDir, nGens)
     def signatures: DataFrame = {
@@ -178,6 +196,9 @@ object DedupIndex {
       * — the fused-ingest path reuses the batch's signatures instead of
       * hashing the kept rows a second time. */
     private[graft] def appendSigs(sigsRaw: DataFrame): MinHashIndex = {
+      require(!asOf,
+        s"as-of (time-travel) handles are read-only; reload $indexDir at " +
+          "head to append")
       require(nGens >= 0,
         s"index at $indexDir uses the pre-generational flat layout — " +
           "rebuild it (save) to enable appends")

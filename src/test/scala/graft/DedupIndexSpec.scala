@@ -98,6 +98,30 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("as-of: historical candidates equal the pre-append index, read-only") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_tt").toString
+    try {
+      val extra = docs(
+        5L -> "the quick brown fox jumps over the lazy dog again and again")
+      DedupIndex.save(corpus, "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      val preAppend = DedupIndex.load(spark, dir)
+        .candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet
+      DedupIndex.load(spark, dir).append(extra, "text")
+      val asOf = DedupIndex.load(spark, dir, asOfGen = 1)
+      assert(asOf.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet == preAppend)
+      // head sees the appended duplicate (id 5 duplicates batch id 10)
+      assert(DedupIndex.load(spark, dir)
+        .candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().exists(_.getLong(1) == 5L))
+      val e = intercept[IllegalArgumentException](asOf.append(extra, "text"))
+      assert(e.getMessage.contains("read-only"))
+      intercept[IllegalArgumentException](DedupIndex.load(spark, dir, asOfGen = 9))
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("crashed append: uncommitted generation is invisible and swept on retry") {
     val dir = java.nio.file.Files.createTempDirectory("dedupidx_c").toString
     try {
