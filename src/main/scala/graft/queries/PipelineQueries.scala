@@ -1183,6 +1183,46 @@ object PipelineQueries extends QueryModule {
           maxBucketSize = Int.MaxValue)
     }),
 
+    // Text-index COMPACTION: build + append (two generations), fold them
+    // into one replacement generation, search — must still equal the
+    // full-corpus from-scratch oracle. The merged copy commits by one
+    // atomic manifest rename (no unreadable window) and the old
+    // generations are vacuumed after the commit.
+    "q163_text_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val idx = s"/tmp/graft_textidx_cmp_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.TextIndex.save(docs.where($"doc_id" % 2 === 0),
+        "text", "doc_id", idx, nBuckets = 16)
+      graft.sources.TextIndex.load(s, idx)
+        .append(docs.where($"doc_id" % 2 === 1), "text")
+        .compact()
+        .search(Seq("table", "scan", "merge"), topK = 10)
+    }),
+
+    // Dedup-index COMPACTION: q139's lineage (save + two appends) folded
+    // into one generation; candidates must be unchanged.
+    "q164_dedup_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val h = s"v1_${QueryModule.cacheKey(dir)}"
+      val idxDir = s"/tmp/graft_dedupidx_cmp_$h"
+      val docs = Tables(s, dir, "documents")
+      if (!graft.sources.BucketFs.exists(s"$idxDir/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(idxDir)
+        graft.sources.DedupIndex.save(docs.where($"doc_id" % 4 === 1),
+          "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
+        graft.sources.DedupIndex.load(s, idxDir)
+          .append(docs.where($"doc_id" % 4 === 2), "text")
+          .append(docs.where($"doc_id" % 4 === 3), "text")
+          .compact()
+        graft.sources.BucketFs.writeString(s"$idxDir/_staged_ok", "ok\n")
+      }
+      graft.sources.DedupIndex.load(s, idxDir)
+        .candidates(docs.where($"doc_id" % 4 === 0), "text",
+          maxBucketSize = Int.MaxValue)
+    }),
+
     // TIME-TRAVEL read on the dedup index: same staged lineage as q139
     // (save %4=1, append %4=2, append %4=3), but candidates run against
     // the index AS-OF generation 1 — only the save batch is corpus, the
@@ -1944,6 +1984,10 @@ object PipelineQueries extends QueryModule {
     "q139_dedup_index_append" -> dedupIndexSql,
     // as-of gen 1 = only the save batch (doc_id % 4 = 1) is corpus
     "q162_dedup_index_time_travel" -> dedupIndexSql("c.doc_id % 4 = 1"),
+    // compaction changes nothing observable
+    "q163_text_index_compact" ->
+      bm25IndexOracle(Seq("table", "scan", "merge"), topK = 10),
+    "q164_dedup_index_compact" -> dedupIndexSql,
     "q147_stream_dedup_ingest" -> streamDedupIngestSql,
 
     // DSIR: hashed uni+bigram bucket weights (target=en vs raw), per-doc

@@ -104,6 +104,23 @@ object BucketFs {
       }
   }
 
+  /** Delete `dir/gen=G` partition directories with G < `base` — the
+    * vacuum half of index COMPACTION: after a compacted replacement
+    * generation commits (manifest `base_gen = N`), the pre-compaction
+    * generations are unreferenced and this sweep reclaims them. Safe to
+    * crash-skip: readers filter `gen >= base_gen`, so leftover old
+    * directories are invisible and the next compact/vacuum retries. */
+  def dropGensBelow(dir: String, base: Int): Unit = {
+    val (fs, root) = resolve(dir)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("gen=") &&
+            scala.util.Try(n.drop(4).toInt).toOption.exists(_ < base))
+          fs.delete(st.getPath, true)
+      }
+  }
+
   /** Write via a sibling temp file + rename — the rename is the commit
     * point, so a reader never observes a half-written file and a crash
     * mid-write leaves the previous version intact. */

@@ -59,11 +59,13 @@ object DedupIndex {
   }
 
   private def writeManifest(indexDir: String, shingleK: Int, numHashes: Int,
-                            bands: Int, nGens: Int, idCol: String): Unit = {
+                            bands: Int, nGens: Int, idCol: String,
+                            baseGen: Int = 0): Unit = {
     val j: JValue = JObject(List(
       "index_type" -> JString("minhash_lsh"), "shingle_k" -> JInt(shingleK),
       "num_hashes" -> JInt(numHashes), "bands" -> JInt(bands),
-      "n_gens" -> JInt(nGens), "id_col" -> JString(idCol)))
+      "n_gens" -> JInt(nGens), "base_gen" -> JInt(baseGen),
+      "id_col" -> JString(idCol)))
     BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(j)))
   }
@@ -102,9 +104,11 @@ object DedupIndex {
   // keep only committed generations, hide the bookkeeping column. A
   // pre-generational index (maxGen < 0, flat layout) reads as-is.
   private def bandsOf(spark: SparkSession, indexDir: String,
-                      maxGen: Int): DataFrame = {
+                      maxGen: Int, baseGen: Int = 0): DataFrame = {
     val raw = spark.read.parquet(s"$indexDir/bands")
-    (if (maxGen < 0) raw else raw.where(col("gen") < lit(maxGen)).drop("gen"))
+    (if (maxGen < 0) raw
+     else raw.where(col("gen") >= lit(baseGen) && col("gen") < lit(maxGen))
+       .drop("gen"))
       .withColumn("band", col("band").cast("int"))
   }
 
@@ -141,6 +145,12 @@ object DedupIndex {
       case other => throw new IllegalArgumentException(
         s"bad n_gens in manifest: $other")
     }
+    val baseGen = mf \ "base_gen" match {
+      case JInt(x) => x.toInt
+      case JNothing | JNull => 0 // pre-compaction manifests: base is 0
+      case other => throw new IllegalArgumentException(
+        s"bad base_gen in manifest: $other")
+    }
     val effGens =
       if (asOfGen >= 0) {
         require(nGens >= 0,
@@ -148,21 +158,29 @@ object DedupIndex {
         require(asOfGen <= nGens,
           s"as-of generation $asOfGen is ahead of the $nGens committed " +
             s"generations in $indexDir")
+        // strict: the physical gen at `baseGen` holds the FOLDED prefix
+        // (earliest reachable state is baseGen + 1 = the pre-compaction
+        // head; older points renumber +1 per compaction)
+        require(asOfGen > baseGen,
+          s"as-of generation $asOfGen is at or before the compaction " +
+            s"base $baseGen in $indexDir — that history has been folded away")
         asOfGen
       } else nGens
     MinHashIndex(spark, indexDir, int("shingle_k"), int("num_hashes"),
-      int("bands"), effGens, idCol, asOf = asOfGen >= 0)
+      int("bands"), effGens, idCol, asOf = asOfGen >= 0, baseGen = baseGen)
   }
 
   final case class MinHashIndex(spark: SparkSession, indexDir: String,
                                 shingleK: Int, numHashes: Int, bands: Int,
                                 nGens: Int, idCol: String,
-                                asOf: Boolean = false) {
+                                asOf: Boolean = false, baseGen: Int = 0) {
 
-    def bandPostings: DataFrame = bandsOf(spark, indexDir, nGens)
+    def bandPostings: DataFrame = bandsOf(spark, indexDir, nGens, baseGen)
     def signatures: DataFrame = {
       val raw = spark.read.parquet(s"$indexDir/signatures")
-      if (nGens < 0) raw else raw.where(col("gen") < lit(nGens)).drop("gen")
+      if (nGens < 0) raw
+      else raw.where(col("gen") >= lit(baseGen) && col("gen") < lit(nGens))
+        .drop("gen")
     }
     /** Bucket stats are a REPLACEMENT dataset: each committed append
       * writes the full merged copy into its generation, and only the
@@ -171,6 +189,49 @@ object DedupIndex {
       val raw = spark.read.parquet(s"$indexDir/bucket_stats")
       if (nGens < 0) raw
       else raw.where(col("gen") === lit(nGens - 1)).drop("gen")
+    }
+
+    /** Fold every committed generation into ONE replacement generation —
+      * the operational answer to generation sprawl on a long-appended
+      * index. Same crash-safe shape as [[TextIndex]]: the merged
+      * bands/signatures (and the live bucket-stats snapshot) land in a
+      * NEW generation (`gen = nGens`), one atomic manifest rename commits
+      * `base_gen = nGens, n_gens = nGens + 1` (readers filter
+      * `base_gen <= gen < n_gens`, so there is NO unreadable window), and
+      * the now-unreferenced old generations are vacuumed after the
+      * commit. Candidates are unchanged by construction — rows are
+      * unioned verbatim. As-of history restarts at the compaction point.
+      * Stop any attached ingest stream first (its pinned generation base
+      * would dangle; stream sidecars live with the stream's output, so
+      * this cannot be detected index-side). */
+    def compact(): MinHashIndex = {
+      require(!asOf,
+        s"as-of (time-travel) handles are read-only; reload $indexDir at " +
+          "head to compact")
+      require(nGens >= 1,
+        s"index at $indexDir uses the pre-generational flat layout — " +
+          "rebuild it (save) to enable compaction")
+      val live = load(spark, indexDir)
+      require(live.nGens == nGens && live.baseGen == baseGen,
+        s"stale index handle: $indexDir moved to gens " +
+          s"[${live.baseGen}, ${live.nGens}), this handle was loaded at " +
+          s"[$baseGen, $nGens) — reload before compacting")
+      Seq("bands", "signatures", "bucket_stats").foreach(sub =>
+        BucketFs.dropGensAtOrAbove(s"$indexDir/$sub", nGens))
+      bandPostings.withColumn("gen", lit(nGens))
+        .write.mode("append").partitionBy("gen", "band")
+        .parquet(s"$indexDir/bands")
+      signatures.withColumn("gen", lit(nGens))
+        .write.mode("append").partitionBy("gen")
+        .parquet(s"$indexDir/signatures")
+      bucketStats.withColumn("gen", lit(nGens))
+        .write.mode("append").partitionBy("gen")
+        .parquet(s"$indexDir/bucket_stats")
+      writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol,
+        baseGen = nGens)
+      Seq("bands", "signatures", "bucket_stats").foreach(sub =>
+        BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
+      load(spark, indexDir)
     }
 
     /** Index `batch` incrementally: batch-sized appends to the band
@@ -227,7 +288,8 @@ object DedupIndex {
         .withColumn("gen", lit(nGens))
         .write.mode("append").partitionBy("gen")
         .parquet(s"$indexDir/bucket_stats")
-      writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol)
+      writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol,
+        baseGen)
       load(spark, indexDir)
     }
 

@@ -137,7 +137,8 @@ object TextIndex {
   private def writeManifest(indexDir: String, nDocs: Long, sumDl: Long,
                             nBuckets: Int, nGens: Int, idCol: String,
                             idRange: Option[(Long, Long)],
-                            genStats: Seq[(Long, Long)]): Unit = {
+                            genStats: Seq[(Long, Long)],
+                            baseGen: Int = 0): Unit = {
     val range: List[(String, JValue)] = idRange.toList.flatMap {
       case (lo, hi) => List("min_id" -> JInt(lo), "max_id" -> JInt(hi))
     }
@@ -153,7 +154,8 @@ object TextIndex {
     val j: JValue = JObject(List[(String, JValue)](
       "index_type" -> JString("bm25"), "n_docs" -> JInt(nDocs),
       "sum_dl" -> JInt(sumDl), "n_buckets" -> JInt(nBuckets),
-      "n_gens" -> JInt(nGens), "id_col" -> JString(idCol)) ++ range ++ stats)
+      "n_gens" -> JInt(nGens), "base_gen" -> JInt(baseGen),
+      "id_col" -> JString(idCol)) ++ range ++ stats)
     BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(j)))
   }
@@ -163,15 +165,65 @@ object TextIndex {
                              nGens: Int, idCol: String,
                              idRange: Option[(Long, Long)],
                              genStats: Seq[(Long, Long)] = Nil,
-                             asOf: Boolean = false) {
+                             asOf: Boolean = false, baseGen: Int = 0) {
 
     /** Committed rows of `postings` or `termstats`: partition filter
-      * `gen < nGens` hides any crashed-append debris. A pre-generational
+      * `baseGen <= gen < nGens` hides crashed-append debris above and
+      * compacted-away (vacuumable) generations below. A pre-generational
       * index (nGens < 0, flat layout without a gen column) reads as-is —
       * searchable, but append is refused. */
     private def committed(sub: String): DataFrame = {
       val raw = spark.read.parquet(s"$indexDir/$sub")
-      if (nGens < 0) raw else raw.where(col("gen") < lit(nGens))
+      if (nGens < 0) raw
+      else raw.where(col("gen") >= lit(baseGen) && col("gen") < lit(nGens))
+    }
+
+    /** Fold every committed generation into ONE replacement generation —
+      * the operational answer to generation sprawl (a long-appended index
+      * accumulates gen directories; listing cost grows with history).
+      *
+      * Crash-safe without any unreadable window: the merged copy lands in
+      * a NEW generation (`gen = nGens`), then one atomic manifest rename
+      * commits `base_gen = nGens, n_gens = nGens + 1` — readers filter
+      * `base_gen <= gen < n_gens`, so until that rename the index answers
+      * from the old generations, and afterwards exclusively from the
+      * compacted one. The now-unreferenced old generations are vacuumed
+      * AFTER the commit (crash-skipping the vacuum leaves invisible
+      * directories that the next compact re-sweeps). Scores are
+      * unchanged by construction: postings rows are unioned verbatim and
+      * termstats deltas re-derive from them, while the corpus constants
+      * don't move. As-of history restarts at the compaction point (the
+      * pre-compaction generations no longer exist to travel to). Refused
+      * while a stream-ingest sidecar is attached (its pinned generation
+      * base would dangle). */
+    def compact(): Bm25Index = {
+      require(!asOf,
+        s"as-of (time-travel) handles are read-only; reload $indexDir at " +
+          "head to compact")
+      require(nGens >= 1,
+        s"index at $indexDir uses the pre-generational flat layout — " +
+          "rebuild it (save) to enable compaction")
+      val live = load(spark, indexDir)
+      require(live.nGens == nGens && live.baseGen == baseGen,
+        s"stale index handle: $indexDir moved to gens " +
+          s"[${live.baseGen}, ${live.nGens}), this handle was loaded at " +
+          s"[$baseGen, $nGens) — reload before compacting")
+      val (fs, root) = BucketFs.resolve(indexDir)
+      if (fs.exists(root))
+        require(!fs.listStatus(root).exists(
+            _.getPath.getName.startsWith("_stream_base_gens")),
+          s"a stream ingest is attached to $indexDir (sidecar present) — " +
+            "stop it before compacting")
+      dropUncommittedGens(indexDir, nGens)
+      val merged = committed("postings")
+        .select(col("bucket"), col("term"), col("id"), col("tf"), col("dl"))
+        .localCheckpoint(true) // feeds postings + termstats writes: one read
+      writeGen(merged, indexDir, gen = nGens)
+      writeManifest(indexDir, nDocs, sumDl, nBuckets, nGens + 1, idCol,
+        idRange, Seq((nDocs, sumDl)), baseGen = nGens)
+      Seq("postings", "termstats").foreach(sub =>
+        BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
+      load(spark, indexDir)
     }
 
     /** Grow the index: the batch's postings and df-delta rows land in a
@@ -220,12 +272,14 @@ object TextIndex {
         case (r, None) => r
         case (None, r) => r
       }
-      // only extend per-gen stats when the full history is present —
-      // claiming a partial history would make as-of reads silently wrong
+      // only extend per-gen stats when the full (post-base) history is
+      // present — claiming a partial history would make as-of reads
+      // silently wrong
       val newStats =
-        if (genStats.length == nGens) genStats :+ ((bN, bDl)) else Nil
+        if (genStats.length == nGens - baseGen) genStats :+ ((bN, bDl))
+        else Nil
       writeManifest(indexDir, nDocs + bN, sumDl + bDl, nBuckets,
-        nGens + 1, idCol, newRange, newStats)
+        nGens + 1, idCol, newRange, newStats, baseGen)
       load(spark, indexDir)
     }
 
@@ -334,22 +388,35 @@ object TextIndex {
       }
       case _ => Nil
     }
+    val baseGen = mf \ "base_gen" match {
+      case JInt(x) => x.toInt
+      case JNothing | JNull => 0 // pre-compaction manifests: base is 0
+      case other => throw new IllegalArgumentException(
+        s"bad base_gen in manifest: $other")
+    }
     if (asOfGen < 0)
       Bm25Index(spark, indexDir, long("n_docs"), long("sum_dl"),
-        long("n_buckets").toInt, nGens, idCol, idRange, genStats)
+        long("n_buckets").toInt, nGens, idCol, idRange, genStats,
+        baseGen = baseGen)
     else {
       require(nGens >= 0,
         s"as-of reads need the generational layout: $indexDir")
       require(asOfGen <= nGens,
         s"as-of generation $asOfGen is ahead of the $nGens committed " +
           s"generations in $indexDir")
-      require(genStats.length == nGens,
+      // strict: the physical gen at `baseGen` holds the FOLDED prefix, so
+      // the earliest reachable historical state is baseGen + 1 (= the
+      // pre-compaction head; older points renumber +1 per compaction)
+      require(asOfGen > baseGen,
+        s"as-of generation $asOfGen is at or before the compaction base " +
+          s"$baseGen in $indexDir — that history has been folded away")
+      require(genStats.length == nGens - baseGen,
         s"index at $indexDir has no full per-generation history " +
           "(gen_stats) — its lineage predates as-of support; rebuild")
-      val hist = genStats.take(asOfGen)
+      val hist = genStats.take(asOfGen - baseGen)
       Bm25Index(spark, indexDir, hist.map(_._1).sum, hist.map(_._2).sum,
         long("n_buckets").toInt, asOfGen, idCol, idRange,
-        genStats, asOf = true)
+        genStats, asOf = true, baseGen = baseGen)
     }
   }
 }

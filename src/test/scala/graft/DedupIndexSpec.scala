@@ -122,6 +122,32 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("compact: folds generations, candidates unchanged, vacuumed dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_cmp").toString
+    try {
+      DedupIndex.save(corpus.where(col("id") < 3), "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      val grown = DedupIndex.load(spark, dir)
+        .append(corpus.where(col("id") >= 3), "text")
+      val before = grown.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet
+      val compacted = grown.compact()
+      assert(compacted.baseGen == 2 && compacted.nGens == 3)
+      assert(compacted.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet == before)
+      val gens = new java.io.File(s"$dir/bands").listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).toSet
+      assert(gens == Set("gen=2"), s"unexpected generations: $gens")
+      intercept[IllegalArgumentException](DedupIndex.load(spark, dir, asOfGen = 1))
+      // append chains past the compaction
+      val grown2 = compacted.append(
+        docs(20L -> "yet more novel words unseen anywhere previously"), "text")
+      assert(grown2.baseGen == 2 && grown2.nGens == 4)
+      assert(grown2.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet == before) // new doc is no dup
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("crashed append: uncommitted generation is invisible and swept on retry") {
     val dir = java.nio.file.Files.createTempDirectory("dedupidx_c").toString
     try {

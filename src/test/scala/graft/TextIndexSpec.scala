@@ -73,6 +73,37 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compact: folds generations, scores unchanged, history renumbers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_cmp").toString
+    try {
+      TextIndex.save(fixture.where($"doc_id" < 2), "text", "doc_id", dir,
+        nBuckets = 8)
+      val grown = TextIndex.load(spark, dir)
+        .append(fixture.where($"doc_id" >= 2), "text")
+      val before = grown.search(Seq("table", "scan"), topK = 10)
+        .collect().map(_.toSeq).toSet
+      val compacted = grown.compact()
+      assert(compacted.baseGen == 2 && compacted.nGens == 3)
+      assert(compacted.nDocs == 5 && compacted.sumDl == 15)
+      assert(compacted.search(Seq("table", "scan"), topK = 10)
+        .collect().map(_.toSeq).toSet == before)
+      // old generation directories are vacuumed
+      val gens = new java.io.File(s"$dir/postings").listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).toSet
+      assert(gens == Set("gen=2"), s"unexpected generations: $gens")
+      // pre-compaction history is folded away; post-compaction head works
+      intercept[IllegalArgumentException](TextIndex.load(spark, dir, asOfGen = 1))
+      // append after compact: chains, and as-of the compacted point works
+      val grown2 = compacted.append(
+        Seq((9L, "table table")).toDF("doc_id", "text"), "text")
+      assert(grown2.nDocs == 6 && grown2.baseGen == 2 && grown2.nGens == 4)
+      val asOf = TextIndex.load(spark, dir, asOfGen = 3)
+      assert(asOf.nDocs == 5 && asOf.sumDl == 15)
+      assert(asOf.search(Seq("table", "scan"), topK = 10)
+        .collect().map(_.toSeq).toSet == before)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("append: grown index equals a from-scratch build, exactly") {
     val dir1 = java.nio.file.Files.createTempDirectory("graft_ti_a").toString
     val dir2 = java.nio.file.Files.createTempDirectory("graft_ti_b").toString
