@@ -347,6 +347,37 @@ object TextAnalysis {
         col("tfidf"))
   }
 
+  /** Feature hashing (the "hashing trick"): each document becomes a
+    * sparse `dim`-bucket signed count vector — token t adds ±1 (md5
+    * parity) to bucket md5("fh:" + t) mod dim per occurrence. The signed
+    * variant keeps collisions unbiased in expectation (Weinberger et al.
+    * 2009); values are exact integers under the engine-portable md5
+    * convention of [[graft.operators.Sampling.hashBucket]], so results
+    * hash-match any engine. This is the vocabulary-free text→vector step
+    * (no fitted dictionary to broadcast or drift) that feeds
+    * [[graft.operators.Similarity.randomProjection]], k-means, or a
+    * linear classifier at corpus scale: one explode and ONE hash
+    * aggregation on (id, bucket) with map-side combine — no joins, no
+    * corpus-wide state, nothing to retrain as data grows. Output: one
+    * row per (id, j) with a nonzero-or-cancelled signed count. */
+  def hashedFeatures(df: DataFrame, textCol: String, idCol: String,
+                     dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val toks = Dedup.fanOut(df).select(col(idCol),
+        explode(split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " "))
+          .as("token"))
+      .where(col("token") =!= "")
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("fh:"), col("token"))), 1, 12), 16, 10)
+        .cast("long"), lit(dim.toLong))
+    val sign = when(
+      pmod(conv(substring(md5(concat(lit("sg:"), col("token"))), 1, 12), 16, 10)
+        .cast("long"), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L))
+    toks.select(col(idCol), bucket.as("j"), sign.as("__s"))
+      .groupBy(col(idCol), col("j"))
+      .agg(sum(col("__s")).as("val"))
+  }
+
   /** Sliding-window document chunking: split each document into token
     * windows of `window` tokens advancing by `stride` (overlapping when
     * stride < window) — the context-window preparation step between a raw

@@ -88,6 +88,16 @@ object PipelineQueries extends QueryModule {
         .select($"query_id", $"rk", $"neighbor_id")
     }),
 
+    // Feature hashing (signed hashing trick): vocabulary-free doc → 32-dim
+    // signed count vector, exact integers under the md5 convention — one
+    // explode + one hash aggregation, no fitted dictionary, no join.
+    "q165_feature_hashing" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.hashedFeatures(Tables(s, dir, "documents"),
+          "text", "doc_id", dim = 32)
+        .select($"doc_id", $"j", $"val")
+    }),
+
     // Johnson-Lindenstrauss ±1 random projection 64 → 16: the sign matrix
     // is a deterministic md5-parity literal and vectors are grid-quantized
     // first, so every output coordinate is an exact integer — row-local
@@ -2177,6 +2187,21 @@ object PipelineQueries extends QueryModule {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
         FROM scored)
       SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 3""",
+
+    "q165_feature_hashing" -> s"""
+      WITH t AS (SELECT doc_id,
+                   string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
+                 FROM documents),
+      tok AS (SELECT doc_id, tk FROM t, LATERAL UNNEST(toks) AS u(tk)
+              WHERE tk <> ''),
+      f AS (SELECT doc_id,
+              ('0x' || substr(md5('fh:' || tk), 1, 12))::BIGINT % 32 AS j,
+              CASE WHEN ('0x' || substr(md5('sg:' || tk), 1, 12))::BIGINT
+                        % 2 = 0
+                   THEN 1 ELSE -1 END AS s
+            FROM tok)
+      SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(SUM(s) AS BIGINT) AS val
+      FROM f GROUP BY 1, 2""",
 
     "q159_random_projection" -> """
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -243,6 +243,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(signs.sum) < signs.length / 4, "sign matrix heavily biased")
   }
 
+  test("feature hashing: signed bucket counts match brute force") {
+    def h(prefix: String, tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((prefix + tok).getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"${b & 0xff}%02x").mkString, 16)
+    }
+    val docs = Seq((1L, "Alpha beta  ALPHA gamma"), (2L, "beta beta"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedFeatures(docs, "text", "doc_id", dim = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    val expect = Seq(1L -> Seq("alpha", "beta", "alpha", "gamma"),
+        2L -> Seq("beta", "beta"))
+      .flatMap { case (id, toks) =>
+        toks.map(t => ((id, h("fh:", t) % 8),
+          if (h("sg:", t) % 2 == 0) 1L else -1L))
+      }
+      .groupBy(_._1).map { case ((id, j), xs) => (id, j, xs.map(_._2).sum) }
+      .toSet
+    assert(got == expect)
+    assert(!got.exists(_._1 == 3L)) // null text contributes nothing
+  }
+
   test("repetition metrics: duplicate-token and top-2-gram counts") {
     val docs = Seq((1L, "A a  a b"), (2L, "x"), (3L, "one two three"))
       .toDF("doc_id", "text")
