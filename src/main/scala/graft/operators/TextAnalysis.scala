@@ -469,6 +469,22 @@ object TextAnalysis {
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
   }
 
+  /** A char-n-gram LM as its two count frames (order n and its n−1
+    * contexts) — the ADDITIVE form: two models over disjoint corpora
+    * merge by summing per-gram counts, which is what makes the persisted
+    * lifecycle ([[graft.sources.TextModelStore.saveCharLm]]) appendable.
+    * Both frames are charset-bounded (≤ charset^n rows), never
+    * corpus-sized. */
+  final case class CharLmCounts(ngrams: DataFrame, contexts: DataFrame,
+                                n: Int)
+
+  /** Both count orders of [[charLmScore]]'s model in one pass contract. */
+  def charLmTrain(df: DataFrame, textCol: String, n: Int = 3): CharLmCounts = {
+    require(n >= 2, "conditional scoring needs n >= 2")
+    CharLmCounts(charLmCounts(df, textCol, n),
+      charLmCounts(df, textCol, n - 1), n)
+  }
+
   /** Char-n-gram language-model fluency score (the CCNet-style quality
     * signal): per document, the add-one-smoothed conditional log-prob of
     * each n-gram given its (n−1)-char context,

@@ -450,6 +450,35 @@ object PipelineQueries extends QueryModule {
         n = 3, vocabSize = 128)
     }),
 
+    // Persisted char-LM roundtrip: counts trained once, written to disk,
+    // reloaded, scored — must equal q118's self-trained in-memory scores.
+    "q166_charlm_roundtrip" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val mdl = s"/tmp/graft_charlm_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.BucketFs.deleteRecursive(mdl)
+      graft.sources.TextModelStore.saveCharLm(docs, "text", mdl, n = 3)
+      val m = graft.sources.TextModelStore.loadCharLm(s, mdl)
+      TextAnalysis.charLmScore(docs, "doc_id", "text", m.ngrams, m.contexts,
+        n = 3, vocabSize = 128)
+    }),
+
+    // Incremental char-LM: train on even ids, append odd ids — merged
+    // counts must equal one-shot full-corpus training (counts are
+    // additive), so scoring matches q118's oracle verbatim.
+    "q167_charlm_append" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val mdl = s"/tmp/graft_charlm_app_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.BucketFs.deleteRecursive(mdl)
+      graft.sources.TextModelStore.saveCharLm(
+        docs.where($"doc_id" % 2 === 0), "text", mdl, n = 3)
+      graft.sources.TextModelStore.appendCharLm(s,
+        docs.where($"doc_id" % 2 === 1), "text", mdl)
+      val m = graft.sources.TextModelStore.loadCharLm(s, mdl)
+      TextAnalysis.charLmScore(docs, "doc_id", "text", m.ngrams, m.contexts,
+        n = 3, vocabSize = 128)
+    }),
+
     // Exact repeated-substring spans (exact-substring dedup's detection
     // pass): every 24-char window of normalized text occurring in >= 2
     // distinct documents, with doc + occurrence counts. In-row window
@@ -1549,6 +1578,29 @@ object PipelineQueries extends QueryModule {
 
   // ---- oracle SQL ----
 
+  /** q118/q166/q167 shared char-trigram LM oracle: self-trained
+    * full-corpus counts, add-one smoothing, floor(1e4*ln) per gram. */
+  private lazy val charLmOracle: String = s"""
+      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+      g3 AS (SELECT nd.doc_id, substr(nd.nt, g.i, 3) AS gram FROM nd,
+               LATERAL UNNEST(range(1, GREATEST(length(nd.nt) - 2, 1) + 1)) AS g(i)
+             WHERE length(substr(nd.nt, g.i, 3)) = 3),
+      g2 AS (SELECT nd.doc_id, substr(nd.nt, g.i, 2) AS gram FROM nd,
+               LATERAL UNNEST(range(1, GREATEST(length(nd.nt) - 1, 1) + 1)) AS g(i)
+             WHERE length(substr(nd.nt, g.i, 2)) = 2),
+      m3 AS (SELECT gram, COUNT(*) AS c3 FROM g3 GROUP BY 1),
+      m2 AS (SELECT gram, COUNT(*) AS c2 FROM g2 GROUP BY 1),
+      s AS (SELECT d.doc_id,
+              CAST(FLOOR(10000.0 * ln(
+                CAST(COALESCE(m3.c3, 0) + 1 AS DOUBLE) /
+                CAST(COALESCE(m2.c2, 0) + 128 AS DOUBLE))) AS BIGINT) AS q
+            FROM g3 d
+            LEFT JOIN m3 ON d.gram = m3.gram
+            LEFT JOIN m2 ON substr(d.gram, 1, 2) = m2.gram)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+        CAST(SUM(q) AS BIGINT) AS logprob_q4
+      FROM s GROUP BY 1"""
+
   private def normSql(t: String) =
     s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
 
@@ -2383,26 +2435,9 @@ object PipelineQueries extends QueryModule {
          OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 10))::BIGINT * 2048
             < length(text) * 1 * 1099511627776""",
 
-    "q118_lm_score" -> s"""
-      WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
-      g3 AS (SELECT nd.doc_id, substr(nd.nt, g.i, 3) AS gram FROM nd,
-               LATERAL UNNEST(range(1, GREATEST(length(nd.nt) - 2, 1) + 1)) AS g(i)
-             WHERE length(substr(nd.nt, g.i, 3)) = 3),
-      g2 AS (SELECT nd.doc_id, substr(nd.nt, g.i, 2) AS gram FROM nd,
-               LATERAL UNNEST(range(1, GREATEST(length(nd.nt) - 1, 1) + 1)) AS g(i)
-             WHERE length(substr(nd.nt, g.i, 2)) = 2),
-      m3 AS (SELECT gram, COUNT(*) AS c3 FROM g3 GROUP BY 1),
-      m2 AS (SELECT gram, COUNT(*) AS c2 FROM g2 GROUP BY 1),
-      s AS (SELECT d.doc_id,
-              CAST(FLOOR(10000.0 * ln(
-                CAST(COALESCE(m3.c3, 0) + 1 AS DOUBLE) /
-                CAST(COALESCE(m2.c2, 0) + 128 AS DOUBLE))) AS BIGINT) AS q
-            FROM g3 d
-            LEFT JOIN m3 ON d.gram = m3.gram
-            LEFT JOIN m2 ON substr(d.gram, 1, 2) = m2.gram)
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
-        CAST(SUM(q) AS BIGINT) AS logprob_q4
-      FROM s GROUP BY 1""",
+    "q118_lm_score" -> charLmOracle,
+    "q166_charlm_roundtrip" -> charLmOracle,
+    "q167_charlm_append" -> charLmOracle,
 
     "q124_repeated_spans" -> s"""
       WITH nd AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),

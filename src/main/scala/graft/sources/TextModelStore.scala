@@ -113,6 +113,62 @@ object TextModelStore {
   def loadNaiveBayes(spark: SparkSession, dir: String): NaiveBayesModel =
     TextAnalysis.naiveBayesFromCounts(loadNaiveBayesCounts(spark, dir))
 
+  /** Persist a char-n-gram LM in its ADDITIVE counts form (per-gram
+    * occurrence counts at order n and n−1) — same lifecycle discipline
+    * as the Naive Bayes artifact: counts merge by plain addition, so
+    * [[appendCharLm]] folds a new corpus batch in under the
+    * generation-commit protocol and `counts → score` stays
+    * bit-reproducible after any number of appends. */
+  def saveCharLm(corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                 dir: String, n: Int = 3): Unit = {
+    val c = TextAnalysis.charLmTrain(corpus, textCol, n)
+    BucketFs.deleteRecursive(s"$dir/$ManifestFile")
+    Seq("ngrams", "contexts").foreach(sub =>
+      BucketFs.deleteRecursive(s"$dir/$sub"))
+    c.ngrams.write.mode("overwrite").parquet(s"$dir/ngrams/gen=0")
+    c.contexts.write.mode("overwrite").parquet(s"$dir/contexts/gen=0")
+    commit(dir, List(
+      "model_type" -> JString("char_lm"), "n" -> JInt(n), "gen" -> JInt(0)))
+  }
+
+  /** Merge a NEW corpus batch into the persisted gram counts (additive;
+    * the batch must be disjoint from earlier training text — re-appending
+    * double-counts, as in any count-based model). Generation-committed:
+    * merged counts land in `gen=N+1`, the atomic manifest rename is the
+    * commit, crashed-append debris is swept before writing. */
+  def appendCharLm(spark: SparkSession,
+                   corpus: org.apache.spark.sql.DataFrame, textCol: String,
+                   dir: String): Unit = {
+    val mf = manifest(dir, "char_lm")
+    val n = long(mf, "n").toInt
+    val gen = long(mf, "gen")
+    Seq("ngrams", "contexts").foreach(sub =>
+      BucketFs.dropGensAtOrAbove(s"$dir/$sub", (gen + 1).toInt))
+    val batch = TextAnalysis.charLmTrain(corpus, textCol, n)
+    def merge(sub: String, add: org.apache.spark.sql.DataFrame): Unit =
+      spark.read.parquet(s"$dir/$sub/gen=$gen")
+        .unionByName(add)
+        .groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$dir/$sub/gen=${gen + 1}")
+    merge("ngrams", batch.ngrams)
+    merge("contexts", batch.contexts)
+    commit(dir, List(
+      "model_type" -> JString("char_lm"), "n" -> JInt(n),
+      "gen" -> JInt(gen + 1)))
+  }
+
+  /** Load the committed gram counts; scoring through
+    * [[TextAnalysis.charLmScore]] is bit-identical to a model trained in
+    * memory on the same (merged) corpus. */
+  def loadCharLm(spark: SparkSession, dir: String): TextAnalysis.CharLmCounts = {
+    val mf = manifest(dir, "char_lm")
+    val gen = long(mf, "gen")
+    TextAnalysis.CharLmCounts(
+      spark.read.parquet(s"$dir/ngrams/gen=$gen"),
+      spark.read.parquet(s"$dir/contexts/gen=$gen"),
+      long(mf, "n").toInt)
+  }
+
   /** Persist DSIR importance weights with their bucket-space size. */
   def saveDsir(model: DsirWeights, dir: String): Unit = {
     BucketFs.deleteRecursive(s"$dir/$ManifestFile")

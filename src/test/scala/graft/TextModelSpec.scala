@@ -163,6 +163,40 @@ class TextModelSpec extends AnyFunSuite {
     assert(kept2.sorted.sameElements(kept.sorted))
   }
 
+  test("TextModelStore: char-LM counts round-trip; append == one-shot train") {
+    import graft.sources.TextModelStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_clm").toString
+    try {
+      val docs = Seq((0L, "abc abc zq"), (1L, "abcd"), (2L, "zz"),
+        (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      val inline = TextAnalysis.charLmTrain(docs, "text", n = 3)
+      val score = (c: TextAnalysis.CharLmCounts) =>
+        TextAnalysis.charLmScore(docs, "doc_id", "text", c.ngrams,
+          c.contexts, n = 3, vocabSize = 128)
+          .collect().map(_.toSeq).toSet
+      val expect = score(inline)
+      // roundtrip
+      TextModelStore.saveCharLm(docs, "text", s"$dir/a", n = 3)
+      val ra = TextModelStore.loadCharLm(spark, s"$dir/a")
+      assert(ra.n == 3 && score(ra) == expect)
+      // append(odds) after save(evens) == one-shot; crashed debris swept
+      TextModelStore.saveCharLm(docs.where($"doc_id" % 2 === 0), "text",
+        s"$dir/b", n = 3)
+      graft.sources.BucketFs.writeString(
+        s"$dir/b/ngrams/gen=1/junk.parquet", "debris\n")
+      TextModelStore.appendCharLm(spark,
+        docs.where($"doc_id" % 2 === 1), "text", s"$dir/b")
+      val rb = TextModelStore.loadCharLm(spark, s"$dir/b")
+      assert(score(rb) == expect)
+      assert(rb.ngrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        == inline.ngrams.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      // wrong model type rejected by name
+      intercept[IllegalArgumentException] {
+        TextModelStore.loadNaiveBayes(spark, s"$dir/a")
+      }
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("TextModelStore: exact round trips, crashed save fails loudly, type check") {
     import graft.sources.TextModelStore
     val dir = java.nio.file.Files.createTempDirectory("graft_tms").toString
