@@ -1034,6 +1034,24 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // ANN-index COMPACTION: save half, append half (two generations),
+    // fold into one replacement generation, search — must equal the
+    // plain full-corpus persisted search (q100's oracle).
+    "q168_ann_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val idx = s"/tmp/graft_annidx_gcmp_v1_${QueryModule.cacheKey(dir)}"
+      graft.sources.BucketFs.deleteRecursive(idx)
+      graft.sources.AnnIndex.saveIvfPq(emb.where($"vec_id" < 250),
+        "vec_id", "embedding", idx, dims = 64, m = 4, k = 16, nList = 8)
+      graft.sources.AnnIndex.loadIvfPq(s, idx)
+        .append(emb.where($"vec_id" >= 250), "embedding")
+        .compactGens()
+        .search(emb.where($"vec_id" < 8), "embedding", topK = 3)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     "q100_pq_persist" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables(s, dir, "embeddings")
@@ -3042,6 +3060,8 @@ object PipelineQueries extends QueryModule {
     // unchanged because they live in the first half
     "q160_index_time_travel" -> ivfPqOracle(nProbe = 1,
       corpusBelow = Some(250L)),
+    // compaction changes nothing observable (train seeds in first half)
+    "q168_ann_index_compact" -> ivfPqOracle(nProbe = 1),
 
     // mirror of q140: the ivfPqOracle search body with the probe rank
     // kept (rk <= 4) and cross-joined against np ∈ {1,2,4}, scored

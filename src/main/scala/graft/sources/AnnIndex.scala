@@ -55,7 +55,8 @@ object AnnIndex {
                               residual: Boolean, trainUpdates: Int,
                               nGens: Int, indexDir: String,
                               centroids: DataFrame, codebook: DataFrame,
-                              codes: DataFrame, asOf: Boolean = false) {
+                              codes: DataFrame, asOf: Boolean = false,
+                              baseGen: Int = 0) {
 
     private def requireBatchManaged(verb: String): Unit = {
       // a time-travel handle reads a historical prefix of the committed
@@ -102,8 +103,32 @@ object AnnIndex {
         integerCb = trainUpdates == 0)
       writeCodes(exploded, idCol, indexDir, gen = nGens)
       writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-        quantizeScale, idCol, nGens + 1)
+        quantizeScale, idCol, nGens + 1, baseGen)
       loadIvfPq(newCorpus.sparkSession, indexDir)
+    }
+
+    /** Fold every committed code generation into ONE replacement
+      * generation — the batch-layout analogue of [[compactCodes]], and
+      * the same crash-safe shape as `TextIndex.compact` /
+      * `DedupIndex.compact`: the merged codes land in a NEW generation
+      * (`gen = nGens`), one atomic manifest rename commits
+      * `base_gen = nGens, n_gens = nGens + 1` (readers filter
+      * `base_gen <= gen < n_gens`, so there is NO unreadable window), and
+      * the unreferenced old generations are vacuumed after the commit.
+      * Search results are unchanged — code rows union verbatim; the
+      * frozen centroids/codebook don't move. As-of history renumbers at
+      * the compaction point. */
+    def compactGens(): IvfPqIndex = {
+      requireBatchManaged("compact the stream layout with compactCodes")
+      val spark = codes.sparkSession
+      BucketFs.dropGensAtOrAbove(s"$indexDir/codes", nGens)
+      codes.withColumn("gen", lit(nGens))
+        .write.mode("append").partitionBy("gen", "cell")
+        .parquet(s"$indexDir/codes")
+      writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+        quantizeScale, idCol, nGens + 1, baseGen = nGens)
+      BucketFs.dropGensBelow(s"$indexDir/codes", nGens)
+      loadIvfPq(spark, indexDir)
     }
     /** Delete vectors by id — the remaining lifecycle verb after
       * save/load/search/append/stream-ingest. Rewrites ONLY the cell
@@ -129,7 +154,7 @@ object AnnIndex {
       // depends on session inference settings
       val raw = spark.read.parquet(s"$indexDir/codes")
         .withColumn("gen", col("gen").cast("int"))
-        .where(col("gen") < lit(nGens))
+        .where(col("gen") >= lit(baseGen) && col("gen") < lit(nGens))
         .withColumn("cell", col("cell").cast("long"))
       val affected = raw.where(col(idCol).isin(ids: _*))
         .select(col("gen"), col("cell")).distinct()
@@ -243,13 +268,13 @@ object AnnIndex {
   private def writeManifest(indexDir: String, residual: Boolean, dims: Int,
                             m: Int, k: Int, nList: Int, trainUpdates: Int,
                             quantizeScale: Option[Double], idCol: String,
-                            nGens: Int): Unit = {
+                            nGens: Int, baseGen: Int = 0): Unit = {
     val manifest: Map[String, Any] = Map(
       "index_type" -> "ivf_pq", "residual" -> residual,
       "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
       "train_updates" -> trainUpdates,
       "quantize_scale" -> quantizeScale.map(_.asInstanceOf[Any]).orNull,
-      "id_col" -> idCol, "n_gens" -> nGens)
+      "id_col" -> idCol, "n_gens" -> nGens, "base_gen" -> baseGen)
     BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(toJValue(manifest))))
   }
@@ -360,7 +385,7 @@ object AnnIndex {
   private final case class Meta(dims: Int, m: Int, k: Int, nList: Int,
                                 scale: Option[Double], idCol: String,
                                 residual: Boolean, trainUpdates: Int,
-                                nGens: Int)
+                                nGens: Int, baseGen: Int)
 
   private def readMeta(indexDir: String): Meta = {
     val p = s"$indexDir/$ManifestFile"
@@ -406,8 +431,15 @@ object AnnIndex {
       case other => throw new IllegalArgumentException(
         s"bad n_gens in manifest: $other")
     }
+    val baseGen = mf \ "base_gen" match {
+      case JInt(x) => x.toInt
+      case JNothing | JNull => 0 // pre-compaction manifests: base is 0
+      case other => throw new IllegalArgumentException(
+        s"bad base_gen in manifest: $other")
+    }
     Meta(num("dims").toInt, num("m").toInt, num("k").toInt,
-      num("n_list").toInt, scale, idCol, residual, trainUpdates, nGens)
+      num("n_list").toInt, scale, idCol, residual, trainUpdates, nGens,
+      baseGen)
   }
 
   /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames).
@@ -434,6 +466,13 @@ object AnnIndex {
         require(asOfGen <= mt.nGens,
           s"as-of generation $asOfGen is ahead of the ${mt.nGens} committed " +
             s"generations in $indexDir")
+        // strict: the physical gen at `baseGen` holds the FOLDED prefix
+        // (earliest reachable state is baseGen + 1 = the pre-compaction
+        // head; older points renumber +1 per compaction)
+        require(asOfGen > mt.baseGen,
+          s"as-of generation $asOfGen is at or before the compaction " +
+            s"base ${mt.baseGen} in $indexDir — that history has been " +
+            "folded away")
         asOfGen
       } else mt.nGens
     // cell is a directory-partition column: its read-back type depends on
@@ -443,14 +482,15 @@ object AnnIndex {
     val raw = spark.read.parquet(s"$indexDir/codes")
     val codes =
       (if (mt.nGens >= 0 && !streamManaged)
-         raw.where(col("gen") < lit(effGens)).drop("gen")
+         raw.where(col("gen") >= lit(mt.baseGen) && col("gen") < lit(effGens))
+           .drop("gen")
        else raw)
         .withColumn("cell", col("cell").cast("long"))
     IvfPqIndex(mt.dims, mt.m, mt.k, mt.nList, mt.scale, mt.idCol,
       mt.residual, mt.trainUpdates, effGens, indexDir,
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebook"), codes,
-      asOf = asOfGen >= 0)
+      asOf = asOfGen >= 0, baseGen = mt.baseGen)
   }
 
   private def toJValue(v: Any): JValue = v match {

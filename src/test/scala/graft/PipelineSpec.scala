@@ -972,6 +972,43 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("AnnIndex.compactGens: folds code generations, search unchanged") {
+    val rnd = new scala.util.Random(29)
+    val all = (0L until 64L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    val first = all.filter(_._1 < 40).toDF("vec_id", "embedding")
+    val rest = all.filter(_._1 >= 40).toDF("vec_id", "embedding")
+    val queries = first.where($"vec_id" < 4)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_gcmp").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(first, "vec_id", "embedding", dir,
+        dims = 8, m = 2, k = 4, nList = 4)
+      val grown = graft.sources.AnnIndex.loadIvfPq(spark, dir)
+        .append(rest, "embedding")
+      val before = grown.search(queries, "embedding", topK = 5)
+        .collect().toSeq.map(_.toSeq)
+      val compacted = grown.compactGens()
+      assert(compacted.baseGen == 2 && compacted.nGens == 3)
+      assert(compacted.search(queries, "embedding", topK = 5)
+        .collect().toSeq.map(_.toSeq) == before)
+      val gens = new java.io.File(s"$dir/codes").listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).toSet
+      assert(gens == Set("gen=2"), s"unexpected generations: $gens")
+      // folded history unreachable; further appends chain
+      intercept[IllegalArgumentException](
+        graft.sources.AnnIndex.loadIvfPq(spark, dir, asOfGen = 1))
+      val grown2 = compacted.append(
+        Seq((99L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding"),
+        "embedding")
+      assert(grown2.baseGen == 2 && grown2.nGens == 4)
+      assert(grown2.codes.count() == 65L)
+      // as-of the compacted point = the pre-compaction head, exactly
+      assert(graft.sources.AnnIndex.loadIvfPq(spark, dir, asOfGen = 3)
+        .search(queries, "embedding", topK = 5)
+        .collect().toSeq.map(_.toSeq) == before)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("AnnIndex: crashed append is invisible, swept on retry; stale handles refused") {
     val rnd = new scala.util.Random(19)
     val vecs = (0L until 48L).map(i =>
