@@ -51,6 +51,21 @@ object Avi {
   /** Decode the first `vids` stream: (width, height, one row-major
     * grayscale byte array per frame, ITU-601 integer luma). */
   def decodeAviFrames(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val (w, h, n, sampled) = decodeAviFramesStrided(payload, 1)
+    require(n == sampled.length)
+    (w, h, sampled.map(_._2))
+  }
+
+  /** Strided decode: every `stride`-th frame is decoded, the rest are
+    * SKIPPED AT THE CONTAINER LEVEL — the chunk walk counts them (the
+    * total is needed) but never touches their bytes, so a stride-s pass
+    * over an MJPEG stream pays 1/s of the JPEG decode cost. This is the
+    * frame-sampling fast path [[Multimodal.extractFrameFeatures]] rides:
+    * at video scale the decode dominates, and sampling that still
+    * decodes everything is sampling in name only. Returns (width,
+    * height, TOTAL frame count, (frameIdx, pixels) for sampled frames). */
+  def decodeAviFramesStrided(payload: Array[Byte],
+                             stride: Int): (Int, Int, Int, Array[(Int, Array[Byte])]) = {
     require(isAvi(payload), "payload is not a RIFF/AVI container")
     // --- pass 1 (hdrl): locate the first video stream and its format ---
     var streamIdx = -1 // running strl ordinal
@@ -121,8 +136,11 @@ object Avi {
       }
     }
 
-    // --- pass 2 (movi): collect this stream's frame chunks in order ---
-    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    // --- pass 2 (movi): collect this stream's frame chunks in order,
+    // decoding only every stride-th one (counting the rest) ---
+    require(stride >= 1, "stride must be >= 1")
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    var frameIdx = 0
     // "%02d" stream number as the two leading fourcc bytes; lazy because
     // vidsStream is only known after the hdrl walk (movi is walked later)
     lazy val wantPrefix =
@@ -138,8 +156,11 @@ object Avi {
           walkMovi(body + 4, body + sz) // interleaved record group
         } else if ((ckid & 0xffff) == wantPrefix) {
           val suffix = ckid >>> 16
-          if (suffix == 0x6264 || suffix == 0x6364) // "db" | "dc"
-            frames += decodeFrame(ckid, body, sz)
+          if (suffix == 0x6264 || suffix == 0x6364) { // "db" | "dc"
+            if (frameIdx % stride == 0)
+              frames += ((frameIdx, decodeFrame(ckid, body, sz)))
+            frameIdx += 1
+          }
         }
         off = body + sz + (sz & 1)
       }
@@ -165,7 +186,7 @@ object Avi {
       "AVI 'vids' stream has no usable strf BITMAPINFOHEADER")
     require(moviAt >= 0, "AVI has no 'movi' list")
     walkMovi(moviAt, moviEnd)
-    (biWidth, math.abs(biHeight), frames.toArray)
+    (biWidth, math.abs(biHeight), frameIdx, frames.toArray)
   }
 
   /** Raw BI_RGB DIB → row-major top-down grayscale. Positive biHeight is

@@ -179,6 +179,20 @@ object Multimodal {
     * Formats needing non-JDK codecs (MP4 etc.) throw — swap the seam with
     * an external decoder for those. */
   def decodeGifFrames(payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val (w, h, n, sampled) = decodeGifFramesStrided(payload, 1)
+    require(n == sampled.length)
+    (w, h, sampled.map(_._2))
+  }
+
+  /** Strided GIF decode: LZW-decode only every `stride`-th frame
+    * (`ImageIO` reads frames on demand, so unrequested frames are never
+    * decompressed); frame DIMENSIONS are still checked for every frame
+    * from the headers alone, so delta-coded GIFs are rejected even when
+    * the offending frame isn't sampled. Returns (width, height, TOTAL
+    * frame count, (frameIdx, pixels) for sampled frames). */
+  def decodeGifFramesStrided(payload: Array[Byte],
+                             stride: Int): (Int, Int, Int, Array[(Int, Array[Byte])]) = {
+    require(stride >= 1, "stride must be >= 1")
     val readers = javax.imageio.ImageIO.getImageReadersByFormatName("gif")
     require(readers.hasNext, "no GIF reader available")
     val reader = readers.next()
@@ -190,32 +204,36 @@ object Multimodal {
       reader.setInput(iis, false)
       val n = reader.getNumImages(true)
       require(n > 0, "payload is not a decodable GIF")
-      var w0 = -1; var h0 = -1
-      val frames = Array.tabulate(n) { i =>
-        val img = reader.read(i)
-        val w = img.getWidth; val h = img.getHeight
-        if (i == 0) { w0 = w; h0 = h }
-        else require(w == w0 && h == h0,
+      val w0 = reader.getWidth(0); val h0 = reader.getHeight(0)
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      var i = 0
+      while (i < n) {
+        val w = reader.getWidth(i); val h = reader.getHeight(i)
+        require(w == w0 && h == h0,
           s"delta-coded GIF: frame $i is ${w}x$h, frame 0 is ${w0}x$h0 — " +
             "full-canvas frames only (no disposal/offset compositing)")
-        val px = new Array[Byte](w * h)
-        var k = 0
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            px(k) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
-            k += 1; x += 1
+        if (i % stride == 0) {
+          val img = reader.read(i)
+          val px = new Array[Byte](w * h)
+          var k = 0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              px(k) = ((r * 299 + g * 587 + b * 114) / 1000).toByte
+              k += 1; x += 1
+            }
+            y += 1
           }
-          y += 1
+          frames += ((i, px))
         }
-        px
+        i += 1
       }
-      (w0, h0, frames)
+      (w0, h0, n, frames.toArray)
     } finally {
       reader.dispose()
       iis.close()
@@ -228,10 +246,25 @@ object Multimodal {
     * height = channels, as in [[JdkMediaDecoder]]). */
   trait FrameDecoder extends Serializable {
     def decodeFrames(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Array[Byte]])
+
+    /** Stride-aware decode: (width, height, TOTAL frames, (frameIdx,
+      * pixels) for every stride-th frame). Default decodes everything
+      * and filters; decoders that can skip at the container level
+      * (AVI chunk walk, GIF on-demand reads) override so sampling
+      * actually skips the decode work — at video scale the decode IS
+      * the cost, and sampling that decodes everything only to discard
+      * it is sampling in name only. */
+    def decodeFramesStrided(mediaType: String, payload: Array[Byte],
+                            stride: Int): (Int, Int, Int, Array[(Int, Array[Byte])]) = {
+      val (w, h, frames) = decodeFrames(mediaType, payload)
+      (w, h, frames.length,
+        (0 until frames.length by stride).map(i => (i, frames(i))).toArray)
+    }
   }
 
-  /** JDK-only [[FrameDecoder]]: GIF video frames, single-frame images,
-    * single-"frame" audio. */
+  /** JDK-only [[FrameDecoder]]: GIF/AVI video frames, single-frame
+    * images, single-"frame" audio. Video strides skip unsampled frames
+    * at the container level. */
   object JdkFrameDecoder extends FrameDecoder {
     def decodeFrames(mediaType: String, payload: Array[Byte]): (Int, Int, Array[Array[Byte]]) =
       mediaType match {
@@ -239,6 +272,15 @@ object Multimodal {
         case other =>
           val (w, h, _, px) = JdkMediaDecoder.decode(other, payload)
           (w, h, Array(px))
+      }
+
+    override def decodeFramesStrided(mediaType: String, payload: Array[Byte],
+                                     stride: Int): (Int, Int, Int, Array[(Int, Array[Byte])]) =
+      mediaType match {
+        case "video" if Avi.isAvi(payload) =>
+          Avi.decodeAviFramesStrided(payload, stride)
+        case "video" => decodeGifFramesStrided(payload, stride)
+        case other => super.decodeFramesStrided(other, payload, stride)
       }
   }
 
@@ -383,11 +425,14 @@ object Multimodal {
         val id = r.getLong(0)
         val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
           .getOrElse(Array.emptyByteArray)
-        val (w, h, frames) = decoder.decodeFrames(r.getString(1), payload)
-        (0 until frames.length by stride).iterator.map { f =>
+        // stride goes INTO the decoder: container-skippable formats
+        // never decode the unsampled frames (see decodeFramesStrided)
+        val (w, h, nFrames, sampled) =
+          decoder.decodeFramesStrided(r.getString(1), payload, stride)
+        sampled.iterator.map { case (f, px) =>
           val hist = new Array[Long](16)
-          frames(f).foreach(b => hist((b & 0xff) / 16) += 1L)
-          Row(id, w, h, frames.length, f, hist.toSeq)
+          px.foreach(b => hist((b & 0xff) / 16) += 1L)
+          Row(id, w, h, nFrames, f, hist.toSeq)
         }
       }
     }(enc)

@@ -243,6 +243,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(signs.sum) < signs.length / 4, "sign matrix heavily biased")
   }
 
+  test("strided video decode equals full decode + filter for GIF and AVI") {
+    import graft.operators.Avi
+    for ((name, payload) <- Seq(
+        "gif" -> Multimodal.syntheticGif(5L, 6, 4, 5),
+        "avi" -> Avi.syntheticAviDib(5L, 6, 4, 5))) {
+      val (w, h, full) = Multimodal.JdkFrameDecoder.decodeFrames("video", payload)
+      for (stride <- Seq(1, 2, 3, 7)) {
+        val (sw, sh, n, sampled) =
+          Multimodal.JdkFrameDecoder.decodeFramesStrided("video", payload, stride)
+        assert((sw, sh, n) == (w, h, full.length), s"$name stride $stride dims")
+        assert(sampled.map(_._1).toSeq == (0 until full.length by stride).toSeq,
+          s"$name stride $stride indices")
+        assert(sampled.forall { case (i, px) => px.sameElements(full(i)) },
+          s"$name stride $stride pixels")
+      }
+    }
+  }
+
   test("feature hashing: signed bucket counts match brute force") {
     def h(prefix: String, tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
