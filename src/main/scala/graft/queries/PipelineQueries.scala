@@ -98,6 +98,26 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", $"j", $"val")
     }),
 
+    // End-to-end LEXICAL similarity without embeddings: hashed feature
+    // vectors (q165) densified in-row and fed to brute cosine top-k —
+    // the text half of the composition q159/q165 enable. Zero-norm
+    // vectors (sign-cancelled docs) are excluded on both sides.
+    "q169_hashed_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val hv = TextAnalysis.hashedFeatures(Tables(s, dir, "documents"),
+        "text", "doc_id", dim = 32)
+      val vecs = hv.groupBy($"doc_id")
+        .agg(map_from_arrays(collect_list($"j"), collect_list($"val"))
+          .as("__m"))
+        .select($"doc_id", transform(sequence(lit(0), lit(31)),
+          j => coalesce(element_at($"__m", j.cast("long")), lit(0L))
+            .cast("double")).as("__v"))
+        .where(aggregate($"__v", lit(0d), (a, x) => a + x * x) > 0)
+      Similarity.cosineTopK(vecs.where($"doc_id" < 16), vecs,
+          "doc_id", "__v", k = 3)
+        .select($"query_id", $"rk", $"neighbor_id")
+    }),
+
     // Johnson-Lindenstrauss ±1 random projection 64 → 16: the sign matrix
     // is a deterministic md5-parity literal and vectors are grid-quantized
     // first, so every output coordinate is an exact integer — row-local
@@ -2272,6 +2292,41 @@ object PipelineQueries extends QueryModule {
             FROM tok)
       SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(SUM(s) AS BIGINT) AS val
       FROM f GROUP BY 1, 2""",
+
+    "q169_hashed_cosine" -> s"""
+      WITH t AS (SELECT doc_id,
+                   string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks
+                 FROM documents),
+      tok AS (SELECT doc_id, tk FROM t, LATERAL UNNEST(toks) AS u(tk)
+              WHERE tk <> ''),
+      hv AS (SELECT doc_id,
+               ('0x' || substr(md5('fh:' || tk), 1, 12))::BIGINT % 32 AS j,
+               CAST(SUM(CASE WHEN ('0x' || substr(md5('sg:' || tk), 1, 12))::BIGINT
+                                  % 2 = 0
+                             THEN 1 ELSE -1 END) AS BIGINT) AS val
+             FROM tok GROUP BY 1, 2),
+      grid AS (SELECT d.doc_id, g.j
+               FROM (SELECT DISTINCT doc_id FROM hv) d,
+                    generate_series(0, 31) g(j)),
+      vv AS (SELECT grid.doc_id, grid.j, COALESCE(hv.val, 0) AS val
+             FROM grid LEFT JOIN hv ON grid.doc_id = hv.doc_id
+               AND grid.j = hv.j),
+      vec AS (SELECT doc_id, list(CAST(val AS DOUBLE) ORDER BY j) AS e
+              FROM vv GROUP BY 1),
+      nz AS (SELECT doc_id, e FROM vec WHERE list_inner_product(e, e) > 0),
+      scored AS (
+        SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+          list_inner_product(q.e, c.e) /
+            (sqrt(list_inner_product(q.e, q.e)) *
+             sqrt(list_inner_product(c.e, c.e))) AS cos
+        FROM nz q JOIN nz c ON q.doc_id <> c.doc_id
+        WHERE q.doc_id < 16),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id ASC) AS rk
+        FROM scored)
+      SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 3""",
 
     "q159_random_projection" -> """
       WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
