@@ -75,11 +75,22 @@ object Avi {
     var palette: Array[Byte] = null // luma per palette index, 8-bit DIBs
     var inVidsStrl = false
 
+    // every chunk-size field is attacker-controlled bytes: reject sizes
+    // that are negative (signed read of a huge u32) or that run past the
+    // payload — otherwise the walk loops forever or indexes out of bounds
+    def checkedSize(off: Int, end: Int): Int = {
+      val sz = leU32(payload, off + 4)
+      require(sz >= 0 && off + 8 + sz <= end,
+        s"corrupt AVI: chunk at offset $off declares size $sz beyond " +
+          s"the enclosing extent $end")
+      sz
+    }
+
     def walkHdrl(off0: Int, end: Int): Unit = {
       var off = off0
       while (off + 8 <= end) {
         val ckid = leU32(payload, off)
-        val sz = leU32(payload, off + 4)
+        val sz = checkedSize(off, end)
         val body = off + 8
         if (ckid == FccList && sz >= 4) {
           val listType = leU32(payload, body)
@@ -102,10 +113,15 @@ object Avi {
           biCompression = leU32(payload, body + 16)
           if (biBitCount == 8) {
             var clrUsed = leU32(payload, body + 32)
-            if (clrUsed == 0) clrUsed = 256
-            require(40 + 4 * clrUsed <= sz,
+            if (clrUsed == 0 || clrUsed > 256) clrUsed = 256
+            // long arithmetic: 4 * a huge u32 would overflow Int and
+            // bypass the truncation check
+            require(40L + 4L * clrUsed <= sz,
               s"8-bit DIB strf truncated: $clrUsed palette entries do not fit")
-            palette = new Array[Byte](clrUsed)
+            // a full 256-entry luma table regardless of biClrUsed: real
+            // encoders routinely emit pixel indices past a partial
+            // palette, and decoders map them to black rather than crash
+            palette = new Array[Byte](256)
             var i = 0
             while (i < clrUsed) { // RGBQUAD is B,G,R,reserved
               val p = body + 40 + 4 * i
@@ -150,7 +166,7 @@ object Avi {
       var off = off0
       while (off + 8 <= end) {
         val ckid = leU32(payload, off)
-        val sz = leU32(payload, off + 4)
+        val sz = checkedSize(off, end)
         val body = off + 8
         if (ckid == FccList && sz >= 4 && leU32(payload, body) == FccRec) {
           walkMovi(body + 4, body + sz) // interleaved record group
@@ -168,11 +184,13 @@ object Avi {
 
     // --- top-level walk ---
     var off = 12
-    val fileEnd = math.min(payload.length, 8 + leU32(payload, 4))
+    val riffSz = leU32(payload, 4)
+    val fileEnd =
+      if (riffSz < 0) payload.length else math.min(payload.length, 8 + riffSz)
     var moviAt = -1; var moviEnd = -1
     while (off + 8 <= fileEnd) {
       val ckid = leU32(payload, off)
-      val sz = leU32(payload, off + 4)
+      val sz = checkedSize(off, fileEnd)
       val body = off + 8
       if (ckid == FccList && sz >= 4) {
         val listType = leU32(payload, body)
@@ -184,6 +202,10 @@ object Avi {
     require(vidsStream >= 0, "AVI has no 'vids' stream")
     require(biWidth > 0 && biHeight != 0,
       "AVI 'vids' stream has no usable strf BITMAPINFOHEADER")
+    // header-claimed dimensions are untrusted: bound them so w*h and
+    // stride*h arithmetic below cannot overflow Int
+    require(biWidth <= 16384 && math.abs(biHeight) <= 16384,
+      s"implausible AVI dimensions ${biWidth}x$biHeight (max 16384)")
     require(moviAt >= 0, "AVI has no 'movi' list")
     walkMovi(moviAt, moviEnd)
     (biWidth, math.abs(biHeight), frameIdx, frames.toArray)
@@ -202,7 +224,8 @@ object Avi {
       case 8 =>
         require(palette != null, "8-bit DIB without a palette")
         val stride = (w + 3) & ~3
-        require(stride * h <= sz, s"8-bit DIB chunk truncated: need ${stride * h}, have $sz")
+        require(stride.toLong * h <= sz,
+          s"8-bit DIB chunk truncated: need ${stride.toLong * h}, have $sz")
         var y = 0
         while (y < h) {
           val srcRow = if (topDown) y else h - 1 - y
@@ -216,7 +239,8 @@ object Avi {
         }
       case 24 =>
         val stride = (3 * w + 3) & ~3
-        require(stride * h <= sz, s"24-bit DIB chunk truncated: need ${stride * h}, have $sz")
+        require(stride.toLong * h <= sz,
+          s"24-bit DIB chunk truncated: need ${stride.toLong * h}, have $sz")
         var y = 0
         while (y < h) {
           val srcRow = if (topDown) y else h - 1 - y

@@ -1486,7 +1486,15 @@ object Similarity {
     val signs: Seq[Seq[Double]] =
       Seq.tabulate(outDim, inDim)((j, i) => rpSign(i, j).toDouble)
     val signsLit = typedLit(signs)
-    val q = quantize(col(vecCol))
+    // a vector of the wrong length must fail LOUDLY: zip_with would pad
+    // the shorter side with nulls and the aggregate would emit null
+    // rows, silently poisoning downstream LSH/k-means
+    val checked = when(size(col(vecCol)) === inDim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit("randomProjection: vector length "),
+        size(col(vecCol)).cast("string"),
+        lit(s" != inDim $inDim for id "), col(idCol).cast("string"))))
+    val q = quantize(checked)
     df.select(col(idCol), posexplode(
       transform(signsLit, row =>
         aggregate(zip_with(q, row, (a, b) => a * b), lit(0d), _ + _)

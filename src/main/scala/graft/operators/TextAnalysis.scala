@@ -367,12 +367,12 @@ object TextAnalysis {
         explode(split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " "))
           .as("token"))
       .where(col("token") =!= "")
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("fh:"), col("token"))), 1, 12), 16, 10)
-        .cast("long"), lit(dim.toLong))
+    // ONE md5-prefix convention, owned by Sampling.hashBucket — bucket
+    // and sign are both instances of it (distinct prefixes decorrelate)
+    val bucket = Sampling.hashBucket(concat(lit("fh:"), col("token")), dim)
     val sign = when(
-      pmod(conv(substring(md5(concat(lit("sg:"), col("token"))), 1, 12), 16, 10)
-        .cast("long"), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L))
+      Sampling.hashBucket(concat(lit("sg:"), col("token")), 2) === 0,
+      lit(1L)).otherwise(lit(-1L))
     toks.select(col(idCol), bucket.as("j"), sign.as("__s"))
       .groupBy(col(idCol), col("j"))
       .agg(sum(col("__s")).as("val"))

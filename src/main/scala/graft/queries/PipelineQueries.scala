@@ -113,6 +113,7 @@ object PipelineQueries extends QueryModule {
           j => coalesce(element_at($"__m", j.cast("long")), lit(0L))
             .cast("double")).as("__v"))
         .where(aggregate($"__v", lit(0d), (a, x) => a + x * x) > 0)
+        .localCheckpoint(true) // feeds query AND corpus side: hash once
       Similarity.cosineTopK(vecs.where($"doc_id" < 16), vecs,
           "doc_id", "__v", k = 3)
         .select($"query_id", $"rk", $"neighbor_id")

@@ -56,7 +56,7 @@ object AnnIndex {
                               nGens: Int, indexDir: String,
                               centroids: DataFrame, codebook: DataFrame,
                               codes: DataFrame, asOf: Boolean = false,
-                              baseGen: Int = 0) {
+                              baseGen: Int = 0, asOfFence: Int = 0) {
 
     private def requireBatchManaged(verb: String): Unit = {
       // a time-travel handle reads a historical prefix of the committed
@@ -103,7 +103,7 @@ object AnnIndex {
         integerCb = trainUpdates == 0)
       writeCodes(exploded, idCol, indexDir, gen = nGens)
       writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-        quantizeScale, idCol, nGens + 1, baseGen)
+        quantizeScale, idCol, nGens + 1, baseGen, asOfFence)
       loadIvfPq(newCorpus.sparkSession, indexDir)
     }
 
@@ -126,7 +126,8 @@ object AnnIndex {
         .write.mode("append").partitionBy("gen", "cell")
         .parquet(s"$indexDir/codes")
       writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-        quantizeScale, idCol, nGens + 1, baseGen = nGens)
+        quantizeScale, idCol, nGens + 1, baseGen = nGens,
+        asOfFence = asOfFence)
       BucketFs.dropGensBelow(s"$indexDir/codes", nGens)
       loadIvfPq(spark, indexDir)
     }
@@ -187,6 +188,12 @@ object AnnIndex {
           BucketFs.deleteRecursive(old)
         }
         BucketFs.deleteRecursive(tmp)
+        // the rewrite mutated rows INSIDE historical generations: fence
+        // off every as-of point older than this head so time travel
+        // can never serve a silently-mutated state (compaction fences
+        // via base_gen; in-place deletes need their own marker)
+        writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+          quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
       }
       loadIvfPq(spark, indexDir)
     }
@@ -268,13 +275,15 @@ object AnnIndex {
   private def writeManifest(indexDir: String, residual: Boolean, dims: Int,
                             m: Int, k: Int, nList: Int, trainUpdates: Int,
                             quantizeScale: Option[Double], idCol: String,
-                            nGens: Int, baseGen: Int = 0): Unit = {
+                            nGens: Int, baseGen: Int = 0,
+                            asOfFence: Int = 0): Unit = {
     val manifest: Map[String, Any] = Map(
       "index_type" -> "ivf_pq", "residual" -> residual,
       "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
       "train_updates" -> trainUpdates,
       "quantize_scale" -> quantizeScale.map(_.asInstanceOf[Any]).orNull,
-      "id_col" -> idCol, "n_gens" -> nGens, "base_gen" -> baseGen)
+      "id_col" -> idCol, "n_gens" -> nGens, "base_gen" -> baseGen,
+      "as_of_fence" -> asOfFence)
     BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(toJValue(manifest))))
   }
@@ -385,7 +394,7 @@ object AnnIndex {
   private final case class Meta(dims: Int, m: Int, k: Int, nList: Int,
                                 scale: Option[Double], idCol: String,
                                 residual: Boolean, trainUpdates: Int,
-                                nGens: Int, baseGen: Int)
+                                nGens: Int, baseGen: Int, asOfFence: Int)
 
   private def readMeta(indexDir: String): Meta = {
     val p = s"$indexDir/$ManifestFile"
@@ -437,9 +446,15 @@ object AnnIndex {
       case other => throw new IllegalArgumentException(
         s"bad base_gen in manifest: $other")
     }
+    val asOfFence = mf \ "as_of_fence" match {
+      case JInt(x) => x.toInt
+      case JNothing | JNull => 0 // no in-place mutation recorded
+      case other => throw new IllegalArgumentException(
+        s"bad as_of_fence in manifest: $other")
+    }
     Meta(num("dims").toInt, num("m").toInt, num("k").toInt,
       num("n_list").toInt, scale, idCol, residual, trainUpdates, nGens,
-      baseGen)
+      baseGen, asOfFence)
   }
 
   /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames).
@@ -450,7 +465,11 @@ object AnnIndex {
     * since appending to a historical prefix would fork history). Exact by
     * construction: centroids and codebook are frozen at save time and
     * appends only add code generations, so a search as-of gen G returns
-    * byte-identical results to a search run when gen G was the head. The
+    * byte-identical results to a search run when gen G was the head —
+    * guarded: states older than a compaction base or an in-place
+    * [[IvfPqIndex.delete]] (which rewrites rows inside historical
+    * generations; tracked via the manifest `as_of_fence`) are REFUSED
+    * rather than served subtly wrong. The
     * generation filter is a partition-directory predicate — Catalyst
     * prunes the newer `gen=N` directories, so an as-of read never even
     * lists the data it excludes. Requires the generational layout (not
@@ -473,6 +492,13 @@ object AnnIndex {
           s"as-of generation $asOfGen is at or before the compaction " +
             s"base ${mt.baseGen} in $indexDir — that history has been " +
             "folded away")
+        // delete() rewrites code rows INSIDE historical generations, so
+        // every state older than the delete point would read back
+        // subtly wrong (missing the tombstoned ids) — refuse instead
+        require(asOfGen >= mt.asOfFence,
+          s"as-of generation $asOfGen predates an in-place delete " +
+            s"(fence ${mt.asOfFence}) in $indexDir — that history was " +
+            "mutated and is no longer exact")
         asOfGen
       } else mt.nGens
     // cell is a directory-partition column: its read-back type depends on
@@ -490,7 +516,7 @@ object AnnIndex {
       mt.residual, mt.trainUpdates, effGens, indexDir,
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebook"), codes,
-      asOf = asOfGen >= 0, baseGen = mt.baseGen)
+      asOf = asOfGen >= 0, baseGen = mt.baseGen, asOfFence = mt.asOfFence)
   }
 
   private def toJValue(v: Any): JValue = v match {

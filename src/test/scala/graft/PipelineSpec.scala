@@ -213,6 +213,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported AVI video compression"))
   }
 
+  test("avi: corrupt chunk sizes fail loudly instead of looping or OOB") {
+    import graft.operators.Avi
+    val good = Avi.syntheticAviDib(1L, 6, 4, 2)
+    // negative chunk size (0xFFFFFFF8) on the first top-level LIST:
+    // unguarded, off = body + sz + (sz & 1) would never advance
+    val neg = good.clone()
+    neg(16) = 0xf8.toByte; neg(17) = 0xff.toByte
+    neg(18) = 0xff.toByte; neg(19) = 0xff.toByte
+    val e1 = intercept[IllegalArgumentException](Avi.decodeAviFrames(neg))
+    assert(e1.getMessage.contains("corrupt AVI"))
+    // size running past the payload
+    val over = good.clone()
+    over(16) = 0xff.toByte; over(17) = 0xff.toByte
+    over(18) = 0x00.toByte; over(19) = 0x00.toByte
+    val e2 = intercept[IllegalArgumentException](Avi.decodeAviFrames(over))
+    assert(e2.getMessage.contains("corrupt AVI"))
+    // truncated payload: enclosing extents shrink with it
+    intercept[IllegalArgumentException](
+      Avi.decodeAviFrames(good.take(good.length / 2)))
+  }
+
+  test("AnnIndex.delete fences off older as-of history") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 48L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annidx_fence").toString
+    try {
+      graft.sources.AnnIndex.saveIvfPq(vecs.where($"vec_id" < 32),
+        "vec_id", "embedding", dir, dims = 8, m = 2, k = 4, nList = 4)
+      graft.sources.AnnIndex.loadIvfPq(spark, dir)
+        .append(vecs.where($"vec_id" >= 32), "embedding")
+        .delete(Seq(1L, 2L))
+      // the delete rewrote rows inside gen 0: as-of gen 1 would read a
+      // mutated history — refused
+      val e = intercept[IllegalArgumentException](
+        graft.sources.AnnIndex.loadIvfPq(spark, dir, asOfGen = 1))
+      assert(e.getMessage.contains("in-place delete"))
+      // the post-delete head state is still reachable as-of
+      assert(graft.sources.AnnIndex.loadIvfPq(spark, dir, asOfGen = 2)
+        .codes.count() == 46L)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
+  test("randomProjection: wrong-length vectors fail loudly, not null") {
+    import graft.operators.Similarity
+    val bad = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.randomProjection(bad, "vec_id", "embedding",
+        inDim = 3, outDim = 2).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("randomProjection"),
+      s"expected a loud length error, got: $messages")
+  }
+
   private def indexOfBytes(hay: Array[Byte], needle: Array[Byte]): Int = {
     var i = 0
     while (i + needle.length <= hay.length) {
