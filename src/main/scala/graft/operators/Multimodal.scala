@@ -438,6 +438,47 @@ object Multimodal {
     }(enc)
   }
 
+  /** Strided frame decode + per-frame nearest resize + exact histogram:
+    * the video preprocessing chain a training pipeline runs before
+    * batching frames (sample → decode → resize), with the stride pushed
+    * into the decoder so unsampled frames never decode (see
+    * [[FrameDecoder.decodeFramesStrided]]) and [[resizeNearest]]'s
+    * integer index map keeping the result closed-form/oracle-exact. One
+    * row per sampled frame: (asset_id, width, height, n_frames,
+    * frame_idx, out_w, out_h, 16-bin histogram of resized pixels). */
+  def extractResizedFrameFeatures(spark: SparkSession, assets: DataFrame,
+                                  stride: Int, outW: Int, outH: Int,
+                                  decoder: FrameDecoder = JdkFrameDecoder): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    require(outW >= 1 && outH >= 1, "output dims must be >= 1")
+    val schema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("hist", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    assets.select("asset_id", "media_type", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        val (w, h, nFrames, sampled) =
+          decoder.decodeFramesStrided(r.getString(1), payload, stride)
+        sampled.iterator.map { case (f, px) =>
+          val resized = resizeNearest(px, w, h, outW, outH)
+          val hist = new Array[Long](16)
+          resized.foreach(b => hist((b & 0xff) / 16) += 1L)
+          Row(id, w, h, nFrames, f, outW, outH, hist.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling for video assets: every `stride`-th frame index up to
     * nFrames (plan-level; the stub decoder returns one frame). */
   def sampleFrameIndices(features: DataFrame, stride: Int): DataFrame =

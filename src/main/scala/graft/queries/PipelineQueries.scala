@@ -422,6 +422,27 @@ object PipelineQueries extends QueryModule {
           posexplode($"hist").as(Seq("bin", "cnt")))
     }),
 
+    // Video preprocessing chain: strided AVI decode (unsampled frames
+    // never decode) → nearest resize 8x8 → 4x4 → exact histograms.
+    // resizeNearest's integer index map (in-x = 2·out-x) keeps the
+    // composition closed-form, so the oracle needs no decoder OR resizer.
+    "q170_video_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val avis = ids
+        .mapPartitions(it => it.map { id =>
+          (id, Avi.syntheticAviDib(id, 8, 8, (id % 3 + 2).toInt,
+            bitCount = if (id % 2 == 0) 8 else 24))
+        })
+        .toDF("doc_id", "avi")
+        .withColumn("src", lit("synthetic_avi"))
+      val assets = Multimodal.toAssets(avis, "doc_id", "avi", "video", "src")
+      Multimodal.extractResizedFrameFeatures(s, assets, stride = 2,
+          outW = 4, outH = 4)
+        .select($"asset_id", $"width", $"height", $"n_frames", $"frame_idx",
+          $"out_w", $"out_h", posexplode($"hist").as(Seq("bin", "cnt")))
+    }),
+
     // Gopher-style repetition filters: duplicate-token mass and top-2-gram
     // dominance as exact integers.
     "q50_repetition" -> ((s, dir) =>
@@ -2458,6 +2479,26 @@ object PipelineQueries extends QueryModule {
              FROM fr, (SELECT UNNEST(generate_series(0, 15)) AS bin))
       SELECT db.asset_id, 8 AS width, 8 AS height, CAST(db.nf AS INT) AS n_frames,
         CAST(db.f AS INT) AS frame_idx, CAST(db.bin AS INT) AS bin,
+        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM db LEFT JOIN c
+        ON db.asset_id = c.asset_id AND db.f = c.f AND db.bin = c.bin""",
+
+    "q170_video_resize" -> """
+      WITH d AS (SELECT doc_id AS asset_id, doc_id % 3 + 2 AS nf FROM documents),
+      fr AS (SELECT asset_id, nf, f
+             FROM d, generate_series(0, 3) g(f)
+             WHERE f < nf AND f % 2 = 0),
+      px AS (
+        SELECT asset_id, nf, f,
+          (asset_id * 37 + f * 43 + (2 * x) * 5 + (2 * y) * 11) % 256 AS v
+        FROM fr, generate_series(0, 3) gx(x), generate_series(0, 3) gy(y)),
+      c AS (SELECT asset_id, f, v // 16 AS bin, COUNT(*) AS cnt
+            FROM px GROUP BY 1, 2, 3),
+      db AS (SELECT asset_id, nf, f, bin
+             FROM fr, (SELECT UNNEST(generate_series(0, 15)) AS bin))
+      SELECT db.asset_id, 8 AS width, 8 AS height, CAST(db.nf AS INT) AS n_frames,
+        CAST(db.f AS INT) AS frame_idx, 4 AS out_w, 4 AS out_h,
+        CAST(db.bin AS INT) AS bin,
         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
       FROM db LEFT JOIN c
         ON db.asset_id = c.asset_id AND db.f = c.f AND db.bin = c.bin""",

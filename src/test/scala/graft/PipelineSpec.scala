@@ -319,6 +319,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resized frame features: strided decode + nearest resize closed form") {
+    import graft.operators.Avi
+    val avis = Seq((7L, Avi.syntheticAviDib(7L, 8, 8, 3)))
+      .toDF("doc_id", "payload")
+      .withColumn("src", lit("t"))
+    val assets = Multimodal.toAssets(avis, "doc_id", "payload", "video", "src")
+    val rows = Multimodal.extractResizedFrameFeatures(spark, assets,
+        stride = 2, outW = 4, outH = 4)
+      .collect()
+    assert(rows.map(r => r.getAs[Int]("frame_idx")).sorted.toSeq == Seq(0, 2))
+    for (r <- rows) {
+      assert((r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("n_frames"), r.getAs[Int]("out_w"),
+        r.getAs[Int]("out_h")) == (8, 8, 3, 4, 4))
+      val f = r.getAs[Int]("frame_idx")
+      val expect = new Array[Long](16)
+      for (y <- 0 until 4; x <- 0 until 4)
+        expect(Avi.syntheticLuma(7L, f, 2 * x, 2 * y) / 16) += 1L
+      assert(r.getSeq[Long](r.fieldIndex("hist")) == expect.toSeq,
+        s"frame $f histogram")
+    }
+  }
+
   test("feature hashing: signed bucket counts match brute force") {
     def h(prefix: String, tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
