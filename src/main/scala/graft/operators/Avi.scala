@@ -39,6 +39,7 @@ object Avi {
   private val FccStrh = 0x68727473 // "strh"
   private val FccStrf = 0x66727473 // "strf"
   private val FccVids = 0x73646976 // "vids"
+  private val FccAuds = 0x73647561 // "auds"
   private val FccMovi = 0x69766f6d // "movi"
   private val FccRec = 0x20636572 // "rec "
   private val FccMjpg = 0x47504a4d // "MJPG"
@@ -295,6 +296,128 @@ object Avi {
     out
   }
 
+  /** Decode the first `auds` (PCM audio) stream of an AVI — the audio
+    * half of an interleaved A/V container. Returns the same contract as
+    * the WAV path of [[Multimodal.JdkMediaDecoder]]: (sampleRate,
+    * channels, frameCount, first-channel samples as unsigned 8-bit) —
+    * 8-bit unsigned PCM passes through untouched, 16-bit signed
+    * little-endian PCM keeps the high byte shifted to unsigned.
+    * Non-PCM audio codecs (MP3-in-AVI etc.) are rejected loudly. */
+  def decodeAviAudio(payload: Array[Byte]): (Int, Int, Int, Array[Byte]) = {
+    require(isAvi(payload), "payload is not a RIFF/AVI container")
+    var streamIdx = -1
+    var audsStream = -1
+    var inAudsStrl = false
+    var formatTag = 0; var channels = 0; var sampleRate = 0
+    var blockAlign = 0; var bits = 0
+
+    def checkedSize(off: Int, end: Int): Int = {
+      val sz = leU32(payload, off + 4)
+      require(sz >= 0 && off + 8 + sz <= end,
+        s"corrupt AVI: chunk at offset $off declares size $sz beyond " +
+          s"the enclosing extent $end")
+      sz
+    }
+
+    def walkHdrl(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val ckid = leU32(payload, off)
+        val sz = checkedSize(off, end)
+        val body = off + 8
+        if (ckid == FccList && sz >= 4) {
+          val listType = leU32(payload, body)
+          if (listType == FccStrl) { streamIdx += 1; inAudsStrl = false }
+          walkHdrl(body + 4, body + sz)
+        } else if (ckid == FccStrh && sz >= 8) {
+          val fccType = leU32(payload, body)
+          if (fccType == FccAuds && audsStream < 0) {
+            audsStream = streamIdx
+            inAudsStrl = true
+          } else inAudsStrl = false
+        } else if (ckid == FccStrf && inAudsStrl && sz >= 16) {
+          // WAVEFORMATEX: tag(2) ch(2) rate(4) avgBps(4) align(2) bits(2)
+          formatTag = leU32(payload, body) & 0xffff
+          channels = (leU32(payload, body) >>> 16) & 0xffff
+          sampleRate = leU32(payload, body + 4)
+          blockAlign = leU32(payload, body + 12) & 0xffff
+          bits = (leU32(payload, body + 12) >>> 16) & 0xffff
+        }
+        off = body + sz + (sz & 1)
+      }
+    }
+
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    lazy val wantPrefix =
+      ((('0' + audsStream % 10) & 0xff) << 8) | (('0' + audsStream / 10) & 0xff)
+
+    def walkMovi(off0: Int, end: Int): Unit = {
+      var off = off0
+      while (off + 8 <= end) {
+        val ckid = leU32(payload, off)
+        val sz = checkedSize(off, end)
+        val body = off + 8
+        if (ckid == FccList && sz >= 4 && leU32(payload, body) == FccRec) {
+          walkMovi(body + 4, body + sz)
+        } else if ((ckid & 0xffff) == wantPrefix &&
+            (ckid >>> 16) == 0x6277) { // "wb": audio data
+          chunks += ((body, sz))
+        }
+        off = body + sz + (sz & 1)
+      }
+    }
+
+    var off = 12
+    val riffSz = leU32(payload, 4)
+    val fileEnd =
+      if (riffSz < 0) payload.length else math.min(payload.length, 8 + riffSz)
+    var moviAt = -1; var moviEnd = -1
+    while (off + 8 <= fileEnd) {
+      val ckid = leU32(payload, off)
+      val sz = checkedSize(off, fileEnd)
+      val body = off + 8
+      if (ckid == FccList && sz >= 4) {
+        val listType = leU32(payload, body)
+        if (listType == FccHdrl) walkHdrl(body + 4, body + sz)
+        else if (listType == FccMovi) { moviAt = body + 4; moviEnd = body + sz }
+      }
+      off = body + sz + (sz & 1)
+    }
+    require(audsStream >= 0, "AVI has no 'auds' stream")
+    require(formatTag == 1,
+      s"unsupported AVI audio format tag $formatTag (integer PCM only)")
+    require(bits == 8 || bits == 16,
+      s"unsupported audio sample size $bits bits (8/16-bit PCM only)")
+    require(channels >= 1 && sampleRate >= 1 && blockAlign >= 1,
+      "AVI 'auds' stream has no usable WAVEFORMATEX")
+    require(moviAt >= 0, "AVI has no 'movi' list")
+    walkMovi(moviAt, moviEnd)
+    val total = chunks.map(_._2).sum
+    val nFrames = total / blockAlign
+    val samples = new Array[Byte](nFrames)
+    var f = 0
+    var chunkI = 0
+    var consumed = 0 // bytes of prior chunks
+    var (cOff, cSz) = if (chunks.isEmpty) (0, 0) else chunks(0)
+    while (f < nFrames) {
+      var base = f * blockAlign - consumed // first channel of frame f
+      while (base >= cSz) { // advance to the chunk holding this frame
+        consumed += cSz; base -= cSz
+        chunkI += 1
+        val c = chunks(chunkI); cOff = c._1; cSz = c._2
+      }
+      // frames never straddle chunks (writers chunk on blockAlign
+      // boundaries; enforce rather than silently mis-decode)
+      require(base + (if (bits == 8) 1 else 2) <= cSz,
+        s"AVI audio frame $f straddles a chunk boundary")
+      samples(f) =
+        if (bits == 8) payload(cOff + base) // 8-bit PCM is unsigned
+        else (payload(cOff + base + 1) + 128).toByte // LE: high byte
+      f += 1
+    }
+    (sampleRate, channels, nFrames, samples)
+  }
+
   // ------------------------------------------------------------------
   // Synthetic writers (deterministic fixtures; see object scaladoc)
   // ------------------------------------------------------------------
@@ -380,6 +503,123 @@ object Avi {
     }
     buildAvi(w, h, frames, bitCount = 24, topDown = false,
       compression = FccMjpg, handler = FccMjpg, chunkSuffix = "dc")
+  }
+
+  /** Closed-form PCM sample for the interleaved fixture — the same
+    * construction as `Multimodal.syntheticWav` (sample j of asset `id` is
+    * `(id*17 + j*29) mod 256`), so the two audio containers share one
+    * oracle. */
+  def syntheticPcmSample(id: Long, j: Int): Int =
+    java.lang.Math.floorMod(id * 17 + j * 29, 256L).toInt
+
+  /** INTERLEAVED A/V AVI: DIB video as stream 0 ([[syntheticLuma]]
+    * pixels) and integer PCM mono audio as stream 1
+    * ([[syntheticPcmSample]] samples, split across one '01wb' chunk per
+    * video frame — the classic interleaving). `bits` 8 writes unsigned
+    * 8-bit PCM; 16 writes signed little-endian 16-bit whose high byte
+    * reads back as the same closed form. Exercises stream SELECTION:
+    * a video decode of this file must skip the audio chunks and vice
+    * versa. */
+  def syntheticAviInterleaved(id: Long, w: Int, h: Int, nFrames: Int,
+                              nSamples: Int, sampleRate: Int,
+                              bits: Int = 8): Array[Byte] = {
+    require(nFrames >= 1, "need at least one video frame")
+    require(bits == 8 || bits == 16, "bits must be 8 or 16")
+    val stride = (w + 3) & ~3
+    val vFrames = Array.tabulate(nFrames) { f =>
+      val data = new Array[Byte](stride * h)
+      var y = 0
+      while (y < h) {
+        val row = h - 1 - y // bottom-up
+        var x = 0
+        while (x < w) {
+          data(row * stride + x) = syntheticLuma(id, f, x, y).toByte
+          x += 1
+        }
+        y += 1
+      }
+      data
+    }
+    val blockAlign = bits / 8
+    val perChunk = (nSamples + nFrames - 1) / nFrames
+    val aChunks = Array.tabulate(nFrames) { f =>
+      val lo = math.min(f * perChunk, nSamples)
+      val hi = math.min(lo + perChunk, nSamples)
+      val data = new Array[Byte]((hi - lo) * blockAlign)
+      var j = lo
+      while (j < hi) {
+        val v = syntheticPcmSample(id, j)
+        if (bits == 8) data(j - lo) = v.toByte
+        else { // signed 16-bit LE with high byte = v - 128
+          data((j - lo) * 2) = 0
+          data((j - lo) * 2 + 1) = (v - 128).toByte
+        }
+        j += 1
+      }
+      data
+    }
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      bos.write(v & 0xff); bos.write((v >>> 8) & 0xff)
+      bos.write((v >>> 16) & 0xff); bos.write((v >>> 24) & 0xff)
+    }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >>> 8) & 0xff) }
+    def fcc(s: String): Unit = { require(s.length == 4); s.foreach(c => bos.write(c & 0xff)) }
+
+    val strfV = 40 + 256 * 4
+    val strlV = 4 + (8 + 56) + (8 + strfV)
+    val strfA = 16 // WAVEFORMATEX without cbSize
+    val strlA = 4 + (8 + 56) + (8 + strfA)
+    val hdrlSize = 4 + (8 + 56) + (8 + strlV) + (8 + strlA)
+    def padded(n: Int) = 8 + n + (n & 1)
+    val moviSize = 4 + vFrames.map(f => padded(f.length)).sum +
+      aChunks.map(c => padded(c.length)).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val maxFrame = vFrames.map(_.length).max
+
+    fcc("RIFF"); u32(riffSize); fcc("AVI ")
+    fcc("LIST"); u32(hdrlSize); fcc("hdrl")
+    fcc("avih"); u32(56)
+    u32(40000); u32(maxFrame * 25); u32(0); u32(0)
+    u32(nFrames); u32(0); u32(2); u32(maxFrame)
+    u32(w); u32(h); u32(0); u32(0); u32(0); u32(0)
+    // stream 0: video (8-bit DIB, identity palette)
+    fcc("LIST"); u32(strlV); fcc("strl")
+    fcc("strh"); u32(56)
+    fcc("vids"); fcc("DIB ")
+    u32(0); u16(0); u16(0); u32(0)
+    u32(1); u32(25); u32(0); u32(nFrames)
+    u32(maxFrame); u32(-1); u32(0)
+    u16(0); u16(0); u16(w); u16(h)
+    fcc("strf"); u32(strfV)
+    u32(40); u32(w); u32(h); u16(1); u16(8)
+    u32(BiRgb); u32(stride * h); u32(0); u32(0); u32(256); u32(0)
+    var i = 0
+    while (i < 256) { bos.write(i); bos.write(i); bos.write(i); bos.write(0); i += 1 }
+    // stream 1: audio (integer PCM mono)
+    fcc("LIST"); u32(strlA); fcc("strl")
+    fcc("strh"); u32(56)
+    fcc("auds"); u32(0)
+    u32(0); u16(0); u16(0); u32(0)
+    u32(1); u32(sampleRate); u32(0); u32(nSamples)
+    u32(perChunk * blockAlign); u32(-1); u32(blockAlign)
+    u16(0); u16(0); u16(0); u16(0)
+    fcc("strf"); u32(strfA)
+    u16(1); u16(1) // PCM, mono
+    u32(sampleRate); u32(sampleRate * blockAlign)
+    u16(blockAlign); u16(bits)
+    // movi: interleave one audio chunk after each video frame
+    fcc("LIST"); u32(moviSize); fcc("movi")
+    var f = 0
+    while (f < nFrames) {
+      fcc("00db"); u32(vFrames(f).length); bos.write(vFrames(f))
+      if ((vFrames(f).length & 1) == 1) bos.write(0)
+      fcc("01wb"); u32(aChunks(f).length); bos.write(aChunks(f))
+      if ((aChunks(f).length & 1) == 1) bos.write(0)
+      f += 1
+    }
+    bos.toByteArray
   }
 
   /** Assemble RIFF/AVI: hdrl (avih + one strl), movi, idx1. */

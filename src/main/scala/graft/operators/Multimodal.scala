@@ -114,6 +114,10 @@ object Multimodal {
   object JdkMediaDecoder extends MediaDecoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int, Array[Byte]) =
       mediaType match {
+        case "audio" if Avi.isAvi(payload) =>
+          // PCM audio stream of an (interleaved) AVI container — same
+          // output contract as the WAV path below
+          Avi.decodeAviAudio(payload)
         case "audio" =>
           val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(payload))

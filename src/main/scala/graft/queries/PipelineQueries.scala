@@ -422,6 +422,30 @@ object PipelineQueries extends QueryModule {
           posexplode($"hist").as(Seq("bin", "cnt")))
     }),
 
+    // PCM audio decoded out of an INTERLEAVED A/V AVI: the same
+    // closed-form samples as q59's WAV path (one shared oracle), but the
+    // decoder must select the 'auds' stream and skip the video chunks
+    // woven between its data. Alternating 8/16-bit PCM by id parity.
+    "q171_audio_avi" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val avis = ids
+        .mapPartitions(it => it.map { id =>
+          (id, Avi.syntheticAviInterleaved(id, 8, 8, (id % 3 + 2).toInt,
+            nSamples = 512, sampleRate = 8000,
+            bits = if (id % 2 == 0) 8 else 16))
+        })
+        .toDF("doc_id", "avi")
+        .withColumn("src", lit("synthetic_avi_av"))
+      val assets = Multimodal.toAssets(avis, "doc_id", "avi", "audio", "src")
+      val feats = Multimodal.extractFeatures(s, assets, Multimodal.JdkMediaDecoder)
+      feats.select($"asset_id", $"width".as("sample_rate"),
+          $"height".as("channels"), $"n_frames",
+          posexplode($"feature").as(Seq("bin", "frac")))
+        .select($"asset_id", $"sample_rate", $"channels", $"n_frames", $"bin",
+          round($"frac" * $"n_frames").cast("long").as("cnt"))
+    }),
+
     // Video preprocessing chain: strided AVI decode (unsampled frames
     // never decode) → nearest resize 8x8 → 4x4 → exact histograms.
     // resizeNearest's integer index map (in-x = 2·out-x) keeps the
@@ -1661,6 +1685,23 @@ object PipelineQueries extends QueryModule {
         CAST(SUM(q) AS BIGINT) AS logprob_q4
       FROM s GROUP BY 1"""
 
+  /** q59/q171 shared PCM-sample histogram oracle: 512 closed-form
+    * samples per asset, 16 bins — the WAV and interleaved-AVI audio
+    * paths decode to the same bytes. */
+  private lazy val pcmHistogramOracle: String = """
+      WITH d AS (SELECT doc_id AS asset_id FROM documents),
+      sm AS (
+        SELECT asset_id, (asset_id * 17 + j * 29) % 256 AS v
+        FROM d, generate_series(0, 511) g(j)),
+      c AS (SELECT asset_id, v // 16 AS bin, COUNT(*) AS cnt
+            FROM sm GROUP BY 1, 2),
+      db AS (SELECT asset_id, bin
+             FROM d, (SELECT UNNEST(generate_series(0, 15)) AS bin))
+      SELECT db.asset_id, 8000 AS sample_rate, 1 AS channels,
+        512 AS n_frames, CAST(db.bin AS INT) AS bin,
+        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin"""
+
   private def normSql(t: String) =
     s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
 
@@ -2431,19 +2472,8 @@ object PipelineQueries extends QueryModule {
         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
       FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
 
-    "q59_audio_decode" -> """
-      WITH d AS (SELECT doc_id AS asset_id FROM documents),
-      sm AS (
-        SELECT asset_id, (asset_id * 17 + j * 29) % 256 AS v
-        FROM d, generate_series(0, 511) g(j)),
-      c AS (SELECT asset_id, v // 16 AS bin, COUNT(*) AS cnt
-            FROM sm GROUP BY 1, 2),
-      db AS (SELECT asset_id, bin
-             FROM d, (SELECT UNNEST(generate_series(0, 15)) AS bin))
-      SELECT db.asset_id, 8000 AS sample_rate, 1 AS channels,
-        512 AS n_frames, CAST(db.bin AS INT) AS bin,
-        CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
-      FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin""",
+    "q59_audio_decode" -> pcmHistogramOracle,
+    "q171_audio_avi" -> pcmHistogramOracle,
 
     "q68_video_frames" -> """
       WITH d AS (SELECT doc_id AS asset_id, doc_id % 3 + 2 AS nf FROM documents),

@@ -213,6 +213,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported AVI video compression"))
   }
 
+  test("avi: interleaved A/V — each decoder selects its stream exactly") {
+    import graft.operators.Avi
+    for (bits <- Seq(8, 16)) {
+      val av = Avi.syntheticAviInterleaved(9L, 6, 4, 3,
+        nSamples = 100, sampleRate = 8000, bits = bits)
+      // video decode skips the interleaved '01wb' audio chunks
+      val (w, h, frames) = Avi.decodeAviFrames(av)
+      assert((w, h, frames.length) == (6, 4, 3), s"bits=$bits video dims")
+      for (f <- 0 until 3; y <- 0 until 4; x <- 0 until 6)
+        assert((frames(f)(y * 6 + x) & 0xff) == Avi.syntheticLuma(9L, f, x, y))
+      // audio decode skips the '00db' video chunks
+      val (rate, ch, n, samples) = Avi.decodeAviAudio(av)
+      assert((rate, ch, n) == (8000, 1, 100), s"bits=$bits audio shape")
+      for (j <- 0 until 100)
+        assert((samples(j) & 0xff) == Avi.syntheticPcmSample(9L, j),
+          s"bits=$bits sample $j")
+      // the media seam routes AVI audio through the container parser
+      val (mr, mc, mn, ms) = Multimodal.JdkMediaDecoder.decode("audio", av)
+      assert((mr, mc, mn) == (8000, 1, 100) && ms.sameElements(samples))
+    }
+    // an audio decode of a video-only AVI fails loudly
+    intercept[IllegalArgumentException](
+      Avi.decodeAviAudio(Avi.syntheticAviDib(1L, 4, 4, 2)))
+  }
+
   test("avi: corrupt chunk sizes fail loudly instead of looping or OOB") {
     import graft.operators.Avi
     val good = Avi.syntheticAviDib(1L, 6, 4, 2)
