@@ -255,4 +255,44 @@ class PropertySpec extends AnyFunSuite {
       assert(Geodesic.inverse(lon1, lat1, lon1, lat1) == 0.0)
     }
   }
+
+  test("∀ random dims/layouts: AVI raw-DIB write→parse round-trips exactly") {
+    import graft.operators.Avi
+    for (_ <- 1 to 40) {
+      val id = rng.nextLong() & 0x7fffffffffffffffL
+      val w = 1 + rng.nextInt(13)
+      val h = 1 + rng.nextInt(11)
+      val n = 1 + rng.nextInt(5)
+      val bits = if (rng.nextBoolean()) 8 else 24
+      val topDown = rng.nextBoolean()
+      val stride = 1 + rng.nextInt(3)
+      val payload = Avi.syntheticAviDib(id, w, h, n, bits, topDown)
+      val (pw, ph, total, sampled) = Avi.decodeAviFramesStrided(payload, stride)
+      assert((pw, ph, total) == (w, h, n),
+        s"dims for id=$id ${w}x$h n=$n bits=$bits topDown=$topDown")
+      assert(sampled.map(_._1).toSeq == (0 until n by stride).toSeq)
+      for ((f, px) <- sampled; y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) == Avi.syntheticLuma(id, f, x, y),
+          s"pixel ($x,$y) frame $f id=$id bits=$bits topDown=$topDown " +
+            s"w=$w h=$h (stride padding)")
+    }
+  }
+
+  test("∀ random sample counts: interleaved AVI audio round-trips exactly") {
+    import graft.operators.Avi
+    for (_ <- 1 to 20) {
+      val id = rng.nextLong() & 0x7fffffffffffffffL
+      val nFrames = 1 + rng.nextInt(4)
+      val nSamples = 1 + rng.nextInt(300)
+      val bits = if (rng.nextBoolean()) 8 else 16
+      val av = Avi.syntheticAviInterleaved(id, 4, 4, nFrames,
+        nSamples, 8000, bits)
+      val (rate, ch, n, samples) = Avi.decodeAviAudio(av)
+      assert((rate, ch, n) == (8000, 1, nSamples),
+        s"shape id=$id nFrames=$nFrames nSamples=$nSamples bits=$bits")
+      for (j <- 0 until nSamples)
+        assert((samples(j) & 0xff) == Avi.syntheticPcmSample(id, j),
+          s"sample $j id=$id bits=$bits")
+    }
+  }
 }
