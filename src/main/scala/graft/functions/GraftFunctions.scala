@@ -54,6 +54,13 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize",
+      exprs => {
+        require(exprs.length == 1, "nfc_normalize(string) expects 1 argument")
+        NfcNormalize(exprs(0))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantile_sketch",
       exprs => {
         require(exprs.length == 3,

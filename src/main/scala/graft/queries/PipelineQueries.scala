@@ -88,6 +88,26 @@ object PipelineQueries extends QueryModule {
         .select($"query_id", $"rk", $"neighbor_id")
     }),
 
+    // Unicode NFC normalization (codegen'd Catalyst expression over the
+    // JDK Normalizer): decomposed combining sequences — appended here as
+    // a deterministic suffix, since the corpus is ASCII — must compose
+    // to their canonical forms, or dedup keys and n-gram stats fragment
+    // by input source. The oracle is DuckDB's own nfc_normalize.
+    "q172_unicode_nfc" -> ((s, dir) => {
+      import s.implicits._
+      // DECOMPOSED combining sequences (explicit escapes, no literal
+      // precomposed chars): e+U+0301 composes to \u00e9, A+U+030A to \u00c5
+      val suffix = " cafe\u0301 A\u030A"
+      val t = concat(coalesce($"text", lit("")), lit(suffix))
+      Tables(s, dir, "documents").select(
+        $"doc_id",
+        graft.functions.NfcNormalize.column(t).as("nfc_text"),
+        (graft.functions.NfcNormalize.column(t) =!= t).as("changed"),
+        length(t).cast("long").as("n_chars_raw"),
+        length(graft.functions.NfcNormalize.column(t)).cast("long")
+          .as("n_chars_nfc"))
+    }),
+
     // Feature hashing (signed hashing trick): vocabulary-free doc → 32-dim
     // signed count vector, exact integers under the md5 convention — one
     // explode + one hash aggregation, no fitted dictionary, no join.
@@ -2340,6 +2360,16 @@ object PipelineQueries extends QueryModule {
           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rk
         FROM scored)
       SELECT query_id, rk, neighbor_id FROM ranked WHERE rk <= 3""",
+
+    "q172_unicode_nfc" -> """
+      WITH t AS (SELECT doc_id,
+          COALESCE(text, '') || ' cafe' || chr(769) || ' A' || chr(778) AS raw
+        FROM documents)
+      SELECT doc_id, nfc_normalize(raw) AS nfc_text,
+        nfc_normalize(raw) <> raw AS changed,
+        CAST(length(raw) AS BIGINT) AS n_chars_raw,
+        CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_nfc
+      FROM t""",
 
     "q165_feature_hashing" -> s"""
       WITH t AS (SELECT doc_id,

@@ -367,6 +367,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_normalize: composes combining sequences, idempotent, SQL-registered") {
+    import graft.functions.NfcNormalize
+    // explicit escapes only: literal accented chars in source are
+    // ambiguous about their normalization form
+    val decomposed = "cafe\u0301" // e + combining acute
+    val composed = "caf\u00e9" // precomposed
+    val df = Seq(
+      (1L, decomposed),
+      (2L, composed), // already NFC
+      (3L, "A\u030A b"), // A + combining ring
+      (4L, null.asInstanceOf[String])).toDF("id", "t")
+    val got = df.select($"id", NfcNormalize.column($"t").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == composed && got(2L) == composed)
+    assert(got(3L) == "\u00c5 b")
+    assert(got.get(4L).contains(null))
+    // idempotent: normalizing an NFC string is a no-op
+    assert(df.select(NfcNormalize.column(NfcNormalize.column($"t")).as("a"),
+        NfcNormalize.column($"t").as("b"))
+      .where($"a" =!= $"b").count() == 0)
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("nfc_in")
+    assert(spark.sql("select nfc_normalize(t) from nfc_in where id = 1")
+      .head().getString(0) == composed)
+  }
+
   test("feature hashing: signed bucket counts match brute force") {
     def h(prefix: String, tok: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
