@@ -57,7 +57,16 @@ object GraftFunctions {
       "nfc_normalize",
       exprs => {
         require(exprs.length == 1, "nfc_normalize(string) expects 1 argument")
-        NfcNormalize(exprs(0))
+        UnicodeNormalize(exprs(0), "NFC")
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "unicode_normalize",
+      exprs => {
+        require(exprs.length == 2,
+          "unicode_normalize(string, form) expects 2 arguments")
+        requireFoldable(exprs(1), "unicode_normalize", "form")
+        UnicodeNormalize(exprs(0), exprs(1).eval().toString)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -19,31 +19,54 @@ import org.apache.spark.unsafe.types.UTF8String
   * what lets the q172 oracle recompute it — and Spark has no built-in
   * equivalent (SPARK-46830-adjacent collation work notwithstanding).
   */
-case class NfcNormalize(child: Expression) extends UnaryExpression {
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  UnicodeNormalize.formOf(form) // validate at construction, not per row
 
   override def dataType: DataType = StringType
-  override def prettyName: String = "nfc_normalize"
+  override def prettyName: String = s"${form.toLowerCase}_normalize"
 
   override protected def nullSafeEval(input: Any): Any =
-    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], form)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+    defineCodeGen(ctx, ev, c =>
+      s"""graft.functions.UnicodeNormalize.normalize($c, "$form")""")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-object NfcNormalize {
+object UnicodeNormalize {
+  private[functions] def formOf(form: String): java.text.Normalizer.Form =
+    form match {
+      case "NFC" => java.text.Normalizer.Form.NFC
+      case "NFD" => java.text.Normalizer.Form.NFD
+      case "NFKC" => java.text.Normalizer.Form.NFKC
+      case "NFKD" => java.text.Normalizer.Form.NFKD
+      case other => throw new IllegalArgumentException(
+        s"unknown Unicode normalization form '$other' (NFC/NFD/NFKC/NFKD)")
+    }
+
   /** Static kernel shared by interpreted eval and generated code. */
-  def normalize(s: UTF8String): UTF8String = {
+  def normalize(s: UTF8String, form: String): UTF8String = {
+    val f = formOf(form)
     val str = s.toString
-    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
-    else UTF8String.fromString(
-      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
   }
 
-  /** Column API. */
-  def column(text: Column): Column =
-    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+  /** Column API for an arbitrary form. */
+  def column(text: Column, form: String): Column =
+    ColumnBridge.column(
+      UnicodeNormalize(ColumnBridge.expression(text), form))
+}
+
+/** NFC convenience wrapper — the form DuckDB's `nfc_normalize` mirrors,
+  * which is what the q172 oracle gates. NFKC (compatibility composition,
+  * the form most LLM preprocessing uses: ligature ﬁ → fi, fullwidth →
+  * ASCII) is spec-covered via [[UnicodeNormalize]]. */
+object NfcNormalize {
+  def column(text: Column): Column = UnicodeNormalize.column(text, "NFC")
 }

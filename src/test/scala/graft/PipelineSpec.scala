@@ -392,6 +392,14 @@ class PipelineSpec extends AnyFunSuite {
     df.createOrReplaceTempView("nfc_in")
     assert(spark.sql("select nfc_normalize(t) from nfc_in where id = 1")
       .head().getString(0) == composed)
+    // NFKC compatibility composition: ligature and fullwidth fold to ASCII
+    val k = Seq((1L, "\ufb01le \uff21")).toDF("id", "t")
+    assert(k.select(graft.functions.UnicodeNormalize.column($"t", "NFKC"))
+      .head().getString(0) == "file A")
+    assert(spark.sql("select unicode_normalize('\ufb01', 'NFKC')")
+      .head().getString(0) == "fi")
+    intercept[IllegalArgumentException](
+      graft.functions.UnicodeNormalize.column($"t", "NFX"))
   }
 
   test("feature hashing: signed bucket counts match brute force") {
