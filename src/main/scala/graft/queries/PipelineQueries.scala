@@ -1499,6 +1499,18 @@ object PipelineQueries extends QueryModule {
     // stats over the parsed rows plus a '__corrupt' quarantine row. The
     // oracle recomputes both from the parquet table and the same md5
     // corruption rule, so the gate proves parse + quarantine fidelity.
+    // TSV ingestion with quarantine — the raw-corpus entry point for
+    // tab-separated dumps, same contract as JSONL (q151): explicit
+    // schema, codegen'd from_csv, malformed lines kept whole in the
+    // quarantine column. The corruption rule (trailing non-digit on the
+    // final Long field) is an unambiguous parse failure, so the stats
+    // oracle is q151's verbatim.
+    "q173_tsv_ingest" -> ((s, dir) => {
+      val parsed = graft.sources.Csv.read(s, s"${stagedTsv(s, dir)}/data",
+        jsonlDocSchema)
+      jsonlStats(parsed)
+    }),
+
     "q151_jsonl_ingest" -> ((s, dir) => {
       val parsed = graft.sources.Jsonl.read(s, s"${stagedJsonl(s, dir)}/data",
         jsonlDocSchema)
@@ -1660,6 +1672,32 @@ object PipelineQueries extends QueryModule {
       Tables(s, dir, "documents")
         .select(when(graft.operators.Sampling.hashBucket(col("doc_id"), 25) === 0,
             line.substr(lit(1), length(line) - 5))
+          .otherwise(line).as("value"))
+        .write.mode("overwrite").text(s"$stage/data")
+      graft.sources.BucketFs.writeString(s"$stage/_staged_ok", "ok\n")
+    }
+    stage
+  }
+
+  /** Stage the documents table as TSV with the SAME deterministic
+    * 1-in-25 corruption rule as [[stagedJsonl]], applied as a trailing
+    * non-digit on the final Long column (an unambiguous parse failure —
+    * a truncation could still parse as fewer columns). Free-text fields
+    * are sanitized on write (tabs/newlines → space): the TSV convention
+    * this source documents in place of quoting. */
+  private def stagedTsv(s: SparkSession, dir: String): String = {
+    val stage = s"/tmp/graft_tsv_v1_${QueryModule.cacheKey(dir)}"
+    if (!graft.sources.BucketFs.exists(s"$stage/_staged_ok")) {
+      graft.sources.BucketFs.deleteRecursive(stage)
+      val line = concat_ws("\t",
+        col("doc_id"),
+        regexp_replace(coalesce(col("text"), lit("")), "[\\t\\n\\r]", " "),
+        coalesce(col("lang"), lit("")),
+        coalesce(col("source"), lit("")),
+        col("n_chars"))
+      Tables(s, dir, "documents")
+        .select(when(graft.operators.Sampling.hashBucket(col("doc_id"), 25) === 0,
+            concat(line, lit("x")))
           .otherwise(line).as("value"))
         .write.mode("overwrite").text(s"$stage/data")
       graft.sources.BucketFs.writeString(s"$stage/_staged_ok", "ok\n")
@@ -2221,6 +2259,8 @@ object PipelineQueries extends QueryModule {
     // recomputed from the parquet table and the same md5 corruption rule
     // (1-in-25 lines truncated at stage time).
     "q151_jsonl_ingest" -> jsonlStatsSql,
+    // same accounting, TSV container
+    "q173_tsv_ingest" -> jsonlStatsSql,
 
     // streamed ingestion must account identically to the batch read
     "q152_stream_jsonl_ingest" -> jsonlStatsSql,

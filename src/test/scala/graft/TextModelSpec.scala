@@ -134,6 +134,30 @@ class TextModelSpec extends AnyFunSuite {
       .as[String].collect().toSet == corrupt)
   }
 
+  test("tsv: valid rows parse, malformed lines quarantine, quotes literal") {
+    import graft.sources.Csv
+    import org.apache.spark.sql.types._
+    val schema = new StructType()
+      .add("id", LongType).add("text", StringType).add("n", LongType)
+    val lines = Seq(
+      "1\thello world\t11",
+      "2\tsays \"hi\" there\t15", // stray quotes stay literal
+      "3\ttoo few fields", // missing column
+      "4\tbad number\t12x", // Long field fails to parse
+      "5\t\t0" // empty text field
+    ).toDF("value")
+    val parsed = Csv.parseLines(lines, schema, "\t")
+    val ok = Csv.valid(parsed).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(ok.map(_._1).toSeq == Seq(1L, 2L, 5L))
+    assert(ok(1)._2 == "says \"hi\" there", "quote chars must stay literal")
+    val bad = Csv.corrupt(parsed).collect().map(_.getString(0)).toSet
+    assert(bad == Set("3\ttoo few fields", "4\tbad number\t12x"))
+    // valid + corrupt partition the input
+    assert(Csv.valid(parsed).count() + bad.size == 5)
+    intercept[IllegalArgumentException](Csv.parseLines(lines, schema, "||"))
+  }
+
   test("clusterBalancedSample: sqrt budgets, md5-order selection, floor-to-1") {
     import graft.operators.Sampling
     // clusters: a=16 rows, b=4 rows, c=1 row
