@@ -1522,6 +1522,25 @@ object PipelineQueries extends QueryModule {
     // parquet sink, AvailableNow), then the q151 aggregation over the
     // sink — batch and streaming ingestion must account every valid and
     // quarantined line identically (same oracle).
+    // streamed TSV micro-batch ingest must account identically to the
+    // batch read (q173) — same stats oracle
+    "q174_stream_tsv_ingest" -> ((s, dir) => {
+      val stage = stagedTsv(s, dir)
+      val base = s"/tmp/graft_stsv_v1_${QueryModule.cacheKey(dir)}"
+      val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      Seq(sink, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = graft.sources.Csv.readStream(ss, s"$stage/data",
+          jsonlDocSchema, maxFilesPerTrigger = Some(8))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      jsonlStats(s.read.parquet(sink))
+    }),
+
     "q152_stream_jsonl_ingest" -> ((s, dir) => {
       val stage = stagedJsonl(s, dir)
       val base = s"/tmp/graft_sjsonl_v1_${QueryModule.cacheKey(dir)}"
@@ -2259,8 +2278,9 @@ object PipelineQueries extends QueryModule {
     // recomputed from the parquet table and the same md5 corruption rule
     // (1-in-25 lines truncated at stage time).
     "q151_jsonl_ingest" -> jsonlStatsSql,
-    // same accounting, TSV container
+    // same accounting, TSV container (batch and streamed)
     "q173_tsv_ingest" -> jsonlStatsSql,
+    "q174_stream_tsv_ingest" -> jsonlStatsSql,
 
     // streamed ingestion must account identically to the batch read
     "q152_stream_jsonl_ingest" -> jsonlStatsSql,
