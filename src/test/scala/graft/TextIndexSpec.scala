@@ -104,6 +104,68 @@ class TextIndexSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("model check: random append/compact sequences keep every reachable " +
+      "as-of point equal to a from-scratch build of its batch prefix") {
+    val rnd = new scala.util.Random(20260814L)
+    val docsAll = (0L until 40L).map { i =>
+      val words = Seq("table", "scan", "merge", "spark", "row", "plan")
+      (i, (0 until 3 + rnd.nextInt(5))
+        .map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    def search(idx: TextIndex.Bm25Index) =
+      idx.search(Seq("table", "scan"), topK = 20)
+        .collect().map(_.toSeq).toSet
+    for (trial <- 1 to 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_ti_model$trial").toString
+      val ref = java.nio.file.Files
+        .createTempDirectory(s"graft_ti_modelr$trial").toString
+      try {
+        // batches(i) = the docs that generation (baseGen-relative) i added;
+        // the reference model is just this list of batch slices
+        var batches = Vector(docsAll.slice(0, 8))
+        var next = 8
+        TextIndex.save(batches(0).toDF("doc_id", "text"), "text", "doc_id",
+          dir, nBuckets = 8)
+        var idx = TextIndex.load(spark, dir)
+        for (_ <- 1 to 4) {
+          if (rnd.nextBoolean() && next < docsAll.length) {
+            val take = math.min(4 + rnd.nextInt(5), docsAll.length - next)
+            val b = docsAll.slice(next, next + take)
+            next += take
+            idx = idx.append(b.toDF("doc_id", "text"), "text")
+            batches = batches :+ b
+          } else {
+            idx = idx.compact()
+            batches = Vector(batches.flatten) // history folds to one batch
+          }
+          // every reachable as-of point must equal a from-scratch build
+          // of the corresponding batch prefix
+          for (k <- 1 to batches.length) {
+            val g = idx.baseGen + k
+            val asOf = TextIndex.load(spark, dir, asOfGen = g)
+            graft.sources.BucketFs.deleteRecursive(ref)
+            TextIndex.save(batches.take(k).flatten.toDF("doc_id", "text"),
+              "text", "doc_id", ref, nBuckets = 8)
+            val scratch = TextIndex.load(spark, ref)
+            assert(asOf.nDocs == scratch.nDocs && asOf.sumDl == scratch.sumDl,
+              s"trial $trial asOf=$g constants: " +
+                s"(${asOf.nDocs},${asOf.sumDl}) vs " +
+                s"(${scratch.nDocs},${scratch.sumDl})")
+            assert(search(asOf) == search(scratch),
+              s"trial $trial asOf=$g search mismatch")
+          }
+          // points at or before the base are refused
+          intercept[IllegalArgumentException](
+            TextIndex.load(spark, dir, asOfGen = idx.baseGen))
+        }
+      } finally {
+        graft.sources.BucketFs.deleteRecursive(dir)
+        graft.sources.BucketFs.deleteRecursive(ref)
+      }
+    }
+  }
+
   test("append: grown index equals a from-scratch build, exactly") {
     val dir1 = java.nio.file.Files.createTempDirectory("graft_ti_a").toString
     val dir2 = java.nio.file.Files.createTempDirectory("graft_ti_b").toString
