@@ -54,6 +54,26 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hll_sketch",
+      exprs => {
+        require(exprs.length == 3,
+          "hll_sketch(bucket_bigint, rho_bigint, m) expects 3 arguments")
+        requireFoldable(exprs(2), "hll_sketch", "m")
+        HllSketchAgg(exprs(0), exprs(1), exprs(2).eval().toString.toInt)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_sketch",
+      exprs => {
+        require(exprs.length == 3,
+          "cms_sketch(bucket_array, depth, width) expects 3 arguments")
+        requireFoldable(exprs(1), "cms_sketch", "depth")
+        requireFoldable(exprs(2), "cms_sketch", "width")
+        CountMinSketchAgg(exprs(0), exprs(1).eval().toString.toInt,
+          exprs(2).eval().toString.toInt)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize",
       exprs => {
         require(exprs.length == 1, "nfc_normalize(string) expects 1 argument")
@@ -118,6 +138,26 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
           "topk_sketch(item_string, capacity) expects 2 arguments")
         GraftFunctions.requireFoldable(exprs(1), "topk_sketch", "capacity")
         TopKSketchAgg(exprs(0), exprs(1).eval().toString.toInt)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "hll_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "hll_sketch(bucket_bigint, rho_bigint, m) expects 3 arguments")
+        GraftFunctions.requireFoldable(exprs(2), "hll_sketch", "m")
+        HllSketchAgg(exprs(0), exprs(1), exprs(2).eval().toString.toInt)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CountMinSketchAgg].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "cms_sketch(bucket_array, depth, width) expects 3 arguments")
+        GraftFunctions.requireFoldable(exprs(1), "cms_sketch", "depth")
+        GraftFunctions.requireFoldable(exprs(2), "cms_sketch", "width")
+        CountMinSketchAgg(exprs(0), exprs(1).eval().toString.toInt,
+          exprs(2).eval().toString.toInt)
       }))
     e.injectFunction((
       FunctionIdentifier("quantile_sketch"),

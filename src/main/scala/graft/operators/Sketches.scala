@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{KmvSketch, QuantileSketch, TopKSketch}
+import graft.functions.{CountMinSketch, HllSketch, KmvSketch, QuantileSketch, TopKSketch}
 
 /** Cardinality sketching for corpus statistics at scale.
   *
@@ -116,5 +116,99 @@ object Sketches {
         .as(s"p${math.round(q * 100)}"))
     sketched.select(
       (col(groupCol) +: qCols) :+ size(col("__s")).cast("long").as("n_sampled"): _*)
+  }
+
+  // ---------------------------------------------------------------- HLL
+
+  /** HLL hash split on the md5 convention: bucket = first p bits (p/4 hex
+    * chars), rho = leading-zero count of the NEXT 40 bits + 1 ∈ [1, 41].
+    * rho via `bin()`: length(bin(h)) is the MSB position of h, identical
+    * in Spark and ANSI engines (no leading zeros, bin(0) = "0"). */
+  def hllBucketRho(v: Column, p: Int): (Column, Column) = {
+    require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
+    val mh = md5(v.cast("string"))
+    val bucket = conv(substring(mh, 1, p / 4), 16, 10).cast("long")
+    val rh = conv(substring(mh, p / 4 + 1, 10), 16, 10).cast("long")
+    val rho = when(rh === 0L, lit(41L))
+      .otherwise(lit(41L) - length(bin(rh)).cast("long"))
+    (bucket, rho)
+  }
+
+  /** alpha_m · m² · 2^49 as the exact double the estimate divides by the
+    * integer harmonic sum. Standard bias constant alpha_m =
+    * 0.7213 / (1 + 1.079/m) (Flajolet et al. 2007, m ≥ 128). */
+  def hllConstant(m: Int): Double =
+    0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble * (1L << 49).toDouble
+
+  /** (n_zero, sum_scaled, est_distinct) derived from a register array.
+    * sum_scaled = Σ 2^(49−rho_j) is the harmonic sum scaled by 2^49 —
+    * EXACT integer math (rho ≤ 41 ⇒ terms ≥ 2^8; m·2^49 ≤ 2^65-safe for
+    * m ≤ 2^14), so the only floating-point step is one literal/integer
+    * division + floor, bit-deterministic across engines. Raw HLL regime
+    * only — no small-range linear-counting branch (ln() is libm-dependent
+    * and would break bit-portability); n_zero is emitted so consumers can
+    * apply corrections downstream. */
+  def hllSummary(regs: Column, m: Int): Seq[Column] = Seq(
+    size(filter(regs, r => r === 0)).cast("long").as("n_zero"),
+    aggregate(regs, lit(0L),
+      (acc, r) => acc + call_function("shiftleft", lit(1L), lit(49) - r)).as("sum_scaled"),
+    floor(lit(hllConstant(m)) /
+      aggregate(regs, lit(0L),
+        (acc, r) => acc + call_function("shiftleft", lit(1L), lit(49) - r)).cast("double"))
+      .as("est_distinct"))
+
+  /** Per-group HLL distinct count of `valueCol`:
+    * (group, n_zero, sum_scaled, est_distinct). The constant-memory
+    * counterpart of [[distinctEstimate]]: m BYTES per group cross the
+    * shuffle (vs KMV's k longs), with ~1.04/sqrt(m) standard error — at
+    * 100 TB the per-group state is fixed at m bytes no matter how many
+    * billions of distinct values stream through, and the elementwise-max
+    * merge is idempotent under retries. */
+  def hllDistinct(df: DataFrame, groupCol: String, valueCol: String,
+                  m: Int = 256): DataFrame = {
+    val p = 31 - Integer.numberOfLeadingZeros(m)
+    val (bucket, rho) = hllBucketRho(col(valueCol), p)
+    val sketched = df
+      .select(col(groupCol), bucket.as("__b"), rho.as("__r"))
+      .groupBy(col(groupCol))
+      .agg(HllSketch.registers(col("__b"), col("__r"), m).as("__regs"))
+    sketched.select(col(groupCol) +: hllSummary(col("__regs"), m): _*)
+  }
+
+  // ---------------------------------------------------------- Count-Min
+
+  /** The d md5-derived CMS bucket positions of an item, as an
+    * ARRAY<BIGINT> column: bucket_i = md5("i:" + item) mod w on the
+    * engine's 40-bit md5-prefix convention — pure plan-space column
+    * math, replayable in ANSI SQL. */
+  def cmsBuckets(item: Column, depth: Int, width: Int): Column =
+    // null-gated: a null item must yield a NULL array (skipped by the
+    // aggregate), not an array of nulls
+    when(item.isNotNull, array((0 until depth).map { i =>
+      conv(substring(md5(concat(lit(s"$i:"), item.cast("string"))), 1, 10),
+        16, 10).cast("long") % width
+    }: _*))
+
+  /** One CMS counter matrix (row-major d×w array) over every row of
+    * `itemCol`: the frequency-estimation sketch — exactly d·w longs
+    * cross the shuffle regardless of stream size, map-side combined,
+    * merge = elementwise add (any partitioning yields the identical
+    * matrix). */
+  def cmsMatrix(df: DataFrame, itemCol: String,
+                depth: Int = 4, width: Int = 512): DataFrame =
+    df.select(cmsBuckets(col(itemCol), depth, width).as("__bk"))
+      .agg(CountMinSketch.matrix(col("__bk"), depth, width).as("cms"))
+
+  /** Point estimate from a matrix column for an item column:
+    * min over hash rows of the item's counter — the classic one-sided
+    * CMS estimate (est ≥ true count; est ≤ true + e/w·N w.p. 1−e^−d). */
+  def cmsEstimate(matrix: Column, item: Column,
+                  depth: Int, width: Int): Column = {
+    val perRow = (0 until depth).map { i =>
+      val b = conv(substring(md5(concat(lit(s"$i:"), item.cast("string"))), 1, 10),
+        16, 10).cast("long") % width
+      element_at(matrix, (lit(i * width) + b + 1).cast("int"))
+    }
+    perRow.reduce(least(_, _))
   }
 }
