@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed iterative graph algorithms over edge-list DataFrames.
+  *
+  * Complements [[Dedup.connectedComponents]] (similarity clustering)
+  * with the ranking side: PageRank as repeated join-aggregate rounds —
+  * the canonical "is your engine really distributed" iterative workload
+  * (each round is one shuffle join on `src` + one hash aggregation on
+  * `dst`; nothing is ever collected to the driver except the node
+  * count).
+  *
+  * All rank arithmetic is SCALED-INTEGER with floor division at every
+  * step, so the result is bit-reproducible across engines, partitionings
+  * and retries — no float summation order to drift. Conventions (both
+  * deliberate, both cheap to replay in ANSI SQL):
+  *   - dangling nodes (no out-edges) drop their mass each round rather
+  *     than redistributing it — ranks still order identically for
+  *     connected graphs, and the oracle replays the same rule;
+  *   - the per-round floor() loses at most 1 scale-unit per node per
+  *     round (scale defaults to 10^12, so the quantization is ~1e-12).
+  */
+object Graph {
+
+  /** PageRank over a directed edge list `(src BIGINT, dst BIGINT)`.
+    *
+    * Returns (node, rank_scaled): rank × `scale`, integer-floored at
+    * every step. `damp` is the damping factor as a rational
+    * dampNum/dampDen (default 85/100).
+    *
+    * Scale shape: per iteration, ranks join edges on `src` (shuffle
+    * hash join keyed by src — co-partitioned with the out-degree join
+    * on the same key) and partial-aggregate contributions by `dst`
+    * (map-side combined). Iterations persist + truncate lineage so
+    * round k+1 reads round k's materialized ranks, not a 2^k-deep plan.
+    */
+  def pageRank(edges: DataFrame, iterations: Int,
+               scale: Long = 1000000000000L,
+               dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
+    val spark = edges.sparkSession
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg")).persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    // exact integer constants, identical arithmetic in the SQL oracle
+    val r0 = scale / n
+    val base = (dampDen - dampNum).toLong * scale / (dampDen.toLong * n)
+
+    var ranks = nodes.withColumn("r", lit(r0)).persist()
+    ranks.count() // materialize before the loop so each round is one stage
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div __deg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen"))
+            .as("r"))
+        .persist()
+      next.count() // cut lineage: each round reads materialized ranks
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    // final ranks are materialized (last next.count()); drop the helpers
+    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+}

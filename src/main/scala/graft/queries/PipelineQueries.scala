@@ -824,6 +824,68 @@ object PipelineQueries extends QueryModule {
       graft.operators.Sketches.distinctEstimate(sh, "lang", "sh", k = 64)
     }),
 
+    // HLL distinct users per event type: the constant-memory counterpart
+    // of q80's KMV — m=256 BYTES of register state per group cross the
+    // shuffle regardless of cardinality. The md5 bucket/rho split and the
+    // 2^49-scaled integer harmonic sum make the registers AND the
+    // estimate bit-reproducible in ANSI SQL (the one FP step is a single
+    // literal/integer division); exact countDistinct joined alongside to
+    // expose the ~1.04/sqrt(256) ≈ 6.5% error regime.
+    "q175_hll_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").where($"user_id".isNotNull)
+      val sk = graft.operators.Sketches.hllDistinct(ev, "event_type", "user_id", m = 256)
+      val exact = ev.groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("exact_distinct"))
+      sk.join(exact, Seq("event_type"))
+    }),
+
+    // Count-Min token frequencies: the frequency-estimation sketch —
+    // q116's Space-Saving answers "which items are frequent", CMS answers
+    // "how frequent is THIS item" with a fixed 4×512-counter matrix (d·w
+    // longs cross the shuffle regardless of token-stream size, map-side
+    // combined, elementwise-add merge). Estimates for the top-20 exact
+    // tokens, exact counts joined alongside to expose the one-sided
+    // (est ≥ true) collision error.
+    "q176_cms_counts" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Dedup.fanOut(Tables(s, dir, "documents"))
+        .select(explode(split(Dedup.normalizedText(coalesce($"text", lit(""))), " "))
+          .as("token"))
+        .where($"token" =!= "")
+      val matrix = graft.operators.Sketches.cmsMatrix(toks, "token",
+        depth = 4, width = 512)
+      val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_count"))
+        .orderBy($"exact_count".desc, $"token".asc).limit(20)
+      top.crossJoin(broadcast(matrix))
+        .select($"token",
+          graft.operators.Sketches.cmsEstimate($"cms", $"token", 4, 512)
+            .as("est_count"),
+          $"exact_count")
+    }),
+
+    // PageRank over the nation trade graph (customer nation → supplier
+    // nation per distinct trading relationship): the canonical iterative
+    // join-aggregate workload — 3 rounds, each one shuffle join on src +
+    // one map-side-combined aggregation on dst, ranks materialized
+    // between rounds so round k+1 reads data, not a 2^k-deep plan.
+    // Scaled-integer floor arithmetic end to end (see Graph.pageRank), so
+    // the oracle unrolls the same 3 rounds in pure SQL bit-exactly.
+    "q177_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(Tables(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"c_nationkey".cast("long").as("src"),
+          $"s_nationkey".cast("long").as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRank(edges, iterations = 3)
+    }),
+
     // Sliding-window chunking (window 16, stride 8): the corpus → training
     // examples step; overlapping windows, truncated tail, in-row expansion.
     "q81_chunking" -> ((s, dir) => {
@@ -1511,6 +1573,19 @@ object PipelineQueries extends QueryModule {
       jsonlStats(parsed)
     }),
 
+    // ORC interop: the documents table round-tripped through a
+    // lang-partitioned ORC dataset and queried with a partition filter +
+    // projection. Spark's ORC source shares Parquet's Catalyst
+    // integration, so partition pruning and column pushdown carry over
+    // — OrcInteropSpec pins that plan shape; this gate pins values.
+    "q178_orc_interop" -> ((s, dir) => {
+      import s.implicits._
+      s.read.orc(s"${stagedOrc(s, dir)}/data")
+        .where($"lang" === "en")
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"))
+    }),
+
     "q151_jsonl_ingest" -> ((s, dir) => {
       val parsed = graft.sources.Jsonl.read(s, s"${stagedJsonl(s, dir)}/data",
         jsonlDocSchema)
@@ -1682,6 +1757,23 @@ object PipelineQueries extends QueryModule {
 
   /** Stage the documents table as JSONL with a deterministic 1-in-25
     * slice of lines truncated (invalid JSON); cacheKey-marker-gated. */
+  /** Stage the documents table as a lang-partitioned ORC dataset — the
+    * second columnar format next to Parquet. Spark's native ORC source
+    * has the same Catalyst integration (vectorized scan, predicate
+    * pushdown, partition pruning), so the engine's read path carries
+    * over unchanged; q178 proves the round trip and `OrcInteropSpec`
+    * pins the pruned/pushed plan shape. */
+  private def stagedOrc(s: SparkSession, dir: String): String = {
+    val stage = s"/tmp/graft_orc_v1_${QueryModule.cacheKey(dir)}"
+    if (!graft.sources.BucketFs.exists(s"$stage/_staged_ok")) {
+      graft.sources.BucketFs.deleteRecursive(stage)
+      Tables(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").orc(s"$stage/data")
+      graft.sources.BucketFs.writeString(s"$stage/_staged_ok", "ok\n")
+    }
+    stage
+  }
+
   private def stagedJsonl(s: SparkSession, dir: String): String = {
     val stage = s"/tmp/graft_jsonl_v1_${QueryModule.cacheKey(dir)}"
     if (!graft.sources.BucketFs.exists(s"$stage/_staged_ok")) {
@@ -2280,6 +2372,11 @@ object PipelineQueries extends QueryModule {
     "q151_jsonl_ingest" -> jsonlStatsSql,
     // same accounting, TSV container (batch and streamed)
     "q173_tsv_ingest" -> jsonlStatsSql,
+
+    "q178_orc_interop" -> """
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+      FROM documents WHERE lang = 'en' GROUP BY 1""",
     "q174_stream_tsv_ingest" -> jsonlStatsSql,
 
     // streamed ingestion must account identically to the batch read
@@ -3189,6 +3286,94 @@ object PipelineQueries extends QueryModule {
                              CAST(kth_min AS DOUBLE)) AS BIGINT)
         END AS est_distinct
       FROM s""",
+
+    "q175_hll_distinct" -> s"""
+      WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS mh
+                 FROM events WHERE user_id IS NOT NULL),
+      br AS (SELECT event_type,
+               ('0x' || substr(mh, 1, 2))::BIGINT AS bucket,
+               CASE WHEN ('0x' || substr(mh, 3, 10))::BIGINT = 0 THEN 41
+                    ELSE 41 - length(bin(('0x' || substr(mh, 3, 10))::BIGINT))
+               END AS rho
+             FROM h),
+      mx AS (SELECT event_type, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2),
+      grid AS (SELECT e.event_type, g.b AS bucket
+               FROM (SELECT DISTINCT event_type FROM events
+                     WHERE user_id IS NOT NULL) e,
+                    LATERAL UNNEST(range(0, 256)) AS g(b)),
+      regs AS (SELECT grid.event_type, grid.bucket, COALESCE(mx.rho, 0) AS rho
+               FROM grid LEFT JOIN mx
+                 ON grid.event_type = mx.event_type AND grid.bucket = mx.bucket),
+      s AS (SELECT event_type,
+              CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT) AS sum_scaled
+            FROM regs GROUP BY 1)
+      SELECT s.event_type, s.n_zero, s.sum_scaled,
+        CAST(floor(CAST(${graft.operators.Sketches.hllConstant(256)} AS DOUBLE) /
+                   CAST(s.sum_scaled AS DOUBLE)) AS BIGINT) AS est_distinct,
+        x.exact_distinct
+      FROM s JOIN (SELECT event_type,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+                   FROM events WHERE user_id IS NOT NULL GROUP BY 1) x
+        ON s.event_type = x.event_type""",
+
+    "q176_cms_counts" -> s"""
+      WITH t AS (SELECT UNNEST(string_split(${normSql("text")}, ' ')) AS token
+                 FROM documents),
+      tok AS (SELECT token FROM t WHERE token <> ''),
+      cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+              FROM tok GROUP BY 1),
+      top AS (SELECT token, exact_count FROM cnt
+              ORDER BY exact_count DESC, token LIMIT 20),
+      bk AS (SELECT token, g.i AS i,
+               ('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || token), 1, 10))::BIGINT
+                 % 512 AS b
+             FROM tok, generate_series(0, 3) g(i)),
+      cm AS (SELECT i, b, CAST(COUNT(*) AS BIGINT) AS cell FROM bk GROUP BY 1, 2),
+      qb AS (SELECT top.token, top.exact_count, g.i AS i,
+               ('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' || top.token), 1, 10))::BIGINT
+                 % 512 AS b
+             FROM top, generate_series(0, 3) g(i)),
+      est AS (SELECT qb.token, qb.exact_count,
+                MIN(COALESCE(cm.cell, 0)) AS est_count
+              FROM qb LEFT JOIN cm ON qb.i = cm.i AND qb.b = cm.b
+              GROUP BY 1, 2)
+      SELECT token, CAST(est_count AS BIGINT) AS est_count, exact_count
+      FROM est""",
+
+    "q177_pagerank" -> s"""
+      WITH e AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(su.s_nationkey AS BIGINT) AS dst
+                 FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN supplier su ON l.l_suppkey = su.s_suppkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+      c0 AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT node, 1000000000000 // (SELECT n FROM c0) AS r FROM nodes),
+      s1 AS (SELECT e.dst AS node, SUM(r0.r // od.d) AS s
+             FROM e JOIN od ON e.src = od.src JOIN r0 ON r0.node = e.src
+             GROUP BY 1),
+      r1 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM c0))
+                 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN s1 ON s1.node = nodes.node),
+      s2 AS (SELECT e.dst AS node, SUM(r1.r // od.d) AS s
+             FROM e JOIN od ON e.src = od.src JOIN r1 ON r1.node = e.src
+             GROUP BY 1),
+      r2 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM c0))
+                 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN s2 ON s2.node = nodes.node),
+      s3 AS (SELECT e.dst AS node, SUM(r2.r // od.d) AS s
+             FROM e JOIN od ON e.src = od.src JOIN r2 ON r2.node = e.src
+             GROUP BY 1),
+      r3 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM c0))
+                 + (85 * COALESCE(s3.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN s3 ON s3.node = nodes.node)
+      SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3""",
 
     "q81_chunking" -> s"""
       WITH t AS (SELECT doc_id, string_split(${normSql("COALESCE(text, '')")}, ' ') AS toks

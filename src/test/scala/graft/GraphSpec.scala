@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+/** Integer-scaled PageRank: driver-side replica equivalence, partition
+  * independence, dangling-node rule, and basic rank ordering. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** Driver-side replica of the scaled-integer iteration. */
+  private def replica(edges: Seq[(Long, Long)], iters: Int,
+                      scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 15L * scale / (100L * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    (1 to iters).foreach { _ =>
+      val contribs = edges
+        .map { case (s, d) => d -> r(s) / outDeg(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      r = nodes.map(v => v -> (base + 85L * contribs.getOrElse(v, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  private val g = Seq( // a small directed graph incl. a dangling node (4)
+    (1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (2L, 4L), (5L, 3L), (5L, 1L))
+
+  test("3 iterations match the driver-side replica exactly") {
+    val got = Graph.pageRank(g.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == replica(g, 3))
+  }
+
+  test("result is independent of input partitioning") {
+    val a = Graph.pageRank(g.toDF("src", "dst").repartition(7), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(g.toDF("src", "dst").repartition(1), iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("hub ordering: node 3 (most in-links) outranks the friendless source 5") {
+    val got = Graph.pageRank(g.toDF("src", "dst"), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(3L) > got(5L), "in-link hub must outrank a no-inlink source")
+    // node 5 has no in-edges: rank is exactly the teleport base
+    assert(got(5L) == 15L * 1000000000000L / (100L * 5L))
+  }
+
+  test("dangling rule: total mass shrinks by the dangling share (never grows)") {
+    val got = Graph.pageRank(g.toDF("src", "dst"), iterations = 1)
+      .collect().map(_.getLong(1)).sum
+    assert(got <= 1000000000000L, "mass must not grow")
+    assert(got > 0L)
+  }
+
+  test("empty and degenerate inputs are rejected or handled") {
+    val err = intercept[Exception] {
+      Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), 1).collect()
+    }
+    assert(err.getMessage.contains("empty graph"))
+    // single self-loop: all mass stays (minus floor dust)
+    val solo = Graph.pageRank(Seq((7L, 7L)).toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(solo.keySet == Set(7L))
+    assert(solo(7L) > 999999999900L && solo(7L) <= 1000000000000L)
+  }
+}
