@@ -550,4 +550,125 @@ object Multimodal {
       }
     }(enc)
   }
+
+  // ------------------------------------------------- perceptual hashing
+
+  /** Deterministic gray PNG with an explicit NEAR-DUP group structure for
+    * perceptual-hash gates: the base pattern depends only on `id mod 17`
+    * (so group members are pixel-identical), plus two closed-form
+    * perturbations — a wide +40 column band on `id mod 5 = 0` (many-bit
+    * dHash difference: a clear non-dup) and a +60 corner patch on
+    * `id mod 3 = 0` (one-to-few-bit difference: a true near-dup). All
+    * values stay in [0, 209] ⊂ [0, 255]; like [[syntheticPng]] the
+    * closed form lets an oracle recompute every pixel without a decoder. */
+  def syntheticPngGrouped(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val grp = java.lang.Math.floorMod(id, 17L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = java.lang.Math.floorMod(grp * 37 + x * 11 + y * 23, 150L).toInt
+        if (id % 5 == 0 && (x == 4 || x == 5)) v += 40
+        if (id % 3 == 0 && (x == 6 || x == 7) && y < 2) v += 60
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close()
+    bos.toByteArray
+  }
+
+  val dHashSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("b0", LongType, nullable = false),
+    StructField("b1", LongType, nullable = false),
+    StructField("b2", LongType, nullable = false),
+    StructField("b3", LongType, nullable = false)))
+
+  /** Difference-hash (dHash) of each decoded image, emitted as FOUR
+    * 16-bit band integers (b0..b3) rather than one 64-bit word — the
+    * band split is exactly what LSH-style near-dup joins key on
+    * (pigeonhole: hamming distance ≤ 3 ⇒ at least one of 4 bands equal),
+    * and it sidesteps signed-overflow portability at bit 63.
+    *
+    * Pipeline per image (all exact integer math, so replayable in SQL
+    * from a closed-form fixture): 2×2 block means (floor of the 4-pixel
+    * sum / 4) downsample w×h → (w/2)×(h/2); bit(r, c) = 1 iff
+    * block(r, c+1) > block(r, c); bit index r·(w/2−1)+c; band k =
+    * bits [16k, 16k+16). Requires even dims with (h/2)·(w/2−1) = 64 —
+    * the classic 9×8 dHash grid (e.g. 18×16 inputs). */
+  def imageDHash(spark: SparkSession, assets: DataFrame,
+                 decoder: MediaDecoder = ImageIoDecoder): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(dHashSchema)
+    assets.select("asset_id", "media_type", "payload").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        val (w, h, _, pixels) = decoder.decode(r.getString(1), payload)
+        require(w % 2 == 0 && h % 2 == 0 && (h / 2) * (w / 2 - 1) == 64,
+          s"asset $id: dHash needs even dims with an (h/2)x(w/2-1) = 64-bit grid, got ${w}x$h")
+        require(pixels.length == w * h,
+          s"asset $id: decoded payload is not a ${w}x$h raster")
+        val bw = w / 2; val bh = h / 2
+        val blocks = new Array[Int](bw * bh)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val x0 = bx * 2; val y0 = by * 2
+            val s = (pixels(y0 * w + x0) & 0xff) + (pixels(y0 * w + x0 + 1) & 0xff) +
+              (pixels((y0 + 1) * w + x0) & 0xff) + (pixels((y0 + 1) * w + x0 + 1) & 0xff)
+            blocks(by * bw + bx) = s / 4
+            bx += 1
+          }
+          by += 1
+        }
+        val bands = new Array[Long](4)
+        var rr = 0
+        while (rr < bh) {
+          var c = 0
+          while (c < bw - 1) {
+            if (blocks(rr * bw + c + 1) > blocks(rr * bw + c)) {
+              val idx = rr * (bw - 1) + c
+              bands(idx / 16) |= 1L << (idx % 16)
+            }
+            c += 1
+          }
+          rr += 1
+        }
+        Row(id, bands(0), bands(1), bands(2), bands(3))
+      }
+    }(enc)
+  }
+
+  /** Near-duplicate image pairs from banded dHashes: candidates via the
+    * pigeonhole band join (4 shuffle-equality joins, one per band — no
+    * all-pairs product), verified with the exact hamming distance
+    * (bit_count of per-band XOR). `maxDist` ≤ 3 keeps the pigeonhole
+    * guarantee exact (d ≤ 3 over 4 bands ⇒ some band untouched), so the
+    * candidate stage loses nothing. */
+  def dHashNearDupPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "maxDist must be in [0,3] for the 4-band pigeonhole to be exact")
+    val a = hashes.select(col("asset_id").as("id_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val b = hashes.select(col("asset_id").as("id_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val cands = (0 until 4).map { k =>
+      a.join(b, col("id_a") < col("id_b") && col(s"a$k") === col(s"c$k"))
+    }.reduce(_ unionByName _).distinct()
+    val dist = (0 until 4).map(k =>
+      call_function("bit_count", col(s"a$k").bitwiseXOR(col(s"c$k"))).cast("long"))
+      .reduce(_ + _)
+    cands.withColumn("dist", dist)
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

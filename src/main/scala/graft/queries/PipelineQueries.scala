@@ -1586,6 +1586,28 @@ object PipelineQueries extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"))
     }),
 
+    // Perceptual image dedup: REAL PNG decode → dHash (2×2 block means →
+    // 64 comparison bits as four 16-bit bands) → pigeonhole band join →
+    // exact hamming verify. The fixture (syntheticPngGrouped) plants
+    // pixel-identical groups plus one-bit and many-bit perturbations, and
+    // its closed form lets the oracle recompute every pixel, block, bit,
+    // band, and pair with no decoder — the q49 construction, for
+    // perceptual hashing. Candidates come only from band-equality joins
+    // (never an all-pairs product), the 100 TB image-dedup shape.
+    "q179_image_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id")
+        .where($"doc_id" % 7 === 0).as[Long]
+      val pngs = ids
+        .mapPartitions(it => it.map(id =>
+          (id, Multimodal.syntheticPngGrouped(id, 18, 16))))
+        .toDF("doc_id", "png")
+        .withColumn("src", lit("synthetic_png"))
+      val assets = Multimodal.toAssets(pngs, "doc_id", "png", "image", "src")
+      val hashes = Multimodal.imageDHash(s, assets)
+      Multimodal.dHashNearDupPairs(hashes, maxDist = 3)
+    }),
+
     "q151_jsonl_ingest" -> ((s, dir) => {
       val parsed = graft.sources.Jsonl.read(s, s"${stagedJsonl(s, dir)}/data",
         jsonlDocSchema)
@@ -2377,6 +2399,39 @@ object PipelineQueries extends QueryModule {
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS chars_sum
       FROM documents WHERE lang = 'en' GROUP BY 1""",
+
+    "q179_image_dhash" -> """
+      WITH d AS (SELECT doc_id AS id, doc_id % 17 AS g FROM documents
+                 WHERE doc_id % 7 = 0),
+      px AS (SELECT id, x, y,
+               (g*37 + x*11 + y*23) % 150
+               + CASE WHEN id % 5 = 0 AND x IN (4, 5) THEN 40 ELSE 0 END
+               + CASE WHEN id % 3 = 0 AND x IN (6, 7) AND y < 2 THEN 60
+                      ELSE 0 END AS v
+             FROM d, generate_series(0, 17) gx(x), generate_series(0, 15) gy(y)),
+      blk AS (SELECT id, x // 2 AS c, y // 2 AS r, SUM(v) // 4 AS m
+              FROM px GROUP BY 1, 2, 3),
+      bits AS (SELECT l.id, l.r, l.c,
+                 CASE WHEN rgt.m > l.m THEN 1 ELSE 0 END AS bit
+               FROM blk l JOIN blk rgt
+                 ON rgt.id = l.id AND rgt.r = l.r AND rgt.c = l.c + 1
+               WHERE l.c < 8),
+      bands AS (SELECT id, (r*8 + c) // 16 AS band,
+                  CAST(SUM(bit * (1::BIGINT << ((r*8 + c) % 16))) AS BIGINT) AS bv
+                FROM bits GROUP BY 1, 2),
+      hs AS (SELECT id,
+               MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+               MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+               MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+               MAX(CASE WHEN band = 3 THEN bv END) AS b3
+             FROM bands GROUP BY 1),
+      cand AS (SELECT a.id AS id_a, b.id AS id_b,
+                 bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+                 + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS dist
+               FROM hs a JOIN hs b ON a.id < b.id
+               WHERE a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+      SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+      FROM cand WHERE dist <= 3""",
     "q174_stream_tsv_ingest" -> jsonlStatsSql,
 
     // streamed ingestion must account identically to the batch read
