@@ -174,6 +174,24 @@ object StreamingQueries extends QueryModule {
           graft.operators.Sketches.sketchSummary($"kmins", 16): _*)
     }),
 
+    // Streaming windowed HLL: per (hour, event_type) register state
+    // accumulating across micro-batches — m BYTES per open window in the
+    // state store, elementwise-max merge (idempotent under micro-batch
+    // replays). Same md5 register construction as batch q175, so the
+    // emitted registers hash-match a from-scratch SQL recomputation.
+    "q180_stream_hll" -> ((s, dir) => {
+      import s.implicits._
+      runStaged(s, dir, "hll") { stream =>
+        val (b, r) = graft.operators.Sketches.hllBucketRho($"user_id", 8)
+        StreamingOps.windowedHllSketch(stream,
+          window_ = "1 hour", watermark = "1 minute", time = "ts",
+          keyCols = Seq("event_type"), bucketCol = b, rhoCol = r, m = 256)
+      }
+        .where($"event_type".isNotNull)
+        .select($"event_type" +: unix_micros($"window_start").as("hour_us") +:
+          graft.operators.Sketches.hllSummary($"regs", 256): _*)
+    }),
+
     // Streaming windowed heavy hitters: the Space-Saving sketch's
     // serialize/merge path carries bounded per-window counters across
     // micro-batches; capacity 32 > the ≤10 distinct users per group, so
@@ -373,6 +391,35 @@ object StreamingQueries extends QueryModule {
              ELSE CAST(floor(CAST(16492674416640 AS DOUBLE) /
                              CAST(kth_min AS DOUBLE)) AS BIGINT)
         END AS est_distinct
+      FROM s""",
+
+    "q180_stream_hll" -> s"""
+      WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+              md5(CAST(user_id AS VARCHAR)) AS mh FROM events),
+      br AS (SELECT hr, event_type,
+               ('0x' || substr(mh, 1, 2))::BIGINT AS bucket,
+               CASE WHEN ('0x' || substr(mh, 3, 10))::BIGINT = 0 THEN 41
+                    ELSE 41 - length(bin(('0x' || substr(mh, 3, 10))::BIGINT))
+               END AS rho
+             FROM h),
+      mx AS (SELECT hr, event_type, bucket, MAX(rho) AS rho
+             FROM br GROUP BY 1, 2, 3),
+      grid AS (SELECT k.hr, k.event_type, g.b AS bucket
+               FROM (SELECT DISTINCT hr, event_type FROM h) k,
+                    LATERAL UNNEST(range(0, 256)) AS g(b)),
+      regs AS (SELECT grid.hr, grid.event_type, grid.bucket,
+                 COALESCE(mx.rho, 0) AS rho
+               FROM grid LEFT JOIN mx
+                 ON grid.hr = mx.hr AND grid.event_type = mx.event_type
+                AND grid.bucket = mx.bucket),
+      s AS (SELECT hr, event_type,
+              CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_zero,
+              CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT) AS sum_scaled
+            FROM regs GROUP BY 1, 2)
+      SELECT event_type, epoch_us(hr) AS hour_us, n_zero, sum_scaled,
+        CAST(floor(CAST(${graft.operators.Sketches.hllConstant(256)} AS DOUBLE) /
+                   CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS est_distinct
       FROM s""",
 
     "q129_stream_quantile" -> """

@@ -70,6 +70,27 @@ object StreamingOps {
       .drop("w")
   }
 
+  /** Streaming windowed HLL: the constant-memory distinct counter inside
+    * a watermarked tumbling-window aggregation — per (window, keys)
+    * exactly m register BYTES accumulate across micro-batches in the
+    * state store (elementwise max, idempotent under replays), and append
+    * mode emits each window's final registers once the watermark passes.
+    * The fixed md5 bucket/rho split makes the streaming registers
+    * BIT-IDENTICAL to a batch build over the same rows — any batching. */
+  def windowedHllSketch(events: DataFrame, window_ : String,
+                        watermark: String, time: String,
+                        keyCols: Seq[String], bucketCol: Column,
+                        rhoCol: Column, m: Int): DataFrame = {
+    events.withWatermark(time, watermark)
+      .withColumn("__b", bucketCol)
+      .withColumn("__r", rhoCol)
+      .groupBy((window(col(time), window_).as("w") +: keyCols.map(col)): _*)
+      .agg(graft.functions.HllSketch.registers(col("__b"), col("__r"), m)
+        .as("regs"))
+      .withColumn("window_start", col("w.start"))
+      .drop("w")
+  }
+
   /** Streaming windowed heavy hitters: a Space-Saving
     * [[graft.functions.TopKSketchAgg]] inside a watermarked tumbling-
     * window aggregation — per (window, keys), at most `capacity` counters

@@ -151,6 +151,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed HLL registers match the batch build bit-for-bit") {
+    val src = tmp("hll_src")
+    val rows = (0 until 500).map(u => (u.toLong, "a", ts("2024-01-01 10:00:05"))) ++
+      (0 until 3).map(u => (u.toLong, "b", ts("2024-01-01 10:00:06")))
+    rows.toDF("user_id", "event_type", "ts").write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_type STRING, ts TIMESTAMP").parquet(src)
+    val (b, r) = graft.operators.Sketches.hllBucketRho($"user_id", 8)
+    val sketched = StreamingOps.windowedHllSketch(stream,
+      window_ = "1 hour", watermark = "1 minute", time = "ts",
+      keyCols = Seq("event_type"), bucketCol = b, rhoCol = r, m = 256)
+    val q = sketched.writeStream.format("memory").queryName("hll_sk")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq((999L, "z", ts("2024-01-02 10:00:00"))).toDF("user_id", "event_type", "ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq((999L, "z", ts("2024-01-02 11:00:00"))).toDF("user_id", "event_type", "ts")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_sk")
+        .select($"event_type" +:
+          graft.operators.Sketches.hllSummary($"regs", 256): _*)
+        .collect().map(r0 => r0.getString(0) ->
+          ((r0.getLong(1), r0.getLong(2), r0.getLong(3)))).toMap
+      val batch = graft.operators.Sketches.hllDistinct(
+          rows.toDF("user_id", "event_type", "ts"), "event_type", "user_id", 256)
+        .collect().map(r0 => r0.getString(0) ->
+          ((r0.getLong(1), r0.getLong(2), r0.getLong(3)))).toMap
+      assert(streamed("a") == batch("a"), "500-distinct window must agree")
+      assert(streamed("b") == batch("b"), "3-distinct window must agree")
+      // 500 distinct at m=256: estimate within the ~6.5%·3 error band
+      assert(math.abs(streamed("a")._3 - 500L) < 100L)
+    } finally q.stop()
+  }
+
   test("streaming windowed quantile sketch matches batch sample bit-for-bit") {
     val src = tmp("qsk_src")
     // key "a": 30 rows > k=8 → sampling regime; key "b": 3 rows → exact
