@@ -885,4 +885,49 @@ object TextAnalysis {
          sum(coalesce(col("__wq"), lit(model.unknownQ4)))).as("score_q4"))
       .withColumn("pred_pos", col("score_q4") > 0L)
   }
+
+  // ----------------------------------------------------- HTML cleaning
+
+  /** HTML → text extraction as a pure column-expression chain (codegen'd
+    * regexp/replace, no UDF): drop script/style/comment blocks, strip
+    * remaining tags, decode the six common entities, collapse
+    * whitespace. The raw-web-corpus cleaning step that precedes every
+    * quality/dedup stage in a training-data pipeline.
+    *
+    * Deliberately engine-portable: patterns stay inside the regex subset
+    * Java and RE2 agree on (inline (?is) flags, lazy quantifiers,
+    * character classes — no backreferences, no lookaround), whitespace
+    * is the explicit class [ \t\n\r] (Java's \s includes \x0B, RE2's
+    * does not), and entity decode is literal replace() with &amp; LAST
+    * (so "&amp;lt;" decodes to "&lt;", not "<"). */
+  def stripHtml(s: Column): Column = {
+    val noScript = regexp_replace(s, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        call_function("replace", c, lit(from), lit(to))
+      }
+    trim(regexp_replace(ent, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** The same extraction chain as ANSI SQL over expression `s` — kept
+    * adjacent to [[stripHtml]] so the two transcriptions stay in
+    * lockstep (oracle construction for the q181 gate). */
+  def stripHtmlSql(s: String): String = {
+    val noBlocks =
+      s"""regexp_replace(regexp_replace(regexp_replace($s,
+         '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         '(?s)<!--.*?-->', ' ', 'g')"""
+    val noTags = s"regexp_replace($noBlocks, '<[^>]*>', ' ', 'g')"
+    // SQL literal escaping: the apostrophe doubles inside a '…' string,
+    // the double-quote does not
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "''", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => s"replace($c, '$from', '$to')" }
+    s"trim(regexp_replace($ent, '[ \\t\\n\\r]+', ' ', 'g'))"
+  }
 }

@@ -1586,6 +1586,25 @@ object PipelineQueries extends QueryModule {
         .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars_sum"))
     }),
 
+    // HTML → text extraction: each doc wrapped in a deterministic page
+    // (script/style/comment blocks, attribute-bearing tags, entities —
+    // incl. an unknown &iacute; that must survive literally), stripped
+    // back by the codegen'd regexp/replace chain. The oracle builds the
+    // identical page in SQL and strips it with the transcribed chain
+    // (TextAnalysis.stripHtmlSql), pinning Java/RE2 regex agreement.
+    "q181_html_strip" -> ((s, dir) => {
+      import s.implicits._
+      val html = concat(
+        lit("<html><head><title>Doc &amp; Co</title><style>p { color: #fff }</style>"),
+        lit("<script type=\"text/js\">if (a < b && c > 1) { run() }</script></head>"),
+        lit("<body><!-- doc "), $"doc_id", lit(" --><h1>T&iacute;tle "), $"doc_id",
+        lit("</h1><p class=\"main\">"), coalesce($"text", lit("")),
+        lit("</p><br/>&nbsp;&lt;end&gt;</body></html>"))
+      Tables(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.stripHtml(html).as("clean"))
+        .withColumn("n_clean", length($"clean").cast("long"))
+    }),
+
     // Perceptual image dedup: REAL PNG decode → dHash (2×2 block means →
     // 64 comparison bits as four 16-bit bands) → pigeonhole band join →
     // exact hamming verify. The fixture (syntheticPngGrouped) plants
@@ -2399,6 +2418,16 @@ object PipelineQueries extends QueryModule {
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS chars_sum
       FROM documents WHERE lang = 'en' GROUP BY 1""",
+
+    "q181_html_strip" -> s"""
+      SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean
+      FROM (SELECT doc_id, ${graft.operators.TextAnalysis.stripHtmlSql(
+        """'<html><head><title>Doc &amp; Co</title><style>p { color: #fff }</style>'
+           || '<script type="text/js">if (a < b && c > 1) { run() }</script></head>'
+           || '<body><!-- doc ' || CAST(doc_id AS VARCHAR) || ' --><h1>T&iacute;tle '
+           || CAST(doc_id AS VARCHAR) || '</h1><p class="main">'
+           || COALESCE(text, '') || '</p><br/>&nbsp;&lt;end&gt;</body></html>'""")}
+        AS clean FROM documents)""",
 
     "q179_image_dhash" -> """
       WITH d AS (SELECT doc_id AS id, doc_id % 17 AS g FROM documents
