@@ -551,6 +551,66 @@ object Multimodal {
     }(enc)
   }
 
+  // ------------------------------------------------ spectral features
+
+  /** Quantized trig table for [[audioSpectrum]]: round(cos/sin(2π·k·n/N)
+    * · 1024) for each analysis bin k and sample index n. Computed ONCE
+    * on the driver and shipped both into the executor closure and into
+    * the oracle SQL as literals, so the spectrum is exact integer math
+    * end to end — no libm in the distributed path. */
+  def spectrumTable(freqs: Seq[Int], n: Int): Seq[(Int, Int, Long, Long)] =
+    for (k <- freqs; j <- 0 until n) yield {
+      val ang = 2.0 * math.Pi * k * j / n
+      (k, j, math.round(math.cos(ang) * 1024), math.round(math.sin(ang) * 1024))
+    }
+
+  val spectrumSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("k", IntegerType, nullable = false),
+    StructField("re", LongType, nullable = false),
+    StructField("im", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false)))
+
+  /** Per-asset DFT power at the requested frequency bins, over the first
+    * `n` decoded samples: re_k = Σ s(j)·cosTab(k,j), im_k = Σ
+    * s(j)·sinTab(k,j), energy = re² + im² — the audio feature-extraction
+    * step (tone/energy fingerprints) with EXACT integer arithmetic on
+    * the quantized table, so an oracle replays it from the closed-form
+    * fixture. Row-local compute after the decode seam; one output row
+    * per (asset, bin). */
+  def audioSpectrum(spark: SparkSession, assets: DataFrame,
+                    freqs: Seq[Int], n: Int,
+                    decoder: MediaDecoder = JdkMediaDecoder): DataFrame = {
+    require(freqs.nonEmpty && n >= 1, "need at least one bin and one sample")
+    val table = spectrumTable(freqs, n)
+    val cosT = freqs.map(k => k -> table.collect {
+      case (`k`, j, c, _) => (j, c) }.sortBy(_._1).map(_._2).toArray).toMap
+    val sinT = freqs.map(k => k -> table.collect {
+      case (`k`, j, _, s) => (j, s) }.sortBy(_._1).map(_._2).toArray).toMap
+    val enc = org.apache.spark.sql.Encoders.row(spectrumSchema)
+    assets.select("asset_id", "media_type", "payload").mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = Option(r.get(2)).map(_.asInstanceOf[Array[Byte]])
+          .getOrElse(Array.emptyByteArray)
+        val (_, _, _, samples) = decoder.decode(r.getString(1), payload)
+        require(samples.length >= n,
+          s"asset $id: need $n samples, decoded ${samples.length}")
+        freqs.map { k =>
+          val ct = cosT(k); val st = sinT(k)
+          var re = 0L; var im = 0L
+          var j = 0
+          while (j < n) {
+            val v = (samples(j) & 0xff).toLong
+            re += v * ct(j); im += v * st(j)
+            j += 1
+          }
+          Row(id, k, re, im, re * re + im * im)
+        }
+      }
+    }(enc)
+  }
+
   // ------------------------------------------------- perceptual hashing
 
   /** Deterministic gray PNG with an explicit NEAR-DUP group structure for

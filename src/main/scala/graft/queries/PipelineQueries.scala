@@ -1605,6 +1605,23 @@ object PipelineQueries extends QueryModule {
         .withColumn("n_clean", length($"clean").cast("long"))
     }),
 
+    // Audio spectral features: REAL WAV decode → quantized-table DFT
+    // (Goertzel-style integer re/im/energy per analysis bin). The trig
+    // table is computed once on the driver (round(cos·1024)) and shipped
+    // into BOTH the executor closure and the oracle as literals, so the
+    // whole spectrum is exact integer math — no libm in the distributed
+    // path, bit-identical across engines.
+    "q182_audio_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      val wavs = ids
+        .mapPartitions(it => it.map(id => (id, Multimodal.syntheticWav(id, 64))))
+        .toDF("doc_id", "wav")
+        .withColumn("src", lit("synthetic_wav"))
+      val assets = Multimodal.toAssets(wavs, "doc_id", "wav", "audio", "src")
+      Multimodal.audioSpectrum(s, assets, freqs = Seq(1, 3, 5, 7), n = 64)
+    }),
+
     // Perceptual image dedup: REAL PNG decode → dHash (2×2 block means →
     // 64 comparison bits as four 16-bit bands) → pigeonhole band join →
     // exact hamming verify. The fixture (syntheticPngGrouped) plants
@@ -2428,6 +2445,21 @@ object PipelineQueries extends QueryModule {
            || CAST(doc_id AS VARCHAR) || '</h1><p class="main">'
            || COALESCE(text, '') || '</p><br/>&nbsp;&lt;end&gt;</body></html>'""")}
         AS clean FROM documents)""",
+
+    "q182_audio_spectrum" -> s"""
+      WITH d AS (SELECT doc_id AS asset_id FROM documents),
+      smp AS (SELECT asset_id, g.j AS j, (asset_id*17 + g.j*29) % 256 AS v
+              FROM d, generate_series(0, 63) g(j)),
+      tab(k, j, c, si) AS (VALUES ${graft.operators.Multimodal
+        .spectrumTable(Seq(1, 3, 5, 7), 64)
+        .map { case (k, j, c, si) => s"($k,$j,$c,$si)" }.mkString(", ")}),
+      agg AS (SELECT smp.asset_id, tab.k,
+                CAST(SUM(smp.v * tab.c) AS BIGINT) AS re,
+                CAST(SUM(smp.v * tab.si) AS BIGINT) AS im
+              FROM smp JOIN tab ON smp.j = tab.j GROUP BY 1, 2)
+      SELECT asset_id, CAST(k AS INT) AS k, re, im,
+        CAST(re*re + im*im AS BIGINT) AS energy
+      FROM agg""",
 
     "q179_image_dhash" -> """
       WITH d AS (SELECT doc_id AS id, doc_id % 17 AS g FROM documents
