@@ -886,6 +886,150 @@ object TextAnalysis {
       .withColumn("pred_pos", col("score_q4") > 0L)
   }
 
+  // ----------------------- unigram (SentencePiece-style) segmentation
+
+  /** Piece vocabulary for unigram segmentation over the corpus's
+    * normalized, whitespace-split, length-capped words: EVERY single
+    * character (so segmentation never fails), plus the top `topBigrams`
+    * bigram and `topTrigrams` trigram substrings by corpus frequency
+    * (count desc, piece asc — a deterministic total order). The piece
+    * cost is a quantized -log2 frequency in pure integers:
+    * cost = 2000 − 10·bitlen(count) per piece — a fixed base (the
+    * -log p normalizer) plus a frequency rebate, so covering a word in
+    * fewer, more frequent pieces always wins, exactly the unigram-LM
+    * objective shape.
+    * Returns (piece, len, cnt, cost).
+    *
+    * Scale shape: substring counting is one explode + hash agg per
+    * length (map-side combined); top-N selection sorts only the DISTINCT
+    * piece frame (vocabulary-sized, bounded), never the corpus. */
+  def unigramVocab(df: DataFrame, textCol: String, maxWordLen: Int = 12,
+                   topBigrams: Int = 200, topTrigrams: Int = 100): DataFrame = {
+    require(maxWordLen >= 3, "maxWordLen must be >= 3")
+    val words = df.select(explode(
+        split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " ")).as("w"))
+      .where(col("w") =!= "" && length(col("w")) <= maxWordLen)
+    def counts(l: Int) = words
+      .where(length(col("w")) >= l)
+      .select(explode(expr(
+        s"transform(sequence(1, length(w) - ${l - 1}), i -> substring(w, i, $l))"))
+        .as("piece"))
+      .groupBy("piece").agg(count(lit(1)).as("cnt"))
+    def top(l: Int, n: Int) = counts(l)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(n)
+    counts(1).unionByName(top(2, topBigrams)).unionByName(top(3, topTrigrams))
+      .select(col("piece"), length(col("piece")).as("len"), col("cnt"),
+        (lit(2000) - length(bin(col("cnt"))) * 10).cast("long").as("cost"))
+  }
+
+  /** Viterbi segmentation of every distinct corpus word under
+    * [[unigramVocab]]'s costs, minimizing (total cost, piece count)
+    * lexicographically. The two objectives are fused into ONE integer DP
+    * value — each piece contributes cost·64 + 1, and piece counts stay
+    * < 64 — so the minimum is unique and NO tie-break convention can
+    * leak into the output (equal-value argmins don't matter).
+    *
+    * Scale shape: the vocabulary (corpus alphabet + topN pieces — small
+    * and bounded by construction) is collected once and broadcast; the
+    * DP is O(len·3) row-local per word. That is the tokenizer-
+    * application shape at 100 TB: a broadcast model, a map-only pass. */
+  def unigramSegmentWords(df: DataFrame, textCol: String, maxWordLen: Int = 12,
+                          topBigrams: Int = 200, topTrigrams: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pieceCost: Map[String, Long] =
+      unigramVocab(df, textCol, maxWordLen, topBigrams, topTrigrams)
+        .select("piece", "cost").as[(String, Long)]
+        .collect().toMap // bounded: alphabet + topBigrams + topTrigrams
+    val bc = spark.sparkContext.broadcast(pieceCost)
+    df.select(explode(
+        split(Dedup.normalizedText(coalesce(col(textCol), lit(""))), " ")).as("w"))
+      .where(col("w") =!= "" && length(col("w")) <= maxWordLen)
+      .distinct().as[String]
+      .map { w =>
+        val m = bc.value
+        val n = w.length
+        val INF = Long.MaxValue / 4
+        val v = Array.fill(n + 1)(INF)
+        v(0) = 0L
+        var i = 1
+        while (i <= n) {
+          var l = 1
+          while (l <= 3 && l <= i) {
+            if (v(i - l) < INF) {
+              m.get(w.substring(i - l, i)) match {
+                case Some(c) =>
+                  val cand = v(i - l) + c * 64 + 1
+                  if (cand < v(i)) v(i) = cand
+                case None =>
+              }
+            }
+            l += 1
+          }
+          i += 1
+        }
+        // every single char is in the vocab, so v(n) is always finite
+        (w, v(n) / 64, v(n) % 64)
+      }
+      .toDF("word", "cost", "n_pieces")
+  }
+
+  /** [[unigramSegmentWords]] transcribed to ANSI SQL: same vocabulary
+    * derivation, same fused-integer DP — unrolled over word positions
+    * (maxWordLen stages), which is what makes the oracle finite. Kept
+    * adjacent to the implementation so the two stay in lockstep. */
+  def unigramSegmentSql(maxWordLen: Int = 12, topBigrams: Int = 200,
+                        topTrigrams: Int = 100): String = {
+    val head = s"""
+      WITH wr AS (SELECT UNNEST(string_split(nt, ' ')) AS w FROM
+            (SELECT regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')
+               AS nt FROM documents)),
+      words_all AS (SELECT w FROM wr WHERE w <> '' AND length(w) <= $maxWordLen),
+      c1 AS (SELECT substr(w, g.i, 1) AS piece, COUNT(*) AS cnt
+             FROM words_all, LATERAL UNNEST(range(1, length(w) + 1)) AS g(i)
+             GROUP BY 1),
+      c2r AS (SELECT substr(w, g.i, 2) AS piece, COUNT(*) AS cnt
+              FROM words_all, LATERAL UNNEST(range(1, length(w))) AS g(i)
+              WHERE length(w) >= 2 GROUP BY 1),
+      c3r AS (SELECT substr(w, g.i, 3) AS piece, COUNT(*) AS cnt
+              FROM words_all, LATERAL UNNEST(range(1, length(w) - 1)) AS g(i)
+              WHERE length(w) >= 3 GROUP BY 1),
+      c2 AS (SELECT piece, cnt FROM (SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rn FROM c2r)
+             WHERE rn <= $topBigrams),
+      c3 AS (SELECT piece, cnt FROM (SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS rn FROM c3r)
+             WHERE rn <= $topTrigrams),
+      vocab AS (SELECT piece,
+                  (2000 - length(bin(cnt)) * 10) * 64 + 1 AS c
+                FROM (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+                      UNION ALL SELECT * FROM c3)),
+      words AS MATERIALIZED (SELECT DISTINCT w FROM words_all),
+      cand AS (SELECT wo.w, g.i AS t, l.l AS l,
+                 substr(wo.w, g.i - l.l + 1, l.l) AS piece
+               FROM words wo,
+                    LATERAL UNNEST(range(1, length(wo.w) + 1)) AS g(i),
+                    (VALUES (1), (2), (3)) l(l)
+               WHERE l.l <= g.i),
+      edge AS MATERIALIZED (SELECT c.w, c.t, c.l, v.c FROM cand c
+               JOIN vocab v ON v.piece = c.piece),
+      dall0 AS MATERIALIZED (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS v FROM words)"""
+    val stages = (1 to maxWordLen).map { k =>
+      s""",
+      d$k AS (SELECT e.w, MIN(p.v + e.c) AS v
+              FROM edge e JOIN dall${k - 1} p
+                ON p.w = e.w AND p.pos = $k - e.l
+              WHERE e.t = $k GROUP BY 1),
+      dall$k AS MATERIALIZED (SELECT * FROM dall${k - 1}
+                 UNION ALL SELECT w, $k AS pos, v FROM d$k)"""
+    }.mkString
+    val tail = s"""
+      SELECT w AS word, CAST(v // 64 AS BIGINT) AS cost,
+        CAST(v % 64 AS BIGINT) AS n_pieces
+      FROM dall$maxWordLen WHERE pos = length(w)"""
+    head + stages + tail
+  }
+
   // ----------------------------------------------------- HTML cleaning
 
   /** HTML → text extraction as a pure column-expression chain (codegen'd

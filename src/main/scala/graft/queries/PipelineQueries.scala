@@ -1605,6 +1605,17 @@ object PipelineQueries extends QueryModule {
         .withColumn("n_clean", length($"clean").cast("long"))
     }),
 
+    // SentencePiece-style unigram segmentation: corpus-derived piece
+    // vocabulary (all single chars + top bigrams/trigrams, quantized
+    // -log2-frequency integer costs) applied to every distinct word by
+    // Viterbi DP. (cost, n_pieces) are minimized lexicographically via a
+    // fused integer objective, so the answer is unique — no tie-break
+    // convention to drift between engines. Broadcast vocab + row-local
+    // DP: the tokenizer-application shape at 100 TB. The oracle unrolls
+    // the DP over the 12 word positions in pure SQL.
+    "q183_unigram_segment" -> ((s, dir) =>
+      TextAnalysis.unigramSegmentWords(Tables(s, dir, "documents"), "text")),
+
     // Audio spectral features: REAL WAV decode → quantized-table DFT
     // (Goertzel-style integer re/im/energy per analysis bin). The trig
     // table is computed once on the driver (round(cos·1024)) and shipped
@@ -2445,6 +2456,9 @@ object PipelineQueries extends QueryModule {
            || CAST(doc_id AS VARCHAR) || '</h1><p class="main">'
            || COALESCE(text, '') || '</p><br/>&nbsp;&lt;end&gt;</body></html>'""")}
         AS clean FROM documents)""",
+
+    "q183_unigram_segment" ->
+      graft.operators.TextAnalysis.unigramSegmentSql(),
 
     "q182_audio_spectrum" -> s"""
       WITH d AS (SELECT doc_id AS asset_id FROM documents),
