@@ -227,4 +227,62 @@ object Analysis {
     require(frames.nonEmpty, "temporalConcat of zero frames")
     frames.reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  // --------------------------------------------- event-funnel analytics
+
+  /** Ordered-step funnel over an event stream: a user completes step k
+    * at the EARLIEST event of step k's type strictly after their
+    * step-(k−1) completion, with every step landing within
+    * `withinSeconds` of their step-1 time. Returns one row per step:
+    * (step, step_name, n_users).
+    *
+    * Scale shape: step k is one filtered scan + one shuffle hash join on
+    * the user key against the (shrinking) step-(k−1) frame + a min
+    * aggregation — k steps, k bounded joins, no windows over the full
+    * stream and nothing driver-side. Timestamps compare as unix micros
+    * so the arithmetic is integer-exact and oracle-replayable. */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+                  timeCol: String, steps: Seq[String],
+                  withinSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinSeconds > 0, "withinSeconds must be positive")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(timeCol)).as("us"))
+    val withinUs = withinSeconds * 1000000L
+    var cur = ev.where(col("t") === steps.head)
+      .groupBy("u").agg(min("us").as("t1"))
+      .withColumn("tk", col("t1"))
+    var frames = List((1, steps.head, cur))
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      cur = ev.where(col("t") === step)
+        .join(cur.select("u", "t1", "tk"), "u")
+        .where(col("us") > col("tk") && col("us") <= col("t1") + withinUs)
+        .groupBy("u", "t1").agg(min("us").as("tk"))
+      frames ::= ((i + 1, step, cur))
+    }
+    frames.reverse.map { case (i, name, f) =>
+      f.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step"), lit(name).as("step_name"), col("n_users"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Cohort retention: users bucketed by the time bucket of their FIRST
+    * event; for every (cohort bucket, buckets-since-cohort) cell, the
+    * count of distinct users active in that cell. The classic retention
+    * triangle as two aggregations and one join — first-touch frame joins
+    * back on the user key, bucket arithmetic is integer floor division
+    * on unix micros (oracle-replayable).  */
+  def cohortRetention(events: DataFrame, userCol: String, timeCol: String,
+                      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val b = bucketSeconds * 1000000L
+    val ev = events.select(col(userCol).as("u"),
+      unix_micros(col(timeCol)).as("us"))
+    val first = ev.groupBy("u").agg(min("us").as("f"))
+    ev.join(first, "u")
+      .select(col("u"), expr(s"f div ${b}L").as("cohort_bucket"),
+        (expr(s"us div ${b}L") - expr(s"f div ${b}L")).as("periods_since"))
+      .groupBy("cohort_bucket", "periods_since")
+      .agg(countDistinct(col("u")).as("n_users"))
+  }
 }

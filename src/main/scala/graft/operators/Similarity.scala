@@ -1500,4 +1500,59 @@ object Similarity {
         aggregate(zip_with(q, row, (a, b) => a * b), lit(0d), _ + _)
           .cast("long"))).as(Seq("j", "val")))
   }
+
+  // ----------------------------------------- dominant direction (PCA-1)
+
+  /** Dominant principal direction of the corpus's quantized second-moment
+    * matrix Σ v·vᵀ, by power iteration — the top-1 PCA component used for
+    * embedding whitening / drift monitoring, with every step in EXACT
+    * integer arithmetic so the result is bit-reproducible and
+    * SQL-replayable.
+    *
+    * Scale shape: the ONLY corpus-sized work is the second-moment
+    * accumulation — one explode to (vec, i, q) and one shuffle hash
+    * aggregation over dim² keys (map-side combined); at 100 TB that is a
+    * single pass. The dim×dim matrix (bounded, data-independent size) is
+    * then collected and the O(iters·dim²) iteration runs on the driver —
+    * the same bounded-collect contract as `kmeansFitCollected`.
+    *
+    * Arithmetic, replayed verbatim by the oracle: q = floor(x·scale);
+    * M(i,j) = Σ q_i·q_j; x⁰ = xScale everywhere; per round
+    * y = M·x, then x' = y / (max|y| / xScale + 1) in TRUNCATING integer
+    * division — the +1 keeps the denominator positive and |x'| ≤ xScale,
+    * and truncation (toward zero) is what both JVM `/` and DuckDB `//`
+    * do on negatives (checked: -7 // 2 = -3). */
+  def dominantDirection(df: DataFrame, vecCol: String, idCol: String,
+                        scale: Double = 1000.0, iters: Int = 3,
+                        xScale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).as("__id"),
+      posexplode(transform(asDouble(col(vecCol)),
+        x => floor(x * lit(scale)).cast("long"))).as(Seq("i", "q")))
+    val entries = q.as("a").join(q.as("b"), col("a.__id") === col("b.__id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.q") * col("b.q")).as("m"))
+      .collect() // bounded: dim² rows, data-independent
+    require(entries.nonEmpty, "empty input: no vectors to analyze")
+    val dim = entries.map(_.getInt(0)).max + 1
+    val m = Array.ofDim[Long](dim, dim)
+    entries.foreach(r => m(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var x = Array.fill(dim)(xScale)
+    var it = 0
+    while (it < iters) {
+      val y = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += m(i)(j) * x(j); j += 1 }
+        acc
+      }
+      val mx = y.map(math.abs).max
+      val denom = mx / xScale + 1L // mx >= 0
+      x = y.map(_ / denom) // truncating division ≡ SQL //
+      it += 1
+    }
+    import spark.implicits._
+    x.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "x")
+  }
 }

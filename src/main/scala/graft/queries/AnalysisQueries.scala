@@ -38,6 +38,24 @@ object AnalysisQueries extends QueryModule {
           $"count_overpass_occurence")
     }),
 
+    // Ordered-step funnel view → click → purchase within 1 hour of the
+    // first view: per step one filtered scan + one shuffle join on the
+    // user key + a min-agg — never a window over the full stream. All
+    // time arithmetic in unix micros (integer-exact).
+    "q184_funnel" -> ((s, dir) => {
+      Analysis.funnelSteps(graft.core.Tables(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"), withinSeconds = 3600L)
+    }),
+
+    // Cohort retention triangle: users bucketed by first-event hour,
+    // distinct-active counts per (cohort, hours-since) cell — two aggs
+    // and one join, floor-division bucket arithmetic.
+    "q185_cohort_retention" -> ((s, dir) => {
+      Analysis.cohortRetention(graft.core.Tables(s, dir, "events"),
+        "user_id", "ts", bucketSeconds = 3600L)
+    }),
+
     // W7+W8: per-user hourly series reindexed onto the full hour axis, then
     // bounded linear interpolation of the holes (limit 3). The blend
     // arithmetic (pv + (nv-pv)*k/n on exact-integer-cent doubles) is
@@ -512,6 +530,30 @@ object AnalysisQueries extends QueryModule {
       SELECT event_id, user_id, overpass_id,
         COUNT(*) OVER (PARTITION BY user_id, overpass_id) AS count_overpass_occurence
       FROM m""",
+
+    "q184_funnel" -> """
+      WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+                 FROM events),
+      s1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE t = 'view' GROUP BY 1),
+      s2 AS (SELECT e.u, s1.t1, MIN(e.us) AS tk FROM e JOIN s1 ON e.u = s1.u
+             WHERE e.t = 'click' AND e.us > s1.t1
+               AND e.us <= s1.t1 + 3600000000 GROUP BY 1, 2),
+      s3 AS (SELECT e.u, s2.t1, MIN(e.us) AS tk FROM e JOIN s2 ON e.u = s2.u
+             WHERE e.t = 'purchase' AND e.us > s2.tk
+               AND e.us <= s2.t1 + 3600000000 GROUP BY 1, 2)
+      SELECT CAST(1 AS INT) AS step, 'view' AS step_name,
+        CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""",
+
+    "q185_cohort_retention" -> """
+      WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+      f AS (SELECT u, MIN(us) AS f FROM e GROUP BY 1)
+      SELECT f.f // 3600000000 AS cohort_bucket,
+        e.us // 3600000000 - f.f // 3600000000 AS periods_since,
+        CAST(COUNT(DISTINCT e.u) AS BIGINT) AS n_users
+      FROM e JOIN f ON e.u = f.u
+      GROUP BY 1, 2""",
 
     "q53_regularize_interp" -> """
       WITH e AS (

@@ -1605,6 +1605,17 @@ object PipelineQueries extends QueryModule {
         .withColumn("n_clean", length($"clean").cast("long"))
     }),
 
+    // Dominant principal direction (top-1 PCA) of the quantized embedding
+    // second-moment matrix by power iteration: the only corpus-sized work
+    // is ONE explode + hash-agg pass building the dim² matrix (map-side
+    // combined); the bounded dim×dim result is collected and iterated on
+    // the driver (kmeansFitCollected's contract). Exact integer
+    // arithmetic round for round — the oracle unrolls the same 3
+    // iterations in SQL, truncating division matching `//`.
+    "q186_dominant_direction" -> ((s, dir) =>
+      graft.operators.Similarity.dominantDirection(
+        Tables(s, dir, "embeddings"), "embedding", "vec_id")),
+
     // SentencePiece-style unigram segmentation: corpus-derived piece
     // vocabulary (all single chars + top bigrams/trigrams, quantized
     // -log2-frequency integer costs) applied to every distinct word by
@@ -2459,6 +2470,33 @@ object PipelineQueries extends QueryModule {
 
     "q183_unigram_segment" ->
       graft.operators.TextAnalysis.unigramSegmentSql(),
+
+    "q186_dominant_direction" -> """
+      WITH e0 AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+            FROM embeddings),
+      v AS MATERIALIZED (SELECT vec_id, g.i - 1 AS i, CAST(e[g.i] AS BIGINT) AS q
+           FROM e0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)),
+      m AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS m
+           FROM v a JOIN v b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      x0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS x FROM v),
+      y1 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x0.x) AS BIGINT) AS y
+           FROM m JOIN x0 ON m.j = x0.j GROUP BY 1),
+      x1 AS MATERIALIZED (SELECT i AS j,
+             CAST(y // ((SELECT MAX(abs(y)) FROM y1) // 1000000 + 1) AS BIGINT) AS x
+           FROM y1),
+      y2 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x1.x) AS BIGINT) AS y
+           FROM m JOIN x1 ON m.j = x1.j GROUP BY 1),
+      x2 AS MATERIALIZED (SELECT i AS j,
+             CAST(y // ((SELECT MAX(abs(y)) FROM y2) // 1000000 + 1) AS BIGINT) AS x
+           FROM y2),
+      y3 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x2.x) AS BIGINT) AS y
+           FROM m JOIN x2 ON m.j = x2.j GROUP BY 1),
+      x3 AS (SELECT i AS j,
+             CAST(y // ((SELECT MAX(abs(y)) FROM y3) // 1000000 + 1) AS BIGINT) AS x
+           FROM y3)
+      SELECT CAST(j AS INT) AS i, x FROM x3""",
 
     "q182_audio_spectrum" -> s"""
       WITH d AS (SELECT doc_id AS asset_id FROM documents),

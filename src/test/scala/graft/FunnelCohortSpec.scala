@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analysis, Similarity}
+
+/** Funnel / cohort-retention / dominant-direction: semantic edges that
+  * the oracle gates can't isolate (ordering, window boundary, axis
+  * recovery). */
+class FunnelCohortSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: order and window are enforced per user") {
+    val ev = Seq(
+      // u1 completes A->B->C in order, inside the hour
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 10:10:00")),
+      (1L, "C", ts("2024-01-01 10:20:00")),
+      // u2 does B before A: B must not count
+      (2L, "B", ts("2024-01-01 10:00:00")),
+      (2L, "A", ts("2024-01-01 10:05:00")),
+      // u3's C lands outside the 1h window of their first A
+      (3L, "A", ts("2024-01-01 10:00:00")),
+      (3L, "B", ts("2024-01-01 10:30:00")),
+      (3L, "C", ts("2024-01-01 11:30:00")),
+      // u4 never does A: nothing counts
+      (4L, "B", ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = Analysis.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("A", "B", "C"), withinSeconds = 3600L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel: boundary — an event exactly at t1 + window still counts") {
+    val ev = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")),
+      (1L, "B", ts("2024-01-01 11:00:00"))) // exactly +1h (<=, closed)
+      .toDF("user_id", "event_type", "ts")
+    val got = Analysis.funnelSteps(ev, "user_id", "event_type", "ts",
+        Seq("A", "B"), withinSeconds = 3600L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got(2) == 1L, "closed upper boundary must count")
+  }
+
+  test("cohort retention: first-touch buckets and distinct actives") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:05:00")), (1L, ts("2024-01-01 12:05:00")),
+      (1L, ts("2024-01-01 12:45:00")), // same cell twice -> 1 distinct
+      (2L, ts("2024-01-01 10:30:00")),
+      (3L, ts("2024-01-01 11:30:00")))
+      .toDF("user_id", "ts")
+    val got = Analysis.cohortRetention(ev, "user_id", "ts", 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val h10 = ts("2024-01-01 10:00:00").getTime * 1000L / 3600000000L
+    assert(got((h10, 0L)) == 2L)       // u1 + u2 in their cohort hour
+    assert(got((h10, 2L)) == 1L)       // u1 two hours later, deduped
+    assert(got((h10 + 1, 0L)) == 1L)   // u3's own cohort
+    assert(got.values.sum == 4L)
+  }
+
+  test("dominant direction: recovers a planted dominant axis") {
+    // 50 vectors strongly aligned with axis 2, small noise on axis 5
+    val vecs = (0 until 50).map { i =>
+      val v = Array.fill(8)(0.0f)
+      v(2) = 0.5f + (i % 3) * 0.01f
+      v(5) = 0.02f * (i % 5)
+      (i.toLong, v.toSeq)
+    }
+    val got = Similarity.dominantDirection(
+        vecs.toDF("vec_id", "embedding"), "embedding", "vec_id")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val top = got.maxBy { case (_, x) => math.abs(x) }
+    assert(top._1 == 2, s"dominant axis must be 2, got $got")
+    assert(math.abs(top._2) == 1000000L || math.abs(top._2) >= 999000L,
+      "dominant component must saturate the xScale")
+    assert(math.abs(got(0)) == 0L && math.abs(got(7)) == 0L,
+      "untouched axes must be exactly zero")
+  }
+
+  test("dominant direction: independent of input partitioning") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(6)(j => ((i * 7 + j * 13) % 10 - 5) / 10.0f))
+    }
+    def run(parts: Int) = Similarity.dominantDirection(
+        vecs.toDF("vec_id", "embedding").repartition(parts), "embedding", "vec_id")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(run(7) == run(1))
+  }
+}
