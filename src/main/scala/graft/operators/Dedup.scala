@@ -695,4 +695,31 @@ object Dedup {
         (size(col("__sa")).cast("long") + size(col("__sb")).cast("long") - inter)
           .as("union_size"))
   }
+
+  /** Shingle CONTAINMENT counts over candidate pairs:
+    * containment(a→b) = |S(a) ∩ S(b)| / |S(a)| over DISTINCT shingle
+    * sets — the asymmetric measure that catches subset duplication
+    * (quotes, partial copies, doc-inside-doc) which symmetric Jaccard
+    * dilutes: a short doc fully contained in a long one has tiny
+    * Jaccard but containment 1.0. Emits exact integers (intersection,
+    * n_a, n_b) so callers pick either direction's ratio.
+    *
+    * Same scale shape as [[ngramJaccardCounts]]: shingle sets are
+    * in-row arrays, candidates join them in by id — set algebra never
+    * crosses the shuffle, only the (bounded) candidate pairs do. */
+  def containmentCounts(df: DataFrame, pairs: DataFrame, textCol: String,
+                        idCol: String, shingleK: Int = 3): DataFrame = {
+    val arrs = fanOut(df)
+      .select(col(idCol), normalizedText(col(textCol)).as("__norm"))
+      .select(col(idCol),
+        array_distinct(shinglesOfNormalized(col("__norm"), shingleK)).as("__shs"))
+    val aSide = arrs.select(col(idCol).as("a"), col("__shs").as("__sa"))
+    val bSide = arrs.select(col(idCol).as("b"), col("__shs").as("__sb"))
+    pairs.join(aSide, Seq("a")).join(bSide, Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+          .as("intersection"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"))
+  }
 }

@@ -53,6 +53,21 @@ object PipelineQueries extends QueryModule {
       Dedup.ngramJaccardCounts(docs, pairs, "text", "doc_id", shingleK = 3)
     }),
 
+    // Shingle containment over the q34 candidate pairs: the asymmetric
+    // subset-duplication measure (|S(a)∩S(b)| / |S(a)|) that symmetric
+    // Jaccard dilutes — finds quotes / partial copies. DISTINCT shingle
+    // sets stay in-row; only the bounded candidate pairs shuffle.
+    "q187_containment" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val bySource = docs.select($"source".as("src"), $"doc_id")
+      val pairs = bySource.toDF("src", "a")
+        .join(bySource.toDF("src", "b"), Seq("src"))
+        .where($"a" < $"b" && ($"b" - $"a") <= 40)
+        .select("a", "b")
+      Dedup.containmentCounts(docs, pairs, "text", "doc_id", shingleK = 3)
+    }),
+
     // Content-defined chunking: windowed-hash boundaries (expected chunk
     // 256 chars), chunk hashes for storage-level dedup. Entirely in-row.
     "q135_cdc_chunks" -> ((s, dir) =>
@@ -2654,6 +2669,23 @@ object PipelineQueries extends QueryModule {
       SELECT p.a, p.b,
         CAST(len(list_intersect(la.shs, lb.shs)) AS BIGINT) AS intersection,
         CAST(len(la.shs) + len(lb.shs) - len(list_intersect(la.shs, lb.shs)) AS BIGINT) AS union_size
+      FROM pairs p
+      JOIN arrs la ON la.doc_id = p.a
+      JOIN arrs lb ON lb.doc_id = p.b""",
+
+    "q187_containment" -> s"""
+      WITH sh AS (${shinglesSql(3)}),
+      arrs AS (SELECT doc_id, list_distinct(list(sh)) AS shs
+               FROM sh GROUP BY doc_id),
+      pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b
+        FROM documents l JOIN documents r
+          ON l.source = r.source AND l.doc_id < r.doc_id
+          AND r.doc_id - l.doc_id <= 40)
+      SELECT p.a, p.b,
+        CAST(len(list_intersect(la.shs, lb.shs)) AS BIGINT) AS intersection,
+        CAST(len(la.shs) AS BIGINT) AS n_a,
+        CAST(len(lb.shs) AS BIGINT) AS n_b
       FROM pairs p
       JOIN arrs la ON la.doc_id = p.a
       JOIN arrs lb ON lb.doc_id = p.b""",
