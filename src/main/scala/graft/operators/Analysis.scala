@@ -266,6 +266,32 @@ object Analysis {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-group k-sigma outlier flags in EXACT integer arithmetic — no
+    * float mean or stddev anywhere, so the flags are bit-reproducible
+    * and oracle-replayable. The test (x − S/N)² > k²·(Q/N − (S/N)²)
+    * cross-multiplies to (N·x − S)² > k²·(N·Q − S²), all integers for
+    * integer-cents values. Caller must keep magnitudes inside 64 bits:
+    * N·max|x| must stay below ~3·10⁹ (both sides are its square) —
+    * bucket groups by time (as q189 does) to bound N.
+    *
+    * Scale shape: one hash aggregation for the per-group (N, S, Q)
+    * moments (map-side combined), then one join back on the group key —
+    * AQE broadcasts the moments frame when it is small. */
+  def outlierFlags(df: DataFrame, keyCols: Seq[String], valueCents: Column,
+                   kSigma: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one group key")
+    require(kSigma >= 1, "kSigma must be >= 1")
+    val base = df.withColumn("__c", valueCents)
+    val stats = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__q"))
+    val dev = col("__c") * col("__n") - col("__s")
+    base.join(stats, keyCols)
+      .withColumn("is_outlier",
+        dev * dev > lit(kSigma.toLong * kSigma) *
+          (col("__n") * col("__q") - col("__s") * col("__s")))
+  }
+
   /** Cohort retention: users bucketed by the time bucket of their FIRST
     * event; for every (cohort bucket, buckets-since-cohort) cell, the
     * count of distinct users active in that cell. The classic retention

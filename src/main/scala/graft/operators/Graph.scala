@@ -77,4 +77,60 @@ object Graph {
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** Weighted PageRank over `(src, dst, w)` with positive integer edge
+    * weights: contributions split by out-weight SHARE rather than
+    * out-degree. To keep every product inside 64 bits (rank ≤ scale ~
+    * 10^12 times raw weights would overflow), each edge's weight is
+    * pre-normalized once to an integer share ∈ [0, shareScale]:
+    * share = w·shareScale // W(u), and per round
+    * contrib(u→v) = r(u)·share // shareScale — products stay ≤
+    * scale·shareScale ~ 10^16. Share flooring drops at most
+    * outDeg/shareScale of each node's mass per round (deterministic,
+    * replayed by the oracle). Same iteration scaffold and scale shape
+    * as [[pageRank]]. */
+  def pageRankWeighted(edges: DataFrame, iterations: Int,
+                       scale: Long = 1000000000000L,
+                       shareScale: Long = 10000L,
+                       dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(shareScale >= 1, "shareScale must be >= 1")
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .where(col("w") > 0L)
+    val outW = e0.groupBy(col("src")).agg(sum(col("w")).as("__W"))
+    val e = e0.join(outW, "src")
+      .select(col("src"), col("dst"),
+        expr(s"(w * ${shareScale}L) div __W").as("share"))
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val r0 = scale / n
+    val base = (dampDen - dampNum).toLong * scale / (dampDen.toLong * n)
+    var ranks = nodes.withColumn("r", lit(r0)).persist()
+    ranks.count()
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"(r * share) div ${shareScale}L").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen"))
+            .as("r"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    e.unpersist(); nodes.unpersist()
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
 }

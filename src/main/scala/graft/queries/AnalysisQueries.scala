@@ -56,6 +56,22 @@ object AnalysisQueries extends QueryModule {
         "user_id", "ts", bucketSeconds = 3600L)
     }),
 
+    // Exact-integer 3-sigma outlier flags per event_type: the
+    // cross-multiplied variance test (N·x−S)² > 9·(N·Q−S²) — no float
+    // mean/stddev anywhere, one moments agg + one join back. ~2% of
+    // rows flag at this grouping (the distribution has a long tail), so
+    // the boundary itself is exercised. 64-bit bound: N·max|cents| must
+    // stay under ~3·10⁹ — holds through sf1 here; larger scales bucket
+    // the groups by time (see Analysis.outlierFlags scaladoc).
+    "q189_outlier_flags" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.core.Tables(s, dir, "events")
+        .select($"event_id", $"event_type",
+          round($"value" * 100).cast("long").as("cents"))
+      Analysis.outlierFlags(ev, Seq("event_type"), $"cents", kSigma = 3)
+        .select($"event_id", $"event_type", $"cents", $"is_outlier")
+    }),
+
     // W7+W8: per-user hourly series reindexed onto the full hour axis, then
     // bounded linear interpolation of the holes (limit 3). The blend
     // arithmetic (pv + (nv-pv)*k/n on exact-integer-cent doubles) is
@@ -554,6 +570,19 @@ object AnalysisQueries extends QueryModule {
         CAST(COUNT(DISTINCT e.u) AS BIGINT) AS n_users
       FROM e JOIN f ON e.u = f.u
       GROUP BY 1, 2""",
+
+    "q189_outlier_flags" -> """
+      WITH e AS (SELECT event_id, event_type,
+              CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events),
+      g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(cents) AS BIGINT) AS s,
+              CAST(SUM(cents * cents) AS BIGINT) AS q
+            FROM e GROUP BY 1)
+      SELECT e.event_id, e.event_type, e.cents,
+        (e.cents * g.n - g.s) * (e.cents * g.n - g.s)
+          > 9 * (g.n * g.q - g.s * g.s) AS is_outlier
+      FROM e JOIN g ON e.event_type = g.event_type""",
 
     "q53_regularize_interp" -> """
       WITH e AS (

@@ -1620,6 +1620,27 @@ object PipelineQueries extends QueryModule {
         .withColumn("n_clean", length($"clean").cast("long"))
     }),
 
+    // Weighted PageRank over the same trade graph, edges weighted by
+    // total traded cents: contributions split by out-weight SHARE
+    // (pre-normalized integer shares keep every product ≤ scale·10^4,
+    // inside 64 bits). Same iteration scaffold as q177; oracle unrolls
+    // the identical integer arithmetic.
+    "q188_pagerank_weighted" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice")
+        .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(Tables(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .groupBy($"c_nationkey".cast("long").as("src"),
+          $"s_nationkey".cast("long").as("dst"))
+        .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("w"))
+      graft.operators.Graph.pageRankWeighted(edges, iterations = 3)
+    }),
+
     // Dominant principal direction (top-1 PCA) of the quantized embedding
     // second-moment matrix by power iteration: the only corpus-sized work
     // is ONE explode + hash-agg pass building the dim² matrix (map-side
@@ -2485,6 +2506,43 @@ object PipelineQueries extends QueryModule {
 
     "q183_unigram_segment" ->
       graft.operators.TextAnalysis.unigramSegmentSql(),
+
+    "q188_pagerank_weighted" -> s"""
+      WITH ew AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+                    CAST(su.s_nationkey AS BIGINT) AS dst,
+                    CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS w
+                  FROM lineitem l
+                  JOIN orders o ON l.l_orderkey = o.o_orderkey
+                  JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN supplier su ON l.l_suppkey = su.s_suppkey
+                  GROUP BY 1, 2),
+      ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM ew
+             WHERE w > 0 GROUP BY 1),
+      e AS (SELECT ew.src, ew.dst, (ew.w * 10000) // ow.tw AS share
+            FROM ew JOIN ow ON ew.src = ow.src WHERE ew.w > 0),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      c0 AS (SELECT COUNT(*) AS n FROM nodes),
+      r0 AS (SELECT node, 1000000000000 // (SELECT n FROM c0) AS r FROM nodes),
+      s1 AS (SELECT e.dst AS node, SUM((r0.r * e.share) // 10000) AS s
+             FROM e JOIN r0 ON r0.node = e.src GROUP BY 1),
+      r1 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM c0))
+                 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN s1 ON s1.node = nodes.node),
+      s2 AS (SELECT e.dst AS node, SUM((r1.r * e.share) // 10000) AS s
+             FROM e JOIN r1 ON r1.node = e.src GROUP BY 1),
+      r2 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM c0))
+                 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN s2 ON s2.node = nodes.node),
+      s3 AS (SELECT e.dst AS node, SUM((r2.r * e.share) // 10000) AS s
+             FROM e JOIN r2 ON r2.node = e.src GROUP BY 1),
+      r3 AS (SELECT nodes.node,
+               (15 * 1000000000000) // (100 * (SELECT n FROM c0))
+                 + (85 * COALESCE(s3.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN s3 ON s3.node = nodes.node)
+      SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3""",
 
     "q186_dominant_direction" -> """
       WITH e0 AS (SELECT vec_id,

@@ -80,6 +80,25 @@ class FunnelCohortSpec extends AnyFunSuite {
       "untouched axes must be exactly zero")
   }
 
+  test("outlier flags: obvious spike flags, uniform group does not") {
+    import org.apache.spark.sql.functions.col
+    val rows = (Seq.fill(20)(100L) :+ 10000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }
+    val got = Analysis.outlierFlags(
+        rows.toDF("id", "g", "c"), Seq("g"), col("c"), kSigma = 3)
+      .select("id", "is_outlier")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    assert(got(20L), "the 100x spike must flag")
+    assert((0L until 20L).forall(!got(_)), "baseline rows must not flag")
+    // constant group: variance 0, strict > means nothing flags
+    val const = Analysis.outlierFlags(
+        Seq((1L, "g", 5L), (2L, "g", 5L)).toDF("id", "g", "c"),
+        Seq("g"), col("c"), kSigma = 3)
+      .select("is_outlier").collect().map(_.getBoolean(0))
+    assert(const.forall(!_), "zero-variance group must not flag")
+  }
+
   test("dominant direction: independent of input partitioning") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Seq.tabulate(6)(j => ((i * 7 + j * 13) % 10 - 5) / 10.0f))
