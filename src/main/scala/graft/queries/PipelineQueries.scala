@@ -1228,6 +1228,53 @@ object PipelineQueries extends QueryModule {
           $"adc_d2".cast("long").as("adc_d2"))
     }),
 
+    // STREAMING query search: the converse of q113's streaming ingest —
+    // the index is STATIC on disk and the QUERIES arrive as a file
+    // stream, searched per micro-batch in foreachBatch against the
+    // persisted index (loaded in the batch's own session; probed-cell
+    // pruning applies per batch) with results appended to a parquet
+    // sink. Batching must not change answers: the sink equals the q100
+    // batch search bit-for-bit (same oracle). The online-serving shape:
+    // queries flow, the index stands still.
+    "q190_stream_ann_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      val idx = s"/tmp/graft_annidx_v2_${QueryModule.cacheKey(dir)}"
+      graft.sources.AnnIndex.saveIvfPq(emb, "vec_id", "embedding", idx,
+        dims = 64, m = 4, k = 16, nList = 8)
+      val h = s"v1_${QueryModule.cacheKey(dir)}"
+      val base = s"/tmp/graft_annq_$h"
+      val qsrc = s"$base/qsrc"; val sink = s"$base/sink"; val ckpt = s"$base/ckpt"
+      Seq(sink, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
+      if (!graft.sources.BucketFs.exists(s"$base/_staged_ok")) {
+        graft.sources.BucketFs.deleteRecursive(qsrc)
+        emb.where($"vec_id" < 8).repartition(4)
+          .write.mode("overwrite").parquet(qsrc)
+        graft.sources.BucketFs.writeString(s"$base/_staged_ok", "ok\n")
+      }
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "4")
+      val schema = s.read.parquet(qsrc).schema
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(qsrc)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            graft.sources.AnnIndex.loadIvfPq(batch.sparkSession, idx)
+              .search(batch, "embedding", topK = 3)
+              .write.mode("append").parquet(sink)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(sink)
+        .select($"query_id", $"rk", $"neighbor_id", $"centroid_id",
+          $"adc_d2".cast("long").as("adc_d2"))
+    }),
+
     // STREAMING codes ingest: a codebook-only index (quantizers trained
     // batch-side, no codes) + the whole corpus streamed through the
     // map-only encoder into the exactly-once file sink, then a search on
@@ -3714,6 +3761,9 @@ object PipelineQueries extends QueryModule {
     // the persisted-index search must return exactly what the inline
     // search returns, so it shares q96's oracle
     "q100_pq_persist" -> ivfPqOracle(nProbe = 1),
+    // streaming query search over the same static index: batching must
+    // not change answers, so the oracle is q100's verbatim
+    "q190_stream_ann_search" -> ivfPqOracle(nProbe = 1),
 
     // as-of gen 1 = the index the first half built: candidates (codes)
     // restricted to vec_id < 250, quantizer seeds (id < 16 / id < 8)
