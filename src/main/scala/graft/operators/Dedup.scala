@@ -707,6 +707,89 @@ object Dedup {
     * Same scale shape as [[ngramJaccardCounts]]: shingle sets are
     * in-row arrays, candidates join them in by id — set algebra never
     * crosses the shuffle, only the (bounded) candidate pairs do. */
+  /** Exact set-similarity self-join by PREFIX FILTERING (PPJoin-style):
+    * all pairs with token-set Jaccard ≥ tNum/tDen, with NO candidate
+    * ever generated from a frequent token.
+    *
+    * Order each document's distinct tokens by GLOBAL rarity (df asc,
+    * token asc); a pair at Jaccard ≥ t must share a token inside each
+    * side's first n − ceil(t·n) + 1 rarest tokens, so the inverted-index
+    * join runs only over those prefixes — rare tokens by construction,
+    * which is what kills the hot-token skew that a naive token join dies
+    * on at corpus scale. Verification is exact (in-row
+    * array_intersect over the distinct sets), and the threshold test is
+    * pure integers: tDen·inter ≥ tNum·(n_a + n_b − inter).
+    *
+    * Unlike [[lshCandidatePairs]] (probabilistic recall), this is EXACT:
+    * every qualifying pair is returned. Output (a, b, intersection,
+    * n_a, n_b). */
+  def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
+                        tNum: Int, tDen: Int, shingleK: Int = 0): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    // element universe: word tokens (shingleK = 0) or character
+    // k-shingles — shingles discriminate far better on small-vocabulary
+    // corpora, where every doc shares most of its WORDS with every other.
+    // __norm staged as a column FIRST: shinglesOfNormalized's transform
+    // lambda is interpreted and would otherwise re-normalize per shingle
+    val staged = fanOut(df).select(col(idCol).as("id"),
+      normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+    val elems =
+      if (shingleK == 0) split(col("__norm"), " ")
+      else shinglesOfNormalized(col("__norm"), shingleK)
+    // elements are 40-bit md5 hashes, not strings: the exact-verify
+    // array_intersect is interpreted, and long compares are several
+    // times cheaper than string compares at millions of candidate
+    // pairs. Collisions are deterministic (both engines hash the same
+    // way) and vanishingly rare at set sizes of a few hundred.
+    val toks = staged
+      .select(col("id"), explode(array_distinct(elems)).as("__raw"))
+      .where(col("__raw") =!= "")
+      .select(col("id"), Sketches.hash40(col("__raw")).as("tok"))
+    val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    val ranked = toks.join(dfCounts, "tok")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("__df").asc, col("tok").asc)))
+      .withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    // prefix length p = n − ceil(t·n) + 1;  ceil(a/b) = (a+b−1) div b
+    val prefix = ranked.where(col("__rk") <=
+      col("__n") - expr(s"(($tNum * __n + $tDen - 1) div $tDen)") + 1)
+    val cands = prefix.select(col("id").as("a"), col("tok"))
+      .join(prefix.select(col("id").as("b"), col("tok")), "tok")
+      .where(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // sets sorted ascending so exact verify is ONE codegen'd merge pass
+    // per candidate (SortedLongIntersectCount) — interpreted
+    // array_intersect built a hash set per pair and dominated the join
+    // at millions of candidates
+    val sets = toks.groupBy("id")
+      .agg(array_sort(collect_set(col("tok"))).as("__set"))
+    // LENGTH FILTER before the (expensive) array-attach joins: Jaccard
+    // ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|). The size frame is one
+    // LONG per doc (vs one array of hundreds of longs), so
+    // size-incompatible candidates die before any set array crosses a
+    // join. Corpus-cardinality frame — joined, not broadcast; AQE
+    // downgrades to broadcast when it actually fits.
+    val sizes = sets.select(col("id"), size(col("__set")).cast("long").as("__n"))
+    val sized = cands
+      .join(sizes.select(col("id").as("a"), col("__n").as("__na")), Seq("a"))
+      .join(sizes.select(col("id").as("b"), col("__n").as("__nb")), Seq("b"))
+      .where(lit(tDen.toLong) * least(col("__na"), col("__nb")) >=
+        lit(tNum.toLong) * greatest(col("__na"), col("__nb")))
+      .select("a", "b")
+    val verified = sized
+      .join(sets.select(col("id").as("a"), col("__set").as("__sa")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("__set").as("__sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.ArrayIntersectCount
+          .sortedIntersectCount(col("__sa"), col("__sb")).as("intersection"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"))
+    verified.where(lit(tDen.toLong) * col("intersection") >=
+      lit(tNum.toLong) * (col("n_a") + col("n_b") - col("intersection")))
+  }
+
   def containmentCounts(df: DataFrame, pairs: DataFrame, textCol: String,
                         idCol: String, shingleK: Int = 3): DataFrame = {
     val arrs = fanOut(df)

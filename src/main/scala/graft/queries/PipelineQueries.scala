@@ -53,6 +53,26 @@ object PipelineQueries extends QueryModule {
       Dedup.ngramJaccardCounts(docs, pairs, "text", "doc_id", shingleK = 3)
     }),
 
+    // EXACT set-similarity self-join by prefix filtering (PPJoin-style):
+    // all pairs at 6-shingle-set Jaccard ≥ 1/2, candidates generated
+    // ONLY from each doc's rarest-shingle prefix (inverted-index join
+    // that never touches hot elements — the skew-proof exact alternative
+    // to LSH's probabilistic recall). Shingles, not word tokens: this
+    // corpus's 31-word vocabulary makes every doc word-similar to every
+    // other (8.9M qualifying pairs at sf0.1), while shingle sets encode
+    // order and keep the true answer sparse. Integer threshold test.
+    // Gated on the doc_id %3 slice: this synthetic corpus is
+    // adversarially homogeneous (31-word vocabulary — prefix filtering
+    // can only prune what rarity structure exists), so the full-corpus
+    // exact join is quadratic-ish by the data's nature; LSH (q31/q32)
+    // is the documented scale path for such corpora.
+    "q192_prefix_filter_join" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.prefixFilterPairs(
+        Tables(s, dir, "documents").where($"doc_id" % 3 === 0),
+        "text", "doc_id", tNum = 1, tDen = 2, shingleK = 6)
+    }),
+
     // Shingle containment over the q34 candidate pairs: the asymmetric
     // subset-duplication measure (|S(a)∩S(b)| / |S(a)|) that symmetric
     // Jaccard dilutes — finds quotes / partial copies. DISTINCT shingle
@@ -853,6 +873,23 @@ object PipelineQueries extends QueryModule {
       val exact = ev.groupBy($"event_type")
         .agg(countDistinct($"user_id").as("exact_distinct"))
       sk.join(exact, Seq("event_type"))
+    }),
+
+    // HLL under ROLLUP: one pass produces per-type registers AND the
+    // grand-total registers through Spark's partial-aggregation of the
+    // custom TypedImperativeAggregate — the mergeability property
+    // (elementwise max) is what makes the rollup row correct without a
+    // second scan. The oracle recomputes both levels independently and
+    // must land on identical registers.
+    "q191_hll_rollup" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").where($"user_id".isNotNull)
+      val (b, r) = graft.operators.Sketches.hllBucketRho($"user_id", 8)
+      val rolled = ev.select($"event_type", b.as("__b"), r.as("__r"))
+        .rollup($"event_type")
+        .agg(graft.functions.HllSketch.registers($"__b", $"__r", 256).as("__regs"))
+      rolled.select(coalesce($"event_type", lit("__total")).as("event_type") +:
+        graft.operators.Sketches.hllSummary($"__regs", 256): _*)
     }),
 
     // Count-Min token frequencies: the frequency-estimation sketch —
@@ -2778,6 +2815,34 @@ object PipelineQueries extends QueryModule {
       JOIN arrs la ON la.doc_id = p.a
       JOIN arrs lb ON lb.doc_id = p.b""",
 
+    "q192_prefix_filter_join" -> s"""
+      WITH nd AS (SELECT doc_id AS id, ${normSql("COALESCE(text, '')")} AS nt
+                  FROM documents WHERE doc_id % 3 = 0),
+      tk AS (SELECT DISTINCT id,
+               ('0x' || substr(md5(substr(nt, g.i, 6)), 1, 10))::BIGINT AS tok
+             FROM nd, LATERAL UNNEST(range(1, GREATEST(length(nt) - 5, 1) + 1))
+               AS g(i)
+             WHERE substr(nt, g.i, 6) <> ''),
+      dfc AS (SELECT tok, COUNT(*) AS dfn FROM tk GROUP BY 1),
+      rk AS (SELECT tk.id, tk.tok,
+               row_number() OVER (PARTITION BY tk.id
+                 ORDER BY dfc.dfn, tk.tok) AS rk,
+               COUNT(*) OVER (PARTITION BY tk.id) AS n
+             FROM tk JOIN dfc ON tk.tok = dfc.tok),
+      pre AS (SELECT id, tok FROM rk
+              WHERE rk <= n - ((1 * n + 2 - 1) // 2) + 1),
+      cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+               FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id),
+      sets AS (SELECT id, list_distinct(list(tok)) AS s FROM tk GROUP BY 1),
+      v AS (SELECT c.a, c.b,
+              CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS intersection,
+              CAST(len(sa.s) AS BIGINT) AS n_a,
+              CAST(len(sb.s) AS BIGINT) AS n_b
+            FROM cand c JOIN sets sa ON sa.id = c.a
+            JOIN sets sb ON sb.id = c.b)
+      SELECT a, b, intersection, n_a, n_b FROM v
+      WHERE 2 * intersection >= 1 * (n_a + n_b - intersection)""",
+
     "q187_containment" -> s"""
       WITH sh AS (${shinglesSql(3)}),
       arrs AS (SELECT doc_id, list_distinct(list(sh)) AS shs
@@ -3621,6 +3686,34 @@ object PipelineQueries extends QueryModule {
                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
                    FROM events WHERE user_id IS NOT NULL GROUP BY 1) x
         ON s.event_type = x.event_type""",
+
+    "q191_hll_rollup" -> s"""
+      WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS mh
+                 FROM events WHERE user_id IS NOT NULL),
+      br AS (SELECT event_type,
+               ('0x' || substr(mh, 1, 2))::BIGINT AS bucket,
+               CASE WHEN ('0x' || substr(mh, 3, 10))::BIGINT = 0 THEN 41
+                    ELSE 41 - length(bin(('0x' || substr(mh, 3, 10))::BIGINT))
+               END AS rho
+             FROM h),
+      lv AS (SELECT event_type, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2
+             UNION ALL
+             SELECT '__total' AS event_type, bucket, MAX(rho) AS rho
+             FROM br GROUP BY 2),
+      keys AS (SELECT DISTINCT event_type FROM lv),
+      grid AS (SELECT k.event_type, g.b AS bucket
+               FROM keys k, LATERAL UNNEST(range(0, 256)) AS g(b)),
+      regs AS (SELECT grid.event_type, grid.bucket, COALESCE(lv.rho, 0) AS rho
+               FROM grid LEFT JOIN lv
+                 ON grid.event_type = lv.event_type AND grid.bucket = lv.bucket),
+      s AS (SELECT event_type,
+              CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+              CAST(SUM(1::BIGINT << (49 - rho)) AS BIGINT) AS sum_scaled
+            FROM regs GROUP BY 1)
+      SELECT event_type, n_zero, sum_scaled,
+        CAST(floor(CAST(${graft.operators.Sketches.hllConstant(256)} AS DOUBLE) /
+                   CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS est_distinct
+      FROM s""",
 
     "q176_cms_counts" -> s"""
       WITH t AS (SELECT UNNEST(string_split(${normSql("text")}, ' ')) AS token

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Prefix-filter set-similarity join: EXACT recall vs brute force, the
+  * threshold boundary, and the codegen'd sorted-merge intersect kernel. */
+class PrefixFilterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon eta"),   // 5/7 with doc 1
+    (3L, "alpha beta gamma delta epsilon zeta"),  // identical to doc 1
+    (4L, "one two three four five six"),
+    (5L, "one two three four five seven"),        // 5/7 with doc 4
+    (6L, "totally different words here now folks"))
+
+  private def brute(tNum: Int, tDen: Int): Set[(Long, Long)] = {
+    val sets = docs.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) intersect sets(b)).size
+      u = (sets(a) union sets(b)).size
+      if tDen * i >= tNum * u
+    } yield (a, b)).toSet
+  }
+
+  test("word-token join: exact recall equals brute force at several thresholds") {
+    for ((tn, td) <- Seq((1, 2), (2, 3), (9, 10))) {
+      val got = Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", tn, td)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == brute(tn, td), s"mismatch at t=$tn/$td")
+    }
+  }
+
+  test("threshold boundary: jaccard exactly t is included (>=)") {
+    // docs 1,2: |∩|=5, |∪|=7 → jaccard 5/7 exactly
+    val got = Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"),
+        "text", "doc_id", 5, 7)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)))
+  }
+
+  test("shingle mode discriminates reordered docs that share all words") {
+    val d = Seq((1L, "aaa bbb ccc ddd"), (2L, "ddd ccc bbb aaa"))
+    val words = Dedup.prefixFilterPairs(d.toDF("doc_id", "text"),
+      "text", "doc_id", 9, 10, shingleK = 0).count()
+    val shing = Dedup.prefixFilterPairs(d.toDF("doc_id", "text"),
+      "text", "doc_id", 9, 10, shingleK = 6).count()
+    assert(words == 1L, "same word set -> word-token join pairs them")
+    assert(shing == 0L, "different order -> shingle join keeps them apart")
+  }
+
+  test("sorted_intersect_count equals array_intersect size on random sorted sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(50).toLong).distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+    val got = df.select($"i",
+        graft.functions.ArrayIntersectCount.sortedIntersectCount($"a", $"b"),
+        size(array_intersect($"a", $"b")).cast("long"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"row ${r.getInt(0)}")
+    }
+    // null propagation
+    val n = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(graft.functions.ArrayIntersectCount.sortedIntersectCount($"a", $"b"))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+}
