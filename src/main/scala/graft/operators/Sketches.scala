@@ -175,6 +175,13 @@ object Sketches {
     sketched.select(col(groupCol) +: hllSummary(col("__regs"), m): _*)
   }
 
+  /** Register-level HLL UNION: elementwise max — the sketch of A ∪ B
+    * without touching the data again. With inclusion–exclusion this
+    * yields intersection estimates (est(A)+est(B)−est(A∪B)); pure
+    * column math, replayable in SQL. */
+  def hllUnionRegisters(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => greatest(x, y))
+
   // ---------------------------------------------------------- Count-Min
 
   /** The d md5-derived CMS bucket positions of an item, as an
@@ -198,6 +205,21 @@ object Sketches {
                 depth: Int = 4, width: Int = 512): DataFrame =
     df.select(cmsBuckets(col(itemCol), depth, width).as("__bk"))
       .agg(CountMinSketch.matrix(col("__bk"), depth, width).as("cms"))
+
+  /** CMS INNER PRODUCT of two matrices built with the same (d, w):
+    * min over hash rows of Σ_b A[row][b]·B[row][b] — the classic
+    * join-size / self-join-size estimator (Σ_k fA(k)·fB(k), one-sided:
+    * est ≥ true), computed from two fixed-size sketches without
+    * executing the join. Exact integer math, SQL-replayable. */
+  def cmsInnerProduct(a: Column, b: Column, depth: Int, width: Int): Column = {
+    val perRow = (0 until depth).map { i =>
+      aggregate(
+        zip_with(slice(a, i * width + 1, width), slice(b, i * width + 1, width),
+          (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v)
+    }
+    perRow.reduce(least(_, _))
+  }
 
   /** Point estimate from a matrix column for an item column:
     * min over hash rows of the item's counter — the classic one-sided

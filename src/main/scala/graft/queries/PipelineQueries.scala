@@ -892,6 +892,59 @@ object PipelineQueries extends QueryModule {
         graft.operators.Sketches.hllSummary($"__regs", 256): _*)
     }),
 
+    // HLL set algebra: register-level UNION (elementwise max) +
+    // inclusion–exclusion gives the click∩purchase distinct-user
+    // estimate from three fixed-size sketches — no re-scan, no join of
+    // the raw data. Exact intersection joined alongside.
+    "q194_hll_set_algebra" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").where($"user_id".isNotNull)
+      val (b, r) = graft.operators.Sketches.hllBucketRho($"user_id", 8)
+      def regsOf(t: String) = ev.where($"event_type" === t)
+        .select(b.as("__b"), r.as("__r"))
+        .agg(graft.functions.HllSketch.registers($"__b", $"__r", 256).as("regs"))
+      def estOf(c0: org.apache.spark.sql.Column) =
+        graft.operators.Sketches.hllSummary(c0, 256).last
+      val both = regsOf("click").select($"regs".as("rc"))
+        .crossJoin(regsOf("purchase").select($"regs".as("rp")))
+        .select($"rc", $"rp",
+          graft.operators.Sketches.hllUnionRegisters($"rc", $"rp").as("ru"))
+      val exact = ev
+        .groupBy($"user_id")
+        .agg(max(when($"event_type" === "click", 1).otherwise(0)).as("c"),
+          max(when($"event_type" === "purchase", 1).otherwise(0)).as("p"))
+        .where($"c" === 1 && $"p" === 1)
+        .agg(count(lit(1)).as("exact_inter"))
+      both.crossJoin(exact).select(
+        estOf($"rc").as("est_click"),
+        estOf($"rp").as("est_purchase"),
+        estOf($"ru").as("est_union"),
+        (estOf($"rc") + estOf($"rp") - estOf($"ru")).as("est_inter"),
+        $"exact_inter")
+    }),
+
+    // CMS inner product: the classic join-size estimator — min over
+    // hash rows of Σ_b A[row][b]·B[row][b] approximates Σ_k fA(k)·fB(k)
+    // (view→purchase user pair count) from two fixed 4×512 sketches,
+    // WITHOUT executing the join. One-sided (est ≥ true); exact joined
+    // alongside.
+    "q195_cms_join_size" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").where($"user_id".isNotNull)
+      def m(t: String) = graft.operators.Sketches.cmsMatrix(
+        ev.where($"event_type" === t), "user_id", depth = 4, width = 512)
+      val est = m("view").select($"cms".as("ma"))
+        .crossJoin(m("purchase").select($"cms".as("mb")))
+        .select(graft.operators.Sketches.cmsInnerProduct($"ma", $"mb", 4, 512)
+          .as("est_pairs"))
+      val exact = ev.where($"event_type" === "view")
+        .groupBy($"user_id").agg(count(lit(1)).as("fa"))
+        .join(ev.where($"event_type" === "purchase")
+          .groupBy($"user_id").agg(count(lit(1)).as("fb")), "user_id")
+        .agg(coalesce(sum($"fa" * $"fb"), lit(0L)).as("exact_pairs"))
+      est.crossJoin(exact)
+    }),
+
     // Count-Min token frequencies: the frequency-estimation sketch —
     // q116's Space-Saving answers "which items are frequent", CMS answers
     // "how frequent is THIS item" with a fixed 4×512-counter matrix (d·w
@@ -3686,6 +3739,72 @@ object PipelineQueries extends QueryModule {
                      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
                    FROM events WHERE user_id IS NOT NULL GROUP BY 1) x
         ON s.event_type = x.event_type""",
+
+    "q194_hll_set_algebra" -> s"""
+      WITH h AS (SELECT event_type, user_id,
+              md5(CAST(user_id AS VARCHAR)) AS mh
+            FROM events WHERE user_id IS NOT NULL
+              AND event_type IN ('click', 'purchase')),
+      br AS (SELECT event_type,
+               ('0x' || substr(mh, 1, 2))::BIGINT AS bucket,
+               CASE WHEN ('0x' || substr(mh, 3, 10))::BIGINT = 0 THEN 41
+                    ELSE 41 - length(bin(('0x' || substr(mh, 3, 10))::BIGINT))
+               END AS rho
+             FROM h),
+      mx AS (SELECT bucket,
+               MAX(CASE WHEN event_type = 'click' THEN rho END) AS rc,
+               MAX(CASE WHEN event_type = 'purchase' THEN rho END) AS rp,
+               MAX(rho) AS ru
+             FROM br GROUP BY 1),
+      grid AS (SELECT g.b AS bucket FROM (SELECT UNNEST(range(0, 256)) AS b) g),
+      regs AS (SELECT grid.bucket, COALESCE(mx.rc, 0) AS rc,
+                 COALESCE(mx.rp, 0) AS rp, COALESCE(mx.ru, 0) AS ru
+               FROM grid LEFT JOIN mx ON grid.bucket = mx.bucket),
+      s AS (SELECT CAST(SUM(1::BIGINT << (49 - rc)) AS BIGINT) AS sc,
+              CAST(SUM(1::BIGINT << (49 - rp)) AS BIGINT) AS sp,
+              CAST(SUM(1::BIGINT << (49 - ru)) AS BIGINT) AS su
+            FROM regs),
+      e AS (SELECT
+              CAST(floor(CAST(${graft.operators.Sketches.hllConstant(256)}
+                AS DOUBLE) / CAST(sc AS DOUBLE)) AS BIGINT) AS est_click,
+              CAST(floor(CAST(${graft.operators.Sketches.hllConstant(256)}
+                AS DOUBLE) / CAST(sp AS DOUBLE)) AS BIGINT) AS est_purchase,
+              CAST(floor(CAST(${graft.operators.Sketches.hllConstant(256)}
+                AS DOUBLE) / CAST(su AS DOUBLE)) AS BIGINT) AS est_union
+            FROM s),
+      x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+              SELECT user_id FROM h GROUP BY 1
+              HAVING MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+                AND MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1))
+      SELECT e.est_click, e.est_purchase, e.est_union,
+        e.est_click + e.est_purchase - e.est_union AS est_inter,
+        x.exact_inter
+      FROM e, x""",
+
+    "q195_cms_join_size" -> """
+      WITH e AS (SELECT event_type, user_id FROM events
+                 WHERE user_id IS NOT NULL
+                   AND event_type IN ('view', 'purchase')),
+      bk AS (SELECT event_type, g.i AS i,
+               ('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':' ||
+                  CAST(user_id AS VARCHAR)), 1, 10))::BIGINT % 512 AS b
+             FROM e, generate_series(0, 3) g(i)),
+      cm AS (SELECT event_type, i, b, CAST(COUNT(*) AS BIGINT) AS c
+             FROM bk GROUP BY 1, 2, 3),
+      ip AS (SELECT a.i, CAST(SUM(a.c * b.c) AS BIGINT) AS p
+             FROM cm a JOIN cm b ON a.i = b.i AND a.b = b.b
+               AND a.event_type = 'view' AND b.event_type = 'purchase'
+             GROUP BY 1),
+      est AS (SELECT CAST(MIN(COALESCE(ip.p, 0)) AS BIGINT) AS est_pairs
+              FROM generate_series(0, 3) g(i)
+              LEFT JOIN ip ON ip.i = g.i),
+      x AS (SELECT CAST(COALESCE(SUM(a.fa * b.fb), 0) AS BIGINT) AS exact_pairs
+            FROM (SELECT user_id, COUNT(*) AS fa FROM e
+                  WHERE event_type = 'view' GROUP BY 1) a
+            JOIN (SELECT user_id, COUNT(*) AS fb FROM e
+                  WHERE event_type = 'purchase' GROUP BY 1) b
+              ON a.user_id = b.user_id)
+      SELECT est.est_pairs, x.exact_pairs FROM est, x""",
 
     "q191_hll_rollup" -> s"""
       WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS mh
