@@ -174,6 +174,32 @@ object StreamingQueries extends QueryModule {
           graft.operators.Sketches.sketchSummary($"kmins", 16): _*)
     }),
 
+    // Streaming EXACT funnel: per-user events buffer in custom state
+    // until the watermark closes the user, then the batch funnel chain
+    // (q184's semantics) runs over the sorted buffer — buffering is the
+    // honest price of exact ordered-step semantics under out-of-order
+    // arrival. Batching must not change answers: same oracle as q184.
+    "q196_stream_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val perUser = runStaged(s, dir, "funnel") { stream =>
+        val typed = stream.select($"user_id".as("key"),
+            when($"event_type" === "view", 0)
+              .when($"event_type" === "click", 1)
+              .when($"event_type" === "purchase", 2)
+              .otherwise(-1).as("step"),
+            unix_micros($"ts").as("us"))
+          .as[StreamingOps.FunnelEvent]
+        StreamingOps.funnelWithState(typed, nSteps = 3,
+          withinUs = 3600L * 1000000L, watermark = "1 minute").toDF()
+      }
+      val stages = perUser.where($"key" >= 0L && $"stageReached" >= 1)
+      Seq((1, "view"), (2, "click"), (3, "purchase")).map { case (k, name) =>
+        stages.where($"stageReached" >= k)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(k).as("step"), lit(name).as("step_name"), $"n_users")
+      }.reduce(_ unionByName _)
+    }),
+
     // Streaming windowed HLL: per (hour, event_type) register state
     // accumulating across micro-batches — m BYTES per open window in the
     // state store, elementwise-max merge (idempotent under micro-batch
@@ -392,6 +418,9 @@ object StreamingQueries extends QueryModule {
                              CAST(kth_min AS DOUBLE)) AS BIGINT)
         END AS est_distinct
       FROM s""",
+
+    // batching must not change funnel answers: q184's oracle verbatim
+    "q196_stream_funnel" -> AnalysisQueries.oracle("q184_funnel"),
 
     "q180_stream_hll" -> s"""
       WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,

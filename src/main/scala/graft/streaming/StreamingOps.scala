@@ -239,6 +239,77 @@ object StreamingOps {
       }
   }
 
+  /** Event for the streaming funnel: (user key, 0-based step, unix us). */
+  case class FunnelEvent(key: Long, step: Int, us: Long)
+  /** Per-key buffered step events (public: Catalyst encodes it). */
+  case class FunnelBuf(steps: Seq[Int], times: Seq[Long], maxUs: Long)
+  /** Final per-user funnel result once the watermark closes the user. */
+  case class FunnelOut(key: Long, stageReached: Int)
+
+  /** Streaming ordered-step funnel via flatMapGroupsWithState: events
+    * BUFFER per user until the event-time watermark passes the user's
+    * last activity, then the exact batch funnel chain (earliest step-k
+    * event strictly after step-(k−1), all within `withinUs` of step 1 —
+    * Analysis.funnelSteps' semantics) runs over the sorted buffer and
+    * one (user, stageReached) row is emitted. Buffering is the honest
+    * cost of EXACT funnel semantics under out-of-order arrival — state
+    * is bounded by per-user event volume inside the watermark horizon.
+    * Same operating envelope as [[sessionizeWithState]]: a key is final
+    * once the watermark passes its timeout (engineered-deterministic in
+    * the AvailableNow gates via late sentinel rows). */
+  def funnelWithState(events: Dataset[FunnelEvent], nSteps: Int,
+                      withinUs: Long,
+                      watermark: String = "30 seconds"): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val withTime = events
+      .withColumn("eventTime", expr("timestamp_micros(us)"))
+      .withWatermark("eventTime", watermark)
+      .as[(Long, Int, Long, java.sql.Timestamp)]
+    withTime.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelBuf, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val b = state.get
+            state.remove()
+            Iterator(FunnelOut(key,
+              funnelStage(b.steps.zip(b.times), nSteps, withinUs)))
+          } else {
+            val prev = state.getOption.getOrElse(FunnelBuf(Nil, Nil, 0L))
+            val add = rows.map(r => (r._2, r._3)).toSeq
+            val steps = prev.steps ++ add.map(_._1)
+            val times = prev.times ++ add.map(_._2)
+            val mx = math.max(prev.maxUs, add.map(_._2).max)
+            state.update(FunnelBuf(steps, times, mx))
+            state.setTimeoutTimestamp(mx / 1000 + 1)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** The batch funnel chain over one user's buffered (step, us) events:
+    * stage k is reached at the EARLIEST step-k event strictly after the
+    * stage-(k−1) time, no later than t1 + withinUs. */
+  private[graft] def funnelStage(evs: Seq[(Int, Long)], nSteps: Int,
+                                     withinUs: Long): Int = {
+    val byStep = evs.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    byStep.get(0).map(_.head) match {
+      case None => 0
+      case Some(t1) =>
+        var reached = 1
+        var tk = t1
+        var k = 1
+        var stuck = false
+        while (k < nSteps && !stuck) {
+          byStep.get(k).flatMap(_.find(t => t > tk && t <= t1 + withinUs)) match {
+            case Some(t) => tk = t; reached = k + 1; k += 1
+            case None => stuck = true
+          }
+        }
+        reached
+    }
+  }
+
   /** Stage `batches` as one parquet file each under `inDir` (`b0.parquet`,
     * `b1.parquet`, …), mtime-spaced a minute apart, so a file source with
     * `maxFilesPerTrigger=1` processes them as micro-batches in exactly

@@ -188,6 +188,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: buffered state reproduces the batch funnel chain") {
+    import graft.streaming.StreamingOps.{FunnelEvent, funnelStage}
+    // unit level: the chain over a buffer (order, window, missing steps)
+    def us(m: Int) = m * 60000000L
+    assert(funnelStage(Seq((0, us(0)), (1, us(10)), (2, us(20))), 3, us(60)) == 3)
+    assert(funnelStage(Seq((1, us(0)), (0, us(5))), 3, us(60)) == 1,
+      "step 1 before step 0 must not count")
+    assert(funnelStage(Seq((0, us(0)), (1, us(30)), (2, us(90))), 3, us(60)) == 2,
+      "step 2 outside the window of t1")
+    assert(funnelStage(Seq((2, us(0))), 3, us(60)) == 0, "no step 0 -> stage 0")
+    assert(funnelStage(Seq((0, us(0)), (1, us(60))), 3, us(60)) == 2,
+      "closed upper boundary")
+    // stream level: out-of-order batches, finalized by a late sentinel
+    val src = tmp("funnel_src")
+    val rows = Seq(
+      (1L, 1, ts("2024-01-01 10:10:00")), // arrives before its step-0
+      (1L, 0, ts("2024-01-01 10:00:00")),
+      (1L, 2, ts("2024-01-01 10:20:00")),
+      (2L, 0, ts("2024-01-01 10:00:00")),
+      (2L, 2, ts("2024-01-01 10:10:00"))) // skips step 1
+    rows.toDF("key", "step", "tsv")
+      .write.mode("overwrite").parquet(src)
+    val spark2 = spark
+    import spark2.implicits._
+    val stream = spark.readStream
+      .schema("key LONG, step INT, tsv TIMESTAMP").parquet(src)
+      .select($"key", $"step", unix_micros($"tsv").as("us"))
+      .as[FunnelEvent]
+    val q = graft.streaming.StreamingOps
+      .funnelWithState(stream, 3, 3600000000L, "1 minute")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      Seq((99L, -1, ts("2024-01-03 10:00:00"))).toDF("key", "step", "tsv")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      Seq((99L, -1, ts("2024-01-04 10:00:00"))).toDF("key", "step", "tsv")
+        .write.mode("append").parquet(src)
+      q.processAllAvailable()
+      val got = spark.table("funnel_out").where($"key" < 90)
+        .as[(Long, Int)].collect().toMap
+      assert(got == Map(1L -> 3, 2L -> 1),
+        s"out-of-order buffer must still reach the right stages: $got")
+    } finally q.stop()
+  }
+
   test("streaming windowed quantile sketch matches batch sample bit-for-bit") {
     val src = tmp("qsk_src")
     // key "a": 30 rows > k=8 → sampling regime; key "b": 3 rows → exact
