@@ -923,6 +923,34 @@ object PipelineQueries extends QueryModule {
         $"exact_inter")
     }),
 
+    // Sliding-window distinct users from STORED sketches: per-hour HLL
+    // registers are built once, then every trailing-3h estimate is pure
+    // register algebra — a windowed max per (bucket) over the hour axis
+    // — without ever rescanning events. The monitoring-dashboard shape:
+    // store m bytes per hour, answer any trailing-window cardinality.
+    "q197_hll_sliding" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables(s, dir, "events").where($"user_id".isNotNull)
+      val (b, r) = graft.operators.Sketches.hllBucketRho($"user_id", 8)
+      val regsHr = ev
+        .select(expr("unix_micros(ts) div 3600000000").as("hour"),
+          b.as("__b"), r.as("__r"))
+        .groupBy($"hour")
+        .agg(graft.functions.HllSketch.registers($"__b", $"__r", 256).as("regs"))
+      val exploded = regsHr
+        .select($"hour", posexplode($"regs").as(Seq("bucket", "rho")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"bucket").orderBy($"hour").rangeBetween(-2, 0)
+      exploded.withColumn("rho3", max($"rho").over(w))
+        .groupBy($"hour")
+        .agg(sum(when($"rho3" === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum(call_function("shiftleft", lit(1L), lit(49) - $"rho3"))
+            .as("sum_scaled"))
+        .select($"hour", $"n_zero", $"sum_scaled",
+          floor(lit(graft.operators.Sketches.hllConstant(256)) /
+            $"sum_scaled".cast("double")).as("est_distinct"))
+    }),
+
     // CMS inner product: the classic join-size estimator — min over
     // hash rows of Σ_b A[row][b]·B[row][b] approximates Σ_k fA(k)·fB(k)
     // (view→purchase user pair count) from two fixed 4×512 sketches,
@@ -3780,6 +3808,37 @@ object PipelineQueries extends QueryModule {
         e.est_click + e.est_purchase - e.est_union AS est_inter,
         x.exact_inter
       FROM e, x""",
+
+    "q197_hll_sliding" -> s"""
+      WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hour,
+              md5(CAST(user_id AS VARCHAR)) AS mh
+            FROM events WHERE user_id IS NOT NULL),
+      br AS (SELECT hour,
+               ('0x' || substr(mh, 1, 2))::BIGINT AS bucket,
+               CASE WHEN ('0x' || substr(mh, 3, 10))::BIGINT = 0 THEN 41
+                    ELSE 41 - length(bin(('0x' || substr(mh, 3, 10))::BIGINT))
+               END AS rho
+             FROM h),
+      mx AS (SELECT hour, bucket, MAX(rho) AS rho FROM br GROUP BY 1, 2),
+      grid AS (SELECT k.hour, g.b AS bucket
+               FROM (SELECT DISTINCT hour FROM h) k,
+                    LATERAL UNNEST(range(0, 256)) AS g(b)),
+      regs AS (SELECT grid.hour, grid.bucket, COALESCE(mx.rho, 0) AS rho
+               FROM grid LEFT JOIN mx
+                 ON grid.hour = mx.hour AND grid.bucket = mx.bucket),
+      sl AS (SELECT hour, bucket,
+               MAX(rho) OVER (PARTITION BY bucket ORDER BY hour
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS rho3
+             FROM regs),
+      s AS (SELECT hour,
+              CAST(SUM(CASE WHEN rho3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_zero,
+              CAST(SUM(1::BIGINT << (49 - rho3)) AS BIGINT) AS sum_scaled
+            FROM sl GROUP BY 1)
+      SELECT hour, n_zero, sum_scaled,
+        CAST(floor(CAST(${graft.operators.Sketches.hllConstant(256)} AS DOUBLE) /
+                   CAST(sum_scaled AS DOUBLE)) AS BIGINT) AS est_distinct
+      FROM s""",
 
     "q195_cms_join_size" -> """
       WITH e AS (SELECT event_type, user_id FROM events
