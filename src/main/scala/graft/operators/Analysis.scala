@@ -292,6 +292,31 @@ object Analysis {
           (col("__n") * col("__q") - col("__s") * col("__s")))
   }
 
+  /** Per-user funnel COMPLETIONS: the same chain as [[funnelSteps]] but
+    * returning one row per user who completed EVERY step — (u, t1, tk)
+    * with t1 the step-1 time and tk the final-step time, so downstream
+    * can compute time-to-convert distributions. Same scale shape (k
+    * bounded joins on the user key). */
+  def funnelCompletions(events: DataFrame, userCol: String, typeCol: String,
+                        timeCol: String, steps: Seq[String],
+                        withinSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(withinSeconds > 0, "withinSeconds must be positive")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(timeCol)).as("us"))
+    val withinUs = withinSeconds * 1000000L
+    var cur = ev.where(col("t") === steps.head)
+      .groupBy("u").agg(min("us").as("t1"))
+      .withColumn("tk", col("t1"))
+    steps.drop(1).foreach { step =>
+      cur = ev.where(col("t") === step)
+        .join(cur.select("u", "t1", "tk"), "u")
+        .where(col("us") > col("tk") && col("us") <= col("t1") + withinUs)
+        .groupBy("u", "t1").agg(min("us").as("tk"))
+    }
+    cur.select(col("u"), col("t1"), col("tk"))
+  }
+
   /** Cohort retention: users bucketed by the time bucket of their FIRST
     * event; for every (cohort bucket, buckets-since-cohort) cell, the
     * count of distinct users active in that cell. The classic retention

@@ -133,4 +133,40 @@ object Graph {
     e.unpersist(); nodes.unpersist()
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** Bounded-round min-label propagation over the SYMMETRIZED edge list:
+    * label(v) starts as v's own id; each round takes the min over v and
+    * its neighbors' labels. After r rounds label(v) = the smallest node
+    * id within graph distance r — bounded-diameter community seeds, with
+    * connected components as the fixpoint (the engine's
+    * [[Dedup.connectedComponents]] reaches that fixpoint by pointer
+    * jumping; this op is the bounded-round, oracle-unrollable variant).
+    * Scale shape per round: one shuffle join edge⋈labels on src + one
+    * min-aggregation on dst, labels materialized between rounds. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist()
+    val nodes = sym.select(col("src").as("node")).distinct().persist()
+    var labels = nodes.withColumn("lbl", col("node")).persist()
+    labels.count()
+    var i = 0
+    while (i < rounds) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nl"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+        .persist()
+      next.count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    sym.unpersist(); nodes.unpersist()
+    labels
+  }
 }

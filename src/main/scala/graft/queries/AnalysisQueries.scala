@@ -65,6 +65,23 @@ object AnalysisQueries extends QueryModule {
         steps = Seq("view", "click", "purchase"), withinSeconds = 3600L)
     }),
 
+    // Funnel time-to-convert distribution: per-user completion latency
+    // (purchase time − first view time, 7-day window so the completer
+    // population is non-degenerate: 126 of 150 users) summarized by the min-k quantile sketch in its EXACT
+    // regime (k ≥ completers, so the sample IS the population and the
+    // p50/p90 convention replays in SQL).
+    "q198_funnel_latency" -> ((s, dir) => {
+      import s.implicits._
+      val comp = Analysis.funnelCompletions(graft.core.Tables(s, dir, "events"),
+        "user_id", "event_type", "ts",
+        steps = Seq("view", "click", "purchase"), withinSeconds = 604800L)
+      val lat = comp.select(lit("all").as("g"), $"u",
+        ($"tk" - $"t1").cast("double").as("lat_us"))
+      graft.operators.Sketches
+        .groupQuantiles(lat, "g", "u", "lat_us", Seq(0.5, 0.9), k = 8192)
+        .select($"p50", $"p90", $"n_sampled")
+    }),
+
     // Cohort retention triangle: users bucketed by first-event hour,
     // distinct-active counts per (cohort, hours-since) cell — two aggs
     // and one join, floor-division bucket arithmetic.
@@ -585,6 +602,27 @@ object AnalysisQueries extends QueryModule {
         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
       UNION ALL SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
       UNION ALL SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)""",
+
+    "q198_funnel_latency" -> """
+      WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+                 FROM events),
+      s1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE t = 'view' GROUP BY 1),
+      s2 AS (SELECT e.u, s1.t1, MIN(e.us) AS tk FROM e JOIN s1 ON e.u = s1.u
+             WHERE e.t = 'click' AND e.us > s1.t1
+               AND e.us <= s1.t1 + 604800000000 GROUP BY 1, 2),
+      s3 AS (SELECT e.u, s2.t1, MIN(e.us) AS tk FROM e JOIN s2 ON e.u = s2.u
+             WHERE e.t = 'purchase' AND e.us > s2.tk
+               AND e.us <= s2.t1 + 604800000000 GROUP BY 1, 2),
+      lat AS (SELECT u, CAST(tk - t1 AS DOUBLE) AS l FROM s3),
+      r AS (SELECT l, row_number() OVER (ORDER BY l) AS rn,
+              (SELECT COUNT(*) FROM lat) AS n FROM lat)
+      SELECT
+        MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT))
+                 THEN l END) AS p50,
+        MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT))
+                 THEN l END) AS p90,
+        CAST(MAX(n) AS BIGINT) AS n_sampled
+      FROM r""",
 
     "q185_cohort_retention" -> """
       WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),

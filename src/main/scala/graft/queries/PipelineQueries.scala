@@ -1785,6 +1785,22 @@ object PipelineQueries extends QueryModule {
         .withColumn("n_clean", length($"clean").cast("long"))
     }),
 
+    // Bounded-round label propagation over the bipartite customer↔
+    // supplier graph (disjoint node ids via 2c / 2s+1): after 2 rounds
+    // each node holds the min id within distance 2 — community seeds,
+    // oracle-unrollable (vs connectedComponents' pointer-jump fixpoint,
+    // q45). One edge⋈labels join + min-agg per round, materialized.
+    "q199_label_propagation" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey")
+        .join(Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey"),
+          $"o_orderkey" === $"l_orderkey")
+        .select(($"o_custkey".cast("long") * 2).as("src"),
+          ($"l_suppkey".cast("long") * 2 + 1).as("dst"))
+        .distinct()
+      graft.operators.Graph.labelPropagation(edges, rounds = 2)
+    }),
+
     // Weighted PageRank over the same trade graph, edges weighted by
     // total traded cents: contributions split by out-weight SHARE
     // (pre-normalized integer shares keep every product ≤ scale·10^4,
@@ -2671,6 +2687,23 @@ object PipelineQueries extends QueryModule {
 
     "q183_unigram_segment" ->
       graft.operators.TextAnalysis.unigramSegmentSql(),
+
+    "q199_label_propagation" -> """
+      WITH e AS (SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS src,
+                   CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS dst
+                 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      nodes AS (SELECT DISTINCT src AS node FROM sym),
+      l0 AS (SELECT node, node AS lbl FROM nodes),
+      n1 AS (SELECT sym.dst AS node, MIN(l0.lbl) AS nl
+             FROM sym JOIN l0 ON l0.node = sym.src GROUP BY 1),
+      l1 AS (SELECT l0.node, LEAST(l0.lbl, COALESCE(n1.nl, l0.lbl)) AS lbl
+             FROM l0 LEFT JOIN n1 ON n1.node = l0.node),
+      n2 AS (SELECT sym.dst AS node, MIN(l1.lbl) AS nl
+             FROM sym JOIN l1 ON l1.node = sym.src GROUP BY 1),
+      l2 AS (SELECT l1.node, LEAST(l1.lbl, COALESCE(n2.nl, l1.lbl)) AS lbl
+             FROM l1 LEFT JOIN n2 ON n2.node = l1.node)
+      SELECT node, CAST(lbl AS BIGINT) AS lbl FROM l2""",
 
     "q188_pagerank_weighted" -> s"""
       WITH ew AS (SELECT CAST(c.c_nationkey AS BIGINT) AS src,

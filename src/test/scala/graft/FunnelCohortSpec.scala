@@ -80,6 +80,24 @@ class FunnelCohortSpec extends AnyFunSuite {
       "untouched axes must be exactly zero")
   }
 
+  test("funnelCompletions: completer count matches funnelSteps' last stage") {
+    val ev = Seq(
+      (1L, "A", ts("2024-01-01 10:00:00")), (1L, "B", ts("2024-01-01 10:10:00")),
+      (2L, "A", ts("2024-01-01 10:00:00")),
+      (3L, "A", ts("2024-01-01 10:00:00")), (3L, "B", ts("2024-01-01 10:20:00")))
+      .toDF("user_id", "event_type", "ts")
+    val comp = Analysis.funnelCompletions(ev, "user_id", "event_type", "ts",
+      Seq("A", "B"), withinSeconds = 3600L).collect()
+    assert(comp.map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // latency = tk - t1 per completer
+    val lat = comp.map(r => r.getLong(0) -> (r.getLong(2) - r.getLong(1))).toMap
+    assert(lat(1L) == 600000000L && lat(3L) == 1200000000L)
+    val steps = Analysis.funnelSteps(ev, "user_id", "event_type", "ts",
+      Seq("A", "B"), withinSeconds = 3600L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(steps(2) == comp.length.toLong)
+  }
+
   test("outlier flags: obvious spike flags, uniform group does not") {
     import org.apache.spark.sql.functions.col
     val rows = (Seq.fill(20)(100L) :+ 10000L).zipWithIndex

@@ -58,6 +58,26 @@ class GraphSpec extends AnyFunSuite {
     assert(got > 0L)
   }
 
+  test("label propagation: 2 rounds reach distance-2 minima; fixpoint = components") {
+    // path 1-2-3-4-5 plus isolated pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    def run(r: Int) = Graph.labelPropagation(edges.toDF("src", "dst"), r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val two = run(2)
+    // node 4 is distance 3 from node 1: after 2 rounds its min label is 2
+    assert(two(4L) == 2L && two(5L) == 3L && two(3L) == 1L)
+    assert(two(10L) == 10L && two(11L) == 10L)
+    // enough rounds = connected components
+    val fix = run(5)
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(fix(_) == 1L))
+    assert(fix(10L) == 10L && fix(11L) == 10L)
+    // symmetrization: direction of the input edge must not matter
+    val rev = Graph.labelPropagation(
+      edges.map(e => (e._2, e._1)).toDF("src", "dst"), 2)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(rev == two)
+  }
+
   test("empty and degenerate inputs are rejected or handled") {
     val err = intercept[Exception] {
       Graph.pageRank(Seq.empty[(Long, Long)].toDF("src", "dst"), 1).collect()
