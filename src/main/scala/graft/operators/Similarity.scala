@@ -1555,4 +1555,21 @@ object Similarity {
     import spark.implicits._
     x.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("i", "x")
   }
+
+  /** Per-vector projection onto [[dominantDirection]]: score(v) = Σ
+    * q_i·x_i in exact integers — the PCA-1 coordinate used for
+    * embedding drift monitoring and axis-extremal outlier surfacing.
+    * The direction (dim rows, bounded) broadcasts; scoring is one
+    * map-side join + hash agg over the exploded coordinates. */
+  def principalScores(df: DataFrame, vecCol: String, idCol: String,
+                      scale: Double = 1000.0, iters: Int = 3,
+                      xScale: Long = 1000000L): DataFrame = {
+    val x = dominantDirection(df, vecCol, idCol, scale, iters, xScale)
+    val q = df.select(col(idCol),
+      posexplode(transform(asDouble(col(vecCol)),
+        v => floor(v * lit(scale)).cast("long"))).as(Seq("i", "q")))
+    q.join(broadcast(x), "i")
+      .groupBy(col(idCol))
+      .agg(sum(col("q") * col("x")).as("score"))
+  }
 }

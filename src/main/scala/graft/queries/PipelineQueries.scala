@@ -1833,6 +1833,18 @@ object PipelineQueries extends QueryModule {
       graft.operators.Similarity.dominantDirection(
         Tables(s, dir, "embeddings"), "embedding", "vec_id")),
 
+    // Principal-axis extremes: each vector's exact-integer projection
+    // onto the q186 dominant direction, top-10 by |score| — the
+    // axis-extremal outlier/drift surfacing step that PCA-1 exists for.
+    // Direction broadcasts (dim rows); scoring is one exploded-join +
+    // hash agg pass.
+    "q200_pca_scores" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Similarity.principalScores(
+          Tables(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy(abs($"score").desc, $"vec_id".asc).limit(10)
+    }),
+
     // SentencePiece-style unigram segmentation: corpus-derived piece
     // vocabulary (all single chars + top bigrams/trigrams, quantized
     // -log2-frequency integer costs) applied to every distinct word by
@@ -2167,6 +2179,34 @@ object PipelineQueries extends QueryModule {
         512 AS n_frames, CAST(db.bin AS INT) AS bin,
         CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
       FROM db LEFT JOIN c ON db.asset_id = c.asset_id AND db.bin = c.bin"""
+
+  /** q186/q200 shared oracle scaffold: the power-iteration CTE chain
+    * ending at x3 (the round-3 direction). */
+  private lazy val dominantDirectionCtes: String = """
+      WITH e0 AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
+            FROM embeddings),
+      v AS MATERIALIZED (SELECT vec_id, g.i - 1 AS i, CAST(e[g.i] AS BIGINT) AS q
+           FROM e0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)),
+      m AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS m
+           FROM v a JOIN v b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+      x0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS x FROM v),
+      y1 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x0.x) AS BIGINT) AS y
+           FROM m JOIN x0 ON m.j = x0.j GROUP BY 1),
+      x1 AS MATERIALIZED (SELECT i AS j,
+             CAST(y // ((SELECT MAX(abs(y)) FROM y1) // 1000000 + 1) AS BIGINT) AS x
+           FROM y1),
+      y2 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x1.x) AS BIGINT) AS y
+           FROM m JOIN x1 ON m.j = x1.j GROUP BY 1),
+      x2 AS MATERIALIZED (SELECT i AS j,
+             CAST(y // ((SELECT MAX(abs(y)) FROM y2) // 1000000 + 1) AS BIGINT) AS x
+           FROM y2),
+      y3 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x2.x) AS BIGINT) AS y
+           FROM m JOIN x2 ON m.j = x2.j GROUP BY 1),
+      x3 AS (SELECT i AS j,
+             CAST(y // ((SELECT MAX(abs(y)) FROM y3) // 1000000 + 1) AS BIGINT) AS x
+           FROM y3)"""
 
   private def normSql(t: String) =
     s"regexp_replace(trim(lower($t)), '\\s+', ' ', 'g')"
@@ -2742,32 +2782,14 @@ object PipelineQueries extends QueryModule {
              FROM nodes LEFT JOIN s3 ON s3.node = nodes.node)
       SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3""",
 
-    "q186_dominant_direction" -> """
-      WITH e0 AS (SELECT vec_id,
-              list_transform(embedding::DOUBLE[], x -> floor(x * 1000.0)) AS e
-            FROM embeddings),
-      v AS MATERIALIZED (SELECT vec_id, g.i - 1 AS i, CAST(e[g.i] AS BIGINT) AS q
-           FROM e0, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)),
-      m AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
-             CAST(SUM(a.q * b.q) AS BIGINT) AS m
-           FROM v a JOIN v b ON a.vec_id = b.vec_id GROUP BY 1, 2),
-      x0 AS (SELECT DISTINCT i AS j, CAST(1000000 AS BIGINT) AS x FROM v),
-      y1 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x0.x) AS BIGINT) AS y
-           FROM m JOIN x0 ON m.j = x0.j GROUP BY 1),
-      x1 AS MATERIALIZED (SELECT i AS j,
-             CAST(y // ((SELECT MAX(abs(y)) FROM y1) // 1000000 + 1) AS BIGINT) AS x
-           FROM y1),
-      y2 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x1.x) AS BIGINT) AS y
-           FROM m JOIN x1 ON m.j = x1.j GROUP BY 1),
-      x2 AS MATERIALIZED (SELECT i AS j,
-             CAST(y // ((SELECT MAX(abs(y)) FROM y2) // 1000000 + 1) AS BIGINT) AS x
-           FROM y2),
-      y3 AS MATERIALIZED (SELECT m.i, CAST(SUM(m.m * x2.x) AS BIGINT) AS y
-           FROM m JOIN x2 ON m.j = x2.j GROUP BY 1),
-      x3 AS (SELECT i AS j,
-             CAST(y // ((SELECT MAX(abs(y)) FROM y3) // 1000000 + 1) AS BIGINT) AS x
-           FROM y3)
-      SELECT CAST(j AS INT) AS i, x FROM x3""",
+    "q186_dominant_direction" ->
+      s"$dominantDirectionCtes\n      SELECT CAST(j AS INT) AS i, x FROM x3",
+
+    "q200_pca_scores" -> s"""$dominantDirectionCtes,
+      sc AS (SELECT v.vec_id, CAST(SUM(v.q * x3.x) AS BIGINT) AS score
+             FROM v JOIN x3 ON x3.j = v.i GROUP BY 1)
+      SELECT vec_id, score FROM sc
+      ORDER BY abs(score) DESC, vec_id LIMIT 10""",
 
     "q182_audio_spectrum" -> s"""
       WITH d AS (SELECT doc_id AS asset_id FROM documents),
