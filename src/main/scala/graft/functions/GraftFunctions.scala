@@ -74,6 +74,14 @@ object GraftFunctions {
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => {
+        require(exprs.length == 2,
+          "sorted_intersect_count(sorted_array_bigint, sorted_array_bigint) expects 2 arguments")
+        SortedLongIntersectCount(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize",
       exprs => {
         require(exprs.length == 1, "nfc_normalize(string) expects 1 argument")
@@ -158,6 +166,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         GraftFunctions.requireFoldable(exprs(2), "cms_sketch", "width")
         CountMinSketchAgg(exprs(0), exprs(1).eval().toString.toInt,
           exprs(2).eval().toString.toInt)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "sorted_intersect_count(sorted_array_bigint, sorted_array_bigint) expects 2 arguments")
+        SortedLongIntersectCount(exprs(0), exprs(1))
       }))
     e.injectFunction((
       FunctionIdentifier("quantile_sketch"),

@@ -55,6 +55,37 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(shing == 0L, "different order -> shingle join keeps them apart")
   }
 
+  test("randomized: prefix-filter join equals brute force over generated corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = ('a' to 'p').map(_.toString)
+    (1 to 3).foreach { trial =>
+      val corpus = (1L to 40L).map { id =>
+        val n = 3 + rnd.nextInt(8)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val sets = corpus.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+      val (tn, td) = Seq((1, 2), (2, 3), (3, 4))(trial - 1)
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        i = (sets(a) intersect sets(b)).size
+        u = (sets(a) union sets(b)).size
+        if td * i >= tn * u
+      } yield (a, b)).toSet
+      val got = Dedup.prefixFilterPairs(corpus.toDF("doc_id", "text"),
+          "text", "doc_id", tn, td)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"trial $trial t=$tn/$td")
+    }
+  }
+
+  test("SQL surface: sorted_intersect_count registered") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq(1L, 3L, 7L), Seq(3L, 7L, 9L))).toDF("a", "b")
+      .createOrReplaceTempView("sic_in")
+    assert(spark.sql("SELECT sorted_intersect_count(a, b) FROM sic_in")
+      .collect().head.getLong(0) == 2L)
+  }
+
   test("sorted_intersect_count equals array_intersect size on random sorted sets") {
     val rnd = new scala.util.Random(7)
     val rows = (1 to 200).map { i =>
