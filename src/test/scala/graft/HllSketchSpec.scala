@@ -72,6 +72,19 @@ class HllSketchSpec extends AnyFunSuite {
     assert(regs.forall(_ == 0), "null inputs must not touch registers")
   }
 
+  test("plan shape: registers aggregate partially before the shuffle") {
+    val df = (1 to 100).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    val plan = Sketches.hllDistinct(df.repartition(4), "g", "v", 256)
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // partial mode below the exchange — m bytes per group cross the
+    // shuffle, not one row per value
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected ObjectHashAggregate in:\n$plan")
+    assert(plan.contains("partial_hll_sketch") || plan.contains("partial"),
+      s"expected a partial aggregation mode in:\n$plan")
+  }
+
   test("SQL surface: hll_sketch registered, literal m enforced") {
     graft.functions.GraftFunctions.register(spark)
     Seq("x", "y", "z").toDF("v").createOrReplaceTempView("hll_in")
