@@ -281,7 +281,13 @@ object StreamingOps {
             val times = prev.times ++ add.map(_._2)
             val mx = math.max(prev.maxUs, add.map(_._2).max)
             state.update(FunnelBuf(steps, times, mx))
-            state.setTimeoutTimestamp(mx / 1000 + 1)
+            // a group fed only WITHIN-watermark-late rows can see the
+            // global watermark already past its own max event — a raw
+            // mx-based timeout would then be rejected; clamp forward
+            // (the rows themselves are still on time, by definition of
+            // reaching the function at all)
+            state.setTimeoutTimestamp(
+              math.max(mx / 1000 + 1, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }

@@ -235,6 +235,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("model check: random streams, random batch splits — funnel ≡ batch replica") {
+    import graft.streaming.StreamingOps.{FunnelEvent, funnelStage}
+    val rnd = new scala.util.Random(1234)
+    (1 to 2).foreach { trial =>
+      val users = 1L to 6L
+      val events = users.flatMap { u =>
+        (1 to 3 + rnd.nextInt(6)).map { _ =>
+          (u, rnd.nextInt(4) - 1, // steps -1..2 (-1 = irrelevant type)
+            ts("2024-01-01 10:00:00").getTime * 1000L +
+              rnd.nextInt(7200) * 1000000L)
+        }
+      }
+      val expect = events.groupBy(_._1).map { case (u, evs) =>
+        u -> funnelStage(evs.map(e => (e._2, e._3)), 3, 3600000000L)
+      }
+      // random split into ordered micro-batches
+      val shuffled = rnd.shuffle(events)
+      val nb = 2 + rnd.nextInt(3)
+      val batches = shuffled.grouped(math.max(1, shuffled.size / nb)).toSeq
+        .map(b => b.toDF("key", "step", "us")
+          .select($"key", $"step", expr("timestamp_micros(us)").as("tsv"))) :+
+        Seq((99L, -1, ts("2024-01-03 10:00:00"))).toDF("key", "step", "tsv") :+
+        Seq((99L, -1, ts("2024-01-04 10:00:00"))).toDF("key", "step", "tsv")
+      val src = tmp(s"funnel_mc_$trial")
+      graft.streaming.StreamingOps.stageOrderedBatches(
+        batches.map(_.select($"key", $"step", unix_micros($"tsv").as("us"))), src)
+      val stream = spark.readStream
+        .schema("key LONG, step INT, us LONG")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .as[FunnelEvent]
+      val q = graft.streaming.StreamingOps
+        .funnelWithState(stream, 3, 3600000000L, "1 minute")
+        .writeStream.format("memory").queryName(s"funnel_mc_out_$trial")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.table(s"funnel_mc_out_$trial").where($"key" < 90)
+          .as[(Long, Int)].collect().toMap
+        assert(got == expect, s"trial $trial: $got vs $expect")
+      } finally q.stop()
+    }
+  }
+
   test("streaming windowed quantile sketch matches batch sample bit-for-bit") {
     val src = tmp("qsk_src")
     // key "a": 30 rows > k=8 → sampling regime; key "b": 3 rows → exact
