@@ -82,6 +82,26 @@ object AnalysisQueries extends QueryModule {
         .select($"p50", $"p90", $"n_sampled")
     }),
 
+    // Funnel conversion BY COHORT — the two new analytics ops composed:
+    // users bucketed by first-event hour, per cohort the member count
+    // and how many completed the 7-day view→click→purchase funnel.
+    // Pure joins over the q184/q185 frames; rates stay exact integer
+    // pairs (completers, size) per the engine's no-float-ratio rule.
+    "q201_cohort_conversion" -> ((s, dir) => {
+      import s.implicits._
+      val ev = graft.core.Tables(s, dir, "events")
+      val first = ev.select($"user_id".as("u"), unix_micros($"ts").as("us"))
+        .groupBy($"u").agg(min($"us").as("f"))
+        .select($"u", expr("f div 3600000000").as("cohort_bucket"))
+      val comp = Analysis.funnelCompletions(ev, "user_id", "event_type", "ts",
+          steps = Seq("view", "click", "purchase"), withinSeconds = 604800L)
+        .select($"u", lit(1L).as("done"))
+      first.join(comp, Seq("u"), "left")
+        .groupBy($"cohort_bucket")
+        .agg(count(lit(1)).as("n_users"),
+          sum(coalesce($"done", lit(0L))).as("n_converted"))
+    }),
+
     // Cohort retention triangle: users bucketed by first-event hour,
     // distinct-active counts per (cohort, hours-since) cell — two aggs
     // and one join, floor-division bucket arithmetic.
@@ -623,6 +643,25 @@ object AnalysisQueries extends QueryModule {
                  THEN l END) AS p90,
         CAST(MAX(n) AS BIGINT) AS n_sampled
       FROM r""",
+
+    "q201_cohort_conversion" -> """
+      WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+                 FROM events),
+      first AS (SELECT u, MIN(us) // 3600000000 AS cohort_bucket
+                FROM e GROUP BY 1),
+      s1 AS (SELECT u, MIN(us) AS t1 FROM e WHERE t = 'view' GROUP BY 1),
+      s2 AS (SELECT e.u, s1.t1, MIN(e.us) AS tk FROM e JOIN s1 ON e.u = s1.u
+             WHERE e.t = 'click' AND e.us > s1.t1
+               AND e.us <= s1.t1 + 604800000000 GROUP BY 1, 2),
+      s3 AS (SELECT e.u, s2.t1, MIN(e.us) AS tk FROM e JOIN s2 ON e.u = s2.u
+             WHERE e.t = 'purchase' AND e.us > s2.tk
+               AND e.us <= s2.t1 + 604800000000 GROUP BY 1, 2)
+      SELECT first.cohort_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(CASE WHEN s3.u IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_converted
+      FROM first LEFT JOIN s3 ON s3.u = first.u
+      GROUP BY 1""",
 
     "q185_cohort_retention" -> """
       WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
