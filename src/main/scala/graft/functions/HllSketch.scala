@@ -41,7 +41,13 @@ case class HllSketchAgg(
     extends TypedImperativeAggregate[Array[Byte]]
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
 
-  require(m >= 16 && (m & (m - 1)) == 0, s"register count m must be a power of two >= 16, got $m")
+  // upper bound 2^14: Sketches.hllSummary's integer harmonic sum is only
+  // 64-bit-safe for m·2^49 ≤ 2^63 headroom at m ≤ 2^14 (an all-zero
+  // register state sums to m·2^49, which overflows signed 64-bit at
+  // m = 2^16); enforce here so no register array that can't be summarized
+  // is ever produced
+  require(m >= 16 && m <= 16384 && (m & (m - 1)) == 0,
+    s"register count m must be a power of two in [16, 16384], got $m")
 
   override def left: Expression = bucket
   override def right: Expression = rho

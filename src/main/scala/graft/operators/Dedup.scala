@@ -741,10 +741,16 @@ object Dedup {
     // times cheaper than string compares at millions of candidate
     // pairs. Collisions are deterministic (both engines hash the same
     // way) and vanishingly rare at set sizes of a few hundred.
+    // distinct AFTER hashing: array_distinct dedupes the raw strings, but
+    // a within-doc 40-bit hash collision would otherwise duplicate a tok
+    // row, inflating __n and shrinking the effective prefix below the
+    // n − ceil(t·n) + 1 coverage bound — silently dropping a qualifying
+    // pair (and diverging from the oracle's post-hash DISTINCT)
     val toks = staged
       .select(col("id"), explode(array_distinct(elems)).as("__raw"))
       .where(col("__raw") =!= "")
       .select(col("id"), Sketches.hash40(col("__raw")).as("tok"))
+      .distinct()
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
     val ranked = toks.join(dfCounts, "tok")
       .withColumn("__rk", row_number().over(
@@ -792,10 +798,17 @@ object Dedup {
 
   def containmentCounts(df: DataFrame, pairs: DataFrame, textCol: String,
                         idCol: String, shingleK: Int = 3): DataFrame = {
+    // NULL/short-text docs match the oracle's inner-join semantics: the
+    // oracle UNNESTs shingles (NULL or sub-k text → zero rows) and inner
+    // joins, so such docs vanish and their pairs with them. coalesce
+    // avoids NULL-array rows, and the size(...) > 0 filter drops the
+    // empty-set docs the oracle never materializes
     val arrs = fanOut(df)
-      .select(col(idCol), normalizedText(col(textCol)).as("__norm"))
+      .select(col(idCol),
+        normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
       .select(col(idCol),
         array_distinct(shinglesOfNormalized(col("__norm"), shingleK)).as("__shs"))
+      .where(size(col("__shs")) > 0)
     val aSide = arrs.select(col(idCol).as("a"), col("__shs").as("__sa"))
     val bSide = arrs.select(col(idCol).as("b"), col("__shs").as("__sb"))
     pairs.join(aSide, Seq("a")).join(bSide, Seq("b"))

@@ -125,7 +125,10 @@ object Sketches {
     * rho via `bin()`: length(bin(h)) is the MSB position of h, identical
     * in Spark and ANSI engines (no leading zeros, bin(0) = "0"). */
   def hllBucketRho(v: Column, p: Int): (Column, Column) = {
-    require(p % 4 == 0 && p >= 4 && p <= 16, s"p must be a multiple of 4 in [4,16], got $p")
+    // p ≤ 12 keeps m = 2^p within hllSummary's 64-bit-safe bound (m ≤ 2^14;
+    // the next multiple of 4, p = 16, would overflow the integer harmonic
+    // sum on sparse register states)
+    require(p % 4 == 0 && p >= 4 && p <= 12, s"p must be a multiple of 4 in [4,12], got $p")
     val mh = md5(v.cast("string"))
     val bucket = conv(substring(mh, 1, p / 4), 16, 10).cast("long")
     val rh = conv(substring(mh, p / 4 + 1, 10), 16, 10).cast("long")
@@ -135,10 +138,20 @@ object Sketches {
   }
 
   /** alpha_m · m² · 2^49 as the exact double the estimate divides by the
-    * integer harmonic sum. Standard bias constant alpha_m =
-    * 0.7213 / (1 + 1.079/m) (Flajolet et al. 2007, m ≥ 128). */
-  def hllConstant(m: Int): Double =
-    0.7213 / (1.0 + 1.079 / m) * m.toDouble * m.toDouble * (1L << 49).toDouble
+    * integer harmonic sum. Bias constants per Flajolet et al. 2007: the
+    * asymptotic 0.7213 / (1 + 1.079/m) holds for m ≥ 128; the paper's
+    * tabulated small-m constants (0.673 / 0.697 / 0.709 for m = 16/32/64)
+    * apply below that — the asymptotic formula is systematically biased
+    * there. */
+  def hllConstant(m: Int): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    alpha * m.toDouble * m.toDouble * (1L << 49).toDouble
+  }
 
   /** (n_zero, sum_scaled, est_distinct) derived from a register array.
     * sum_scaled = Σ 2^(49−rho_j) is the harmonic sum scaled by 2^49 —

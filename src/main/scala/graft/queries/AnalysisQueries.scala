@@ -329,7 +329,9 @@ object AnalysisQueries extends QueryModule {
         mode = "overwrite", writeMetadata = true)
       require(graft.sources.BucketFs.exists(s"$dst/_common_metadata"),
         "_common_metadata sidecar missing")
-      val conf = new org.apache.hadoop.conf.Configuration()
+      // session conf, not a bare Configuration: carries spark.hadoop.*
+      // overrides (fs impls, credentials) that a real store needs
+      val conf = graft.sources.BucketFs.conf
       val meta = org.apache.parquet.hadoop.ParquetFileReader.readFooter(conf,
         new org.apache.hadoop.fs.Path(dst, "_metadata"),
         org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)

@@ -883,7 +883,11 @@ object PipelineQueries extends QueryModule {
     // must land on identical registers.
     "q191_hll_rollup" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables(s, dir, "events").where($"user_id".isNotNull)
+      // event_type IS NOT NULL: the rollup's grand-total row is keyed by
+      // NULL, so a data-derived NULL group would alias it under the
+      // coalesce below (two "__total" rows, different registers)
+      val ev = Tables(s, dir, "events")
+        .where($"user_id".isNotNull && $"event_type".isNotNull)
       val (b, r) = graft.operators.Sketches.hllBucketRho($"user_id", 8)
       val rolled = ev.select($"event_type", b.as("__b"), r.as("__r"))
         .rollup($"event_type")
@@ -3922,7 +3926,8 @@ object PipelineQueries extends QueryModule {
 
     "q191_hll_rollup" -> s"""
       WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS mh
-                 FROM events WHERE user_id IS NOT NULL),
+                 FROM events
+                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
       br AS (SELECT event_type,
                ('0x' || substr(mh, 1, 2))::BIGINT AS bucket,
                CASE WHEN ('0x' || substr(mh, 3, 10))::BIGINT = 0 THEN 41

@@ -148,7 +148,13 @@ object BucketReader {
     // user predicates (P3) then projection (P1) then limit (P2)
     filters.foreach { f => df = df.where(f) }
     if (columns.nonEmpty) df = df.select(columns.map(col): _*)
-    if (nRows >= 0) df = df.limit(nRows.toInt)
+    if (nRows >= 0) {
+      // limit() takes an Int; a silent .toInt would wrap a >2^31 request
+      // into a small (or negative) limit — refuse loudly instead
+      require(nRows <= Int.MaxValue,
+        s"nRows must be <= ${Int.MaxValue} (got $nRows); drop the limit to read all rows")
+      df = df.limit(nRows.toInt)
+    }
     df
   }
 

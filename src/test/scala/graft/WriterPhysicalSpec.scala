@@ -140,6 +140,42 @@ class WriterPhysicalSpec extends AnyFunSuite {
     assert(meta.getBlocks.size() == parquetFiles(dir).size)
   }
 
+  test("_metadata distributed path at 2k+ files matches the driver path (S8 scale)") {
+    val dir = tmp("sidecar_dist")
+    // 2048 tiny files — past DistributeAbove, the regime where the old
+    // driver-pool gather was the one weak component at 100x scale
+    spark.range(4096).select(col("id"), (col("id") % 7).as("v"))
+      .repartition(2048).write.mode("overwrite").parquet(dir)
+    def readMeta() = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      graft.sources.BucketFs.conf,
+      new org.apache.hadoop.fs.Path(dir, "_metadata"),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    def blockFacts(m: org.apache.parquet.hadoop.metadata.ParquetMetadata) =
+      scala.jdk.CollectionConverters.ListHasAsScala(m.getBlocks).asScala
+        .map(b => (b.getPath, b.getRowCount, b.getColumns.size())).sorted.toList
+    // driver path first (threshold above the file count)
+    graft.sources.DatasetMetadata.write(dir, distributeAbove = 1 << 20)
+    val driverMeta = readMeta()
+    val driverBlocks = blockFacts(driverMeta)
+    // distributed path (threshold below) must produce the same artifact
+    graft.sources.DatasetMetadata.write(dir, distributeAbove = 128)
+    val distMeta = readMeta()
+    assert(blockFacts(distMeta) == driverBlocks)
+    assert(distMeta.getFileMetaData.getSchema == driverMeta.getFileMetaData.getSchema)
+    assert(distMeta.getFileMetaData.getKeyValueMetaData ==
+      driverMeta.getFileMetaData.getKeyValueMetaData)
+    assert(distMeta.getFileMetaData.getCreatedBy ==
+      driverMeta.getFileMetaData.getCreatedBy)
+    assert(blockFacts(distMeta).map(_._2).sum == 4096)
+    // _common_metadata: schema-only (no row groups), same schema
+    val common = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      graft.sources.BucketFs.conf,
+      new org.apache.hadoop.fs.Path(dir, "_common_metadata"),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    assert(common.getBlocks.isEmpty)
+    assert(common.getFileMetaData.getSchema == distMeta.getFileMetaData.getSchema)
+  }
+
   test("driver t1 smoke contract: entry() returns rows on a vanilla session") {
     // the driver calls entry(spark) with its own session config
     val df = SparkEntry.entry(spark)
