@@ -175,16 +175,19 @@ object AnnIndex {
           val sub = s"gen=$g/cell=$c"
           val old = s"$indexDir/codes_old_gen=${g}_cell=$c"
           BucketFs.deleteRecursive(old)
+          deleteSwapHook("beforeAside", g, c)
           val (lfs, live) = BucketFs.resolve(s"$indexDir/codes/$sub")
           if (lfs.exists(live)) {
             val (_, oldP) = BucketFs.resolve(old)
             BucketFs.move(lfs, live, oldP)
           }
+          deleteSwapHook("afterAside", g, c)
           val (fs, src) = BucketFs.resolve(s"$tmp/$sub")
           if (fs.exists(src)) { // absent = the cell emptied entirely
             val (_, dst) = BucketFs.resolve(s"$indexDir/codes/$sub")
             BucketFs.move(fs, src, dst)
           }
+          deleteSwapHook("afterMoveIn", g, c)
           BucketFs.deleteRecursive(old)
         }
         BucketFs.deleteRecursive(tmp)
@@ -474,8 +477,59 @@ object AnnIndex {
     * prunes the newer `gen=N` directories, so an as-of read never even
     * lists the data it excludes. Requires the generational layout (not
     * stream-managed / pre-generational codes). */
+  /** Test-only crash injection for delete()'s swap window: invoked at
+    * the named point for each affected (gen, cell); specs throw from it
+    * to simulate a process kill at that exact step, then assert
+    * [[repairDeleteAsides]] restores a loadable, either-copy-complete
+    * index. Production never sets it. */
+  private[graft] var deleteSwapHook: (String, Int, Long) => Unit =
+    (_, _, _) => ()
+
+  /** Roll FORWARD any interrupted delete() swap debris before serving the
+    * index. The swap window per affected (gen, cell) is: live moves
+    * ASIDE (`codes_old_gen=G_cell=C`) → rewrite moves in from
+    * `codes_rewrite_tmp` → aside dropped. A crash anywhere leaves at
+    * least one complete copy on disk; recovery is pure forward
+    * completion:
+    *   - aside + live present  → crash after move-in: drop the aside;
+    *   - aside, no live, tmp/sub present → crash between aside and
+    *     move-in: complete the move-in, then drop the aside;
+    *   - aside, no live, no tmp/sub → the rewrite emptied the cell (the
+    *     intended end state has no live dir): drop the aside.
+    * Roll-forward (never back) keeps the index consistent even when the
+    * crash split cells into swapped and unswapped halves — a retried
+    * delete(ids) is idempotent over both. Because a present aside proves
+    * historical generations were mutated in place without the manifest
+    * fence committing, the fence is re-written to the current head here.
+    * Cost: ONE non-recursive listing of the index root when clean (the
+    * overwhelmingly common case). */
+  def repairDeleteAsides(indexDir: String): Unit = {
+    val (fs, root) = BucketFs.resolve(indexDir)
+    if (!fs.exists(root)) return
+    val asides = fs.listStatus(root).filter(
+      _.getPath.getName.startsWith("codes_old_gen="))
+    if (asides.isEmpty) return
+    asides.foreach { st =>
+      val sub = st.getPath.getName.stripPrefix("codes_old_")
+        .replaceFirst("_cell=", "/cell=") // gen=G/cell=C
+      val live = new org.apache.hadoop.fs.Path(root, s"codes/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(root, s"codes_rewrite_tmp/$sub")
+      if (!fs.exists(live) && fs.exists(tmp)) {
+        BucketFs.mkdirs(fs, live.getParent)
+        BucketFs.move(fs, tmp, live)
+      }
+      fs.delete(st.getPath, true)
+    }
+    BucketFs.deleteRecursive(s"$indexDir/codes_rewrite_tmp")
+    val mt = readMeta(indexDir)
+    writeManifest(indexDir, mt.residual, mt.dims, mt.m, mt.k, mt.nList,
+      mt.trainUpdates, mt.scale, mt.idCol, mt.nGens, mt.baseGen,
+      asOfFence = mt.nGens)
+  }
+
   def loadIvfPq(spark: SparkSession, indexDir: String,
                 asOfGen: Int = -1): IvfPqIndex = {
+    repairDeleteAsides(indexDir)
     val mt = readMeta(indexDir)
     val streamManaged = BucketFs.exists(s"$indexDir/codes/_spark_metadata")
     val effGens =

