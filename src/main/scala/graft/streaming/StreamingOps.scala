@@ -259,7 +259,8 @@ object StreamingOps {
     * the AvailableNow gates via late sentinel rows). */
   def funnelWithState(events: Dataset[FunnelEvent], nSteps: Int,
                       withinUs: Long,
-                      watermark: String = "30 seconds"): Dataset[FunnelOut] = {
+                      watermark: String = "30 seconds",
+                      maxBufferedPerKey: Int = 10000): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     val withTime = events
       .withColumn("eventTime", expr("timestamp_micros(us)"))
@@ -277,8 +278,9 @@ object StreamingOps {
           } else {
             val prev = state.getOption.getOrElse(FunnelBuf(Nil, Nil, 0L))
             val add = rows.map(r => (r._2, r._3)).toSeq
-            val steps = prev.steps ++ add.map(_._1)
-            val times = prev.times ++ add.map(_._2)
+            val (steps, times) = compactFunnelBuf(
+              prev.steps ++ add.map(_._1), prev.times ++ add.map(_._2),
+              nSteps, withinUs, maxBufferedPerKey)
             val mx = math.max(prev.maxUs, add.map(_._2).max)
             state.update(FunnelBuf(steps, times, mx))
             // a group fed only WITHIN-watermark-late rows can see the
@@ -291,6 +293,58 @@ object StreamingOps {
             Iterator.empty
           }
       }
+  }
+
+  /** Per-key buffer compaction for the streaming funnel — the skew guard
+    * that keeps a hot key (bot traffic, replay storms) from growing state
+    * without bound while preserving exactness wherever possible. Four
+    * prunes, the first three EXACT for [[funnelStage]]'s chain:
+    *
+    *  1. steps outside [0, nSteps) are dropped (the chain never reads
+    *     them — they only had to reach the operator to advance maxUs,
+    *     which is tracked separately);
+    *  2. step 0 collapses to its MINIMUM time t1 (the chain only reads
+    *     byStep(0).head, and the running min is monotone under late
+    *     arrivals);
+    *  3. events later than t1 + withinUs are dropped (t1 only DECREASES
+    *     as more step-0 events arrive, so the window's upper bound only
+    *     tightens — a pruned event can never become reachable). Events
+    *     at-or-before t1 are NOT pruned: a later, smaller t1 could make
+    *     them reachable;
+    *  4. duplicates of an exact (step, time) pair collapse (the chain
+    *     picks the earliest match > tk; a duplicate is never the answer
+    *     twice).
+    *
+    * If the buffer STILL exceeds `cap` (adversarial: >cap distinct
+    * timestamps inside one key's window), overflow policy: keep the
+    * EARLIEST cap/nSteps times per step. This can under-report the stage
+    * for that key (a kept-but-unreachable early event may shadow a
+    * dropped later one) — the documented trade for bounded state; the
+    * chain's greedy earliest-first choice makes the earliest events the
+    * right ones to keep. */
+  private[graft] def compactFunnelBuf(steps: Seq[Int], times: Seq[Long],
+                                      nSteps: Int, withinUs: Long,
+                                      cap: Int): (Seq[Int], Seq[Long]) = {
+    val evs = steps.zip(times).filter(e => e._1 >= 0 && e._1 < nSteps)
+    val zeroMin = evs.collect { case (0, t) => t } match {
+      case s if s.nonEmpty => Some(s.min); case _ => None
+    }
+    val kept0 = zeroMin.map(t => (0, t)).toSeq
+    val others = evs.filter(_._1 != 0).distinct
+    val windowed = zeroMin match {
+      case Some(t1) => others.filter(_._2 <= t1 + withinUs)
+      case None => others
+    }
+    val bounded =
+      if (kept0.size + windowed.size <= cap) windowed
+      else {
+        val perStep = math.max(1,
+          (cap - kept0.size) / math.max(1, nSteps - 1))
+        windowed.groupBy(_._1).toSeq.sortBy(_._1)
+          .flatMap { case (_, es) => es.sortBy(_._2).take(perStep) }
+      }
+    val out = kept0 ++ bounded
+    (out.map(_._1), out.map(_._2))
   }
 
   /** The batch funnel chain over one user's buffered (step, us) events:

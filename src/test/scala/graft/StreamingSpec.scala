@@ -278,6 +278,87 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel buffer compaction: exact prunes preserve the chain; hot key stays bounded") {
+    import graft.streaming.StreamingOps.{compactFunnelBuf, funnelStage}
+    val rnd = new scala.util.Random(77)
+    // property: under the cap, compaction NEVER changes the chain result —
+    // including when later batches bring an earlier step-0 (the prune's
+    // monotonicity argument), simulated by compacting incrementally
+    (1 to 50).foreach { trial =>
+      val evs = (1 to 5 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(5) - 1, rnd.nextLong(7200L) * 1000000L))
+      val exact = funnelStage(evs, 3, 3600000000L)
+      // feed in random chunks, compacting after each (the streaming shape)
+      var steps = Seq.empty[Int]; var times = Seq.empty[Long]
+      rnd.shuffle(evs).grouped(1 + rnd.nextInt(7)).foreach { chunk =>
+        val r = compactFunnelBuf(steps ++ chunk.map(_._1),
+          times ++ chunk.map(_._2), 3, 3600000000L, 10000)
+        steps = r._1; times = r._2
+      }
+      assert(funnelStage(steps.zip(times), 3, 3600000000L) == exact,
+        s"trial $trial: compaction changed the chain")
+    }
+    // hot key: 10^5 events for one key stay bounded at the cap — and the
+    // exact prunes alone (dup collapse + window + step-0 min) do the work
+    // here, so the stage is still exact
+    val hotSteps = Seq.fill(100000)(rnd.nextInt(4) - 1)
+    val hotTimes = hotSteps.map(_ => rnd.nextLong(7200L) * 1000000L)
+    val exactHot = funnelStage(hotSteps.zip(hotTimes), 3, 3600000000L)
+    val (cs, ct) = compactFunnelBuf(hotSteps, hotTimes, 3, 3600000000L, 10000)
+    assert(cs.size <= 10000, s"hot-key buffer not bounded: ${cs.size}")
+    assert(funnelStage(cs.zip(ct), 3, 3600000000L) == exactHot)
+    // adversarial overflow (> cap DISTINCT in-window times): bounded, and
+    // the earliest-per-step keep makes the result a LOWER bound
+    val advSteps = Seq(0) ++ Seq.fill(30000)(1) ++ Seq.fill(30000)(2)
+    val advTimes = Seq(0L) ++ (1 to 30000).map(_ * 10L) ++
+      (1 to 30000).map(_ * 10L + 5L)
+    val (as_, at_) = compactFunnelBuf(advSteps, advTimes, 3, 3600000000L, 1000)
+    assert(as_.size <= 1001, s"adversarial buffer not bounded: ${as_.size}")
+    assert(funnelStage(as_.zip(at_), 3, 3600000000L) <=
+      funnelStage(advSteps.zip(advTimes), 3, 3600000000L))
+  }
+
+  test("streaming funnel survives a 10^5-event hot key with bounded state") {
+    import graft.streaming.StreamingOps.FunnelEvent
+    val rnd = new scala.util.Random(101)
+    val base = ts("2024-01-01 10:00:00").getTime * 1000L
+    // hot key 7: 100k events in two batches; cold key 8: a clean 3-chain
+    val hot = (1 to 100000).map(_ =>
+      (7L, rnd.nextInt(4) - 1, base + rnd.nextLong(3600L) * 1000000L))
+    val cold = Seq((8L, 0, base), (8L, 1, base + 60000000L),
+      (8L, 2, base + 120000000L))
+    // cold batch FIRST: the hot batches' max event time advances the
+    // watermark an hour past the cold chain, which would drop it as late
+    val batches = cold.toDF("key", "step", "us") +:
+      hot.grouped(50000).toSeq.map(b => b.toDF("key", "step", "us")) :+
+      Seq((99L, -1, ts("2024-01-03 10:00:00").getTime * 1000L))
+        .toDF("key", "step", "us") :+
+      Seq((99L, -1, ts("2024-01-04 10:00:00").getTime * 1000L))
+        .toDF("key", "step", "us")
+    val src = tmp("funnel_hot")
+    graft.streaming.StreamingOps.stageOrderedBatches(batches, src)
+    val stream = spark.readStream
+      .schema("key LONG, step INT, us LONG")
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .as[FunnelEvent]
+    val q = graft.streaming.StreamingOps
+      .funnelWithState(stream, 3, 3600000000L, "1 minute",
+        maxBufferedPerKey = 5000)
+      .writeStream.format("memory").queryName("funnel_hot_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("funnel_hot_out").where($"key" < 90)
+        .as[(Long, Int)].collect().toMap
+      // the hot key's dense random stream reaches stage 3 with certainty
+      // at this density even under compaction; the cold chain is exact
+      val expectHot = graft.streaming.StreamingOps.funnelStage(
+        hot.map(e => (e._2, e._3)), 3, 3600000000L)
+      assert(got(8L) == 3, s"cold key wrong: $got")
+      assert(got(7L) == expectHot, s"hot key wrong: $got vs $expectHot")
+    } finally q.stop()
+  }
+
   test("streaming windowed quantile sketch matches batch sample bit-for-bit") {
     val src = tmp("qsk_src")
     // key "a": 30 rows > k=8 → sampling regime; key "b": 3 rows → exact
