@@ -55,8 +55,16 @@ object Merge {
     // mutating the caller's session conf (graft.core.ReaderSession).
     // pathGlobFilter: buckets carry a bucket_info.yaml interop manifest
     // (no underscore prefix) that must stay out of the parquet scan.
-    var df = graft.core.ReaderSession(spark).read
-      .option("pathGlobFilter", "*.parquet").parquet(srcBucketDir)
+    // Directory-flavor buckets carry NO hive key=value dirs, so the plain
+    // parquet read can neither find the nested files nor reconstruct the
+    // label columns partitionBy below needs — route through
+    // BucketReader.read, whose directory path rebuilds labels from the
+    // file paths (same cloned-session semantics).
+    var df =
+      if (p.flavor.contains("directory"))
+        BucketReader.read(spark, srcBucketDir, timeColumns = Seq(timeColumn))
+      else graft.core.ReaderSession(spark).read
+        .option("pathGlobFilter", "*.parquet").parquet(srcBucketDir)
     startTime.foreach(s => df = df.where(col(timeColumn) >= lit(java.sql.Timestamp.valueOf(s))))
     endTime.foreach(e => df = df.where(col(timeColumn) < lit(java.sql.Timestamp.valueOf(e))))
 
@@ -107,10 +115,20 @@ object Merge {
     val periodPrefix = s"$PeriodCol="
     val dstRoot = dstBucketDir
     val doUpdate = update
+    // directory flavor: the staging write is always hive-style
+    // (partitionBy), so the spatial path components carry `level=` —
+    // strip them during the lift so the destination keeps the bucket's
+    // declared bare-label layout
+    val stripHiveKeys = p.flavor.contains("directory")
     val handleDir: (org.apache.hadoop.fs.FileSystem, Path, Path, Seq[Path]) => Unit =
       (fsx, stagingP, dir, files) => {
         val prefix = dir.getName.stripPrefix(periodPrefix)
-        val rel = BucketFs.relativize(fsx, stagingP, dir.getParent) // spatial path
+        val rel0 = BucketFs.relativize(fsx, stagingP, dir.getParent) // spatial path
+        val rel =
+          if (!stripHiveKeys) rel0
+          else rel0.split('/').map { c =>
+            val i = c.indexOf('='); if (i < 0) c else c.substring(i + 1)
+          }.mkString("/")
         val dstDir = if (rel.isEmpty) new Path(dstRoot) else new Path(dstRoot, rel)
         BucketFs.mkdirs(fsx, dstDir)
         if (doUpdate) {

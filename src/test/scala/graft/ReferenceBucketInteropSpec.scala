@@ -54,6 +54,90 @@ class ReferenceBucketInteropSpec extends AnyFunSuite {
     assert(grid.schema(p.xCoord).metadata.getString("crs") == "EPSG:4326")
   }
 
+  test("merge output honors the reference '{time_prefix}_{i}.parquet' naming " +
+       "contract end-to-end (directory flavor, adversarial month prefixes)") {
+    // reference consumers identify a period's files by
+    // basename.startswith(time_prefix) (satbucket/routines.py:791-810);
+    // months "2024_1" and "2024_11" are the adversarial pair where a raw
+    // startswith is ambiguous — the contract that makes our output safe
+    // is the template `{prefix}_{i}.parquet` WITH the underscore
+    // separator, which both engines emit and which restores unambiguous
+    // grouping via startswith(prefix + "_")
+    import graft.partitioning.LonLatPartitioning
+    import graft.sources.{BucketReader, BucketWriter, Merge, Temporal}
+    val src = java.nio.file.Files.createTempDirectory("graft_interop_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_interop_dst").toString + "/b"
+    val p = LonLatPartitioning(size = (90, 90), flavor = Some("directory"))
+    def monthDf(m: Int, n: Int, off: Long) = spark.range(n).select(
+      (col("id") * 7 % 360 - 180 + 0.5).cast("double").as("lon"),
+      (col("id") * 11 % 180 - 90 + 0.5).cast("double").as("lat"),
+      expr(s"timestamp_micros(${java.time.LocalDateTime.of(2024, m, 1, 0, 0)
+        .toEpochSecond(java.time.ZoneOffset.UTC)}000000 + id * 3600000000)")
+        .as("time"),
+      (col("id") + off).as("v"))
+    val df = monthDf(1, 300, 0L).union(monthDf(11, 300, 100000L))
+    BucketWriter.writeBucket(df, src, p, mode = "overwrite")
+    Merge.mergeGranuleBuckets(spark, src, dst, temporalPartitioning = "month")
+
+    def dataFiles(): Seq[java.nio.file.Path] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dst))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(w.iterator()).asScala
+        .filter(_.toString.endsWith(".parquet")).toList
+      finally w.close()
+    }
+    // 1. every basename matches the reference template exactly
+    val names = dataFiles().map(_.getFileName.toString)
+    val template = "^(2024_1|2024_11)_(\\d+)\\.parquet$".r
+    assert(names.nonEmpty && names.forall(template.matches(_)),
+      s"non-conforming basenames: ${names.filterNot(template.matches(_))}")
+    // 2. reference-style prefix grouping (startswith(prefix + "_"))
+    //    recovers each month's files totally and disjointly, and each
+    //    group's ROWS are exactly that month's rows
+    val prefixes = Seq(java.time.LocalDateTime.of(2024, 1, 1, 0, 0),
+        java.time.LocalDateTime.of(2024, 11, 1, 0, 0))
+      .map(Temporal.timePrefix(_, "month"))
+    assert(prefixes == Seq("2024_1", "2024_11"))
+    val groups = prefixes.map(pre => pre -> names.filter(_.startsWith(pre + "_")))
+    assert(groups.map(_._2.size).sum == names.size, "grouping not total")
+    // disjoint: no basename matches both underscore-terminated prefixes
+    // (the raw reference startswith WOULD overlap on 2024_1 vs 2024_11;
+    // the '_' separator restores unambiguity)
+    assert(names.count(n => prefixes.forall(p0 => n.startsWith(p0 + "_"))) == 0,
+      "grouping overlaps")
+    groups.foreach { case (pre, fs) =>
+      val rows = spark.read.parquet(
+        dataFiles().filter(f => fs.contains(f.getFileName.toString))
+          .map(_.toString): _*)
+      val wantMonth = if (pre == "2024_1") 1 else 11
+      assert(rows.where(month(col("time")) =!= wantMonth).count() == 0,
+        s"$pre group holds out-of-period rows")
+    }
+    // 3. the merged bucket re-reads through BucketReader with full parity
+    val back = BucketReader.read(spark, dst)
+    assert(back.count() == 600)
+    assert(back.agg(sum($"v")).as[Long].head() ==
+      df.agg(sum($"v")).as[Long].head())
+    // 4. update-merge of January must leave November untouched — the
+    //    underscore-separated prefix match may not bleed onto 2024_11
+    val novBefore = dataFiles().filter(_.getFileName.toString.startsWith("2024_11_"))
+      .map(f => f.toString -> java.nio.file.Files.size(f)).sortBy(_._1)
+    val src2 = java.nio.file.Files.createTempDirectory("graft_interop_upd").toString
+    BucketWriter.writeBucket(
+      monthDf(1, 300, 500000L), src2, p, mode = "overwrite")
+    Merge.mergeGranuleBuckets(spark, src2, dst,
+      temporalPartitioning = "month", update = true)
+    val novAfter = dataFiles().filter(_.getFileName.toString.startsWith("2024_11_"))
+      .map(f => f.toString -> java.nio.file.Files.size(f)).sortBy(_._1)
+    assert(novAfter == novBefore, "update of 2024_1 disturbed 2024_11 files")
+    val upd = BucketReader.read(spark, dst)
+    assert(upd.count() == 600)
+    assert(upd.where(month(col("time")) === 1)
+      .agg(min($"v")).as[Long].head() == 500000L, "January not replaced")
+    graft.sources.BucketFs.deleteRecursive(src)
+    graft.sources.BucketFs.deleteRecursive(src2)
+    graft.sources.BucketFs.deleteRecursive(dst)
+  }
+
   test("full read + extent pruning + point radius on a reference bucket") {
     val all = BucketReader.read(spark, bucketDir)
     assert(all.count() == 400)
