@@ -798,17 +798,21 @@ object Dedup {
 
   def containmentCounts(df: DataFrame, pairs: DataFrame, textCol: String,
                         idCol: String, shingleK: Int = 3): DataFrame = {
-    // NULL/short-text docs match the oracle's inner-join semantics: the
-    // oracle UNNESTs shingles (NULL or sub-k text → zero rows) and inner
-    // joins, so such docs vanish and their pairs with them. coalesce
-    // avoids NULL-array rows, and the size(...) > 0 filter drops the
-    // empty-set docs the oracle never materializes
-    val arrs = fanOut(df)
-      .select(col(idCol),
-        normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+    // NULL-text docs drop BEFORE shingling, matching the oracle's
+    // semantics exactly: its LATERAL UNNEST over range(1, NULL) emits no
+    // rows for a NULL normalized text, so the doc (and every pair
+    // holding it) vanishes via the inner joins. Empty ("") text is NOT
+    // special-cased — both engines shingle it to the one-element set
+    // {""} and keep the pair (range/sequence lower-bound clamp of 1 on
+    // both sides). The filter is a plain scan-pushable isNotNull; any
+    // predicate over the shingle ARRAY would instead substitute through
+    // the projection and inline the staged __norm into the interpreted
+    // lambda — normalization re-running per shingle took the q187 gate
+    // from 0.24 s to 12 s before this was measured and removed.
+    val arrs = fanOut(df.where(col(textCol).isNotNull))
+      .select(col(idCol), normalizedText(col(textCol)).as("__norm"))
       .select(col(idCol),
         array_distinct(shinglesOfNormalized(col("__norm"), shingleK)).as("__shs"))
-      .where(size(col("__shs")) > 0)
     val aSide = arrs.select(col(idCol).as("a"), col("__shs").as("__sa"))
     val bSide = arrs.select(col(idCol).as("b"), col("__shs").as("__sb"))
     pairs.join(aSide, Seq("a")).join(bSide, Seq("b"))
