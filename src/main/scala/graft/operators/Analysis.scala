@@ -336,4 +336,91 @@ object Analysis {
       .groupBy("cohort_bucket", "periods_since")
       .agg(countDistinct(col("u")).as("n_users"))
   }
+
+  /** Item co-occurrence counts for PMI-style association mining: for
+    * every unordered item pair {a < b} sharing at least one key, the
+    * number of keys holding both, alongside each item's key count and
+    * the total key count — the four EXACT integers PMI
+    * log(n·c_ab/(c_a·c_b)) needs, emitted as integers so the (float)
+    * log stays in the consumer and the result is oracle-replayable.
+    *
+    * Scale shape: one distinct (key, item) pass, then the pair join runs
+    * WITHIN key only — fan-out bounded by items-per-key² with
+    * items-per-key ≤ the (small) item vocabulary, never corpus².
+    * Item/total counts join back on the (tiny) item dimension — AQE
+    * broadcasts them. */
+  def cooccurrenceCounts(df: DataFrame, keyCol: String,
+                         itemCol: String): DataFrame = {
+    val ki = df.where(col(keyCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(keyCol).as("k"), col(itemCol).as("item")).distinct()
+    val itemCounts = ki.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val total = ki.select(countDistinct(col("k")).as("n_keys"))
+    val pairs = ki.toDF("k", "a")
+      .join(ki.toDF("k", "b"), "k")
+      .where(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(itemCounts.select(col("item").as("a"), col("n_item").as("n_a")), "a")
+      .join(itemCounts.select(col("item").as("b"), col("n_item").as("n_b")), "b")
+      .crossJoin(total)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_keys"))
+  }
+
+  /** Path analysis: each user's first `k` event types in time order
+    * (ties toward the earlier event id) joined with '>', counted across
+    * users — the "what do journeys look like" primitive behind funnel
+    * DISCOVERY (funnelSteps checks a known path; this surfaces the
+    * paths worth checking). Ranking is one window pass; the per-user
+    * path builds from a size-≤k collect_list sorted in-row by rank (the
+    * list is bounded by k, never by the user's event volume). */
+  def eventPaths(events: DataFrame, userCol: String, typeCol: String,
+                 timeCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(timeCol)).as("us"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("u")).orderBy(col("us"), col("id"))
+    ev.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(col("u"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__rn"), col("t")))),
+          x => x.getField("t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Marketing-style touch attribution: for every conversion event, the
+    * FIRST and LAST preceding touch (an event whose type is in
+    * `touchTypes`) by the same user at-or-before the conversion time —
+    * ties on time break toward the earlier event id, so the result is
+    * deterministic under concurrent events. One window pass per user
+    * timeline, no self-join.
+    *
+    * Emits (user, conversion id, conversion us, first/last touch type +
+    * us), conversions with no prior touch keep nulls (the unattributed
+    * bucket every real report carries). */
+  def touchAttribution(events: DataFrame, userCol: String, typeCol: String,
+                       timeCol: String, idCol: String,
+                       conversionType: String,
+                       touchTypes: Seq[String]): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    import org.apache.spark.sql.expressions.Window
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(timeCol)).as("us"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("us"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val touch = when(col("t").isin(touchTypes: _*),
+      struct(col("us"), col("id"), col("t")))
+    ev.withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .where(col("t") === conversionType)
+      .select(col("u"), col("id").as("conversion_id"),
+        col("us").as("conversion_us"),
+        col("__first.t").as("first_touch_type"),
+        col("__first.us").as("first_touch_us"),
+        col("__last.t").as("last_touch_type"),
+        col("__last.us").as("last_touch_us"))
+  }
 }

@@ -469,37 +469,61 @@ object Avi {
       (java.lang.Math.floorMod(id, 16L).toInt + f * 16
         + x * 120 / math.max(1, w - 1) + y * 60 / math.max(1, h - 1)))
 
+  /** One baseline grayscale JPEG (JDK encoder, fixed quality) over a
+    * per-pixel luma function. */
+  private def encodeJpegGray(w: Int, h: Int, quality: Float)
+                            (luma: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, luma(x, y)); x += 1 }
+      y += 1
+    }
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
+    require(writers.hasNext, "no JPEG writer available")
+    val writer = writers.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(quality)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** MJPEG AVI: one baseline JPEG (JDK encoder, fixed quality) per frame
     * over [[mjpegLuma]]. JPEG is lossy, so this fixture is for spec-level
     * tolerance tests, not hash oracles. */
   def syntheticAviMjpeg(id: Long, w: Int, h: Int, nFrames: Int,
                         quality: Float = 0.9f): Array[Byte] = {
     val frames = Array.tabulate(nFrames) { f =>
-      val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-      val raster = img.getRaster
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          raster.setSample(x, y, 0, mjpegLuma(id, f, x, y, w, h))
-          x += 1
-        }
-        y += 1
-      }
-      val writers = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg")
-      require(writers.hasNext, "no JPEG writer available")
-      val writer = writers.next()
-      val bos = new java.io.ByteArrayOutputStream()
-      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-      try {
-        writer.setOutput(ios)
-        val p = writer.getDefaultWriteParam
-        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-        p.setCompressionQuality(quality)
-        writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
-      } finally { writer.dispose(); ios.close() }
-      bos.toByteArray
+      encodeJpegGray(w, h, quality)(mjpegLuma(id, f, _, _, w, h))
+    }
+    buildAvi(w, h, frames, bitCount = 24, topDown = false,
+      compression = FccMjpg, handler = FccMjpg, chunkSuffix = "dc")
+  }
+
+  /** Per-frame CONSTANT luma for the oracle-gated MJPEG fixture, kept
+    * away from the 0/255 rails: a flat 8x8 block is pure DC through the
+    * JPEG DCT, so the decode error is a small bounded rounding term —
+    * which is what lets a hash oracle check a LOSSY codec (the gate
+    * emits the tolerance verdict, not raw pixels). */
+  def mjpegConstLuma(id: Long, f: Int): Int =
+    (java.lang.Math.floorMod(id * 7 + f * 23, 180L) + 30).toInt
+
+  /** MJPEG AVI of constant-luma frames ([[mjpegConstLuma]]) — the
+    * gate-grade companion of [[syntheticAviMjpeg]]. */
+  def syntheticAviMjpegConst(id: Long, w: Int, h: Int, nFrames: Int,
+                             quality: Float = 0.9f): Array[Byte] = {
+    val frames = Array.tabulate(nFrames) { f =>
+      val v = mjpegConstLuma(id, f)
+      encodeJpegGray(w, h, quality)((_, _) => v)
     }
     buildAvi(w, h, frames, bitCount = 24, topDown = false,
       compression = FccMjpg, handler = FccMjpg, chunkSuffix = "dc")

@@ -78,6 +78,65 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** PERSONALIZED PageRank: the teleport mass lands only on the `seeds`
+    * node set instead of uniformly — the similarity-to-seed-set measure
+    * behind related-item / audience-expansion queries. Same exact
+    * integer scaffold as [[pageRank]] (r ≤ scale keeps products in 64
+    * bits; the oracle replays every floor division): initial rank
+    * scale/|S| on seeds and 0 elsewhere, per-round base term
+    * (1−d)·scale/|S| on seeds and 0 elsewhere. Non-seed nodes
+    * accumulate rank only through link structure, so rank decays with
+    * distance from the seed set. Scale shape identical to [[pageRank]]
+    * (per-round src-keyed join + dst-keyed partial agg, lineage cut per
+    * round); the seed flag is one broadcast-sized join on the node
+    * dimension. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int,
+                           scale: Long = 1000000000000L,
+                           dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampNum >= 0 && dampNum <= dampDen, "damping must be in [0,1]")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).persist()
+    val seedSet = seeds.select(col("node").cast("long").as("node"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(seedSet.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .persist()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg")).persist()
+    val nS = seedSet.count()
+    require(nS > 0, "empty seed set")
+    val r0 = scale / nS
+    val base = (dampDen - dampNum).toLong * scale / (dampDen.toLong * nS)
+
+    var ranks = nodes
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(r0)).otherwise(lit(0L)).as("r"))
+      .persist()
+    ranks.count()
+    var i = 0
+    while (i < iterations) {
+      val contribs = e
+        .join(outDeg, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div __deg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      val next = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)) +
+            expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("r"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+      i += 1
+    }
+    e.unpersist(); nodes.unpersist(); outDeg.unpersist(); seedSet.unpersist()
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+
   /** Weighted PageRank over `(src, dst, w)` with positive integer edge
     * weights: contributions split by out-weight SHARE rather than
     * out-degree. To keep every product inside 64 bits (rank ≤ scale ~

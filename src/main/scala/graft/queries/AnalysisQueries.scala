@@ -102,6 +102,31 @@ object AnalysisQueries extends QueryModule {
           sum(coalesce($"done", lit(0L))).as("n_converted"))
     }),
 
+    // PMI-style co-occurrence mining over (user, event_type): the four
+    // exact integers log(n·c_ab/(c_a·c_b)) needs, per unordered type
+    // pair — the association-mining primitive. The pair join runs within
+    // user only (fan-out bounded by types-per-user²), counts join back
+    // on the tiny type dimension.
+    "q203_pmi_cooccurrence" -> ((s, dir) =>
+      Analysis.cooccurrenceCounts(graft.core.Tables(s, dir, "events"),
+        "user_id", "event_type")),
+
+    // First/last-touch attribution: for every purchase, the first and
+    // last preceding view/click by the same user (ties toward the
+    // earlier event id) — one window pass per user timeline, no
+    // self-join; unattributed conversions keep nulls.
+    "q204_touch_attribution" -> ((s, dir) =>
+      Analysis.touchAttribution(graft.core.Tables(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"))),
+
+    // Journey discovery: each user's first-4 event-type path (time
+    // order, id tiebreak) counted across users — the funnel-DISCOVERY
+    // companion to q184's known-path check.
+    "q206_event_paths" -> ((s, dir) =>
+      Analysis.eventPaths(graft.core.Tables(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", k = 4)),
+
     // Cohort retention triangle: users bucketed by first-event hour,
     // distinct-active counts per (cohort, hours-since) cell — two aggs
     // and one join, floor-division bucket arithmetic.
@@ -664,6 +689,51 @@ object AnalysisQueries extends QueryModule {
           AS n_converted
       FROM first LEFT JOIN s3 ON s3.u = first.u
       GROUP BY 1""",
+
+    "q203_pmi_cooccurrence" -> """
+      WITH ki AS (SELECT DISTINCT user_id AS k, event_type AS item
+                  FROM events
+                  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+             FROM ki GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys FROM ki),
+      p AS (SELECT l.item AS a, r.item AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+            FROM ki l JOIN ki r ON l.k = r.k AND l.item < r.item
+            GROUP BY 1, 2)
+      SELECT p.a, p.b, p.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        tot.n_keys
+      FROM p JOIN ic ia ON ia.item = p.a JOIN ic ib ON ib.item = p.b, tot""",
+
+    "q204_touch_attribution" -> """
+      WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us,
+                   event_id AS id
+                 FROM events),
+      w AS (SELECT u, t, us, id,
+          first_value(CASE WHEN t IN ('view', 'click')
+              THEN struct_pack(us := us, id := id, t := t) END IGNORE NULLS)
+            OVER (PARTITION BY u ORDER BY us, id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft,
+          last_value(CASE WHEN t IN ('view', 'click')
+              THEN struct_pack(us := us, id := id, t := t) END IGNORE NULLS)
+            OVER (PARTITION BY u ORDER BY us, id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+        FROM e)
+      SELECT u, id AS conversion_id, us AS conversion_us,
+        ft.t AS first_touch_type, ft.us AS first_touch_us,
+        lt.t AS last_touch_type, lt.us AS last_touch_us
+      FROM w WHERE t = 'purchase'""",
+
+    "q206_event_paths" -> """
+      WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us,
+                   event_id AS id
+                 FROM events),
+      r AS (SELECT u, t,
+              row_number() OVER (PARTITION BY u ORDER BY us, id) AS rn
+            FROM e),
+      p AS (SELECT u, string_agg(t, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 4 GROUP BY u)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM p GROUP BY 1""",
 
     "q185_cohort_retention" -> """
       WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),

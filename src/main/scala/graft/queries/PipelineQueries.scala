@@ -477,6 +477,30 @@ object PipelineQueries extends QueryModule {
           posexplode($"hist").as(Seq("bin", "cnt")))
     }),
 
+    // MJPEG-compressed AVI, oracle-gated despite the LOSSY codec: frames
+    // are constant-luma (pure DC through the 8x8 DCT, so JDK decode
+    // error is a small bounded rounding term) and the gate emits the
+    // TOLERANCE VERDICT per frame plus the exact container metadata —
+    // the oracle replays the closed-form geometry and literal trues.
+    // The JPEG decode itself runs at the JDK codec boundary
+    // (mapPartitions), same as every other codec gate.
+    "q202_mjpeg_avi" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents").select($"doc_id").as[Long]
+      ids.mapPartitions(it => it.flatMap { id =>
+        val nf = (id % 3 + 2).toInt
+        val payload = Avi.syntheticAviMjpegConst(id, 16, 16, nf)
+        val (w, h, frames) = Avi.decodeAviFrames(payload)
+        frames.iterator.zipWithIndex.map { case (px, f) =>
+          val exp = Avi.mjpegConstLuma(id, f)
+          var mn = 255; var mx = 0
+          px.foreach { b =>
+            val v = b & 0xff; if (v < mn) mn = v; if (v > mx) mx = v }
+          (id, f, w, h, nf, mn >= exp - 3 && mx <= exp + 3)
+        }
+      }).toDF("doc_id", "frame_idx", "width", "height", "n_frames", "ok")
+    }),
+
     // PCM audio decoded out of an INTERLEAVED A/V AVI: the same
     // closed-form samples as q59's WAV path (one shared oracle), but the
     // decoder must select the 'auds' stream and skip the video chunks
@@ -1021,6 +1045,28 @@ object PipelineQueries extends QueryModule {
           $"s_nationkey".cast("long").as("dst"))
         .distinct()
       graft.operators.Graph.pageRank(edges, iterations = 3)
+    }),
+
+    // Personalized PageRank on the same nation trade graph: teleport
+    // confined to seed nations (node < 5), so rank measures proximity to
+    // the seed set — exact integer arithmetic, 3 fixed iterations, every
+    // floor division replayed by the oracle.
+    "q205_personalized_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val edges = Tables(s, dir, "lineitem").select($"l_orderkey", $"l_suppkey")
+        .join(Tables(s, dir, "orders").select($"o_orderkey", $"o_custkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables(s, dir, "customer").select($"c_custkey", $"c_nationkey"),
+          $"o_custkey" === $"c_custkey")
+        .join(Tables(s, dir, "supplier").select($"s_suppkey", $"s_nationkey"),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"c_nationkey".cast("long").as("src"),
+          $"s_nationkey".cast("long").as("dst"))
+        .distinct()
+      val seeds = edges.select($"src".as("node"))
+        .union(edges.select($"dst".as("node")))
+        .distinct().where($"node" < 5)
+      graft.operators.Graph.personalizedPageRank(edges, seeds, iterations = 3)
     }),
 
     // Sliding-window chunking (window 16, stride 8): the corpus → training
@@ -3191,6 +3237,12 @@ object PipelineQueries extends QueryModule {
       FROM db LEFT JOIN c
         ON db.asset_id = c.asset_id AND db.f = c.f AND db.bin = c.bin""",
 
+    "q202_mjpeg_avi" -> """
+      SELECT doc_id, CAST(g.f AS INT) AS frame_idx,
+        16 AS width, 16 AS height,
+        CAST(doc_id % 3 + 2 AS INT) AS n_frames, TRUE AS ok
+      FROM documents, LATERAL UNNEST(range(0, doc_id % 3 + 2)) AS g(f)""",
+
     "q158_video_avi" -> """
       WITH d AS (SELECT doc_id AS asset_id, doc_id % 3 + 2 AS nf FROM documents),
       fr AS (SELECT asset_id, nf, f
@@ -3976,6 +4028,53 @@ object PipelineQueries extends QueryModule {
               GROUP BY 1, 2)
       SELECT token, CAST(est_count AS BIGINT) AS est_count, exact_count
       FROM est""",
+
+    "q205_personalized_pagerank" -> s"""
+      WITH e AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+                   CAST(su.s_nationkey AS BIGINT) AS dst
+                 FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 JOIN customer c ON o.o_custkey = c.c_custkey
+                 JOIN supplier su ON l.l_suppkey = su.s_suppkey),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      seeds AS (SELECT node FROM nodes WHERE node < 5),
+      od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+      cS AS (SELECT COUNT(*) AS n FROM seeds),
+      r0 AS (SELECT nodes.node,
+               CASE WHEN seeds.node IS NOT NULL
+                 THEN 1000000000000 // (SELECT n FROM cS) ELSE 0 END AS r
+             FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node),
+      s1 AS (SELECT e.dst AS node, SUM(r0.r // od.d) AS s
+             FROM e JOIN od ON e.src = od.src JOIN r0 ON r0.node = e.src
+             GROUP BY 1),
+      r1 AS (SELECT nodes.node,
+               CASE WHEN seeds.node IS NOT NULL
+                 THEN (15 * 1000000000000) // (100 * (SELECT n FROM cS))
+                 ELSE 0 END
+                 + (85 * COALESCE(s1.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node
+               LEFT JOIN s1 ON s1.node = nodes.node),
+      s2 AS (SELECT e.dst AS node, SUM(r1.r // od.d) AS s
+             FROM e JOIN od ON e.src = od.src JOIN r1 ON r1.node = e.src
+             GROUP BY 1),
+      r2 AS (SELECT nodes.node,
+               CASE WHEN seeds.node IS NOT NULL
+                 THEN (15 * 1000000000000) // (100 * (SELECT n FROM cS))
+                 ELSE 0 END
+                 + (85 * COALESCE(s2.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node
+               LEFT JOIN s2 ON s2.node = nodes.node),
+      s3 AS (SELECT e.dst AS node, SUM(r2.r // od.d) AS s
+             FROM e JOIN od ON e.src = od.src JOIN r2 ON r2.node = e.src
+             GROUP BY 1),
+      r3 AS (SELECT nodes.node,
+               CASE WHEN seeds.node IS NOT NULL
+                 THEN (15 * 1000000000000) // (100 * (SELECT n FROM cS))
+                 ELSE 0 END
+                 + (85 * COALESCE(s3.s, 0)) // 100 AS r
+             FROM nodes LEFT JOIN seeds ON seeds.node = nodes.node
+               LEFT JOIN s3 ON s3.node = nodes.node)
+      SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM r3""",
 
     "q177_pagerank" -> s"""
       WITH e AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,

@@ -126,4 +126,67 @@ class FunnelCohortSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(run(7) == run(1))
   }
+
+  test("cooccurrenceCounts: exact pair/item/total integers, within-key join only") {
+    import graft.operators.Analysis
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "b"),        // dup (1,b) must count once
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"),
+      (4L, null.asInstanceOf[String])          // null item dropped
+    ).toDF("k", "item")
+    val got = Analysis.cooccurrenceCounts(df, "k", "item")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", "b", 2L, 3L, 2L, 3L),
+      ("a", "c", 1L, 3L, 1L, 3L),
+      ("b", "c", 1L, 2L, 1L, 3L)))
+  }
+
+  test("touchAttribution: first/last preceding touch, ties toward earlier id, nulls kept") {
+    import graft.operators.Analysis
+    val ev = Seq(
+      // u1: view -> click -> purchase
+      (1L, "view", ts("2024-01-01 10:00:00"), 10L),
+      (1L, "click", ts("2024-01-01 10:05:00"), 11L),
+      (1L, "purchase", ts("2024-01-01 10:10:00"), 12L),
+      // u1 second purchase after another click
+      (1L, "click", ts("2024-01-01 10:20:00"), 13L),
+      (1L, "purchase", ts("2024-01-01 10:30:00"), 14L),
+      // u2: purchase with NO prior touch -> nulls
+      (2L, "purchase", ts("2024-01-01 09:00:00"), 20L),
+      // u3: touch at the SAME time as the purchase but smaller id counts
+      (3L, "view", ts("2024-01-01 08:00:00"), 30L),
+      (3L, "purchase", ts("2024-01-01 08:00:00"), 31L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analysis.touchAttribution(ev, "user_id", "event_type", "ts",
+        "event_id", "purchase", Seq("view", "click"))
+      .select($"conversion_id", $"first_touch_type", $"last_touch_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (12L, "view", "click"),
+      (14L, "view", "click"),
+      (20L, null, null),
+      (31L, "view", "view")))
+  }
+
+  test("eventPaths: time order with id tiebreak, k truncation") {
+    import graft.operators.Analysis
+    val ev = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00"), 1L),
+      (1L, "click", ts("2024-01-01 10:01:00"), 2L),
+      (1L, "purchase", ts("2024-01-01 10:02:00"), 3L),
+      // u2 same path; the 3rd+ events truncate at k=2
+      (2L, "view", ts("2024-01-01 11:00:00"), 4L),
+      (2L, "click", ts("2024-01-01 11:01:00"), 5L),
+      (2L, "error", ts("2024-01-01 11:02:00"), 6L),
+      // u3: same-timestamp events order by id
+      (3L, "b_second", ts("2024-01-01 12:00:00"), 8L),
+      (3L, "a_first", ts("2024-01-01 12:00:00"), 7L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analysis.eventPaths(ev, "user_id", "event_type", "ts",
+        "event_id", k = 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("view>click" -> 2L, "a_first>b_second" -> 1L))
+  }
 }

@@ -89,4 +89,29 @@ class GraphSpec extends AnyFunSuite {
     assert(solo.keySet == Set(7L))
     assert(solo(7L) > 999999999900L && solo(7L) <= 1000000000000L)
   }
+
+  test("personalized PageRank: teleport confined to seeds, rank decays with distance") {
+    import graft.operators.Graph
+    // path 1 -> 2 -> 3 with seed {1}: every round node 1 holds only the
+    // base term (no in-links), node 2 only damped node-1 mass, node 3
+    // only damped node-2 mass — strict decay along the path, all exact
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r = Graph.personalizedPageRank(edges, seeds, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val scale = 1000000000000L
+    val base = 15L * scale / 100L
+    assert(r(1L) == base)
+    assert(r(2L) == 85L * base / 100L)
+    assert(r(3L) == 85L * (85L * base / 100L) / 100L)
+    // uniform PageRank on the same graph gives node 3 the MOST mass
+    // (sink of the path) — personalization inverts the ordering
+    val u = Graph.pageRank(edges, iterations = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(u(3L) > u(1L) && r(1L) > r(3L))
+    // empty seed set refused
+    intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges, Seq.empty[Tuple1[Long]].toDF("node"),
+        iterations = 1).collect())
+  }
 }

@@ -189,6 +189,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("mjpeg-avi: constant-frame decode error stays within the q202 gate tolerance") {
+    import graft.operators.Avi
+    (0L until 40L).foreach { id =>
+      val nf = (id % 3 + 2).toInt
+      val (w, h, frames) =
+        Avi.decodeAviFrames(Avi.syntheticAviMjpegConst(id, 16, 16, nf))
+      assert((w, h, frames.length) == (16, 16, nf))
+      frames.zipWithIndex.foreach { case (px, f) =>
+        val exp = Avi.mjpegConstLuma(id, f)
+        val maxErr = px.map(b => math.abs((b & 0xff) - exp)).max
+        assert(maxErr <= 3, s"id=$id frame=$f maxErr=$maxErr (exp=$exp)")
+      }
+    }
+  }
+
   test("avi: container sniffing routes AVI and GIF through one video seam") {
     import graft.operators.Avi
     val gif = Multimodal.syntheticGif(3L, 6, 6, 2)
