@@ -69,6 +69,12 @@ object Bench {
     val stall: Map[String, Long] = sys.env.get("SPARK_GRAFT_BENCH_STALL")
       .map { v => val Array(q, ms) = v.split(':'); Map(q -> ms.toLong) }
       .getOrElse(Map.empty)
+    // diagnostic subset (comma-separated names): never set by the driver —
+    // for stall-demo and per-query investigation runs only
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     // min-of-3 per query: single local[*] runs jitter ±15-25% under system
     // noise; the minimum of three trials is the stable, reproducible figure
@@ -95,7 +101,7 @@ object Bench {
       }
     }
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    val mainPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val mainPass = selected.map { case (name, fn) =>
       // untimed pre-run: absorbs marker-gated /tmp staging + per-query
       // JIT so timed trials measure steady-state compute (failure here is
       // fine — the timed trials will report it)
@@ -125,7 +131,7 @@ object Bench {
     while (round < 2 && improvedAny) {
       improvedAny = false
       round += 1
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         val cur = finalTimes(name)
         pins.get(name).foreach { pin =>
           if (!cur.isNaN && cur > 2.0 * pin) {
