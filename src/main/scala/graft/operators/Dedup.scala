@@ -723,34 +723,40 @@ object Dedup {
     * Unlike [[lshCandidatePairs]] (probabilistic recall), this is EXACT:
     * every qualifying pair is returned. Output (a, b, intersection,
     * n_a, n_b). */
-  def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
-                        tNum: Int, tDen: Int, shingleK: Int = 0): DataFrame = {
-    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
-    // element universe: word tokens (shingleK = 0) or character
-    // k-shingles — shingles discriminate far better on small-vocabulary
-    // corpora, where every doc shares most of its WORDS with every other.
-    // __norm staged as a column FIRST: shinglesOfNormalized's transform
-    // lambda is interpreted and would otherwise re-normalize per shingle
+  /** Per-doc hashed distinct token rows (id, tok) for the prefix-filter
+    * family: word tokens (shingleK = 0) or character k-shingles —
+    * shingles discriminate far better on small-vocabulary corpora, where
+    * every doc shares most of its WORDS with every other. __norm staged
+    * as a column FIRST: shinglesOfNormalized's transform lambda is
+    * interpreted and would otherwise re-normalize per shingle.
+    * Elements are 40-bit md5 hashes, not strings: the exact-verify
+    * merge-intersect is interpreted, and long compares are several times
+    * cheaper than string compares at millions of candidate pairs.
+    * Collisions are deterministic (both engines hash the same way) and
+    * vanishingly rare at set sizes of a few hundred. distinct AFTER
+    * hashing: array_distinct dedupes the raw strings, but a within-doc
+    * 40-bit collision would otherwise duplicate a tok row, inflating __n
+    * and shrinking the effective prefix below the n − ceil(t·n) + 1
+    * coverage bound — silently dropping a qualifying pair (and diverging
+    * from the oracle's post-hash DISTINCT). */
+  private def hashedToks(df: DataFrame, textCol: String, idCol: String,
+                         shingleK: Int): DataFrame = {
     val staged = fanOut(df).select(col(idCol).as("id"),
       normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
     val elems =
       if (shingleK == 0) split(col("__norm"), " ")
       else shinglesOfNormalized(col("__norm"), shingleK)
-    // elements are 40-bit md5 hashes, not strings: the exact-verify
-    // array_intersect is interpreted, and long compares are several
-    // times cheaper than string compares at millions of candidate
-    // pairs. Collisions are deterministic (both engines hash the same
-    // way) and vanishingly rare at set sizes of a few hundred.
-    // distinct AFTER hashing: array_distinct dedupes the raw strings, but
-    // a within-doc 40-bit hash collision would otherwise duplicate a tok
-    // row, inflating __n and shrinking the effective prefix below the
-    // n − ceil(t·n) + 1 coverage bound — silently dropping a qualifying
-    // pair (and diverging from the oracle's post-hash DISTINCT)
-    val toks = staged
+    staged
       .select(col("id"), explode(array_distinct(elems)).as("__raw"))
       .where(col("__raw") =!= "")
       .select(col("id"), Sketches.hash40(col("__raw")).as("tok"))
       .distinct()
+  }
+
+  def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
+                        tNum: Int, tDen: Int, shingleK: Int = 0): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val toks = hashedToks(df, textCol, idCol, shingleK)
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
     val ranked = toks.join(dfCounts, "tok")
       .withColumn("__rk", row_number().over(
@@ -787,6 +793,66 @@ object Dedup {
     val verified = sized
       .join(sets.select(col("id").as("a"), col("__set").as("__sa")), Seq("a"))
       .join(sets.select(col("id").as("b"), col("__set").as("__sb")), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.ArrayIntersectCount
+          .sortedIntersectCount(col("__sa"), col("__sb")).as("intersection"),
+        size(col("__sa")).cast("long").as("n_a"),
+        size(col("__sb")).cast("long").as("n_b"))
+    verified.where(lit(tDen.toLong) * col("intersection") >=
+      lit(tNum.toLong) * (col("n_a") + col("n_b") - col("intersection")))
+  }
+
+  /** EXACT two-corpus (R-S) set-similarity join by prefix filtering: all
+    * (left, right) pairs with token-set Jaccard ≥ tNum/tDen — the
+    * decontamination shape (eval set vs training corpus) where the
+    * self-join [[prefixFilterPairs]] doesn't apply. Same algorithm, one
+    * change: document frequencies (the token rarity order) are computed
+    * over the UNION of both sides, giving the single global total order
+    * the prefix-filter completeness theorem needs — under a COMMON
+    * order, any pair at Jaccard ≥ t must share a token inside each
+    * side's first n − ceil(t·n) + 1 rarest tokens, so the inverted-index
+    * join runs left-prefix × right-prefix only. Verification is the
+    * codegen'd sorted merge-intersect; the threshold test is pure
+    * integers. Output (a = left id, b = right id, intersection, n_a,
+    * n_b); ids need not be disjoint across sides (a always names the
+    * left doc). */
+  def prefixFilterJoin(left: DataFrame, right: DataFrame,
+                       textCol: String, idCol: String,
+                       tNum: Int, tDen: Int, shingleK: Int = 0): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val lt = hashedToks(left, textCol, idCol, shingleK)
+    val rt = hashedToks(right, textCol, idCol, shingleK)
+    val dfCounts = lt.unionByName(rt).groupBy("tok")
+      .agg(count(lit(1)).as("__df"))
+    def prefixed(t: DataFrame): DataFrame = {
+      val ranked = t.join(dfCounts, "tok")
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+            .orderBy(col("__df").asc, col("tok").asc)))
+        .withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      ranked.where(col("__rk") <=
+        col("__n") - expr(s"(($tNum * __n + $tDen - 1) div $tDen)") + 1)
+    }
+    val cands = prefixed(lt).select(col("id").as("a"), col("tok"))
+      .join(prefixed(rt).select(col("id").as("b"), col("tok")), "tok")
+      .select("a", "b").distinct()
+    def sets(t: DataFrame) = t.groupBy("id")
+      .agg(array_sort(collect_set(col("tok"))).as("__set"))
+    val lSets = sets(lt)
+    val rSets = sets(rt)
+    val lSizes = lSets.select(col("id").as("a"),
+      size(col("__set")).cast("long").as("__na"))
+    val rSizes = rSets.select(col("id").as("b"),
+      size(col("__set")).cast("long").as("__nb"))
+    // length filter on one LONG per doc before any set array crosses a join
+    val sized = cands.join(lSizes, Seq("a")).join(rSizes, Seq("b"))
+      .where(lit(tDen.toLong) * least(col("__na"), col("__nb")) >=
+        lit(tNum.toLong) * greatest(col("__na"), col("__nb")))
+      .select("a", "b")
+    val verified = sized
+      .join(lSets.select(col("id").as("a"), col("__set").as("__sa")), Seq("a"))
+      .join(rSets.select(col("id").as("b"), col("__set").as("__sb")), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.ArrayIntersectCount
           .sortedIntersectCount(col("__sa"), col("__sb")).as("intersection"),

@@ -73,6 +73,19 @@ object PipelineQueries extends QueryModule {
         "text", "doc_id", tNum = 1, tDen = 2, shingleK = 6)
     }),
 
+    // Two-corpus exact similarity join (the DECONTAMINATION shape): the
+    // doc_id % 5 == 0 "eval set" against the rest of the corpus, all
+    // cross pairs at Jaccard >= 1/2 — prefix filtering under a union-df
+    // global token order, codegen'd merge-intersect verify.
+    "q207_prefix_join_rs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      Dedup.prefixFilterJoin(
+        docs.where($"doc_id" % 5 === 0),
+        docs.where($"doc_id" % 5 =!= 0),
+        "text", "doc_id", tNum = 1, tDen = 2, shingleK = 6)
+    }),
+
     // Shingle containment over the q34 candidate pairs: the asymmetric
     // subset-duplication measure (|S(a)∩S(b)| / |S(a)|) that symmetric
     // Jaccard dilutes — finds quotes / partial copies. DISTINCT shingle
@@ -3019,6 +3032,36 @@ object PipelineQueries extends QueryModule {
               WHERE rk <= n - ((1 * n + 2 - 1) // 2) + 1),
       cand AS (SELECT DISTINCT a.id AS a, b.id AS b
                FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id),
+      sets AS (SELECT id, list_distinct(list(tok)) AS s FROM tk GROUP BY 1),
+      v AS (SELECT c.a, c.b,
+              CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS intersection,
+              CAST(len(sa.s) AS BIGINT) AS n_a,
+              CAST(len(sb.s) AS BIGINT) AS n_b
+            FROM cand c JOIN sets sa ON sa.id = c.a
+            JOIN sets sb ON sb.id = c.b)
+      SELECT a, b, intersection, n_a, n_b FROM v
+      WHERE 2 * intersection >= 1 * (n_a + n_b - intersection)""",
+
+    "q207_prefix_join_rs" -> s"""
+      WITH nd AS (SELECT doc_id AS id, doc_id % 5 = 0 AS lft,
+                    ${normSql("COALESCE(text, '')")} AS nt
+                  FROM documents),
+      tk AS (SELECT DISTINCT id, lft,
+               ('0x' || substr(md5(substr(nt, g.i, 6)), 1, 10))::BIGINT AS tok
+             FROM nd, LATERAL UNNEST(range(1, GREATEST(length(nt) - 5, 1) + 1))
+               AS g(i)
+             WHERE substr(nt, g.i, 6) <> ''),
+      dfc AS (SELECT tok, COUNT(*) AS dfn FROM tk GROUP BY 1),
+      rk AS (SELECT tk.id, tk.lft, tk.tok,
+               row_number() OVER (PARTITION BY tk.id
+                 ORDER BY dfc.dfn, tk.tok) AS rk,
+               COUNT(*) OVER (PARTITION BY tk.id) AS n
+             FROM tk JOIN dfc ON tk.tok = dfc.tok),
+      pre AS (SELECT id, lft, tok FROM rk
+              WHERE rk <= n - ((1 * n + 2 - 1) // 2) + 1),
+      cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+               FROM pre a JOIN pre b ON a.tok = b.tok
+               WHERE a.lft AND NOT b.lft),
       sets AS (SELECT id, list_distinct(list(tok)) AS s FROM tk GROUP BY 1),
       v AS (SELECT c.a, c.b,
               CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS intersection,

@@ -55,6 +55,38 @@ class PrefixFilterSpec extends AnyFunSuite {
     assert(shing == 0L, "different order -> shingle join keeps them apart")
   }
 
+
+  test("R-S join: exact cross-corpus recall equals brute force, self-pairs excluded") {
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'p').map(_.toString)
+    val corpus = (1L to 40L).map { id =>
+      val n = 3 + rnd.nextInt(8)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val sets = corpus.map { case (id, t) => id -> t.split(" ").toSet }.toMap
+    val leftIds = corpus.map(_._1).filter(_ % 3 == 0).toSet
+    val left = corpus.filter(c => leftIds(c._1))
+    val right = corpus.filterNot(c => leftIds(c._1))
+    for ((tn, td) <- Seq((1, 2), (2, 3))) {
+      val expect = (for {
+        a <- left.map(_._1); b <- right.map(_._1)
+        i = (sets(a) intersect sets(b)).size
+        u = (sets(a) union sets(b)).size
+        if td * i >= tn * u
+      } yield (a, b)).toSet
+      val got = Dedup.prefixFilterJoin(left.toDF("doc_id", "text"),
+          right.toDF("doc_id", "text"), "text", "doc_id", tn, td)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(got == expect, s"t=$tn/$td")
+    }
+    // overlapping ids across sides: a names the LEFT doc, b the RIGHT
+    val sameDoc = Seq((1L, "alpha beta gamma"))
+    val gotSame = Dedup.prefixFilterJoin(sameDoc.toDF("doc_id", "text"),
+        sameDoc.toDF("doc_id", "text"), "text", "doc_id", 1, 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(gotSame == Set((1L, 1L)), "identical doc on both sides must pair")
+  }
+
   test("randomized: prefix-filter join equals brute force over generated corpora") {
     val rnd = new scala.util.Random(42)
     val vocab = ('a' to 'p').map(_.toString)
