@@ -296,19 +296,29 @@ object Dedup {
     var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
     var converged = false
     var iter = 0
+    // every per-round join has BOTH sides scaling with the graph (labels
+    // and neighborMin are node-cardinality, edges is edge-cardinality) —
+    // shuffle_hash hints pin them to partitioned joins so AQE can never
+    // promote a graph-sized side to a driver-built broadcast (observed:
+    // at a 10x-replicated corpus the 2M+-node label frame compressed
+    // under the adaptive broadcast threshold and the broadcast BUILD
+    // OOM'd the driver; a broadcast that scales with the graph is wrong
+    // at any cluster size)
     while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst")
-          .withColumnRenamed("label", "__nl"), Seq("dst"))
+          .withColumnRenamed("label", "__nl").hint("shuffle_hash"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("__nl")).as("__minNeighbor"))
-      val stepped = labels.join(neighborMin, Seq("node"), "left")
+      val stepped = labels.join(neighborMin.hint("shuffle_hash"),
+          Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("__minNeighbor"), col("label"))).as("label"))
       // pointer jumping: follow one more hop through the label table so
       // each round doubles the distance a minimum has traveled
       val updated = stepped.as("x")
-        .join(stepped.select(col("node").as("__ln"), col("label").as("__ll")).as("y"),
+        .join(stepped.select(col("node").as("__ln"), col("label").as("__ll"))
+            .hint("shuffle_hash").as("y"),
           col("x.label") === col("__ln"), "left")
         .select(col("x.node").as("node"),
           least(col("x.label"), coalesce(col("__ll"), col("x.label"))).as("label"))
