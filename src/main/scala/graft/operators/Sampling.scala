@@ -103,6 +103,33 @@ object Sampling {
       .drop("__aes_key")
   }
 
+  /** [[weightedTopK]] PER GROUP: k winners of the Efraimidis–Spirakis
+    * draw within every `groupCol` value — "sample k docs per source,
+    * inclusion ∝ weight", the stratified form training mixes actually
+    * use. Same deterministic md5-derived u and ln(u)/w key; the global
+    * TakeOrderedAndProject becomes one rank window over the group
+    * shuffle, so no group ever funnels through the driver. Rows with
+    * null/non-positive weight never win; groups with fewer than k
+    * eligible rows keep them all. Float ln/div keys → property-tested,
+    * not oracle-hashed (same trade as weightedTopK). */
+  def weightedTopKPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                           weightCol: String, k: Int,
+                           salt: String = ""): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val hv = conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 10), 16, 10)
+      .cast("double")
+    val u = (hv + lit(1.0)) / lit((1L << 40).toDouble)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__aes_key").desc, col(idCol))
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__aes_key", log(u) / col(weightCol).cast("double"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__aes_key", "__rn")
+  }
+
   /** Sequence-packing bin assignment: documents are dealt into `shards`
     * deterministic hash shards, ordered by id within each shard, and
     * assigned to training-sequence bins of ~`maxTokens` tokens by the

@@ -94,4 +94,25 @@ class AnnCrashSpec extends AnyFunSuite {
       assert(AnnIndex.loadIvfPq(spark, dir, asOfGen = 1).codes.count() == 32)
     } finally BucketFs.deleteRecursive(dir)
   }
+
+  test("compactGens: pre-vacuum crash debris below baseGen is invisible and swept") {
+    val dir = freshIndex("cmp")
+    try {
+      val compacted = AnnIndex.loadIvfPq(spark, dir).compactGens()
+      val want = survivors(dir).toSet
+      // simulate a crash BETWEEN the manifest commit and the vacuum: a
+      // stale pre-compaction generation reappears below baseGen
+      val stale = s"$dir/codes/gen=0"
+      BucketFs.deleteRecursive(stale)
+      val (fs, src) = BucketFs.resolve(s"$dir/codes/gen=${compacted.baseGen}")
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        new org.apache.hadoop.fs.Path(stale), false, BucketFs.conf)
+      // readers filter gen >= baseGen: the debris is invisible
+      assert(survivors(dir).toSet == want)
+      // the next compaction's vacuum sweeps it
+      AnnIndex.loadIvfPq(spark, dir).compactGens()
+      assert(!BucketFs.exists(stale), "stale generation not vacuumed")
+      assert(survivors(dir).toSet == want)
+    } finally BucketFs.deleteRecursive(dir)
+  }
 }

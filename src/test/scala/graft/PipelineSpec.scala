@@ -528,6 +528,38 @@ class PipelineSpec extends AnyFunSuite {
       .exists(_.getLong(0) == 0L))
   }
 
+  test("weightedTopKPerGroup: k per group, agrees with the global draw per stratum") {
+    import graft.operators.Sampling
+    val df = spark.range(900).toDF("id")
+      .withColumn("src", when($"id" % 3 === 0, "a")
+        .when($"id" % 3 === 1, "b").otherwise("c"))
+      .withColumn("w", when($"id" < 90, lit(20.0)).otherwise(lit(1.0)))
+    val got = Sampling.weightedTopKPerGroup(df, "src", "id", "w", k = 50)
+    // exactly k per group, deterministic
+    val byGroup = got.groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(byGroup == Map("a" -> 50L, "b" -> 50L, "c" -> 50L))
+    val again = Sampling.weightedTopKPerGroup(df, "src", "id", "w", k = 50)
+    assert(got.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+    // per-stratum winners are EXACTLY the global A-ES draw restricted to
+    // that stratum (same key function) — the defining property
+    (0 until 3).foreach { g =>
+      val src = Seq("a", "b", "c")(g)
+      val stratum = df.where($"src" === src)
+      val global = Sampling.weightedTopK(stratum, "id", "w", k = 50)
+        .select("id").as[Long].collect().sorted.toSeq
+      val grouped = got.where($"src" === src)
+        .select("id").as[Long].collect().sorted.toSeq
+      assert(grouped == global, s"stratum $src diverges from global draw")
+    }
+    // small groups keep everything eligible; zero weights never win
+    val tiny = Seq(("x", 1L, 2.0), ("x", 2L, 0.0), ("y", 3L, 1.0))
+      .toDF("src", "id", "w")
+    val t = Sampling.weightedTopKPerGroup(tiny, "src", "id", "w", k = 5)
+      .select("id").as[Long].collect().toSet
+    assert(t == Set(1L, 3L))
+  }
+
   test("charLmScore: known text scores above gibberish; short docs absent; partition-stable") {
     import graft.operators.TextAnalysis
     val train = Seq.tabulate(50)(i => (i.toLong, "the quick brown fox jumps over the lazy dog"))
