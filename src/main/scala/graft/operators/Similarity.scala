@@ -1572,4 +1572,64 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(sum(col("q") * col("x")).as("score"))
   }
+
+  /** SCALAR (int8-style) quantization — the SQ companion to IVF-PQ: each
+    * dimension d gets a global [min_d, max_d] range from one corpus agg,
+    * and every value quantizes independently to
+    * floor((v − min_d) · (levels−1) / (max_d − min_d)) ∈ [0, levels−1]
+    * (constant dimensions code to 0). floor of identical IEEE-double
+    * expressions is bit-stable across engines, so the codes — and any
+    * INTEGER arithmetic over them — replay exactly in the oracle, unlike
+    * a round() whose half-way ties differ by convention.
+    *
+    * Returns (id, __codes array<long>). The per-dim stats collect is
+    * bounded by the embedding dimensionality (dims rows — 16..4096 in
+    * practice), then rides into the row-local transform as two literal
+    * arrays; the corpus is touched twice (stats agg + encode), both
+    * full-scan passes with no join. */
+  def scalarQuantize(df: DataFrame, idCol: String, vecCol: String,
+                     levels: Int = 256): DataFrame = {
+    require(levels >= 2, "levels must be >= 2")
+    val dimStats = df
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("__d", "__x")))
+      .groupBy(col("__d")).agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mnA = array(dimStats.map(t => lit(t._2)): _*)
+    val mxA = array(dimStats.map(t => lit(t._3)): _*)
+    df.select(col(idCol),
+      transform(asDouble(col(vecCol)), (v, i) => {
+        val mn = element_at(mnA, i + 1)
+        val mx = element_at(mxA, i + 1)
+        when(mx === mn, lit(0L))
+          .otherwise(floor((v - mn) * lit((levels - 1).toDouble) / (mx - mn)))
+      }).as("__codes"))
+  }
+
+  /** Exact top-k in SQ code space: asymmetric distance is the pure
+    * INTEGER Σ_d (code_q − code_c)² over [[scalarQuantize]] codes — the
+    * cheap first-pass ranking SQ indexes serve (rerank against raw
+    * vectors when precision matters; [[cosineTopK]] is that path).
+    * Same scale shape as [[cosineTopK]]: query codes broadcast, one
+    * corpus pass, per-query top-k window; ties break on neighbor id.
+    * Every output value is integral — hash-oracle exact. */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, levels: Int = 256): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val codes = scalarQuantize(corpus, idCol, vecCol, levels)
+    val q = queries.select(col(idCol).as("query_id"))
+      .join(codes.select(col(idCol).as("query_id"), col("__codes").as("__qc")),
+        Seq("query_id"))
+    val c = codes.select(col(idCol).as("neighbor_id"), col("__codes").as("__cc"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist_sq", aggregate(
+        zip_with(col("__qc"), col("__cc"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist_sq").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "dist_sq")
+  }
 }

@@ -1060,6 +1060,29 @@ object PipelineQueries extends QueryModule {
       graft.operators.Graph.pageRank(edges, iterations = 3)
     }),
 
+    // Scalar (int8-style) quantization codes: per-dim global [min, max]
+    // from one corpus agg, floor-quantized to 8 bits — floor of
+    // identical IEEE-double expressions is bit-stable across engines, so
+    // the codes hash-match exactly (round()'s half-tie conventions
+    // wouldn't).
+    "q208_sq8_codes" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Similarity.scalarQuantize(
+          Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .where($"vec_id" < 64)
+        .select($"vec_id", posexplode($"__codes").as(Seq("dim", "code")))
+    }),
+
+    // SQ asymmetric search: top-3 neighbors per query under the pure
+    // INTEGER code-space L2 — the cheap first-pass ranking an SQ index
+    // serves before raw-vector rerank. Every output value integral.
+    "q209_sq8_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.sqTopK(
+        emb.where($"vec_id" < 24), emb, "vec_id", "embedding", k = 3)
+    }),
+
     // Personalized PageRank on the same nation trade graph: teleport
     // confined to seed nations (node < 5), so rank measures proximity to
     // the seed set — exact integer arithmetic, 3 fixed iterations, every
@@ -4071,6 +4094,42 @@ object PipelineQueries extends QueryModule {
               GROUP BY 1, 2)
       SELECT token, CAST(est_count AS BIGINT) AS est_count, exact_count
       FROM est""",
+
+    "q208_sq8_codes" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      d AS (SELECT vec_id, CAST(g.i - 1 AS INT) AS dim, e[g.i] AS x
+            FROM v, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)),
+      st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY 1)
+      SELECT d.vec_id, d.dim,
+        CASE WHEN st.mx = st.mn THEN 0
+             ELSE CAST(floor((d.x - st.mn) * 255 / (st.mx - st.mn)) AS BIGINT)
+        END AS code
+      FROM d JOIN st USING (dim)
+      WHERE d.vec_id < 64""",
+
+    "q209_sq8_topk" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      d AS (SELECT vec_id, g.i AS dim, e[g.i] AS x
+            FROM v, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)),
+      st AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM d GROUP BY 1),
+      c AS (SELECT d.vec_id, d.dim,
+              CASE WHEN st.mx = st.mn THEN 0
+                   ELSE CAST(floor((d.x - st.mn) * 255 / (st.mx - st.mn))
+                        AS BIGINT)
+              END AS code
+            FROM d JOIN st USING (dim)),
+      dist AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                 CAST(SUM((q.code - t.code) * (q.code - t.code)) AS BIGINT)
+                   AS dist_sq
+               FROM c q JOIN c t ON q.dim = t.dim AND q.vec_id <> t.vec_id
+               WHERE q.vec_id < 24
+               GROUP BY 1, 2),
+      ranked AS (SELECT query_id, neighbor_id, dist_sq,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY dist_sq, neighbor_id) AS rk
+                 FROM dist)
+      SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, dist_sq
+      FROM ranked WHERE rk <= 3""",
 
     "q205_personalized_pagerank" -> s"""
       WITH e AS (SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,

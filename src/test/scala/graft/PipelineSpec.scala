@@ -528,6 +528,28 @@ class PipelineSpec extends AnyFunSuite {
       .exists(_.getLong(0) == 0L))
   }
 
+  test("scalarQuantize: codes in range, per-dim monotone; sqTopK finds exact duplicates") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(5)
+    val base = (0L until 60L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 4f - 2f))
+    // vec 61 duplicates vec 7 exactly: SQ codes equal, distance 0
+    val vecs = (base :+ (61L -> base(7)._2.clone)).toDF("vec_id", "embedding")
+    val codes = Similarity.scalarQuantize(vecs, "vec_id", "embedding")
+      .select($"vec_id", $"__codes").as[(Long, Seq[Long])].collect().toMap
+    assert(codes.values.flatten.forall(c => c >= 0 && c <= 255))
+    // monotone per dim: higher raw value never gets a lower code
+    val raw = base.toMap
+    for (d <- 0 until 8; a <- base.map(_._1); b <- base.map(_._1)
+         if raw(a)(d) < raw(b)(d))
+      assert(codes(a)(d) <= codes(b)(d), s"dim $d not monotone")
+    assert(codes(61L) == codes(7L))
+    val top = Similarity.sqTopK(vecs.where($"vec_id" === 61), vecs,
+        "vec_id", "embedding", k = 1)
+      .select($"neighbor_id", $"dist_sq").as[(Long, Long)].collect()
+    assert(top.toSeq == Seq((7L, 0L)), s"duplicate not found: ${top.toSeq}")
+  }
+
   test("weightedTopKPerGroup: k per group, agrees with the global draw per stratum") {
     import graft.operators.Sampling
     val df = spark.range(900).toDF("id")
