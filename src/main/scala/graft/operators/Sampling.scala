@@ -103,6 +103,37 @@ object Sampling {
       .drop("__aes_key")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: near-duplicate documents never
+    * straddle a split boundary. The split key is the connected-component
+    * cluster id of the candidate-pair graph (docs in no pair are their
+    * own singleton), hashed through the same md5 buckets as [[splitCol]]
+    * — so a cluster moves between splits as ONE unit and eval
+    * contamination by near-dups of training docs is structurally
+    * impossible. The classic subtle bug this kills: id-hash splits place
+    * 10 copies of a document on both sides of the boundary.
+    *
+    * Returns (id, cluster_id, split). Integral ids only (a string id
+    * would cast to null and merge all unclustered docs into one split
+    * unit). Scale shape: [[graft.operators.Dedup.connectedComponents]]'s
+    * hybrid CC + one left join of the corpus to the (pair-bounded)
+    * cluster map; the split itself is a row-local expression. */
+  def clusterAwareSplit(df: DataFrame, pairs: DataFrame, idCol: String,
+                        trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)
+      .contains(df.schema(idCol).dataType),
+      s"clusterAwareSplit needs an integral id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString}")
+    val clusters = graft.operators.Dedup.connectedComponents(pairs)
+      .withColumnRenamed("node", "__node")
+      .withColumnRenamed("cluster_id", "__cid")
+    df.join(clusters, df(idCol).cast("long") === col("__node"), "left")
+      .withColumn("__skey", coalesce(col("__cid"), df(idCol).cast("long")))
+      .select(df(idCol), col("__skey").as("cluster_id"),
+        splitCol(col("__skey"), trainPct, valPct).as("split"))
+  }
+
   /** [[weightedTopK]] PER GROUP: k winners of the Efraimidis–Spirakis
     * draw within every `groupCol` value — "sample k docs per source,
     * inclusion ∝ weight", the stratified form training mixes actually

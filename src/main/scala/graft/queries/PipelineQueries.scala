@@ -251,6 +251,19 @@ object PipelineQueries extends QueryModule {
       Dedup.connectedComponents(pairs)
     }),
 
+    // Leakage-safe split on q45's clusters: near-duplicates move between
+    // train/val/test as ONE unit (split key = cluster id, not doc id) —
+    // the eval-contamination bug an id-hash split can't avoid.
+    "q210_cluster_split" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        shingleK = 8, numHashes = 8, bands = 4,
+        maxBucketSize = Int.MaxValue)
+      graft.operators.Sampling.clusterAwareSplit(docs, pairs, "doc_id")
+        .select($"doc_id", $"cluster_id", $"split")
+    }),
+
     // Quality-aware group dedup on q45's clusters: among near-duplicates,
     // keep the longest copy (ties by smallest id) — not the arbitrary
     // min-id representative; singletons survive untouched.
@@ -3564,6 +3577,43 @@ object PipelineQueries extends QueryModule {
         UNION
         SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other)
       SELECT node, MIN(other) AS cluster_id FROM reach GROUP BY node""",
+
+    // q45's recursive-CTE clusters, every doc joined in (singleton =
+    // own id), split = md5 bucket of the CLUSTER key (mirrors
+    // Sampling.splitCol over Sampling.hashBucket)
+    "q210_cluster_split" -> s"""
+      WITH RECURSIVE
+      prs AS (
+        WITH sig AS (${minhashSql(8)}),
+        bands AS (
+          SELECT doc_id, b.band,
+            CASE b.band
+              WHEN 0 THEN CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+              WHEN 1 THEN CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+              WHEN 2 THEN CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+              ELSE CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) END AS band_sig
+          FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b)
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
+      edges AS (SELECT a AS src, b AS dst FROM prs
+                UNION SELECT b, a FROM prs),
+      reach(node, other) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other),
+      cl AS (SELECT node, MIN(other) AS cid FROM reach GROUP BY node),
+      keyed AS (SELECT d.doc_id, COALESCE(cl.cid, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN cl ON cl.node = d.doc_id),
+      bk AS (SELECT doc_id, cluster_id,
+               ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 12))::BIGINT
+                 % 100 AS b
+             FROM keyed)
+      SELECT doc_id, cluster_id,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM bk""",
 
     // q45's recursive-CTE clusters + per-cluster argmax: highest n_chars
     // wins, ties by smallest doc_id; unclustered docs are their own

@@ -528,6 +528,31 @@ class PipelineSpec extends AnyFunSuite {
       .exists(_.getLong(0) == 0L))
   }
 
+  test("clusterAwareSplit: no near-duplicate cluster straddles a split boundary") {
+    import graft.operators.Sampling
+    val docs = spark.range(500).toDF("doc_id")
+    // chain 0-1-2-...-9 into one component + a 3-cycle + singletons
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L))).toDF("a", "b")
+    val got = Sampling.clusterAwareSplit(docs, pairs, "doc_id")
+      .as[(Long, Long, String)].collect()
+    val byCluster = got.groupBy(_._2)
+    // every cluster's members share ONE split
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $cid straddles") }
+    assert(byCluster((0L)).map(_._1).toSet == (0L to 9L).toSet)
+    assert(byCluster((100L)).map(_._1).toSet == Set(100L, 101L, 102L))
+    // singletons keep the plain id-hash split — join-stable with splitCol
+    val single = got.filter(r => r._1 > 200).map(r => r._1 -> r._3).toMap
+    val plain = docs.where($"doc_id" > 200)
+      .select($"doc_id", Sampling.splitCol($"doc_id").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(single == plain)
+    // rates roughly hold over the full set
+    val frac = got.count(_._3 == "train").toDouble / got.length
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
   test("scalarQuantize: codes in range, per-dim monotone; sqTopK finds exact duplicates") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(5)
