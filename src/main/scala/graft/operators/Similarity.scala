@@ -1632,4 +1632,63 @@ object Similarity {
       .where(col("rk") <= k)
       .select("query_id", "rk", "neighbor_id", "dist_sq")
   }
+
+  /** BINARY (1-bit) quantization: bit_d = v_d > midrange_d, packed into
+    * ceil(dims/64) longs in-row — 64x smaller than raw floats, the
+    * coarsest rung of the quantization ladder (binary → SQ8 → PQ → raw
+    * rerank). The threshold is the per-dim MIDRANGE (min+max)/2: min and
+    * max are exact under any aggregation order (unlike a float mean,
+    * whose shuffle-order-dependent sum would break bit-reproducibility),
+    * so codes replay exactly in the oracle. Stats collect bounded by
+    * dims, as in [[scalarQuantize]]. Returns (id, __bits array<long>). */
+  def binaryQuantize(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dimStats = df
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("__d", "__x")))
+      .groupBy(col("__d")).agg(min(col("__x")).as("mn"), max(col("__x")).as("mx"))
+      .collect().map(r => (r.getInt(0), (r.getDouble(1) + r.getDouble(2)) / 2.0))
+      .sortBy(_._1)
+    val dims = dimStats.length
+    val nWords = (dims + 63) / 64
+    val thA = array(dimStats.map(t => lit(t._2)): _*)
+    // word w = Σ_{d in [64w, 64w+64)} (v_d > th_d) << (d − 64w)
+    val words = (0 until nWords).map { w =>
+      val lo = w * 64
+      val hi = math.min(dims, lo + 64)
+      aggregate(
+        transform(sequence(lit(lo), lit(hi - 1)), d =>
+          when(element_at(asDouble(col(vecCol)), d + 1) >
+               element_at(thA, d + 1),
+            call_function("shiftleft", lit(1L),
+              (d - lit(lo)).cast("int"))).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    }
+    df.select(col(idCol), array(words: _*).as("__bits"))
+  }
+
+  /** Exact top-k under Hamming distance over [[binaryQuantize]] codes:
+    * Σ_w bit_count(q_w XOR c_w) — pure integers, the SIMD-cheap first
+    * pass binary-embedding retrieval serves before rerank. Queries must
+    * be corpus members (codes computed once); ties break on neighbor
+    * id. Same broadcast + one-corpus-pass + per-query window shape as
+    * [[cosineTopK]]. */
+  def hammingTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val codes = binaryQuantize(corpus, idCol, vecCol)
+    val q = queries.select(col(idCol).as("query_id"))
+      .join(codes.select(col(idCol).as("query_id"), col("__bits").as("__qb")),
+        Seq("query_id"))
+    val c = codes.select(col(idCol).as("neighbor_id"), col("__bits").as("__cb"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", aggregate(
+        zip_with(col("__qb"), col("__cb"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select("query_id", "rk", "neighbor_id", "hamming")
+  }
 }

@@ -1096,6 +1096,16 @@ object PipelineQueries extends QueryModule {
         emb.where($"vec_id" < 24), emb, "vec_id", "embedding", k = 3)
     }),
 
+    // Binary-embedding retrieval: sign bits against per-dim MIDRANGE
+    // thresholds (min/max are aggregation-order exact — a float mean
+    // would not be), packed 64 dims/long, top-3 by integer Hamming.
+    "q211_binary_hamming" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+      graft.operators.Similarity.hammingTopK(
+        emb.where($"vec_id" < 24), emb, "vec_id", "embedding", k = 3)
+    }),
+
     // Personalized PageRank on the same nation trade graph: teleport
     // confined to seed nations (node < 5), so rank measures proximity to
     // the seed set — exact integer arithmetic, 3 fixed iterations, every
@@ -4179,6 +4189,26 @@ object PipelineQueries extends QueryModule {
                      ORDER BY dist_sq, neighbor_id) AS rk
                  FROM dist)
       SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, dist_sq
+      FROM ranked WHERE rk <= 3""",
+
+    "q211_binary_hamming" -> """
+      WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      d AS (SELECT vec_id, g.i AS dim, e[g.i] AS x
+            FROM v, LATERAL UNNEST(range(1, len(e) + 1)) AS g(i)),
+      st AS (SELECT dim, (MIN(x) + MAX(x)) / 2 AS th FROM d GROUP BY 1),
+      b AS (SELECT d.vec_id, d.dim, d.x > st.th AS bit
+            FROM d JOIN st USING (dim)),
+      dist AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                 CAST(SUM(CASE WHEN q.bit <> t.bit THEN 1 ELSE 0 END)
+                   AS BIGINT) AS hamming
+               FROM b q JOIN b t ON q.dim = t.dim AND q.vec_id <> t.vec_id
+               WHERE q.vec_id < 24
+               GROUP BY 1, 2),
+      ranked AS (SELECT query_id, neighbor_id, hamming,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY hamming, neighbor_id) AS rk
+                 FROM dist)
+      SELECT query_id, CAST(rk AS INT) AS rk, neighbor_id, hamming
       FROM ranked WHERE rk <= 3""",
 
     "q205_personalized_pagerank" -> s"""

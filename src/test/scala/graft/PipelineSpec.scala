@@ -528,6 +528,31 @@ class PipelineSpec extends AnyFunSuite {
       .exists(_.getLong(0) == 0L))
   }
 
+  test("binaryQuantize: packed bits match per-dim thresholds; hammingTopK finds duplicates") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(9)
+    // 70 dims forces TWO packed words (64 + 6)
+    val base = (0L until 40L).map(i => i -> Array.fill(70)(rnd.nextFloat() * 2f - 1f))
+    val vecs = (base :+ (41L -> base(3)._2.clone)).toDF("vec_id", "embedding")
+    val bits = Similarity.binaryQuantize(vecs, "vec_id", "embedding")
+      .select($"vec_id", $"__bits").as[(Long, Seq[Long])].collect().toMap
+    assert(bits.values.forall(_.length == 2), "70 dims must pack into 2 words")
+    // unpack and compare against per-dim midrange thresholds
+    val cols = (0 until 70).map(d => base.map(_._2(d)))
+    val th = cols.map(c => (c.min + c.max) / 2.0)
+    base.foreach { case (id, v) =>
+      (0 until 70).foreach { d =>
+        val bit = (bits(id)(d / 64) >> (d % 64)) & 1L
+        assert((bit == 1L) == (v(d) > th(d)), s"vec $id dim $d")
+      }
+    }
+    assert(bits(41L) == bits(3L))
+    val top = Similarity.hammingTopK(vecs.where($"vec_id" === 41), vecs,
+        "vec_id", "embedding", k = 1)
+      .select($"neighbor_id", $"hamming").as[(Long, Long)].collect()
+    assert(top.toSeq == Seq((3L, 0L)))
+  }
+
   test("clusterAwareSplit: no near-duplicate cluster straddles a split boundary") {
     import graft.operators.Sampling
     val docs = spark.range(500).toDF("doc_id")
