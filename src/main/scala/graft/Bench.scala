@@ -134,7 +134,15 @@ object Bench {
       selected.foreach { case (name, fn) =>
         val cur = finalTimes(name)
         pins.get(name).foreach { pin =>
-          if (!cur.isNaN && cur > 2.0 * pin) {
+          // expensive queries (pin > 1 s) re-time at 1.5x: sub-2x host
+          // drift on the expensive tail is where board-seconds hide
+          // (round 12 carried a ~7-query band at 1.3-1.7x of pin that
+          // never re-timed); cheap queries keep 2x — their absolute
+          // drift is noise and re-timing them all would stretch the run.
+          // Pin-refresh governance lives in PERFNOTES: pins may only be
+          // LOWERED from a clean board, never regenerated wholesale.
+          val trigger = if (pin > 1.0) 1.5 else 2.0
+          if (!cur.isNaN && cur > trigger * pin) {
             val re = Seq(trial(name, fn), trial(name, fn)).flatten
             if (re.nonEmpty && re.min < cur) {
               retimed(name) = (cur, re.min)

@@ -41,13 +41,15 @@ case class HllSketchAgg(
     extends TypedImperativeAggregate[Array[Byte]]
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
 
-  // upper bound 2^14: Sketches.hllSummary's integer harmonic sum is only
-  // 64-bit-safe for m·2^49 ≤ 2^63 headroom at m ≤ 2^14 (an all-zero
-  // register state sums to m·2^49, which overflows signed 64-bit at
-  // m = 2^16); enforce here so no register array that can't be summarized
-  // is ever produced
-  require(m >= 16 && m <= 16384 && (m & (m - 1)) == 0,
-    s"register count m must be a power of two in [16, 16384], got $m")
+  // upper bound 2^13: Sketches.hllSummary's integer harmonic sum must be
+  // 64-bit-safe INCLUDING the degenerate all-zero register state (a group
+  // whose inputs are all null — update() skips nulls — sums to m·2^49,
+  // which hits exactly 2^63 at m = 2^14 and wraps negative, one power of
+  // two below where a ≥1-non-zero state would). m ≤ 2^13 keeps even that
+  // state at 2^62; enforce here so no register array that can't be
+  // summarized is ever produced
+  require(m >= 16 && m <= 8192 && (m & (m - 1)) == 0,
+    s"register count m must be a power of two in [16, 8192], got $m")
 
   override def left: Expression = bucket
   override def right: Expression = rho

@@ -112,24 +112,49 @@ object Sampling {
     * impossible. The classic subtle bug this kills: id-hash splits place
     * 10 copies of a document on both sides of the boundary.
     *
-    * Returns (id, cluster_id, split). Integral ids only (a string id
-    * would cast to null and merge all unclustered docs into one split
-    * unit). Scale shape: [[graft.operators.Dedup.connectedComponents]]'s
+    * Returns (id, cluster_id, split).
+    *
+    * Id types: integral ids key the component graph directly. STRING ids
+    * (UUIDs, URLs — at least as common in real corpora) are mapped into
+    * the long node space through a 48-bit md5 prefix hash
+    * ([[Sketches.hash40]]-class, two extra hex chars; same portable
+    * conv-of-md5 convention as [[hashBucket]], so an oracle replays it).
+    * `cluster_id` is then in the HASHED space. Collision note: at 48
+    * bits, P(any collision) ≈ n²/2^49 — and a collision can only ever
+    * MERGE two split units into one (both docs ride the same split),
+    * never tear a near-dup cluster across the boundary, so the
+    * leakage-safety guarantee is preserved; the failure mode is strictly
+    * conservative over-grouping. The `pairs` frame's a/b must be the
+    * same type as the id column. Other id types are refused loudly (a
+    * silent cast-to-null would merge every unclustered doc into one null
+    * split unit).
+    *
+    * Scale shape: [[graft.operators.Dedup.connectedComponents]]'s
     * hybrid CC + one left join of the corpus to the (pair-bounded)
-    * cluster map; the split itself is a row-local expression. */
+    * cluster map; the split itself is a row-local expression; the string
+    * hash adds one row-local md5 on each side of the join key. */
   def clusterAwareSplit(df: DataFrame, pairs: DataFrame, idCol: String,
                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    require(Set[org.apache.spark.sql.types.DataType](
-        ByteType, ShortType, IntegerType, LongType)
-      .contains(df.schema(idCol).dataType),
-      s"clusterAwareSplit needs an integral id column; '$idCol' is " +
-        s"${df.schema(idCol).dataType.simpleString}")
-    val clusters = graft.operators.Dedup.connectedComponents(pairs)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val idType = df.schema(idCol).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType).contains(idType)
+    require(integral || idType == StringType,
+      s"clusterAwareSplit needs an integral or string id column; " +
+        s"'$idCol' is ${idType.simpleString}")
+    // 48-bit md5 prefix hash into node space (string ids); the identity
+    // cast for integral ids
+    def nodeKey(c: Column): Column =
+      if (integral) c.cast("long")
+      else conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    val keyedPairs =
+      if (integral) pairs
+      else pairs.select(nodeKey(col("a")).as("a"), nodeKey(col("b")).as("b"))
+    val clusters = graft.operators.Dedup.connectedComponents(keyedPairs)
       .withColumnRenamed("node", "__node")
       .withColumnRenamed("cluster_id", "__cid")
-    df.join(clusters, df(idCol).cast("long") === col("__node"), "left")
-      .withColumn("__skey", coalesce(col("__cid"), df(idCol).cast("long")))
+    df.join(clusters, nodeKey(df(idCol)) === col("__node"), "left")
+      .withColumn("__skey", coalesce(col("__cid"), nodeKey(df(idCol))))
       .select(df(idCol), col("__skey").as("cluster_id"),
         splitCol(col("__skey"), trainPct, valPct).as("split"))
   }

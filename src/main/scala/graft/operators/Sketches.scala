@@ -125,9 +125,9 @@ object Sketches {
     * rho via `bin()`: length(bin(h)) is the MSB position of h, identical
     * in Spark and ANSI engines (no leading zeros, bin(0) = "0"). */
   def hllBucketRho(v: Column, p: Int): (Column, Column) = {
-    // p ≤ 12 keeps m = 2^p within hllSummary's 64-bit-safe bound (m ≤ 2^14;
-    // the next multiple of 4, p = 16, would overflow the integer harmonic
-    // sum on sparse register states)
+    // p ≤ 12 keeps m = 2^p within hllSummary's 64-bit-safe bound (m ≤ 2^13
+    // at the aggregate, which covers even the all-zero register state; the
+    // next multiple of 4, p = 16, would overflow the integer harmonic sum)
     require(p % 4 == 0 && p >= 4 && p <= 12, s"p must be a multiple of 4 in [4,12], got $p")
     val mh = md5(v.cast("string"))
     val bucket = conv(substring(mh, 1, p / 4), 16, 10).cast("long")
@@ -155,8 +155,9 @@ object Sketches {
 
   /** (n_zero, sum_scaled, est_distinct) derived from a register array.
     * sum_scaled = Σ 2^(49−rho_j) is the harmonic sum scaled by 2^49 —
-    * EXACT integer math (rho ≤ 41 ⇒ terms ≥ 2^8; m·2^49 ≤ 2^65-safe for
-    * m ≤ 2^14), so the only floating-point step is one literal/integer
+    * EXACT integer math (rho ≤ 41 ⇒ terms ≥ 2^8; even the all-zero
+    * state's m·2^49 stays ≤ 2^62 at the aggregate's m ≤ 2^13 bound), so
+    * the only floating-point step is one literal/integer
     * division + floor, bit-deterministic across engines. Raw HLL regime
     * only — no small-range linear-counting branch (ln() is libm-dependent
     * and would break bit-portability); n_zero is emitted so consumers can

@@ -48,6 +48,20 @@ object AnnIndex {
 
   val ManifestFile = "_ann_index.json"
 
+  /** Liveness marker a running [[IvfPqIndex.delete]] holds through its
+    * swap loop. Underscore prefix keeps it out of Spark's file index. */
+  val DeleteMarkerFile = "_delete_inprogress"
+
+  /** How old delete-swap debris must be before a LOADING reader repairs
+    * it (ms, judged by [[DeleteMarkerFile]]'s mtime). Younger debris means
+    * a live delete() may still be mid-swap in another process — racing
+    * its directory moves would corrupt the index — so the load refuses
+    * loudly instead. Operators who KNOW the writer is dead pass
+    * force = true to [[repairDeleteAsides]] (or wait out the window).
+    * Test hook: crash specs set 0 (the simulated writer is dead by
+    * construction). */
+  private[graft] var repairStalenessMs: Long = 10 * 60 * 1000L
+
   /** A reloaded IVF-PQ index: parameters from the manifest plus the three
     * lazy frames. `search` never touches the original corpus. */
   final case class IvfPqIndex(dims: Int, m: Int, k: Int, nList: Int,
@@ -167,6 +181,24 @@ object AnnIndex {
           col("gen") === g && col("cell") === c }.reduce(_ || _)
         raw.where(pairs && !col(idCol).isin(ids: _*))
           .write.mode("overwrite").partitionBy("gen", "cell").parquet(tmp)
+        // the as-of FENCE commits BEFORE the first in-place mutation:
+        // fencing early is safe (it only restricts time-travel reads)
+        // and idempotent, and it closes the crash window where the last
+        // aside was dropped but the post-loop manifest write never ran —
+        // history would then have been served silently mutated. From
+        // here on, any crash leaves the fence already on disk.
+        writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+          quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
+        // liveness marker for readers: repairDeleteAsides refuses to act
+        // on swap debris while this marker is FRESH (a live delete() may
+        // be mid-swap on another process — racing its moves would
+        // double-move directories). A crashed delete() leaves the marker
+        // behind; once it is older than repairStalenessMs the repair
+        // proceeds. Written with a fresh mtime on purpose (aside dirs
+        // keep their original mtime through rename, so THEY can't carry
+        // the freshness signal).
+        BucketFs.writeStringAtomic(s"$indexDir/$DeleteMarkerFile",
+          s"delete in progress: ${affected.length} (gen, cell) dirs")
         // crash-safe swap per (gen, cell) dir: move the LIVE directory
         // aside first, then the rewrite in, then drop the old copy — a
         // crash anywhere in the window leaves at least one complete copy
@@ -191,12 +223,9 @@ object AnnIndex {
           BucketFs.deleteRecursive(old)
         }
         BucketFs.deleteRecursive(tmp)
-        // the rewrite mutated rows INSIDE historical generations: fence
-        // off every as-of point older than this head so time travel
-        // can never serve a silently-mutated state (compaction fences
-        // via base_gen; in-place deletes need their own marker)
-        writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-          quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
+        // fence already committed (before the swap loop); finishing the
+        // cleanup just retires the liveness marker
+        BucketFs.deleteRecursive(s"$indexDir/$DeleteMarkerFile")
       }
       loadIvfPq(spark, indexDir)
     }
@@ -498,17 +527,44 @@ object AnnIndex {
     *     intended end state has no live dir): drop the aside.
     * Roll-forward (never back) keeps the index consistent even when the
     * crash split cells into swapped and unswapped halves — a retried
-    * delete(ids) is idempotent over both. Because a present aside proves
-    * historical generations were mutated in place without the manifest
-    * fence committing, the fence is re-written to the current head here.
+    * delete(ids) is idempotent over both. A leftover `codes_rewrite_tmp`
+    * or `_delete_inprogress` marker WITHOUT asides is repair evidence
+    * too (the crash fell outside the aside window): both are swept. The
+    * fence itself commits BEFORE the swap loop in delete(), so by the
+    * time any debris can exist the manifest already refuses pre-delete
+    * as-of reads; it is re-asserted here for belt-and-braces.
+    *
+    * Concurrency contract (single WRITER, many readers): a repair that
+    * races a LIVE delete()'s swap loop would double-move directories, so
+    * when the debris is FRESH (the writer's `_delete_inprogress` marker
+    * is younger than [[repairStalenessMs]]) this throws
+    * IllegalStateException instead of acting — a concurrent reader's
+    * load fails loudly rather than corrupting the index. Repair runs
+    * only once the marker has gone stale (crashed writer) or with
+    * `force = true` (operator knows the writer is dead). Repair itself
+    * assumes one repairing process at a time — the same single-actor
+    * contract every mutation verb in the index family carries.
     * Cost: ONE non-recursive listing of the index root when clean (the
     * overwhelmingly common case). */
-  def repairDeleteAsides(indexDir: String): Unit = {
+  def repairDeleteAsides(indexDir: String, force: Boolean = false): Unit = {
     val (fs, root) = BucketFs.resolve(indexDir)
     if (!fs.exists(root)) return
-    val asides = fs.listStatus(root).filter(
+    val entries = fs.listStatus(root)
+    val asides = entries.filter(
       _.getPath.getName.startsWith("codes_old_gen="))
-    if (asides.isEmpty) return
+    val tmpExists = entries.exists(_.getPath.getName == "codes_rewrite_tmp")
+    val marker = entries.find(_.getPath.getName == DeleteMarkerFile)
+    if (asides.isEmpty && !tmpExists && marker.isEmpty) return
+    if (!force) marker.foreach { st =>
+      val age = System.currentTimeMillis() - st.getModificationTime
+      if (age < repairStalenessMs)
+        throw new IllegalStateException(
+          s"a delete() may be in progress on $indexDir (marker " +
+            s"$DeleteMarkerFile is ${age} ms old < $repairStalenessMs): " +
+            "refusing to repair concurrently with a live writer — retry " +
+            "after the writer finishes, or repairDeleteAsides(force = " +
+            "true) if it is known dead")
+    }
     asides.foreach { st =>
       val sub = st.getPath.getName.stripPrefix("codes_old_")
         .replaceFirst("_cell=", "/cell=") // gen=G/cell=C
@@ -521,6 +577,7 @@ object AnnIndex {
       fs.delete(st.getPath, true)
     }
     BucketFs.deleteRecursive(s"$indexDir/codes_rewrite_tmp")
+    BucketFs.deleteRecursive(s"$indexDir/$DeleteMarkerFile")
     val mt = readMeta(indexDir)
     writeManifest(indexDir, mt.residual, mt.dims, mt.m, mt.k, mt.nList,
       mt.trainUpdates, mt.scale, mt.idCol, mt.nGens, mt.baseGen,

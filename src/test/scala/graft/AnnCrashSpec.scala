@@ -20,6 +20,12 @@ class AnnCrashSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  // every crash here is a SIMULATED kill — the writer is dead by
+  // construction, so the reader-side staleness guard (which protects a
+  // LIVE writer's swap window from a racing repair) is waived; the
+  // concurrent-reader test below restores it to assert the guard itself
+  AnnIndex.repairStalenessMs = 0L
+
   private val allIds = (0L until 48L)
   private val delIds = Seq(1L, 2L, 40L, 41L)
 
@@ -83,6 +89,56 @@ class AnnCrashSpec extends AnyFunSuite {
     test(s"delete swap crash at $point (occurrence $nth) recovers") {
       crashAt(point, nth)
     }
+
+  test("concurrent reader during the swap window refuses loudly (no double-move)") {
+    val dir = freshIndex("conc")
+    try {
+      // restore the production staleness guard: the writer below is LIVE
+      AnnIndex.repairStalenessMs = 10 * 60 * 1000L
+      var refused = 0
+      AnnIndex.deleteSwapHook = (p, _, _) =>
+        if (p == "afterAside") {
+          // a reader loading mid-swap must fail loudly, not "repair"
+          // concurrently with the writer's own moves
+          val e = intercept[IllegalStateException](
+            AnnIndex.loadIvfPq(spark, dir))
+          assert(e.getMessage.contains("delete() may be in progress"))
+          refused += 1
+        }
+      val end =
+        try AnnIndex.loadIvfPq(spark, dir).delete(delIds)
+        finally {
+          AnnIndex.deleteSwapHook = (_, _, _) => ()
+          AnnIndex.repairStalenessMs = 0L
+        }
+      assert(refused > 0, "the swap window never exercised the reader")
+      // the writer's own delete completed untouched by the refused reads
+      assert(end.codes.select($"vec_id").as[Long].collect().toSet ==
+        allIds.toSet -- delIds)
+      assert(!BucketFs.exists(s"$dir/${AnnIndex.DeleteMarkerFile}"))
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
+  test("tmp-only delete debris (no asides) is fenced and swept on load") {
+    // crash window: tmp written, fence committed, swap loop never ran —
+    // no aside exists, but the leftover codes_rewrite_tmp alone must be
+    // treated as repair evidence (swept + fence asserted), not ignored
+    val dir = freshIndex("tmponly")
+    try {
+      val before = survivors(dir).toSet
+      val (fs, tmp) = BucketFs.resolve(s"$dir/codes_rewrite_tmp/gen=0/cell=0")
+      BucketFs.mkdirs(fs, tmp)
+      val reloaded = AnnIndex.loadIvfPq(spark, dir)
+      assert(!BucketFs.exists(s"$dir/codes_rewrite_tmp"),
+        "leftover rewrite tmp not swept")
+      assert(reloaded.codes.select($"vec_id").as[Long].collect().toSet
+        == before)
+      // debris proves an interrupted delete: history is fenced
+      val e = intercept[IllegalArgumentException](
+        AnnIndex.loadIvfPq(spark, dir, asOfGen = 1))
+      assert(e.getMessage.contains("in-place delete"))
+    } finally BucketFs.deleteRecursive(dir)
+  }
 
   test("repairDeleteAsides is a no-op listing on a clean index") {
     val dir = freshIndex("clean")

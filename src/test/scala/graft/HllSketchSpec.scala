@@ -72,6 +72,27 @@ class HllSketchSpec extends AnyFunSuite {
     assert(regs.forall(_ == 0), "null inputs must not touch registers")
   }
 
+  test("m bound: 8192 summarizes the all-zero state without overflow; 16384 rejected") {
+    val (b, r) = Sketches.hllBucketRho($"v", 8)
+    // degenerate all-null group at the MAX m: the harmonic sum is
+    // m·2^49 = 2^62, which must stay positive in 64-bit (at the old
+    // m = 16384 bound it hit exactly 2^63 and wrapped negative)
+    val row = Seq[Option[String]](None).map(v => ("g", v)).toDF("g", "v")
+      .groupBy($"g")
+      .agg(graft.functions.HllSketch.registers(b, r, 8192).as("regs"))
+      .select(Sketches.hllSummary($"regs", 8192): _*)
+      .collect().head
+    assert(row.getLong(1) == 8192L * (1L << 49) && row.getLong(1) > 0,
+      "all-zero harmonic sum overflowed at m = 8192")
+    assert(row.getLong(2) >= 0, "estimate went negative")
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.HllSketchAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(1L),
+        org.apache.spark.sql.catalyst.expressions.Literal(1L), 16384)
+    }
+    assert(e.getMessage.contains("[16, 8192]"))
+  }
+
   test("plan shape: registers aggregate partially before the shuffle") {
     val df = (1 to 100).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
     val plan = Sketches.hllDistinct(df.repartition(4), "g", "v", 256)
