@@ -52,15 +52,17 @@ object AnnIndex {
     * swap loop. Underscore prefix keeps it out of Spark's file index. */
   val DeleteMarkerFile = "_delete_inprogress"
 
-  /** How old delete-swap debris must be before a LOADING reader repairs
-    * it (ms, judged by [[DeleteMarkerFile]]'s mtime). Younger debris means
-    * a live delete() may still be mid-swap in another process — racing
-    * its directory moves would corrupt the index — so the load refuses
-    * loudly instead. Operators who KNOW the writer is dead pass
-    * force = true to [[repairDeleteAsides]] (or wait out the window).
-    * Test hook: crash specs set 0 (the simulated writer is dead by
-    * construction). */
-  private[graft] var repairStalenessMs: Long = 10 * 60 * 1000L
+  /** Default for how old delete-swap debris must be before a LOADING
+    * reader repairs it (ms, judged by [[DeleteMarkerFile]]'s mtime).
+    * Younger debris means a live delete() may still be mid-swap in
+    * another process — racing its directory moves would corrupt the
+    * index — so the load refuses loudly instead. Operators who KNOW the
+    * writer is dead pass force = true to [[repairDeleteAsides]] (or wait
+    * out the window). A PARAMETER of [[loadIvfPq]]/[[repairDeleteAsides]],
+    * not mutable global state: crash specs pass 0 at the call site (their
+    * simulated writer is dead by construction) without bleeding a zeroed
+    * guard into every other suite sharing the JVM. */
+  val DefaultRepairStalenessMs: Long = 10 * 60 * 1000L
 
   /** A reloaded IVF-PQ index: parameters from the manifest plus the three
     * lazy frames. `search` never touches the original corpus. */
@@ -176,27 +178,41 @@ object AnnIndex {
         .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
       if (affected.nonEmpty) {
         val tmp = s"$indexDir/codes_rewrite_tmp"
+        // liveness marker for readers — FIRST, before any mutation
+        // (including the tmp rewrite below): repairDeleteAsides treats
+        // tmp-only debris as repair evidence, so a reader racing this
+        // writer during the tmp-write window would otherwise sweep
+        // codes_rewrite_tmp out from under us — the swap loop then finds
+        // tmp/$sub absent, reads each affected cell as "emptied
+        // entirely", and drops the asides, losing every surviving row in
+        // those cells. With the marker down first, the staleness guard
+        // covers the ENTIRE mutation window. A crashed delete() leaves
+        // the marker behind; once it is older than the staleness window
+        // the repair proceeds. Written with a fresh mtime on purpose
+        // (aside dirs keep their original mtime through rename, so THEY
+        // can't carry the freshness signal).
+        BucketFs.writeStringAtomic(s"$indexDir/$DeleteMarkerFile",
+          s"delete in progress: ${affected.length} (gen, cell) dirs")
+        // the as-of FENCE commits BEFORE the first in-place mutation
+        // (the tmp write is mutation-adjacent debris a crash leaves
+        // behind): fencing early is safe (it only restricts time-travel
+        // reads) and idempotent, and it closes the crash window where
+        // the last aside was dropped but the post-loop manifest write
+        // never ran — history would then have been served silently
+        // mutated. From here on, any crash leaves the fence already on
+        // disk before ANY debris can exist.
+        writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+          quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
         BucketFs.deleteRecursive(tmp)
         val pairs = affected.map { case (g, c) =>
           col("gen") === g && col("cell") === c }.reduce(_ || _)
         raw.where(pairs && !col(idCol).isin(ids: _*))
           .write.mode("overwrite").partitionBy("gen", "cell").parquet(tmp)
-        // the as-of FENCE commits BEFORE the first in-place mutation:
-        // fencing early is safe (it only restricts time-travel reads)
-        // and idempotent, and it closes the crash window where the last
-        // aside was dropped but the post-loop manifest write never ran —
-        // history would then have been served silently mutated. From
-        // here on, any crash leaves the fence already on disk.
-        writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-          quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
-        // liveness marker for readers: repairDeleteAsides refuses to act
-        // on swap debris while this marker is FRESH (a live delete() may
-        // be mid-swap on another process — racing its moves would
-        // double-move directories). A crashed delete() leaves the marker
-        // behind; once it is older than repairStalenessMs the repair
-        // proceeds. Written with a fresh mtime on purpose (aside dirs
-        // keep their original mtime through rename, so THEY can't carry
-        // the freshness signal).
+        deleteSwapHook("afterTmpWrite", -1, -1L)
+        // refresh the marker's mtime after the (arbitrarily long) tmp
+        // rewrite job so the staleness clock restarts at the swap loop —
+        // a tmp write longer than the staleness window must not let a
+        // reader adjudicate the STILL-LIVE writer as crashed
         BucketFs.writeStringAtomic(s"$indexDir/$DeleteMarkerFile",
           s"delete in progress: ${affected.length} (gen, cell) dirs")
         // crash-safe swap per (gen, cell) dir: move the LIVE directory
@@ -530,14 +546,17 @@ object AnnIndex {
     * delete(ids) is idempotent over both. A leftover `codes_rewrite_tmp`
     * or `_delete_inprogress` marker WITHOUT asides is repair evidence
     * too (the crash fell outside the aside window): both are swept. The
-    * fence itself commits BEFORE the swap loop in delete(), so by the
-    * time any debris can exist the manifest already refuses pre-delete
-    * as-of reads; it is re-asserted here for belt-and-braces.
+    * fence itself commits BEFORE the tmp rewrite in delete() (the
+    * earliest thing a crash can leave behind is the marker, written just
+    * before the fence), so by the time any debris can exist the manifest
+    * already refuses pre-delete as-of reads; it is re-asserted here for
+    * belt-and-braces.
     *
     * Concurrency contract (single WRITER, many readers): a repair that
     * races a LIVE delete()'s swap loop would double-move directories, so
     * when the debris is FRESH (the writer's `_delete_inprogress` marker
-    * is younger than [[repairStalenessMs]]) this throws
+    * is younger than `stalenessMs`, default
+    * [[DefaultRepairStalenessMs]]) this throws
     * IllegalStateException instead of acting — a concurrent reader's
     * load fails loudly rather than corrupting the index. Repair runs
     * only once the marker has gone stale (crashed writer) or with
@@ -546,7 +565,8 @@ object AnnIndex {
     * contract every mutation verb in the index family carries.
     * Cost: ONE non-recursive listing of the index root when clean (the
     * overwhelmingly common case). */
-  def repairDeleteAsides(indexDir: String, force: Boolean = false): Unit = {
+  def repairDeleteAsides(indexDir: String, force: Boolean = false,
+                         stalenessMs: Long = DefaultRepairStalenessMs): Unit = {
     val (fs, root) = BucketFs.resolve(indexDir)
     if (!fs.exists(root)) return
     val entries = fs.listStatus(root)
@@ -557,10 +577,10 @@ object AnnIndex {
     if (asides.isEmpty && !tmpExists && marker.isEmpty) return
     if (!force) marker.foreach { st =>
       val age = System.currentTimeMillis() - st.getModificationTime
-      if (age < repairStalenessMs)
+      if (age < stalenessMs)
         throw new IllegalStateException(
           s"a delete() may be in progress on $indexDir (marker " +
-            s"$DeleteMarkerFile is ${age} ms old < $repairStalenessMs): " +
+            s"$DeleteMarkerFile is ${age} ms old < $stalenessMs): " +
             "refusing to repair concurrently with a live writer — retry " +
             "after the writer finishes, or repairDeleteAsides(force = " +
             "true) if it is known dead")
@@ -585,8 +605,9 @@ object AnnIndex {
   }
 
   def loadIvfPq(spark: SparkSession, indexDir: String,
-                asOfGen: Int = -1): IvfPqIndex = {
-    repairDeleteAsides(indexDir)
+                asOfGen: Int = -1,
+                repairStaleness: Long = DefaultRepairStalenessMs): IvfPqIndex = {
+    repairDeleteAsides(indexDir, stalenessMs = repairStaleness)
     val mt = readMeta(indexDir)
     val streamManaged = BucketFs.exists(s"$indexDir/codes/_spark_metadata")
     val effGens =

@@ -22,9 +22,11 @@ class AnnCrashSpec extends AnyFunSuite {
 
   // every crash here is a SIMULATED kill — the writer is dead by
   // construction, so the reader-side staleness guard (which protects a
-  // LIVE writer's swap window from a racing repair) is waived; the
-  // concurrent-reader test below restores it to assert the guard itself
-  AnnIndex.repairStalenessMs = 0L
+  // LIVE writer's swap window from a racing repair) is waived PER CALL
+  // via loadIvfPq's repairStaleness parameter (no global state: other
+  // suites in this JVM keep the production default); the
+  // concurrent-reader test below loads with the default to assert the
+  // guard itself
 
   private val allIds = (0L until 48L)
   private val delIds = Seq(1L, 2L, 40L, 41L)
@@ -42,7 +44,7 @@ class AnnCrashSpec extends AnyFunSuite {
   }
 
   private def survivors(dir: String): Seq[Long] =
-    AnnIndex.loadIvfPq(spark, dir).codes
+    AnnIndex.loadIvfPq(spark, dir, repairStaleness = 0L).codes
       .select($"vec_id").as[Long].collect().toSeq
 
   private case object Kill extends RuntimeException("injected crash")
@@ -72,8 +74,10 @@ class AnnCrashSpec extends AnyFunSuite {
       // history; pre-crash points leave history intact. Either way the
       // HEAD load above already succeeded — here we only require that a
       // repair never UNfences: once fenced, asOf=1 is refused.
-      // retry converges to the exact end state
-      val end = AnnIndex.loadIvfPq(spark, dir).delete(delIds)
+      // retry converges to the exact end state (staleness waived: the
+      // crashed writer's marker is fresh but the writer is dead)
+      val end = AnnIndex.loadIvfPq(spark, dir, repairStaleness = 0L)
+        .delete(delIds)
       assert(end.codes.select($"vec_id").as[Long].collect().toSet ==
         allIds.toSet -- delIds)
       val e = intercept[IllegalArgumentException](
@@ -90,11 +94,50 @@ class AnnCrashSpec extends AnyFunSuite {
       crashAt(point, nth)
     }
 
+  // crash BETWEEN the tmp rewrite and the swap loop: marker + fence +
+  // complete tmp on disk, zero asides — repair must sweep forward to a
+  // loadable pre-delete state and a retry must converge
+  test("delete crash after the tmp rewrite (before any swap) recovers") {
+    crashAt("afterTmpWrite", 1)
+  }
+
+  test("concurrent reader during the TMP-WRITE window refuses loudly " +
+       "(marker covers the whole mutation, not just the swap loop)") {
+    // the round-13 ordering wrote the marker AFTER the tmp rewrite job;
+    // a reader landing in that window saw tmp-only debris with no
+    // marker, swept codes_rewrite_tmp, and the live writer's swap loop
+    // then read every affected cell as "emptied entirely" and dropped
+    // the asides — losing all surviving rows in those cells. The marker
+    // now lands FIRST, so the reader must be refused here too.
+    val dir = freshIndex("tmpwin")
+    try {
+      var refused = 0
+      AnnIndex.deleteSwapHook = (p, _, _) =>
+        if (p == "afterTmpWrite") {
+          val e = intercept[IllegalStateException](
+            AnnIndex.loadIvfPq(spark, dir))
+          assert(e.getMessage.contains("delete() may be in progress"))
+          // the refused reader must NOT have swept the live writer's tmp
+          assert(BucketFs.exists(s"$dir/codes_rewrite_tmp"),
+            "reader swept the live writer's rewrite tmp")
+          refused += 1
+        }
+      val end =
+        try AnnIndex.loadIvfPq(spark, dir).delete(delIds)
+        finally AnnIndex.deleteSwapHook = (_, _, _) => ()
+      assert(refused == 1, "the tmp-write window never exercised the reader")
+      // the writer completed untouched: exactly the survivors remain
+      assert(end.codes.select($"vec_id").as[Long].collect().toSet ==
+        allIds.toSet -- delIds)
+      assert(!BucketFs.exists(s"$dir/${AnnIndex.DeleteMarkerFile}"))
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("concurrent reader during the swap window refuses loudly (no double-move)") {
     val dir = freshIndex("conc")
     try {
-      // restore the production staleness guard: the writer below is LIVE
-      AnnIndex.repairStalenessMs = 10 * 60 * 1000L
+      // the writer below is LIVE, so these reads run with the PRODUCTION
+      // default staleness guard (no parameter override)
       var refused = 0
       AnnIndex.deleteSwapHook = (p, _, _) =>
         if (p == "afterAside") {
@@ -107,10 +150,7 @@ class AnnCrashSpec extends AnyFunSuite {
         }
       val end =
         try AnnIndex.loadIvfPq(spark, dir).delete(delIds)
-        finally {
-          AnnIndex.deleteSwapHook = (_, _, _) => ()
-          AnnIndex.repairStalenessMs = 0L
-        }
+        finally AnnIndex.deleteSwapHook = (_, _, _) => ()
       assert(refused > 0, "the swap window never exercised the reader")
       // the writer's own delete completed untouched by the refused reads
       assert(end.codes.select($"vec_id").as[Long].collect().toSet ==
