@@ -136,12 +136,27 @@ object Sampling {
   def clusterAwareSplit(df: DataFrame, pairs: DataFrame, idCol: String,
                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val integralTypes = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
     val idType = df.schema(idCol).dataType
-    val integral = Set[org.apache.spark.sql.types.DataType](
-      ByteType, ShortType, IntegerType, LongType).contains(idType)
+    val integral = integralTypes.contains(idType)
     require(integral || idType == StringType,
       s"clusterAwareSplit needs an integral or string id column; " +
         s"'$idCol' is ${idType.simpleString}")
+    // the pairs frame must be in the SAME id family as the corpus id:
+    // only the string branch hashes a/b into the long node space, so a
+    // mixed-type call (string corpus + integral pairs, or vice versa)
+    // would join hashed longs against raw longs and silently return
+    // leakage-UNSAFE splits — every near-dup cluster torn apart
+    Seq("a", "b").foreach { c =>
+      val t = pairs.schema(c).dataType
+      require(if (integral) integralTypes.contains(t) else t == StringType,
+        s"clusterAwareSplit pairs column '$c' is ${t.simpleString} but the " +
+          s"id column '$idCol' is ${idType.simpleString}: both sides must " +
+          "be integral or both string — a mixed-type call would join " +
+          "hashed node keys against raw ones and return leakage-unsafe " +
+          "splits")
+    }
     // 48-bit md5 prefix hash into node space (string ids); the identity
     // cast for integral ids
     def nodeKey(c: Column): Column =

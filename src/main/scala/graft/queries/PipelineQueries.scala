@@ -264,6 +264,25 @@ object PipelineQueries extends QueryModule {
         .select($"doc_id", $"cluster_id", $"split")
     }),
 
+    // q210's leakage-safe split over STRING ids (the UUID/URL-corpus
+    // shape): doc ids rendered as strings on BOTH the corpus and the
+    // pairs frame, so the 48-bit md5 node hash maps them into the long
+    // component space — cluster_id is in the HASHED space, and the
+    // oracle replays the portable conv(substr(md5(id),1,12),16,10)
+    // convention (same as q71/q117's hashBucket).
+    "q212_cluster_split_str" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+        .withColumn("sid", concat(lit("doc-"), $"doc_id".cast("string")))
+      val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        shingleK = 8, numHashes = 8, bands = 4,
+        maxBucketSize = Int.MaxValue)
+        .select(concat(lit("doc-"), $"a".cast("string")).as("a"),
+          concat(lit("doc-"), $"b".cast("string")).as("b"))
+      graft.operators.Sampling.clusterAwareSplit(docs, pairs, "sid")
+        .select($"sid", $"cluster_id", $"split")
+    }),
+
     // Quality-aware group dedup on q45's clusters: among near-duplicates,
     // keep the longest copy (ties by smallest id) — not the arbitrary
     // min-id representative; singletons survive untouched.
@@ -3620,6 +3639,52 @@ object PipelineQueries extends QueryModule {
                  % 100 AS b
              FROM keyed)
       SELECT doc_id, cluster_id,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM bk""",
+
+    // q210 over string ids: the node space is the 48-bit md5 prefix of
+    // the string id ('doc-' || doc_id), replayed here on the pair edges,
+    // on each doc's own join key, and (for singletons) as the cluster id
+    // itself; the split bucket then hashes the DECIMAL rendering of the
+    // hashed cluster key, exactly like Sampling.splitCol over hashBucket
+    "q212_cluster_split_str" -> s"""
+      WITH RECURSIVE
+      prs AS (
+        WITH sig AS (${minhashSql(8)}),
+        bands AS (
+          SELECT doc_id, b.band,
+            CASE b.band
+              WHEN 0 THEN CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+              WHEN 1 THEN CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+              WHEN 2 THEN CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+              ELSE CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) END AS band_sig
+          FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b)
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_sig = r.band_sig AND l.doc_id < r.doc_id),
+      hp AS (SELECT
+               ('0x' || substr(md5('doc-' || CAST(a AS VARCHAR)), 1, 12))::BIGINT AS ha,
+               ('0x' || substr(md5('doc-' || CAST(b AS VARCHAR)), 1, 12))::BIGINT AS hb
+             FROM prs),
+      edges AS (SELECT ha AS src, hb AS dst FROM hp
+                UNION SELECT hb, ha FROM hp),
+      reach(node, other) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other),
+      cl AS (SELECT node, MIN(other) AS cid FROM reach GROUP BY node),
+      hd AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS sid,
+               ('0x' || substr(md5('doc-' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS hid
+             FROM documents),
+      keyed AS (SELECT hd.sid, COALESCE(cl.cid, hd.hid) AS cluster_id
+                FROM hd LEFT JOIN cl ON cl.node = hd.hid),
+      bk AS (SELECT sid, cluster_id,
+               ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 12))::BIGINT
+                 % 100 AS b
+             FROM keyed)
+      SELECT sid, cluster_id,
         CASE WHEN b < 80 THEN 'train'
              WHEN b < 90 THEN 'val'
              ELSE 'test' END AS split

@@ -578,6 +578,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
 
+  test("clusterAwareSplit over STRING ids: clusters stay whole; hashed " +
+       "space matches the portable md5 convention") {
+    import graft.operators.Sampling
+    val docs = spark.range(500)
+      .select(concat(lit("u-"), $"id".cast("string")).as("uid"))
+    val pairs = ((0L until 9L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("ia", "ib")
+      .select(concat(lit("u-"), $"ia".cast("string")).as("a"),
+        concat(lit("u-"), $"ib".cast("string")).as("b"))
+    val got = Sampling.clusterAwareSplit(docs, pairs, "uid")
+      .as[(String, Long, String)].collect()
+    assert(got.length == 500)
+    // every cluster's members share ONE split — the leakage guarantee
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"cluster $cid straddles") }
+    // the chain and the 3-cycle each land in exactly one cluster
+    def members(ids: Seq[Long]): Set[String] = ids.map(i => s"u-$i").toSet
+    val chain = got.filter(r => members(0L to 9L).contains(r._1))
+    assert(chain.map(_._2).distinct.length == 1, "chain torn apart")
+    val cyc = got.filter(r => members(Seq(100L, 101L, 102L)).contains(r._1))
+    assert(cyc.map(_._2).distinct.length == 1, "cycle torn apart")
+    // cluster_id lives in the hashed node space: the portable 48-bit
+    // md5 prefix convention an oracle replays via conv(substr(md5,...))
+    def h48(sid: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sid.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 12), 16)
+    }
+    assert(chain.head._2 == (0L to 9L).map(i => h48(s"u-$i")).min)
+    // singletons: own hashed id as cluster, split = splitCol of it
+    val single = got.filter(_._1 == "u-300").head
+    assert(single._2 == h48("u-300"))
+  }
+
+  test("clusterAwareSplit refuses mixed id families between df and pairs") {
+    import graft.operators.Sampling
+    val intDocs = spark.range(10).toDF("doc_id")
+    val strDocs = spark.range(10)
+      .select(concat(lit("u-"), $"id".cast("string")).as("uid"))
+    val intPairs = Seq((1L, 2L)).toDF("a", "b")
+    val strPairs = Seq(("u-1", "u-2")).toDF("a", "b")
+    // integral corpus + string pairs: without the guard this joined raw
+    // longs against hashed longs and silently returned leakage-unsafe
+    // splits (no cluster ever matched its members)
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.clusterAwareSplit(intDocs, strPairs, "doc_id"))
+    assert(e1.getMessage.contains("both sides must"))
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.clusterAwareSplit(strDocs, intPairs, "uid"))
+    assert(e2.getMessage.contains("both sides must"))
+  }
+
   test("scalarQuantize: codes in range, per-dim monotone; sqTopK finds exact duplicates") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(5)
