@@ -200,6 +200,38 @@ object StreamingQueries extends QueryModule {
       }.reduce(_ unionByName _)
     }),
 
+    // q196's EXACT streaming funnel with the per-key state cap
+    // EXPLICITLY engaged at a tight production-shaped value
+    // (maxBufferedPerKey = 64): the compaction's exact prunes keep every
+    // per-user buffer under the cap on this corpus (measured: ≤ 17
+    // windowed / ≤ 44 transient distinct events per user at sf0.1), so
+    // the capped stream must STILL match the batch oracle bit-for-bit —
+    // pinning that the cap wiring never changes answers unless it
+    // actually binds. The binding case's documented under-report shape
+    // (earliest cap/nSteps kept per step) is spec'd deterministically in
+    // StreamingSpec.
+    "q213_stream_funnel_capped" -> ((s, dir) => {
+      import s.implicits._
+      val perUser = runStaged(s, dir, "funnel_cap") { stream =>
+        val typed = stream.select($"user_id".as("key"),
+            when($"event_type" === "view", 0)
+              .when($"event_type" === "click", 1)
+              .when($"event_type" === "purchase", 2)
+              .otherwise(-1).as("step"),
+            unix_micros($"ts").as("us"))
+          .as[StreamingOps.FunnelEvent]
+        StreamingOps.funnelWithState(typed, nSteps = 3,
+          withinUs = 3600L * 1000000L, watermark = "1 minute",
+          maxBufferedPerKey = 64).toDF()
+      }
+      val stages = perUser.where($"key" >= 0L && $"stageReached" >= 1)
+      Seq((1, "view"), (2, "click"), (3, "purchase")).map { case (k, name) =>
+        stages.where($"stageReached" >= k)
+          .agg(count(lit(1)).as("n_users"))
+          .select(lit(k).as("step"), lit(name).as("step_name"), $"n_users")
+      }.reduce(_ unionByName _)
+    }),
+
     // Streaming windowed HLL: per (hour, event_type) register state
     // accumulating across micro-batches — m BYTES per open window in the
     // state store, elementwise-max merge (idempotent under micro-batch
@@ -421,6 +453,9 @@ object StreamingQueries extends QueryModule {
 
     // batching must not change funnel answers: q184's oracle verbatim
     "q196_stream_funnel" -> AnalysisQueries.oracle("q184_funnel"),
+
+    // a non-binding cap must not change funnel answers either
+    "q213_stream_funnel_capped" -> AnalysisQueries.oracle("q184_funnel"),
 
     "q180_stream_hll" -> s"""
       WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,

@@ -318,6 +318,28 @@ class StreamingSpec extends AnyFunSuite {
       funnelStage(advSteps.zip(advTimes), 3, 3600000000L))
   }
 
+  test("funnel cap BINDING: deterministic under-report shape " +
+       "(earliest cap/nSteps kept per step)") {
+    import graft.streaming.StreamingOps.{compactFunnelBuf, funnelStage}
+    // cap = 9, nSteps = 3 → perStep = (9 − kept0) / 2 = 4 kept per step.
+    // step 0 @ 0; the only step-1 event @ 10; step-2 events @ 1..8 (all
+    // in-window but ≤ the step-1 time → unreachable) plus the one
+    // qualifying step-2 @ 20. Exact chain: 0 → 10 → 20 = stage 3. The
+    // overflow keep (earliest 4 per step) retains step-2 @ 1..4 and
+    // drops @ 20 — kept-but-unreachable early events shadow the dropped
+    // later one, and the capped chain under-reports stage 2: exactly the
+    // documented trade for bounded state, pinned here shape-for-shape.
+    val steps = Seq(0, 1) ++ Seq.fill(8)(2) ++ Seq(2)
+    val times = Seq(0L, 10L) ++ (1L to 8L) ++ Seq(20L)
+    assert(funnelStage(steps.zip(times), 3, 3600000000L) == 3)
+    val (cs, ct) = compactFunnelBuf(steps, times, 3, 3600000000L, 9)
+    val kept = cs.zip(ct)
+    assert(kept.toSet ==
+      Set((0, 0L), (1, 10L), (2, 1L), (2, 2L), (2, 3L), (2, 4L)),
+      s"unexpected kept shape: $kept")
+    assert(funnelStage(kept, 3, 3600000000L) == 2, "expected under-report")
+  }
+
   test("streaming funnel survives a 10^5-event hot key with bounded state") {
     import graft.streaming.StreamingOps.FunnelEvent
     val rnd = new scala.util.Random(101)
