@@ -763,8 +763,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Bounded production mode for the exact similarity joins: keep only
+    * the `topKPerLeft` best matches per left id (highest Jaccard, ties
+    * by smallest right id) and report the TOTAL qualifying match count
+    * in an extra `n_matches` column — so truncation is LOUD
+    * (`n_matches > topKPerLeft` on any surviving row says matches were
+    * dropped), mirroring the [[lshCandidatePairs]] `maxBucketSize`
+    * contract of degrading with a documented shape instead of going
+    * quadratic. On duplication-pathological corpora (the one case where
+    * the exact joins' true output is super-linear) this bounds the
+    * output at k rows per left doc; the rank window shuffles only the
+    * already-thresholded matches on `a` and spills if a left id is
+    * pathologically hot, instead of materializing an unbounded result.
+    * `Int.MaxValue` (the default) keeps the exact, uncapped semantics
+    * and schema (no `n_matches` column). */
+  private def capPerLeft(out: DataFrame, topKPerLeft: Int): DataFrame =
+    if (topKPerLeft == Int.MaxValue) out
+    else {
+      require(topKPerLeft >= 1, s"topKPerLeft must be >= 1, got $topKPerLeft")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("a"))
+      val ordered = w.orderBy(
+        (col("intersection").cast("double") /
+          (col("n_a") + col("n_b") - col("intersection")).cast("double")).desc,
+        col("b").asc)
+      out.withColumn("n_matches", count(lit(1)).over(w))
+        .withColumn("__rk", row_number().over(ordered))
+        .where(col("__rk") <= topKPerLeft)
+        .drop("__rk")
+    }
+
   def prefixFilterPairs(df: DataFrame, textCol: String, idCol: String,
-                        tNum: Int, tDen: Int, shingleK: Int = 0): DataFrame = {
+                        tNum: Int, tDen: Int, shingleK: Int = 0,
+                        topKPerLeft: Int = Int.MaxValue): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val toks = hashedToks(df, textCol, idCol, shingleK)
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
@@ -808,8 +839,10 @@ object Dedup {
           .sortedIntersectCount(col("__sa"), col("__sb")).as("intersection"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
-    verified.where(lit(tDen.toLong) * col("intersection") >=
-      lit(tNum.toLong) * (col("n_a") + col("n_b") - col("intersection")))
+    capPerLeft(
+      verified.where(lit(tDen.toLong) * col("intersection") >=
+        lit(tNum.toLong) * (col("n_a") + col("n_b") - col("intersection"))),
+      topKPerLeft)
   }
 
   /** EXACT two-corpus (R-S) set-similarity join by prefix filtering: all
@@ -828,7 +861,8 @@ object Dedup {
     * left doc). */
   def prefixFilterJoin(left: DataFrame, right: DataFrame,
                        textCol: String, idCol: String,
-                       tNum: Int, tDen: Int, shingleK: Int = 0): DataFrame = {
+                       tNum: Int, tDen: Int, shingleK: Int = 0,
+                       topKPerLeft: Int = Int.MaxValue): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val lt = hashedToks(left, textCol, idCol, shingleK)
     val rt = hashedToks(right, textCol, idCol, shingleK)
@@ -868,8 +902,10 @@ object Dedup {
           .sortedIntersectCount(col("__sa"), col("__sb")).as("intersection"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
-    verified.where(lit(tDen.toLong) * col("intersection") >=
-      lit(tNum.toLong) * (col("n_a") + col("n_b") - col("intersection")))
+    capPerLeft(
+      verified.where(lit(tDen.toLong) * col("intersection") >=
+        lit(tNum.toLong) * (col("n_a") + col("n_b") - col("intersection"))),
+      topKPerLeft)
   }
 
   def containmentCounts(df: DataFrame, pairs: DataFrame, textCol: String,

@@ -86,6 +86,26 @@ object PipelineQueries extends QueryModule {
         "text", "doc_id", tNum = 1, tDen = 2, shingleK = 6)
     }),
 
+    // q207's R-S join in its BOUNDED production mode: topKPerLeft caps
+    // the output at k best matches per left doc (highest Jaccard, ties
+    // by smallest right id) with the total match count reported loudly
+    // in n_matches. On this fixture the cap (8) never binds — the true
+    // per-left maximum is 2 — so the capped rows must equal the exact
+    // uncapped answer bit-for-bit; the binding case's truncation shape
+    // is spec'd in PrefixFilterSpec. Gated on a smaller two-slice corpus
+    // than q207 (doc_id % 7 ∈ {0, 1}) so the board carries the capped
+    // plan without duplicating q207's full cost.
+    "q214_prefix_join_capped" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      Dedup.prefixFilterJoin(
+        docs.where($"doc_id" % 7 === 0),
+        docs.where($"doc_id" % 7 === 1),
+        "text", "doc_id", tNum = 1, tDen = 2, shingleK = 6,
+        topKPerLeft = 8)
+        .select("a", "b", "intersection", "n_a", "n_b", "n_matches")
+    }),
+
     // Shingle containment over the q34 candidate pairs: the asymmetric
     // subset-duplication measure (|S(a)∩S(b)| / |S(a)|) that symmetric
     // Jaccard dilutes — finds quotes / partial copies. DISTINCT shingle
@@ -3135,6 +3155,42 @@ object PipelineQueries extends QueryModule {
             FROM cand c JOIN sets sa ON sa.id = c.a
             JOIN sets sb ON sb.id = c.b)
       SELECT a, b, intersection, n_a, n_b FROM v
+      WHERE 2 * intersection >= 1 * (n_a + n_b - intersection)""",
+
+    // q207's algorithm on the %7 two-slice corpus; the cap (8) never
+    // binds here, so the oracle is simply the exact join PLUS the loud
+    // per-left match count (window AFTER the threshold filter, exactly
+    // like capPerLeft counts the thresholded output)
+    "q214_prefix_join_capped" -> s"""
+      WITH nd AS (SELECT doc_id AS id, doc_id % 7 = 0 AS lft,
+                    ${normSql("COALESCE(text, '')")} AS nt
+                  FROM documents WHERE doc_id % 7 <= 1),
+      tk AS (SELECT DISTINCT id, lft,
+               ('0x' || substr(md5(substr(nt, g.i, 6)), 1, 10))::BIGINT AS tok
+             FROM nd, LATERAL UNNEST(range(1, GREATEST(length(nt) - 5, 1) + 1))
+               AS g(i)
+             WHERE substr(nt, g.i, 6) <> ''),
+      dfc AS (SELECT tok, COUNT(*) AS dfn FROM tk GROUP BY 1),
+      rk AS (SELECT tk.id, tk.lft, tk.tok,
+               row_number() OVER (PARTITION BY tk.id
+                 ORDER BY dfc.dfn, tk.tok) AS rk,
+               COUNT(*) OVER (PARTITION BY tk.id) AS n
+             FROM tk JOIN dfc ON tk.tok = dfc.tok),
+      pre AS (SELECT id, lft, tok FROM rk
+              WHERE rk <= n - ((1 * n + 2 - 1) // 2) + 1),
+      cand AS (SELECT DISTINCT a.id AS a, b.id AS b
+               FROM pre a JOIN pre b ON a.tok = b.tok
+               WHERE a.lft AND NOT b.lft),
+      sets AS (SELECT id, list_distinct(list(tok)) AS s FROM tk GROUP BY 1),
+      v AS (SELECT c.a, c.b,
+              CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS intersection,
+              CAST(len(sa.s) AS BIGINT) AS n_a,
+              CAST(len(sb.s) AS BIGINT) AS n_b
+            FROM cand c JOIN sets sa ON sa.id = c.a
+            JOIN sets sb ON sb.id = c.b)
+      SELECT a, b, intersection, n_a, n_b,
+        COUNT(*) OVER (PARTITION BY a) AS n_matches
+      FROM v
       WHERE 2 * intersection >= 1 * (n_a + n_b - intersection)""",
 
     "q187_containment" -> s"""

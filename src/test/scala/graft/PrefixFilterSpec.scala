@@ -110,6 +110,50 @@ class PrefixFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("topKPerLeft cap: binding keeps the k best by Jaccard (ties by b), " +
+       "reports the TRUE match count loudly; non-binding is identical to uncapped") {
+    // left doc 1: eight tokens; rights engineered to six distinct
+    // qualifying Jaccards at t = 1/2 (1.0, .875, .778, .75, .625, .5)
+    val left = Seq((1L, "a b c d e f g h"), (2L, "x y z w"))
+    val right = Seq(
+      (10L, "a b c d e f g h"),       // 8/8 = 1.0
+      (11L, "a b c d e f g q"),       // 7/9 ≈ .778
+      (12L, "a b c d e f g"),         // 7/8 = .875
+      (13L, "a b c d e f"),           // 6/8 = .75
+      (14L, "a b c d e"),             // 5/8 = .625
+      (15L, "a b c d"),               // 4/8 = .5 (boundary, included)
+      (16L, "a b c"),                 // 3/8 < .5 (excluded)
+      (20L, "x y z w"))               // doc 2's single match
+    def join(k: Int) = Dedup.prefixFilterJoin(left.toDF("doc_id", "text"),
+      right.toDF("doc_id", "text"), "text", "doc_id", 1, 2, topKPerLeft = k)
+    // BINDING: k = 3 keeps exactly the three highest-Jaccard rights for
+    // doc 1, and every surviving row reports the TRUE total (6 > 3 =
+    // loud truncation); doc 2's single match rides through untouched
+    val capped = join(3)
+      .select($"a", $"b", $"n_matches").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(capped == Seq((1L, 10L, 6L), (1L, 11L, 6L), (1L, 12L, 6L),
+      (2L, 20L, 1L)), s"got $capped")
+    // NON-BINDING: k = 8 ≥ the true 6 → rows equal the uncapped join
+    val uncapped = Dedup.prefixFilterJoin(left.toDF("doc_id", "text"),
+        right.toDF("doc_id", "text"), "text", "doc_id", 1, 2)
+    assert(!uncapped.columns.contains("n_matches"),
+      "uncapped schema must stay unchanged")
+    val a = join(8).select("a", "b", "intersection", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val b = uncapped.select("a", "b", "intersection", "n_a", "n_b")
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(a == b, "non-binding cap changed the answer")
+    // Jaccard-tie determinism on the SELF-join: three identical docs,
+    // k = 1 → per left id the smallest right id wins
+    val tri = Seq((1L, "p q r s"), (2L, "p q r s"), (3L, "p q r s"))
+    val got = Dedup.prefixFilterPairs(tri.toDF("doc_id", "text"),
+        "text", "doc_id", 1, 2, topKPerLeft = 1)
+      .select($"a", $"b", $"n_matches").as[(Long, Long, Long)]
+      .collect().sorted.toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 3L, 1L)), s"got $got")
+  }
+
   test("SQL surface: sorted_intersect_count registered") {
     graft.functions.GraftFunctions.register(spark)
     Seq((Seq(1L, 3L, 7L), Seq(3L, 7L, 9L))).toDF("a", "b")
