@@ -278,8 +278,12 @@ object StreamingOps {
           } else {
             val prev = state.getOption.getOrElse(FunnelBuf(Nil, Nil, 0L))
             val add = rows.map(r => (r._2, r._3)).toSeq
-            val (steps, times) = compactFunnelBuf(
-              prev.steps ++ add.map(_._1), prev.times ++ add.map(_._2),
+            // state is ALWAYS stored pre-compacted (mergeFunnelBuf's
+            // output invariant), so each update is one sorted merge of
+            // the new batch into the kept buffer — O(kept + new·log new)
+            // — instead of re-grouping/sorting the whole history
+            val (steps, times) = mergeFunnelBuf(
+              prev.steps, prev.times, add.map(_._1), add.map(_._2),
               nSteps, withinUs, maxBufferedPerKey)
             val mx = math.max(prev.maxUs, add.map(_._2).max)
             state.update(FunnelBuf(steps, times, mx))
@@ -346,6 +350,98 @@ object StreamingOps {
     val out = kept0 ++ bounded
     (out.map(_._1), out.map(_._2))
   }
+
+  /** Incremental form of [[compactFunnelBuf]]: merge a NEW batch of
+    * events into an ALREADY-COMPACTED buffer, maintaining the state
+    * invariant (step 0 collapsed to its running min; non-zero steps
+    * deduped, windowed, sorted ascending within each step) with ONE
+    * two-pointer sorted merge per touched step — O(kept + new·log new)
+    * per update for a hot key, vs the from-scratch compaction's
+    * re-group-and-sort of the whole buffer every micro-batch.
+    *
+    * Equivalence contract (property-spec'd): starting from an empty
+    * buffer, chained merges produce exactly the same kept multiset as
+    * [[compactFunnelBuf]] over the concatenated history whenever the cap
+    * never bound along the way — the three exact prunes are all
+    * monotone-composable (running min of step 0; dedup; the window's
+    * upper bound only tightens as t1 decreases, so a pruned event never
+    * becomes reachable). When the cap DOES bind, keep-earliest-per-step
+    * composes under increments (earliest-k of (earliest-k(A) ∪ B) =
+    * earliest-k(A ∪ B), and the per-step k never grows once step 0
+    * arrives) — except that a cap drop at a batch boundary is never
+    * resurrected by a LATER step-0 arrival shrinking the window below
+    * the cap; that corner under-reports exactly like the cap's
+    * documented contract, strictly conservatively. */
+  private[graft] def mergeFunnelBuf(prevSteps: Seq[Int], prevTimes: Seq[Long],
+                                    addSteps: Seq[Int], addTimes: Seq[Long],
+                                    nSteps: Int, withinUs: Long,
+                                    cap: Int): (Seq[Int], Seq[Long]) = {
+    val addEvs = addSteps.zip(addTimes).filter(e => e._1 >= 0 && e._1 < nSteps)
+    // by invariant prev holds at most ONE step-0 entry (the running min)
+    val prevZero = prevSteps.zip(prevTimes).collect { case (0, t) => t }
+    val addZero = addEvs.collect { case (0, t) => t }
+    val zeroMin = (prevZero ++ addZero) match {
+      case s if s.nonEmpty => Some(s.min); case _ => None
+    }
+    val bound = zeroMin.map(t => t + withinUs)
+    // prev is stored ordered (step asc, time asc within step), so ONE
+    // linear run-scan splits it per step — no hashing of the kept buffer
+    // on every micro-batch
+    val prevBy = Array.fill(nSteps)(Seq.empty[Long])
+    locally {
+      val ps = prevSteps.toIndexedSeq; val pt = prevTimes.toIndexedSeq
+      var i = 0
+      while (i < ps.length) {
+        val s0 = ps(i)
+        var j = i + 1
+        while (j < ps.length && ps(j) == s0) j += 1
+        if (s0 > 0 && s0 < nSteps) prevBy(s0) = pt.slice(i, j)
+        i = j
+      }
+    }
+    val addBy = addEvs.filter(_._1 != 0)
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted).toMap
+    val kept0 = zeroMin.map(t => (0, t)).toSeq
+    val windowedBy = (1 until nSteps).map { k =>
+      val merged = mergeSortedDistinct(prevBy(k), addBy.getOrElse(k, Nil))
+      // sorted ascending → the (possibly newly tightened) window bound
+      // is a prefix cut
+      bound match {
+        case Some(b) => merged.takeWhile(_ <= b); case None => merged
+      }
+    }
+    val total = kept0.size + windowedBy.iterator.map(_.size).sum
+    val keptBy =
+      if (total <= cap) windowedBy
+      else {
+        val perStep = math.max(1,
+          (cap - kept0.size) / math.max(1, nSteps - 1))
+        // per-step runs are already time-ascending: keep-earliest = take
+        windowedBy.map(_.take(perStep))
+      }
+    val out = kept0 ++ keptBy.zipWithIndex.flatMap { case (ts, i) =>
+      ts.map(t => (i + 1, t)) }
+    (out.map(_._1), out.map(_._2))
+  }
+
+  /** Two-pointer merge of two ascending-sorted sequences, dropping
+    * duplicates (both within and across inputs). */
+  private def mergeSortedDistinct(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+    if (a.isEmpty) b
+    else if (b.isEmpty) a
+    else {
+      val av = a.toIndexedSeq; val bv = b.toIndexedSeq
+      val out = new scala.collection.mutable.ArrayBuffer[Long](av.length + bv.length)
+      var i = 0; var j = 0
+      while (i < av.length || j < bv.length) {
+        val v =
+          if (j >= bv.length || (i < av.length && av(i) <= bv(j))) {
+            val x = av(i); i += 1; x
+          } else { val x = bv(j); j += 1; x }
+        if (out.isEmpty || out.last != v) out += v
+      }
+      out.toSeq
+    }
 
   /** The batch funnel chain over one user's buffered (step, us) events:
     * stage k is reached at the EARLIEST step-k event strictly after the

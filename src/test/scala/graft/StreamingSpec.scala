@@ -318,6 +318,43 @@ class StreamingSpec extends AnyFunSuite {
       funnelStage(advSteps.zip(advTimes), 3, 3600000000L))
   }
 
+  test("mergeFunnelBuf ≡ from-scratch compaction under incremental feeds " +
+       "(non-binding cap); binding stays bounded and conservative") {
+    import graft.streaming.StreamingOps.{compactFunnelBuf, mergeFunnelBuf, funnelStage}
+    val rnd = new scala.util.Random(131)
+    (1 to 60).foreach { trial =>
+      val evs = (1 to 5 + rnd.nextInt(60)).map(_ =>
+        (rnd.nextInt(6) - 1, rnd.nextLong(7200L) * 1000000L))
+      // incremental: merge random chunks into an initially-empty buffer
+      var steps = Seq.empty[Int]; var times = Seq.empty[Long]
+      rnd.shuffle(evs).grouped(1 + rnd.nextInt(9)).foreach { chunk =>
+        val r = mergeFunnelBuf(steps, times,
+          chunk.map(_._1), chunk.map(_._2), 4, 3600000000L, 10000)
+        steps = r._1; times = r._2
+      }
+      // from-scratch: one compaction over the whole history
+      val (fs_, ft_) = compactFunnelBuf(
+        evs.map(_._1), evs.map(_._2), 4, 3600000000L, 10000)
+      assert(steps.zip(times).sorted == fs_.zip(ft_).sorted,
+        s"trial $trial: merge diverged from from-scratch compaction")
+      assert(funnelStage(steps.zip(times), 4, 3600000000L) ==
+        funnelStage(evs.map(e => (e._1, e._2)), 4, 3600000000L))
+    }
+    // binding: hot key fed incrementally stays bounded, result is a
+    // lower bound of exact (the cap's conservative contract)
+    val hot = (1 to 50000).map(_ =>
+      (rnd.nextInt(4) - 1, rnd.nextLong(7200L) * 1000000L))
+    var hs = Seq.empty[Int]; var ht = Seq.empty[Long]
+    hot.grouped(5000).foreach { chunk =>
+      val r = mergeFunnelBuf(hs, ht, chunk.map(_._1), chunk.map(_._2),
+        3, 3600000000L, 500)
+      hs = r._1; ht = r._2
+    }
+    assert(hs.size <= 501, s"hot-key merge buffer not bounded: ${hs.size}")
+    assert(funnelStage(hs.zip(ht), 3, 3600000000L) <=
+      funnelStage(hot, 3, 3600000000L))
+  }
+
   test("funnel cap BINDING: deterministic under-report shape " +
        "(earliest cap/nSteps kept per step)") {
     import graft.streaming.StreamingOps.{compactFunnelBuf, funnelStage}
@@ -338,6 +375,11 @@ class StreamingSpec extends AnyFunSuite {
       Set((0, 0L), (1, 10L), (2, 1L), (2, 2L), (2, 3L), (2, 4L)),
       s"unexpected kept shape: $kept")
     assert(funnelStage(kept, 3, 3600000000L) == 2, "expected under-report")
+    // the incremental merge path (what funnelWithState actually runs)
+    // produces the identical binding shape from an empty buffer
+    val (ms, mt) = graft.streaming.StreamingOps.mergeFunnelBuf(
+      Nil, Nil, steps, times, 3, 3600000000L, 9)
+    assert(ms.zip(mt).toSet == kept.toSet, "merge path diverged")
   }
 
   test("streaming funnel survives a 10^5-event hot key with bounded state") {
