@@ -51,20 +51,17 @@ object Merge {
         s"destination bucket uses temporal partitioning $dstTp, not $temporalPartitioning")
     }
 
-    // cloned reader session: label partition values stay strings without
-    // mutating the caller's session conf (graft.core.ReaderSession).
-    // pathGlobFilter: buckets carry a bucket_info.yaml interop manifest
-    // (no underscore prefix) that must stay out of the parquet scan.
-    // Directory-flavor buckets carry NO hive key=value dirs, so the plain
-    // parquet read can neither find the nested files nor reconstruct the
-    // label columns partitionBy below needs — route through
-    // BucketReader.read, whose directory path rebuilds labels from the
-    // file paths (same cloned-session semantics).
-    var df =
-      if (p.flavor.contains("directory"))
-        BucketReader.read(spark, srcBucketDir, timeColumns = Seq(timeColumn))
-      else graft.core.ReaderSession(spark).read
-        .option("pathGlobFilter", "*.parquet").parquet(srcBucketDir)
+    // BOTH flavors route through BucketReader.read: it reads in a cloned
+    // session (label partition values stay strings, the bucket_info.yaml
+    // interop manifest stays out of the scan via pathGlobFilter), rebuilds
+    // directory-flavor label columns from file paths, and — decisive for
+    // REFERENCE-written source buckets (pandas/pyarrow) — converts their
+    // NANOSECOND time column to a proper timestamp, without which the
+    // period-prefix expression and the update-window filters below would
+    // run against raw long nanos and fail (caught by the
+    // reference-granule-fixture interop case).
+    var df = BucketReader.read(spark, srcBucketDir,
+      timeColumns = Seq(timeColumn))
     startTime.foreach(s => df = df.where(col(timeColumn) >= lit(java.sql.Timestamp.valueOf(s))))
     endTime.foreach(e => df = df.where(col(timeColumn) < lit(java.sql.Timestamp.valueOf(e))))
 

@@ -138,6 +138,79 @@ class ReferenceBucketInteropSpec extends AnyFunSuite {
     graft.sources.BucketFs.deleteRecursive(dst)
   }
 
+  test("reference-written GRANULE bucket: merge + update mode reproduce " +
+       "the reference's own expected layout (test_routines.py:327-388)") {
+    // fixture generated by scripts/gen_reference_granule_bucket.py with
+    // pandas/pyarrow: hive granule layout exactly as write_granules_bucket
+    // emits it — per-granule `<stem>_0.parquet` files, bucket_info.yaml,
+    // NANOSECOND timestamps — for the three granule ids the reference
+    // merge tests use (two 2021, one 2023)
+    import graft.sources.{BucketFs, Merge}
+    val fixUrl = getClass.getResource("/reference_granule_src/bucket_info.yaml")
+    assert(fixUrl != null, "granule fixture missing")
+    val fixture = Paths.get(fixUrl.toURI).getParent.toString
+    val src = java.nio.file.Files.createTempDirectory("graft_refgran_src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft_refgran_dst").toString + "/dst"
+    def copyFixture(keep: String => Boolean): Unit = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(fixture))
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(w.iterator()).asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .filter(f => f.getFileName.toString == "bucket_info.yaml" ||
+          keep(f.getFileName.toString))
+        .foreach { f =>
+          val rel = java.nio.file.Paths.get(fixture).relativize(f)
+          val to = java.nio.file.Paths.get(src).resolve(rel)
+          java.nio.file.Files.createDirectories(to.getParent)
+          java.nio.file.Files.copy(f, to,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      finally w.close()
+    }
+    try {
+      // phase 1 (test_routines.py:327-368): only the 2021 granules exist;
+      // merge with year partitioning must leave exactly `2021_0.parquet`
+      // in the partition the reference asserts on
+      copyFixture(_.contains(".2021"))
+      Merge.mergeGranuleBuckets(spark, src, dst, temporalPartitioning = "year")
+      val pdir = new java.io.File(s"$dst/lon_bin=-5.0/lat_bin=5.0")
+      assert(pdir.isDirectory, s"expected partition missing: $pdir")
+      // LocalFileSystem leaves .crc sidecars the real stores don't have;
+      // the layout contract is over visible files only
+      def visible() = pdir.list().filterNot(_.startsWith(".")).sorted.toSeq
+      assert(visible() == Seq("2021_0.parquet"), s"got ${visible()}")
+      val bytes2021 = java.nio.file.Files.readAllBytes(
+        pdir.toPath.resolve("2021_0.parquet")).toSeq
+
+      // phase 2 (:370-388): the 2023 granule arrives in src; update-merge
+      // windowed to 2023 adds `2023_0.parquet` beside the 2021 file
+      copyFixture(_.contains(".2023"))
+      Merge.mergeGranuleBuckets(spark, src, dst,
+        temporalPartitioning = "year", update = true,
+        startTime = Some(java.time.LocalDateTime.of(2023, 1, 1, 0, 0)),
+        endTime = Some(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)))
+      assert(visible() == Seq("2021_0.parquet", "2023_0.parquet"),
+        s"got ${visible()}")
+      // the 2021 file is untouched byte-for-byte (update replaces only
+      // the affected periods' files)
+      assert(java.nio.file.Files.readAllBytes(
+        pdir.toPath.resolve("2021_0.parquet")).toSeq == bytes2021,
+        "update disturbed the 2021 file")
+
+      // row parity: the merged archive holds every fixture row exactly
+      // once — 2 granules x 50 rows in 2021, 1 x 50 in 2023 — and the
+      // nanos time column came through as a real timestamp
+      val back = BucketReader.read(spark, dst)
+      assert(back.count() == 150, s"got ${back.count()}")
+      assert(back.schema("time").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      assert(back.where(year($"time") === 2023).count() == 50)
+      assert(back.where(year($"time") === 2021).count() == 100)
+    } finally {
+      BucketFs.deleteRecursive(src)
+      BucketFs.deleteRecursive(dst)
+    }
+  }
+
   test("full read + extent pruning + point radius on a reference bucket") {
     val all = BucketReader.read(spark, bucketDir)
     assert(all.count() == 400)
