@@ -235,6 +235,60 @@ class TextIndexSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("concurrent sessions: the writer claim serializes appends — " +
+       "second session fails loudly, never co-writes a generation") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_cc").toString
+    try {
+      TextIndex.save(fixture.where($"doc_id" < 4), "text", "doc_id", dir,
+        nBuckets = 8)
+      // two INDEPENDENT SparkSessions each load the same head (nGens = 1)
+      val sA = spark.newSession(); val sB = spark.newSession()
+      val hA = TextIndex.load(sA, dir)
+      val hB = TextIndex.load(sB, dir)
+      assert(hA.nGens == 1 && hB.nGens == 1)
+      // A appends and commits generation 1
+      val grownA = hA.append(
+        Seq((10L, "table alpha")).toDF("doc_id", "text"), "text")
+      assert(grownA.nGens == 2)
+      // B's handle is now stale; without the claim-then-recheck ordering
+      // B would pass its own pre-claim checks, sweep nothing (its
+      // dropUncommittedGens targets gen >= 1 — A's committed data!), and
+      // co-write gen 1. The claim re-check reports the moved head.
+      val eStale = intercept[IllegalArgumentException](
+        hB.append(Seq((11L, "table beta")).toDF("doc_id", "text"), "text"))
+      assert(eStale.getMessage.contains("stale index handle"))
+      // B's refused attempt must not have disturbed A's committed data
+      assert(TextIndex.load(spark, dir).search(Seq("alpha"), topK = 5)
+        .collect().map(_.getLong(0)).toSet == Set(10L))
+      // a LIVE claim held by another writer refuses the second session
+      // loudly before any mutation
+      val claim = s"$dir/_writer_claim_gen=2"
+      graft.sources.BucketFs.writeString(claim, "")
+      val eClaim = intercept[IllegalStateException](
+        TextIndex.load(sB, dir).append(
+          Seq((12L, "gamma")).toDF("doc_id", "text"), "text"))
+      assert(eClaim.getMessage.contains("another session is writing"))
+      // a STALE claim (dead writer) is swept and the append proceeds
+      val grownB = TextIndex.load(sB, dir).append(
+        Seq((12L, "table gamma")).toDF("doc_id", "text"), "text",
+        claimStaleness = 0L)
+      assert(grownB.nGens == 3)
+      assert(!graft.sources.BucketFs.exists(claim), "claim not released")
+      // serialized protocol end state: every appended doc present once
+      val ids = TextIndex.load(spark, dir).search(Seq("table"), topK = 20)
+        .collect().map(_.getLong(0)).toSet
+      assert(Set(10L, 12L).subsetOf(ids) && !ids.contains(11L))
+      // compact takes the same claim: a live claim on the next gen
+      // refuses it too
+      graft.sources.BucketFs.writeString(s"$dir/_writer_claim_gen=3", "")
+      val eCmp = intercept[IllegalStateException](
+        TextIndex.load(spark, dir).compact())
+      assert(eCmp.getMessage.contains("another session is writing"))
+      graft.sources.BucketFs.deleteRecursive(s"$dir/_writer_claim_gen=3")
+      assert(TextIndex.load(spark, dir).compact().nGens == 4)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("append rejects ids already in the index") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ti_d").toString
     try {
