@@ -57,11 +57,18 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_PINS.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else try {
-        val s = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        // flat {"name": sec, ...} — parsed with a regex, no JSON lib dep
-        """"([^"]+)"\s*:\s*([0-9.eE+-]+)""".r.findAllMatchIn(s)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // {"name": sec, ...} — a real JSON parse (Jackson ships with
+        // Spark), so the file need not stay flat and a malformed edit
+        // fails to Map.empty instead of silently half-parsing
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(p.toFile)
+        val it = root.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+        }
+        b.result()
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
     }
 

@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   * family (every LSH bucket gets 10x hotter) — and replicated events keep
   * their timestamps, so per-user and per-hour densities grow 10x too.
   *
-  * Usage: runMain graft.tools.ScalingExponents [sfDir] [q1,q2,...]
+  * Usage: runMain graft.tools.ScalingExponents [sfDir] [q1,q2,...] [factor]
+  * (factor defaults to 10; round 13 directive #9 extends the three
+  * cheapest heavy gates to 30x — exponent is log_factor(ratio) so the
+  * 1.0-is-linear reading is factor-independent).
   */
 object ScalingExponents {
 
@@ -33,7 +36,7 @@ object ScalingExponents {
     val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val queries = if (args.length > 1) args(1).split(',').toSeq.map(_.trim)
                   else DefaultQueries
-    val factor = 10
+    val factor = if (args.length > 2) args(2).toInt else 10
     val spark = graft.core.GraftSession.builder("32", "32", rawLocalFs = true)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -80,7 +83,7 @@ object ScalingExponents {
         val t1 = time(q, base)
         val t10 = time(q, out)
         val ratio = t10 / math.max(t1, 1e-3)
-        val expn = math.log10(math.max(ratio, 1e-3))
+        val expn = math.log(math.max(ratio, 1e-3)) / math.log(factor.toDouble)
         println(f"$q%-28s $t1%8.2f $t10%8.2f $ratio%7.2f $expn%.2f")
         (q, t1, t10, ratio, expn)
       } catch {
@@ -89,7 +92,7 @@ object ScalingExponents {
           (q, -1.0, -1.0, -1.0, -1.0)
       }
     }
-    val bad = rows.filter { case (_, _, _, r, _) => r > 13.0 }
+    val bad = rows.filter { case (_, _, _, r, _) => r > 1.3 * factor }
     println(if (bad.isEmpty) "ALL <= 1.3x data-linear"
             else s"SUPER-LINEAR: ${bad.map(_._1).mkString(", ")}")
     spark.stop()
