@@ -256,7 +256,19 @@ object StreamingOps {
     * is bounded by per-user event volume inside the watermark horizon.
     * Same operating envelope as [[sessionizeWithState]]: a key is final
     * once the watermark passes its timeout (engineered-deterministic in
-    * the AvailableNow gates via late sentinel rows). */
+    * the AvailableNow gates via late sentinel rows).
+    *
+    * `maxBufferedPerKey` caps per-key state (skew guard for bot traffic /
+    * replay storms). While the buffer stays under the cap the prunes are
+    * EXACT; once the cap binds for a key, the earliest cap/nSteps events
+    * per step are kept and the reported stage for that key becomes a
+    * LOWER BOUND of the exact answer — never an over-report. One known
+    * corner of that contract: an event dropped by the cap at a
+    * micro-batch boundary is not resurrected if a LATER step-0 arrival
+    * tightens the window enough that the buffer would have fit — also
+    * strictly conservative (gated non-binding against the batch oracle
+    * in q213; the binding under-report shape is pinned in
+    * StreamingSpec). */
   def funnelWithState(events: Dataset[FunnelEvent], nSteps: Int,
                       withinUs: Long,
                       watermark: String = "30 seconds",
@@ -375,7 +387,47 @@ object StreamingOps {
   private[graft] def mergeFunnelBuf(prevSteps: Seq[Int], prevTimes: Seq[Long],
                                     addSteps: Seq[Int], addTimes: Seq[Long],
                                     nSteps: Int, withinUs: Long,
-                                    cap: Int): (Seq[Int], Seq[Long]) = {
+                                    cap: Int): (Seq[Int], Seq[Long]) =
+    if (!isCanonicalFunnelBuf(prevSteps, prevTimes, nSteps))
+      // CHECKPOINT COMPATIBILITY: the run-scan below requires `prev` in
+      // the canonical order this function emits (step ascending, times
+      // strictly ascending within each step, at most one step-0 entry).
+      // A checkpoint written by the pre-merge compactFunnelBuf path
+      // stored the buffer in ENCOUNTER order — resuming such state
+      // through the scan would let a later run of a step overwrite an
+      // earlier non-contiguous run of the same step (dropping events)
+      // and mis-window unsorted times. Re-normalize ONCE by replaying
+      // the old buffer as batch input against an empty buffer (the
+      // prunes are idempotent, so re-applying them to already-pruned
+      // state is exact); every later micro-batch takes the linear path.
+      mergeFunnelBuf(Nil, Nil, prevSteps ++ addSteps, prevTimes ++ addTimes,
+        nSteps, withinUs, cap)
+    else mergeFunnelBufCanonical(prevSteps, prevTimes, addSteps, addTimes,
+      nSteps, withinUs, cap)
+
+  /** Does (steps, times) satisfy [[mergeFunnelBuf]]'s output invariant?
+    * One linear pass: steps in [0, nSteps) and non-decreasing, at most
+    * one step-0 entry, times strictly ascending within each step run.
+    * Empty is canonical. */
+  private[graft] def isCanonicalFunnelBuf(steps: Seq[Int], times: Seq[Long],
+                                          nSteps: Int): Boolean = {
+    val ss = steps.toIndexedSeq; val ts = times.toIndexedSeq
+    var i = 0
+    var ok = ss.length == ts.length
+    while (ok && i < ss.length) {
+      val s = ss(i)
+      ok = s >= 0 && s < nSteps &&
+        (i == 0 || (s > ss(i - 1) || (s == ss(i - 1) && s != 0 &&
+          ts(i) > ts(i - 1))))
+      i += 1
+    }
+    ok
+  }
+
+  private def mergeFunnelBufCanonical(
+      prevSteps: Seq[Int], prevTimes: Seq[Long],
+      addSteps: Seq[Int], addTimes: Seq[Long],
+      nSteps: Int, withinUs: Long, cap: Int): (Seq[Int], Seq[Long]) = {
     val addEvs = addSteps.zip(addTimes).filter(e => e._1 >= 0 && e._1 < nSteps)
     // by invariant prev holds at most ONE step-0 entry (the running min)
     val prevZero = prevSteps.zip(prevTimes).collect { case (0, t) => t }

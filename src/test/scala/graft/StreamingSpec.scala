@@ -355,6 +355,50 @@ class StreamingSpec extends AnyFunSuite {
       funnelStage(hot, 3, 3600000000L))
   }
 
+  test("mergeFunnelBuf re-normalizes a legacy encounter-order checkpoint " +
+       "(pre-merge compactFunnelBuf state) instead of corrupting it") {
+    import graft.streaming.StreamingOps.{compactFunnelBuf, funnelStage,
+      isCanonicalFunnelBuf, mergeFunnelBuf}
+    // the exact failure shape from the old run-scan assumption: prev holds
+    // NON-CONTIGUOUS runs of the same step (1, 2, 1) with unsorted times —
+    // the scan would overwrite the first step-1 run with the second
+    // (dropping t=5, the only event that completes the chain) and
+    // takeWhile on unsorted times would mis-window the rest
+    val legacySteps = Seq(0, 1, 2, 1)
+    val legacyTimes = Seq(0L, 5L, 12L, 40L)
+    assert(!isCanonicalFunnelBuf(legacySteps, legacyTimes, 3))
+    val (ms, mt) = mergeFunnelBuf(legacySteps, legacyTimes, Nil, Nil,
+      3, 3600000000L, 10000)
+    assert(isCanonicalFunnelBuf(ms, mt, 3), "output not canonical")
+    assert(funnelStage(ms.zip(mt), 3, 3600000000L) ==
+      funnelStage(legacySteps.zip(legacyTimes), 3, 3600000000L))
+    assert(ms.zip(mt).toSet == legacySteps.zip(legacyTimes).toSet)
+    // property: ANY legacy-order buffer (a shuffled compactFunnelBuf
+    // output) resumed through mergeFunnelBuf with a fresh batch equals
+    // the from-scratch compaction over the full history
+    val rnd = new scala.util.Random(211)
+    (1 to 40).foreach { trial =>
+      val hist = (1 to 5 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(5) - 1, rnd.nextLong(7200L) * 1000000L))
+      val (cs, ct) = compactFunnelBuf(
+        hist.map(_._1), hist.map(_._2), 3, 3600000000L, 10000)
+      // simulate the old checkpoint layout: same kept multiset, encounter
+      // (here: worst-case shuffled) order
+      val legacy = rnd.shuffle(cs.zip(ct).toVector)
+      val batch = (1 to 1 + rnd.nextInt(10)).map(_ =>
+        (rnd.nextInt(5) - 1, rnd.nextLong(7200L) * 1000000L))
+      val (rs, rt) = mergeFunnelBuf(legacy.map(_._1), legacy.map(_._2),
+        batch.map(_._1), batch.map(_._2), 3, 3600000000L, 10000)
+      val (es, et) = compactFunnelBuf(
+        (hist ++ batch).map(_._1), (hist ++ batch).map(_._2),
+        3, 3600000000L, 10000)
+      assert(rs.zip(rt).sorted == es.zip(et).sorted,
+        s"trial $trial: legacy resume diverged from from-scratch")
+      assert(isCanonicalFunnelBuf(rs, rt, 3),
+        s"trial $trial: resumed state not re-normalized")
+    }
+  }
+
   test("funnel cap BINDING: deterministic under-report shape " +
        "(earliest cap/nSteps kept per step)") {
     import graft.streaming.StreamingOps.{compactFunnelBuf, funnelStage}
