@@ -53,7 +53,9 @@ object AnnIndex {
   val DeleteMarkerFile = "_delete_inprogress"
 
   /** Default for how old delete-swap debris must be before a LOADING
-    * reader repairs it (ms, judged by [[DeleteMarkerFile]]'s mtime).
+    * reader repairs it (ms, judged by [[DeleteMarkerFile]]'s mtime) —
+    * the family-wide writer-liveness constant,
+    * [[GenerationLock.DefaultStalenessMs]].
     * Younger debris means a live delete() may still be mid-swap in
     * another process — racing its directory moves would corrupt the
     * index — so the load refuses loudly instead. Operators who KNOW the
@@ -62,7 +64,7 @@ object AnnIndex {
     * not mutable global state: crash specs pass 0 at the call site (their
     * simulated writer is dead by construction) without bleeding a zeroed
     * guard into every other suite sharing the JVM. */
-  val DefaultRepairStalenessMs: Long = 10 * 60 * 1000L
+  val DefaultRepairStalenessMs: Long = GenerationLock.DefaultStalenessMs
 
   /** A reloaded IVF-PQ index: parameters from the manifest plus the three
     * lazy frames. `search` never touches the original corpus. */
@@ -75,6 +77,14 @@ object AnnIndex {
                               baseGen: Int = 0, asOfFence: Int = 0) {
 
     private def requireBatchManaged(verb: String): Unit = {
+      requireBatchManagedLocal(verb); requireFreshHead()
+    }
+
+    /** The handle-local preconditions of the batch mutation verbs —
+      * everything EXCEPT the head re-check, which the generation-staging
+      * verbs must perform under the writer claim (the re-check is
+      * check-then-act; see [[GenerationLock]]). */
+    private def requireBatchManagedLocal(verb: String): Unit = {
       // a time-travel handle reads a historical prefix of the committed
       // generations; letting it append/delete would fork history
       require(!asOf,
@@ -89,6 +99,9 @@ object AnnIndex {
       require(nGens >= 0,
         s"codes under $indexDir use the pre-generational flat layout — " +
           "rebuild the index (saveIvfPq) to enable batch mutation verbs")
+    }
+
+    private def requireFreshHead(): Unit = {
       // a handle loaded before someone else's append would sweep THEIR
       // committed generation as "debris" — refuse loudly instead
       val live = readMeta(indexDir).nGens
@@ -107,20 +120,34 @@ object AnnIndex {
       * is attempted). Returns a freshly loaded index. Continuous ingest
       * should use [[streamingCodesWriter]], whose file-sink log gives
       * exactly-once batches. */
-    def append(newCorpus: DataFrame, vecCol: String): IvfPqIndex = {
-      requireBatchManaged("use streamingCodesWriter")
-      BucketFs.dropGensAtOrAbove(s"$indexDir/codes", nGens)
-      val exploded = Similarity.encodeAgainstIndex(newCorpus, idCol, vecCol,
-        centroids.select(col("cell").as("centroid_id"),
-          col("centroid").as("__c")),
-        codebook.select(col("subspace").as("__s"), col("code_id").as("__cid"),
-          col("centroid").as("__c")),
-        dims, m, k, nList, residual, quantizeScale,
-        integerCb = trainUpdates == 0)
-      writeCodes(exploded, idCol, indexDir, gen = nGens)
-      writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-        quantizeScale, idCol, nGens + 1, baseGen, asOfFence)
-      loadIvfPq(newCorpus.sparkSession, indexDir)
+    def append(newCorpus: DataFrame, vecCol: String,
+               claimStaleness: Long =
+                 GenerationLock.DefaultStalenessMs): IvfPqIndex = {
+      requireBatchManagedLocal("use streamingCodesWriter")
+      // take the writer claim FIRST (shared [[GenerationLock]] protocol,
+      // same as TextIndex/DedupIndex), then re-check the head under it:
+      // the stale-handle check is check-then-act, so two sessions racing
+      // the same generation would both pass it and co-write one gen dir
+      // — silently double-posting codes
+      val claim = GenerationLock.claim(indexDir, nGens, claimStaleness)
+      try {
+        requireFreshHead()
+        BucketFs.dropGensAtOrAbove(s"$indexDir/codes", nGens)
+        val exploded = Similarity.encodeAgainstIndex(newCorpus, idCol, vecCol,
+          centroids.select(col("cell").as("centroid_id"),
+            col("centroid").as("__c")),
+          codebook.select(col("subspace").as("__s"), col("code_id").as("__cid"),
+            col("centroid").as("__c")),
+          dims, m, k, nList, residual, quantizeScale,
+          integerCb = trainUpdates == 0)
+        writeCodes(exploded, idCol, indexDir, gen = nGens)
+        // ownership re-assert right before the commit point: a falsely
+        // stale-swept claim aborts here instead of co-committing
+        GenerationLock.verify(claim)
+        writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+          quantizeScale, idCol, nGens + 1, baseGen, asOfFence)
+        loadIvfPq(newCorpus.sparkSession, indexDir)
+      } finally GenerationLock.release(claim)
     }
 
     /** Fold every committed code generation into ONE replacement
@@ -134,18 +161,26 @@ object AnnIndex {
       * Search results are unchanged — code rows union verbatim; the
       * frozen centroids/codebook don't move. As-of history renumbers at
       * the compaction point. */
-    def compactGens(): IvfPqIndex = {
-      requireBatchManaged("compact the stream layout with compactCodes")
-      val spark = codes.sparkSession
-      BucketFs.dropGensAtOrAbove(s"$indexDir/codes", nGens)
-      codes.withColumn("gen", lit(nGens))
-        .write.mode("append").partitionBy("gen", "cell")
-        .parquet(s"$indexDir/codes")
-      writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-        quantizeScale, idCol, nGens + 1, baseGen = nGens,
-        asOfFence = asOfFence)
-      BucketFs.dropGensBelow(s"$indexDir/codes", nGens)
-      loadIvfPq(spark, indexDir)
+    def compactGens(claimStaleness: Long =
+                      GenerationLock.DefaultStalenessMs): IvfPqIndex = {
+      requireBatchManagedLocal("compact the stream layout with compactCodes")
+      // same writer-claim serialization as append: compact also stages
+      // gen = n_gens before its manifest commit
+      val claim = GenerationLock.claim(indexDir, nGens, claimStaleness)
+      try {
+        requireFreshHead()
+        val spark = codes.sparkSession
+        BucketFs.dropGensAtOrAbove(s"$indexDir/codes", nGens)
+        codes.withColumn("gen", lit(nGens))
+          .write.mode("append").partitionBy("gen", "cell")
+          .parquet(s"$indexDir/codes")
+        GenerationLock.verify(claim)
+        writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+          quantizeScale, idCol, nGens + 1, baseGen = nGens,
+          asOfFence = asOfFence)
+        BucketFs.dropGensBelow(s"$indexDir/codes", nGens)
+        loadIvfPq(spark, indexDir)
+      } finally GenerationLock.release(claim)
     }
     /** Delete vectors by id — the remaining lifecycle verb after
       * save/load/search/append/stream-ingest. Rewrites ONLY the cell
@@ -157,9 +192,22 @@ object AnnIndex {
       * batch's cell footprint, not index size. Centroids and codebook
       * stay frozen (deletes never retrain — standard IVF semantics).
       * Unknown ids are ignored; a fully-emptied cell's directory is
-      * removed. Returns a freshly loaded index. */
-    def delete(ids: Seq[Long]): IvfPqIndex = {
+      * removed. Returns a freshly loaded index.
+      *
+      * `markerHeartbeatMs` is how often the liveness marker's mtime is
+      * refreshed while the delete runs (a daemon timer beside the
+      * arbitrarily-long tmp rewrite job and swap loop) — it must stay
+      * well under the staleness window readers adjudicate with
+      * ([[DefaultRepairStalenessMs]]), or a delete that outlives the
+      * window would be judged crashed and its tmp dir swept mid-write.
+      * The default (window / 4) keeps a live writer's marker under
+      * ~2.5 min old for default-staleness readers regardless of how long
+      * the rewrite takes. */
+    def delete(ids: Seq[Long],
+               markerHeartbeatMs: Long =
+                 GenerationLock.DefaultStalenessMs / 4): IvfPqIndex = {
       requireBatchManaged("stop the stream and compact before deleting")
+      require(markerHeartbeatMs > 0, "markerHeartbeatMs must be positive")
       require(ids.nonEmpty, "delete needs at least one id")
       require(ids.length <= 1000000,
         "literal tombstone sets are bounded at 1M ids — stage larger " +
@@ -185,63 +233,93 @@ object AnnIndex {
         // codes_rewrite_tmp out from under us — the swap loop then finds
         // tmp/$sub absent, reads each affected cell as "emptied
         // entirely", and drops the asides, losing every surviving row in
-        // those cells. With the marker down first, the staleness guard
-        // covers the ENTIRE mutation window. A crashed delete() leaves
-        // the marker behind; once it is older than the staleness window
-        // the repair proceeds. Written with a fresh mtime on purpose
-        // (aside dirs keep their original mtime through rename, so THEY
-        // can't carry the freshness signal).
-        BucketFs.writeStringAtomic(s"$indexDir/$DeleteMarkerFile",
-          s"delete in progress: ${affected.length} (gen, cell) dirs")
-        // the as-of FENCE commits BEFORE the first in-place mutation
-        // (the tmp write is mutation-adjacent debris a crash leaves
-        // behind): fencing early is safe (it only restricts time-travel
-        // reads) and idempotent, and it closes the crash window where
-        // the last aside was dropped but the post-loop manifest write
-        // never ran — history would then have been served silently
-        // mutated. From here on, any crash leaves the fence already on
-        // disk before ANY debris can exist.
-        writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-          quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
-        BucketFs.deleteRecursive(tmp)
-        val pairs = affected.map { case (g, c) =>
-          col("gen") === g && col("cell") === c }.reduce(_ || _)
-        raw.where(pairs && !col(idCol).isin(ids: _*))
-          .write.mode("overwrite").partitionBy("gen", "cell").parquet(tmp)
-        deleteSwapHook("afterTmpWrite", -1, -1L)
-        // refresh the marker's mtime after the (arbitrarily long) tmp
-        // rewrite job so the staleness clock restarts at the swap loop —
-        // a tmp write longer than the staleness window must not let a
-        // reader adjudicate the STILL-LIVE writer as crashed
-        BucketFs.writeStringAtomic(s"$indexDir/$DeleteMarkerFile",
-          s"delete in progress: ${affected.length} (gen, cell) dirs")
-        // crash-safe swap per (gen, cell) dir: move the LIVE directory
-        // aside first, then the rewrite in, then drop the old copy — a
-        // crash anywhere in the window leaves at least one complete copy
-        // (deleting live-then-move would strand the data in tmp)
-        affected.foreach { case (g, c) =>
-          val sub = s"gen=$g/cell=$c"
-          val old = s"$indexDir/codes_old_gen=${g}_cell=$c"
-          BucketFs.deleteRecursive(old)
-          deleteSwapHook("beforeAside", g, c)
-          val (lfs, live) = BucketFs.resolve(s"$indexDir/codes/$sub")
-          if (lfs.exists(live)) {
-            val (_, oldP) = BucketFs.resolve(old)
-            BucketFs.move(lfs, live, oldP)
+        // those cells. With the marker down first AND heartbeat-refreshed
+        // below, the staleness guard covers the ENTIRE mutation window —
+        // including a tmp rewrite job that runs LONGER than the window. A
+        // crashed delete() stops heartbeating, leaves the marker behind,
+        // and once it is older than the staleness window the repair
+        // proceeds. Written with a fresh mtime on purpose (aside dirs
+        // keep their original mtime through rename, so THEY can't carry
+        // the freshness signal).
+        val markerPath = s"$indexDir/$DeleteMarkerFile"
+        val markerMsg =
+          s"delete in progress: ${affected.length} (gen, cell) dirs"
+        BucketFs.writeStringAtomic(markerPath, markerMsg)
+        // HEARTBEAT: a daemon timer re-writes the marker (fresh mtime)
+        // every markerHeartbeatMs for as long as the delete runs, so a
+        // reader's staleness clock measures time-since-last-beat, not
+        // time-since-delete-start. Without it, a tmp rewrite outliving
+        // the staleness window (plausible for large affected-cell sets)
+        // would let a default-staleness reader adjudicate this STILL-LIVE
+        // writer as crashed and sweep codes_rewrite_tmp mid-write — the
+        // data-loss race the marker exists to close. Beat failures are
+        // swallowed: a transient FS hiccup must not kill the beat (the
+        // next tick retries), and the delete itself surfaces real FS
+        // errors through its own operations.
+        val heartbeat = java.util.concurrent.Executors
+          .newSingleThreadScheduledExecutor { r =>
+            val t = new Thread(r, "ann-delete-marker-heartbeat")
+            t.setDaemon(true); t
           }
-          deleteSwapHook("afterAside", g, c)
-          val (fs, src) = BucketFs.resolve(s"$tmp/$sub")
-          if (fs.exists(src)) { // absent = the cell emptied entirely
-            val (_, dst) = BucketFs.resolve(s"$indexDir/codes/$sub")
-            BucketFs.move(fs, src, dst)
+        heartbeat.scheduleAtFixedRate(
+          () => try BucketFs.writeStringAtomic(markerPath, markerMsg)
+                catch { case scala.util.control.NonFatal(_) => () },
+          markerHeartbeatMs, markerHeartbeatMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        try {
+          // the as-of FENCE commits BEFORE the first in-place mutation
+          // (the tmp write is mutation-adjacent debris a crash leaves
+          // behind): fencing early is safe (it only restricts time-travel
+          // reads) and idempotent, and it closes the crash window where
+          // the last aside was dropped but the post-loop manifest write
+          // never ran — history would then have been served silently
+          // mutated. From here on, any crash leaves the fence already on
+          // disk before ANY debris can exist.
+          writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
+            quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
+          BucketFs.deleteRecursive(tmp)
+          val pairs = affected.map { case (g, c) =>
+            col("gen") === g && col("cell") === c }.reduce(_ || _)
+          raw.where(pairs && !col(idCol).isin(ids: _*))
+            .write.mode("overwrite").partitionBy("gen", "cell").parquet(tmp)
+          deleteSwapHook("afterTmpWrite", -1, -1L)
+          // crash-safe swap per (gen, cell) dir: move the LIVE directory
+          // aside first, then the rewrite in, then drop the old copy — a
+          // crash anywhere in the window leaves at least one complete copy
+          // (deleting live-then-move would strand the data in tmp)
+          affected.foreach { case (g, c) =>
+            val sub = s"gen=$g/cell=$c"
+            val old = s"$indexDir/codes_old_gen=${g}_cell=$c"
+            BucketFs.deleteRecursive(old)
+            deleteSwapHook("beforeAside", g, c)
+            val (lfs, live) = BucketFs.resolve(s"$indexDir/codes/$sub")
+            if (lfs.exists(live)) {
+              val (_, oldP) = BucketFs.resolve(old)
+              BucketFs.move(lfs, live, oldP)
+            }
+            deleteSwapHook("afterAside", g, c)
+            val (fs, src) = BucketFs.resolve(s"$tmp/$sub")
+            if (fs.exists(src)) { // absent = the cell emptied entirely
+              val (_, dst) = BucketFs.resolve(s"$indexDir/codes/$sub")
+              BucketFs.move(fs, src, dst)
+            }
+            deleteSwapHook("afterMoveIn", g, c)
+            BucketFs.deleteRecursive(old)
           }
-          deleteSwapHook("afterMoveIn", g, c)
-          BucketFs.deleteRecursive(old)
+          BucketFs.deleteRecursive(tmp)
+        } finally {
+          // stop the beat BEFORE retiring the marker: a tick racing the
+          // delete below would resurrect the marker and wedge every
+          // future reader behind a phantom writer until it goes stale
+          heartbeat.shutdownNow()
+          heartbeat.awaitTermination(
+            30, java.util.concurrent.TimeUnit.SECONDS)
         }
-        BucketFs.deleteRecursive(tmp)
         // fence already committed (before the swap loop); finishing the
-        // cleanup just retires the liveness marker
-        BucketFs.deleteRecursive(s"$indexDir/$DeleteMarkerFile")
+        // cleanup just retires the liveness marker. On FAILURE the marker
+        // stays (finally only stops the beat): the debris is real and the
+        // staleness window is what arbitrates its repair.
+        BucketFs.deleteRecursive(markerPath)
       }
       loadIvfPq(spark, indexDir)
     }

@@ -45,18 +45,33 @@ object Clustered {
                      keyCols: Seq[String], nBuckets: Int,
                      sortCols: Seq[String] = Nil,
                      mode: String = "overwrite",
-                     readerSessions: Seq[SparkSession] = Nil): Unit = {
+                     readerSessions: Seq[SparkSession] = Nil,
+                     claimStaleness: Long =
+                       GenerationLock.DefaultStalenessMs): Unit = {
     require(keyCols.nonEmpty, "clustering needs at least one key column")
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    var w = df.write.mode(mode)
-      .option("path", path)
-      .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
-    val sorts = if (sortCols.nonEmpty) sortCols else keyCols
-    w = w.sortBy(sorts.head, sorts.tail: _*)
-    w.saveAsTable(table)
-    (df.sparkSession +: readerSessions).distinct.foreach { s =>
-      s.sql(s"REFRESH TABLE `$table`")
-    }
+    // single-writer contract on the table path, enforced (shared
+    // [[GenerationLock]] protocol, whole-dir slot): two concurrent
+    // overwrites of one clustered table interleave delete-old/write-new
+    // inside saveAsTable and can leave a mix of both runs' bucket files
+    // — which silently BREAKS the exchange-free join guarantee (bucket i
+    // must hold exactly hash(key)%n == i rows from ONE consistent write).
+    // The second writer fails loudly instead; a crashed writer's claim
+    // goes stale after the window and is swept by the next. claimBeside,
+    // not claimDir: the overwrite wipes the path's contents, so a claim
+    // INSIDE it would vanish mid-write.
+    val claim = GenerationLock.claimBeside(path, claimStaleness)
+    try {
+      var w = df.write.mode(mode)
+        .option("path", path)
+        .bucketBy(nBuckets, keyCols.head, keyCols.tail: _*)
+      val sorts = if (sortCols.nonEmpty) sortCols else keyCols
+      w = w.sortBy(sorts.head, sorts.tail: _*)
+      w.saveAsTable(table)
+      (df.sparkSession +: readerSessions).distinct.foreach { s =>
+        s.sql(s"REFRESH TABLE `$table`")
+      }
+    } finally GenerationLock.release(claim)
   }
 
   /** Equi-join two co-clustered tables on their cluster key. When both

@@ -204,13 +204,20 @@ object DedupIndex {
       * Stop any attached ingest stream first (its pinned generation base
       * would dangle; stream sidecars live with the stream's output, so
       * this cannot be detected index-side). */
-    def compact(): MinHashIndex = {
+    def compact(claimStaleness: Long =
+                  GenerationLock.DefaultStalenessMs): MinHashIndex = {
       require(!asOf,
         s"as-of (time-travel) handles are read-only; reload $indexDir at " +
           "head to compact")
       require(nGens >= 1,
         s"index at $indexDir uses the pre-generational flat layout — " +
           "rebuild it (save) to enable compaction")
+      // writer-claim serialization (shared [[GenerationLock]] protocol,
+      // same as TextIndex): compact stages gen = n_gens before its
+      // manifest commit, and the stale-handle re-check below is
+      // check-then-act — take the claim first, re-check under it
+      val claim = GenerationLock.claim(indexDir, nGens, claimStaleness)
+      try {
       val live = load(spark, indexDir)
       require(live.nGens == nGens && live.baseGen == baseGen,
         s"stale index handle: $indexDir moved to gens " +
@@ -227,11 +234,15 @@ object DedupIndex {
       bucketStats.withColumn("gen", lit(nGens))
         .write.mode("append").partitionBy("gen")
         .parquet(s"$indexDir/bucket_stats")
+      // ownership re-assert right before the commit point: a falsely
+      // stale-swept claim aborts here instead of co-committing
+      GenerationLock.verify(claim)
       writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol,
         baseGen = nGens)
       Seq("bands", "signatures", "bucket_stats").foreach(sub =>
         BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
       load(spark, indexDir)
+      } finally GenerationLock.release(claim)
     }
 
     /** Index `batch` incrementally: batch-sized appends to the band
@@ -249,20 +260,33 @@ object DedupIndex {
       * ids are already indexed still double-posts them (same contract as
       * [[AnnIndex.IvfPqIndex.append]]: ids are keys, the caller dedups
       * ingest batches). Returns the refreshed index. */
-    def append(batch: DataFrame, textCol: String): MinHashIndex =
+    def append(batch: DataFrame, textCol: String,
+               claimStaleness: Long =
+                 GenerationLock.DefaultStalenessMs): MinHashIndex =
       appendSigs(
-        Dedup.minHashSignature(batch, textCol, idCol, shingleK, numHashes))
+        Dedup.minHashSignature(batch, textCol, idCol, shingleK, numHashes),
+        claimStaleness)
 
     /** [[append]] from already-computed signature rows (id, mh0..mh{n-1})
       * — the fused-ingest path reuses the batch's signatures instead of
       * hashing the kept rows a second time. */
-    private[graft] def appendSigs(sigsRaw: DataFrame): MinHashIndex = {
+    private[graft] def appendSigs(sigsRaw: DataFrame,
+                                  claimStaleness: Long =
+                                    GenerationLock.DefaultStalenessMs)
+        : MinHashIndex = {
       require(!asOf,
         s"as-of (time-travel) handles are read-only; reload $indexDir at " +
           "head to append")
       require(nGens >= 0,
         s"index at $indexDir uses the pre-generational flat layout — " +
           "rebuild it (save) to enable appends")
+      // take the writer claim FIRST (shared [[GenerationLock]] protocol,
+      // same as TextIndex), then re-check the head under it: the
+      // stale-handle check below is check-then-act, so two sessions
+      // racing the same generation would both pass it and co-write one
+      // gen dir — silent candidate double counting
+      val claim = GenerationLock.claim(indexDir, nGens, claimStaleness)
+      try {
       // a handle loaded before someone else's append would sweep THEIR
       // committed generation as "debris" — refuse loudly instead
       val live = load(spark, indexDir).nGens
@@ -288,9 +312,16 @@ object DedupIndex {
         .withColumn("gen", lit(nGens))
         .write.mode("append").partitionBy("gen")
         .parquet(s"$indexDir/bucket_stats")
+      // ownership re-assert right before the commit point: a falsely
+      // stale-swept claim aborts here instead of co-committing
+      GenerationLock.verify(claim)
       writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol,
         baseGen)
       load(spark, indexDir)
+      } finally GenerationLock.release(claim)
+      // released in finally even on failure: the thrower is this live
+      // process (not a crash), so no partial write can still be racing;
+      // a KILLED process leaves the claim for the staleness sweep
     }
 
     /** Near-duplicate candidates of `batch` against the INDEXED corpus:

@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.Path
+
+/** Atomic writer-claim serialization for the generation-commit protocol
+  * shared by the persisted artifacts ([[TextIndex]], [[DedupIndex]],
+  * [[AnnIndex]], [[TextModelStore]]).
+  *
+  * All of them stage data into an uncommitted generation directory and
+  * then commit it with one atomic manifest rename. The stale-handle
+  * re-check each mutation performs is check-then-act, so two sessions
+  * racing the same generation would each pass it, co-write one gen
+  * directory, and the loser's manifest rename would commit a generation
+  * holding BOTH writers' rows — silent double counting. The claim file
+  * (`_writer_claim_gen=N` at the artifact root) serializes them: it is
+  * taken with `FileSystem.create(overwrite = false)` — atomic on HDFS —
+  * so exactly one racer proceeds and the other fails LOUDLY; a session
+  * nonce written into the file and read back arbitrates even on
+  * filesystems whose create is itself check-then-act (raw local FS).
+  *
+  * A crashed claimant's file goes stale after `stalenessMs` and is swept
+  * by the next writer (its partial gen dir is already
+  * uncommitted-debris the mutation sweeps separately). The sweep is
+  * ATOMIC — rename-to-unique, so of two recoverers racing one stale
+  * claim exactly one sweeps it and the `create` arbitrates the rest —
+  * and it re-verifies what it swept: if the renamed-aside file turns out
+  * FRESH (a new claimant landed between this writer's staleness
+  * adjudication and its rename), it is restored and the sweeper reports
+  * busy instead of proceeding. The residual window (a falsely-swept
+  * claim whose restore loses to a third claimant) is covered by
+  * [[verify]]: every holder re-asserts ownership immediately before its
+  * manifest commit, shrinking the exposure from the whole data-write job
+  * to one rename RPC.
+  *
+  * The reference has no concurrent-writer story at all (single-process
+  * orchestration, satbucket/routines.py:219-250); at 100 TB, two
+  * schedulers retrying one ingest job is an expected failure mode, not
+  * an exotic one.
+  */
+object GenerationLock {
+
+  /** ONE staleness constant for the whole artifact family — how old
+    * writer-liveness evidence (a claim file here, [[AnnIndex]]'s delete
+    * marker there) must be before another process may adjudicate the
+    * writer as dead and sweep its debris. Crash specs pass 0 at the call
+    * site (their simulated writer is dead by construction). */
+  val DefaultStalenessMs: Long = 10 * 60 * 1000L
+
+  /** Ownership token returned by [[claim]]: holding it means this
+    * session staged generation `gen` of `dir`. The nonce is what
+    * [[verify]] and [[release]] check against the on-disk claim, so a
+    * claim that was falsely swept and re-taken by another session is
+    * detected instead of silently co-committed. */
+  final case class Claim(dir: String, gen: Int, nonce: String)
+
+  /** Reserved slots of the non-generational claim flavors ([[claimDir]],
+    * [[claimBeside]]); real staged generations are >= 0. */
+  private val DirSlot = -1
+  private val BesideSlot = -2
+
+  private def claimPath(dir: String, gen: Int) = gen match {
+    case BesideSlot => s"${dir}__writer_claim" // sibling of the dest
+    case g if g < 0 => s"$dir/_writer_claim"
+    case g          => s"$dir/_writer_claim_gen=$g"
+  }
+
+  private def what(dir: String, gen: Int) =
+    if (gen < 0) dir else s"generation $gen of $dir"
+
+  /** Whole-destination mutex for the NON-generational mutators (the
+    * update-merge's delete-then-rename pass over period files,
+    * [[Clustered.writeClustered]]'s table overwrite): the same
+    * claim/verify/release protocol on one reserved slot
+    * (`_writer_claim`, no generation suffix) instead of a staged
+    * generation number. Two concurrent update-merges over one
+    * destination would otherwise interleave their per-period deletes
+    * and renames — each can delete files the other just renamed in,
+    * leaving periods with a mix of both runs' files. */
+  def claimDir(dir: String, stalenessMs: Long = DefaultStalenessMs): Claim =
+    claim(dir, DirSlot, stalenessMs, noHook)
+
+  /** [[claimDir]] variant for destinations the claimed mutation itself
+    * may WIPE (a `saveAsTable` overwrite deletes the table path's whole
+    * contents — a claim INSIDE it would vanish mid-write, silently
+    * re-opening the race): the claim file lands BESIDE the destination
+    * (`<path>__writer_claim`), which the mutation never touches. */
+  def claimBeside(path: String,
+                  stalenessMs: Long = DefaultStalenessMs): Claim =
+    claim(path, BesideSlot, stalenessMs, noHook)
+
+  /** Deterministic-interleave hook for race specs (phases: "afterStat",
+    * "afterSweep", "afterCreate"). A parameter of the private overload,
+    * not mutable global state. */
+  private[graft] type Hook = String => Unit
+  private val noHook: Hook = _ => ()
+
+  /** Take the writer claim on generation `gen` of `dir`, or throw
+    * `IllegalStateException` LOUDLY if another session holds it (fresh
+    * claim) or wins the race (concurrent create). Never blocks. */
+  def claim(dir: String, gen: Int,
+            stalenessMs: Long = DefaultStalenessMs): Claim =
+    claim(dir, gen, stalenessMs, noHook)
+
+  private[graft] def claim(dir: String, gen: Int, stalenessMs: Long,
+                           hook: Hook): Claim = {
+    val (fs, p) = BucketFs.resolve(claimPath(dir, gen))
+    def busy(age: Long): Nothing = throw new IllegalStateException(
+      s"another session is writing ${what(dir, gen)} (writer claim " +
+        s"is $age ms old < $stalenessMs): retry after it commits, or " +
+        "after the staleness window if it is dead")
+    // 1. adjudicate an existing claim. getFileStatus directly (no
+    // exists-then-stat: the file can vanish between the two — a released
+    // claim is the same as an absent one)
+    val existing =
+      try Some(fs.getFileStatus(p))
+      catch { case _: java.io.FileNotFoundException => None }
+    hook("afterStat")
+    existing.foreach { st =>
+      val age = System.currentTimeMillis() - st.getModificationTime
+      if (age < stalenessMs) busy(age)
+      // stale: sweep by ATOMIC rename-to-unique. Of two recoverers racing
+      // the same stale claim, exactly one rename succeeds; the loser
+      // falls through to the create, which arbitrates. (delete-then-
+      // create would let both delete each other's fresh claims and both
+      // proceed — the round-14 defect this replaces.)
+      val aside = new Path(p.getParent,
+        s".${p.getName}.swept.${java.util.UUID.randomUUID()}")
+      val renamed =
+        try fs.rename(p, aside)
+        catch { case _: java.io.IOException => false }
+      hook("afterSweep")
+      if (renamed) {
+        // guard the adjudicate→rename window: if the file we renamed is
+        // FRESH, it is not the stale claim we judged — a new claimant
+        // landed in between. Restore it and report busy; if the restore
+        // loses to a third claimant, the swept-then-restored holder's
+        // pre-commit verify() catches the hijack.
+        val sweptFresh =
+          try {
+            val sa = System.currentTimeMillis() -
+              fs.getFileStatus(aside).getModificationTime
+            sa < stalenessMs
+          } catch { case _: java.io.FileNotFoundException => false }
+        if (sweptFresh) {
+          if (!fs.rename(aside, p)) fs.delete(aside, false)
+          busy(0L)
+        }
+        fs.delete(aside, false)
+      }
+    }
+    // 2. take the claim: nonce in, atomic create(overwrite = false)
+    val nonce = java.util.UUID.randomUUID().toString
+    val out =
+      try fs.create(p, false)
+      catch {
+        case _: java.io.IOException => throw new IllegalStateException(
+          s"lost the writer-claim race on ${what(dir, gen)}: another " +
+            "session claimed it concurrently — reload and retry")
+      }
+    try out.write(nonce.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    hook("afterCreate")
+    val c = Claim(dir, gen, nonce)
+    // 3. nonce read-back: where create is not truly atomic (raw local
+    // FS), two racers may both have "created" — the file now holds
+    // exactly one racer's nonce, so at most one proceeds
+    verify(c)
+    c
+  }
+
+  /** Re-assert ownership of `c` — call IMMEDIATELY BEFORE the manifest
+    * commit, so a writer whose claim was falsely stale-adjudicated and
+    * re-taken by another session aborts BEFORE committing instead of
+    * co-committing a generation. Throws `IllegalStateException` if the
+    * on-disk claim is missing or carries a different session's nonce. */
+  def verify(c: Claim): Unit = {
+    val onDisk =
+      try Some(BucketFs.readString(claimPath(c.dir, c.gen)))
+      catch {
+        case _: java.io.FileNotFoundException => None
+        // an UNREADABLE claim (e.g. ChecksumException on the local
+        // checksummed FS: the data file and its .crc land non-atomically,
+        // so a read racing another writer's in-flight rewrite sees an
+        // inconsistent pair) means someone else is writing the file RIGHT
+        // NOW — this session does not safely own it. Adjudicate as
+        // not-held (abort the commit) instead of escaping with a raw FS
+        // error.
+        case _: java.io.IOException => None
+      }
+    if (!onDisk.contains(c.nonce))
+      throw new IllegalStateException(
+        s"writer claim on ${what(c.dir, c.gen)} is no longer " +
+          s"held by this session (${onDisk.fold("claim file missing or " +
+            "unreadable (concurrent writer)")(_ =>
+            "another session re-claimed it")}) — the staged generation " +
+          "is abandoned, NOT committed; reload and retry")
+  }
+
+  /** Release ONLY a claim this session still owns — deleting another
+    * session's claim would re-open the race the claim serializes. A
+    * missing OR unreadable file is a no-op (already swept/released, or a
+    * concurrent writer is mid-rewrite — either way ownership can't be
+    * confirmed, so leave it; an orphan goes stale and is swept). */
+  def release(c: Claim): Unit = {
+    val (fs, p) = BucketFs.resolve(claimPath(c.dir, c.gen))
+    try {
+      if (BucketFs.readString(claimPath(c.dir, c.gen)) == c.nonce)
+        fs.delete(p, false)
+    } catch { case _: java.io.IOException => () }
+    ()
+  }
+}

@@ -40,7 +40,9 @@ object Merge {
                           compressionLevel: Option[Int] = None,
                           timeColumn: String = "time",
                           writeMetadata: Boolean = false,
-                          distributeRenamesAbove: Int = DistributeRenamesAbove): Unit = {
+                          distributeRenamesAbove: Int = DistributeRenamesAbove,
+                          claimStaleness: Long =
+                            GenerationLock.DefaultStalenessMs): Unit = {
     Temporal.check(temporalPartitioning)
     val p = BucketInfo.readPartitioning(srcBucketDir)
     if (update) {
@@ -50,6 +52,16 @@ object Merge {
       require(dstTp.contains(temporalPartitioning),
         s"destination bucket uses temporal partitioning $dstTp, not $temporalPartitioning")
     }
+    // single-writer contract on the destination, enforced (shared
+    // [[GenerationLock]] protocol, whole-dir slot): two concurrent merges
+    // over one destination share `_staging` AND — under update=true —
+    // interleave per-period delete-then-rename passes, each deleting
+    // files the other just renamed in. The claim makes the second merge
+    // fail LOUDLY instead; a crashed merge's claim goes stale after the
+    // window and is swept by the next writer (its `_staging` debris is
+    // overwritten by the staging write below).
+    val claim = GenerationLock.claimDir(dstBucketDir, claimStaleness)
+    try {
 
     // BOTH flavors route through BucketReader.read: it reads in a cloned
     // session (label partition values stay strings, the bucket_info.yaml
@@ -100,6 +112,10 @@ object Merge {
       .toSeq
     val touchedPrefixes =
       byPeriodDir.map(_._1.getName.stripPrefix(s"$PeriodCol=")).toSet
+    // ownership re-assert before the destructive pass (update deletes +
+    // renames into live period dirs): a falsely stale-swept claim aborts
+    // here, with only the staging dir written — nothing destroyed
+    GenerationLock.verify(claim)
 
     // one task = one period-dir: update-deletes, mkdirs, renames. Small
     // merges run on the driver (16-way, no job overhead); past
@@ -165,5 +181,6 @@ object Merge {
     if (writeMetadata) DatasetMetadata.write(dstBucketDir)
     require(touchedPrefixes.nonEmpty || startTime.nonEmpty || endTime.nonEmpty,
       "merge produced no output files — is the source bucket empty?")
+    } finally GenerationLock.release(claim)
   }
 }

@@ -104,51 +104,10 @@ object TextIndex {
     Seq("postings", "termstats").foreach(sub =>
       BucketFs.dropGensAtOrAbove(s"$indexDir/$sub", committed))
 
-  /** How old a writer claim must be before the next writer treats the
-    * claimant as dead and sweeps the claim with the uncommitted-gen
-    * debris (ms; same staleness idiom as [[AnnIndex]]'s delete marker).
-    * Crash specs pass 0 at the call site. */
-  val DefaultClaimStalenessMs: Long = 10 * 60 * 1000L
-
-  private def claimPath(indexDir: String, gen: Int) =
-    s"$indexDir/_writer_claim_gen=$gen"
-
-  /** SERIALIZE concurrent writers on one uncommitted generation. Both
-    * append and compact stage rows into `gen = n_gens` before the
-    * manifest rename commits them; two sessions racing the same
-    * generation would each pass the stale-handle check (it is
-    * check-then-act), co-write the same gen directory, and the loser's
-    * manifest rename would commit a generation holding BOTH writers'
-    * rows — silent double counting. The claim file is created with
-    * FileSystem.create(overwrite = false) — atomic on HDFS and local FS
-    * — so exactly one racer proceeds and the other fails LOUDLY. A
-    * crashed claimant's file goes stale after `stalenessMs` and is swept
-    * by the next writer (its partial gen dir is already
-    * dropUncommittedGens debris). */
-  private def claimGen(indexDir: String, gen: Int, stalenessMs: Long): Unit = {
-    val (fs, p) = BucketFs.resolve(claimPath(indexDir, gen))
-    if (fs.exists(p)) {
-      val age = System.currentTimeMillis() -
-        fs.getFileStatus(p).getModificationTime
-      if (age < stalenessMs)
-        throw new IllegalStateException(
-          s"another session is writing generation $gen of $indexDir " +
-            s"(writer claim is $age ms old < $stalenessMs): retry after " +
-            "it commits, or after the staleness window if it is dead")
-      fs.delete(p, false)
-    }
-    val out =
-      try fs.create(p, false)
-      catch {
-        case _: java.io.IOException => throw new IllegalStateException(
-          s"lost the generation-$gen writer-claim race on $indexDir: " +
-            "another session claimed it concurrently — reload and retry")
-      }
-    out.close()
-  }
-
-  private def releaseClaim(indexDir: String, gen: Int): Unit =
-    BucketFs.deleteRecursive(claimPath(indexDir, gen))
+  /** Staleness window for the writer claim — the family-wide constant,
+    * see [[GenerationLock.DefaultStalenessMs]]. Kept as a named alias
+    * because it is this API's documented parameter default. */
+  val DefaultClaimStalenessMs: Long = GenerationLock.DefaultStalenessMs
 
   /** Build the index. One pass over the corpus: tokenize → per-(doc,
     * term) tf with dl denormalized → bucket-partitioned postings and
@@ -251,7 +210,7 @@ object TextIndex {
           "rebuild it (save) to enable compaction")
       // same writer-claim serialization as append: compact also stages
       // gen = n_gens before its manifest commit
-      claimGen(indexDir, nGens, claimStaleness)
+      val claim = GenerationLock.claim(indexDir, nGens, claimStaleness)
       try {
       val live = load(spark, indexDir)
       require(live.nGens == nGens && live.baseGen == baseGen,
@@ -269,12 +228,15 @@ object TextIndex {
         .select(col("bucket"), col("term"), col("id"), col("tf"), col("dl"))
         .localCheckpoint(true) // feeds postings + termstats writes: one read
       writeGen(merged, indexDir, gen = nGens)
+      // ownership re-assert right before the commit point: a falsely
+      // stale-swept claim aborts here instead of co-committing
+      GenerationLock.verify(claim)
       writeManifest(indexDir, nDocs, sumDl, nBuckets, nGens + 1, idCol,
         idRange, Seq((nDocs, sumDl)), baseGen = nGens)
       Seq("postings", "termstats").foreach(sub =>
         BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
       load(spark, indexDir)
-      } finally releaseClaim(indexDir, nGens)
+      } finally GenerationLock.release(claim)
     }
 
     /** Grow the index: the batch's postings and df-delta rows land in a
@@ -297,7 +259,7 @@ object TextIndex {
       // the same generation would both pass it and co-write one gen dir
       // — the atomic claim serializes them, and the loser's re-check
       // then reports the head moved
-      claimGen(indexDir, nGens, claimStaleness)
+      val claim = GenerationLock.claim(indexDir, nGens, claimStaleness)
       try {
       // a handle loaded before someone else's append would sweep THEIR
       // committed generation as "debris" — refuse loudly instead
@@ -337,10 +299,13 @@ object TextIndex {
       val newStats =
         if (genStats.length == nGens - baseGen) genStats :+ ((bN, bDl))
         else Nil
+      // ownership re-assert right before the commit point: a falsely
+      // stale-swept claim aborts here instead of co-committing
+      GenerationLock.verify(claim)
       writeManifest(indexDir, nDocs + bN, sumDl + bDl, nBuckets,
         nGens + 1, idCol, newRange, newStats, baseGen)
       load(spark, indexDir)
-      } finally releaseClaim(indexDir, nGens)
+      } finally GenerationLock.release(claim)
       // released in finally even on failure: the thrower is this live
       // process (not a crash), so no partial write can still be racing;
       // a KILLED process leaves the claim for the staleness sweep

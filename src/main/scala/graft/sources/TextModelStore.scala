@@ -85,19 +85,35 @@ object TextModelStore {
     * of a crashed earlier append is swept before writing. */
   def appendNaiveBayes(spark: SparkSession,
                        newLabeled: org.apache.spark.sql.DataFrame,
-                       textCol: String, labelCol: String, dir: String): Unit = {
-    val mf = manifest(dir, "naive_bayes")
-    val gen = long(mf, "gen")
-    BucketFs.dropGensAtOrAbove(s"$dir/counts", (gen + 1).toInt)
-    val prior = NaiveBayesCounts(
-      spark.read.parquet(s"$dir/counts/gen=$gen"),
-      long(mf, "nd_pos"), long(mf, "nd"))
-    val merged = TextAnalysis.naiveBayesMerge(prior,
-      TextAnalysis.naiveBayesCounts(newLabeled, textCol, labelCol))
-    TextAnalysis.naiveBayesFromCounts(merged) // guard before committing
-    merged.tokenCounts.write.mode("overwrite")
-      .parquet(s"$dir/counts/gen=${gen + 1}")
-    commitNb(dir, merged, gen + 1)
+                       textCol: String, labelCol: String, dir: String,
+                       claimStaleness: Long =
+                         GenerationLock.DefaultStalenessMs): Unit = {
+    val gen = long(manifest(dir, "naive_bayes"), "gen")
+    // writer-claim serialization on the STAGED generation (shared
+    // [[GenerationLock]] protocol, same as the indexes): two sessions
+    // racing the same head would both read gen, co-write gen+1, and the
+    // loser's manifest rename would commit merged counts containing BOTH
+    // batches exactly once each against ONE prior — double counting.
+    // Claim first, then re-read the head under the claim.
+    val claim = GenerationLock.claim(dir, (gen + 1).toInt, claimStaleness)
+    try {
+      val mf = manifest(dir, "naive_bayes")
+      require(long(mf, "gen") == gen,
+        s"stale model head: $dir moved to generation ${long(mf, "gen")} " +
+          s"while this append targeted $gen — retry against the new head")
+      BucketFs.dropGensAtOrAbove(s"$dir/counts", (gen + 1).toInt)
+      val prior = NaiveBayesCounts(
+        spark.read.parquet(s"$dir/counts/gen=$gen"),
+        long(mf, "nd_pos"), long(mf, "nd"))
+      val merged = TextAnalysis.naiveBayesMerge(prior,
+        TextAnalysis.naiveBayesCounts(newLabeled, textCol, labelCol))
+      TextAnalysis.naiveBayesFromCounts(merged) // guard before committing
+      merged.tokenCounts.write.mode("overwrite")
+        .parquet(s"$dir/counts/gen=${gen + 1}")
+      // ownership re-assert right before the commit point
+      GenerationLock.verify(claim)
+      commitNb(dir, merged, gen + 1)
+    } finally GenerationLock.release(claim)
   }
 
   /** Load the committed counts (the additive form). */
@@ -138,23 +154,35 @@ object TextModelStore {
     * commit, crashed-append debris is swept before writing. */
   def appendCharLm(spark: SparkSession,
                    corpus: org.apache.spark.sql.DataFrame, textCol: String,
-                   dir: String): Unit = {
-    val mf = manifest(dir, "char_lm")
-    val n = long(mf, "n").toInt
-    val gen = long(mf, "gen")
-    Seq("ngrams", "contexts").foreach(sub =>
-      BucketFs.dropGensAtOrAbove(s"$dir/$sub", (gen + 1).toInt))
-    val batch = TextAnalysis.charLmTrain(corpus, textCol, n)
-    def merge(sub: String, add: org.apache.spark.sql.DataFrame): Unit =
-      spark.read.parquet(s"$dir/$sub/gen=$gen")
-        .unionByName(add)
-        .groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
-        .write.mode("overwrite").parquet(s"$dir/$sub/gen=${gen + 1}")
-    merge("ngrams", batch.ngrams)
-    merge("contexts", batch.contexts)
-    commit(dir, List(
-      "model_type" -> JString("char_lm"), "n" -> JInt(n),
-      "gen" -> JInt(gen + 1)))
+                   dir: String,
+                   claimStaleness: Long =
+                     GenerationLock.DefaultStalenessMs): Unit = {
+    val gen = long(manifest(dir, "char_lm"), "gen")
+    // same writer-claim serialization as [[appendNaiveBayes]]: claim the
+    // staged generation first, re-read the head under the claim
+    val claim = GenerationLock.claim(dir, (gen + 1).toInt, claimStaleness)
+    try {
+      val mf = manifest(dir, "char_lm")
+      require(long(mf, "gen") == gen,
+        s"stale model head: $dir moved to generation ${long(mf, "gen")} " +
+          s"while this append targeted $gen — retry against the new head")
+      val n = long(mf, "n").toInt
+      Seq("ngrams", "contexts").foreach(sub =>
+        BucketFs.dropGensAtOrAbove(s"$dir/$sub", (gen + 1).toInt))
+      val batch = TextAnalysis.charLmTrain(corpus, textCol, n)
+      def merge(sub: String, add: org.apache.spark.sql.DataFrame): Unit =
+        spark.read.parquet(s"$dir/$sub/gen=$gen")
+          .unionByName(add)
+          .groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
+          .write.mode("overwrite").parquet(s"$dir/$sub/gen=${gen + 1}")
+      merge("ngrams", batch.ngrams)
+      merge("contexts", batch.contexts)
+      // ownership re-assert right before the commit point
+      GenerationLock.verify(claim)
+      commit(dir, List(
+        "model_type" -> JString("char_lm"), "n" -> JInt(n),
+        "gen" -> JInt(gen + 1)))
+    } finally GenerationLock.release(claim)
   }
 
   /** Load the committed gram counts; scoring through

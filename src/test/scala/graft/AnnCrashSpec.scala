@@ -211,4 +211,97 @@ class AnnCrashSpec extends AnyFunSuite {
       assert(survivors(dir).toSet == want)
     } finally BucketFs.deleteRecursive(dir)
   }
+
+  test("delete heartbeat: the liveness marker stays FRESH through a tmp " +
+       "rewrite longer than the staleness window, and is retired after") {
+    val dir = freshIndex("heartbeat")
+    try {
+      val marker = s"$dir/${AnnIndex.DeleteMarkerFile}"
+      def markerMtime(): Long = {
+        val (fs, p) = BucketFs.resolve(marker)
+        fs.getFileStatus(p).getModificationTime
+      }
+      // simulate a rewrite job that outlives a (tiny) staleness window:
+      // pause after the tmp write for several heartbeat periods and
+      // assert a reader adjudicating NOW would still see a live writer —
+      // the marker's age stays under the window because the beat
+      // refreshes its mtime, even though the delete started long before
+      val stalenessMs = 300L
+      var freshDuringRewrite = false
+      AnnIndex.deleteSwapHook = (p, _, _) =>
+        if (p == "afterTmpWrite") {
+          val t0 = markerMtime()
+          Thread.sleep(3 * stalenessMs)
+          freshDuringRewrite =
+            System.currentTimeMillis() - markerMtime() < stalenessMs
+          assert(markerMtime() > t0,
+            "heartbeat never refreshed the marker mtime")
+        }
+      try AnnIndex.loadIvfPq(spark, dir).delete(delIds,
+        markerHeartbeatMs = 50L)
+      finally AnnIndex.deleteSwapHook = (_, _, _) => ()
+      assert(freshDuringRewrite,
+        "marker went stale mid-rewrite: a racing reader would have " +
+          "adjudicated the live writer as crashed and swept its tmp dir")
+      // the beat is stopped BEFORE the marker is retired — no phantom
+      // writer left behind
+      assert(!BucketFs.exists(marker), "marker not retired after delete")
+      assert(survivors(dir).toSet == allIds.toSet -- delIds)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
+  test("concurrent sessions: the writer claim serializes appends — " +
+       "second session fails loudly, never co-writes a generation") {
+    val rnd = new scala.util.Random(47)
+    val vecs = (0L until 64L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annidx_cc").toString
+    try {
+      AnnIndex.saveIvfPq(vecs.where($"vec_id" < 32),
+        "vec_id", "embedding", dir, dims = 8, m = 2, k = 4, nList = 4)
+      // two INDEPENDENT SparkSessions each load the same head (nGens = 1)
+      val sA = spark.newSession(); val sB = spark.newSession()
+      val hA = AnnIndex.loadIvfPq(sA, dir)
+      val hB = AnnIndex.loadIvfPq(sB, dir)
+      assert(hA.nGens == 1 && hB.nGens == 1)
+      // A appends and commits generation 1
+      val grownA = hA.append(
+        vecs.where($"vec_id" >= 32 && $"vec_id" < 48), "embedding")
+      assert(grownA.nGens == 2)
+      // B's handle is now stale; without the claim-then-recheck ordering
+      // B would sweep A's COMMITTED gen 1 as debris and co-write it —
+      // silently double-posting codes. The claim re-check reports the
+      // moved head instead.
+      val eStale = intercept[IllegalArgumentException](
+        hB.append(vecs.where($"vec_id" >= 48), "embedding"))
+      assert(eStale.getMessage.contains("stale index handle"))
+      // B's refused attempt must not have disturbed A's committed codes
+      assert(survivors(dir).toSet == (0L until 48L).toSet)
+      // a LIVE claim held by another writer refuses the second session
+      // loudly before any mutation
+      val claim = s"$dir/_writer_claim_gen=2"
+      BucketFs.writeString(claim, "")
+      val eClaim = intercept[IllegalStateException](
+        AnnIndex.loadIvfPq(sB, dir).append(
+          vecs.where($"vec_id" >= 48), "embedding"))
+      assert(eClaim.getMessage.contains("another session is writing"))
+      // a STALE claim (dead writer) is swept and the append proceeds
+      val grownB = AnnIndex.loadIvfPq(sB, dir).append(
+        vecs.where($"vec_id" >= 48), "embedding", claimStaleness = 0L)
+      assert(grownB.nGens == 3)
+      assert(!BucketFs.exists(claim), "claim not released")
+      // serialized end state: every id present exactly once
+      val ids = survivors(dir)
+      assert(ids.size == ids.distinct.size, "a generation was co-written")
+      assert(ids.toSet == (0L until 64L).toSet)
+      // compactGens takes the same claim
+      BucketFs.writeString(s"$dir/_writer_claim_gen=3", "")
+      val eCmp = intercept[IllegalStateException](
+        AnnIndex.loadIvfPq(spark, dir).compactGens())
+      assert(eCmp.getMessage.contains("another session is writing"))
+      BucketFs.deleteRecursive(s"$dir/_writer_claim_gen=3")
+      assert(AnnIndex.loadIvfPq(spark, dir).compactGens().nGens == 4)
+      assert(survivors(dir).toSet == (0L until 64L).toSet)
+    } finally BucketFs.deleteRecursive(dir)
+  }
 }

@@ -5,7 +5,7 @@ import java.time.LocalDateTime
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.partitioning.{Extent, LonLatPartitioning}
-import graft.sources.{BucketInfo, BucketReader, BucketWriter, Merge}
+import graft.sources.{BucketFs, BucketInfo, BucketReader, BucketWriter, Merge}
 
 /** Pipeline round trips (reference test_routines.py:82-462 +
   * test_readers.py:88-257): write granules → layout → read back → merge →
@@ -88,6 +88,26 @@ class BucketSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Merge.mergeGranuleBuckets(spark, src, tmpDir("nodst"), update = true)
     }
+
+    // single-writer contract, enforced: a LIVE claim held by another
+    // merge session refuses this one LOUDLY before any staging write —
+    // two update merges interleaving per-period delete/rename passes
+    // would leave periods holding a mix of both runs' files
+    val claimFile = s"$dst/_writer_claim"
+    BucketFs.writeString(claimFile, "")
+    val eClaim = intercept[IllegalStateException] {
+      Merge.mergeGranuleBuckets(spark, src, dst,
+        temporalPartitioning = "month", update = true)
+    }
+    assert(eClaim.getMessage.contains("another session is writing"))
+    assert(BucketReader.read(spark, dst).count() == 150,
+      "refused merge disturbed the destination")
+    // a STALE claim (dead merge) is swept, the merge proceeds, and the
+    // claim is released afterwards
+    Merge.mergeGranuleBuckets(spark, src, dst, temporalPartitioning = "month",
+      update = true, claimStaleness = 0L)
+    assert(BucketReader.read(spark, dst).count() == 150)
+    assert(!BucketFs.exists(claimFile), "claim not released after merge")
   }
 
   test("writeGranulesBucket: per-granule fan-out with error capture (S9/S10)") {

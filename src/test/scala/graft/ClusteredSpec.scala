@@ -43,6 +43,44 @@ class ClusteredSpec extends AnyFunSuite {
     }
   }
 
+  test("writeClustered: the writer claim serializes concurrent rewrites " +
+       "and survives the overwrite (it lives BESIDE the table path)") {
+    import graft.sources.{BucketFs, GenerationLock}
+    val base = java.nio.file.Files.createTempDirectory("graft_clustered_cc").toString
+    val path = s"$base/t"
+    try {
+      val df = spark.range(1000).toDF("k").withColumn("v", $"k" % 7)
+      Clustered.writeClustered(df, "cs_cc", path, Seq("k"), nBuckets = 4)
+      // the claim is a SIBLING of the path: a fresh overwrite of the path
+      // must not have deleted it mid-write (it is released, so absent now)
+      val claimFile = s"${path}__writer_claim"
+      assert(!BucketFs.exists(claimFile), "claim not released after write")
+      // a LIVE claim held by another writer refuses this session loudly
+      // and leaves the committed table untouched
+      BucketFs.writeString(claimFile, "")
+      val e = intercept[IllegalStateException](
+        Clustered.writeClustered(df.limit(10), "cs_cc", path,
+          Seq("k"), nBuckets = 4))
+      assert(e.getMessage.contains("another session is writing"))
+      assert(spark.table("cs_cc").count() == 1000,
+        "refused writer disturbed the committed table")
+      // a STALE claim (dead writer) is swept and the rewrite proceeds
+      Clustered.writeClustered(df.limit(10), "cs_cc", path, Seq("k"),
+        nBuckets = 4, claimStaleness = 0L)
+      assert(spark.table("cs_cc").count() == 10)
+      assert(!BucketFs.exists(claimFile))
+      // claimBeside's layout really is outside the wiped path: a claim
+      // taken now still verifies after an overwrite wipes the path dir
+      val c = GenerationLock.claimBeside(path)
+      BucketFs.deleteRecursive(path)
+      GenerationLock.verify(c)
+      GenerationLock.release(c)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cs_cc")
+      BucketFs.deleteRecursive(base)
+    }
+  }
+
   test("grouping on the cluster key aggregates without an exchange") {
     val base = java.nio.file.Files.createTempDirectory("graft_clustered_agg").toString
     Clustered.writeClustered(

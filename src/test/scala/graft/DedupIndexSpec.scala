@@ -188,6 +188,60 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("concurrent sessions: the writer claim serializes appends — " +
+       "second session fails loudly, never co-writes a generation") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_cc").toString
+    try {
+      DedupIndex.save(corpus, "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      // two INDEPENDENT SparkSessions each load the same head (nGens = 1)
+      val sA = spark.newSession(); val sB = spark.newSession()
+      val hA = DedupIndex.load(sA, dir)
+      val hB = DedupIndex.load(sB, dir)
+      assert(hA.nGens == 1 && hB.nGens == 1)
+      // A appends and commits generation 1
+      val grownA = hA.append(docs(20L -> "session a archived prose"), "text")
+      assert(grownA.nGens == 2)
+      // B's handle is now stale; without the claim-then-recheck ordering
+      // B would pass its own pre-claim checks, sweep A's COMMITTED gen 1
+      // as debris, and co-write gen 1. The claim re-check reports the
+      // moved head instead.
+      val eStale = intercept[IllegalArgumentException](
+        hB.append(docs(21L -> "session b racing prose"), "text"))
+      assert(eStale.getMessage.contains("stale index handle"))
+      // B's refused attempt must not have disturbed A's committed rows
+      assert(DedupIndex.load(spark, dir).signatures
+        .where($"id" === 20L).count() == 1)
+      assert(DedupIndex.load(spark, dir).signatures
+        .where($"id" === 21L).count() == 0)
+      // a LIVE claim held by another writer refuses the second session
+      // loudly before any mutation
+      val claim = s"$dir/_writer_claim_gen=2"
+      BucketFs.writeString(claim, "")
+      val eClaim = intercept[IllegalStateException](
+        DedupIndex.load(sB, dir).append(docs(22L -> "gamma row"), "text"))
+      assert(eClaim.getMessage.contains("another session is writing"))
+      // a STALE claim (dead writer) is swept and the append proceeds
+      val grownB = DedupIndex.load(sB, dir).append(
+        docs(22L -> "gamma row archived"), "text", claimStaleness = 0L)
+      assert(grownB.nGens == 3)
+      assert(!BucketFs.exists(claim), "claim not released")
+      // serialized end state: each committed append present exactly once
+      val sigs = DedupIndex.load(spark, dir).signatures
+        .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(sigs.get(20L).contains(1L) && sigs.get(22L).contains(1L) &&
+        !sigs.contains(21L))
+      // compact takes the same claim: a live claim on the next gen
+      // refuses it too
+      BucketFs.writeString(s"$dir/_writer_claim_gen=3", "")
+      val eCmp = intercept[IllegalStateException](
+        DedupIndex.load(spark, dir).compact())
+      assert(eCmp.getMessage.contains("another session is writing"))
+      BucketFs.deleteRecursive(s"$dir/_writer_claim_gen=3")
+      assert(DedupIndex.load(spark, dir).compact().nGens == 4)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("load: non-index directory fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notadedupidx").toString
     try {

@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{BucketFs, GenerationLock}
+
+/** The shared writer-claim protocol that serializes concurrent mutators
+  * of the persisted artifacts (TextIndex / DedupIndex / AnnIndex /
+  * TextModelStore). Beyond the basic claim/busy/release cycle, this
+  * suite pins the two races the round-14 protocol left open:
+  * two recoverers adjudicating ONE stale claim (the delete-then-create
+  * sweep let both proceed), and a sweep that renames a FRESH claim
+  * because a new claimant landed between the staleness adjudication and
+  * the rename (detected, restored, reported busy; residue caught by the
+  * pre-commit verify). */
+class GenerationLockSpec extends AnyFunSuite {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString
+
+  private def claimFile(dir: String, gen: Int) =
+    s"$dir/_writer_claim_gen=$gen"
+
+  /** Back-date the claim file so the staleness window judges it dead. */
+  private def age(dir: String, gen: Int, ms: Long): Unit = {
+    val (fs, p) = BucketFs.resolve(claimFile(dir, gen))
+    val t = System.currentTimeMillis() - ms
+    fs.setTimes(p, t, t)
+  }
+
+  test("claim / busy / release cycle; release is ownership-checked") {
+    val dir = tmp("glock_basic")
+    val c = GenerationLock.claim(dir, 1)
+    assert(BucketFs.readString(claimFile(dir, 1)) == c.nonce)
+    // a second session is refused LOUDLY while the claim is fresh
+    val busy = intercept[IllegalStateException](GenerationLock.claim(dir, 1))
+    assert(busy.getMessage.contains("another session is writing"))
+    // verify passes while we still own it
+    GenerationLock.verify(c)
+    // release frees the generation for the next writer
+    GenerationLock.release(c)
+    assert(!BucketFs.exists(claimFile(dir, 1)))
+    val c2 = GenerationLock.claim(dir, 1)
+    // release with a token that no longer matches is a no-op: it must
+    // not delete the CURRENT holder's claim
+    GenerationLock.release(c)
+    assert(BucketFs.exists(claimFile(dir, 1)), "foreign release deleted a live claim")
+    GenerationLock.release(c2)
+  }
+
+  test("stale claim (dead writer) is swept atomically and re-taken") {
+    val dir = tmp("glock_stale")
+    val dead = GenerationLock.claim(dir, 3)
+    age(dir, 3, ms = 60 * 60 * 1000L) // claimant "crashed" an hour ago
+    val c = GenerationLock.claim(dir, 3, stalenessMs = 10 * 60 * 1000L)
+    assert(BucketFs.readString(claimFile(dir, 3)) == c.nonce)
+    // the dead claimant's token no longer verifies — a zombie that woke
+    // up mid-commit aborts instead of co-committing
+    val e = intercept[IllegalStateException](GenerationLock.verify(dead))
+    assert(e.getMessage.contains("no longer held"))
+    GenerationLock.release(c)
+    // no sweep debris left behind
+    val (fs, root) = BucketFs.resolve(dir)
+    assert(!fs.listStatus(root).exists(_.getPath.getName.contains(".swept.")))
+  }
+
+  test("two recoverers race one stale claim: exactly one proceeds") {
+    val dir = tmp("glock_recover")
+    GenerationLock.claim(dir, 5)
+    age(dir, 5, ms = 60 * 60 * 1000L)
+    // deterministic interleave: B stats the stale claim, pauses; A runs
+    // its ENTIRE claim (sweep + create) in the window; B resumes. Under
+    // the old delete-then-create sweep B would delete A's fresh claim
+    // and both would proceed. Under rename-to-unique B renames A's
+    // FRESH file, detects the freshness on re-stat, restores it, and
+    // reports busy.
+    var a: Option[GenerationLock.Claim] = None
+    var fired = false
+    val hook: String => Unit = {
+      case "afterStat" if !fired =>
+        fired = true
+        a = Some(GenerationLock.claim(dir, 5, 10 * 60 * 1000L, _ => ()))
+      case _ => ()
+    }
+    val busy = intercept[IllegalStateException](
+      GenerationLock.claim(dir, 5, 10 * 60 * 1000L, hook))
+    assert(busy.getMessage.contains("another session is writing"))
+    // A still owns the generation and can commit
+    GenerationLock.verify(a.get)
+    assert(BucketFs.readString(claimFile(dir, 5)) == a.get.nonce)
+    GenerationLock.release(a.get)
+    val (fs, root) = BucketFs.resolve(dir)
+    assert(!fs.listStatus(root).exists(_.getPath.getName.contains(".swept.")))
+  }
+
+  test("simultaneous recoverers (no interleave hook): at most one wins") {
+    val dir = tmp("glock_threads")
+    (1 to 5).foreach { round =>
+      GenerationLock.claim(dir, round)
+      age(dir, round, ms = 60 * 60 * 1000L)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val results = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Option[GenerationLock.Claim]] {
+          def call(): Option[GenerationLock.Claim] = {
+            start.await()
+            try Some(GenerationLock.claim(dir, round, 10 * 60 * 1000L))
+            catch { case _: IllegalStateException => None }
+          }
+        })
+      }
+      start.countDown()
+      val winners = results.flatMap(_.get())
+      pool.shutdown()
+      // the protocol's guarantee is "at most one writer COMMITS": a
+      // falsely-swept live claim can let a second claim() return, but
+      // the pre-commit verify() then passes for AT MOST ONE of them —
+      // that is what arbitrates the manifest rename
+      val committers = winners.filter(w =>
+        scala.util.Try(GenerationLock.verify(w)).isSuccess)
+      assert(committers.size <= 1,
+        s"round $round: ${committers.size} writers would have committed")
+      committers.foreach(GenerationLock.release)
+      BucketFs.deleteRecursive(claimFile(dir, round)) // next-round hygiene
+      // sweep left no aside debris in any interleaving
+      val (fs, root) = BucketFs.resolve(dir)
+      assert(!fs.listStatus(root).exists(_.getPath.getName.contains(".swept.")),
+        s"round $round left sweep debris")
+    }
+  }
+
+  test("pre-commit verify catches a hijacked claim (falsely-swept holder)") {
+    val dir = tmp("glock_hijack")
+    val c = GenerationLock.claim(dir, 7)
+    // simulate the residual race: our claim is stale-adjudicated by a
+    // recoverer (wrongly — we are alive) and re-taken
+    BucketFs.deleteRecursive(claimFile(dir, 7))
+    val thief = GenerationLock.claim(dir, 7)
+    val e = intercept[IllegalStateException](GenerationLock.verify(c))
+    assert(e.getMessage.contains("NOT committed"))
+    // our release must not delete the thief's claim
+    GenerationLock.release(c)
+    assert(BucketFs.readString(claimFile(dir, 7)) == thief.nonce)
+    GenerationLock.release(thief)
+  }
+
+  test("claim file vanishing between stat and sweep is handled (FNF window)") {
+    val dir = tmp("glock_fnf")
+    GenerationLock.claim(dir, 9)
+    age(dir, 9, ms = 60 * 60 * 1000L)
+    // B stats the stale claim; in the pause the claimant RELEASES (file
+    // gone); B's rename fails and it falls through to a clean create
+    var fired = false
+    val hook: String => Unit = {
+      case "afterStat" if !fired =>
+        fired = true; BucketFs.deleteRecursive(claimFile(dir, 9))
+      case _ => ()
+    }
+    val c = GenerationLock.claim(dir, 9, 10 * 60 * 1000L, hook)
+    GenerationLock.verify(c)
+    GenerationLock.release(c)
+  }
+}

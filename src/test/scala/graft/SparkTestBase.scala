@@ -19,6 +19,11 @@ object SparkTestBase {
       // the Hadoop FS API (backed by RawLocalFileSystem on disk), proving
       // the bucket plumbing never shortcuts through java.nio
       .config("spark.hadoop.fs.mock.impl", "graft.MockFs")
+      // plan-audit asserts read PartitionFilters/PushedFilters out of the
+      // formatted plan; the default 100-char cap truncates those lines
+      // once expression ids grow past 4 digits (suite-order dependent),
+      // so the same assert passes alone and fails after other suites
+      .config("spark.sql.maxMetadataStringLength", "4000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -221,6 +221,64 @@ class TextModelSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("TextModelStore: concurrent sessions — the writer claim serializes " +
+       "appends; second session fails loudly, never double-counts") {
+    import graft.sources.{BucketFs, TextModelStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_tms_cc").toString
+    try {
+      val labeled = Seq((true, "good good fine"), (true, "good"),
+        (false, "bad awful"), (false, "bad")).toDF("y", "text")
+      val oneShot = TextAnalysis.naiveBayesTrain(labeled, "text", "y")
+      val firstHalf = labeled.where($"text".isin("good", "bad"))
+      val secondHalf = labeled.where(!$"text".isin("good", "bad"))
+      TextModelStore.saveNaiveBayes(firstHalf, "text", "y", s"$dir/nb")
+      // a LIVE claim held by another session (mid-append) refuses this
+      // session LOUDLY before any mutation: without it, two sessions
+      // reading head gen=0 would each merge their batch into the SAME
+      // prior and the loser's manifest commit would double-count
+      val claim = s"$dir/nb/_writer_claim_gen=1"
+      BucketFs.writeString(claim, "")
+      val sB = spark.newSession()
+      val eClaim = intercept[IllegalStateException](
+        TextModelStore.appendNaiveBayes(sB, secondHalf, "text", "y",
+          s"$dir/nb"))
+      assert(eClaim.getMessage.contains("another session is writing"))
+      // the refused attempt must not have disturbed the committed model
+      val half = TextModelStore.loadNaiveBayes(spark, s"$dir/nb")
+      assert(half.tokenWeights.count() ==
+        TextAnalysis.naiveBayesTrain(firstHalf, "text", "y")
+          .tokenWeights.count())
+      // a STALE claim (dead writer) is swept and the append proceeds;
+      // the claim is released afterwards
+      TextModelStore.appendNaiveBayes(sB, secondHalf, "text", "y",
+        s"$dir/nb", claimStaleness = 0L)
+      assert(!BucketFs.exists(claim), "claim not released")
+      val merged = TextModelStore.loadNaiveBayes(spark, s"$dir/nb")
+      assert(merged.priorQ4 == oneShot.priorQ4 &&
+        merged.unknownQ4 == oneShot.unknownQ4)
+      assert(merged.tokenWeights.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        oneShot.tokenWeights.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      // char-LM appends take the same claim
+      val docs = Seq((0L, "abc abc"), (1L, "abcd")).toDF("doc_id", "text")
+      TextModelStore.saveCharLm(docs.where($"doc_id" === 0), "text",
+        s"$dir/clm", n = 3)
+      BucketFs.writeString(s"$dir/clm/_writer_claim_gen=1", "")
+      val eClm = intercept[IllegalStateException](
+        TextModelStore.appendCharLm(sB, docs.where($"doc_id" === 1), "text",
+          s"$dir/clm"))
+      assert(eClm.getMessage.contains("another session is writing"))
+      TextModelStore.appendCharLm(sB, docs.where($"doc_id" === 1), "text",
+        s"$dir/clm", claimStaleness = 0L)
+      val got = TextModelStore.loadCharLm(spark, s"$dir/clm")
+      val expect = TextAnalysis.charLmTrain(docs, "text", n = 3)
+      assert(got.ngrams.collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap == expect.ngrams.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("TextModelStore: exact round trips, crashed save fails loudly, type check") {
     import graft.sources.TextModelStore
     val dir = java.nio.file.Files.createTempDirectory("graft_tms").toString
