@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -162,11 +163,22 @@ object Dedup {
       val buckets = rows.groupBy("band", "band_sig")
         .agg(sort_array(collect_list(col(idCol))).as("__ids"))
       val n = size(col("__ids"))
+      // two CHAINED generators, not one flattened in-row array: the old
+      // `explode(flatten(transform(...)))` materialized a bucket's whole
+      // B²/2 pair-struct array in ONE allocation before the generator
+      // ever streamed a row — a memory cliff that OOM'd a task the
+      // moment a degenerate bucket got big enough (measured: a 30×
+      // replication run pushed a template-text bucket past the heap in
+      // the expansion stage itself, r15). posexplode streams the bucket
+      // as B rows, each exploding an O(B) successor slice, so peak
+      // per-row memory is O(B); a degenerate bucket still costs
+      // quadratic TIME under the uncapped contract (that is what
+      // maxBucketSize is for) but no longer detonates the executor.
       buckets.where(n >= 2)
-        .select(explode(flatten(transform(col("__ids"), (x, i) =>
-          transform(slice(col("__ids"), i + lit(2), n),
-            y => struct(x.as("a"), y.as("b")))))).as("__p"))
-        .select(col("__p.a").as("a"), col("__p.b").as("b"))
+        .select(posexplode(col("__ids")).as(Seq("__i", "a")), col("__ids"))
+        .select(col("a"), explode(
+          slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
+          .as("b"))
     }
     // Uncapped idiom (Int.MaxValue, used where the oracle is uncapped): no
     // bucket can exceed the cap, so skip the size probe — one scan, not two.
@@ -272,7 +284,16 @@ object Dedup {
 
     // localCheckpoint (eager) after every round: iterative self-joins grow
     // the logical plan exponentially otherwise — the driver OOMs on plan
-    // analysis long before the (tiny) data does
+    // analysis long before the (tiny) data does. SERIALIZED storage
+    // (MEMORY_AND_DISK_SER), not the default deserialized level: the
+    // checkpointed frames here are GRAPH-scale (the edge list is the
+    // uncapped pair set — quadratic in duplication-degenerate corpora),
+    // and caching them as deserialized JVM objects costs several× the
+    // raw bytes plus GC pressure; measured r15, a 30×-replicated corpus
+    // OOM'd the executor unrolling the deserialized edge cache where the
+    // serialized level completes. Compact serialized blocks spill to
+    // disk cleanly — the right trade for an intermediate that is scanned
+    // once per round, not point-queried.
     //
     // Integral ids are widened to long up front so BOTH paths emit the same
     // (node long, cluster_id long) schema — without this the output schema
@@ -285,11 +306,11 @@ object Dedup {
     val edges = normalized.select(col("a").as("src"), col("b").as("dst"))
       .union(normalized.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     // labels only ever decrease, so Σlabel is strictly monotone until the
     // fixpoint — comparing sums is a single cheap action per round instead
     // of a change-detection join
@@ -322,7 +343,7 @@ object Dedup {
           col("x.label") === col("__ln"), "left")
         .select(col("x.node").as("node"),
           least(col("x.label"), coalesce(col("__ll"), col("x.label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
       val newSum = updated.agg(sum(col("label"))).head().getLong(0)
       labels = updated
       converged = newSum == prevSum

@@ -303,6 +303,26 @@ object PipelineQueries extends QueryModule {
         .select($"sid", $"cluster_id", $"split")
     }),
 
+    // The PRODUCTION configuration of the leakage-safe split: candidate
+    // pairs come from the bucket-CAPPED LSH — buckets over the cap
+    // degrade to chained candidates (O(n) pairs; transitivity preserves
+    // the component a clique would span, see lshCandidatePairs) — so
+    // pair volume stays linear in corpus size no matter how
+    // duplication-degenerate the corpus gets. q210/q212 gate the
+    // oracle-exact UNCAPPED form; this is the plan a 100 TB run ships
+    // (measured r15: a 30×-replicated corpus pushes the uncapped pair
+    // set past 10^9 rows — one band bucket alone holds 18k docs — while
+    // the capped set stays corpus-linear). Cap = 8 so the chain branch
+    // BINDS on the sf0.01 fixture, proving the degraded path end-to-end.
+    "q215_cluster_split_capped" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.lshCandidatePairs(docs, "text", "doc_id",
+        shingleK = 8, numHashes = 8, bands = 4, maxBucketSize = 8)
+      graft.operators.Sampling.clusterAwareSplit(docs, pairs, "doc_id")
+        .select($"doc_id", $"cluster_id", $"split")
+    }),
+
     // Quality-aware group dedup on q45's clusters: among near-duplicates,
     // keep the longest copy (ties by smallest id) — not the arbitrary
     // min-id representative; singletons survive untouched.
@@ -3741,6 +3761,56 @@ object PipelineQueries extends QueryModule {
                  % 100 AS b
              FROM keyed)
       SELECT sid, cluster_id,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM bk""",
+
+    // q210's split over the bucket-CAPPED pair set: buckets at or under
+    // the cap (8) contribute all pairs, larger buckets contribute the
+    // consecutive-id chain — mirroring lshCandidatePairs' window split
+    // (COUNT and LEAD over the same (band, band_sig) partition)
+    "q215_cluster_split_capped" -> s"""
+      WITH RECURSIVE
+      prs AS (
+        WITH sig AS (${minhashSql(8)}),
+        bands AS (
+          SELECT doc_id, b.band,
+            CASE b.band
+              WHEN 0 THEN CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR)
+              WHEN 1 THEN CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR)
+              WHEN 2 THEN CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR)
+              ELSE CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) END AS band_sig
+          FROM sig, (SELECT UNNEST(generate_series(0, 3)) AS band) b),
+        sized AS (
+          SELECT doc_id, band, band_sig,
+            COUNT(*) OVER (PARTITION BY band, band_sig) AS bn,
+            LEAD(doc_id) OVER (PARTITION BY band, band_sig
+                               ORDER BY doc_id) AS nid
+          FROM bands)
+        SELECT DISTINCT a, b FROM (
+          SELECT l.doc_id AS a, r.doc_id AS b
+          FROM sized l JOIN sized r
+            ON l.band = r.band AND l.band_sig = r.band_sig
+           AND l.doc_id < r.doc_id
+          WHERE l.bn <= 8
+          UNION ALL
+          SELECT doc_id AS a, nid AS b FROM sized
+          WHERE bn > 8 AND nid IS NOT NULL)),
+      edges AS (SELECT a AS src, b AS dst FROM prs
+                UNION SELECT b, a FROM prs),
+      reach(node, other) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.other),
+      cl AS (SELECT node, MIN(other) AS cid FROM reach GROUP BY node),
+      keyed AS (SELECT d.doc_id, COALESCE(cl.cid, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN cl ON cl.node = d.doc_id),
+      bk AS (SELECT doc_id, cluster_id,
+               ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 12))::BIGINT
+                 % 100 AS b
+             FROM keyed)
+      SELECT doc_id, cluster_id,
         CASE WHEN b < 80 THEN 'train'
              WHEN b < 90 THEN 'val'
              ELSE 'test' END AS split
