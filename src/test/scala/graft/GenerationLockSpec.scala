@@ -144,6 +144,40 @@ class GenerationLockSpec extends AnyFunSuite {
     GenerationLock.release(thief)
   }
 
+  test("protocol speaks the Hadoop FS API: full cycle through a " +
+       "non-local scheme (mock:/)") {
+    // the claim must serialize writers on hdfs:// / s3a:// too — any
+    // java.nio shortcut in claim/verify/release would choke on the
+    // scheme-prefixed path (same proof pattern as HadoopFsSpec); the
+    // SparkSession registering fs.mock.impl must exist first
+    SparkTestBase.spark
+    val local = Files.createTempDirectory("graft_glock_mock")
+    local.toFile.deleteOnExit()
+    val dir = s"mock:$local"
+    val c = GenerationLock.claim(dir, 1)
+    assert(BucketFs.readString(claimFile(dir, 1)) == c.nonce)
+    val busy = intercept[IllegalStateException](GenerationLock.claim(dir, 1))
+    assert(busy.getMessage.contains("another session is writing"))
+    GenerationLock.verify(c)
+    GenerationLock.release(c)
+    assert(!BucketFs.exists(claimFile(dir, 1)))
+    // stale sweep (rename-to-unique) through the scheme too
+    GenerationLock.claim(dir, 2)
+    age(dir, 2, ms = 60 * 60 * 1000L)
+    val c2 = GenerationLock.claim(dir, 2, stalenessMs = 10 * 60 * 1000L)
+    GenerationLock.verify(c2)
+    GenerationLock.release(c2)
+    val (fs, root) = BucketFs.resolve(dir)
+    assert(!fs.listStatus(root).exists(_.getPath.getName.contains(".swept.")))
+    // the whole-dir and beside flavors resolve through the scheme as well
+    val cd = GenerationLock.claimDir(dir)
+    GenerationLock.release(cd)
+    val cb = GenerationLock.claimBeside(s"$dir/table")
+    assert(BucketFs.exists(s"$dir/table__writer_claim"))
+    GenerationLock.release(cb)
+    assert(!BucketFs.exists(s"$dir/table__writer_claim"))
+  }
+
   test("claim file vanishing between stat and sweep is handled (FNF window)") {
     val dir = tmp("glock_fnf")
     GenerationLock.claim(dir, 9)
