@@ -128,8 +128,13 @@ object AnnIndex {
       // same as TextIndex/DedupIndex), then re-check the head under it:
       // the stale-handle check is check-then-act, so two sessions racing
       // the same generation would both pass it and co-write one gen dir
-      // — silently double-posting codes
-      val claim = GenerationLock.claim(indexDir, nGens, claimStaleness)
+      // — silently double-posting codes. The WHOLE-DIR slot, not a
+      // per-generation one: this index also has an IN-PLACE mutator
+      // ([[delete]]), and append-vs-delete must exclude too — their
+      // manifest writes race last-writer-wins otherwise (an interleaved
+      // delete's as-of fence would be silently overwritten by this
+      // append's manifest, un-fencing mutated history).
+      val claim = GenerationLock.claimDir(indexDir, claimStaleness)
       try {
         requireFreshHead()
         BucketFs.dropGensAtOrAbove(s"$indexDir/codes", nGens)
@@ -164,9 +169,9 @@ object AnnIndex {
     def compactGens(claimStaleness: Long =
                       GenerationLock.DefaultStalenessMs): IvfPqIndex = {
       requireBatchManagedLocal("compact the stream layout with compactCodes")
-      // same writer-claim serialization as append: compact also stages
-      // gen = n_gens before its manifest commit
-      val claim = GenerationLock.claim(indexDir, nGens, claimStaleness)
+      // same writer-claim serialization as append (whole-dir slot: all
+      // three batch mutators of this index exclude each other)
+      val claim = GenerationLock.claimDir(indexDir, claimStaleness)
       try {
         requireFreshHead()
         val spark = codes.sparkSession
@@ -205,13 +210,26 @@ object AnnIndex {
       * the rewrite takes. */
     def delete(ids: Seq[Long],
                markerHeartbeatMs: Long =
-                 GenerationLock.DefaultStalenessMs / 4): IvfPqIndex = {
-      requireBatchManaged("stop the stream and compact before deleting")
+                 GenerationLock.DefaultStalenessMs / 4,
+               claimStaleness: Long =
+                 GenerationLock.DefaultStalenessMs): IvfPqIndex = {
+      requireBatchManagedLocal("stop the stream and compact before deleting")
       require(markerHeartbeatMs > 0, "markerHeartbeatMs must be positive")
       require(ids.nonEmpty, "delete needs at least one id")
       require(ids.length <= 1000000,
         "literal tombstone sets are bounded at 1M ids — stage larger " +
           "deletes as a frame and anti-join a rebuild")
+      // the SAME whole-dir writer claim as append/compactGens: delete
+      // mutates IN PLACE (shared codes_rewrite_tmp, per-cell directory
+      // swaps, a manifest rewrite carrying the as-of fence), so two
+      // concurrent deletes would interleave swap loops over one tmp dir,
+      // and a delete racing an append would lose one side's manifest
+      // fields last-writer-wins. The delete MARKER below stays distinct:
+      // the claim is writer-vs-writer mutual exclusion, the marker is
+      // writer-vs-READER liveness (repair guards adjudicate on it).
+      val claim = GenerationLock.claimDir(indexDir, claimStaleness)
+      try {
+      requireFreshHead()
       val spark = codes.sparkSession
       // the raw read keeps `gen`: deleted ids may live in any committed
       // generation, and the rewrite must land back in the SAME one.
@@ -274,7 +292,11 @@ object AnnIndex {
           // the last aside was dropped but the post-loop manifest write
           // never ran — history would then have been served silently
           // mutated. From here on, any crash leaves the fence already on
-          // disk before ANY debris can exist.
+          // disk before ANY debris can exist. Ownership re-assert first:
+          // a falsely stale-swept claim aborts before the first in-place
+          // mutation, with only the marker written (harmless: it goes
+          // stale and readers resume).
+          GenerationLock.verify(claim)
           writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
             quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
           BucketFs.deleteRecursive(tmp)
@@ -322,6 +344,7 @@ object AnnIndex {
         BucketFs.deleteRecursive(markerPath)
       }
       loadIvfPq(spark, indexDir)
+      } finally GenerationLock.release(claim)
     }
 
     /** Top-k ADC search against the persisted index; identical results to

@@ -278,13 +278,21 @@ class AnnCrashSpec extends AnyFunSuite {
       // B's refused attempt must not have disturbed A's committed codes
       assert(survivors(dir).toSet == (0L until 48L).toSet)
       // a LIVE claim held by another writer refuses the second session
-      // loudly before any mutation
-      val claim = s"$dir/_writer_claim_gen=2"
+      // loudly before any mutation. The slot is WHOLE-DIR (one mutex for
+      // append/compactGens/delete): this index has an in-place mutator,
+      // so every mutator pair must exclude, not just same-generation
+      // appends
+      val claim = s"$dir/_writer_claim"
       BucketFs.writeString(claim, "")
       val eClaim = intercept[IllegalStateException](
         AnnIndex.loadIvfPq(sB, dir).append(
           vecs.where($"vec_id" >= 48), "embedding"))
       assert(eClaim.getMessage.contains("another session is writing"))
+      // delete is refused by the SAME live claim — append-vs-delete is
+      // the manifest-last-writer-wins race the whole-dir slot closes
+      val eDel = intercept[IllegalStateException](
+        AnnIndex.loadIvfPq(sB, dir).delete(Seq(0L)))
+      assert(eDel.getMessage.contains("another session is writing"))
       // a STALE claim (dead writer) is swept and the append proceeds
       val grownB = AnnIndex.loadIvfPq(sB, dir).append(
         vecs.where($"vec_id" >= 48), "embedding", claimStaleness = 0L)
@@ -295,13 +303,18 @@ class AnnCrashSpec extends AnyFunSuite {
       assert(ids.size == ids.distinct.size, "a generation was co-written")
       assert(ids.toSet == (0L until 64L).toSet)
       // compactGens takes the same claim
-      BucketFs.writeString(s"$dir/_writer_claim_gen=3", "")
+      BucketFs.writeString(claim, "")
       val eCmp = intercept[IllegalStateException](
         AnnIndex.loadIvfPq(spark, dir).compactGens())
       assert(eCmp.getMessage.contains("another session is writing"))
-      BucketFs.deleteRecursive(s"$dir/_writer_claim_gen=3")
+      BucketFs.deleteRecursive(claim)
       assert(AnnIndex.loadIvfPq(spark, dir).compactGens().nGens == 4)
       assert(survivors(dir).toSet == (0L until 64L).toSet)
+      // delete under no contention proceeds and releases its claim
+      val afterDel = AnnIndex.loadIvfPq(spark, dir).delete(Seq(63L))
+      assert(survivors(dir).toSet == (0L until 63L).toSet)
+      assert(!BucketFs.exists(claim), "delete did not release the claim")
+      assert(afterDel.nGens == 4)
     } finally BucketFs.deleteRecursive(dir)
   }
 }
