@@ -162,7 +162,10 @@ object AnnIndex {
       * (`gen = nGens`), one atomic manifest rename commits
       * `base_gen = nGens, n_gens = nGens + 1` (readers filter
       * `base_gen <= gen < n_gens`, so there is NO unreadable window), and
-      * the unreferenced old generations are vacuumed after the commit.
+      * the unreferenced old generations are vacuumed after the commit. A handle loaded BEFORE the
+      * commit whose lazy scan races the vacuum fails LOUDLY
+      * (FILE_NOT_EXIST on the vacuumed generation) — never silently
+      * wrong; reload at head and retry.
       * Search results are unchanged — code rows union verbatim; the
       * frozen centroids/codebook don't move. As-of history renumbers at
       * the compaction point. */

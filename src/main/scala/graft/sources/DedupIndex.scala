@@ -199,7 +199,10 @@ object DedupIndex {
       * `base_gen = nGens, n_gens = nGens + 1` (readers filter
       * `base_gen <= gen < n_gens`, so there is NO unreadable window), and
       * the now-unreferenced old generations are vacuumed after the
-      * commit. Candidates are unchanged by construction — rows are
+      * commit. A handle loaded BEFORE the
+      * commit whose lazy scan races the vacuum fails LOUDLY
+      * (FILE_NOT_EXIST on the vacuumed generation) — never silently
+      * wrong; reload at head and retry. Candidates are unchanged by construction — rows are
       * unioned verbatim. As-of history restarts at the compaction point.
       * Stop any attached ingest stream first (its pinned generation base
       * would dangle; stream sidecars live with the stream's output, so

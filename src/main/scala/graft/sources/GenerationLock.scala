@@ -37,6 +37,16 @@ import org.apache.hadoop.fs.Path
   * orchestration, satbucket/routines.py:219-250); at 100 TB, two
   * schedulers retrying one ingest job is an expected failure mode, not
   * an exotic one.
+  *
+  * Object-store caveat (same honesty as [[BucketFs]]'s rename notes): on
+  * stores whose rename is copy+delete (raw S3A), the stale-claim sweep
+  * loses its atomicity and `create(overwrite = false)` may be
+  * check-then-act — the protocol then rests entirely on the nonce
+  * read-back plus the pre-commit [[verify]], which still guarantee AT
+  * MOST ONE COMMIT per claim slot (the invariant the thread-stress spec
+  * pins); only the loud-refusal-vs-lost-race error message degrades. On
+  * HDFS-semantics stores (HDFS, ABFS, GCS rename) every step is atomic
+  * as documented.
   */
 object GenerationLock {
 
