@@ -144,6 +144,30 @@ class GenerationLockSpec extends AnyFunSuite {
     GenerationLock.release(thief)
   }
 
+  test("an UNREADABLE claim adjudicates as not-held, never escapes as a " +
+       "raw FS error") {
+    // the local checksummed FS writes a .crc sidecar; a reader racing
+    // another writer's in-flight rewrite can see an inconsistent
+    // data/.crc pair and get ChecksumException from readString. Simulate
+    // deterministically: rewrite the claim's DATA bytes behind the
+    // checksum's back (raw java.nio, sidecar untouched). verify() must
+    // abort the commit with the protocol's own loud error — the claim is
+    // not safely ours — and release() must be a no-op instead of
+    // crashing or deleting a file it cannot confirm it owns.
+    val dir = tmp("glock_crc")
+    val c = GenerationLock.claim(dir, 11)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(claimFile(dir, 11)),
+      ("garbage-" + c.nonce).getBytes("UTF-8"))
+    intercept[java.io.IOException](BucketFs.readString(claimFile(dir, 11)))
+    val e = intercept[IllegalStateException](GenerationLock.verify(c))
+    assert(e.getMessage.contains("NOT committed") &&
+      e.getMessage.contains("unreadable"))
+    GenerationLock.release(c) // no throw, file left for the staleness sweep
+    val (fs, p) = BucketFs.resolve(claimFile(dir, 11))
+    assert(fs.exists(p), "release deleted a claim it could not confirm")
+  }
+
   test("protocol speaks the Hadoop FS API: full cycle through a " +
        "non-local scheme (mock:/)") {
     // the claim must serialize writers on hdfs:// / s3a:// too — any
