@@ -168,9 +168,14 @@ object AnnIndex {
       * wrong; reload at head and retry.
       * Search results are unchanged — code rows union verbatim; the
       * frozen centroids/codebook don't move. As-of history renumbers at
-      * the compaction point. */
+      * the compaction point.
+      *
+      * `vacuum = false` defers deleting the pre-compaction generations
+      * for reader grace (same knob as `TextIndex.compact`); retire them
+      * later with [[vacuumOldGens]]. */
     def compactGens(claimStaleness: Long =
-                      GenerationLock.DefaultStalenessMs): IvfPqIndex = {
+                      GenerationLock.DefaultStalenessMs,
+                    vacuum: Boolean = true): IvfPqIndex = {
       requireBatchManagedLocal("compact the stream layout with compactCodes")
       // same writer-claim serialization as append (whole-dir slot: all
       // three batch mutators of this index exclude each other)
@@ -186,9 +191,23 @@ object AnnIndex {
         writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
           quantizeScale, idCol, nGens + 1, baseGen = nGens,
           asOfFence = asOfFence)
-        BucketFs.dropGensBelow(s"$indexDir/codes", nGens)
+        if (vacuum) BucketFs.dropGensBelow(s"$indexDir/codes", nGens)
         loadIvfPq(spark, indexDir)
       } finally GenerationLock.release(claim)
+    }
+
+    /** Retire generations a `compactGens(vacuum = false)` superseded:
+      * delete every code generation below the LIVE manifest's
+      * `base_gen`. Claimless, idempotent, and safe against every mutator
+      * — see `TextIndex.vacuumOldGens` for the argument. */
+    def vacuumOldGens(): IvfPqIndex = {
+      require(!asOf,
+        s"as-of (time-travel) handles are read-only; reload $indexDir at " +
+          "head to vacuum")
+      val spark = codes.sparkSession
+      val liveBase = readMeta(indexDir).baseGen
+      BucketFs.dropGensBelow(s"$indexDir/codes", liveBase)
+      loadIvfPq(spark, indexDir)
     }
     /** Delete vectors by id — the remaining lifecycle verb after
       * save/load/search/append/stream-ingest. Rewrites ONLY the cell

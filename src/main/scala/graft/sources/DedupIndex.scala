@@ -206,9 +206,14 @@ object DedupIndex {
       * unioned verbatim. As-of history restarts at the compaction point.
       * Stop any attached ingest stream first (its pinned generation base
       * would dangle; stream sidecars live with the stream's output, so
-      * this cannot be detected index-side). */
+      * this cannot be detected index-side).
+      *
+      * `vacuum = false` defers deleting the pre-compaction generations
+      * for reader grace (same knob as [[TextIndex]]'s compact); retire
+      * them later with [[vacuumOldGens]]. */
     def compact(claimStaleness: Long =
-                  GenerationLock.DefaultStalenessMs): MinHashIndex = {
+                  GenerationLock.DefaultStalenessMs,
+                vacuum: Boolean = true): MinHashIndex = {
       require(!asOf,
         s"as-of (time-travel) handles are read-only; reload $indexDir at " +
           "head to compact")
@@ -242,10 +247,27 @@ object DedupIndex {
       GenerationLock.verify(claim)
       writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol,
         baseGen = nGens)
-      Seq("bands", "signatures", "bucket_stats").foreach(sub =>
-        BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
+      if (vacuum)
+        Seq("bands", "signatures", "bucket_stats").foreach(sub =>
+          BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
       load(spark, indexDir)
       } finally GenerationLock.release(claim)
+    }
+
+    /** Retire generations a `compact(vacuum = false)` superseded:
+      * delete every generation below the LIVE manifest's `base_gen`.
+      * Claimless, idempotent, and safe against every mutator — see
+      * `TextIndex.vacuumOldGens` for the argument (the deleted set is
+      * referenced by no mutator and no current-head reader, and a racing
+      * compact only moves `base_gen` up). */
+    def vacuumOldGens(): MinHashIndex = {
+      require(!asOf,
+        s"as-of (time-travel) handles are read-only; reload $indexDir at " +
+          "head to vacuum")
+      val liveBase = load(spark, indexDir).baseGen
+      Seq("bands", "signatures", "bucket_stats").foreach(sub =>
+        BucketFs.dropGensBelow(s"$indexDir/$sub", liveBase))
+      load(spark, indexDir)
     }
 
     /** Index `batch` incrementally: batch-sized appends to the band

@@ -200,8 +200,17 @@ object TextIndex {
       * don't move. As-of history restarts at the compaction point (the
       * pre-compaction generations no longer exist to travel to). Refused
       * while a stream-ingest sidecar is attached (its pinned generation
-      * base would dangle). */
-    def compact(claimStaleness: Long = DefaultClaimStalenessMs): Bm25Index = {
+      * base would dangle).
+      *
+      * `vacuum = false` defers deleting the pre-compaction generations:
+      * post-commit readers ignore them (the gen filter is
+      * `base_gen <= gen < n_gens`), but handles loaded BEFORE the commit
+      * keep answering from the old files instead of failing loudly
+      * mid-scan — the reader-grace knob for long-running queries at
+      * 100 TB. Retire the superseded generations later with
+      * [[vacuumOldGens]]. */
+    def compact(claimStaleness: Long = DefaultClaimStalenessMs,
+                vacuum: Boolean = true): Bm25Index = {
       require(!asOf,
         s"as-of (time-travel) handles are read-only; reload $indexDir at " +
           "head to compact")
@@ -233,10 +242,31 @@ object TextIndex {
       GenerationLock.verify(claim)
       writeManifest(indexDir, nDocs, sumDl, nBuckets, nGens + 1, idCol,
         idRange, Seq((nDocs, sumDl)), baseGen = nGens)
-      Seq("postings", "termstats").foreach(sub =>
-        BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
+      if (vacuum)
+        Seq("postings", "termstats").foreach(sub =>
+          BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
       load(spark, indexDir)
       } finally GenerationLock.release(claim)
+    }
+
+    /** Retire generations a compaction superseded but left on disk
+      * (`compact(vacuum = false)`): delete every generation below the
+      * LIVE manifest's `base_gen`. Claimless by design — those
+      * generations are referenced by NO mutator and NO current-head
+      * reader (every filter is `base_gen <= gen < n_gens`), and a
+      * concurrent compact only moves `base_gen` UP, so the set this
+      * deletes can only shrink what a racing vacuum would also delete.
+      * Idempotent. Pre-compaction handles that were enjoying the grace
+      * period fail loudly on their next action, as documented on
+      * [[compact]]. */
+    def vacuumOldGens(): Bm25Index = {
+      require(!asOf,
+        s"as-of (time-travel) handles are read-only; reload $indexDir at " +
+          "head to vacuum")
+      val liveBase = load(spark, indexDir).baseGen
+      Seq("postings", "termstats").foreach(sub =>
+        BucketFs.dropGensBelow(s"$indexDir/$sub", liveBase))
+      load(spark, indexDir)
     }
 
     /** Grow the index: the batch's postings and df-delta rows land in a

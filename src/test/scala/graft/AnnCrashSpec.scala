@@ -212,6 +212,28 @@ class AnnCrashSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("compactGens(vacuum = false): reader grace, then vacuumOldGens " +
+       "retires the superseded generations") {
+    val dir = freshIndex("vac") // already gens [0, 2): save + append
+    try {
+      val pre = AnnIndex.loadIvfPq(spark, dir)
+      val want = survivors(dir).toSet
+      val preCodes = pre.codes.count()
+      val compacted = pre.compactGens(vacuum = false)
+      assert(compacted.baseGen == 2 && compacted.nGens == 3)
+      def gens = new java.io.File(s"$dir/codes").listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).toSet
+      assert(gens == Set("gen=0", "gen=1", "gen=2"), s"got $gens")
+      // the pre-compact handle still reads its generations (grace)
+      assert(pre.codes.count() == preCodes)
+      assert(survivors(dir).toSet == want)
+      val after = compacted.vacuumOldGens()
+      assert(gens == Set("gen=2"), s"got $gens")
+      assert(survivors(dir).toSet == want)
+      assert(after.codes.count() == preCodes)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("delete heartbeat: the liveness marker stays FRESH through a tmp " +
        "rewrite longer than the staleness window, and is retired after") {
     val dir = freshIndex("heartbeat")

@@ -122,6 +122,33 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("compact(vacuum = false): reader grace, then vacuumOldGens retires " +
+       "the superseded generations") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_vac").toString
+    try {
+      DedupIndex.save(corpus.where(col("id") < 3), "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      val pre = DedupIndex.load(spark, dir)
+        .append(corpus.where(col("id") >= 3), "text") // gens [0, 2)
+      val expect = pre.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet
+      val compacted = pre.compact(vacuum = false)
+      assert(compacted.baseGen == 2 && compacted.nGens == 3)
+      def gens = new java.io.File(s"$dir/bands").listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).toSet
+      assert(gens == Set("gen=0", "gen=1", "gen=2"), s"got $gens")
+      // the pre-compact handle still answers from the old generations
+      assert(pre.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet == expect)
+      assert(compacted.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet == expect)
+      val after = compacted.vacuumOldGens()
+      assert(gens == Set("gen=2"), s"got $gens")
+      assert(after.candidates(batch, "text", maxBucketSize = Int.MaxValue)
+        .collect().map(_.toSeq).toSet == expect)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("compact: folds generations, candidates unchanged, vacuumed dirs") {
     val dir = java.nio.file.Files.createTempDirectory("dedupidx_cmp").toString
     try {

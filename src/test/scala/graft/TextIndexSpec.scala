@@ -73,6 +73,40 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("compact(vacuum = false): pre-commit handles keep reader grace; " +
+       "vacuumOldGens retires the superseded generations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_vac").toString
+    try {
+      TextIndex.save(fixture.where($"doc_id" < 2), "text", "doc_id", dir,
+        nBuckets = 8)
+      val pre = TextIndex.load(spark, dir)
+        .append(fixture.where($"doc_id" >= 2), "text") // gens [0, 2)
+      val expect = pre.search(Seq("table", "scan"), topK = 10)
+        .collect().map(_.toSeq).toSet
+      val compacted = pre.compact(vacuum = false)
+      assert(compacted.baseGen == 2 && compacted.nGens == 3)
+      def gens = new java.io.File(s"$dir/postings").listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).toSet
+      // superseded generations STAY on disk...
+      assert(gens == Set("gen=0", "gen=1", "gen=2"), s"got $gens")
+      // ...so the PRE-COMPACT handle still answers correctly (its gen
+      // filter [0, 2) never sees the staged gen=2) — the grace window
+      assert(pre.search(Seq("table", "scan"), topK = 10)
+        .collect().map(_.toSeq).toSet == expect)
+      // the post-compact handle ignores them (filter [2, 3))
+      assert(compacted.search(Seq("table", "scan"), topK = 10)
+        .collect().map(_.toSeq).toSet == expect)
+      // vacuum retires exactly the generations below the live base
+      val after = compacted.vacuumOldGens()
+      assert(gens == Set("gen=2"), s"got $gens")
+      assert(after.search(Seq("table", "scan"), topK = 10)
+        .collect().map(_.toSeq).toSet == expect)
+      // idempotent
+      after.vacuumOldGens()
+      assert(gens == Set("gen=2"))
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("compact: folds generations, scores unchanged, history renumbers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ti_cmp").toString
     try {
