@@ -21,7 +21,14 @@ import org.apache.spark.sql.SparkSession
   *     figures) is re-timed after the main pass has moved hundreds of
   *     seconds away from the contention window, and the better figure
   *     wins. A burst can no longer fail a round unless it spans the
-  *     whole run.
+  *     whole run;
+  *  4. (round 16) a bounded steady-state warm-up at the TARGET scale
+  *     before the first timed query: the r15 closing board's first five
+  *     sub-second queries read 1.5-1.8x over pin from shared-
+  *     infrastructure JIT that per-query pre-runs don't amortize — the
+  *     head of the query list loops untimed until a loop stops
+  *     improving (or 45 s), so run order no longer decides who pays the
+  *     JVM's warm-up tax.
   *
   * SPARK_GRAFT_BENCH_STALL="qname:ms" injects a sleep into qname's MAIN
   * timed trials only (not the re-time pass) — the committed PERFNOTES
@@ -82,6 +89,34 @@ object Bench {
       .map(_.split(',').map(_.trim).toSet)
     def selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    // JVM-wide steady-state warm-up at the TARGET scale: the per-query
+    // untimed pre-run below absorbs query-LOCAL staging and JIT, but the
+    // first timed queries of a run still paid SHARED-infrastructure
+    // compilation (C2 on the parquet reader, the codegen framework, the
+    // shuffle paths) that every later query inherits for free — the r15
+    // closing board read its first five sub-second queries 1.5-1.8x over
+    // pin while everything after ran under pin, a drift band a real
+    // cheap-query regression could hide inside. Loop the head of the
+    // query list untimed at sfDir until a loop stops improving (>= 90%
+    // of the previous one, i.e. steady state) or the 45 s budget is
+    // spent — bounded, and ~3% of the full board's runtime.
+    locally {
+      val warmHead = selected.take(8)
+      val budgetNs = 45L * 1000 * 1000 * 1000
+      val wStart = System.nanoTime()
+      var prevLoop = Double.MaxValue
+      var warming = warmHead.nonEmpty
+      while (warming && System.nanoTime() - wStart < budgetNs) {
+        val t0 = System.nanoTime()
+        warmHead.foreach { case (_, fn) =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        }
+        val loopSec = (System.nanoTime() - t0) / 1e9
+        warming = loopSec < prevLoop * 0.9
+        prevLoop = loopSec
+      }
+    }
 
     // min-of-3 per query: single local[*] runs jitter ±15-25% under system
     // noise; the minimum of three trials is the stable, reproducible figure

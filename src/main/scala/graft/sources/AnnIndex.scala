@@ -76,10 +76,6 @@ object AnnIndex {
                               codes: DataFrame, asOf: Boolean = false,
                               baseGen: Int = 0, asOfFence: Int = 0) {
 
-    private def requireBatchManaged(verb: String): Unit = {
-      requireBatchManagedLocal(verb); requireFreshHead()
-    }
-
     /** The handle-local preconditions of the batch mutation verbs —
       * everything EXCEPT the head re-check, which the generation-staging
       * verbs must perform under the writer claim (the re-check is
@@ -172,7 +168,10 @@ object AnnIndex {
       *
       * `vacuum = false` defers deleting the pre-compaction generations
       * for reader grace (same knob as `TextIndex.compact`); retire them
-      * later with [[vacuumOldGens]]. */
+      * later with [[vacuumOldGens]] — only AFTER draining every reader
+      * that still holds a pre-compaction handle (an operator contract
+      * the engine cannot enforce; see README "Long-running readers
+      * (grace-window recipe)"). */
     def compactGens(claimStaleness: Long =
                       GenerationLock.DefaultStalenessMs,
                     vacuum: Boolean = true): IvfPqIndex = {
@@ -285,25 +284,44 @@ object AnnIndex {
         val markerMsg =
           s"delete in progress: ${affected.length} (gen, cell) dirs"
         BucketFs.writeStringAtomic(markerPath, markerMsg)
-        // HEARTBEAT: a daemon timer re-writes the marker (fresh mtime)
-        // every markerHeartbeatMs for as long as the delete runs, so a
+        // HEARTBEAT: a daemon timer refreshes the marker's mtime every
+        // markerHeartbeatMs for as long as the delete runs, so a
         // reader's staleness clock measures time-since-last-beat, not
         // time-since-delete-start. Without it, a tmp rewrite outliving
         // the staleness window (plausible for large affected-cell sets)
         // would let a default-staleness reader adjudicate this STILL-LIVE
         // writer as crashed and sweep codes_rewrite_tmp mid-write — the
-        // data-loss race the marker exists to close. Beat failures are
-        // swallowed: a transient FS hiccup must not kill the beat (the
-        // next tick retries), and the delete itself surfaces real FS
-        // errors through its own operations.
+        // data-loss race the marker exists to close. The refresh is
+        // fs.setTimes IN PLACE, not a rewrite: writeStringAtomic commits
+        // by rename, whose replace-existing fallback is delete-dst-then-
+        // rename on HDFS-semantics stores (Hadoop rename refuses an
+        // existing destination there), so every beat after the first
+        // would open a brief marker-ABSENT window in which a reader
+        // listing the root sees tmp debris with NO marker and sweeps the
+        // live writer's rewrite — the exact race the beat exists to
+        // close (the local FS rename overwrites in place, so only
+        // non-local stores see the gap; repairDeleteAsides additionally
+        // re-stats the marker before acting on marker-less debris as
+        // belt-and-braces). Stores without setTimes fall back to the
+        // rewrite — their rename is copy+delete anyway, so the re-stat
+        // guard is what covers them. Other beat failures are swallowed:
+        // a transient FS hiccup must not kill the beat (the next tick
+        // retries), and the delete itself surfaces real FS errors
+        // through its own operations.
         val heartbeat = java.util.concurrent.Executors
           .newSingleThreadScheduledExecutor { r =>
             val t = new Thread(r, "ann-delete-marker-heartbeat")
             t.setDaemon(true); t
           }
         heartbeat.scheduleAtFixedRate(
-          () => try BucketFs.writeStringAtomic(markerPath, markerMsg)
-                catch { case scala.util.control.NonFatal(_) => () },
+          () => try {
+            val (mfs, mp) = BucketFs.resolve(markerPath)
+            try mfs.setTimes(mp, System.currentTimeMillis(), -1)
+            catch {
+              case _: UnsupportedOperationException =>
+                BucketFs.writeStringAtomic(markerPath, markerMsg)
+            }
+          } catch { case scala.util.control.NonFatal(_) => () },
           markerHeartbeatMs, markerHeartbeatMs,
           java.util.concurrent.TimeUnit.MILLISECONDS)
         try {
@@ -696,8 +714,20 @@ object AnnIndex {
     val asides = entries.filter(
       _.getPath.getName.startsWith("codes_old_gen="))
     val tmpExists = entries.exists(_.getPath.getName == "codes_rewrite_tmp")
-    val marker = entries.find(_.getPath.getName == DeleteMarkerFile)
-    if (asides.isEmpty && !tmpExists && marker.isEmpty) return
+    val listed = entries.find(_.getPath.getName == DeleteMarkerFile)
+    if (asides.isEmpty && !tmpExists && listed.isEmpty) return
+    // marker-absent-but-debris-present gets ONE direct re-stat before
+    // being adjudicated as a crashed writer: the root listing and a live
+    // writer's beat can interleave, and on stores where the beat falls
+    // back to rewriting the marker (setTimes unsupported) the marker is
+    // briefly ABSENT mid-beat — sweeping the live writer's tmp dir on
+    // that evidence is the data-loss race the marker exists to close.
+    // One extra getFileStatus only on the already-rare debris path.
+    val marker = listed.orElse {
+      try Some(fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(root, DeleteMarkerFile)))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
     if (!force) marker.foreach { st =>
       val age = System.currentTimeMillis() - st.getModificationTime
       if (age < stalenessMs)

@@ -210,7 +210,10 @@ object DedupIndex {
       *
       * `vacuum = false` defers deleting the pre-compaction generations
       * for reader grace (same knob as [[TextIndex]]'s compact); retire
-      * them later with [[vacuumOldGens]]. */
+      * them later with [[vacuumOldGens]] — only AFTER draining every
+      * reader that still holds a pre-compaction handle (an operator
+      * contract the engine cannot enforce; see README "Long-running
+      * readers (grace-window recipe)"). */
     def compact(claimStaleness: Long =
                   GenerationLock.DefaultStalenessMs,
                 vacuum: Boolean = true): MinHashIndex = {

@@ -19,7 +19,14 @@ import org.apache.hadoop.fs.Path
   * nonce written into the file and read back arbitrates even on
   * filesystems whose create is itself check-then-act (raw local FS).
   *
-  * A crashed claimant's file goes stale after `stalenessMs` and is swept
+  * A LIVE claimant is kept fresh by a heartbeat: [[claim]] starts a
+  * daemon timer that refreshes the claim file's mtime (fs.setTimes, no
+  * rewrite) every `stalenessMs/4` until [[release]], so a writer whose
+  * staged data job outruns the staleness window — routine at 100 TB —
+  * is never falsely adjudicated dead, swept, and raced into the same
+  * generation directory by a contender (whose commit would co-mingle
+  * both writers' late-landing task files). A crashed claimant stops
+  * beating; its file goes stale after `stalenessMs` and is swept
   * by the next writer (its partial gen dir is already
   * uncommitted-debris the mutation sweeps separately). The sweep is
   * ATOMIC — rename-to-unique, so of two recoverers racing one stale
@@ -62,7 +69,14 @@ object GenerationLock {
     * [[verify]] and [[release]] check against the on-disk claim, so a
     * claim that was falsely swept and re-taken by another session is
     * detected instead of silently co-committed. */
-  final case class Claim(dir: String, gen: Int, nonce: String)
+  final case class Claim(dir: String, gen: Int, nonce: String) {
+    // the claim-freshness heartbeat (started by claim(), stopped by
+    // release()) — deliberately NOT a constructor field: two tokens for
+    // one slot compare equal regardless of beat state, and specs that
+    // build tokens by hand get no beat to manage
+    @transient private[sources] var beat:
+      Option[java.util.concurrent.ScheduledExecutorService] = None
+  }
 
   /** Reserved slots of the non-generational claim flavors ([[claimDir]],
     * [[claimBeside]]); real staged generations are >= 0. */
@@ -175,6 +189,54 @@ object GenerationLock {
     // FS), two racers may both have "created" — the file now holds
     // exactly one racer's nonce, so at most one proceeds
     verify(c)
+    // 4. HEARTBEAT the claim for the duration of the mutation: the
+    // staleness adjudication above measures time-since-last-mtime, so a
+    // claim that is never refreshed makes a LIVE writer whose staged
+    // data job outruns stalenessMs (routine at 100 TB) look crashed — a
+    // contending writer then sweeps it, claims the same generation, and
+    // the victim's still-running Spark job lands task files into the
+    // SAME gen directory the contender later commits (the victim's own
+    // manifest rename is stopped by [[verify]], but the contender's
+    // generation would co-mingle both writers' rows). A daemon timer
+    // refreshes the claim file's mtime IN PLACE (fs.setTimes — no
+    // rewrite, so there is never a claim-absent or torn-content window)
+    // every stalenessMs/4, keeping a live writer's claim fresh no
+    // matter how long its mutation runs; same beat shape as
+    // [[AnnIndex]]'s delete liveness marker. Beat hygiene: a tick that
+    // finds the file GONE (released/committed, or falsely swept) stops
+    // itself — an orphan beat must never re-freshen a SUCCESSOR's claim
+    // forever (that would wedge staleness recovery for as long as this
+    // process lives). Other failures are swallowed: a transient FS
+    // hiccup must not kill the beat, and stores whose setTimes is
+    // unsupported (raw object stores) fall back to rewriting the same
+    // nonce — those stores' rename is copy+delete anyway, so the
+    // protocol there already rests on the nonce + pre-commit verify
+    // (see the object-store caveat above). stalenessMs = 0 skips the
+    // beat entirely (crash specs: the simulated writer is dead by
+    // construction, and there is no window to defend).
+    val period = stalenessMs / 4
+    if (period > 0) {
+      val exec = java.util.concurrent.Executors
+        .newSingleThreadScheduledExecutor { r =>
+          val t = new Thread(r, s"writer-claim-heartbeat-${p.getName}")
+          t.setDaemon(true); t
+        }
+      exec.scheduleAtFixedRate(
+        () => try {
+          try fs.setTimes(p, System.currentTimeMillis(), -1)
+          catch {
+            case _: UnsupportedOperationException =>
+              val out = fs.create(p, true)
+              try out.write(nonce.getBytes(StandardCharsets.UTF_8))
+              finally out.close()
+          }
+        } catch {
+          case _: java.io.FileNotFoundException => exec.shutdown()
+          case scala.util.control.NonFatal(_) => ()
+        },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      c.beat = Some(exec)
+    }
     c
   }
 
@@ -210,13 +272,52 @@ object GenerationLock {
     * session's claim would re-open the race the claim serializes. A
     * missing OR unreadable file is a no-op (already swept/released, or a
     * concurrent writer is mid-rewrite — either way ownership can't be
-    * confirmed, so leave it; an orphan goes stale and is swept). */
+    * confirmed, so leave it; an orphan goes stale and is swept).
+    *
+    * Stops the claim heartbeat FIRST (before any file operation): a
+    * beat tick racing the delete below could otherwise resurrect the
+    * claim on stores where the beat rewrites instead of setTimes,
+    * leaving a phantom holder that blocks the slot until it goes stale.
+    *
+    * Ownership is confirmed by rename-to-unique-then-read, not
+    * read-then-delete: under the old shape a stale-sweeper could rename
+    * this claim away and a NEW claimant create the file between the
+    * nonce read-back and the delete — release would then delete the new
+    * holder's live claim, re-opening the slot for a third writer. The
+    * rename pins ONE specific inode: what we read is exactly what we
+    * delete (ours) or restore (someone else's, mtime preserved through
+    * the renames so a genuinely stale claim does not get freshened). If
+    * the restore loses to a claimant that landed at the original path
+    * mid-release, the aside is dropped and the displaced holder's
+    * pre-commit [[verify]] catches the hijack — the same verify-bounded
+    * residual as the sweep path, now one rename wide. */
   def release(c: Claim): Unit = {
+    c.beat.foreach { b =>
+      b.shutdownNow()
+      b.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS)
+    }
+    c.beat = None
     val (fs, p) = BucketFs.resolve(claimPath(c.dir, c.gen))
-    try {
-      if (BucketFs.readString(claimPath(c.dir, c.gen)) == c.nonce)
-        fs.delete(p, false)
-    } catch { case _: java.io.IOException => () }
-    ()
+    val aside = new Path(p.getParent,
+      s".${p.getName}.release.${java.util.UUID.randomUUID()}")
+    val renamed =
+      try fs.rename(p, aside)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) return // absent (already swept/released): no-op
+    val owned =
+      try {
+        val in = fs.open(aside)
+        val bytes =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            val b = new Array[Byte](256)
+            var n = in.read(b)
+            while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+            buf.toByteArray
+          } finally in.close()
+        new String(bytes, StandardCharsets.UTF_8) == c.nonce
+      } catch { case _: java.io.IOException => false }
+    if (owned) { fs.delete(aside, false); () }
+    else if (!fs.rename(aside, p)) { fs.delete(aside, false); () }
   }
 }

@@ -208,7 +208,10 @@ object TextIndex {
       * keep answering from the old files instead of failing loudly
       * mid-scan — the reader-grace knob for long-running queries at
       * 100 TB. Retire the superseded generations later with
-      * [[vacuumOldGens]]. */
+      * [[vacuumOldGens]] — only AFTER draining every reader that still
+      * holds a pre-compaction handle (an operator contract the engine
+      * cannot enforce; see README "Long-running readers (grace-window
+      * recipe)"). */
     def compact(claimStaleness: Long = DefaultClaimStalenessMs,
                 vacuum: Boolean = true): Bm25Index = {
       require(!asOf,

@@ -250,10 +250,23 @@ class AnnCrashSpec extends AnyFunSuite {
       // refreshes its mtime, even though the delete started long before
       val stalenessMs = 300L
       var freshDuringRewrite = false
+      var absentSeen = false
+      var rewriteSeen = false
       AnnIndex.deleteSwapHook = (p, _, _) =>
         if (p == "afterTmpWrite") {
           val t0 = markerMtime()
-          Thread.sleep(3 * stalenessMs)
+          // poll through ~18 beat periods: the refresh is fs.setTimes IN
+          // PLACE, so the marker must never be absent (a rewrite-based
+          // beat commits by rename, whose replace-existing fallback
+          // opens a marker-ABSENT window on HDFS-semantics stores) and
+          // no writeStringAtomic tmp sibling may ever appear
+          val tmpSibling = s"$dir/.${AnnIndex.DeleteMarkerFile}.tmp"
+          val deadline = System.currentTimeMillis() + 3 * stalenessMs
+          while (System.currentTimeMillis() < deadline) {
+            if (!BucketFs.exists(marker)) absentSeen = true
+            if (BucketFs.exists(tmpSibling)) rewriteSeen = true
+            Thread.sleep(5)
+          }
           freshDuringRewrite =
             System.currentTimeMillis() - markerMtime() < stalenessMs
           assert(markerMtime() > t0,
@@ -265,6 +278,13 @@ class AnnCrashSpec extends AnyFunSuite {
       assert(freshDuringRewrite,
         "marker went stale mid-rewrite: a racing reader would have " +
           "adjudicated the live writer as crashed and swept its tmp dir")
+      assert(!absentSeen,
+        "marker vanished mid-beat: a reader listing the root in that " +
+          "window sees tmp debris with no marker and sweeps the live " +
+          "writer's rewrite")
+      assert(!rewriteSeen,
+        "beat rewrote the marker (writeStringAtomic tmp sibling seen) " +
+          "instead of refreshing its mtime in place")
       // the beat is stopped BEFORE the marker is retired — no phantom
       // writer left behind
       assert(!BucketFs.exists(marker), "marker not retired after delete")
@@ -339,4 +359,79 @@ class AnnCrashSpec extends AnyFunSuite {
       assert(afterDel.nGens == 4)
     } finally BucketFs.deleteRecursive(dir)
   }
+
+  test("slow appender: a staged write outliving the staleness window " +
+       "survives a second writer's arrival — exactly one commit, no " +
+       "co-mingled rows (claim heartbeat end-to-end)") {
+    val rnd = new scala.util.Random(53)
+    val vecs = (0L until 64L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annidx_slow").toString
+    try {
+      AnnIndex.saveIvfPq(vecs.where($"vec_id" < 32),
+        "vec_id", "embedding", dir, dims = 8, m = 2, k = 4, nList = 4)
+      SlowAppendGate.reached = new java.util.concurrent.CountDownLatch(1)
+      SlowAppendGate.go = new java.util.concurrent.CountDownLatch(1)
+      // latch-gated id column: evaluated only inside the staged write's
+      // Spark job, so writer A blocks mid-stage WITH THE CLAIM HELD until
+      // the test releases the gate — a deterministic stand-in for a
+      // 100 TB encode job that outruns the staleness window
+      val slowId = udf { i: Long =>
+        SlowAppendGate.reached.countDown()
+        SlowAppendGate.go.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        i
+      }
+      val stalenessMs = 800L // beat period 200 ms
+      val sA = spark.newSession(); val sB = spark.newSession()
+      val hA = AnnIndex.loadIvfPq(sA, dir)
+      val hB = AnnIndex.loadIvfPq(sB, dir)
+      @volatile var aResult: Either[Throwable, Long] = null
+      val a = new Thread(() => {
+        aResult =
+          try Right(hA.append(
+            vecs.where($"vec_id" >= 32 && $"vec_id" < 48)
+              .withColumn("vec_id", slowId($"vec_id")),
+            "embedding", claimStaleness = stalenessMs).nGens.toLong)
+          catch { case t: Throwable => Left(t) }
+      }, "slow-appender")
+      a.start()
+      assert(SlowAppendGate.reached.await(
+        120, java.util.concurrent.TimeUnit.SECONDS),
+        "writer A never reached its staged write")
+      // A's mutation now runs 3x longer than the window. Without the
+      // claim heartbeat, B below would adjudicate A's claim stale (mtime
+      // never refreshed), sweep it, drop gen>=1 debris, and stage into
+      // the SAME gen=1 directory — A's still-running job then lands its
+      // task files into the generation B commits: silent double posting.
+      Thread.sleep(3 * stalenessMs)
+      val busy = intercept[IllegalStateException](
+        hB.append(vecs.where($"vec_id" >= 48), "embedding",
+          claimStaleness = stalenessMs))
+      assert(busy.getMessage.contains("another session is writing"))
+      SlowAppendGate.go.countDown()
+      a.join(120000)
+      assert(aResult != null, "writer A never finished")
+      val nGensA = aResult.fold(t => fail(s"writer A failed: $t"), identity)
+      assert(nGensA == 2L)
+      // exactly one commit, rows exact: 32..47 appended once each, B's
+      // refused batch absent
+      val ids = survivors(dir)
+      assert(ids.size == ids.distinct.size, "a generation was co-written")
+      assert(ids.toSet == (0L until 48L).toSet)
+      // the slot is free after A's release: B retries on a fresh handle
+      val grownB = AnnIndex.loadIvfPq(sB, dir).append(
+        vecs.where($"vec_id" >= 48), "embedding")
+      assert(grownB.nGens == 3)
+      assert(survivors(dir).toSet == (0L until 64L).toSet)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+}
+
+/** Latch gate for the slow-appender spec, referenced from a UDF: a
+  * top-level module is restored via MODULE$ on closure deserialization —
+  * the same instance in local mode — where a captured latch field would
+  * fail task serialization. */
+object SlowAppendGate {
+  @volatile var reached: java.util.concurrent.CountDownLatch = _
+  @volatile var go: java.util.concurrent.CountDownLatch = _
 }

@@ -202,6 +202,53 @@ class GenerationLockSpec extends AnyFunSuite {
     assert(!BucketFs.exists(s"$dir/table__writer_claim"))
   }
 
+  test("heartbeat: a live claimant outliving the staleness window is " +
+       "never falsely swept — the contender reports busy") {
+    val dir = tmp("glock_beat")
+    val stalenessMs = 400L // beat period = 100 ms
+    val c = GenerationLock.claim(dir, 1, stalenessMs = stalenessMs)
+    // the mutation "runs" 3x longer than the window; without the beat
+    // the contender below would adjudicate the claim stale (mtime never
+    // refreshed), sweep it, and stage into the same generation — the
+    // co-mingled-rows path. The beat keeps the file's age under the
+    // window no matter how long the mutation takes.
+    Thread.sleep(3 * stalenessMs)
+    val busy = intercept[IllegalStateException](
+      GenerationLock.claim(dir, 1, stalenessMs = stalenessMs))
+    assert(busy.getMessage.contains("another session is writing"))
+    // the slow writer still owns its slot and can commit
+    GenerationLock.verify(c)
+    GenerationLock.release(c)
+    assert(!BucketFs.exists(claimFile(dir, 1)))
+    // and the slot is genuinely free again
+    GenerationLock.release(GenerationLock.claim(dir, 1))
+  }
+
+  test("release stops the heartbeat: no zombie beat freshens a " +
+       "successor's claim") {
+    val dir = tmp("glock_zombie")
+    val stalenessMs = 400L
+    val c = GenerationLock.claim(dir, 2, stalenessMs = stalenessMs)
+    GenerationLock.release(c)
+    // successor claims with a LONG window (its own beat period is 15 min
+    // — it cannot tick inside this test); back-date it to stale
+    val c2 = GenerationLock.claim(dir, 2, stalenessMs = 60 * 60 * 1000L)
+    age(dir, 2, ms = 60 * 60 * 1000L)
+    // were c's beat still alive it would have re-freshened the file
+    // within 100 ms — staleness recovery would then be wedged for as
+    // long as this process lives
+    Thread.sleep(3 * stalenessMs)
+    val (fs, p) = BucketFs.resolve(claimFile(dir, 2))
+    val age2 = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+    assert(age2 > 30 * 60 * 1000L,
+      "a zombie heartbeat refreshed a released claim's successor")
+    // a recoverer can therefore sweep it
+    val c3 = GenerationLock.claim(dir, 2, stalenessMs = 10 * 60 * 1000L)
+    GenerationLock.verify(c3)
+    GenerationLock.release(c3)
+    GenerationLock.release(c2) // token is dead; must be a no-op
+  }
+
   test("claim file vanishing between stat and sweep is handled (FNF window)") {
     val dir = tmp("glock_fnf")
     GenerationLock.claim(dir, 9)
