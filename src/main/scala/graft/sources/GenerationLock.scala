@@ -53,7 +53,11 @@ import org.apache.hadoop.fs.Path
   * MOST ONE COMMIT per claim slot (the invariant the thread-stress spec
   * pins); only the loud-refusal-vs-lost-race error message degrades. On
   * HDFS-semantics stores (HDFS, ABFS, GCS rename) every step is atomic
-  * as documented.
+  * as documented. Stores that expose conditional writes (S3
+  * If-None-Match, GCS ifGenerationMatch, ABFS ETag) can restore a truly
+  * atomic take by plugging a [[ClaimBackend]] whose tryCreate maps to
+  * the store's conditional put — the one store-dependent step of the
+  * protocol, seamed behind one method.
   */
 object GenerationLock {
 
@@ -76,6 +80,42 @@ object GenerationLock {
     // build tokens by hand get no beat to manage
     @transient private[sources] var beat:
       Option[java.util.concurrent.ScheduledExecutorService] = None
+  }
+
+  /** How the atomic TAKE of a claim file happens — the one step of the
+    * protocol whose atomicity is store-dependent. The default speaks the
+    * plain Hadoop FS contract (`create(overwrite = false)`): atomic on
+    * HDFS-semantics stores, check-then-act on raw object stores, where
+    * the nonce read-back + pre-commit [[verify]] still bound commits to
+    * at most one (the object-store caveat in the class doc). Object
+    * stores with conditional writes — S3 `If-None-Match: *` PUT, GCS
+    * `ifGenerationMatch=0`, ABFS ETag preconditions — can close that
+    * gap by plugging a backend whose [[ClaimBackend.tryCreate]] maps to
+    * the store's conditional put against the SAME path (so the stale
+    * sweep's delete naturally frees the slot); every other step
+    * (staleness adjudication, atomic sweep, heartbeat, verify, release)
+    * is unchanged and store-agnostic. */
+  trait ClaimBackend {
+    /** Atomically create `p` holding `nonce` iff absent: true if THIS
+      * call created it, false if it already existed (lost the race).
+      * Must be atomic with respect to concurrent tryCreate calls on the
+      * same path — that atomicity is the whole contract; the file's
+      * bytes may land non-atomically afterwards (readers of a torn
+      * claim adjudicate it unreadable = not-held, see [[verify]]). */
+    def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                  nonce: String): Boolean
+  }
+
+  /** Default [[ClaimBackend]]: plain Hadoop atomic create. */
+  object HadoopCreateBackend extends ClaimBackend {
+    def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+                  nonce: String): Boolean =
+      try {
+        val out = fs.create(p, false)
+        try out.write(nonce.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
   }
 
   /** Reserved slots of the non-generational claim flavors ([[claimDir]],
@@ -101,8 +141,9 @@ object GenerationLock {
     * destination would otherwise interleave their per-period deletes
     * and renames — each can delete files the other just renamed in,
     * leaving periods with a mix of both runs' files. */
-  def claimDir(dir: String, stalenessMs: Long = DefaultStalenessMs): Claim =
-    claim(dir, DirSlot, stalenessMs, noHook)
+  def claimDir(dir: String, stalenessMs: Long = DefaultStalenessMs,
+               backend: ClaimBackend = HadoopCreateBackend): Claim =
+    claim(dir, DirSlot, stalenessMs, noHook, backend)
 
   /** [[claimDir]] variant for destinations the claimed mutation itself
     * may WIPE (a `saveAsTable` overwrite deletes the table path's whole
@@ -110,8 +151,9 @@ object GenerationLock {
     * re-opening the race): the claim file lands BESIDE the destination
     * (`<path>__writer_claim`), which the mutation never touches. */
   def claimBeside(path: String,
-                  stalenessMs: Long = DefaultStalenessMs): Claim =
-    claim(path, BesideSlot, stalenessMs, noHook)
+                  stalenessMs: Long = DefaultStalenessMs,
+                  backend: ClaimBackend = HadoopCreateBackend): Claim =
+    claim(path, BesideSlot, stalenessMs, noHook, backend)
 
   /** Deterministic-interleave hook for race specs (phases: "afterStat",
     * "afterSweep", "afterCreate"). A parameter of the private overload,
@@ -123,11 +165,16 @@ object GenerationLock {
     * `IllegalStateException` LOUDLY if another session holds it (fresh
     * claim) or wins the race (concurrent create). Never blocks. */
   def claim(dir: String, gen: Int,
-            stalenessMs: Long = DefaultStalenessMs): Claim =
-    claim(dir, gen, stalenessMs, noHook)
+            stalenessMs: Long = DefaultStalenessMs,
+            backend: ClaimBackend = HadoopCreateBackend): Claim =
+    claim(dir, gen, stalenessMs, noHook, backend)
 
   private[graft] def claim(dir: String, gen: Int, stalenessMs: Long,
-                           hook: Hook): Claim = {
+                           hook: Hook): Claim =
+    claim(dir, gen, stalenessMs, hook, HadoopCreateBackend)
+
+  private[graft] def claim(dir: String, gen: Int, stalenessMs: Long,
+                           hook: Hook, backend: ClaimBackend): Claim = {
     val (fs, p) = BucketFs.resolve(claimPath(dir, gen))
     def busy(age: Long): Nothing = throw new IllegalStateException(
       s"another session is writing ${what(dir, gen)} (writer claim " +
@@ -173,16 +220,14 @@ object GenerationLock {
         fs.delete(aside, false)
       }
     }
-    // 2. take the claim: nonce in, atomic create(overwrite = false)
+    // 2. take the claim: nonce in, atomic create-if-absent via the
+    // backend (plain Hadoop create by default; a conditional-put
+    // backend on object stores that have one)
     val nonce = java.util.UUID.randomUUID().toString
-    val out =
-      try fs.create(p, false)
-      catch {
-        case _: java.io.IOException => throw new IllegalStateException(
-          s"lost the writer-claim race on ${what(dir, gen)}: another " +
-            "session claimed it concurrently — reload and retry")
-      }
-    try out.write(nonce.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (!backend.tryCreate(fs, p, nonce))
+      throw new IllegalStateException(
+        s"lost the writer-claim race on ${what(dir, gen)}: another " +
+          "session claimed it concurrently — reload and retry")
     hook("afterCreate")
     val c = Claim(dir, gen, nonce)
     // 3. nonce read-back: where create is not truly atomic (raw local

@@ -265,4 +265,76 @@ class GenerationLockSpec extends AnyFunSuite {
     GenerationLock.verify(c)
     GenerationLock.release(c)
   }
+
+  /** Conditional-put [[GenerationLock.ClaimBackend]] stand-in: the
+    * create-if-absent atomicity comes from a server-side CAS (here one
+    * synchronized slot table — what S3 If-None-Match / GCS
+    * ifGenerationMatch=0 provide), NOT from the filesystem's create.
+    * The file bytes are written with overwrite = true on purpose: this
+    * backend must win its races even on a store whose create is
+    * check-then-act. A deleted object (stale sweep, release) frees the
+    * slot, as a real conditional put against the same path would. */
+  private object CasPutBackend extends GenerationLock.ClaimBackend {
+    private val slots = new java.util.HashMap[String, String]()
+    var puts = 0 // proof the backend (not the default create) was used
+    def tryCreate(fs: org.apache.hadoop.fs.FileSystem,
+                  p: org.apache.hadoop.fs.Path, nonce: String): Boolean =
+      synchronized {
+        if (!fs.exists(p)) slots.remove(p.toString) // swept/released object
+        val won = slots.putIfAbsent(p.toString, nonce) == null
+        if (won) {
+          puts += 1
+          val out = fs.create(p, true)
+          try out.write(nonce.getBytes("UTF-8")) finally out.close()
+        }
+        won
+      }
+  }
+
+  test("conditional-put backend: full cycle + racing claimants over the " +
+       "mock FS, atomicity from the backend not from create") {
+    SparkTestBase.spark // registers fs.mock.impl
+    val local = Files.createTempDirectory("graft_glock_cas")
+    local.toFile.deleteOnExit()
+    val dir = s"mock:$local"
+    // full cycle through the backend: claim / busy / verify / release
+    val c = GenerationLock.claim(dir, 1, backend = CasPutBackend)
+    assert(CasPutBackend.puts == 1, "default create path was used instead")
+    assert(BucketFs.readString(claimFile(dir, 1)) == c.nonce)
+    val busy = intercept[IllegalStateException](
+      GenerationLock.claim(dir, 1, backend = CasPutBackend))
+    assert(busy.getMessage.contains("another session is writing"))
+    GenerationLock.verify(c)
+    GenerationLock.release(c)
+    assert(!BucketFs.exists(claimFile(dir, 1)))
+    // release freed the slot server-side too (object gone => CAS clears)
+    val c1b = GenerationLock.claim(dir, 1, backend = CasPutBackend)
+    GenerationLock.release(c1b)
+    // 8 racers per round, every one LOST the stat race (no existing
+    // claim seen) and reaches tryCreate: the CAS must arbitrate to
+    // exactly one winner — and with a true conditional put that winner
+    // is unconditional (not the at-most-one of the nonce-read-back
+    // degradation), so exactly ONE claim() call returns per round
+    (1 to 5).foreach { round =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val results = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Option[GenerationLock.Claim]] {
+          def call(): Option[GenerationLock.Claim] = {
+            start.await()
+            try Some(GenerationLock.claim(dir, 100 + round,
+              backend = CasPutBackend))
+            catch { case _: IllegalStateException => None }
+          }
+        })
+      }
+      start.countDown()
+      val winners = results.flatMap(_.get())
+      pool.shutdown()
+      assert(winners.size == 1,
+        s"round $round: ${winners.size} winners under a conditional put")
+      GenerationLock.verify(winners.head)
+      GenerationLock.release(winners.head)
+    }
+  }
 }
