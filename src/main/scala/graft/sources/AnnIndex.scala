@@ -671,6 +671,12 @@ object AnnIndex {
   private[graft] var deleteSwapHook: (String, Int, Long) => Unit =
     (_, _, _) => ()
 
+  /** Test-only interleave hook for [[repairDeleteAsides]]: invoked after
+    * the root listing found repair evidence, BEFORE the marker re-stat —
+    * specs plant a fresh marker here to pin the listing-vs-beat race
+    * guard deterministically. Production never sets it. */
+  private[graft] var repairListHook: () => Unit = () => ()
+
   /** Roll FORWARD any interrupted delete() swap debris before serving the
     * index. The swap window per affected (gen, cell) is: live moves
     * ASIDE (`codes_old_gen=G_cell=C`) → rewrite moves in from
@@ -716,6 +722,7 @@ object AnnIndex {
     val tmpExists = entries.exists(_.getPath.getName == "codes_rewrite_tmp")
     val listed = entries.find(_.getPath.getName == DeleteMarkerFile)
     if (asides.isEmpty && !tmpExists && listed.isEmpty) return
+    repairListHook()
     // marker-absent-but-debris-present gets ONE direct re-stat before
     // being adjudicated as a crashed writer: the root listing and a live
     // writer's beat can interleave, and on stores where the beat falls

@@ -251,14 +251,19 @@ object GenerationLock {
     // finds the file GONE (released/committed, or falsely swept) stops
     // itself — an orphan beat must never re-freshen a SUCCESSOR's claim
     // forever (that would wedge staleness recovery for as long as this
-    // process lives). Other failures are swallowed: a transient FS
-    // hiccup must not kill the beat, and stores whose setTimes is
-    // unsupported (raw object stores) fall back to rewriting the same
-    // nonce — those stores' rename is copy+delete anyway, so the
-    // protocol there already rests on the nonce + pre-commit verify
-    // (see the object-store caveat above). stalenessMs = 0 skips the
-    // beat entirely (crash specs: the simulated writer is dead by
-    // construction, and there is no window to defend).
+    // process lives) — each tick re-reads the nonce and stops on a
+    // CONFIRMED foreign claim (a falsely-swept-and-re-taken slot must
+    // not be kept artificially fresh past its new holder's own life; an
+    // UNREADABLE file is not confirmation — keep beating, the file is
+    // almost certainly our own mid-rewrite on a fallback store). Other
+    // failures are swallowed: a transient FS hiccup must not kill the
+    // beat, and stores whose setTimes is unsupported (raw object
+    // stores) fall back to rewriting the same nonce — those stores'
+    // rename is copy+delete anyway, so the protocol there already rests
+    // on the nonce + pre-commit verify (see the object-store caveat
+    // above). stalenessMs = 0 skips the beat entirely (crash specs: the
+    // simulated writer is dead by construction, and there is no window
+    // to defend).
     val period = stalenessMs / 4
     if (period > 0) {
       val exec = java.util.concurrent.Executors
@@ -268,12 +273,22 @@ object GenerationLock {
         }
       exec.scheduleAtFixedRate(
         () => try {
-          try fs.setTimes(p, System.currentTimeMillis(), -1)
-          catch {
-            case _: UnsupportedOperationException =>
-              val out = fs.create(p, true)
-              try out.write(nonce.getBytes(StandardCharsets.UTF_8))
-              finally out.close()
+          val mine =
+            try BucketFs.readString(p.toString) == nonce
+            catch {
+              case _: java.io.FileNotFoundException => throw
+                new java.io.FileNotFoundException(p.toString)
+              case _: java.io.IOException => true // unreadable: assume ours
+            }
+          if (!mine) exec.shutdown() // re-taken: the new holder beats now
+          else {
+            try fs.setTimes(p, System.currentTimeMillis(), -1)
+            catch {
+              case _: UnsupportedOperationException =>
+                val out = fs.create(p, true)
+                try out.write(nonce.getBytes(StandardCharsets.UTF_8))
+                finally out.close()
+            }
           }
         } catch {
           case _: java.io.FileNotFoundException => exec.shutdown()

@@ -360,6 +360,39 @@ class AnnCrashSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("repair re-stats the marker before acting on marker-less debris: " +
+       "a marker landing after the listing is honored (listing-vs-beat " +
+       "race guard)") {
+    val dir = freshIndex("restat")
+    try {
+      val marker = s"$dir/${AnnIndex.DeleteMarkerFile}"
+      // stage tmp-only debris with NO marker in the listing; the hook
+      // plants a FRESH marker between the listing and the re-stat — the
+      // exact interleave a live writer's beat produces on stores where
+      // the beat falls back to rewriting the marker (setTimes
+      // unsupported: the rewrite's rename fallback briefly removes it)
+      BucketFs.writeString(s"$dir/codes_rewrite_tmp/part-0", "debris")
+      AnnIndex.repairListHook =
+        () => BucketFs.writeString(marker, "delete in progress")
+      try {
+        val e = intercept[IllegalStateException](
+          AnnIndex.repairDeleteAsides(dir))
+        assert(e.getMessage.contains("may be in progress"))
+      } finally AnnIndex.repairListHook = () => ()
+      // the live writer's tmp dir was NOT swept
+      assert(BucketFs.exists(s"$dir/codes_rewrite_tmp/part-0"),
+        "repair swept a live writer's tmp dir")
+      // once the marker is genuinely stale the repair proceeds
+      val (fs, p) = BucketFs.resolve(marker)
+      val old = System.currentTimeMillis() - 60 * 60 * 1000L
+      fs.setTimes(p, old, old)
+      AnnIndex.repairDeleteAsides(dir)
+      assert(!BucketFs.exists(s"$dir/codes_rewrite_tmp"))
+      assert(!BucketFs.exists(marker))
+      assert(survivors(dir).toSet == allIds.toSet)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("slow appender: a staged write outliving the staleness window " +
        "survives a second writer's arrival — exactly one commit, no " +
        "co-mingled rows (claim heartbeat end-to-end)") {

@@ -249,6 +249,29 @@ class GenerationLockSpec extends AnyFunSuite {
     GenerationLock.release(c2) // token is dead; must be a no-op
   }
 
+  test("heartbeat self-stops on a CONFIRMED foreign claim: a falsely " +
+       "swept slot's new holder is never kept artificially fresh") {
+    val dir = tmp("glock_foreign")
+    val stalenessMs = 400L // beat period 100 ms
+    val c = GenerationLock.claim(dir, 4, stalenessMs = stalenessMs)
+    // simulate the false-sweep-and-re-take: our claim is replaced by
+    // another session's (different nonce), already STALE — if our zombie
+    // beat kept freshening it, staleness recovery would be wedged for as
+    // long as this process lives even after the new holder crashes
+    BucketFs.deleteRecursive(claimFile(dir, 4))
+    BucketFs.writeString(claimFile(dir, 4), "foreign-nonce")
+    age(dir, 4, ms = 60 * 60 * 1000L)
+    Thread.sleep(3 * stalenessMs) // several ticks: detect + stop
+    val (fs, p) = BucketFs.resolve(claimFile(dir, 4))
+    val a = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+    assert(a > 30 * 60 * 1000L,
+      "our heartbeat freshened another session's claim")
+    // and our own token correctly no longer verifies
+    intercept[IllegalStateException](GenerationLock.verify(c))
+    GenerationLock.release(c) // no-op on a foreign claim
+    assert(BucketFs.exists(claimFile(dir, 4)))
+  }
+
   test("claim file vanishing between stat and sweep is handled (FNF window)") {
     val dir = tmp("glock_fnf")
     GenerationLock.claim(dir, 9)
