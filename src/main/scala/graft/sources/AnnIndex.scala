@@ -707,35 +707,50 @@ object AnnIndex {
     * IllegalStateException instead of acting — a concurrent reader's
     * load fails loudly rather than corrupting the index. Repair runs
     * only once the marker has gone stale (crashed writer) or with
-    * `force = true` (operator knows the writer is dead). Repair itself
-    * assumes one repairing process at a time — the same single-actor
-    * contract every mutation verb in the index family carries.
+    * `force = true` (operator knows the writer is dead). Because repair
+    * MUTATES (directory moves, a manifest rewrite), it then runs as a
+    * WRITER: it takes the same whole-dir [[GenerationLock]] claim every
+    * batch mutator holds and re-adjudicates the debris under it — so a
+    * NEW delete that claims between the repair's listing and its sweep
+    * refuses the repair loudly (instead of having its fresh rewrite
+    * swept out from under it), no mutator can start mid-repair, and two
+    * racing repairers serialize on the claim instead of double-moving
+    * directories (the old "one repairing process at a time" assumption,
+    * now enforced). `force = true` waives the claim staleness too — the
+    * same the-writer-is-dead assertion the marker waiver carries.
     * Cost: ONE non-recursive listing of the index root when clean (the
-    * overwhelmingly common case). */
+    * overwhelmingly common case — no claim traffic on the read path). */
   def repairDeleteAsides(indexDir: String, force: Boolean = false,
                          stalenessMs: Long = DefaultRepairStalenessMs): Unit = {
     val (fs, root) = BucketFs.resolve(indexDir)
     if (!fs.exists(root)) return
-    val entries = fs.listStatus(root)
-    val asides = entries.filter(
-      _.getPath.getName.startsWith("codes_old_gen="))
-    val tmpExists = entries.exists(_.getPath.getName == "codes_rewrite_tmp")
-    val listed = entries.find(_.getPath.getName == DeleteMarkerFile)
-    if (asides.isEmpty && !tmpExists && listed.isEmpty) return
-    repairListHook()
-    // marker-absent-but-debris-present gets ONE direct re-stat before
-    // being adjudicated as a crashed writer: the root listing and a live
-    // writer's beat can interleave, and on stores where the beat falls
-    // back to rewriting the marker (setTimes unsupported) the marker is
-    // briefly ABSENT mid-beat — sweeping the live writer's tmp dir on
-    // that evidence is the data-loss race the marker exists to close.
-    // One extra getFileStatus only on the already-rare debris path.
-    val marker = listed.orElse {
-      try Some(fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(root, DeleteMarkerFile)))
-      catch { case _: java.io.FileNotFoundException => None }
+    final case class Debris(asides: Array[org.apache.hadoop.fs.FileStatus],
+                            tmpExists: Boolean,
+                            marker: Option[org.apache.hadoop.fs.FileStatus]) {
+      def clean: Boolean = asides.isEmpty && !tmpExists && marker.isEmpty
     }
-    if (!force) marker.foreach { st =>
+    def scan(): Debris = {
+      val entries = fs.listStatus(root)
+      val listed = entries.find(_.getPath.getName == DeleteMarkerFile)
+      Debris(
+        entries.filter(_.getPath.getName.startsWith("codes_old_gen=")),
+        entries.exists(_.getPath.getName == "codes_rewrite_tmp"),
+        // marker-absent-but-debris-present gets ONE direct re-stat
+        // before being adjudicated as a crashed writer: the root listing
+        // and a live writer's beat can interleave, and on stores where
+        // the beat falls back to rewriting the marker (setTimes
+        // unsupported) the marker is briefly ABSENT mid-beat. One extra
+        // getFileStatus only on the already-rare debris path.
+        listed.orElse {
+          if (entries.exists(st => st.getPath.getName == "codes_rewrite_tmp"
+              || st.getPath.getName.startsWith("codes_old_gen=")))
+            try Some(fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(root, DeleteMarkerFile)))
+            catch { case _: java.io.FileNotFoundException => None }
+          else None
+        })
+    }
+    def markerGuard(d: Debris): Unit = if (!force) d.marker.foreach { st =>
       val age = System.currentTimeMillis() - st.getModificationTime
       if (age < stalenessMs)
         throw new IllegalStateException(
@@ -745,23 +760,56 @@ object AnnIndex {
             "after the writer finishes, or repairDeleteAsides(force = " +
             "true) if it is known dead")
     }
-    asides.foreach { st =>
-      val sub = st.getPath.getName.stripPrefix("codes_old_")
-        .replaceFirst("_cell=", "/cell=") // gen=G/cell=C
-      val live = new org.apache.hadoop.fs.Path(root, s"codes/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(root, s"codes_rewrite_tmp/$sub")
-      if (!fs.exists(live) && fs.exists(tmp)) {
-        BucketFs.mkdirs(fs, live.getParent)
-        BucketFs.move(fs, tmp, live)
+    // claimless fast path: ONE listing on a clean root — the
+    // overwhelmingly common case pays no claim traffic
+    val first = scan()
+    if (first.clean) return
+    repairListHook()
+    markerGuard(first)
+    // Debris from a dead writer: repair MUTATES (directory moves, a
+    // manifest rewrite), so it runs as a WRITER — under the same
+    // whole-dir claim every batch mutator holds. The marker guard alone
+    // left a window: a NEW delete claiming after our listing lands its
+    // fresh marker and tmp rewrite while our sweep is mid-flight, and we
+    // would sweep the LIVE writer's tmp (the corruption the guard
+    // exists to stop). Under the claim that cannot start — a live
+    // mutator holds the claim (our claimDir fails loudly), and no
+    // mutator can begin while we hold it. This also discharges the old
+    // "repair assumes one repairing process at a time" contract: two
+    // racing repairers now serialize on the claim instead of
+    // double-moving directories. force = true waives the claim
+    // staleness too (operator asserts the writer is dead — same
+    // contract the marker-guard waiver always carried).
+    val claim = GenerationLock.claimDir(indexDir,
+      if (force) 0L else stalenessMs)
+    try {
+      // re-scan UNDER the claim: the world may have moved between the
+      // first listing and the claim (a writer may have completed and
+      // cleaned up, or crashed leaving different debris)
+      val d = scan()
+      if (d.clean) return
+      markerGuard(d)
+      d.asides.foreach { st =>
+        val sub = st.getPath.getName.stripPrefix("codes_old_")
+          .replaceFirst("_cell=", "/cell=") // gen=G/cell=C
+        val live = new org.apache.hadoop.fs.Path(root, s"codes/$sub")
+        val tmp = new org.apache.hadoop.fs.Path(root, s"codes_rewrite_tmp/$sub")
+        if (!fs.exists(live) && fs.exists(tmp)) {
+          BucketFs.mkdirs(fs, live.getParent)
+          BucketFs.move(fs, tmp, live)
+        }
+        fs.delete(st.getPath, true)
       }
-      fs.delete(st.getPath, true)
-    }
-    BucketFs.deleteRecursive(s"$indexDir/codes_rewrite_tmp")
-    BucketFs.deleteRecursive(s"$indexDir/$DeleteMarkerFile")
-    val mt = readMeta(indexDir)
-    writeManifest(indexDir, mt.residual, mt.dims, mt.m, mt.k, mt.nList,
-      mt.trainUpdates, mt.scale, mt.idCol, mt.nGens, mt.baseGen,
-      asOfFence = mt.nGens)
+      BucketFs.deleteRecursive(s"$indexDir/codes_rewrite_tmp")
+      BucketFs.deleteRecursive(s"$indexDir/$DeleteMarkerFile")
+      val mt = readMeta(indexDir)
+      // ownership re-assert before the manifest write — the same
+      // pre-commit pattern every claimed mutator follows
+      GenerationLock.verify(claim)
+      writeManifest(indexDir, mt.residual, mt.dims, mt.m, mt.k, mt.nList,
+        mt.trainUpdates, mt.scale, mt.idCol, mt.nGens, mt.baseGen,
+        asOfFence = mt.nGens)
+    } finally GenerationLock.release(claim)
   }
 
   def loadIvfPq(spark: SparkSession, indexDir: String,

@@ -393,6 +393,42 @@ class AnnCrashSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("repair runs as a WRITER: a mutator's claim taken after the " +
+       "repair's listing refuses the repair before it can sweep") {
+    val dir = freshIndex("repairclaim")
+    try {
+      // stale debris from a long-dead writer (marker backdated past the
+      // window) — adjudication alone says "safe to sweep"
+      BucketFs.writeString(s"$dir/codes_rewrite_tmp/part-0", "debris")
+      BucketFs.writeString(s"$dir/${AnnIndex.DeleteMarkerFile}", "dead")
+      val (mfs, mp) = BucketFs.resolve(s"$dir/${AnnIndex.DeleteMarkerFile}")
+      val old = System.currentTimeMillis() - 60 * 60 * 1000L
+      mfs.setTimes(mp, old, old)
+      // a NEW delete() claims the index between the repair's listing and
+      // its sweep — the exact interleave where a marker-only guard would
+      // let the repair destroy the new writer's upcoming rewrite. The
+      // repair must hit the writer claim and refuse LOUDLY, leaving the
+      // debris alone.
+      AnnIndex.repairListHook =
+        () => BucketFs.writeString(s"$dir/_writer_claim", "mutator-nonce")
+      try {
+        val e = intercept[IllegalStateException](
+          AnnIndex.repairDeleteAsides(dir))
+        assert(e.getMessage.contains("another session is writing"))
+      } finally AnnIndex.repairListHook = () => ()
+      assert(BucketFs.exists(s"$dir/codes_rewrite_tmp/part-0"),
+        "repair swept debris despite a live writer claim")
+      // writer done (claim released): the repair proceeds and rolls
+      // forward
+      BucketFs.deleteRecursive(s"$dir/_writer_claim")
+      AnnIndex.repairDeleteAsides(dir)
+      assert(!BucketFs.exists(s"$dir/codes_rewrite_tmp"))
+      assert(!BucketFs.exists(s"$dir/_writer_claim"),
+        "repair leaked its own claim")
+      assert(survivors(dir).toSet == allIds.toSet)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("slow appender: a staged write outliving the staleness window " +
        "survives a second writer's arrival — exactly one commit, no " +
        "co-mingled rows (claim heartbeat end-to-end)") {
