@@ -65,7 +65,16 @@ object GenerationLock {
     * writer-liveness evidence (a claim file here, [[AnnIndex]]'s delete
     * marker there) must be before another process may adjudicate the
     * writer as dead and sweep its debris. Crash specs pass 0 at the call
-    * site (their simulated writer is dead by construction). */
+    * site (their simulated writer is dead by construction).
+    *
+    * Clock-skew honesty: the beat stamps mtimes from the WRITER's clock
+    * (fs.setTimes with an explicit timestamp; on HDFS the namenode
+    * stamps creates itself) while the adjudicator compares against ITS
+    * clock, so cross-machine skew shifts the effective window by the
+    * skew. The 10-minute default is ~5 orders of magnitude above
+    * NTP-disciplined skew; deployments with undisciplined clocks should
+    * widen the window rather than tighten it — a falsely-early sweep is
+    * bounded by the pre-commit [[verify]] either way. */
   val DefaultStalenessMs: Long = 10 * 60 * 1000L
 
   /** Ownership token returned by [[claim]]: holding it means this
