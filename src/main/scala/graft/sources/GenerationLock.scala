@@ -315,7 +315,7 @@ object GenerationLock {
     * co-committing a generation. Throws `IllegalStateException` if the
     * on-disk claim is missing or carries a different session's nonce. */
   def verify(c: Claim): Unit = {
-    val onDisk =
+    def readOnce(): Option[String] =
       try Some(BucketFs.readString(claimPath(c.dir, c.gen)))
       catch {
         case _: java.io.FileNotFoundException => None
@@ -328,6 +328,22 @@ object GenerationLock {
         // error.
         case _: java.io.IOException => None
       }
+    var onDisk = readOnce()
+    // On stores where the heartbeat falls back to REWRITING the claim
+    // (setTimes unsupported AND writes not atomic — real object stores
+    // have atomic PUT, so in practice this is exotic), the holder's OWN
+    // verify can race its own beat mid-rewrite and read a torn or empty
+    // file. Retrying never weakens the guarantee (the final read must
+    // still match exactly), so when this token runs a beat give the
+    // rewrite two brief chances to settle before adjudicating. Tokens
+    // without a beat (foreign/zombie checks, the post-create read-back)
+    // keep single-read semantics.
+    var retries = if (c.beat.isDefined) 2 else 0
+    while (!onDisk.contains(c.nonce) && retries > 0) {
+      Thread.sleep(60)
+      onDisk = readOnce()
+      retries -= 1
+    }
     if (!onDisk.contains(c.nonce))
       throw new IllegalStateException(
         s"writer claim on ${what(c.dir, c.gen)} is no longer " +

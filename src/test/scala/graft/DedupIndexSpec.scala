@@ -269,6 +269,73 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("slow appender: a staged signature write outliving the staleness " +
+       "window survives a second writer — exactly one commit, no " +
+       "co-mingled rows (claim heartbeat end-to-end)") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_slow").toString
+    try {
+      DedupIndex.save(corpus, "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      DedupSlowGate.reached = new java.util.concurrent.CountDownLatch(1)
+      DedupSlowGate.go = new java.util.concurrent.CountDownLatch(1)
+      // latch-gated text column: evaluated inside appendSigs' staged
+      // write, so writer A blocks mid-stage with the gen-1 claim held —
+      // a stand-in for a signature job outliving the staleness window
+      val slowText = udf { t: String =>
+        DedupSlowGate.reached.countDown()
+        DedupSlowGate.go.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        t
+      }
+      val stalenessMs = 800L // beat period 200 ms
+      val sA = spark.newSession(); val sB = spark.newSession()
+      val hA = DedupIndex.load(sA, dir)
+      val hB = DedupIndex.load(sB, dir)
+      // the gated batch must be parquet-backed, NOT a LocalRelation:
+      // ConvertToLocalRelation evaluates projections over LocalRelation
+      // driver-side as soon as any plan is built (minHashSignature's
+      // fanOut touches df.rdd, which optimizes), so an in-memory batch
+      // would fire the gate BEFORE appendSigs takes the claim and the
+      // test would block writer A pre-claim (observed: B then appends
+      // into an unclaimed slot and the test asserts nothing real)
+      docs(30L -> "slow archived prose staged for a long time")
+        .write.parquet(s"$dir/__slow_in")
+      val gated = sA.read.parquet(s"$dir/__slow_in")
+        .withColumn("text", slowText($"text"))
+      @volatile var aGens: Either[Throwable, Int] = null
+      val a = new Thread(() => {
+        aGens =
+          try Right(hA.append(gated, "text",
+            claimStaleness = stalenessMs).nGens)
+          catch { case t: Throwable => Left(t) }
+      }, "slow-dedup-appender")
+      a.start()
+      assert(DedupSlowGate.reached.await(
+        120, java.util.concurrent.TimeUnit.SECONDS),
+        "writer A never reached its staged write")
+      // A's claim is now older than the window in wall-clock terms; the
+      // heartbeat must keep it fresh so B is refused instead of sweeping
+      // A and co-writing generation 1
+      Thread.sleep(3 * stalenessMs)
+      val busy = intercept[IllegalStateException](
+        hB.append(docs(31L -> "contender prose"), "text",
+          claimStaleness = stalenessMs))
+      assert(busy.getMessage.contains("another session is writing"))
+      DedupSlowGate.go.countDown()
+      a.join(120000)
+      assert(aGens != null, "writer A never finished")
+      assert(aGens.fold(t => fail(s"writer A failed: $t"), identity) == 2)
+      // exactly one commit: id 30 once, B's refused batch absent
+      val counts = DedupIndex.load(spark, dir).signatures
+        .groupBy("id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(counts.get(30L).contains(1L), s"co-mingled or lost: $counts")
+      assert(!counts.contains(31L))
+      // slot free after A's release: B retries on a fresh handle
+      assert(DedupIndex.load(sB, dir)
+        .append(docs(31L -> "contender prose"), "text").nGens == 3)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("load: non-index directory fails loudly") {
     val dir = java.nio.file.Files.createTempDirectory("notadedupidx").toString
     try {
@@ -276,4 +343,11 @@ class DedupIndexSpec extends AnyFunSuite {
       assert(e.getMessage.contains("_dedup_index.json"))
     } finally BucketFs.deleteRecursive(dir)
   }
+}
+
+/** Latch gate for the slow-appender spec (see [[SlowAppendGate]] for the
+  * closure-serialization rationale). */
+object DedupSlowGate {
+  @volatile var reached: java.util.concurrent.CountDownLatch = _
+  @volatile var go: java.util.concurrent.CountDownLatch = _
 }

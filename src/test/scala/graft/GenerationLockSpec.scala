@@ -249,6 +249,33 @@ class GenerationLockSpec extends AnyFunSuite {
     GenerationLock.release(c2) // token is dead; must be a no-op
   }
 
+  test("heartbeat falls back to REWRITE where setTimes is unsupported " +
+       "(object-store shape): a slow claimant still stays fresh") {
+    SparkTestBase.spark // registers fs.mocknst.impl
+    val local = Files.createTempDirectory("graft_glock_nst")
+    local.toFile.deleteOnExit()
+    val dir = s"mocknst:$local"
+    val stalenessMs = 400L // beat period 100 ms
+    val c = GenerationLock.claim(dir, 1, stalenessMs = stalenessMs)
+    // on this store every setTimes throws UnsupportedOperationException;
+    // the beat must keep the claim fresh by rewriting the SAME nonce
+    Thread.sleep(3 * stalenessMs)
+    val busy = intercept[IllegalStateException](
+      GenerationLock.claim(dir, 1, stalenessMs = stalenessMs))
+    assert(busy.getMessage.contains("another session is writing"))
+    // a raw read can catch the fallback rewrite mid-flight (torn/empty —
+    // the documented degradation verify retries through); settle it
+    val settled = (1 to 20).iterator.map { _ =>
+      Thread.sleep(10)
+      try Some(BucketFs.readString(claimFile(dir, 1)))
+      catch { case _: java.io.IOException => None }
+    }.flatten.find(_ == c.nonce)
+    assert(settled.contains(c.nonce), "fallback rewrite lost the nonce")
+    GenerationLock.verify(c)
+    GenerationLock.release(c)
+    assert(!BucketFs.exists(claimFile(dir, 1)))
+  }
+
   test("heartbeat self-stops on a CONFIRMED foreign claim: a falsely " +
        "swept slot's new holder is never kept artificially fresh") {
     val dir = tmp("glock_foreign")

@@ -26,3 +26,15 @@ class MockFs extends RawLocalFileSystem {
   override def listStatus(f: Path): Array[FileStatus] =
     super.listStatus(f).map(clean)
 }
+
+/** [[MockFs]] variant that REFUSES setTimes — the object-store shape
+  * (raw S3A throws UnsupportedOperationException) where the claim/marker
+  * heartbeats must fall back to rewriting the file instead of refreshing
+  * its mtime in place. */
+class MockNoSetTimesFs extends MockFs {
+  override def getScheme: String = "mocknst"
+  override def getUri: URI = URI.create("mocknst:///")
+  override def setTimes(f: Path, mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException(
+      s"$getScheme does not support setTimes")
+}

@@ -19,6 +19,9 @@ object SparkTestBase {
       // the Hadoop FS API (backed by RawLocalFileSystem on disk), proving
       // the bucket plumbing never shortcuts through java.nio
       .config("spark.hadoop.fs.mock.impl", "graft.MockFs")
+      // object-store stand-in whose setTimes is unsupported: exercises
+      // the heartbeat's rewrite fallback (GenerationLockSpec)
+      .config("spark.hadoop.fs.mocknst.impl", "graft.MockNoSetTimesFs")
       // plan-audit asserts read PartitionFilters/PushedFilters out of the
       // formatted plan; the default 100-char cap truncates those lines
       // once expression ids grow past 4 digits (suite-order dependent),
