@@ -339,4 +339,75 @@ class TextIndexSpec extends AnyFunSuite {
       assert(ok.nDocs == 4)
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
+
+  test("slow appender: a staged postings write outliving the staleness " +
+       "window survives a second writer — exactly one commit, no " +
+       "co-mingled postings (claim heartbeat end-to-end)") {
+    import graft.sources.BucketFs
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_slow").toString
+    try {
+      TextIndex.save(fixture.where($"doc_id" < 4), "text", "doc_id", dir,
+        nBuckets = 8)
+      TextSlowGate.reached = new java.util.concurrent.CountDownLatch(1)
+      TextSlowGate.go = new java.util.concurrent.CountDownLatch(1)
+      val slowText = udf { t: String =>
+        TextSlowGate.reached.countDown()
+        TextSlowGate.go.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        t
+      }
+      val stalenessMs = 800L // beat period 200 ms
+      val sA = spark.newSession(); val sB = spark.newSession()
+      val hA = TextIndex.load(sA, dir)
+      val hB = TextIndex.load(sB, dir)
+      // parquet-backed gated batch: ConvertToLocalRelation evaluates
+      // projections over in-memory relations driver-side at plan build,
+      // which would fire the gate before append takes the claim (see the
+      // DedupIndexSpec twin for the observed failure shape)
+      Seq((10L, "wholly new appended document text")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/__slow_in")
+      val gated = sA.read.parquet(s"$dir/__slow_in")
+        .withColumn("text", slowText($"text"))
+      @volatile var aGens: Either[Throwable, Int] = null
+      val a = new Thread(() => {
+        aGens =
+          try Right(hA.append(gated, "text",
+            claimStaleness = stalenessMs).nGens)
+          catch { case t: Throwable => Left(t) }
+      }, "slow-text-appender")
+      a.start()
+      assert(TextSlowGate.reached.await(
+        120, java.util.concurrent.TimeUnit.SECONDS),
+        "writer A never reached its staged write")
+      // A's mutation now outlives the window; the claim heartbeat must
+      // keep B out — without it B sweeps A, stages gen 1 itself, and its
+      // commit co-mingles A's late-landing postings files
+      Thread.sleep(3 * stalenessMs)
+      val busy = intercept[IllegalStateException](
+        hB.append(Seq((11L, "contender document")).toDF("doc_id", "text"),
+          "text", claimStaleness = stalenessMs))
+      assert(busy.getMessage.contains("another session is writing"))
+      TextSlowGate.go.countDown()
+      a.join(120000)
+      assert(aGens != null, "writer A never finished")
+      assert(aGens.fold(t => fail(s"writer A failed: $t"), identity) == 2)
+      // exactly one commit: doc 10 indexed once, B's refused batch absent
+      val idx = TextIndex.load(spark, dir)
+      assert(idx.nDocs == 5)
+      val hits = idx.search(Seq("appended"), topK = 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(hits == Seq(10L), s"got $hits")
+      assert(idx.search(Seq("contender"), topK = 10).count() == 0)
+      // slot free after release: B retries on a fresh handle
+      assert(TextIndex.load(sB, dir)
+        .append(Seq((11L, "contender document")).toDF("doc_id", "text"),
+          "text").nGens == 3)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+}
+
+/** Latch gate for the slow-appender spec (see [[SlowAppendGate]] for the
+  * closure-serialization rationale). */
+object TextSlowGate {
+  @volatile var reached: java.util.concurrent.CountDownLatch = _
+  @volatile var go: java.util.concurrent.CountDownLatch = _
 }

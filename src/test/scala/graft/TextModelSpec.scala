@@ -327,4 +327,72 @@ class TextModelSpec extends AnyFunSuite {
       TextModelStore.loadNaiveBayes(spark, s"$dir/dsir")
     }
   }
+
+  test("slow NB appender: a staged counts write outliving the staleness " +
+       "window survives a second writer — exactly one commit (claim " +
+       "heartbeat end-to-end)") {
+    import graft.sources.{BucketFs, TextModelStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_tms_slow").toString
+    try {
+      TextModelStore.saveNaiveBayes(
+        Seq((true, "good fine nice"), (false, "bad awful")).toDF("y", "text"),
+        "text", "y", dir)
+      ModelSlowGate.reached = new java.util.concurrent.CountDownLatch(1)
+      ModelSlowGate.go = new java.util.concurrent.CountDownLatch(1)
+      val slowText = udf { t: String =>
+        ModelSlowGate.reached.countDown()
+        ModelSlowGate.go.await(120, java.util.concurrent.TimeUnit.SECONDS)
+        t
+      }
+      val stalenessMs = 800L // beat period 200 ms
+      // parquet-backed gated batch (ConvertToLocalRelation would run the
+      // udf at plan build otherwise — see the DedupIndexSpec twin)
+      Seq((true, "great solid")).toDF("y", "text")
+        .write.parquet(s"$dir/__slow_in")
+      val gated = spark.read.parquet(s"$dir/__slow_in")
+        .withColumn("text", slowText($"text"))
+      @volatile var aDone: Either[Throwable, Unit] = null
+      val a = new Thread(() => {
+        aDone =
+          try Right(TextModelStore.appendNaiveBayes(spark.newSession(), gated,
+            "text", "y", dir, claimStaleness = stalenessMs))
+          catch { case t: Throwable => Left(t) }
+      }, "slow-nb-appender")
+      a.start()
+      assert(ModelSlowGate.reached.await(
+        120, java.util.concurrent.TimeUnit.SECONDS),
+        "writer A never reached its staged write")
+      Thread.sleep(3 * stalenessMs)
+      // the heartbeat keeps A's gen-1 claim fresh: B is refused loudly
+      // instead of sweeping A and co-writing the merged counts
+      val busy = intercept[IllegalStateException](
+        TextModelStore.appendNaiveBayes(spark.newSession(),
+          Seq((false, "contender text")).toDF("y", "text"), "text", "y",
+          dir, claimStaleness = stalenessMs))
+      assert(busy.getMessage.contains("another session is writing"))
+      ModelSlowGate.go.countDown()
+      a.join(120000)
+      assert(aDone != null, "writer A never finished")
+      aDone.left.foreach(t => fail(s"writer A failed: $t"))
+      // exactly one commit: A's batch merged once, B's absent — the
+      // reloaded model scores A's tokens as learned, B's as unseen
+      val counts = TextModelStore.loadNaiveBayesCounts(spark, dir)
+      val toks = counts.tokenCounts.select("token")
+        .collect().map(_.getString(0)).toSet
+      assert(toks.contains("great") && !toks.contains("contender"))
+      assert(counts.nd == 3 && counts.ndPos == 2)
+      // slot free after release: B retries and lands generation 2
+      TextModelStore.appendNaiveBayes(spark.newSession(),
+        Seq((false, "contender text")).toDF("y", "text"), "text", "y", dir)
+      val after = TextModelStore.loadNaiveBayesCounts(spark, dir)
+      assert(after.nd == 4 && after.ndPos == 2)
+    } finally BucketFs.deleteRecursive(dir)
+  }
+}
+
+/** Latch gate for the slow-appender spec (see [[SlowAppendGate]] for the
+  * closure-serialization rationale). */
+object ModelSlowGate {
+  @volatile var reached: java.util.concurrent.CountDownLatch = _
+  @volatile var go: java.util.concurrent.CountDownLatch = _
 }
