@@ -54,8 +54,10 @@ object Bench {
     Seq("q01_pricing_summary", "q06_sessionize", "q31_minhash_sig",
         "q32_minhash_lsh_pairs", "q34_ngram_jaccard")
       .foreach { q =>
+        // NonFatal only: a fatally broken session (OOME, interrupt) must
+        // fail HERE, loudly, not silently "warm up" and poison the board
         try SparkEntry.queries(q)(spark, warmDir).count()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => () }
       }
 
     // committed pins: a healthy run's per-query times, driving the
@@ -110,7 +112,8 @@ object Bench {
       while (warming && System.nanoTime() - wStart < budgetNs) {
         val t0 = System.nanoTime()
         warmHead.foreach { case (_, fn) =>
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          try fn(spark, sfDir).count()
+          catch { case scala.util.control.NonFatal(_) => () }
         }
         val loopSec = (System.nanoTime() - t0) / 1e9
         warming = loopSec < prevLoop * 0.9
@@ -147,7 +150,8 @@ object Bench {
       // untimed pre-run: absorbs marker-gated /tmp staging + per-query
       // JIT so timed trials measure steady-state compute (failure here is
       // fine — the timed trials will report it)
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case scala.util.control.NonFatal(_) => () }
       val stallMs = stall.getOrElse(name, 0L)
       val three = Seq(trial(name, fn, stallMs), trial(name, fn, stallMs),
         trial(name, fn, stallMs))

@@ -31,10 +31,15 @@ import org.apache.hadoop.fs.Path
   * uncommitted-debris the mutation sweeps separately). The sweep is
   * ATOMIC — rename-to-unique, so of two recoverers racing one stale
   * claim exactly one sweeps it and the `create` arbitrates the rest —
-  * and it re-verifies what it swept: if the renamed-aside file turns out
-  * FRESH (a new claimant landed between this writer's staleness
-  * adjudication and its rename), it is restored and the sweeper reports
-  * busy instead of proceeding. The residual window (a falsely-swept
+  * and it re-verifies what it swept BY IDENTITY (nonce, with
+  * mtime-equality as the torn-content fallback): if the renamed-aside
+  * file is not the incarnation that was adjudicated stale (a new
+  * claimant landed between this writer's staleness adjudication and its
+  * rename), it is restored and the sweeper reports busy instead of
+  * proceeding. Identity, not age, because on copy+delete-rename stores
+  * (raw S3A) the rename itself freshens the aside's mtime — an age
+  * re-check would restore every legitimately swept claim and wedge
+  * stale recovery. The residual window (a falsely-swept
   * claim whose restore loses to a third claimant) is covered by
   * [[verify]]: every holder re-asserts ownership immediately before its
   * manifest commit, shrinking the exposure from the whole data-write job
@@ -115,16 +120,31 @@ object GenerationLock {
                   nonce: String): Boolean
   }
 
-  /** Default [[ClaimBackend]]: plain Hadoop atomic create. */
+  /** Default [[ClaimBackend]]: plain Hadoop atomic create. Only the
+    * `create` call's IOException means "lost the race" — once the create
+    * has succeeded the slot is OURS, and a write/close failure must NOT
+    * be reported as a lost race (the session would abort with a
+    * misleading error while its own empty/torn claim file blocks the
+    * slot — for itself and everyone else — for the full staleness
+    * window). Instead the just-created file is best-effort deleted to
+    * free the slot and the real error is rethrown. */
   object HadoopCreateBackend extends ClaimBackend {
     def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
-                  nonce: String): Boolean =
+                  nonce: String): Boolean = {
+      val out =
+        try fs.create(p, false)
+        catch { case _: java.io.IOException => return false }
       try {
-        val out = fs.create(p, false)
         try out.write(nonce.getBytes(StandardCharsets.UTF_8))
         finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      } catch {
+        case e: java.io.IOException =>
+          try fs.delete(p, false)
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
+      true
+    }
   }
 
   /** Reserved slots of the non-generational claim flavors ([[claimDir]],
@@ -185,13 +205,39 @@ object GenerationLock {
   private[graft] def claim(dir: String, gen: Int, stalenessMs: Long,
                            hook: Hook, backend: ClaimBackend): Claim = {
     val (fs, p) = BucketFs.resolve(claimPath(dir, gen))
+    // 0. retire leaked adjudication asides: both release() and the stale
+    // sweep below park claims as dot-file asides
+    // (".<claim>.{release,swept}.<uuid>") and delete them best-effort — a
+    // crash or failed delete between the rename and the delete leaks
+    // them at the artifact root forever, since no other path ever lists
+    // them. Only STALE asides are retired: a fresh one may be
+    // mid-adjudication by a live releaser/sweeper about to restore it.
+    // (A stale-mtime aside a live adjudicator still holds is safe to
+    // drop: its sweptFresh/ownership re-stat treats FNF as not-fresh /
+    // not-owned and the slot adjudicates exactly as if the stale claim
+    // had been swept — which, by mtime, it legitimately is.)
+    try {
+      val now = System.currentTimeMillis()
+      val asides = fs.globStatus(new Path(p.getParent, s".${p.getName}.*"))
+      if (asides != null) asides.foreach { st =>
+        if (now - st.getModificationTime >= stalenessMs)
+          try fs.delete(st.getPath, false)
+          catch { case _: java.io.IOException => () }
+      }
+    } catch { case _: java.io.IOException => () }
     def busy(age: Long): Nothing = throw new IllegalStateException(
       s"another session is writing ${what(dir, gen)} (writer claim " +
         s"is $age ms old < $stalenessMs): retry after it commits, or " +
         "after the staleness window if it is dead")
-    // 1. adjudicate an existing claim. getFileStatus directly (no
-    // exists-then-stat: the file can vanish between the two — a released
-    // claim is the same as an absent one)
+    // 1. adjudicate an existing claim. The nonce is read BEFORE the
+    // staleness stat so the pair (nonce, mtime) identifies the exact
+    // claim INCARNATION being adjudicated — the sweep's post-rename
+    // re-check below compares identity, not age. getFileStatus directly
+    // (no exists-then-stat: the file can vanish between the two — a
+    // released claim is the same as an absent one)
+    val staleNonce: Option[String] =
+      try Some(BucketFs.readString(p.toString))
+      catch { case _: java.io.IOException => None } // absent or torn
     val existing =
       try Some(fs.getFileStatus(p))
       catch { case _: java.io.FileNotFoundException => None }
@@ -212,17 +258,37 @@ object GenerationLock {
       hook("afterSweep")
       if (renamed) {
         // guard the adjudicate→rename window: if the file we renamed is
-        // FRESH, it is not the stale claim we judged — a new claimant
-        // landed in between. Restore it and report busy; if the restore
-        // loses to a third claimant, the swept-then-restored holder's
-        // pre-commit verify() catches the hijack.
-        val sweptFresh =
+        // NOT the stale claim we judged — a new claimant landed in
+        // between — restore it and report busy; if the restore loses to
+        // a third claimant, the swept-then-restored holder's pre-commit
+        // verify() catches the hijack. Identity is adjudicated by NONCE
+        // (unique per claim), with mtime-equality as the fallback for an
+        // unreadable (torn) incumbent — NOT by the aside's age: on
+        // stores whose rename is copy+delete (raw S3A) the rename itself
+        // freshens the mtime, so an age check would judge every swept
+        // stale claim "fresh", restore it (freshening it again), and
+        // wedge stale recovery permanently. A new claimant's file can
+        // never alias either test: its nonce is a fresh UUID and its
+        // mtime is now, >= stalenessMs after the adjudicated stamp. The
+        // one residual on copy+delete stores: a TORN incumbent (nonce
+        // unreadable, mtime not comparable) restores and reports busy —
+        // near-impossible there (object PUTs are atomic), and it fails
+        // toward safety, never toward a false sweep.
+        val sweptSame: Boolean =
           try {
-            val sa = System.currentTimeMillis() -
-              fs.getFileStatus(aside).getModificationTime
-            sa < stalenessMs
-          } catch { case _: java.io.FileNotFoundException => false }
-        if (sweptFresh) {
+            val asideNonce =
+              try Some(BucketFs.readString(aside.toString))
+              catch { case _: java.io.IOException => None }
+            (asideNonce.isDefined && asideNonce == staleNonce) ||
+              fs.getFileStatus(aside).getModificationTime ==
+                st.getModificationTime
+          } catch {
+            // aside vanished (another recoverer's step-0 retirement):
+            // nothing left to restore — fall through to the create,
+            // which arbitrates
+            case _: java.io.FileNotFoundException => true
+          }
+        if (!sweptSame) {
           if (!fs.rename(aside, p)) fs.delete(aside, false)
           busy(0L)
         }
@@ -257,14 +323,20 @@ object GenerationLock {
     // every stalenessMs/4, keeping a live writer's claim fresh no
     // matter how long its mutation runs; same beat shape as
     // [[AnnIndex]]'s delete liveness marker. Beat hygiene: a tick that
-    // finds the file GONE (released/committed, or falsely swept) stops
-    // itself — an orphan beat must never re-freshen a SUCCESSOR's claim
-    // forever (that would wedge staleness recovery for as long as this
-    // process lives) — each tick re-reads the nonce and stops on a
-    // CONFIRMED foreign claim (a falsely-swept-and-re-taken slot must
-    // not be kept artificially fresh past its new holder's own life; an
-    // UNREADABLE file is not confirmation — keep beating, the file is
-    // almost certainly our own mid-rewrite on a fallback store). Other
+    // finds the file GONE for two consecutive reads ~2 periods apart
+    // (released/committed, or swept for real) stops itself — an orphan
+    // beat must never re-freshen a SUCCESSOR's claim forever (that would
+    // wedge staleness recovery for as long as this process lives) — but
+    // a SINGLE absent read is only retried: a foreign adjudication
+    // (release/sweep) transiently renames a live claim aside and
+    // restores it, and a beat that died on that one intersecting tick
+    // would leave the falsely-swept-then-restored holder beatless for
+    // the rest of its mutation. Each tick re-reads the nonce and stops
+    // on a CONFIRMED foreign claim (a falsely-swept-and-re-taken slot
+    // must not be kept artificially fresh past its new holder's own
+    // life; an UNREADABLE file is not confirmation — keep beating, the
+    // file is almost certainly our own mid-rewrite on a fallback
+    // store). Other
     // failures are swallowed: a transient FS hiccup must not kill the
     // beat, and stores whose setTimes is unsupported (raw object
     // stores) fall back to rewriting the same nonce — those stores'
@@ -282,25 +354,47 @@ object GenerationLock {
         }
       exec.scheduleAtFixedRate(
         () => try {
-          val mine =
-            try BucketFs.readString(p.toString) == nonce
+          // None = absent; Some(nonce) = ours (an UNREADABLE file is
+          // adjudicated ours: almost certainly our own beat mid-rewrite
+          // on a fallback store); Some(other) = confirmed foreign
+          def readNonce(): Option[String] =
+            try Some(BucketFs.readString(p.toString))
             catch {
-              case _: java.io.FileNotFoundException => throw
-                new java.io.FileNotFoundException(p.toString)
-              case _: java.io.IOException => true // unreadable: assume ours
+              case _: java.io.FileNotFoundException => None
+              case _: java.io.IOException => Some(nonce)
             }
-          if (!mine) exec.shutdown() // re-taken: the new holder beats now
-          else {
-            try fs.setTimes(p, System.currentTimeMillis(), -1)
-            catch {
-              case _: UnsupportedOperationException =>
-                val out = fs.create(p, true)
-                try out.write(nonce.getBytes(StandardCharsets.UTF_8))
-                finally out.close()
-            }
+          var onDisk = readNonce()
+          if (onDisk.isEmpty) {
+            // transiently ABSENT is not proof of death: both release()
+            // and the stale sweep rename a claim ASIDE, read it, and
+            // restore it when it turns out live/foreign — a foreign
+            // session's adjudication intersecting this tick would
+            // otherwise permanently kill a live writer's beat exactly
+            // when it was falsely swept, silently degrading the
+            // whole-mutation guarantee back to verify()-bounded for the
+            // raced claim. Retry once after ~2 beat periods (far wider
+            // than the rename→restore window, still ≤ stalenessMs/2 of
+            // un-refreshed ageing — and the restore preserves mtime, so
+            // a resumed beat's setTimes picks up exactly where it left
+            // off); shut down only if the claim is STILL absent
+            // (genuinely released/swept) or now holds a foreign nonce.
+            Thread.sleep(2 * period)
+            onDisk = readNonce()
+          }
+          onDisk match {
+            case None => exec.shutdown() // still absent: truly gone
+            case Some(n) if n != nonce =>
+              exec.shutdown() // re-taken: the new holder beats now
+            case _ =>
+              try fs.setTimes(p, System.currentTimeMillis(), -1)
+              catch {
+                case _: UnsupportedOperationException =>
+                  val out = fs.create(p, true)
+                  try out.write(nonce.getBytes(StandardCharsets.UTF_8))
+                  finally out.close()
+              }
           }
         } catch {
-          case _: java.io.FileNotFoundException => exec.shutdown()
           case scala.util.control.NonFatal(_) => ()
         },
         period, period, java.util.concurrent.TimeUnit.MILLISECONDS)

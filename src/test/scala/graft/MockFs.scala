@@ -38,3 +38,62 @@ class MockNoSetTimesFs extends MockFs {
     throw new UnsupportedOperationException(
       s"$getScheme does not support setTimes")
 }
+
+/** Full raw-S3A-semantics mock, for pinning the generation-lock
+  * protocol's documented object-store degradation as a SPEC instead of a
+  * scaladoc argument:
+  *
+  *  - file rename is COPY + DELETE: non-atomic, and the destination is a
+  *    NEW object whose mtime is the copy time (S3's Last-Modified) — a
+  *    renamed-aside claim always looks freshly written;
+  *  - `create(overwrite = false)` is CHECK-then-act with a widened
+  *    window (a deliberate sleep between the existence check and the
+  *    overwriting create), so two racers genuinely can both "win" the
+  *    create — at-most-one-commit must then come from the nonce
+  *    read-back + pre-commit verify, exactly as documented;
+  *  - setTimes is unsupported (heartbeats fall back to rewrite).
+  */
+class MockS3Fs extends MockFs {
+  override def getScheme: String = "mocks3"
+  override def getUri: URI = URI.create("mocks3:///")
+
+  override def setTimes(f: Path, mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException(
+      s"$getScheme does not support setTimes")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val st =
+      try getFileStatus(src)
+      catch { case _: java.io.FileNotFoundException => return false }
+    if (st.isDirectory) return super.rename(src, dst) // claims are files
+    if (exists(dst)) return false
+    val in = open(src)
+    val bytes =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val b = new Array[Byte](4096)
+        var n = in.read(b)
+        while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+        buf.toByteArray
+      } finally in.close()
+    val out = create(dst, true) // new object: mtime = NOW, not preserved
+    try out.write(bytes) finally out.close()
+    delete(src, false)
+    true
+  }
+
+  override def create(f: Path,
+                      permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite) {
+      if (exists(f))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+      Thread.sleep(5) // widen the check-then-act window: races are REAL here
+    }
+    super.create(f, permission, true, bufferSize, replication, blockSize,
+      progress)
+  }
+}

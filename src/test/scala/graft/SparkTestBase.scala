@@ -22,6 +22,10 @@ object SparkTestBase {
       // object-store stand-in whose setTimes is unsupported: exercises
       // the heartbeat's rewrite fallback (GenerationLockSpec)
       .config("spark.hadoop.fs.mocknst.impl", "graft.MockNoSetTimesFs")
+      // full raw-S3A semantics (rename = copy+delete with fresh mtimes,
+      // check-then-act create, no setTimes): pins the claim protocol's
+      // documented object-store degradation (GenerationLockSpec)
+      .config("spark.hadoop.fs.mocks3.impl", "graft.MockS3Fs")
       // plan-audit asserts read PartitionFilters/PushedFilters out of the
       // formatted plan; the default 100-char cap truncates those lines
       // once expression ids grow past 4 digits (suite-order dependent),
