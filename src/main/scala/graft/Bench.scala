@@ -35,6 +35,27 @@ import org.apache.spark.sql.SparkSession
   * demo that the re-time pass recovers a poisoned window.
   */
 object Bench {
+
+  /** Committed per-query pins: `{"name": sec, ...}` via a real JSON
+    * parse (Jackson ships with Spark) — the file need not stay flat, and
+    * a malformed edit degrades to NO pins (re-time pass disabled) rather
+    * than silently half-parsing; non-numeric values are skipped.
+    * Factored out of main so pin governance is spec-testable
+    * ([[graft.BenchPinsSpec]]). */
+  private[graft] def loadPins(path: java.nio.file.Path): Map[String, Double] =
+    if (!java.nio.file.Files.exists(path)) Map.empty
+    else try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(path.toFile)
+      val it = root.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
+      }
+      b.result()
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,24 +83,8 @@ object Bench {
 
     // committed pins: a healthy run's per-query times, driving the
     // end-of-run re-time pass. Missing file / missing query => no pin.
-    val pins: Map[String, Double] = {
-      val p = java.nio.file.Paths.get("BENCH_PINS.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else try {
-        // {"name": sec, ...} — a real JSON parse (Jackson ships with
-        // Spark), so the file need not stay flat and a malformed edit
-        // fails to Map.empty instead of silently half-parsing
-        val root = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(p.toFile)
-        val it = root.fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) {
-          val e = it.next()
-          if (e.getValue.isNumber) b += e.getKey -> e.getValue.asDouble()
-        }
-        b.result()
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
-    }
+    val pins: Map[String, Double] =
+      loadPins(java.nio.file.Paths.get("BENCH_PINS.json"))
 
     // test hook: poison qname's main-pass trials with an injected stall
     val stall: Map[String, Long] = sys.env.get("SPARK_GRAFT_BENCH_STALL")
