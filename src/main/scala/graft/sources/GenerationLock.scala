@@ -465,7 +465,10 @@ object GenerationLock {
     * holder's live claim, re-opening the slot for a third writer. The
     * rename pins ONE specific inode: what we read is exactly what we
     * delete (ours) or restore (someone else's, mtime preserved through
-    * the renames so a genuinely stale claim does not get freshened). If
+    * the renames so a genuinely stale claim does not get freshened —
+    * except on copy+delete-rename stores, where the restore stamps a
+    * fresh mtime and a stale foreign claim's sweep is DELAYED by one
+    * window; an availability nit, never a correctness one). If
     * the restore loses to a claimant that landed at the original path
     * mid-release, the aside is dropped and the displaced holder's
     * pre-commit [[verify]] catches the hijack — the same verify-bounded
