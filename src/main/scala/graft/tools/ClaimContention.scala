@@ -1,77 +1,151 @@
 package graft.tools
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Wall-clock multi-writer contention trial on a persisted dedup index
-  * (VERDICT r16 directive #3): the slow-appender SPECS prove claim-
-  * protocol data purity under latch-gated 800 ms windows; this tool
-  * anchors the same guarantee OUTSIDE test-latch conditions — two real
-  * concurrent appenders on one staged index, real Spark jobs, real
+/** Wall-clock multi-writer contention trials on the persisted artifact
+  * families (VERDICT r16 directive #3): the slow-appender SPECS prove
+  * claim-protocol data purity under latch-gated 800 ms windows; this
+  * tool anchors the same guarantee OUTSIDE test-latch conditions — two
+  * real concurrent appenders per artifact, real Spark jobs, real
   * wall-clock, with one appender's mutation FORCED past the staleness
   * window (so only the claim heartbeat stands between it and a false
   * sweep by the contender's retry loop).
   *
-  * Shape: a base index over a quarter of `documents`; appender A writes
-  * a `factor`x-replicated slice (big enough that its append outruns the
-  * window), appender B a 1x slice, concurrently, each retrying on the
-  * protocol's loud busy refusal. The window is SELF-CALIBRATED to ~1/3
-  * of a measured throwaway append of A's batch, so "mutation outlives
-  * the window" holds by construction on any host speed. Success =
-  * commits observed == appenders == 2, at least one of B's refusals
-  * lands AFTER A's claim is older than the window (heartbeat-defended
-  * territory — an unrefreshed claim would have been swept there), and
-  * the final signature rows are EXACT: base + A + B, all ids distinct.
+  * Three families, covering both claim flavors: the MinHash dedup index
+  * and the BM25 text index (per-generation claim slots) and the IVF-PQ
+  * ANN index (whole-dir claim — it excludes in-place deletes too). Per
+  * family: a base artifact, appender A with a `factor`x-replicated
+  * slice (big enough that its append outruns the window), appender B
+  * with a 1x slice, concurrently, each retrying on the protocol's loud
+  * busy/stale-handle refusal. The window is SELF-CALIBRATED to 1/4 of a
+  * measured warm throwaway append of A's batch, so "mutation outlives
+  * the window" holds by construction on any host speed. Success per
+  * family = commits observed == appenders == 2, at least one of B's
+  * refusals lands AFTER A's claim is provably older than the window
+  * (heartbeat-defended territory — an unrefreshed claim would have been
+  * swept there), and the final row/doc counts are EXACT: base + A + B.
   *
-  * Run: sbt "runMain graft.tools.ClaimContention [sfDir] [factor]".
-  * Results recorded in PERFNOTES (round 17).
+  * Run: sbt "runMain graft.tools.ClaimContention [sfDir] [factor]
+  * [families]" (families comma-separated from dedup,text,ann; default
+  * all three). Results recorded in PERFNOTES (round 17).
   */
 object ClaimContention {
 
-  private def replicate(df: org.apache.spark.sql.DataFrame, idCol: String,
-                        factor: Int): org.apache.spark.sql.DataFrame =
+  private def replicate(df: DataFrame, idCol: String, factor: Int): DataFrame =
     (0 until factor).map { k =>
       df.withColumn(idCol, col(idCol) + lit(k.toLong * 1000000000000L))
     }.reduce(_ unionByName _)
 
-  def main(args: Array[String]): Unit = {
-    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val spark = graft.core.GraftSession.builder("32", "32", rawLocalFs = true)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+  /** One family's wiring: stage the base artifact at `dir`, append a
+    * batch under a given staleness window, and assert final purity
+    * given the expected total row count. */
+  private case class Family(name: String, batchA: DataFrame,
+                            batchB: DataFrame, nBase: Long,
+                            stage: String => Unit,
+                            append: (String, DataFrame, Long) => Unit,
+                            purity: (String, Long) => String)
+
+  private def families(spark: SparkSession, base: String, factor: Int)
+      : Map[String, Family] = {
     import spark.implicits._
-
     val docs = graft.core.Tables(spark, base, "documents")
-    val baseSlice = docs.where($"doc_id" % 4 === 0)
-    val batchA = replicate(docs.where($"doc_id" % 4 === 1), "doc_id", factor)
-    val batchB = docs.where($"doc_id" % 4 === 2)
-    val (nBase, nA, nB) = (baseSlice.count(), batchA.count(), batchB.count())
-    println(s"base=$nBase appenderA=${nA} (${factor}x) appenderB=$nB")
+    val emb = graft.core.Tables(spark, base, "embeddings")
 
-    val root = s"/tmp/graft_claim_contention_${System.nanoTime()}"
-    def newIndex(dir: String): Unit =
-      graft.sources.DedupIndex.save(baseSlice, "text", "doc_id", dir,
-        shingleK = 8, numHashes = 8, bands = 4)
+    val dedup = {
+      val baseSlice = docs.where($"doc_id" % 4 === 0)
+      Family("dedup",
+        batchA = replicate(docs.where($"doc_id" % 4 === 1), "doc_id", factor),
+        batchB = docs.where($"doc_id" % 4 === 2),
+        nBase = baseSlice.count(),
+        stage = dir => graft.sources.DedupIndex.save(
+          baseSlice, "text", "doc_id", dir,
+          shingleK = 8, numHashes = 8, bands = 4),
+        append = (dir, batch, w) => {
+          graft.sources.DedupIndex.load(spark, dir)
+            .append(batch, "text", claimStaleness = w); ()
+        },
+        purity = (dir, expected) => {
+          val idx = graft.sources.DedupIndex.load(spark, dir)
+          val rows = idx.signatures.count()
+          val ids = idx.signatures.select("doc_id").distinct().count()
+          require(idx.nGens == 3, s"nGens=${idx.nGens}, want 3")
+          require(rows == expected && ids == expected,
+            s"dedup purity violated: $rows rows / $ids ids vs $expected")
+          s"nGens=3 sigRows=$rows distinctIds=$ids"
+        })
+    }
 
-    // calibrate: how long does A's append take on THIS host? Two runs —
-    // the first doubles as JIT/codegen warm-up, the SECOND (warm) figure
-    // is what the real trial's append will actually take, and the window
-    // is set to a quarter of it so the mutation outruns the window by
-    // construction
+    val text = {
+      val baseSlice = docs.where($"doc_id" % 4 === 0)
+      Family("text",
+        batchA = replicate(docs.where($"doc_id" % 4 === 1), "doc_id", factor),
+        batchB = docs.where($"doc_id" % 4 === 2),
+        nBase = baseSlice.count(),
+        stage = dir => graft.sources.TextIndex.save(
+          baseSlice, "text", "doc_id", dir, nBuckets = 16),
+        append = (dir, batch, w) => {
+          graft.sources.TextIndex.load(spark, dir)
+            .append(batch, "text", claimStaleness = w); ()
+        },
+        purity = (dir, expected) => {
+          val idx = graft.sources.TextIndex.load(spark, dir)
+          require(idx.nGens == 3, s"nGens=${idx.nGens}, want 3")
+          require(idx.nDocs == expected,
+            s"text purity violated: nDocs=${idx.nDocs} vs $expected")
+          s"nGens=3 nDocs=${idx.nDocs}"
+        })
+    }
+
+    val ann = {
+      val baseSlice = emb.where($"vec_id" % 4 === 0)
+      Family("ann",
+        batchA = replicate(emb.where($"vec_id" % 4 === 1), "vec_id",
+          factor * 4), // vectors are cheaper to append than text: 4x more
+        batchB = emb.where($"vec_id" % 4 === 2),
+        nBase = baseSlice.count(),
+        stage = dir => graft.sources.AnnIndex.saveIvfPq(
+          baseSlice, "vec_id", "embedding", dir,
+          dims = 64, m = 4, k = 16, nList = 8),
+        append = (dir, batch, w) => {
+          graft.sources.AnnIndex.loadIvfPq(spark, dir)
+            .append(batch, "embedding", claimStaleness = w); ()
+        },
+        purity = (dir, expected) => {
+          val idx = graft.sources.AnnIndex.loadIvfPq(spark, dir)
+          val ids = idx.codes.select("vec_id").distinct().count()
+          require(idx.nGens == 3, s"nGens=${idx.nGens}, want 3")
+          require(ids == expected,
+            s"ann purity violated: $ids distinct ids vs $expected")
+          s"nGens=3 distinctIds=$ids"
+        })
+    }
+
+    Map("dedup" -> dedup, "text" -> text, "ann" -> ann)
+  }
+
+  private def runTrial(spark: SparkSession, f: Family, root: String)
+      : String = {
+    val (nA, nB) = (f.batchA.count(), f.batchB.count())
+    println(s"[${f.name}] base=${f.nBase} appenderA=$nA appenderB=$nB")
+
+    // calibrate: two runs — the first doubles as JIT/codegen warm-up,
+    // the SECOND (warm) figure is what the real trial's append will
+    // take, and the window is a quarter of it so the mutation outruns
+    // the window by construction
     val calMs = (1 to 2).map { i =>
-      val calDir = s"$root/cal$i"
-      newIndex(calDir)
+      val calDir = s"$root/${f.name}_cal$i"
+      f.stage(calDir)
       val tc0 = System.nanoTime()
-      graft.sources.DedupIndex.load(spark, calDir).append(batchA, "text")
+      f.append(calDir, f.batchA, GenerationLock_DefaultStaleness)
       (System.nanoTime() - tc0) / 1000000L
     }.last
     val windowMs = math.max(1000L, calMs / 4)
-    println(s"calibration: warm A-append=$calMs ms -> " +
-      s"staleness window=$windowMs ms")
+    println(s"[${f.name}] calibration: warm A-append=$calMs ms -> " +
+      s"window=$windowMs ms")
 
-    // the real trial
-    val idxDir = s"$root/idx"
-    newIndex(idxDir)
+    val idxDir = s"$root/${f.name}_idx"
+    f.stage(idxDir)
     val aStart = new java.util.concurrent.atomic.AtomicLong(0L)
     val aDurMs = new java.util.concurrent.atomic.AtomicLong(0L)
     val refusalsAfterWindow = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -79,8 +153,8 @@ object ClaimContention {
     val commits = new java.util.concurrent.atomic.AtomicInteger(0)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
 
-    def appender(name: String, batch: org.apache.spark.sql.DataFrame,
-                 startDelayMs: Long, backoffMs: Long): Thread = {
+    def appender(name: String, batch: DataFrame, startDelayMs: Long,
+                 backoffMs: Long): Thread = {
       val t = new Thread(() => {
         try {
           Thread.sleep(startDelayMs)
@@ -91,67 +165,86 @@ object ClaimContention {
             val t0 = System.nanoTime()
             try {
               if (name == "A") aStart.set(System.currentTimeMillis())
-              graft.sources.DedupIndex.load(spark, idxDir)
-                .append(batch, "text", claimStaleness = windowMs)
+              f.append(idxDir, batch, windowMs)
               val ms = (System.nanoTime() - t0) / 1000000L
               if (name == "A") aDurMs.set(ms)
               commits.incrementAndGet()
-              println(s"  appender $name committed in $ms ms (attempt $tries)")
+              println(s"  [${f.name}] appender $name committed in $ms ms " +
+                s"(attempt $tries)")
               done = true
             } catch {
               case e: IllegalStateException
                   if e.getMessage.contains("another session is writing") ||
                      e.getMessage.contains("lost the writer-claim race") ||
-                     e.getMessage.contains("stale index handle") =>
+                     e.getMessage.contains("stale index handle") ||
+                     e.getMessage.contains("head moved") =>
                 refusals.incrementAndGet()
-                // a refusal AFTER A's claim is older than the window is
-                // the heartbeat's territory: an unrefreshed claim would
-                // have been adjudicated stale and swept right here
-                // margin of window/4 over aStart (set slightly BEFORE the
-                // claim is actually taken — load runs first), so this
-                // only counts refusals where the claim itself is
-                // provably past the window
+                // margin of window/4 over aStart (set slightly BEFORE
+                // the claim is actually taken — load runs first), so
+                // this only counts refusals where the claim itself is
+                // provably past the window: heartbeat-defended territory
+                // where an unrefreshed claim would have been swept
                 if (aStart.get > 0 &&
                     System.currentTimeMillis() - aStart.get >
                       windowMs + windowMs / 4)
                   refusalsAfterWindow.incrementAndGet()
                 Thread.sleep(backoffMs)
+              case e: IllegalArgumentException
+                  if e.getMessage != null &&
+                     e.getMessage.contains("stale") =>
+                refusals.incrementAndGet(); Thread.sleep(backoffMs)
             }
           }
           if (!done) sys.error(s"appender $name never committed")
         } catch { case th: Throwable => errors.add(th) }
-      }, s"appender-$name")
+      }, s"${f.name}-appender-$name")
       t.start(); t
     }
 
     val t0 = System.currentTimeMillis()
-    val a = appender("A", batchA, startDelayMs = 0L, backoffMs = windowMs / 8)
-    val b = appender("B", batchB, startDelayMs = windowMs / 4,
+    val a = appender("A", f.batchA, startDelayMs = 0L,
+      backoffMs = windowMs / 8)
+    val b = appender("B", f.batchB, startDelayMs = windowMs / 4,
       backoffMs = windowMs / 8)
     a.join(); b.join()
     val wallMs = System.currentTimeMillis() - t0
     errors.forEach(e => throw e)
 
-    val idx = graft.sources.DedupIndex.load(spark, idxDir)
-    val sigRows = idx.signatures.count()
-    val sigIds = idx.signatures.select("doc_id").distinct().count()
-    val expected = nBase + nA + nB
-    println(s"final: nGens=${idx.nGens} sigRows=$sigRows " +
-      s"distinctIds=$sigIds expected=$expected")
+    val expected = f.nBase + nA + nB
+    val purity = f.purity(idxDir, expected)
     require(commits.get == 2, s"commits=${commits.get}, want 2")
-    require(idx.nGens == 3, s"nGens=${idx.nGens}, want 3 (save + 2 appends)")
-    require(sigRows == expected && sigIds == expected,
-      s"row purity violated: $sigRows rows / $sigIds ids vs $expected")
     require(aDurMs.get > windowMs,
       s"A's mutation (${aDurMs.get} ms) did not outrun the window " +
         s"($windowMs ms) — trial not meaningful, raise the factor")
     require(refusalsAfterWindow.get > 0,
-      "B was never refused in heartbeat-defended territory — raise factor " +
-        "or lower backoff")
-    println(f"CLAIM_CONTENTION appenders=2 commits=${commits.get} " +
-      f"refusals=${refusals.get} refusals_after_window=" +
-      f"${refusalsAfterWindow.get} window_ms=$windowMs " +
-      f"a_mutation_ms=${aDurMs.get} wall_ms=$wallMs rows_exact=true")
+      "B was never refused in heartbeat-defended territory — raise " +
+        "factor or lower backoff")
+    val row = s"CLAIM_CONTENTION family=${f.name} appenders=2 " +
+      s"commits=${commits.get} refusals=${refusals.get} " +
+      s"refusals_after_window=${refusalsAfterWindow.get} " +
+      s"window_ms=$windowMs a_mutation_ms=${aDurMs.get} wall_ms=$wallMs " +
+      s"expected=$expected $purity rows_exact=true"
+    println(row)
+    row
+  }
+
+  private val GenerationLock_DefaultStaleness =
+    graft.sources.GenerationLock.DefaultStalenessMs
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val which = args.lift(2).map(_.split(',').map(_.trim).toSet)
+      .getOrElse(Set("dedup", "text", "ann"))
+    val spark = graft.core.GraftSession.builder("32", "32", rawLocalFs = true)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = s"/tmp/graft_claim_contention_${System.nanoTime()}"
+    val fams = families(spark, base, factor)
+    val rows = which.toSeq.sorted.map(n => runTrial(spark, fams(n), root))
+    println("=== all trials ===")
+    rows.foreach(println)
     graft.sources.BucketFs.deleteRecursive(root)
     spark.stop()
   }
