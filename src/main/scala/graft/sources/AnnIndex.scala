@@ -436,7 +436,18 @@ object AnnIndex {
                 indexDir: String, dims: Int, m: Int, k: Int, nList: Int,
                 quantizeScale: Option[Double] = Some(1000.0),
                 trainUpdates: Int = 0, residual: Boolean = false,
-                includeCodes: Boolean = true): Unit = {
+                includeCodes: Boolean = true,
+                claimStaleness: Long =
+                  GenerationLock.DefaultStalenessMs): Unit = {
+    // PROVISIONING is a mutation too (round 17): two schedulers retrying
+    // one build would interleave their overwrite-mode rewrites of
+    // centroids/codebook/codes and the surviving manifest could serve a
+    // MIX of both runs' files. Saves take the SAME whole-dir slot as
+    // this index's append/delete/compact/repair, so a save also excludes
+    // every in-flight mutation (and vice versa) — on this artifact the
+    // exclusion is total, not just save-vs-save.
+    val claim = GenerationLock.claimDir(indexDir, claimStaleness)
+    try {
     // the old manifest goes first — a crash anywhere in this rewrite must
     // fail to load loudly, never serve stale parameters over mixed data
     BucketFs.deleteRecursive(s"$indexDir/$ManifestFile")
@@ -457,8 +468,11 @@ object AnnIndex {
     // use generations — their sink log is the transaction mechanism)
     BucketFs.deleteRecursive(s"$indexDir/codes")
     if (includeCodes) writeCodes(codesExploded, idCol, indexDir, gen = 0)
+    // ownership re-assert right before the commit point (manifest write)
+    GenerationLock.verify(claim)
     writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
       quantizeScale, idCol, if (includeCodes) 1 else 0)
+    } finally GenerationLock.release(claim)
   }
 
   private def writeManifest(indexDir: String, residual: Boolean, dims: Int,

@@ -73,10 +73,22 @@ object DedupIndex {
   /** Build and persist the index over `corpus`. Overwrites `indexDir`.
     * All three datasets land in generation 0; the (atomic) manifest
     * write commits the build — see the commit protocol on [[MinHashIndex
-    * .append]]. */
+    * .append]].
+    *
+    * PROVISIONING is a mutation too (round 17): [[writeGen]] appends
+    * into the generation directories, so two schedulers retrying one
+    * build job would co-write generation 0 and the surviving manifest
+    * would silently serve BOTH writers' rows — the same co-mingle shape
+    * the append/compact claims close. The whole-dir claim
+    * ([[GenerationLock.claimDir]]) serializes saves against each other;
+    * save-vs-APPEND stays an operator-coordinated destructive rebuild
+    * (appends hold per-generation slots), unchanged contract. */
   def save(corpus: DataFrame, textCol: String, idCol: String, indexDir: String,
-           shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4): Unit = {
+           shingleK: Int = 3, numHashes: Int = 8, bands: Int = 4,
+           claimStaleness: Long = GenerationLock.DefaultStalenessMs): Unit = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    val claim = GenerationLock.claimDir(indexDir, claimStaleness)
+    try {
     // save overwrites: the OLD MANIFEST goes first, so a crash mid-save
     // leaves an index that fails to load LOUDLY instead of one whose
     // stale manifest silently mis-reads the new data; then clear
@@ -97,7 +109,10 @@ object DedupIndex {
       .withColumn("gen", lit(0))
       .write.mode("append").partitionBy("gen")
       .parquet(s"$indexDir/bucket_stats")
+    // ownership re-assert right before the commit point (manifest write)
+    GenerationLock.verify(claim)
     writeManifest(indexDir, shingleK, numHashes, bands, 1, idCol)
+    } finally GenerationLock.release(claim)
   }
 
   // band/gen are directory-partition columns: pin band's read-back type,

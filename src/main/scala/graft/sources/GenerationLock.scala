@@ -163,8 +163,11 @@ object GenerationLock {
 
   /** Whole-destination mutex for the NON-generational mutators (the
     * update-merge's delete-then-rename pass over period files,
-    * [[Clustered.writeClustered]]'s table overwrite): the same
-    * claim/verify/release protocol on one reserved slot
+    * [[Clustered.writeClustered]]'s table overwrite, [[AnnIndex]]'s
+    * append/delete/compact/repair family, and — round 17 — every
+    * artifact's PROVISIONING save, whose generation-0 writes would
+    * otherwise co-mingle under two schedulers retrying one build): the
+    * same claim/verify/release protocol on one reserved slot
     * (`_writer_claim`, no generation suffix) instead of a staged
     * generation number. Two concurrent update-merges over one
     * destination would otherwise interleave their per-period deletes

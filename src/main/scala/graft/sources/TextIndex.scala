@@ -114,8 +114,17 @@ object TextIndex {
     * per-term df rows in generation 0; corpus constants land in the
     * manifest, whose (atomic) write commits the build. */
   def save(corpus: DataFrame, textCol: String, idCol: String,
-           indexDir: String, nBuckets: Int = 64): Unit = {
+           indexDir: String, nBuckets: Int = 64,
+           claimStaleness: Long = DefaultClaimStalenessMs): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // PROVISIONING is a mutation too (round 17): writeGen appends into
+    // the generation directories, so two schedulers retrying one build
+    // would co-write generation 0 and the surviving manifest would
+    // silently serve BOTH writers' postings. The whole-dir claim
+    // serializes saves; save-vs-append stays an operator-coordinated
+    // destructive rebuild (appends hold per-generation slots).
+    val claim = GenerationLock.claimDir(indexDir, claimStaleness)
+    try {
     // save overwrites: the OLD MANIFEST goes first, so a crash mid-save
     // leaves an index that fails to load LOUDLY instead of one whose
     // stale constants silently mis-score the new postings; then clear
@@ -135,8 +144,11 @@ object TextIndex {
       .localCheckpoint(true) // postings feed both writes; tokenize once
     writeGen(posts, indexDir, gen = 0)
     val (nDocs, sumDl, idRange) = corpusStats(corpus, textCol, idCol)
+    // ownership re-assert right before the commit point (manifest write)
+    GenerationLock.verify(claim)
     writeManifest(indexDir, nDocs, sumDl, nBuckets, 1, idCol, idRange,
       Seq((nDocs, sumDl)))
+    } finally GenerationLock.release(claim)
   }
 
   private def writeManifest(indexDir: String, nDocs: Long, sumDl: Long,

@@ -68,13 +68,23 @@ object TextModelStore {
   /** Train-and-persist: aggregate the labeled batch into counts,
     * validate it derives a scorable model, write generation 0, commit. */
   def saveNaiveBayes(labeled: org.apache.spark.sql.DataFrame,
-                     textCol: String, labelCol: String, dir: String): Unit = {
+                     textCol: String, labelCol: String, dir: String,
+                     claimStaleness: Long =
+                       GenerationLock.DefaultStalenessMs): Unit = {
     val c = TextAnalysis.naiveBayesCounts(labeled, textCol, labelCol)
     TextAnalysis.naiveBayesFromCounts(c) // class-balance guard pre-commit
-    BucketFs.deleteRecursive(s"$dir/$ManifestFile")
-    BucketFs.deleteRecursive(s"$dir/counts")
-    c.tokenCounts.write.mode("overwrite").parquet(s"$dir/counts/gen=0")
-    commitNb(dir, c, gen = 0)
+    // provisioning is a mutation too (round 17): two racing saves would
+    // interleave their overwrite-mode count rewrites and the surviving
+    // manifest could serve a mix of both runs' files — same whole-dir
+    // claim discipline as the index saves
+    val claim = GenerationLock.claimDir(dir, claimStaleness)
+    try {
+      BucketFs.deleteRecursive(s"$dir/$ManifestFile")
+      BucketFs.deleteRecursive(s"$dir/counts")
+      c.tokenCounts.write.mode("overwrite").parquet(s"$dir/counts/gen=0")
+      GenerationLock.verify(claim) // re-assert right before the commit
+      commitNb(dir, c, gen = 0)
+    } finally GenerationLock.release(claim)
   }
 
   /** Merge a NEW labeled batch into the persisted counts (counts are
@@ -136,15 +146,21 @@ object TextModelStore {
     * generation-commit protocol and `counts → score` stays
     * bit-reproducible after any number of appends. */
   def saveCharLm(corpus: org.apache.spark.sql.DataFrame, textCol: String,
-                 dir: String, n: Int = 3): Unit = {
+                 dir: String, n: Int = 3,
+                 claimStaleness: Long =
+                   GenerationLock.DefaultStalenessMs): Unit = {
     val c = TextAnalysis.charLmTrain(corpus, textCol, n)
-    BucketFs.deleteRecursive(s"$dir/$ManifestFile")
-    Seq("ngrams", "contexts").foreach(sub =>
-      BucketFs.deleteRecursive(s"$dir/$sub"))
-    c.ngrams.write.mode("overwrite").parquet(s"$dir/ngrams/gen=0")
-    c.contexts.write.mode("overwrite").parquet(s"$dir/contexts/gen=0")
-    commit(dir, List(
-      "model_type" -> JString("char_lm"), "n" -> JInt(n), "gen" -> JInt(0)))
+    val claim = GenerationLock.claimDir(dir, claimStaleness)
+    try {
+      BucketFs.deleteRecursive(s"$dir/$ManifestFile")
+      Seq("ngrams", "contexts").foreach(sub =>
+        BucketFs.deleteRecursive(s"$dir/$sub"))
+      c.ngrams.write.mode("overwrite").parquet(s"$dir/ngrams/gen=0")
+      c.contexts.write.mode("overwrite").parquet(s"$dir/contexts/gen=0")
+      GenerationLock.verify(claim) // re-assert right before the commit
+      commit(dir, List(
+        "model_type" -> JString("char_lm"), "n" -> JInt(n), "gen" -> JInt(0)))
+    } finally GenerationLock.release(claim)
   }
 
   /** Merge a NEW corpus batch into the persisted gram counts (additive;
@@ -198,14 +214,20 @@ object TextModelStore {
   }
 
   /** Persist DSIR importance weights with their bucket-space size. */
-  def saveDsir(model: DsirWeights, dir: String): Unit = {
-    BucketFs.deleteRecursive(s"$dir/$ManifestFile")
-    BucketFs.deleteRecursive(s"$dir/weights")
-    model.weights.select(col("bucket"), col("wq_q4"))
-      .write.mode("overwrite").parquet(s"$dir/weights")
-    commit(dir, List(
-      "model_type" -> JString("dsir"),
-      "buckets" -> JInt(model.buckets)))
+  def saveDsir(model: DsirWeights, dir: String,
+               claimStaleness: Long =
+                 GenerationLock.DefaultStalenessMs): Unit = {
+    val claim = GenerationLock.claimDir(dir, claimStaleness)
+    try {
+      BucketFs.deleteRecursive(s"$dir/$ManifestFile")
+      BucketFs.deleteRecursive(s"$dir/weights")
+      model.weights.select(col("bucket"), col("wq_q4"))
+        .write.mode("overwrite").parquet(s"$dir/weights")
+      GenerationLock.verify(claim) // re-assert right before the commit
+      commit(dir, List(
+        "model_type" -> JString("dsir"),
+        "buckets" -> JInt(model.buckets)))
+    } finally GenerationLock.release(claim)
   }
 
   /** Load DSIR weights; the bucket modulus rides in the manifest so

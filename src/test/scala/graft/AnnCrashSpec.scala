@@ -494,6 +494,27 @@ class AnnCrashSpec extends AnyFunSuite {
       assert(survivors(dir).toSet == (0L until 64L).toSet)
     } finally BucketFs.deleteRecursive(dir)
   }
+
+  test("saveIvfPq takes the SAME whole-dir slot as the mutation verbs: " +
+       "a save racing an in-flight mutation (or save) is refused loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_savclm").toString
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 16L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat())).toDF("vec_id", "embedding")
+    // an append/delete/compact/repair in flight holds the dir slot —
+    // on this artifact save-vs-mutation exclusion is total
+    val held = graft.sources.GenerationLock.claimDir(dir)
+    val busy = intercept[IllegalStateException](
+      AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", dir,
+        dims = 8, m = 2, k = 4, nList = 2))
+    assert(busy.getMessage.contains("another session is writing"))
+    graft.sources.GenerationLock.release(held)
+    AnnIndex.saveIvfPq(vecs, "vec_id", "embedding", dir,
+      dims = 8, m = 2, k = 4, nList = 2)
+    val idx = AnnIndex.loadIvfPq(spark, dir)
+    assert(idx.codes.select($"vec_id").distinct().count() == 16)
+    BucketFs.deleteRecursive(dir)
+  }
 }
 
 /** Latch gate for the slow-appender spec, referenced from a UDF: a

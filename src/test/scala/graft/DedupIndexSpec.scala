@@ -343,6 +343,23 @@ class DedupIndexSpec extends AnyFunSuite {
       assert(e.getMessage.contains("_dedup_index.json"))
     } finally BucketFs.deleteRecursive(dir)
   }
+
+  test("save takes the whole-dir writer claim: a racing provisioner is " +
+       "refused loudly and the slot serves the eventual winner exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_savclm").toString
+    // an in-flight save (or any whole-dir mutator) holds the dir slot
+    val held = graft.sources.GenerationLock.claimDir(dir)
+    val busy = intercept[IllegalStateException](
+      DedupIndex.save(corpus, "text", "id", dir))
+    assert(busy.getMessage.contains("another session is writing"))
+    // the refused save wrote NOTHING: no manifest to load
+    intercept[IllegalArgumentException](DedupIndex.load(spark, dir))
+    graft.sources.GenerationLock.release(held)
+    DedupIndex.save(corpus, "text", "id", dir)
+    val idx = DedupIndex.load(spark, dir)
+    assert(idx.signatures.count() == 3 && idx.nGens == 1)
+    BucketFs.deleteRecursive(dir)
+  }
 }
 
 /** Latch gate for the slow-appender spec (see [[SlowAppendGate]] for the

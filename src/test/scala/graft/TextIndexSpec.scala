@@ -403,6 +403,21 @@ class TextIndexSpec extends AnyFunSuite {
           "text").nGens == 3)
     } finally BucketFs.deleteRecursive(dir)
   }
+
+  test("save takes the whole-dir writer claim: a racing provisioner is " +
+       "refused loudly and the eventual winner's stats are exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_savclm").toString
+    val held = graft.sources.GenerationLock.claimDir(dir)
+    val busy = intercept[IllegalStateException](
+      TextIndex.save(fixture, "text", "doc_id", dir, nBuckets = 8))
+    assert(busy.getMessage.contains("another session is writing"))
+    intercept[IllegalArgumentException](TextIndex.load(spark, dir))
+    graft.sources.GenerationLock.release(held)
+    TextIndex.save(fixture, "text", "doc_id", dir, nBuckets = 8)
+    val idx = TextIndex.load(spark, dir)
+    assert(idx.nDocs == 5 && idx.nGens == 1)
+    graft.sources.BucketFs.deleteRecursive(dir)
+  }
 }
 
 /** Latch gate for the slow-appender spec (see [[SlowAppendGate]] for the

@@ -388,6 +388,24 @@ class TextModelSpec extends AnyFunSuite {
       assert(after.nd == 4 && after.ndPos == 2)
     } finally BucketFs.deleteRecursive(dir)
   }
+
+  test("model-store saves take the whole-dir writer claim: a racing " +
+       "provisioner is refused loudly, winner's model intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nb_savclm").toString
+    val labeled = Seq(
+      ("clean text about spark engines", true), ("buy now cheap pills", false),
+      ("structured data pipelines", true), ("winner click here now", false)
+    ).toDF("text", "label")
+    val held = graft.sources.GenerationLock.claimDir(dir)
+    val busy = intercept[IllegalStateException](
+      graft.sources.TextModelStore.saveNaiveBayes(labeled, "text", "label", dir))
+    assert(busy.getMessage.contains("another session is writing"))
+    graft.sources.GenerationLock.release(held)
+    graft.sources.TextModelStore.saveNaiveBayes(labeled, "text", "label", dir)
+    val m = graft.sources.TextModelStore.loadNaiveBayesCounts(spark, dir)
+    assert(m.nd == 4 && m.ndPos == 2)
+    graft.sources.BucketFs.deleteRecursive(dir)
+  }
 }
 
 /** Latch gate for the slow-appender spec (see [[SlowAppendGate]] for the
