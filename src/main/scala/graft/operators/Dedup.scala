@@ -837,7 +837,20 @@ object Dedup {
     // per candidate (SortedLongIntersectCount) — interpreted
     // array_intersect built a hash set per pair and dominated the join
     // at millions of candidates
-    val sets = toks.groupBy("id")
+    // the explicit-width repartition FEEDING the aggregate pins the
+    // verify stage's parallelism: set rows are a few KB each, so AQE's
+    // byte-based coalescing folds the groupBy's shuffle into ONE
+    // post-shuffle partition — and the whole verify (candidate-pair
+    // broadcast join + per-pair sorted-merge intersect over both docs'
+    // FULL token sets) fuses downstream of it, serialized onto one core
+    // (StageAudit r17 offender: 2.6 core-sec on q214's sf0.1 gate,
+    // growing with corpus). The aggregate reuses the explicit exchange
+    // (same key, same bytes — nothing is added, the width is just
+    // pinned), and explicit-numPartitions repartitions are exempt from
+    // AQE coalescing.
+    val sets = toks
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("id"))
+      .groupBy("id")
       .agg(array_sort(collect_set(col("tok"))).as("__set"))
     // LENGTH FILTER before the (expensive) array-attach joins: Jaccard
     // ≥ t forces t·max(|a|,|b|) ≤ min(|a|,|b|). The size frame is one
@@ -854,15 +867,32 @@ object Dedup {
       .select("a", "b")
     val verified = sized
       .join(sets.select(col("id").as("a"), col("__set").as("__sa")), Seq("a"))
+      // pin the width of the exchange feeding the b-side attach: the
+      // per-row verify work downstream (the sorted-merge intersect) is
+      // this join's whole cost, but its input BYTES are small enough
+      // that AQE's byte-based coalescing folds the shuffle into one
+      // partition and serializes the verify onto one core (StageAudit
+      // r17 offender: 2.6 core-sec on q214's sf0.1 gate). The explicit
+      // numPartitions is exempt from coalescing, and the b-join reuses
+      // this exact hash(b) partitioning — pinned width, no added shuffle.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col("b"))
       .join(sets.select(col("id").as("b"), col("__set").as("__sb")), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.ArrayIntersectCount
           .sortedIntersectCount(col("__sa"), col("__sb")).as("intersection"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
+    // threshold with ONE occurrence of `intersection`:
+    // tDen*I >= tNum*(na+nb-I)  <=>  (tDen+tNum)*I >= tNum*(na+nb),
+    // integer-exact. It matters because Catalyst pushes this filter INTO
+    // the join condition, substituting the defining expression — the
+    // two-occurrence form evaluated the codegen'd sorted-merge intersect
+    // TWICE per candidate in the join condition (plus once in the
+    // project); this form caps it at once each (join conditions get no
+    // subexpression elimination).
     capPerLeft(
-      verified.where(lit(tDen.toLong) * col("intersection") >=
-        lit(tNum.toLong) * (col("n_a") + col("n_b") - col("intersection"))),
+      verified.where(lit((tDen + tNum).toLong) * col("intersection") >=
+        lit(tNum.toLong) * (col("n_a") + col("n_b"))),
       topKPerLeft)
   }
 
@@ -902,7 +932,13 @@ object Dedup {
     val cands = prefixed(lt).select(col("id").as("a"), col("tok"))
       .join(prefixed(rt).select(col("id").as("b"), col("tok")), "tok")
       .select("a", "b").distinct()
-    def sets(t: DataFrame) = t.groupBy("id")
+    // explicit-width repartition feeding the aggregate: pins the verify
+    // stage's parallelism against AQE byte-based coalescing (see the
+    // comment in prefixFilterPairs — same offender shape)
+    def sets(t: DataFrame) = t
+      .repartition(left.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
+      .groupBy("id")
       .agg(array_sort(collect_set(col("tok"))).as("__set"))
     val lSets = sets(lt)
     val rSets = sets(rt)
@@ -917,15 +953,26 @@ object Dedup {
       .select("a", "b")
     val verified = sized
       .join(lSets.select(col("id").as("a"), col("__set").as("__sa")), Seq("a"))
+      // pinned-width b-side exchange — see prefixFilterPairs
+      .repartition(left.sparkSession.sparkContext.defaultParallelism,
+        col("b"))
       .join(rSets.select(col("id").as("b"), col("__set").as("__sb")), Seq("b"))
       .select(col("a"), col("b"),
         graft.functions.ArrayIntersectCount
           .sortedIntersectCount(col("__sa"), col("__sb")).as("intersection"),
         size(col("__sa")).cast("long").as("n_a"),
         size(col("__sb")).cast("long").as("n_b"))
+    // threshold with ONE occurrence of `intersection`:
+    // tDen*I >= tNum*(na+nb-I)  <=>  (tDen+tNum)*I >= tNum*(na+nb),
+    // integer-exact. It matters because Catalyst pushes this filter INTO
+    // the join condition, substituting the defining expression — the
+    // two-occurrence form evaluated the codegen'd sorted-merge intersect
+    // TWICE per candidate in the join condition (plus once in the
+    // project); this form caps it at once each (join conditions get no
+    // subexpression elimination).
     capPerLeft(
-      verified.where(lit(tDen.toLong) * col("intersection") >=
-        lit(tNum.toLong) * (col("n_a") + col("n_b") - col("intersection"))),
+      verified.where(lit((tDen + tNum).toLong) * col("intersection") >=
+        lit(tNum.toLong) * (col("n_a") + col("n_b"))),
       topKPerLeft)
   }
 
