@@ -891,7 +891,7 @@ object Dedup {
     // project); this form caps it at once each (join conditions get no
     // subexpression elimination).
     capPerLeft(
-      verified.where(lit((tDen + tNum).toLong) * col("intersection") >=
+      verified.where(lit(tDen.toLong + tNum.toLong) * col("intersection") >=
         lit(tNum.toLong) * (col("n_a") + col("n_b"))),
       topKPerLeft)
   }
@@ -971,7 +971,7 @@ object Dedup {
     // project); this form caps it at once each (join conditions get no
     // subexpression elimination).
     capPerLeft(
-      verified.where(lit((tDen + tNum).toLong) * col("intersection") >=
+      verified.where(lit(tDen.toLong + tNum.toLong) * col("intersection") >=
         lit(tNum.toLong) * (col("n_a") + col("n_b"))),
       topKPerLeft)
   }

@@ -208,6 +208,20 @@ object GenerationLock {
   private[graft] def claim(dir: String, gen: Int, stalenessMs: Long,
                            hook: Hook, backend: ClaimBackend): Claim = {
     val (fs, p) = BucketFs.resolve(claimPath(dir, gen))
+    def busy(age: Long): Nothing = throw new IllegalStateException(
+      s"another session is writing ${what(dir, gen)} (writer claim " +
+        s"is $age ms old < $stalenessMs): retry after it commits, or " +
+        "after the staleness window if it is dead")
+    // FAST PATH: a fresh claim refuses in ONE stat. Busy-retry loops
+    // (schedulers polling a held artifact) must not pay the retirement
+    // LIST or the identity read below — on real object stores LIST is
+    // the expensive RPC. Only an absent-or-stale slot (rare: free take
+    // or crash recovery) continues into the adjudication steps.
+    try {
+      val st0 = fs.getFileStatus(p)
+      val age0 = System.currentTimeMillis() - st0.getModificationTime
+      if (age0 < stalenessMs) busy(age0)
+    } catch { case _: java.io.FileNotFoundException => () }
     // 0. retire leaked adjudication asides: both release() and the stale
     // sweep below park claims as dot-file asides
     // (".<claim>.{release,swept}.<uuid>") and delete them best-effort — a
@@ -228,16 +242,14 @@ object GenerationLock {
           catch { case _: java.io.IOException => () }
       }
     } catch { case _: java.io.IOException => () }
-    def busy(age: Long): Nothing = throw new IllegalStateException(
-      s"another session is writing ${what(dir, gen)} (writer claim " +
-        s"is $age ms old < $stalenessMs): retry after it commits, or " +
-        "after the staleness window if it is dead")
     // 1. adjudicate an existing claim. The nonce is read BEFORE the
-    // staleness stat so the pair (nonce, mtime) identifies the exact
-    // claim INCARNATION being adjudicated — the sweep's post-rename
-    // re-check below compares identity, not age. getFileStatus directly
-    // (no exists-then-stat: the file can vanish between the two — a
-    // released claim is the same as an absent one)
+    // (authoritative) staleness stat so the pair (nonce, mtime)
+    // identifies the exact claim INCARNATION being adjudicated — the
+    // sweep's post-rename re-check below compares identity, not age,
+    // and a claimant landing between this read and the stat shows up
+    // FRESH at the stat (busy), never as a false identity match.
+    // getFileStatus directly (no exists-then-stat: the file can vanish
+    // between the two — a released claim is the same as an absent one)
     val staleNonce: Option[String] =
       try Some(BucketFs.readString(p.toString))
       catch { case _: java.io.IOException => None } // absent or torn

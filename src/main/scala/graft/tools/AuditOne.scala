@@ -26,8 +26,11 @@ object AuditOne {
       }
     })
     val fn = graft.SparkEntry.queries(name)
-    // warm run then measured run (JIT out of the figures)
+    // warm run then measured run (JIT out of the figures); drain the
+    // async listener bus BEFORE clearing, or late warm-run events land
+    // in the measured table
     fn(spark, dir).count()
+    org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
     rows.clear()
     fn(spark, dir).count()
     org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)

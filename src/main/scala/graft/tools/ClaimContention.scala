@@ -41,7 +41,7 @@ object ClaimContention {
     * batch under a given staleness window, and assert final purity
     * given the expected total row count. */
   private case class Family(name: String, batchA: DataFrame,
-                            batchB: DataFrame, nBase: Long,
+                            batchB: DataFrame, nBase: () => Long,
                             stage: String => Unit,
                             append: (String, DataFrame, Long) => Unit,
                             purity: (String, Long) => String)
@@ -57,7 +57,7 @@ object ClaimContention {
       Family("dedup",
         batchA = replicate(docs.where($"doc_id" % 4 === 1), "doc_id", factor),
         batchB = docs.where($"doc_id" % 4 === 2),
-        nBase = baseSlice.count(),
+        nBase = () => baseSlice.count(), // deferred: only selected families pay
         stage = dir => graft.sources.DedupIndex.save(
           baseSlice, "text", "doc_id", dir,
           shingleK = 8, numHashes = 8, bands = 4),
@@ -81,7 +81,7 @@ object ClaimContention {
       Family("text",
         batchA = replicate(docs.where($"doc_id" % 4 === 1), "doc_id", factor),
         batchB = docs.where($"doc_id" % 4 === 2),
-        nBase = baseSlice.count(),
+        nBase = () => baseSlice.count(), // deferred: only selected families pay
         stage = dir => graft.sources.TextIndex.save(
           baseSlice, "text", "doc_id", dir, nBuckets = 16),
         append = (dir, batch, w) => {
@@ -103,7 +103,7 @@ object ClaimContention {
         batchA = replicate(emb.where($"vec_id" % 4 === 1), "vec_id",
           factor * 4), // vectors are cheaper to append than text: 4x more
         batchB = emb.where($"vec_id" % 4 === 2),
-        nBase = baseSlice.count(),
+        nBase = () => baseSlice.count(), // deferred: only selected families pay
         stage = dir => graft.sources.AnnIndex.saveIvfPq(
           baseSlice, "vec_id", "embedding", dir,
           dims = 64, m = 4, k = 16, nList = 8),
@@ -126,8 +126,9 @@ object ClaimContention {
 
   private def runTrial(spark: SparkSession, f: Family, root: String)
       : String = {
+    val nBase = f.nBase()
     val (nA, nB) = (f.batchA.count(), f.batchB.count())
-    println(s"[${f.name}] base=${f.nBase} appenderA=$nA appenderB=$nB")
+    println(s"[${f.name}] base=$nBase appenderA=$nA appenderB=$nB")
 
     // calibrate: two runs — the first doubles as JIT/codegen warm-up,
     // the SECOND (warm) figure is what the real trial's append will
@@ -176,6 +177,11 @@ object ClaimContention {
               case e: IllegalStateException
                   if e.getMessage.contains("another session is writing") ||
                      e.getMessage.contains("lost the writer-claim race") ||
+                     // the nonce read-back arbitration on check-then-act
+                     // stores (rawLocalFs here): both "created", the
+                     // loser's post-create verify refuses — a retryable
+                     // loss, same as lost-race
+                     e.getMessage.contains("no longer held") ||
                      e.getMessage.contains("stale index handle") ||
                      e.getMessage.contains("head moved") =>
                 refusals.incrementAndGet()
@@ -210,7 +216,7 @@ object ClaimContention {
     val wallMs = System.currentTimeMillis() - t0
     errors.forEach(e => throw e)
 
-    val expected = f.nBase + nA + nB
+    val expected = nBase + nA + nB
     val purity = f.purity(idxDir, expected)
     require(commits.get == 2, s"commits=${commits.get}, want 2")
     require(aDurMs.get > windowMs,

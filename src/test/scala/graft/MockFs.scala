@@ -82,17 +82,34 @@ class MockS3Fs extends MockFs {
     true
   }
 
+  // the check-then-act gate, factored so BOTH create overloads that
+  // RawLocalFileSystem actually dispatches through get it. The 6-arg
+  // (Path, boolean, ...) variant is the one FileSystem.create(Path,
+  // boolean) chains to — overriding only the FsPermission variant
+  // leaves the gate as dead code (RawLocalFileSystem routes that one
+  // through a private helper via invokespecial).
+  private def checkThenActGate(f: Path, overwrite: Boolean): Unit =
+    if (!overwrite) {
+      if (exists(f))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+      Thread.sleep(5) // widen the check-then-act window: races are REAL here
+    }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    checkThenActGate(f, overwrite)
+    super.create(f, true, bufferSize, replication, blockSize, progress)
+  }
+
   override def create(f: Path,
                       permission: org.apache.hadoop.fs.permission.FsPermission,
                       overwrite: Boolean, bufferSize: Int, replication: Short,
                       blockSize: Long,
                       progress: org.apache.hadoop.util.Progressable)
       : org.apache.hadoop.fs.FSDataOutputStream = {
-    if (!overwrite) {
-      if (exists(f))
-        throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
-      Thread.sleep(5) // widen the check-then-act window: races are REAL here
-    }
+    checkThenActGate(f, overwrite)
     super.create(f, permission, true, bufferSize, replication, blockSize,
       progress)
   }
