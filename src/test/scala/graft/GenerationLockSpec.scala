@@ -412,6 +412,25 @@ class GenerationLockSpec extends AnyFunSuite {
     GenerationLock.release(c)
   }
 
+  test("busy fast path costs ONE stat: no directory LIST, no identity " +
+       "read — a scheduler polling a held slot stays cheap on object stores") {
+    SparkTestBase.spark // registers fs.mockcnt.impl
+    val local = Files.createTempDirectory("graft_glock_cnt")
+    local.toFile.deleteOnExit()
+    val dir = s"mockcnt:$local"
+    val c = GenerationLock.claim(dir, 1)
+    MockCountingFs.reset()
+    val busy = intercept[IllegalStateException](GenerationLock.claim(dir, 1))
+    assert(busy.getMessage.contains("another session is writing"))
+    assert(MockCountingFs.stats.get == 1,
+      s"busy path took ${MockCountingFs.stats.get} stats, want exactly 1")
+    assert(MockCountingFs.globs.get == 0 && MockCountingFs.lists.get == 0,
+      "busy path paid a directory LIST")
+    assert(MockCountingFs.opens.get == 0,
+      "busy path paid an identity read")
+    GenerationLock.release(c)
+  }
+
   // ------------------------------------------------------------------
   // raw-S3A semantics (mocks3:/ — rename = copy+delete with FRESH
   // mtimes, check-then-act create, no setTimes): the scaladoc's

@@ -39,6 +39,41 @@ class MockNoSetTimesFs extends MockFs {
       s"$getScheme does not support setTimes")
 }
 
+/** [[MockFs]] variant that COUNTS metadata RPCs (stat / list / open),
+  * for pinning per-operation RPC budgets — e.g. the claim protocol's
+  * busy fast path must refuse on ONE stat with no directory LIST (the
+  * expensive RPC on object stores). Counters are global (the FS
+  * instance is cached per scheme by Hadoop). */
+class MockCountingFs extends MockFs {
+  override def getScheme: String = "mockcnt"
+  override def getUri: URI = URI.create("mockcnt:///")
+  override def getFileStatus(f: Path): FileStatus = {
+    MockCountingFs.stats.incrementAndGet()
+    super.getFileStatus(f)
+  }
+  override def globStatus(pathPattern: Path): Array[FileStatus] = {
+    MockCountingFs.globs.incrementAndGet()
+    super.globStatus(pathPattern)
+  }
+  override def listStatus(f: Path): Array[FileStatus] = {
+    MockCountingFs.lists.incrementAndGet()
+    super.listStatus(f)
+  }
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream = {
+    MockCountingFs.opens.incrementAndGet()
+    super.open(f, bufferSize)
+  }
+}
+
+object MockCountingFs {
+  val stats = new java.util.concurrent.atomic.AtomicInteger(0)
+  val globs = new java.util.concurrent.atomic.AtomicInteger(0)
+  val lists = new java.util.concurrent.atomic.AtomicInteger(0)
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { stats.set(0); globs.set(0); lists.set(0); opens.set(0) }
+}
+
 /** Full raw-S3A-semantics mock, for pinning the generation-lock
   * protocol's documented object-store degradation as a SPEC instead of a
   * scaladoc argument:

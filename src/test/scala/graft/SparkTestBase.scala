@@ -26,6 +26,9 @@ object SparkTestBase {
       // check-then-act create, no setTimes): pins the claim protocol's
       // documented object-store degradation (GenerationLockSpec)
       .config("spark.hadoop.fs.mocks3.impl", "graft.MockS3Fs")
+      // metadata-RPC counting store: pins per-operation RPC budgets
+      // (e.g. the claim busy fast path = one stat, no LIST)
+      .config("spark.hadoop.fs.mockcnt.impl", "graft.MockCountingFs")
       // plan-audit asserts read PartitionFilters/PushedFilters out of the
       // formatted plan; the default 100-char cap truncates those lines
       // once expression ids grow past 4 digits (suite-order dependent),
