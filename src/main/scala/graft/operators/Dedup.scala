@@ -147,7 +147,19 @@ object Dedup {
                         bands: Int = 4, maxBucketSize: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sigs = minHashSignature(df, textCol, idCol, shingleK, numHashes)
+    // The explicit-width repartition pins the bucket exchange against
+    // AQE byte-based coalescing: banded rows are a few dozen bytes each,
+    // so at scale the (band, band_sig) shuffle coalesces to ONE
+    // partition while everything expensive — the collect_list bucket
+    // aggregate, the in-row pair expansion, the cap window — fuses
+    // downstream of it on one core (10× StageAudit, r17: q111/q32/q45
+    // each carried 60-70 single-task core-sec here). Both the cap
+    // window and the bucket aggregate need exactly this hash
+    // partitioning, so the exchange is reused by every branch — width
+    // pinned, nothing added.
     val banded = lshBands(sigs, idCol, numHashes, bands)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("band_sig"))
     // In-bucket membership arrays are built ONLY for buckets at or under
     // the cap, so no unbounded array ever materializes in an aggregation
     // buffer: bucket sizes and chain successors come from ONE window over
