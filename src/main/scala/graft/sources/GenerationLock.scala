@@ -31,19 +31,34 @@ import org.apache.hadoop.fs.Path
   * uncommitted-debris the mutation sweeps separately). The sweep is
   * ATOMIC — rename-to-unique, so of two recoverers racing one stale
   * claim exactly one sweeps it and the `create` arbitrates the rest —
-  * and it re-verifies what it swept BY IDENTITY (nonce, with
-  * mtime-equality as the torn-content fallback): if the renamed-aside
-  * file is not the incarnation that was adjudicated stale (a new
-  * claimant landed between this writer's staleness adjudication and its
-  * rename), it is restored and the sweeper reports busy instead of
-  * proceeding. Identity, not age, because on copy+delete-rename stores
-  * (raw S3A) the rename itself freshens the aside's mtime — an age
-  * re-check would restore every legitimately swept claim and wedge
-  * stale recovery. The residual window (a falsely-swept
-  * claim whose restore loses to a third claimant) is covered by
-  * [[verify]]: every holder re-asserts ownership immediately before its
-  * manifest commit, shrinking the exposure from the whole data-write job
-  * to one rename RPC.
+  * guarded on both sides of the rename: immediately BEFORE it the claim
+  * is re-statted and any mtime movement since the adjudication reports
+  * busy (a heartbeat refresh or a replacement landed while the
+  * adjudication's own RPCs ran — the exposure is now one rename RPC
+  * wide, not several), and AFTER it the aside is re-verified BY
+  * IDENTITY (nonce, with mtime-equality as the torn-content fallback):
+  * if the renamed-aside file is not the incarnation that was
+  * adjudicated stale (a new claimant landed inside that last RPC), it
+  * is restored and the sweeper reports busy instead of proceeding.
+  * Identity, not age, because on copy+delete-rename stores (raw S3A)
+  * the rename itself freshens the aside's mtime — an age re-check would
+  * restore every legitimately swept claim and wedge stale recovery. On
+  * stores whose rename PRESERVES mtimes (local/HDFS — probed once per
+  * store), a matching nonce with a MOVED aside mtime is additionally
+  * restored: there the movement can only be a heartbeat that refreshed
+  * the claim inside the rename window (on rewrite-beat stores the beat
+  * re-writes the SAME nonce, so the nonce alone cannot tell "the stale
+  * incarnation I judged" from "the same claim, re-beaten alive").
+  * Documented residuals, both bounded by [[verify]] (every holder
+  * re-asserts ownership immediately before its manifest commit, so the
+  * exposure shrinks from the whole data-write job to one rename RPC):
+  * a falsely-swept claim whose restore loses to a third claimant; and,
+  * on copy+delete stores only, a rewrite-beat that was already a full
+  * window delinquent and then revives inside the one-RPC re-stat→rename
+  * gap — its fresh same-nonce rewrite is indistinguishable from the
+  * rename's own mtime-freshening there, so the sweep proceeds
+  * (probability ~0: the beat must have broken its ≤window contract AND
+  * fire inside a millisecond window).
   *
   * The reference has no concurrent-writer story at all (single-process
   * orchestration, satbucket/routines.py:219-250); at 100 TB, two
@@ -127,7 +142,14 @@ object GenerationLock {
     * misleading error while its own empty/torn claim file blocks the
     * slot — for itself and everyone else — for the full staleness
     * window). Instead the just-created file is best-effort deleted to
-    * free the slot and the real error is rethrown. */
+    * free the slot and the real error is rethrown — but ONLY after a
+    * read-back confirms the file still holds THIS call's nonce: on
+    * check-then-act stores both racers' create can "succeed", so by the
+    * time the loser's write/close fails the path may hold the WINNER's
+    * nonce, and a blind delete here would abort a healthy winner at its
+    * post-create read-back (an availability hole, not a correctness one
+    * — at-most-one-commit never depended on this delete). Unconfirmable
+    * content (unreadable/torn) is left for the staleness sweep. */
   object HadoopCreateBackend extends ClaimBackend {
     def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
                   nonce: String): Boolean = {
@@ -139,8 +161,19 @@ object GenerationLock {
         finally out.close()
       } catch {
         case e: java.io.IOException =>
-          try fs.delete(p, false)
-          catch { case _: java.io.IOException => () }
+          try {
+            val in = fs.open(p)
+            val bytes =
+              try {
+                val buf = new java.io.ByteArrayOutputStream()
+                val b = new Array[Byte](256)
+                var n = in.read(b)
+                while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
+                buf.toByteArray
+              } finally in.close()
+            if (new String(bytes, StandardCharsets.UTF_8) == nonce)
+              fs.delete(p, false)
+          } catch { case _: java.io.IOException => () }
           throw e
       }
       true
@@ -160,6 +193,67 @@ object GenerationLock {
 
   private def what(dir: String, gen: Int) =
     if (gen < 0) dir else s"generation $gen of $dir"
+
+  /** Per-store memo: does this filesystem's FILE rename preserve the
+    * source's mtime (inode semantics — local, HDFS, ABFS) or stamp a
+    * fresh one (copy+delete stores — raw S3A)? Consulted only on the
+    * rare sweep path, when a renamed-aside's nonce matches the
+    * adjudicated claim but its mtime MOVED: on a preserving store that
+    * combination can only be a heartbeat refresh that slipped into the
+    * re-stat→rename gap (restore it — the belt-and-braces branch below),
+    * while on a copy+delete store every sweep looks like that and the
+    * nonce must win or stale recovery wedges (the r17 age-check defect).
+    * No Hadoop API exposes the semantics, so it is probed empirically
+    * ONCE per store per JVM: create a scratch file, make "preserved"
+    * distinguishable from "freshly stamped" (back-date it 10 minutes
+    * where setTimes works — verified applied, some stores silently
+    * no-op — else wait out any plausible mtime granularity), rename,
+    * compare. Conservative on any failure or ambiguity: NOT preserving,
+    * which only disables the extra restore — never the sweep itself,
+    * never the busy fast path. */
+  private val renameMtimeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[sources] def renamePreservesMtime(
+      fs: org.apache.hadoop.fs.FileSystem, near: Path): Boolean = {
+    val key = fs.getUri.toString
+    val cached = renameMtimeMemo.get(key)
+    if (cached != null) return cached.booleanValue()
+    val probed: Boolean =
+      try {
+        val tag = java.util.UUID.randomUUID().toString
+        val src = new Path(near, s".graft_mtprobe.$tag.src")
+        val dst = new Path(near, s".graft_mtprobe.$tag.dst")
+        val out = fs.create(src, true)
+        try out.write('p'.toInt) finally out.close()
+        val backdated: Option[Long] =
+          try {
+            val t = System.currentTimeMillis() - 10 * 60 * 1000L
+            fs.setTimes(src, t, -1)
+            val got = fs.getFileStatus(src).getModificationTime
+            // stores may round the stamp; accept it only if it clearly
+            // landed in the past (a silent no-op leaves it at "now",
+            // where copy-fresh and preserved are indistinguishable)
+            if (math.abs(got - t) < 5 * 60 * 1000L) Some(got) else None
+          } catch {
+            case _: UnsupportedOperationException => None
+            case _: java.io.IOException => None
+          }
+        val m0 = backdated.getOrElse {
+          val t0 = fs.getFileStatus(src).getModificationTime
+          Thread.sleep(1200) // > 1 s: coarser than any common mtime tick
+          t0
+        }
+        val renamed = fs.rename(src, dst)
+        val preserved = renamed &&
+          fs.getFileStatus(dst).getModificationTime == m0
+        try fs.delete(if (renamed) dst else src, false)
+        catch { case _: java.io.IOException => () }
+        preserved
+      } catch { case scala.util.control.NonFatal(_) => false }
+    renameMtimeMemo.putIfAbsent(key, java.lang.Boolean.valueOf(probed))
+    probed
+  }
 
   /** Whole-destination mutex for the NON-generational mutators (the
     * update-merge's delete-then-rename pass over period files,
@@ -188,8 +282,8 @@ object GenerationLock {
     claim(path, BesideSlot, stalenessMs, noHook, backend)
 
   /** Deterministic-interleave hook for race specs (phases: "afterStat",
-    * "afterSweep", "afterCreate"). A parameter of the private overload,
-    * not mutable global state. */
+    * "beforeRename", "afterSweep", "afterCreate"). A parameter of the
+    * private overload, not mutable global state. */
   private[graft] type Hook = String => Unit
   private val noHook: Hook = _ => ()
 
@@ -260,6 +354,23 @@ object GenerationLock {
     existing.foreach { st =>
       val age = System.currentTimeMillis() - st.getModificationTime
       if (age < stalenessMs) busy(age)
+      // re-adjudicate IMMEDIATELY before the rename: the identity read
+      // and the authoritative stat above are separated from the rename
+      // by this block's own RPCs, and a heartbeat refresh or a whole
+      // release-and-re-claim landing in that span used to reach the
+      // rename unnoticed (the nonce survives a same-nonce beat rewrite,
+      // so the post-rename identity check below cannot catch THAT case
+      // on every store). Any mtime movement since the adjudicated stamp
+      // means the claim is not the dead incarnation judged above —
+      // report busy, never sweep. After this check the exposure is one
+      // rename RPC wide.
+      val moved =
+        try fs.getFileStatus(p).getModificationTime != st.getModificationTime
+        // vanished = released: the rename below fails cleanly and the
+        // create arbitrates
+        catch { case _: java.io.FileNotFoundException => false }
+      if (moved) busy(0L)
+      hook("beforeRename")
       // stale: sweep by ATOMIC rename-to-unique. Of two recoverers racing
       // the same stale claim, exactly one rename succeeds; the loser
       // falls through to the create, which arbitrates. (delete-then-
@@ -272,9 +383,9 @@ object GenerationLock {
         catch { case _: java.io.IOException => false }
       hook("afterSweep")
       if (renamed) {
-        // guard the adjudicate→rename window: if the file we renamed is
-        // NOT the stale claim we judged — a new claimant landed in
-        // between — restore it and report busy; if the restore loses to
+        // guard the re-stat→rename window: if the file we renamed is
+        // NOT the stale claim we judged — a new claimant landed in that
+        // one RPC — restore it and report busy; if the restore loses to
         // a third claimant, the swept-then-restored holder's pre-commit
         // verify() catches the hijack. Identity is adjudicated by NONCE
         // (unique per claim), with mtime-equality as the fallback for an
@@ -291,12 +402,30 @@ object GenerationLock {
         // toward safety, never toward a false sweep.
         val sweptSame: Boolean =
           try {
+            val asideSt = fs.getFileStatus(aside)
             val asideNonce =
               try Some(BucketFs.readString(aside.toString))
               catch { case _: java.io.IOException => None }
-            (asideNonce.isDefined && asideNonce == staleNonce) ||
-              fs.getFileStatus(aside).getModificationTime ==
-                st.getModificationTime
+            if (asideNonce.isDefined && asideNonce == staleNonce)
+              // the adjudicated incarnation by nonce — but a heartbeat
+              // refresh preserves the nonce too (setTimes in place, or
+              // the SAME nonce re-written on no-setTimes stores), so the
+              // nonce alone cannot tell "the stale claim I judged" from
+              // "the same claim, re-beaten alive inside the rename
+              // window". The aside's mtime arbitrates where the store
+              // lets it: equal to the adjudicated stamp = untouched
+              // since the adjudication — sweep; MOVED on a store whose
+              // rename preserves mtimes (probed once per store) = only a
+              // beat refresh explains it — restore and report busy. On
+              // copy+delete stores the rename itself freshened the
+              // stamp, so mtime carries no signal and the nonce wins
+              // (an mtime test there is the r17 wedge); the residual
+              // rewrite-beat race on those stores is documented in the
+              // class doc, bounded by the re-stat above + verify().
+              asideSt.getModificationTime == st.getModificationTime ||
+                !renamePreservesMtime(fs, p.getParent)
+            else
+              asideSt.getModificationTime == st.getModificationTime
           } catch {
             // aside vanished (another recoverer's step-0 retirement):
             // nothing left to restore — fall through to the create,
@@ -388,11 +517,18 @@ object GenerationLock {
             // when it was falsely swept, silently degrading the
             // whole-mutation guarantee back to verify()-bounded for the
             // raced claim. Retry once after ~2 beat periods (far wider
-            // than the rename→restore window, still ≤ stalenessMs/2 of
-            // un-refreshed ageing — and the restore preserves mtime, so
-            // a resumed beat's setTimes picks up exactly where it left
-            // off); shut down only if the claim is STILL absent
-            // (genuinely released/swept) or now holds a foreign nonce.
+            // than the rename→restore window). Worst-case un-refreshed
+            // ageing: ~3 beat periods = 0.75 × stalenessMs — one period
+            // from the last successful refresh to the absent tick, plus
+            // the 2-period sleep — strictly under the window, with one
+            // period of margin (and the restore preserves mtime, so a
+            // resumed beat's setTimes picks up exactly where it left
+            // off). The in-tick sleep intentionally blocks this single-
+            // thread executor: ticks missed during the retry fire
+            // back-to-back afterwards (fixed-rate semantics), which is
+            // harmless — the retry IS the refresh decision. Shut down
+            // only if the claim is STILL absent (genuinely released/
+            // swept) or now holds a foreign nonce.
             Thread.sleep(2 * period)
             onDisk = readNonce()
           }

@@ -27,8 +27,14 @@ import org.apache.spark.sql.functions._
   * swept there), and the final row/doc counts are EXACT: base + A + B.
   *
   * Run: sbt "runMain graft.tools.ClaimContention [sfDir] [factor]
-  * [families]" (families comma-separated from dedup,text,ann; default
-  * all three). Results recorded in PERFNOTES (round 17).
+  * [families] [store]" (families comma-separated from dedup,text,ann;
+  * default all three). `store` = `local` (default) or `mocks3` — the
+  * latter roots the artifacts on the raw-S3A-semantics test filesystem
+  * ([[graft.MockS3Fs]]: copy+delete renames with fresh mtimes,
+  * check-then-act create, no setTimes, so the heartbeats run their
+  * rewrite fallback under REAL concurrency); that mode needs the test
+  * classpath: sbt "Test/runMain graft.tools.ClaimContention ...".
+  * Results recorded in PERFNOTES (rounds 17-18).
   */
 object ClaimContention {
 
@@ -175,7 +181,12 @@ object ClaimContention {
               done = true
             } catch {
               case e: IllegalStateException
-                  if e.getMessage.contains("another session is writing") ||
+                  // null-guard like the IAE branch below: a null-message
+                  // ISE must fall through as a real error, not NPE out
+                  // of the guard and kill the appender thread with a
+                  // misleading failure
+                  if e.getMessage != null &&
+                     (e.getMessage.contains("another session is writing") ||
                      e.getMessage.contains("lost the writer-claim race") ||
                      // the nonce read-back arbitration on check-then-act
                      // stores (rawLocalFs here): both "created", the
@@ -183,7 +194,7 @@ object ClaimContention {
                      // loss, same as lost-race
                      e.getMessage.contains("no longer held") ||
                      e.getMessage.contains("stale index handle") ||
-                     e.getMessage.contains("head moved") =>
+                     e.getMessage.contains("head moved")) =>
                 refusals.incrementAndGet()
                 // margin of window/4 over aStart (set slightly BEFORE
                 // the claim is actually taken — load runs first), so
@@ -242,11 +253,21 @@ object ClaimContention {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val which = args.lift(2).map(_.split(',').map(_.trim).toSet)
       .getOrElse(Set("dedup", "text", "ann"))
-    val spark = graft.core.GraftSession.builder("32", "32", rawLocalFs = true)
-      .getOrCreate()
+    val store = args.lift(3).getOrElse("local")
+    require(store == "local" || store == "mocks3",
+      s"store must be local|mocks3, got $store")
+    val builder = graft.core.GraftSession.builder("32", "32", rawLocalFs = true)
+    // the class is on the TEST classpath (it is a test fixture) — this
+    // mode is run via Test/runMain; a plain runMain fails loudly at the
+    // first FS resolve, which is the right failure
+    if (store == "mocks3")
+      builder.config("spark.hadoop.fs.mocks3.impl", "graft.MockS3Fs")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val root = s"/tmp/graft_claim_contention_${System.nanoTime()}"
+    val localRoot = s"/tmp/graft_claim_contention_${System.nanoTime()}"
+    val root =
+      if (store == "mocks3") s"mocks3:$localRoot" else localRoot
     val fams = families(spark, base, factor)
     val rows = which.toSeq.sorted.map(n => runTrial(spark, fams(n), root))
     println("=== all trials ===")

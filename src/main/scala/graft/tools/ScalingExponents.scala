@@ -9,12 +9,9 @@ import org.apache.spark.sql.functions._
   * that the per-round sf0.1 bench can never catch (the cheapest early
   * warning before anyone scales the workload for real; VERDICT r11 #7).
   *
-  * The 10x set replicates events/documents/embeddings with shifted ids
-  * (k * 10^12 offsets keep id arithmetic like `% 3600` well distributed);
-  * the small TPC-H side tables pass through unchanged. Replicated TEXT is
-  * 10 exact copies per doc — deliberately adversarial for the dedup
-  * family (every LSH bucket gets 10x hotter) — and replicated events keep
-  * their timestamps, so per-user and per-hour densities grow 10x too.
+  * The replication recipe (shifted ids, adversarially-exact text copies,
+  * preserved timestamps) lives in [[ScaleStage]], shared with
+  * [[StageAudit]]'s standing 10x pass.
   *
   * Usage: runMain graft.tools.ScalingExponents [sfDir] [q1,q2,...] [factor]
   * (factor defaults to 10; round 13 directive #9 extends the three
@@ -41,30 +38,8 @@ object ScalingExponents {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val out = s"/tmp/graft_scale${factor}x_${graft.queries.QueryModule.cacheKey(base)}"
-    if (!graft.sources.BucketFs.exists(s"$out/_staged_ok")) {
-      graft.sources.BucketFs.deleteRecursive(out)
-      val scaled = Seq("events" -> Seq("event_id", "user_id"),
-        "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
-      scaled.foreach { case (t, idCols) =>
-        val src = graft.core.Tables(spark, base, t)
-        val copies = (0 until factor).map { k =>
-          idCols.foldLeft(src) { (d, c) =>
-            // big stride keeps modular id arithmetic in the gates
-            // (e.g. event_id % 3600) distributed like the original
-            d.withColumn(c, col(c) + lit(k.toLong * 1000000000000L))
-          }
-        }
-        copies.reduce(_ unionByName _)
-          .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      }
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem").foreach { t =>
-        graft.core.Tables(spark, base, t)
-          .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      }
-      graft.sources.BucketFs.writeString(s"$out/_staged_ok", "ok\n")
-    }
+    // staging shared with StageAudit's standing 10x pass (r18)
+    val out = ScaleStage.ensure(spark, base, factor)
 
     def time(name: String, dir: String): Double = {
       // min-of-2 with a warm lead-in at the small dir only (JIT)

@@ -3,11 +3,37 @@ package graft.tools
 import org.apache.spark.graftbridge.ListenerBridge
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 
-/** Parallelism tripwire: runs every gate query and flags stages that burn
+/** Parallelism tripwire: runs gate queries and flags stages that burn
   * significant core time in a SINGLE task — the signature of work
   * serialized below a repartition (e.g. a pushed-down filter cloning an
-  * expensive generator expression, the q84 failure mode) or of a missing
-  * fan-out. Run: sbt "runMain graft.tools.StageAudit [sfDir] [thresholdSec]".
+  * expensive generator expression, the q84 failure mode), of a missing
+  * fan-out, or of AQE's byte-based coalescing collapsing a small-byte /
+  * high-CPU shuffle to one partition (the r17 LSH failure mode, visible
+  * only at 10×).
+  *
+  * STANDING PER-ROUND GATE (r17 verdict directive, institutionalized
+  * r18) — both passes are part of the closing-board ritual, each ending
+  * in a PERFNOTES "StageAudit: OK" row:
+  *
+  *   1. full board at bench scale, threshold 2.0 core-sec:
+  *        sbt "runMain graft.tools.StageAudit /root/testdata/sf0.1 2.0"
+  *   2. heavy families at 10×, threshold 6.0 core-sec (catches
+  *      scale-dependent serialization sf0.1 structurally hides —
+  *      r17: five LSH queries carried 60–172 single-task core-sec
+  *      at 10× while the sf0.1 audit read clean):
+  *        sbt "runMain graft.tools.StageAudit 10x 6.0"
+  *      `10x` (or `10x:/root/testdata/sf0.1`) stages the replication
+  *      dir via [[ScaleStage]] (marker-gated, reused across runs) and
+  *      audits [[Heavy10x]] — the LSH / prefix-join / cluster-split /
+  *      stream-ingest families. q207_prefix_join_rs is deliberately
+  *      absent: uncapped at 10× adversarial replication it needs a 32 g
+  *      driver (PERFNOTES r17) — audit it directedly with
+  *      SPARK_DRIVER_MEM=32g and an explicit query list when its plan
+  *      changes.
+  *
+  * Run: sbt "runMain graft.tools.StageAudit [sfDir|10x[:base]]
+  * [thresholdSec] [q1,q2,...]" — an explicit query list overrides the
+  * default (all queries at a plain dir, [[Heavy10x]] at a 10x dir).
   *
   * Streaming gates legitimately run some 1-task micro-batch bookkeeping
   * stages; the threshold keeps those below the radar.
@@ -17,11 +43,37 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * reduced coverage would defeat the tripwire.
   */
 object StageAudit {
+
+  /** The scale-sensitive families for the 10× pass: every query whose
+    * plan shuffles small-byte/high-CPU rows (banded LSH buckets, prefix
+    * candidate pairs) or runs a per-batch lifecycle — where AQE
+    * coalescing or a missing fan-out shows up only when the CPU behind
+    * each byte grows with the data. */
+  val Heavy10x: Seq[String] = Seq(
+    "q32_minhash_lsh_pairs", "q45_dedup_clusters", "q58_capped_lsh_equiv",
+    "q111_dedup_keep_best", "q192_prefix_filter_join",
+    "q210_cluster_split", "q212_cluster_split_str",
+    "q214_prefix_join_capped", "q147_stream_dedup_ingest",
+    "q148_stream_text_ingest")
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val threshold = args.lift(1).map(_.toDouble).getOrElse(2.0)
+    val dirArg = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val threshold = args.lift(1).map(_.toDouble)
+      .getOrElse(if (dirArg.startsWith("10x")) 6.0 else 2.0)
     val spark = graft.core.GraftSession.builder("8").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    val tenX = dirArg.startsWith("10x")
+    val dir =
+      if (tenX) {
+        val base = dirArg.split(':').lift(1).getOrElse("/root/testdata/sf0.1")
+        ScaleStage.ensure(spark, base, 10)
+      } else dirArg
+    val names: Seq[String] = args.lift(2) match {
+      case Some(csv) => csv.split(',').map(_.trim).toSeq.filter(_.nonEmpty)
+      case None if tenX => Heavy10x
+      case None => graft.SparkEntry.queries.keys.toSeq.sorted
+    }
 
     @volatile var current = ""
     val offenders = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double)]
@@ -37,9 +89,9 @@ object StageAudit {
     })
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    names.foreach { name =>
       current = name
-      try fn(spark, dir).count()
+      try graft.SparkEntry.queries(name)(spark, dir).count()
       catch { case e: Throwable =>
         failed += name
         println(s"[audit] $name FAILED: ${e.getMessage}")
@@ -57,7 +109,7 @@ object StageAudit {
         s"(${failed.mkString(", ")}) — their stages were never audited")
     if (offenders.isEmpty && failed.isEmpty)
       println(s"[audit] OK: no single-task stage over $threshold core-sec across " +
-        s"${graft.SparkEntry.queries.size} queries")
+        s"${names.size} queries at $dir")
     spark.stop()
     if (offenders.nonEmpty || failed.nonEmpty) sys.exit(1)
   }

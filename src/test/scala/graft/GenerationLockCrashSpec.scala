@@ -59,6 +59,21 @@ class GenerationLockCrashSpec extends AnyFunSuite {
     noDebris(dir)
   }
 
+  test("die at beforeRename (stale claim re-statted, nothing touched): " +
+       "next claimant sweeps and proceeds") {
+    val dir = tmp("glockx_restat")
+    GenerationLock.claim(dir, 6, stalenessMs = 0L) // dead writer, no beat
+    age(dir, 6, 60 * 60 * 1000L)
+    crashAt(dir, 6, "beforeRename")
+    // the stale claim is still on disk, untouched — dying between the
+    // re-stat and the rename leaves the same state as afterStat
+    assert(BucketFs.exists(claimFile(dir, 6)))
+    val c = GenerationLock.claim(dir, 6, stalenessMs = 10 * 60 * 1000L)
+    GenerationLock.verify(c)
+    GenerationLock.release(c)
+    noDebris(dir)
+  }
+
   test("die at afterSweep (stale claim renamed aside, neither deleted " +
        "nor restored): the leaked aside is retired and the slot recovers") {
     val dir = tmp("glockx_sweep")
@@ -105,13 +120,14 @@ class GenerationLockCrashSpec extends AnyFunSuite {
     val dir = tmp("glockx_displaced")
     GenerationLock.claim(dir, 4, stalenessMs = 0L) // dead writer, no beat
     age(dir, 4, 60 * 60 * 1000L)
-    // B adjudicates the stale claim; in its pause A sweeps it and claims
-    // the slot (A is LIVE); B's rename then parks A's fresh claim — and
-    // B crashes before the identity re-check can restore it
+    // B adjudicates the stale claim; INSIDE its re-stat→rename window A
+    // sweeps it and claims the slot (A is LIVE); B's rename then parks
+    // A's fresh claim — and B crashes before the identity re-check can
+    // restore it
     var a: Option[GenerationLock.Claim] = None
     var fired = false
     val hook: String => Unit = {
-      case "afterStat" if !fired =>
+      case "beforeRename" if !fired =>
         fired = true
         a = Some(GenerationLock.claim(dir, 4, 10 * 60 * 1000L, _ => ()))
       case "afterSweep" => throw Die("afterSweep")
