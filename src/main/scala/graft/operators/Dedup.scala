@@ -248,32 +248,41 @@ object Dedup {
                           driverEdgeLimit: Int = 2000000): DataFrame = {
     // Hybrid: the candidate edge list is usually tiny relative to the
     // corpus (LSH pairs, not raw rows). Up to `driverEdgeLimit` edges a
-    // driver-side union-find answers from ONE materialization of the
-    // upstream pipeline (limit-probe collect — no separate count job) —
-    // milliseconds instead of per-round shuffle latency. Above it, or for
-    // non-integral id types, the distributed label-propagation loop below
-    // is the path. The limit bounds driver memory explicitly
-    // (16 bytes/edge → ~32 MB).
+    // driver-side union-find answers — milliseconds instead of per-round
+    // shuffle latency. Above it, or for non-integral id types, the
+    // distributed label-propagation loop below is the path. The limit
+    // bounds driver memory explicitly (16 bytes/edge → ~32 MB).
+    //
+    // Path choice is adjudicated by persist-then-count, NOT a limit
+    // probe: the original `pairs.limit(lim+1).collect()` probe planned a
+    // GlobalLimit whose single-partition exchange funneled up to 2M rows
+    // through ONE task (r18 10× StageAudit: 7–18 single-task core-sec on
+    // every uncapped-CC gate, q45/q111/q210/q212) and, whenever the
+    // probe then FAILED, the expensive pair pipeline ran a second time
+    // for the distributed loop. Persisting the normalized edge list
+    // first keeps every stage at full width and feeds BOTH paths from
+    // one materialization; the storage is serialized + disk-spillable
+    // and is released as soon as the chosen path has consumed it.
     val spark = pairs.sparkSession
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integralIds = Seq("a", "b").forall(c =>
       Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
         .contains(pairs.schema(c).dataType))
-    val collected: Option[Array[(Long, Long)]] =
+    val matRdd: Option[org.apache.spark.rdd.RDD[(Long, Long)]] =
       if (!integralIds || driverEdgeLimit <= 0) None
       else {
         import spark.implicits._
-        // clamp: driverEdgeLimit = Int.MaxValue (the "uncapped" idiom)
-        // must not overflow the +1 probe
-        val lim = math.min(driverEdgeLimit, Int.MaxValue - 1)
-        val probe = pairs
+        val r = pairs
           .select(col("a").cast("long"), col("b").cast("long"))
           .where(col("a").isNotNull && col("b").isNotNull)
-          .limit(lim + 1).as[(Long, Long)].collect()
-        if (probe.length <= lim) Some(probe) else None
+          .as[(Long, Long)].rdd
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        Some(r)
       }
-    if (collected.isDefined) {
-      val edgeArr = collected.get
+    val nEdges = matRdd.map(_.count()).getOrElse(0L)
+    if (matRdd.isDefined && nEdges <= driverEdgeLimit.toLong) {
+      val edgeArr = matRdd.get.collect()
+      matRdd.get.unpersist(false)
       import spark.implicits._
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
@@ -310,15 +319,24 @@ object Dedup {
     // Integral ids are widened to long up front so BOTH paths emit the same
     // (node long, cluster_id long) schema — without this the output schema
     // would silently change when the edge count crosses driverEdgeLimit.
-    // Non-integral ids (strings etc.) only ever take this path, so their
-    // type passes through unchanged.
-    val normalized =
-      if (integralIds) pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      else pairs
+    // When the probe materialization exists (integral ids, limit > 0) the
+    // edge build reads IT — the pair pipeline never runs twice — and its
+    // blocks are dropped as soon as the (eager) edges checkpoint holds the
+    // doubled+deduped form. Non-integral ids (strings etc.) only ever take
+    // this path, so their type passes through unchanged.
+    val normalized = matRdd match {
+      case Some(r) =>
+        import spark.implicits._
+        spark.createDataset(r).toDF("a", "b")
+      case None if integralIds =>
+        pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      case None => pairs
+    }
     val edges = normalized.select(col("a").as("src"), col("b").as("dst"))
       .union(normalized.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    matRdd.foreach(_.unpersist(false))
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))

@@ -117,6 +117,12 @@ class PropertySpec extends AnyFunSuite {
       .head().getLong(0) == 1)
     // identical assignments from both paths
     assert(cc.except(ccDist).count() == 0 && ccDist.except(cc).count() == 0)
+    // third shape: a SMALL POSITIVE limit the edge count EXCEEDS — the
+    // loop then feeds off the probe's persisted materialization (the r18
+    // full-width persist-then-count path; driverEdgeLimit=0 skips the
+    // probe entirely, so this branch is otherwise uncovered)
+    val ccOver = graft.operators.Dedup.connectedComponents(pairs, driverEdgeLimit = 7)
+    assert(cc.except(ccOver).count() == 0 && ccOver.except(cc).count() == 0)
 
     // identical embeddings: one hyperplane bucket of 200 → 199 chained pairs
     val vecs = (0 until 200).map(i => (i.toLong, Array.fill(8)(0.5f)))
