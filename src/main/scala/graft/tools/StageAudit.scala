@@ -38,9 +38,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * Streaming gates legitimately run some 1-task micro-batch bookkeeping
   * stages; the threshold keeps those below the radar.
   *
-  * Exit is non-zero when an offender is found OR when any query failed to
-  * run — a query that throws was never audited, and reporting OK over
-  * reduced coverage would defeat the tripwire.
+  * Flagged queries RE-RUN once in the now-warm session before the gate
+  * adjudicates (a genuine serialization is in the plan and persists; a
+  * first-run JIT artifact near the threshold disappears — cleared flags
+  * are printed, never silently dropped). Exit is non-zero when an
+  * offender persists the re-audit OR when any query failed to run — a
+  * query that throws was never audited, and reporting OK over reduced
+  * coverage would defeat the tripwire.
   */
 object StageAudit {
 
@@ -89,7 +93,7 @@ object StageAudit {
     })
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    names.foreach { name =>
+    def run(batch: Seq[String]): Unit = batch.foreach { name =>
       current = name
       try graft.SparkEntry.queries(name)(spark, dir).count()
       catch { case e: Throwable =>
@@ -101,16 +105,37 @@ object StageAudit {
       // at exit
       ListenerBridge.drain(spark.sparkContext)
     }
-    offenders.foreach { case (q, sid, s) =>
+    run(names)
+    // RE-AUDIT pass (same defense as Bench's end-of-run re-time): the
+    // main pass runs each query exactly once, COLD, so near-threshold
+    // flags are often first-run JIT rather than plan shape (r18: a
+    // one-file codec fixture read 2.31 cold, 1.20 warm). A flagged query
+    // re-runs once in the now-warm session — a genuine serialization is
+    // in the PLAN and persists; a JIT artifact disappears. Only
+    // persisting offenders fail the gate, and cleared flags are printed
+    // so the adjudication is auditable, never silent.
+    val flagged = offenders.synchronized { offenders.map(_._1).distinct.toSeq }
+    if (flagged.nonEmpty) {
+      offenders.synchronized(offenders.clear())
+      run(flagged)
+    }
+    val confirmed = offenders.synchronized { offenders.toSeq }
+    confirmed.foreach { case (q, sid, s) =>
       println(f"[audit] OFFENDER $q stage=$sid singleTaskCoreSec=$s%.2f")
+    }
+    flagged.filterNot(confirmed.map(_._1).toSet).foreach { q =>
+      println(s"[audit] cleared on warm re-audit (first-run JIT): $q")
     }
     if (failed.nonEmpty)
       println(s"[audit] INCOMPLETE: ${failed.size} queries failed to run " +
         s"(${failed.mkString(", ")}) — their stages were never audited")
-    if (offenders.isEmpty && failed.isEmpty)
+    if (confirmed.isEmpty && failed.isEmpty)
       println(s"[audit] OK: no single-task stage over $threshold core-sec across " +
-        s"${names.size} queries at $dir")
+        s"${names.size} queries at $dir" +
+        (if (flagged.nonEmpty)
+           s" (${flagged.size} first-run flags cleared on warm re-audit)"
+         else ""))
     spark.stop()
-    if (offenders.nonEmpty || failed.nonEmpty) sys.exit(1)
+    if (confirmed.nonEmpty || failed.nonEmpty) sys.exit(1)
   }
 }
