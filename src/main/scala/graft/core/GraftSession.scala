@@ -37,6 +37,18 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
+      // Spill-merge read-ahead is a throughput optimization that buys
+      // memory per (concurrent merging task × spill file) — and in
+      // local[N] mode all N tasks share ONE driver heap, so the
+      // multiplier is N=32 here vs ~5 cores/executor on a real cluster.
+      // That multiplier is exactly what made the uncapped q207 at 10×
+      // adversarial replication OOM an 8 g driver (r17 operational
+      // note); with read-ahead off it completes in the DEFAULT heap,
+      // 151.9 s vs 191.1 s at 32 g (r18, PERFNOTES) — faster, because
+      // the merge no longer thrashes a heap it nearly fills. Disabled
+      // for the local harness; a cluster deployment with per-executor
+      // heaps can leave the Spark default on.
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     if (rawLocalFs)
