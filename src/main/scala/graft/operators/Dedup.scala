@@ -244,6 +244,31 @@ object Dedup {
     * localCheckpoint stops the logical plan growing exponentially. Both
     * paths reach the same fixpoint (min id per component).
     */
+  /** Driver-side union-find with path compression over a collected edge
+    * array — the small-path terminal of [[connectedComponents]]; emits
+    * the same min-id-per-component fixpoint as the distributed loop. */
+  private def unionFind(spark: org.apache.spark.sql.SparkSession,
+                        edgeArr: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeArr.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // min-id representative per component (same fixpoint as the loop)
+    val rows = parent.keys.toArray.sorted.map(n => (n, find(n)))
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
+      .toDF("node", "cluster_id")
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           driverEdgeLimit: Int = 2000000): DataFrame = {
     // Hybrid: the candidate edge list is usually tiny relative to the
@@ -253,90 +278,83 @@ object Dedup {
     // distributed label-propagation loop below is the path. The limit
     // bounds driver memory explicitly (16 bytes/edge → ~32 MB).
     //
-    // Path choice is adjudicated by persist-then-count, NOT a limit
-    // probe: the original `pairs.limit(lim+1).collect()` probe planned a
-    // GlobalLimit whose single-partition exchange funneled up to 2M rows
-    // through ONE task (r18 10× StageAudit: 7–18 single-task core-sec on
-    // every uncapped-CC gate, q45/q111/q210/q212) and, whenever the
-    // probe then FAILED, the expensive pair pipeline ran a second time
-    // for the distributed loop. Persisting the normalized edge list
-    // first keeps every stage at full width and feeds BOTH paths from
-    // one materialization; the storage is serialized + disk-spillable
-    // and is released as soon as the chosen path has consumed it.
+    // BOTH paths start from ONE materialization — the CANONICAL
+    // undirected edge list (least/greatest + distinct), lazily
+    // localCheckpoint'ed below and materialized by the adjudicating
+    // count — and the path choice is that count over its cached blocks,
+    // not a limit probe. The original `pairs.limit(lim+1).collect()`
+    // probe planned a GlobalLimit whose single-partition exchange
+    // funneled up to 2M rows through ONE task (r18 10× StageAudit: 7–18
+    // single-task core-sec on every uncapped-CC gate,
+    // q45/q111/q210/q212) and, when the probe then failed, the
+    // expensive pair pipeline ran a second time for the loop. Why
+    // checkpoint-first rather than persist-the-pair-RDD (the first r18
+    // attempt): the distinct() puts the pair expansion on the WRITE
+    // side of a shuffle, which streams through the task sorter's own
+    // spill path — while a cache unroll of the same rows runs INSIDE
+    // the 32-way LSH bucket-aggregate stage and OOM'd an 8 g heap at
+    // 10× (storage unroll stacked on aggregation buffers) where the
+    // shuffle shape completes at 30× (r15 note below). Canonical-form
+    // storage (not the doubled src↔dst union the loop scans) halves the
+    // distinct's shuffle volume and the stored bytes; the loop
+    // re-derives the doubled form as a narrow map over the cached
+    // blocks. The small path reads its edges back from the checkpoint —
+    // full width, no funnel, nothing reaches the driver unless the
+    // count confirms it fits.
     val spark = pairs.sparkSession
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val integralIds = Seq("a", "b").forall(c =>
       Set[org.apache.spark.sql.types.DataType](ByteType, ShortType, IntegerType, LongType)
         .contains(pairs.schema(c).dataType))
-    val matRdd: Option[org.apache.spark.rdd.RDD[(Long, Long)]] =
-      if (!integralIds || driverEdgeLimit <= 0) None
-      else {
-        import spark.implicits._
-        val r = pairs
-          .select(col("a").cast("long"), col("b").cast("long"))
-          .where(col("a").isNotNull && col("b").isNotNull)
-          .as[(Long, Long)].rdd
-          .persist(StorageLevel.MEMORY_AND_DISK_SER)
-        Some(r)
-      }
-    val nEdges = matRdd.map(_.count()).getOrElse(0L)
-    if (matRdd.isDefined && nEdges <= driverEdgeLimit.toLong) {
-      val edgeArr = matRdd.get.collect()
-      matRdd.get.unpersist(false)
-      import spark.implicits._
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edgeArr.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      // min-id representative per component (same fixpoint as the loop)
-      val rows = parent.keys.toArray.sorted.map(n => (n, find(n)))
-      return spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
-        .toDF("node", "cluster_id")
-    }
-
-    // localCheckpoint (eager) after every round: iterative self-joins grow
-    // the logical plan exponentially otherwise — the driver OOMs on plan
-    // analysis long before the (tiny) data does. SERIALIZED storage
-    // (MEMORY_AND_DISK_SER), not the default deserialized level: the
-    // checkpointed frames here are GRAPH-scale (the edge list is the
-    // uncapped pair set — quadratic in duplication-degenerate corpora),
-    // and caching them as deserialized JVM objects costs several× the
-    // raw bytes plus GC pressure; measured r15, a 30×-replicated corpus
-    // OOM'd the executor unrolling the deserialized edge cache where the
-    // serialized level completes. Compact serialized blocks spill to
-    // disk cleanly — the right trade for an intermediate that is scanned
-    // once per round, not point-queried.
+    // localCheckpoint here (lazy) and after every loop round (eager):
+    // iterative
+    // self-joins grow the logical plan exponentially otherwise — the
+    // driver OOMs on plan analysis long before the (tiny) data does.
+    // SERIALIZED storage (MEMORY_AND_DISK_SER), not the default
+    // deserialized level: the checkpointed frames here are GRAPH-scale
+    // (the edge list is the uncapped pair set — quadratic in
+    // duplication-degenerate corpora), and caching them as deserialized
+    // JVM objects costs several× the raw bytes plus GC pressure;
+    // measured r15, a 30×-replicated corpus OOM'd the executor unrolling
+    // the deserialized edge cache where the serialized level completes.
+    // Compact serialized blocks spill to disk cleanly — the right trade
+    // for an intermediate that is scanned once per round, not
+    // point-queried.
     //
-    // Integral ids are widened to long up front so BOTH paths emit the same
-    // (node long, cluster_id long) schema — without this the output schema
-    // would silently change when the edge count crosses driverEdgeLimit.
-    // When the probe materialization exists (integral ids, limit > 0) the
-    // edge build reads IT — the pair pipeline never runs twice — and its
-    // blocks are dropped as soon as the (eager) edges checkpoint holds the
-    // doubled+deduped form. Non-integral ids (strings etc.) only ever take
-    // this path, so their type passes through unchanged.
-    val normalized = matRdd match {
-      case Some(r) =>
-        import spark.implicits._
-        spark.createDataset(r).toDF("a", "b")
-      case None if integralIds =>
+    // Integral ids are widened to long up front (and null pairs dropped
+    // — a null node is meaningless) so BOTH paths emit the same
+    // (node long, cluster_id long) schema — without this the output
+    // schema would silently change when the edge count crosses
+    // driverEdgeLimit. Non-integral ids (strings etc.) only ever take
+    // the distributed path, so their type passes through unchanged.
+    val normalized =
+      if (integralIds)
         pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      case None => pairs
-    }
-    val edges = normalized.select(col("a").as("src"), col("b").as("dst"))
-      .union(normalized.select(col("b").as("src"), col("a").as("dst")))
+          .where(col("a").isNotNull && col("b").isNotNull)
+      else pairs
+    // canonical undirected form: (lo, hi) per pair — self-loops survive
+    // (lo == hi) so a node appearing only in one still registers on both
+    // paths. LAZY checkpoint: the adjudicating count below is the
+    // materializing action (one job fewer than eager-then-count; when
+    // the count is skipped, the loop's first action materializes it).
+    val edgesU = normalized
+      .select(least(col("a"), col("b")).as("src"),
+        greatest(col("a"), col("b")).as("dst"))
       .distinct()
-      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    matRdd.foreach(_.unpersist(false))
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK_SER)
+    // Driver union-find on the small path, collected off the
+    // checkpoint's cached blocks. The limit now bounds DISTINCT
+    // undirected edges (16 bytes/edge → ~32 MB) — a strictly better
+    // driver-memory measure than the raw pair count the old probe used
+    // (multi-band LSH emits each pair once per agreeing band).
+    if (integralIds && driverEdgeLimit > 0 &&
+        edgesU.count() <= driverEdgeLimit.toLong) {
+      import spark.implicits._
+      return unionFind(spark, edgesU.as[(Long, Long)].collect())
+    }
+    val edges = edgesU.union(edgesU
+      .where(col("src") =!= col("dst"))
+      .select(col("dst").as("src"), col("src").as("dst")))
     var labels = edges.select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))

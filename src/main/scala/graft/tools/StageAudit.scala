@@ -26,10 +26,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   *      dir via [[ScaleStage]] (marker-gated, reused across runs) and
   *      audits [[Heavy10x]] — the LSH / prefix-join / cluster-split /
   *      stream-ingest families. q207_prefix_join_rs is deliberately
-  *      absent: uncapped at 10× adversarial replication it needs a 32 g
-  *      driver (PERFNOTES r17) — audit it directedly with
-  *      SPARK_DRIVER_MEM=32g and an explicit query list when its plan
-  *      changes.
+  *      absent from the standing list: its uncapped 10× run costs
+  *      ~150 s by output-cardinality contract (it completes in the
+  *      default heap since r18 retired the 32 g note — spill-merge
+  *      read-ahead is off session-wide) — audit it directedly with an
+  *      explicit query list when its plan changes (last clean: r18).
   *
   * Run: sbt "runMain graft.tools.StageAudit [sfDir|10x[:base]]
   * [thresholdSec] [q1,q2,...]" — an explicit query list overrides the

@@ -118,9 +118,10 @@ class PropertySpec extends AnyFunSuite {
     // identical assignments from both paths
     assert(cc.except(ccDist).count() == 0 && ccDist.except(cc).count() == 0)
     // third shape: a SMALL POSITIVE limit the edge count EXCEEDS — the
-    // loop then feeds off the probe's persisted materialization (the r18
-    // full-width persist-then-count path; driverEdgeLimit=0 skips the
-    // probe entirely, so this branch is otherwise uncovered)
+    // count-based adjudication runs and REJECTS the driver path, so the
+    // loop consumes the same edges checkpoint the count read (r18
+    // checkpoint-first design; driverEdgeLimit=0 skips the adjudication
+    // entirely, so this branch is otherwise uncovered)
     val ccOver = graft.operators.Dedup.connectedComponents(pairs, driverEdgeLimit = 7)
     assert(cc.except(ccOver).count() == 0 && ccOver.except(cc).count() == 0)
 
