@@ -37,18 +37,21 @@ object GraftSession {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
-      // Spill-merge read-ahead is a throughput optimization that buys
-      // memory per (concurrent merging task × spill file) — and in
-      // local[N] mode all N tasks share ONE driver heap, so the
-      // multiplier is N=32 here vs ~5 cores/executor on a real cluster.
-      // That multiplier is exactly what made the uncapped q207 at 10×
-      // adversarial replication OOM an 8 g driver (r17 operational
-      // note); with read-ahead off it completes in the DEFAULT heap,
-      // 151.9 s vs 191.1 s at 32 g (r18, PERFNOTES) — faster, because
-      // the merge no longer thrashes a heap it nearly fills. Disabled
-      // for the local harness; a cluster deployment with per-executor
-      // heaps can leave the Spark default on.
-      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+      // Spill-merge read-ahead trades memory for merge throughput: each
+      // open spill reader buys buffers (and in local[N] mode all N tasks
+      // share ONE heap, ×32 here vs ~5 cores/executor on a cluster).
+      // Both directions were measured in r18 (PERFNOTES): ON, the
+      // uncapped q207 at 10× adversarial replication OOMs an 8 g driver
+      // in the merge (the r17 32 g note) but the 10M-row bucket write
+      // runs 33 s; OFF, q207-10× completes in the default heap (151.9 s,
+      // faster than 191.1 s at 32 g) but the write's spill merge drops
+      // to unbuffered reads and the bucket write runs 79 s — 2.4×. So
+      // the Spark default (ON) stays the session default, and the one
+      // adversarial configuration that needs the memory headroom flips
+      // it per run: SPARK_GRAFT_SPILL_READAHEAD=false (the documented
+      // alternative to a 4× driver heap; see StageAudit's q207 note).
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_SPILL_READAHEAD", "true"))
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     if (rawLocalFs)

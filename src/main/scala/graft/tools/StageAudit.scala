@@ -27,10 +27,13 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   *      audits [[Heavy10x]] — the LSH / prefix-join / cluster-split /
   *      stream-ingest families. q207_prefix_join_rs is deliberately
   *      absent from the standing list: its uncapped 10× run costs
-  *      ~150 s by output-cardinality contract (it completes in the
-  *      default heap since r18 retired the 32 g note — spill-merge
-  *      read-ahead is off session-wide) — audit it directedly with an
-  *      explicit query list when its plan changes (last clean: r18).
+  *      ~150 s by output-cardinality contract — audit it directedly
+  *      with an explicit query list when its plan changes (last clean:
+  *      r18), under SPARK_GRAFT_SPILL_READAHEAD=false, which lets the
+  *      run complete in the default heap (the r18 replacement for the
+  *      retired 32 g driver note; the default stays on because the
+  *      bucket write's spill merge is 2.4× slower without read-ahead
+  *      — PERFNOTES r18).
   *
   * Run: sbt "runMain graft.tools.StageAudit [sfDir|10x[:base]]
   * [thresholdSec] [q1,q2,...]" — an explicit query list overrides the
