@@ -856,7 +856,18 @@ object Dedup {
         (col("intersection").cast("double") /
           (col("n_a") + col("n_b") - col("intersection")).cast("double")).desc,
         col("b").asc)
-      out.withColumn("n_matches", count(lit(1)).over(w))
+      // explicit-width repartition on the window key: the verified-match
+      // rows are a few dozen bytes each, so AQE's byte-based coalescing
+      // folds the cap window's exchange to ONE partition while the
+      // window eval is the CPU (r18 sf0.1 StageAudit flagged the 1-task
+      // stage on q214; same offender shape as the r17 LSH bucket
+      // exchange). Both window specs require exactly this hash
+      // partitioning, so they reuse the pinned exchange; explicit-
+      // numPartitions repartitions are exempt from AQE coalescing.
+      out
+        .repartition(out.sparkSession.sparkContext.defaultParallelism,
+          col("a"))
+        .withColumn("n_matches", count(lit(1)).over(w))
         .withColumn("__rk", row_number().over(ordered))
         .where(col("__rk") <= topKPerLeft)
         .drop("__rk")
@@ -868,7 +879,15 @@ object Dedup {
     require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
     val toks = hashedToks(df, textCol, idCol, shingleK)
     val dfCounts = toks.groupBy("tok").agg(count(lit(1)).as("__df"))
+    // explicit-width repartition on the ranking windows' key: token
+    // rows are ~12 bytes, so AQE's byte-based coalescing folds the
+    // id-partitioned exchange to one task while the window eval over
+    // the CORPUS-LINEAR token set is the CPU (r18 sf0.1 StageAudit,
+    // q214's sibling plan; the r17 LSH offender shape). Both window
+    // specs need exactly this partitioning and reuse the pin.
     val ranked = toks.join(dfCounts, "tok")
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
           .orderBy(col("__df").asc, col("tok").asc)))
@@ -968,7 +987,11 @@ object Dedup {
     val dfCounts = lt.unionByName(rt).groupBy("tok")
       .agg(count(lit(1)).as("__df"))
     def prefixed(t: DataFrame): DataFrame = {
+      // pinned-width ranking-window exchange — see prefixFilterPairs
+      // (same byte-coalescing offender shape on the token rows)
       val ranked = t.join(dfCounts, "tok")
+        .repartition(left.sparkSession.sparkContext.defaultParallelism,
+          col("id"))
         .withColumn("__rk", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
             .orderBy(col("__df").asc, col("tok").asc)))
