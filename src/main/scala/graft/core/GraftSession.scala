@@ -51,7 +51,7 @@ object GraftSession {
       // it per run: SPARK_GRAFT_SPILL_READAHEAD=false (the documented
       // alternative to a 4× driver heap; see StageAudit's q207 note).
       .config("spark.unsafe.sorter.spill.read.ahead.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_SPILL_READAHEAD", "true"))
+        spillReadAhead(sys.env.get("SPARK_GRAFT_SPILL_READAHEAD")))
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     if (rawLocalFs)
@@ -60,4 +60,19 @@ object GraftSession {
   }
 
   def builder(cores: String): SparkSession.Builder = builder(cores, cores)
+
+  /** Normalize the SPARK_GRAFT_SPILL_READAHEAD override before it
+    * reaches the Spark conf: only true/false (any case) are meaningful,
+    * and anything else ("0", "off", a typo) would otherwise fail much
+    * later, deep inside Spark's boolean conf parsing, with an error that
+    * never names the environment variable the user actually set. */
+  private[graft] def spillReadAhead(env: Option[String]): String = env match {
+    case None => "true"
+    case Some(v) if v.equalsIgnoreCase("true") || v.equalsIgnoreCase("false") =>
+      v.toLowerCase
+    case Some(v) => throw new IllegalArgumentException(
+      s"SPARK_GRAFT_SPILL_READAHEAD must be 'true' or 'false', got '$v' " +
+        "(the per-run override for spark.unsafe.sorter.spill.read.ahead." +
+        "enabled — see the GraftSession builder comment)")
+  }
 }

@@ -269,6 +269,21 @@ object Dedup {
       .toDF("node", "cluster_id")
   }
 
+  /** The storage blocks behind a localCheckpoint'ed frame. Dataset
+    * .unpersist does NOT free them (the checkpoint's cache lives on the
+    * internal RDD, not the Dataset), so a long-lived session calling
+    * [[connectedComponents]] repeatedly would accumulate
+    * MEMORY_AND_DISK_SER blocks until the ContextCleaner happens to GC
+    * the RDDs — the explicit unpersist below releases each round's
+    * blocks as soon as the next round is materialized. Unpersisting a
+    * LOCAL checkpoint discards the data irrecoverably (lineage is
+    * truncated), so only frames provably never read again go through
+    * this. */
+  private def checkpointBlocks(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           driverEdgeLimit: Int = 2000000): DataFrame = {
     // Hybrid: the candidate edge list is usually tiny relative to the
@@ -321,17 +336,22 @@ object Dedup {
     // for an intermediate that is scanned once per round, not
     // point-queried.
     //
-    // Integral ids are widened to long up front (and null pairs dropped
-    // — a null node is meaningless) so BOTH paths emit the same
-    // (node long, cluster_id long) schema — without this the output
-    // schema would silently change when the edge count crosses
-    // driverEdgeLimit. Non-integral ids (strings etc.) only ever take
-    // the distributed path, so their type passes through unchanged.
-    val normalized =
+    // Null-id pairs are dropped for ALL id types — a null node is
+    // meaningless, and without the explicit filter the canonical
+    // least/greatest below would SILENTLY fold a (null, x) pair into an
+    // (x, x) self-loop (least/greatest skip nulls), which is a quieter
+    // wrong than an absent row. Integral ids are additionally widened to
+    // long up front so BOTH paths emit the same (node long, cluster_id
+    // long) schema — without this the output schema would silently
+    // change when the edge count crosses driverEdgeLimit. Non-integral
+    // ids (strings etc.) only ever take the distributed path, so their
+    // type passes through unchanged.
+    val normalized = {
+      val nn = pairs.where(col("a").isNotNull && col("b").isNotNull)
       if (integralIds)
-        pairs.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-          .where(col("a").isNotNull && col("b").isNotNull)
-      else pairs
+        nn.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      else nn
+    }
     // canonical undirected form: (lo, hi) per pair — self-loops survive
     // (lo == hi) so a node appearing only in one still registers on both
     // paths. LAZY checkpoint: the adjudicating count below is the
@@ -350,7 +370,11 @@ object Dedup {
     if (integralIds && driverEdgeLimit > 0 &&
         edgesU.count() <= driverEdgeLimit.toLong) {
       import spark.implicits._
-      return unionFind(spark, edgesU.as[(Long, Long)].collect())
+      val collected = edgesU.as[(Long, Long)].collect()
+      // release the checkpoint's cached blocks now that the edges are on
+      // the driver — see checkpointBlocks (Dataset.unpersist can't)
+      checkpointBlocks(edgesU).foreach(_.unpersist(false))
+      return unionFind(spark, collected)
     }
     val edges = edgesU.union(edgesU
       .where(col("src") =!= col("dst"))
@@ -359,10 +383,28 @@ object Dedup {
       .distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-    // labels only ever decrease, so Σlabel is strictly monotone until the
-    // fixpoint — comparing sums is a single cheap action per round instead
-    // of a change-detection join
-    var prevSum = labels.agg(sum(col("label"))).head().getLong(0)
+    // Convergence: labels only ever decrease per node, so the sum of a
+    // per-node key is stationary exactly at the fixpoint — one cheap
+    // action per round instead of a change-detection join. Integral
+    // labels sum EXACTLY (strictly monotone — zero false-convergence
+    // risk). Non-integral labels (raw string ids) have no numeric value
+    // to sum — the old sum(label) leaned on ANSI's string→double cast
+    // and THREW on any non-numeric id (latent until the r19 null-id
+    // spec; the q212 gate pre-hashes its string ids to longs) — so
+    // their key is xxhash64(label): a changed round leaves the sum
+    // fixed only if the 64-bit hash deltas cancel exactly, the same
+    // negligible-collision posture as the md5 content hashes exact
+    // dedup rests on. Decimal(38,0) accumulation on both: ANSI
+    // sum(bigint) raises on overflow, and millions of 64-bit hash
+    // values can exceed the long range.
+    val convKey =
+      if (integralIds) col("label").cast("decimal(38,0)")
+      else xxhash64(col("label")).cast("decimal(38,0)")
+    def labelSum(d: DataFrame): java.math.BigDecimal = {
+      val row = d.agg(sum(convKey)).head()
+      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     // every per-round join has BOTH sides scaling with the graph (labels
@@ -392,12 +434,22 @@ object Dedup {
         .select(col("x.node").as("node"),
           least(col("x.label"), coalesce(col("__ll"), col("x.label"))).as("label"))
         .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
-      val newSum = updated.agg(sum(col("label"))).head().getLong(0)
+      val newSum = labelSum(updated)
+      // the previous round's checkpoint blocks are dead once `updated` is
+      // materialized (eager checkpoint above) — free them now instead of
+      // leaving every round's label frame cached until ContextCleaner GC
+      checkpointBlocks(labels).foreach(_.unpersist(false))
       labels = updated
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }
+    // the loop's result is a materialized checkpoint — it no longer reads
+    // the edge blocks, so those are freed too. The FINAL label frame's
+    // blocks back the returned DataFrame and must stay: their lifetime is
+    // the caller's, reclaimed by the ContextCleaner when the result frame
+    // becomes unreachable (the one checkpoint this method cannot free).
+    checkpointBlocks(edgesU).foreach(_.unpersist(false))
     labels.withColumnRenamed("label", "cluster_id")
   }
 
@@ -864,6 +916,13 @@ object Dedup {
       // exchange). Both window specs require exactly this hash
       // partitioning, so they reuse the pinned exchange; explicit-
       // numPartitions repartitions are exempt from AQE coalescing.
+      // The explicit width also opts this exchange out of AQE SKEW
+      // splitting — a trade accepted deliberately: a window over one `a`
+      // is ONE partition's work under any split (skew-splitting cannot
+      // parallelize it), so the only exposure is several hot keys
+      // hashing to one partition, bounded here because capPerLeft runs
+      // only in capped mode and the rank window spills rather than
+      // buffers a pathologically hot left id.
       out
         .repartition(out.sparkSession.sparkContext.defaultParallelism,
           col("a"))
@@ -884,7 +943,12 @@ object Dedup {
     // id-partitioned exchange to one task while the window eval over
     // the CORPUS-LINEAR token set is the CPU (r18 sf0.1 StageAudit,
     // q214's sibling plan; the r17 LSH offender shape). Both window
-    // specs need exactly this partitioning and reuse the pin.
+    // specs need exactly this partitioning and reuse the pin. The pin
+    // also forfeits AQE skew splitting on this exchange — acceptable
+    // because a window over one doc id is one partition's work under
+    // any split, and tokens-per-id is bounded by document length, so no
+    // single key can dominate a partition the way an unbounded join
+    // fan-in could.
     val ranked = toks.join(dfCounts, "tok")
       .repartition(df.sparkSession.sparkContext.defaultParallelism,
         col("id"))
@@ -988,7 +1052,10 @@ object Dedup {
       .agg(count(lit(1)).as("__df"))
     def prefixed(t: DataFrame): DataFrame = {
       // pinned-width ranking-window exchange — see prefixFilterPairs
-      // (same byte-coalescing offender shape on the token rows)
+      // (same byte-coalescing offender shape on the token rows; same
+      // AQE-skew trade, bounded the same way: per-id window work is one
+      // partition's work regardless, and tokens-per-id is doc-length
+      // bounded)
       val ranked = t.join(dfCounts, "tok")
         .repartition(left.sparkSession.sparkContext.defaultParallelism,
           col("id"))

@@ -46,19 +46,25 @@ import org.apache.hadoop.fs.Path
   * stores whose rename PRESERVES mtimes (local/HDFS — probed once per
   * store), a matching nonce with a MOVED aside mtime is additionally
   * restored: there the movement can only be a heartbeat that refreshed
-  * the claim inside the rename window (on rewrite-beat stores the beat
-  * re-writes the SAME nonce, so the nonce alone cannot tell "the stale
-  * incarnation I judged" from "the same claim, re-beaten alive").
+  * the claim inside the rename window (a content-identical refresh —
+  * setTimes in place — leaves the nonce AND the bytes unchanged, so
+  * only the mtime can tell "the stale incarnation I judged" from "the
+  * same claim, re-beaten alive"). Rewrite-beats additionally carry a
+  * monotonic `beat=<k>` line beside the nonce (r19), so on stores where
+  * the beat REWRITES (setTimes unsupported — exactly the raw-S3 shape
+  * whose rename also hides mtime signals) ANY revival between the
+  * identity read and the rename changes the claim's CONTENT and the
+  * full-content identity re-check catches it with no mtime semantics
+  * needed — the r18 rewrite-beat residual on copy+delete stores is
+  * closed by content identity.
   * Documented residuals, both bounded by [[verify]] (every holder
   * re-asserts ownership immediately before its manifest commit, so the
   * exposure shrinks from the whole data-write job to one rename RPC):
   * a falsely-swept claim whose restore loses to a third claimant; and,
-  * on copy+delete stores only, a rewrite-beat that was already a full
-  * window delinquent and then revives inside the one-RPC re-stat→rename
-  * gap — its fresh same-nonce rewrite is indistinguishable from the
-  * rename's own mtime-freshening there, so the sweep proceeds
-  * (probability ~0: the beat must have broken its ≤window contract AND
-  * fire inside a millisecond window).
+  * only on a store that BOTH renames by copy+delete AND supports an
+  * in-place setTimes (no known real store — raw S3A has neither), a
+  * full-window-delinquent setTimes-beat reviving inside the one-RPC
+  * gap, where neither content nor mtime carries a signal.
   *
   * The reference has no concurrent-writer story at all (single-process
   * orchestration, satbucket/routines.py:219-250); at 100 TB, two
@@ -194,6 +200,24 @@ object GenerationLock {
   private def what(dir: String, gen: Int) =
     if (gen < 0) dir else s"generation $gen of $dir"
 
+  /** Claim-file content format: line 1 is the session nonce; rewrite
+    * heartbeats (stores without setTimes) append a `beat=<k>` line with
+    * a strictly increasing k. Ownership checks ([[verify]], [[release]],
+    * the beat's foreign-claim test) parse ONLY the nonce line — a beat
+    * never changes who owns the slot — while the stale sweep's identity
+    * re-check compares FULL content, so ANY rewrite-beat between the
+    * adjudication's identity read and its rename changes the bytes and
+    * is detected, with no mtime semantics needed. That closes the
+    * copy+delete-store residual the r18 class doc carried (a
+    * full-window-delinquent rewrite-beat reviving inside the one-RPC
+    * gap was indistinguishable there from the rename's own
+    * mtime-freshening): content now arbitrates on exactly the stores
+    * where mtime cannot. */
+  private def nonceOf(content: String): String = {
+    val i = content.indexOf('\n')
+    if (i < 0) content else content.substring(0, i)
+  }
+
   /** Per-store memo: does this filesystem's FILE rename preserve the
     * source's mtime (inode semantics — local, HDFS, ABFS) or stamp a
     * fresh one (copy+delete stores — raw S3A)? Consulted only on the
@@ -306,6 +330,14 @@ object GenerationLock {
       s"another session is writing ${what(dir, gen)} (writer claim " +
         s"is $age ms old < $stalenessMs): retry after it commits, or " +
         "after the staleness window if it is dead")
+    // the stale-adjudication aborts below cannot honestly report an age
+    // — the claim just PROVED itself alive (refreshed or replaced while
+    // this adjudication's own RPCs ran), so "0 ms old" would misstate a
+    // live holder as a newborn claim
+    def busyLive(how: String): Nothing = throw new IllegalStateException(
+      s"another session is writing ${what(dir, gen)} (the claim $how " +
+        "during this session's stale adjudication — the holder is " +
+        "alive): retry after it commits")
     // FAST PATH: a fresh claim refuses in ONE stat. Busy-retry loops
     // (schedulers polling a held artifact) must not pay the retirement
     // LIST or the identity read below — on real object stores LIST is
@@ -369,7 +401,7 @@ object GenerationLock {
         // vanished = released: the rename below fails cleanly and the
         // create arbitrates
         catch { case _: java.io.FileNotFoundException => false }
-      if (moved) busy(0L)
+      if (moved) busyLive("was refreshed (mtime moved)")
       hook("beforeRename")
       // stale: sweep by ATOMIC rename-to-unique. Of two recoverers racing
       // the same stale claim, exactly one rename succeeds; the loser
@@ -407,21 +439,24 @@ object GenerationLock {
               try Some(BucketFs.readString(aside.toString))
               catch { case _: java.io.IOException => None }
             if (asideNonce.isDefined && asideNonce == staleNonce)
-              // the adjudicated incarnation by nonce — but a heartbeat
-              // refresh preserves the nonce too (setTimes in place, or
-              // the SAME nonce re-written on no-setTimes stores), so the
-              // nonce alone cannot tell "the stale claim I judged" from
-              // "the same claim, re-beaten alive inside the rename
-              // window". The aside's mtime arbitrates where the store
-              // lets it: equal to the adjudicated stamp = untouched
-              // since the adjudication — sweep; MOVED on a store whose
-              // rename preserves mtimes (probed once per store) = only a
-              // beat refresh explains it — restore and report busy. On
-              // copy+delete stores the rename itself freshened the
-              // stamp, so mtime carries no signal and the nonce wins
-              // (an mtime test there is the r17 wedge); the residual
-              // rewrite-beat race on those stores is documented in the
-              // class doc, bounded by the re-stat above + verify().
+              // FULL-CONTENT match (not just the nonce line): a
+              // rewrite-beat increments its beat=<k> line, so any
+              // revival that REWROTE the claim inside the rename window
+              // lands in the `else` branch below and restores — content
+              // identity is exactly the signal copy+delete stores
+              // cannot erase (r19, closing the r18 residual). A
+              // content-identical match can still be a SETTIMES refresh
+              // (in-place, bytes untouched), so the aside's mtime
+              // arbitrates where the store lets it: equal to the
+              // adjudicated stamp = untouched since the adjudication —
+              // sweep; MOVED on a store whose rename preserves mtimes
+              // (probed once per store) = only a beat refresh explains
+              // it — restore and report busy. On copy+delete stores the
+              // rename itself freshened the stamp, so mtime carries no
+              // signal and the content match wins (an mtime test there
+              // is the r17 wedge) — safe there because those stores
+              // have no setTimes: every beat rewrites, and a rewrite
+              // never content-matches.
               asideSt.getModificationTime == st.getModificationTime ||
                 !renamePreservesMtime(fs, p.getParent)
             else
@@ -434,7 +469,7 @@ object GenerationLock {
           }
         if (!sweptSame) {
           if (!fs.rename(aside, p)) fs.delete(aside, false)
-          busy(0L)
+          busyLive("proved live mid-sweep and was restored")
         }
         fs.delete(aside, false)
       }
@@ -491,6 +526,11 @@ object GenerationLock {
     // to defend).
     val period = stalenessMs / 4
     if (period > 0) {
+      // monotonic beat counter for the rewrite fallback: each rewrite
+      // changes the claim's CONTENT (nonce line unchanged, beat line
+      // incremented), giving the stale sweep's full-content identity
+      // re-check a signal on stores where the rename freshens mtimes
+      val beatSeq = new java.util.concurrent.atomic.AtomicLong(0L)
       val exec = java.util.concurrent.Executors
         .newSingleThreadScheduledExecutor { r =>
           val t = new Thread(r, s"writer-claim-heartbeat-${p.getName}")
@@ -534,14 +574,15 @@ object GenerationLock {
           }
           onDisk match {
             case None => exec.shutdown() // still absent: truly gone
-            case Some(n) if n != nonce =>
+            case Some(n) if nonceOf(n) != nonce =>
               exec.shutdown() // re-taken: the new holder beats now
             case _ =>
               try fs.setTimes(p, System.currentTimeMillis(), -1)
               catch {
                 case _: UnsupportedOperationException =>
                   val out = fs.create(p, true)
-                  try out.write(nonce.getBytes(StandardCharsets.UTF_8))
+                  try out.write((nonce + "\nbeat=" + beatSeq.incrementAndGet())
+                    .getBytes(StandardCharsets.UTF_8))
                   finally out.close()
               }
           }
@@ -573,6 +614,9 @@ object GenerationLock {
         // error.
         case _: java.io.IOException => None
       }
+    // ownership = the nonce LINE matches (a rewrite-beat appends a
+    // beat=<k> line but never changes the owner)
+    def owned(content: Option[String]) = content.map(nonceOf).contains(c.nonce)
     var onDisk = readOnce()
     // On stores where the heartbeat falls back to REWRITING the claim
     // (setTimes unsupported AND writes not atomic — real object stores
@@ -584,12 +628,12 @@ object GenerationLock {
     // without a beat (foreign/zombie checks, the post-create read-back)
     // keep single-read semantics.
     var retries = if (c.beat.isDefined) 2 else 0
-    while (!onDisk.contains(c.nonce) && retries > 0) {
+    while (!owned(onDisk) && retries > 0) {
       Thread.sleep(60)
       onDisk = readOnce()
       retries -= 1
     }
-    if (!onDisk.contains(c.nonce))
+    if (!owned(onDisk))
       throw new IllegalStateException(
         s"writer claim on ${what(c.dir, c.gen)} is no longer " +
           s"held by this session (${onDisk.fold("claim file missing or " +
@@ -648,7 +692,7 @@ object GenerationLock {
             while (n >= 0) { buf.write(b, 0, n); n = in.read(b) }
             buf.toByteArray
           } finally in.close()
-        new String(bytes, StandardCharsets.UTF_8) == c.nonce
+        nonceOf(new String(bytes, StandardCharsets.UTF_8)) == c.nonce
       } catch { case _: java.io.IOException => false }
     if (owned) { fs.delete(aside, false); () }
     else if (!fs.rename(aside, p)) { fs.delete(aside, false); () }

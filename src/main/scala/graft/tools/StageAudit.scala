@@ -45,7 +45,11 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   * Flagged queries RE-RUN once in the now-warm session before the gate
   * adjudicates (a genuine serialization is in the plan and persists; a
   * first-run JIT artifact near the threshold disappears — cleared flags
-  * are printed, never silently dropped). Exit is non-zero when an
+  * are printed, never silently dropped). The re-audit confirms by
+  * SHAPE, not time alone: any single-task stage above threshold/2 on
+  * the warm run keeps the flag, so a real serialization that merely
+  * dips under the threshold on a page-cache-warm second run cannot
+  * clear itself. Exit is non-zero when an
   * offender persists the re-audit OR when any query failed to run — a
   * query that throws was never audited, and reporting OK over reduced
   * coverage would defeat the tripwire.
@@ -84,12 +88,19 @@ object StageAudit {
     }
 
     @volatile var current = ""
+    // the listener records single-task stages down to threshold/2: the
+    // main pass flags at the FULL threshold, but the warm re-audit must
+    // also see the stage SHAPE — a genuine serialization whose warm
+    // re-run lands just under the time threshold (JIT + page cache +
+    // shuffle reuse all warm the second run, not just codegen) would
+    // otherwise clear the gate on timing alone
+    val halfThreshold = threshold / 2
     val offenders = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Double)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val coreSec = si.taskMetrics.executorRunTime / 1000.0
-        if (si.numTasks == 1 && coreSec > threshold)
+        if (si.numTasks == 1 && coreSec > halfThreshold)
           offenders.synchronized {
             offenders += ((current, si.stageId, coreSec))
           }
@@ -115,17 +126,30 @@ object StageAudit {
     // flags are often first-run JIT rather than plan shape (r18: a
     // one-file codec fixture read 2.31 cold, 1.20 warm). A flagged query
     // re-runs once in the now-warm session — a genuine serialization is
-    // in the PLAN and persists; a JIT artifact disappears. Only
-    // persisting offenders fail the gate, and cleared flags are printed
-    // so the adjudication is auditable, never silent.
-    val flagged = offenders.synchronized { offenders.map(_._1).distinct.toSeq }
+    // in the PLAN and persists; a JIT artifact disappears. Clearing is
+    // SHAPE-checked, not purely timed (r18 ADVICE): warmth includes the
+    // OS page cache and shuffle/broadcast reuse, so a real single-task
+    // stage can dip under the threshold on the second run — the re-run
+    // confirms at threshold/2, and only a flag whose re-run shows NO
+    // single-task stage above even that is cleared. Only persisting
+    // offenders fail the gate, and cleared flags are printed so the
+    // adjudication is auditable, never silent.
+    val flagged = offenders.synchronized {
+      offenders.filter(_._3 > threshold).map(_._1).distinct.toSeq
+    }
     if (flagged.nonEmpty) {
       offenders.synchronized(offenders.clear())
       run(flagged)
     }
-    val confirmed = offenders.synchronized { offenders.toSeq }
+    val confirmed = offenders.synchronized {
+      offenders.filter(o => flagged.contains(o._1)).toSeq
+    }
     confirmed.foreach { case (q, sid, s) =>
-      println(f"[audit] OFFENDER $q stage=$sid singleTaskCoreSec=$s%.2f")
+      println(f"[audit] OFFENDER $q stage=$sid singleTaskCoreSec=$s%.2f" +
+        (if (s <= threshold)
+           " (warm re-run under the time threshold, but the single-task" +
+             " shape persists above threshold/2 — not a JIT artifact)"
+         else ""))
     }
     flagged.filterNot(confirmed.map(_._1).toSet).foreach { q =>
       println(s"[audit] cleared on warm re-audit (first-run JIT): $q")

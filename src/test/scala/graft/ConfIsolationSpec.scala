@@ -15,6 +15,21 @@ import graft.sources.{BucketReader, BucketWriter}
 class ConfIsolationSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
+  test("SPARK_GRAFT_SPILL_READAHEAD is normalized before it reaches the " +
+       "Spark conf: bad values fail fast, naming the variable") {
+    import graft.core.GraftSession.spillReadAhead
+    assert(spillReadAhead(None) == "true")
+    assert(spillReadAhead(Some("true")) == "true")
+    assert(spillReadAhead(Some("FALSE")) == "false")
+    // "0"/"off"/typos used to surface as an unhelpful error deep inside
+    // Spark's boolean conf parsing during session construction
+    Seq("0", "1", "off", "fals").foreach { bad =>
+      val e = intercept[IllegalArgumentException](spillReadAhead(Some(bad)))
+      assert(e.getMessage.contains("SPARK_GRAFT_SPILL_READAHEAD") &&
+        e.getMessage.contains(bad))
+    }
+  }
+
   test("bucket + table reads leave the caller session conf untouched") {
     val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
     val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"

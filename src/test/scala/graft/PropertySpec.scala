@@ -137,6 +137,40 @@ class PropertySpec extends AnyFunSuite {
     assert(ndExact.count() == 45)
   }
 
+  test("connectedComponents drops null-id pairs for ALL id types — a " +
+       "(null, x) string pair neither self-loops x nor emits a null node") {
+    // least/greatest skip nulls, so without the explicit filter a
+    // (null, "x") pair canonicalizes to an ("x","x") SELF-LOOP — "x"
+    // would silently register as a singleton cluster (r18 ADVICE: the
+    // integral path filtered nulls, the string path did not)
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // the chain c-b, b-a forces the label-propagation loop through more
+    // than one round on RAW (non-numeric) string ids — which also pins
+    // the type-agnostic convergence key (the old sum(label) relied on
+    // ANSI's string→double cast and threw CAST_INVALID_INPUT here; the
+    // q212 production gate pre-hashes its string ids so it never saw it)
+    val pairs = Seq(
+      (Option("c"), Option("b")),
+      (Option("b"), Option("a")),
+      (Option.empty[String], Option("x")),
+      (Option("y"), Option.empty[String]),
+      (Option.empty[String], Option.empty[String])
+    ).toDF("a", "b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+    val nodes = cc.select("node").as[String].collect().toSet
+    assert(nodes == Set("a", "b", "c"),
+      s"null-partnered pairs leaked nodes: $nodes")
+    // one component, min-id representative "a" on every node
+    assert(cc.select("cluster_id").as[String].collect().toSet == Set("a"))
+    // and the same contract on the integral path (already filtered, now
+    // pinned beside its string sibling): driver union-find branch
+    val iPairs = Seq((Option(1L), Option(2L)), (Option.empty[Long], Option(9L)))
+      .toDF("a", "b")
+    val icc = graft.operators.Dedup.connectedComponents(iPairs)
+    assert(icc.select("node").as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("planesFor scales hyperplane count with corpus size") {
     import graft.operators.Similarity
     assert(Similarity.planesFor(100000) == 8)          // small: floor of 8
