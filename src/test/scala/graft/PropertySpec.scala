@@ -171,6 +171,44 @@ class PropertySpec extends AnyFunSuite {
     assert(icc.select("node").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("connectedComponents frees its checkpoint blocks: repeated calls " +
+       "do not accumulate storage") {
+    // Dataset.unpersist cannot free localCheckpoint blocks (the cache
+    // lives on the internal RDD), so before the r19 hygiene every CC
+    // call leaked its edge checkpoint — and the loop path additionally
+    // one block set PER ROUND — until ContextCleaner GC. A long-lived
+    // or streaming session calling dedup repeatedly accumulated storage
+    // without bound (r18 ADVICE). Pin the fix via the session's
+    // persistent-RDD registry.
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // count only RDD ids CREATED inside each window: the shared session's
+    // ContextCleaner concurrently GC-unpersists EARLIER tests' blocks, so
+    // a raw before/after size delta reads negative nondeterministically
+    def persistedIds = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    // SMALL path: the edge checkpoint is released right after the collect
+    val before = persistedIds
+    (1 to 5).foreach(_ =>
+      graft.operators.Dedup.connectedComponents(pairs).count())
+    val leakedSmall = (persistedIds -- before).size
+    assert(leakedSmall == 0,
+      s"small path leaked $leakedSmall cached RDDs over 5 calls")
+    // LOOP path (forced via driverEdgeLimit = 0): at most ONE survivor
+    // per call — the final label checkpoint backing the returned frame
+    // (ContextCleaner-owned once the caller drops it); the edge
+    // checkpoint and every per-round intermediate must be freed eagerly
+    // (this 2-component graph runs 2+ pointer-jumping rounds, so an
+    // unhygienic call leaks 4-5 block sets, not 1)
+    val b2 = persistedIds
+    (1 to 3).foreach(_ =>
+      graft.operators.Dedup.connectedComponents(pairs, driverEdgeLimit = 0)
+        .count())
+    val growth = (persistedIds -- b2).size
+    assert(growth <= 3,
+      s"loop path leaked $growth cached RDDs over 3 calls (want <= 1/call)")
+  }
+
   test("planesFor scales hyperplane count with corpus size") {
     import graft.operators.Similarity
     assert(Similarity.planesFor(100000) == 8)          // small: floor of 8
