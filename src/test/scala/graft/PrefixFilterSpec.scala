@@ -29,12 +29,29 @@ class PrefixFilterSpec extends AnyFunSuite {
   }
 
   test("word-token join: exact recall equals brute force at several thresholds") {
-    for ((tn, td) <- Seq((1, 2), (2, 3), (9, 10))) {
+    // t = 1/1 is the exact-duplicate boundary: prefix length collapses to
+    // p = n − ceil(n) + 1 = 1 (only the single rarest token indexes), so
+    // any prefix-selection off-by-one loses recall exactly here
+    for ((tn, td) <- Seq((1, 2), (2, 3), (9, 10), (1, 1))) {
       val got = Dedup.prefixFilterPairs(docs.toDF("doc_id", "text"),
           "text", "doc_id", tn, td)
         .select("a", "b").as[(Long, Long)].collect().toSet
       assert(got == brute(tn, td), s"mismatch at t=$tn/$td")
     }
+  }
+
+  test("token-less docs never pair: Jaccard 0/0 is undefined, not a match") {
+    // a whitespace-only (or empty) doc has an empty token set; a naive
+    // threshold test td*|∩| >= tn*|∪| reads 0 >= 0 = true and would pair
+    // two empty docs. The engine's contract: docs with no tokens never
+    // enter the index and never pair — on either join flavor.
+    val d = Seq((1L, "   "), (2L, ""), (3L, "alpha beta"))
+    assert(Dedup.prefixFilterPairs(d.toDF("doc_id", "text"),
+      "text", "doc_id", 1, 2).count() == 0)
+    assert(Dedup.prefixFilterJoin(d.toDF("doc_id", "text"),
+      d.toDF("doc_id", "text"), "text", "doc_id", 1, 1)
+      .select("a", "b").as[(Long, Long)].collect().toSet ==
+      Set((3L, 3L)), "only the non-empty doc may pair with itself")
   }
 
   test("threshold boundary: jaccard exactly t is included (>=)") {
