@@ -33,9 +33,16 @@ object Graph {
     * Scale shape: per iteration, ranks join edges on `src` (shuffle
     * hash join keyed by src — co-partitioned with the out-degree join
     * on the same key) and partial-aggregate contributions by `dst`
-    * (map-side combined). Iterations persist + truncate lineage so
-    * round k+1 reads round k's materialized ranks, not a 2^k-deep plan.
-    */
+    * (map-side combined). Each round persists + materializes its ranks
+    * so round k+1 reads cached blocks, then unpersists round k's.
+    * persist (not localCheckpoint, which [[Dedup.connectedComponents]]
+    * uses) is the deliberate choice here: the rank plan nests only
+    * LINEARLY per round (one join chain — no self-join blow-up to
+    * truncate), so keeping lineage costs O(iterations) analyzer work at
+    * bounded iteration counts while preserving recomputability — a lost
+    * cached block on a real cluster re-derives (slowly, through the
+    * unpersisted chain) instead of failing the job the way a truncated
+    * local checkpoint would. */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
                dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
