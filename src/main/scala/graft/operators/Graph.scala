@@ -94,9 +94,10 @@ object Graph {
     * (1−d)·scale/|S| on seeds and 0 elsewhere. Non-seed nodes
     * accumulate rank only through link structure, so rank decays with
     * distance from the seed set. Scale shape identical to [[pageRank]]
-    * (per-round src-keyed join + dst-keyed partial agg, lineage cut per
-    * round); the seed flag is one broadcast-sized join on the node
-    * dimension. */
+    * (per-round src-keyed join + dst-keyed partial agg, ranks persisted
+    * and materialized per round — see pageRank's scaladoc for the
+    * persist-vs-checkpoint rationale); the seed flag is one
+    * broadcast-sized join on the node dimension. */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int,
                            scale: Long = 1000000000000L,
