@@ -10,7 +10,10 @@ import org.apache.spark.sql.functions._
   *
   * Implemented as the union-tag trick (compose-existing-ops path of the
   * custom-operator preference order): tag both sides, union, and take
-  * `last(right value, ignoreNulls)` over a per-key time-ordered window. One
+  * `last(right ROW as one struct, ignoreNulls)` over a per-key
+  * time-ordered window — row-atomic, so a right row carrying null
+  * values still IS the match (pandas merge_asof / DuckDB ASOF
+  * semantics), never skipped for an older non-null one. One
   * shuffle on (key), no range explosion — the classic alternative (range
   * join + top-1 per pair) shuffles the cross product. Right rows sort
   * before simultaneous left rows so `right.time == left.time` matches.
@@ -52,20 +55,30 @@ object AsOfJoin {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    var filled = unioned
-      .withColumn("__last_rt", last(col("__rt"), ignoreNulls = true).over(w))
-    valueCols.foreach { c =>
-      filled = filled.withColumn(s"__last_$c",
-        last(col(s"__v_$c"), ignoreNulls = true).over(w))
-    }
+    // Fill ONE struct of (time, values) per right ROW, not each value
+    // column independently: last(value, ignoreNulls) per column would
+    // SKIP a right row whose value is null and reach back to an older
+    // row — attaching a value the most-recent row does not carry, and
+    // with several valueCols even mixing columns from different right
+    // rows. The as-of contract (and DuckDB's native ASOF JOIN, which
+    // the q43 oracle replays) attaches the most recent ROW atomically,
+    // nulls included: the struct is non-null for every right row even
+    // when its fields are null, so last(struct, ignoreNulls) lands on
+    // exactly that row. One window fill instead of 1 + |valueCols|.
+    val rowStruct = when(col("__side") === 0,
+      struct((col("__rt").as("__t") +:
+        valueCols.map(c => col(s"__v_$c").as(s"__v_$c"))): _*))
+    val filled = unioned
+      .withColumn("__last", last(rowStruct, ignoreNulls = true).over(w))
+    val lastRt = col("__last").getField("__t")
     val withinTol =
       if (toleranceSeconds < 0) lit(true)
-      else unix_micros(col(timeCol)) - unix_micros(col("__last_rt")) <=
+      else unix_micros(col(timeCol)) - unix_micros(lastRt) <=
         toleranceSeconds * 1000000L
     val out = filled.where(col("__side") === 1)
     val projected = valueCols.foldLeft(out) { (d, c) =>
-      d.withColumn(c, when(col("__last_rt").isNotNull && withinTol,
-        col(s"__last_$c")).otherwise(lit(null)))
+      d.withColumn(c, when(col("__last").isNotNull && withinTol,
+        col("__last").getField(s"__v_$c")).otherwise(lit(null)))
     }
     projected.select((leftCols ++ valueCols).map(col): _*)
   }

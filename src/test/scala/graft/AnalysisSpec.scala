@@ -112,6 +112,25 @@ class AnalysisSpec extends AnyFunSuite {
     assert(tol == Seq(None, Some(10.0), Some(20.0), None))
   }
 
+  test("as-of join is row-atomic: a null-valued right row is the match, " +
+       "never skipped for an older non-null one") {
+    import graft.operators.AsOfJoin
+    // right rows for k=1: (00:30, v=10, w=1) then (01:00, v=null, w=2).
+    // A per-column ignoreNulls fill would give the 01:30 left row
+    // v=10 (from the OLDER row) while w=2 (from the newer) — a mix of
+    // two right rows that neither pandas merge_asof nor DuckDB ASOF
+    // JOIN (the q43 oracle) would ever emit. Row-atomic: v=null, w=2.
+    val left = Seq((1L, ts("2021-01-01 01:30:00"))).toDF("k", "time")
+    val right = Seq(
+      (1L, ts("2021-01-01 00:30:00"), Option(10.0), Option(1L)),
+      (1L, ts("2021-01-01 01:00:00"), Option.empty[Double], Option(2L))
+    ).toDF("k", "time", "v", "w")
+    val got = AsOfJoin.backward(left, right, Seq("k"), "time", Seq("v", "w"))
+      .select("v", "w").as[(Option[Double], Option[Long])].collect().toSeq
+    assert(got == Seq((None, Some(2L))),
+      s"null-valued right row was not attached atomically: $got")
+  }
+
   test("IVF assign + topK: identical vectors share a cell and rank first") {
     import graft.operators.Similarity
     val vecs = Seq(
