@@ -1,0 +1,91 @@
+#!/bin/bash
+# Round-20 closing ritual, in the governed order (PERFNOTES r19 rule:
+# the round's final full board must POSTDATE the final plan-touching
+# commit) — now with MECHANICAL steal-bracketing (r19 verdict
+# directive #2): this runner suffers intermittent host-level steal
+# (loadavg >10 with no in-VM consumer), so each step gates on a quiet
+# ENTRY bracket (1-min loadavg < 2.0, waiting up to 10 min for quiet)
+# and the whole board is bracketed by HostCal control reads (the
+# calibration set's host_index + per-query control figures, q192
+# among them). A step whose entry never goes quiet is marked INVALID
+# in the status file and must be RE-RUN, not adjudicated after the
+# fact; a board whose pre/post host_index brackets disagree by >15%
+# caught a steal window mid-board and is likewise INVALID.
+#
+# Artifacts: /tmp/ritual_r20.status  (per-step RCs)
+#            /tmp/ritual_r20_brackets.jsonl (loadavg + HostCal reads)
+#            /tmp/<step>_r20.log    (per-step output)
+cd /root/repo
+STATUS=/tmp/ritual_r20.status
+ART=/tmp/ritual_r20_brackets.jsonl
+: > "$ART"
+echo "ritual start $(date -u +%H:%M:%S)" > "$STATUS"
+
+bracket() { # $1 step, $2 phase
+  local la
+  la=$(cut -d' ' -f1 /proc/loadavg)
+  echo "{\"step\":\"$1\",\"phase\":\"$2\",\"loadavg\":$la,\"ts\":\"$(date -u +%H:%M:%S)\"}" >> "$ART"
+}
+
+quiet_wait() { # $1 step: wait up to 10 min for 1-min loadavg < 2.0
+  local step=$1 tries=0 la
+  while :; do
+    la=$(cut -d' ' -f1 /proc/loadavg)
+    if awk "BEGIN{exit !($la < 2.0)}"; then
+      echo "{\"step\":\"$step\",\"phase\":\"entry\",\"loadavg\":$la,\"quiet\":true,\"ts\":\"$(date -u +%H:%M:%S)\"}" >> "$ART"
+      return 0
+    fi
+    tries=$((tries+1))
+    if [ "$tries" -gt 60 ]; then
+      echo "{\"step\":\"$step\",\"phase\":\"entry\",\"loadavg\":$la,\"quiet\":false,\"ts\":\"$(date -u +%H:%M:%S)\"}" >> "$ART"
+      return 1
+    fi
+    sleep 10
+  done
+}
+
+step() { # $1 name; remaining args = command
+  local name=$1; shift
+  if ! quiet_wait "$name"; then
+    echo "${name}_RC=INVALID_ENTRY_BRACKET $(date -u +%H:%M:%S)" >> "$STATUS"
+    return 1
+  fi
+  "$@" > "/tmp/${name}_r20.log" 2>&1
+  local rc=$?
+  bracket "$name" exit
+  echo "${name}_RC=$rc $(date -u +%H:%M:%S)" >> "$STATUS"
+  return $rc
+}
+
+hostcal() { # $1 PRE|POST — control-read bracket around the board
+  step "HOSTCAL_$1" sbt -batch "runMain graft.tools.HostCal /root/testdata/sf0.1"
+  grep -h '"host_index"' "/tmp/HOSTCAL_${1}_r20.log" | tail -1 \
+    | sed "s/^/{\"step\":\"HOSTCAL_$1\",\"read\":/; s/\$/}/" >> "$ART"
+}
+
+hostcal PRE
+step BENCH env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench"
+step AUDIT_SF01 sbt -batch "runMain graft.tools.StageAudit /root/testdata/sf0.1 2.0"
+step AUDIT_10X sbt -batch "runMain graft.tools.StageAudit 10x 6.0"
+step SCALESMOKE sbt -batch "runMain graft.tools.ScaleSmoke"
+step PIPESMOKE sbt -batch "runMain graft.tools.PipelineScaleSmoke"
+hostcal POST
+
+# board validity: pre/post host_index within 15% of each other
+python3 - "$ART" >> "$STATUS" <<'EOF'
+import json, sys
+reads = {}
+for line in open(sys.argv[1]):
+    d = json.loads(line)
+    if d.get("step", "").startswith("HOSTCAL_") and "read" in d:
+        reads[d["step"]] = d["read"]["host_index"]
+pre, post = reads.get("HOSTCAL_PRE"), reads.get("HOSTCAL_POST")
+if pre is None or post is None:
+    print("BOARD_BRACKET=INVALID_MISSING_HOSTCAL")
+elif max(pre, post) / min(pre, post) > 1.15:
+    print(f"BOARD_BRACKET=INVALID_DRIFT pre={pre} post={post}")
+else:
+    print(f"BOARD_BRACKET=OK pre={pre} post={post}")
+EOF
+echo "ritual done $(date -u +%H:%M:%S)" >> "$STATUS"

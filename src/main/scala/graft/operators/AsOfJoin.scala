@@ -65,7 +65,14 @@ object AsOfJoin {
     // nulls included: the struct is non-null for every right row even
     // when its fields are null, so last(struct, ignoreNulls) lands on
     // exactly that row. One window fill instead of 1 + |valueCols|.
-    val rowStruct = when(col("__side") === 0,
+    // A right row whose time is NULL is excluded from the fill: NULL
+    // sorts FIRST under asc, so without the isNotNull guard it would
+    // become the "most recent" match for any left row that no real
+    // right row precedes — but pandas merge_asof / DuckDB ASOF never
+    // match a NULL-time row (NULL inequality = no match). The bounded
+    // path already rejected it (null tolerance arithmetic); this guard
+    // closes the unbounded path too.
+    val rowStruct = when(col("__side") === 0 && col("__rt").isNotNull,
       struct((col("__rt").as("__t") +:
         valueCols.map(c => col(s"__v_$c").as(s"__v_$c"))): _*))
     val filled = unioned

@@ -391,18 +391,25 @@ object Dedup {
     // to sum — the old sum(label) leaned on ANSI's string→double cast
     // and THREW on any non-numeric id (latent until the r19 null-id
     // spec; the q212 gate pre-hashes its string ids to longs) — so
-    // their key is xxhash64(label): a changed round leaves the sum
-    // fixed only if the 64-bit hash deltas cancel exactly, the same
-    // negligible-collision posture as the md5 content hashes exact
-    // dedup rests on. Decimal(38,0) accumulation on both: ANSI
-    // sum(bigint) raises on overflow, and millions of 64-bit hash
-    // values can exceed the long range.
-    val convKey =
-      if (integralIds) col("label").cast("decimal(38,0)")
-      else xxhash64(col("label")).cast("decimal(38,0)")
-    def labelSum(d: DataFrame): java.math.BigDecimal = {
-      val row = d.agg(sum(convKey)).head()
-      if (row.isNullAt(0)) java.math.BigDecimal.ZERO else row.getDecimal(0)
+    // their key is a PAIR of independent hash sums: xxhash64(label) and
+    // xxhash64(label, "#2") (the extra literal input makes the second
+    // digest independent of the first). A changed round reads as
+    // converged only if BOTH 64-bit delta sums cancel exactly —
+    // a ~2^-128-class event, and unlike the md5 posture exact dedup
+    // rests on (where a collision merges two documents), a collision
+    // HERE would silently return under-merged clusters, so it is
+    // hardened rather than merely documented (r19 ADVICE). Decimal(38,0)
+    // accumulation on both: ANSI sum(bigint) raises on overflow, and
+    // millions of 64-bit hash values can exceed the long range.
+    val convKeys: Seq[Column] =
+      if (integralIds) Seq(col("label").cast("decimal(38,0)"))
+      else Seq(xxhash64(col("label")).cast("decimal(38,0)"),
+        xxhash64(col("label"), lit("#2")).cast("decimal(38,0)"))
+    def labelSum(d: DataFrame): Seq[java.math.BigDecimal] = {
+      val sums = convKeys.map(k => sum(k))
+      val row = d.agg(sums.head, sums.tail: _*).head()
+      convKeys.indices.map(i =>
+        if (row.isNullAt(i)) java.math.BigDecimal.ZERO else row.getDecimal(i))
     }
     var prevSum = labelSum(labels)
     var converged = false
@@ -440,7 +447,7 @@ object Dedup {
       // leaving every round's label frame cached until ContextCleaner GC
       checkpointBlocks(labels).foreach(_.unpersist(false))
       labels = updated
-      converged = newSum.compareTo(prevSum) == 0
+      converged = newSum.zip(prevSum).forall { case (n, p) => n.compareTo(p) == 0 }
       prevSum = newSum
       iter += 1
     }

@@ -248,6 +248,50 @@ object ClaimContention {
   private val GenerationLock_DefaultStaleness =
     graft.sources.GenerationLock.DefaultStalenessMs
 
+  /** Beat-format long-life check (r19 stretch #8), mocks3 only (no
+    * setTimes, so every heartbeat REWRITES the claim with a `beat=<k>`
+    * line): the beat counter is a per-acquisition AtomicLong from 0 —
+    * assert a claim re-acquired after release starts a FRESH counter,
+    * and that the two incarnations' contents still differ by NONCE line
+    * even where their beat numbers could coincide (the stale sweep's
+    * full-content identity re-check distinguishes incarnations across
+    * acquisitions, not just rewrites within one). First incarnation
+    * beats ~4 ticks, second ~1, so a counter that carried over would
+    * read k2 > k1's first ticks and fail the k2 < k1 assertion. */
+  private def beatIncarnationCheck(root: String): String = {
+    import graft.sources.{BucketFs, GenerationLock}
+    val dir = s"$root/beat_incarnation"
+    val claimFile = s"$dir/_writer_claim"
+    val staleness = 1600L // beat period = staleness/4 = 400 ms
+    def parse(s: String): (String, Long) = {
+      val lines = s.split('\n')
+      (lines.head,
+        lines.find(_.startsWith("beat=")).map(_.drop(5).toLong).getOrElse(0L))
+    }
+    val c1 = GenerationLock.claimDir(dir, staleness)
+    Thread.sleep(1900) // ~4 rewrite-beats
+    val content1 = BucketFs.readString(claimFile)
+    GenerationLock.release(c1)
+    val c2 = GenerationLock.claimDir(dir, staleness)
+    Thread.sleep(700) // ~1 rewrite-beat
+    val content2 = BucketFs.readString(claimFile)
+    GenerationLock.release(c2)
+    val (n1, k1) = parse(content1)
+    val (n2, k2) = parse(content2)
+    require(n1 == c1.nonce && n2 == c2.nonce,
+      "claim content's nonce line does not match the acquiring session")
+    require(k1 >= 2, s"first incarnation never rewrite-beat (k1=$k1) — " +
+      "is this store really setTimes-less?")
+    require(k2 >= 1 && k2 < k1,
+      s"re-acquired claim did not restart its beat counter: k1=$k1 k2=$k2")
+    require(n1 != n2 && content1 != content2,
+      "incarnations not distinguished by nonce line")
+    val row = s"BEAT_INCARNATION store=mocks3 k1=$k1 k2=$k2 " +
+      "fresh_counter=true nonce_distinct=true"
+    println(row)
+    row
+  }
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
@@ -269,7 +313,8 @@ object ClaimContention {
     val root =
       if (store == "mocks3") s"mocks3:$localRoot" else localRoot
     val fams = families(spark, base, factor)
-    val rows = which.toSeq.sorted.map(n => runTrial(spark, fams(n), root))
+    val rows = which.toSeq.sorted.map(n => runTrial(spark, fams(n), root)) ++
+      (if (store == "mocks3") Seq(beatIncarnationCheck(root)) else Nil)
     println("=== all trials ===")
     rows.foreach(println)
     graft.sources.BucketFs.deleteRecursive(root)

@@ -36,9 +36,13 @@ object ScaleStage {
     "part", "orders", "lineitem")
 
   /** Cheap identity of the base tables: per table, the data-file count,
-    * total bytes, and max mtime under `$base/$t.parquet` (markers and
-    * dotfiles excluded). Any in-place regeneration moves at least the
-    * mtimes; a different-sized regeneration moves bytes too. */
+    * total bytes, max mtime, and a digest of the sorted file-NAME set
+    * under `$base/$t.parquet` (markers and dotfiles excluded). Any
+    * in-place regeneration moves at least the mtimes; a different-sized
+    * regeneration moves bytes too; the name digest catches a
+    * regeneration that lands identical sizes within the store's mtime
+    * granularity but (as Spark writers do) fresh task-UUID file names
+    * (r19 ADVICE — the mtime-only sliver). */
   private[tools] def fingerprint(base: String): String =
     (Scaled.map(_._1) ++ PassThrough).map { t =>
       val (fs, p) = graft.sources.BucketFs.resolve(s"$base/$t.parquet")
@@ -51,7 +55,8 @@ object ScaleStage {
         val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
       }
       s"$t:${files.size}:${files.map(_.getLen).sum}:" +
-        files.map(_.getModificationTime).foldLeft(0L)(math.max)
+        files.map(_.getModificationTime).foldLeft(0L)(math.max) + ":" +
+        files.map(_.getPath.getName).sorted.mkString(",").hashCode
     }.mkString("\n")
 
   def ensure(spark: SparkSession, base: String, factor: Int): String = {
@@ -79,7 +84,18 @@ object ScaleStage {
         graft.core.Tables(spark, base, t)
           .write.mode("overwrite").parquet(s"$out/$t.parquet")
       }
-      graft.sources.BucketFs.writeString(marker, want)
+      // Re-fingerprint AFTER the copies land: the entry snapshot only
+      // proves the base was stale-free when staging STARTED — a base
+      // regenerated mid-staging leaves `out` mixing old and new table
+      // contents behind a marker that would read fresh on the next
+      // ensure(). Fail loudly (diagnostics tool; an auto-restage loop
+      // could spin against a live regenerator) and write the verified
+      // value (r19 ADVICE).
+      val after = s"ok\n${fingerprint(base)}\n"
+      require(after == want,
+        s"base tables under $base changed while staging ${factor}x — " +
+          "staging is mixed-generation; re-run ensure() once the base is quiet")
+      graft.sources.BucketFs.writeString(marker, after)
     }
     out
   }

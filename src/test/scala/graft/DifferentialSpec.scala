@@ -1,0 +1,236 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Differential fuzz suite (r19 verdict directive #4): the operators
+  * whose correctness gates run benign fixture data are re-checked
+  * against brute-force in-memory references over RANDOM inputs —
+  * nulls, ties, duplicates, degenerate thresholds — across many seeded
+  * rounds. Both r19 gate-blind defects lived exactly here: the as-of
+  * join's per-column fill mixed right rows once the newest row carried
+  * nulls (`AsOfJoin.scala:58` — the q43 gate's right side is
+  * null-free), and connected components' `sum(label)` convergence key
+  * threw on non-numeric string ids (`Dedup.scala:386` — the q212 gate
+  * pre-hashes its ids). A differential suite with randomized
+  * nulls/types would have caught both before any gate did.
+  *
+  * The references are deliberately naive (driver-side loops, O(n²)
+  * Jaccard) — correctness oracles, not plans. Corpora stay tiny so the
+  * quadratic reference and the many Spark jobs both run in seconds.
+  */
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260816L)
+
+  // ---------------------------------------------------------------- as-of
+
+  test("as-of join ≡ in-memory reference over random keys/ties/nulls/tolerances") {
+    val keys = Seq("k1", "k2", "k3")
+    (1 to 25).foreach { round =>
+      // right times UNIQUE per key: with duplicate (key, time) right rows
+      // the winner among exact ties is arbitrary in every engine (pandas
+      // takes frame order, which Spark has no analogue of), so the
+      // differential holds the contract where one is defined
+      val right = keys.flatMap { k =>
+        val times = rng.shuffle((0 until 120).toList).take(rng.nextInt(15))
+        times.map { s =>
+          val t = if (rng.nextInt(10) == 0) None
+                  else Some(new Timestamp(s * 1000L))
+          val v1 = if (rng.nextInt(4) == 0) None else Some(rng.nextInt(100).toDouble)
+          val v2 = if (rng.nextInt(4) == 0) None else Some(s"s${rng.nextInt(50)}")
+          (k, t, v1, v2)
+        }
+      }
+      val left = (0 until (1 + rng.nextInt(30))).map { i =>
+        val t = if (rng.nextInt(10) == 0) None
+                else Some(new Timestamp(rng.nextInt(130) * 1000L))
+        (i.toLong, keys(rng.nextInt(keys.length)), t)
+      }
+      val tol = Seq(-1L, 0L, 7L, 60L)(rng.nextInt(4))
+
+      val leftDf = left.toDF("__id", "key", "t")
+      val rightDf = right.toDF("key", "t", "v1", "v2")
+      val got = graft.operators.AsOfJoin
+        .backward(leftDf, rightDf, Seq("key"), "t", Seq("v1", "v2"), tol)
+        .select("__id", "v1", "v2").collect()
+        .map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            if (r.isNullAt(2)) None else Some(r.getString(2)))))
+        .toMap
+
+      // reference: most recent right ROW (atomically, nulls included)
+      // with non-null rt <= lt within tolerance; null left/right times
+      // never match (NULL inequality)
+      val rightByKey = right.filter(_._2.isDefined).groupBy(_._1)
+      left.foreach { case (id, k, lt) =>
+        val want: (Option[Double], Option[String]) = lt match {
+          case None => (None, None)
+          case Some(t) =>
+            val cands = rightByKey.getOrElse(k, Nil).filter { r =>
+              val rt = r._2.get.getTime
+              rt <= t.getTime &&
+                (tol < 0 || t.getTime - rt <= tol * 1000L)
+            }
+            if (cands.isEmpty) (None, None)
+            else { val best = cands.maxBy(_._2.get.getTime); (best._3, best._4) }
+        }
+        assert(got(id) == want,
+          s"round $round tol=$tol left=($id,$k,$lt): got ${got(id)}, want $want")
+      }
+      assert(got.size == left.size, s"round $round: row count changed")
+    }
+  }
+
+  // ------------------------------------------- connected components
+
+  /** Driver union-find oracle: min id per component over the non-null
+    * pairs (self-loops register singletons; null-partnered pairs drop —
+    * the contract the null-id spec pins). */
+  private def ufRef[T](pairs: Seq[(Option[T], Option[T])])(
+      implicit ord: Ordering[T]): Map[T, T] = {
+    val valid = pairs.collect { case (Some(a), Some(b)) => (a, b) }
+    val parent = scala.collection.mutable.Map.empty[T, T]
+    def find(x: T): T = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    valid.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    parent.keys.toSeq.groupBy(find).flatMap { case (_, ns) =>
+      val m = ns.min; ns.map(_ -> m)
+    }
+  }
+
+  test("connectedComponents ≡ union-find over random graphs (long ids, both paths)") {
+    (1 to 12).foreach { round =>
+      val n = 2 + rng.nextInt(30)
+      val pairs = (0 until (1 + rng.nextInt(50))).map { _ =>
+        def node = if (rng.nextInt(12) == 0) None else Some(rng.nextInt(n).toLong)
+        val a = node
+        // self-loops (singleton registration) injected deliberately
+        val b = if (rng.nextInt(8) == 0) a else node
+        (a, b)
+      }
+      val want = ufRef(pairs)
+      val df = pairs.toDF("a", "b")
+      Seq(2000000, 0).foreach { lim => // driver union-find / forced loop
+        val got = graft.operators.Dedup.connectedComponents(df, driverEdgeLimit = lim)
+          .as[(Long, Long)].collect().toMap
+        assert(got == want, s"round $round driverEdgeLimit=$lim")
+      }
+    }
+  }
+
+  test("connectedComponents ≡ union-find over random graphs (raw string ids)") {
+    // non-numeric ids exercise the hash-sum convergence key (the r19
+    // crash class) — ASCII ids so driver Ordering[String] and Spark's
+    // binary string `min`/`least` agree
+    (1 to 8).foreach { round =>
+      val names = (0 until (2 + rng.nextInt(20)))
+        .map(i => s"${('a' + rng.nextInt(26)).toChar}$i")
+      val pairs = (0 until (1 + rng.nextInt(40))).map { _ =>
+        def node = if (rng.nextInt(12) == 0) None
+                   else Some(names(rng.nextInt(names.length)))
+        val a = node
+        val b = if (rng.nextInt(8) == 0) a else node
+        (a, b)
+      }
+      val want = ufRef(pairs)
+      val got = graft.operators.Dedup.connectedComponents(pairs.toDF("a", "b"))
+        .as[(String, String)].collect().toMap
+      assert(got == want, s"round $round")
+    }
+  }
+
+  // ------------------------------------------- prefix-filter joins
+
+  /** Pre-normalized random corpus (lowercase words, single spaces) so the
+    * driver tokenizer — split on ' ' — is exactly hashedToks' semantics
+    * modulo the (injective-in-practice) 40-bit token hash. Includes
+    * exact duplicates, subsets, and empty docs. */
+  private def randomCorpus(n: Int, vocab: IndexedSeq[String]): Seq[(Long, String)] = {
+    val base = (0 until n).map { i =>
+      val words = Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+      (i.toLong, words.mkString(" "))
+    }
+    base.map {
+      case (i, t) if i > 1 && rng.nextInt(5) == 0 => (i, base((i % 3).toInt)._2) // dup
+      case (i, t) if rng.nextInt(7) == 0 =>
+        (i, t.split(" ").filter(_.nonEmpty).take(2).mkString(" ")) // subset
+      case other => other
+    }
+  }
+
+  private def tokset(t: String): Set[String] = t.split(" ").filter(_.nonEmpty).toSet
+
+  test("prefixFilterPairs ≡ brute-force O(n²) Jaccard incl. threshold 1.0") {
+    val vocab = IndexedSeq("ant", "bee", "cat", "dog", "elk", "fox", "gnu",
+      "hen", "ibis", "jay")
+    val thresholds = Seq((1, 2), (2, 3), (4, 5), (1, 1))
+    (1 to 10).foreach { round =>
+      val docs = randomCorpus(4 + rng.nextInt(20), vocab)
+      val (tNum, tDen) = thresholds(rng.nextInt(thresholds.length))
+      val got = graft.operators.Dedup
+        .prefixFilterPairs(docs.toDF("doc_id", "text"), "text", "doc_id",
+          tNum, tDen)
+        .select("a", "b", "intersection", "n_a", "n_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val sets = docs.map { case (id, t) => id -> tokset(t) }.toMap
+      val want = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        sa = sets(a); sb = sets(b) if sa.nonEmpty && sb.nonEmpty
+        i = (sa & sb).size
+        if (tDen.toLong + tNum) * i >= tNum.toLong * (sa.size + sb.size)
+      } yield (a, b, i.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      assert(got == want, s"round $round t=$tNum/$tDen: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("prefixFilterJoin (R-S) ≡ brute-force, overlapping id spaces; capped " +
+       "mode keeps top-k by (jaccard desc, b asc) with exact n_matches") {
+    val vocab = IndexedSeq("ant", "bee", "cat", "dog", "elk", "fox")
+    (1 to 8).foreach { round =>
+      val left = randomCorpus(3 + rng.nextInt(10), vocab)
+      val right = randomCorpus(3 + rng.nextInt(12), vocab) // ids overlap left's
+      val (tNum, tDen) = Seq((1, 2), (2, 3), (1, 1))(rng.nextInt(3))
+      val got = graft.operators.Dedup
+        .prefixFilterJoin(left.toDF("doc_id", "text"), right.toDF("doc_id", "text"),
+          "text", "doc_id", tNum, tDen)
+        .select("a", "b", "intersection", "n_a", "n_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val ls = left.map { case (id, t) => id -> tokset(t) }.toMap
+      val rs = right.map { case (id, t) => id -> tokset(t) }.toMap
+      val want = (for {
+        a <- left.map(_._1); b <- right.map(_._1)
+        sa = ls(a); sb = rs(b) if sa.nonEmpty && sb.nonEmpty
+        i = (sa & sb).size
+        if (tDen.toLong + tNum) * i >= tNum.toLong * (sa.size + sb.size)
+      } yield (a, b, i.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      assert(got == want, s"round $round t=$tNum/$tDen: " +
+        s"missing=${want -- got} extra=${got -- want}")
+
+      // capped mode: per left id, the k best by (Jaccard desc, b asc),
+      // n_matches = TOTAL qualifying (loud truncation contract)
+      val k = 1 + rng.nextInt(2)
+      val capped = graft.operators.Dedup
+        .prefixFilterJoin(left.toDF("doc_id", "text"), right.toDF("doc_id", "text"),
+          "text", "doc_id", tNum, tDen, topKPerLeft = k)
+        .select("a", "b", "n_matches")
+        .as[(Long, Long, Long)].collect()
+      val byA = want.groupBy(_._1)
+      val wantCapped = byA.flatMap { case (a, rows) =>
+        rows.toSeq.sortBy { case (_, b, i, na, nb) =>
+          (-(i.toDouble / (na + nb - i).toDouble), b)
+        }.take(k).map(r => (a, r._2, rows.size.toLong))
+      }.toSet
+      assert(capped.toSet == wantCapped, s"round $round capped k=$k")
+    }
+  }
+}
