@@ -35,18 +35,24 @@ package graft.tools
   */
 object HostCal {
 
-  /** Reference figures: min-of-warm on the r20 reference host in an
-    * evidenced quiet window (loadavg < 1, spread < 10%). Spans the
-    * workload's cost shapes: scan+agg (q01), hashing CPU (q31),
-    * explode+join+agg (q86), codegen'd DP loop (q133), and the
-    * prefix-filter join q192 — the r19 control query, so the steal
-    * bracket and the host index read the same signal. */
-  val CalPins: Seq[(String, Double)] = Seq(
-    "q01_pricing_summary" -> 0.28,
-    "q31_minhash_sig" -> 0.18,
+  /** Reference figures: measured BY THIS TOOL (min-of-warm after the
+    * untimed pre-run below) on the r20 build host in an evidenced quiet
+    * window — self-consistent, NOT copied from BENCH_PINS: the full
+    * board reaches a deeper steady state than a 5-query JVM, so pins
+    * from it would bias sub-second members high (measured: q31 read
+    * 2.0× its board pin here while q86/q192 read 1.1×). Members are
+    * mid-size (0.5–3.5 s), CPU-bound, plan-stable across rounds, and
+    * span the workload's cost shapes: file listing + scan (q64),
+    * explode+join+agg (q86), span aggregation (q124), iterative BPE
+    * training (q131), and the prefix-filter join q192 — the r19
+    * control query, so the steal bracket and the host index read the
+    * same signal. */
+  val CalPins: Seq[(String, Double)] = Seq( // min of two quiet r20 runs
+    "q64_glob_read" -> 1.19,
     "q86_tfidf" -> 1.17,
-    "q133_edit_distance" -> 0.25,
-    "q192_prefix_filter_join" -> 2.90)
+    "q124_repeated_spans" -> 1.13,
+    "q131_bpe_train" -> 1.49,
+    "q192_prefix_filter_join" -> 2.52)
 
   def loadavg1m(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -61,6 +67,12 @@ object HostCal {
     val spark = graft.core.GraftSession
       .builder("32", "32", rawLocalFs = true).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // untimed pre-run of the WHOLE set before any timing (Bench's
+    // warm-up discipline): the sub-second members are otherwise
+    // dominated by whole-JVM JIT + parquet-footer cache misses and read
+    // 2-3x their steady state, swamping the host signal they exist for
+    CalPins.foreach { case (q, _) =>
+      graft.SparkEntry.queries(q)(spark, sfDir).count() }
     val per = CalPins.map { case (q, pin) =>
       val times = (1 to trials).map { _ =>
         val t0 = System.nanoTime()
