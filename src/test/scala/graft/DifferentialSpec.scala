@@ -233,4 +233,133 @@ class DifferentialSpec extends AnyFunSuite {
       assert(capped.toSet == wantCapped, s"round $round capped k=$k")
     }
   }
+
+  // --------------------------------------------- batch 2 (more seams)
+
+  test("simHashPairs (exact mode) ≡ all-pairs hamming over the operator's " +
+       "own simhashes — the pigeonhole banding loses no qualifying pair") {
+    val vocab = IndexedSeq("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen")
+    (1 to 8).foreach { round =>
+      val docs = randomCorpus(5 + rng.nextInt(25), vocab)
+        .filter(_._2.nonEmpty) // simhash of an empty token set is degenerate 0
+      val maxHamming = rng.nextInt(4) // bands=4 → pigeonhole needs <= 3
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Dedup
+        .simHashPairs(df, "text", "doc_id", maxHamming = maxHamming,
+          bands = 4, maxBucketSize = Int.MaxValue)
+        .as[(Long, Long, Long)].collect().toSet
+      // reference: the operator's own per-doc simhashes (the signature
+      // function has its own oracle, q33), paired brute-force — this
+      // checks the BANDED candidate generation, which is where a band
+      // arithmetic defect would silently drop qualifying pairs
+      val sh = graft.operators.Dedup.simHash(df, "text", "doc_id")
+        .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+      val ids = docs.map(_._1)
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        h = java.lang.Long.bitCount(sh(a) ^ sh(b)).toLong
+        if h <= maxHamming
+      } yield (a, b, h)).toSet
+      assert(got == want, s"round $round maxHamming=$maxHamming: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("lshCandidatePairs (uncapped) ≡ band-equality over the signature " +
+       "frame computed driver-side") {
+    val vocab = IndexedSeq("ant", "bee", "cat", "dog", "elk")
+    (1 to 8).foreach { round =>
+      val docs = randomCorpus(5 + rng.nextInt(20), vocab).filter(_._2.nonEmpty)
+      val df = docs.toDF("doc_id", "text")
+      val (numHashes, bands) = Seq((8, 4), (6, 3), (4, 2))(rng.nextInt(3))
+      val got = graft.operators.Dedup
+        .lshCandidatePairs(df, "text", "doc_id", shingleK = 3,
+          numHashes = numHashes, bands = bands,
+          maxBucketSize = Int.MaxValue)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      // reference: a pair is a candidate iff SOME band's component
+      // tuple matches exactly — computed from the signature frame (its
+      // own values are oracle-gated by q31 and the PropertySpec
+      // explode+groupBy differential), banded here in plain Scala
+      val r = numHashes / bands
+      val sigs = graft.operators.Dedup
+        .minHashSignature(df, "text", "doc_id", shingleK = 3,
+          numHashes = numHashes)
+        .collect().map(row => row.getLong(0) ->
+          (0 until numHashes).map(i => row.getLong(1 + i))).toMap
+      val ids = sigs.keys.toSeq
+      val want = (for {
+        a <- ids; b <- ids if a < b
+        if (0 until bands).exists(bd =>
+          sigs(a).slice(bd * r, (bd + 1) * r) == sigs(b).slice(bd * r, (bd + 1) * r))
+      } yield (a, b)).toSet
+      assert(got == want, s"round $round n=$numHashes bands=$bands: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
+  test("keepBestPerCluster ≡ driver reference over random clusters with " +
+       "null/tied qualities") {
+    (1 to 10).foreach { round =>
+      val n = 5 + rng.nextInt(25)
+      val docs = (0 until n).map { i =>
+        (i.toLong,
+          if (rng.nextInt(5) == 0) None else Some(rng.nextInt(4).toDouble))
+      }
+      val pairs = (0 until rng.nextInt(20)).map { _ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong)
+      }
+      val df = docs.toDF("doc_id", "quality")
+      val kept = graft.operators.Dedup
+        .keepBestPerCluster(df, pairs.toDF("a", "b"), "doc_id", "quality")
+        .select("doc_id").as[Long].collect().toSet
+      // reference: union-find the pairs; per cluster keep max quality
+      // (null = -inf), ties by smallest id; untouched docs survive
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val rt = find(p); parent(x) = rt; rt }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val q = docs.toMap
+      val want = docs.map(_._1).groupBy(find).values.map { cluster =>
+        cluster.minBy(id => (-q(id).getOrElse(Double.NegativeInfinity), id))
+      }.toSet
+      assert(kept == want, s"round $round: kept=$kept want=$want")
+    }
+  }
+
+  test("addOverpassId ≡ driver gap-walk over random timestamps with ties") {
+    (1 to 10).foreach { round =>
+      val keys = Seq("u1", "u2")
+      val gap = 1 + rng.nextInt(20) // seconds
+      val rows = (0 until (2 + rng.nextInt(40))).map { i =>
+        (i.toLong, keys(rng.nextInt(2)),
+          new Timestamp(rng.nextInt(120) * 1000L)) // dense → many ties
+      }
+      val got = graft.operators.Analysis
+        .addOverpassId(rows.toDF("row_id", "user", "t"), gapSeconds = gap,
+          time = "t", partitionBy = Seq("user"))
+        .select("row_id", "overpass_id").as[(Long, Long)].collect().toMap
+      // reference: per key, walk the sorted UNIQUE times assigning a
+      // session index that increments when the gap is exceeded — tied
+      // rows share their time's session id (the window's running sum
+      // reads identically for every row of a tie group)
+      rows.groupBy(_._2).foreach { case (_, rs) =>
+        val uniq = rs.map(_._3.getTime).distinct.sorted
+        val sess = scala.collection.mutable.Map.empty[Long, Long]
+        var id = -1L; var prev = Long.MinValue
+        uniq.foreach { t =>
+          if (prev == Long.MinValue || t - prev > gap * 1000L) id += 1
+          sess(t) = id; prev = t
+        }
+        rs.foreach { case (rid, _, t) =>
+          assert(got(rid) == sess(t.getTime),
+            s"round $round gap=$gap row $rid at $t: " +
+              s"got ${got(rid)}, want ${sess(t.getTime)}")
+        }
+      }
+    }
+  }
 }
