@@ -362,4 +362,80 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------- batch 3: transcribed-oracle seams
+  // q135/q142's DuckDB oracles REPLAY the same algorithm in SQL, so a
+  // shared misreading of the chunking/winnowing contract would pass the
+  // gate on both sides — these references are independent driver walks.
+
+  private def md5hex(s: String): String = org.apache.commons.codec.digest
+    .DigestUtils.md5Hex(s)
+
+  test("contentDefinedChunks ≡ driver rolling-boundary walk") {
+    val alpha = "abcd" // tiny alphabet → frequent window repeats
+    (1 to 10).foreach { round =>
+      val docs = (0 until (3 + rng.nextInt(15))).map { i =>
+        (i.toLong, Seq.fill(rng.nextInt(120))(alpha(rng.nextInt(4))).mkString)
+      }
+      val (window, zn) = (4, 1) // 1/16 boundary odds per position
+      val got = graft.operators.Dedup
+        .contentDefinedChunks(docs.toDF("doc_id", "text"), "text", "doc_id",
+          window = window, zeroNibbles = zn)
+        .select("doc_id", "chunk_no", "n_chars", "chunk_hash")
+        .as[(Long, Int, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      docs.foreach { case (id, s) =>
+        // boundaries: 1-indexed i in [window, len-1] where the md5 of
+        // the trailing `window` chars [i-window+1 .. i] starts with
+        // zeroNibbles zeros; never cut at len (no empty tail)
+        val bounds = (window to s.length - 1).filter { i =>
+          md5hex(s.substring(i - window, i)).startsWith("0" * zn) }
+        val starts = 1 +: bounds.map(_ + 1)
+        val ends = bounds :+ s.length
+        val want = starts.zip(ends).zipWithIndex.collect {
+          case ((st, en), no) if en - st + 1 > 0 =>
+            (id, no, (en - st + 1).toLong, md5hex(s.substring(st - 1, en)))
+        }
+        assert(got.getOrElse(id, Nil) == want,
+          s"round $round doc $id len=${s.length}")
+      }
+    }
+  }
+
+  test("winnowFingerprint + sketchJaccardCounts ≡ driver min-k walk") {
+    val alpha = "abcde "
+    (1 to 8).foreach { round =>
+      val docs = (0 until (4 + rng.nextInt(10))).map { i =>
+        (i.toLong, Seq.fill(1 + rng.nextInt(80))(alpha(rng.nextInt(6))).mkString
+          .trim.replaceAll("\\s+", " ")) // pre-normalized
+      }.filter(_._2.nonEmpty)
+      val (shingleK, k) = (4, 6)
+      def refSketch(s: String): Seq[String] = {
+        val n = math.max(s.length - (shingleK - 1), 1)
+        (1 to n).map(i => s.substring(i - 1, math.min(i - 1 + shingleK, s.length)))
+          .distinct.map(md5hex).sorted.take(k)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val sk = graft.operators.TextAnalysis
+        .winnowFingerprint(df, "text", "doc_id", shingleK, k)
+      val got = sk.as[(Long, Seq[String])].collect().toMap
+      docs.foreach { case (id, s) =>
+        assert(got(id) == refSketch(s), s"round $round sketch of doc $id") }
+      // pairwise estimator counts: X = k smallest of the sketch union,
+      // overlap = |X ∩ A ∩ B|
+      val ids = docs.map(_._1)
+      val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+      val cnt = graft.operators.TextAnalysis
+        .sketchJaccardCounts(sk, pairs.toDF("a", "b"), "doc_id", k)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      pairs.foreach { case (a, b) =>
+        val (sa, sb) = (refSketch(docs.toMap.apply(a)), refSketch(docs.toMap.apply(b)))
+        val x = (sa ++ sb).distinct.sorted.take(k)
+        val want = (x.size.toLong,
+          x.count(h => sa.contains(h) && sb.contains(h)).toLong)
+        assert(cnt((a, b)) == want, s"round $round pair ($a,$b)")
+      }
+    }
+  }
 }
