@@ -438,4 +438,81 @@ class DifferentialSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------- batch 4: analytics seams
+
+  test("funnelSteps + funnelCompletions ≡ driver greedy anchor walk over " +
+       "random event streams with ties and noise") {
+    val steps = Seq("view", "cart", "buy")
+    val types = steps ++ Seq("noise", "other")
+    (1 to 10).foreach { round =>
+      val within = (1 + rng.nextInt(30)).toLong
+      val events = (0 until (10 + rng.nextInt(120))).map { _ =>
+        (s"u${rng.nextInt(8)}", types(rng.nextInt(types.length)),
+          new Timestamp(rng.nextInt(60) * 1000L)) // dense → ties everywhere
+      }
+      val df = events.toDF("user", "etype", "t")
+      val got = graft.operators.Analysis
+        .funnelSteps(df, "user", "etype", "t", steps, within)
+        .select("step", "n_users").as[(Int, Long)].collect().toMap
+      val comp = graft.operators.Analysis
+        .funnelCompletions(df, "user", "etype", "t", steps, within)
+        .select("u", "t1", "tk").as[(String, Long, Long)].collect()
+        .map { case (u, t1, tk) => u -> ((t1, tk)) }.toMap
+      // reference: the implemented contract — anchor at the user's MIN
+      // step-1 time, then greedily take the MIN step-i time strictly
+      // after the previous step and at-or-before anchor + within
+      val byUser = events.groupBy(_._1)
+      val refChain = byUser.view.mapValues { evs =>
+        val anchor = evs.filter(_._2 == steps.head).map(_._3.getTime * 1000L)
+        if (anchor.isEmpty) None
+        else {
+          val t1 = anchor.min
+          var tk = t1
+          var reached = 1
+          steps.drop(1).foreach { s =>
+            val nxt = evs.filter(e => e._2 == s &&
+              e._3.getTime * 1000L > tk && e._3.getTime * 1000L <= t1 +
+                within * 1000000L).map(_._3.getTime * 1000L)
+            if (reached == steps.indexOf(s) && nxt.nonEmpty) {
+              tk = nxt.min; reached += 1
+            }
+          }
+          Some((t1, tk, reached))
+        }
+      }.toMap
+      steps.indices.foreach { i =>
+        val want = refChain.values.count(r => r.exists(_._3 >= i + 1)).toLong
+        assert(got(i + 1) == want,
+          s"round $round within=$within step ${i + 1}: got ${got(i + 1)}, want $want")
+      }
+      val wantComp = refChain.collect {
+        case (u, Some((t1, tk, r))) if r == steps.length => u -> (t1, tk) }
+      assert(comp == wantComp, s"round $round completions")
+    }
+  }
+
+  test("outlierFlags ≡ driver exact integer k-sigma test") {
+    (1 to 10).foreach { round =>
+      val k = 1 + rng.nextInt(3)
+      val rows = (0 until (5 + rng.nextInt(60))).map { i =>
+        (i.toLong, s"g${rng.nextInt(3)}",
+          (rng.nextInt(2000) - 1000).toLong +
+            (if (rng.nextInt(10) == 0) 50000L else 0L)) // injected outliers
+      }
+      val got = graft.operators.Analysis
+        .outlierFlags(rows.toDF("id", "grp", "cents"), Seq("grp"),
+          col("cents"), kSigma = k)
+        .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+      rows.groupBy(_._2).foreach { case (_, rs) =>
+        val n = rs.size.toLong
+        val s = rs.map(_._3).sum
+        val q = rs.map(v => v._3 * v._3).sum
+        rs.foreach { case (id, _, c) =>
+          val dev = c * n - s
+          val want = dev * dev > k.toLong * k * (n * q - s * s)
+          assert(got(id) == want, s"round $round k=$k row $id") }
+      }
+    }
+  }
 }
