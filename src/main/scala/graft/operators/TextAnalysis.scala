@@ -561,8 +561,20 @@ object TextAnalysis {
     * invariant under the other accepted merges; application order within
     * a round is irrelevant (they apply in rank order regardless).
     *
-    * At `batch` = 1 the greedy selection is exactly "take the max", so
-    * the learned table is IDENTICAL to sequential BPE. At `batch` = N a
+    * At `batch` = 1 the greedy selection is exactly "take the max".
+    * One documented deviation from textbook sequential BPE (found by
+    * the r20 DifferentialSpec, which pins the actual contract): merges
+    * apply as sequential non-overlapping replace of `' l r '` on the
+    * space-joined symbol string, and each match consumes the separator
+    * space after `r` — so at a BACK-TO-BACK site ("abab" under (a,b))
+    * the second occurrence does not merge in the same step; the site
+    * survives to a later round's recount (the pair can be re-learned,
+    * and encode-time replay of the table in training order picks the
+    * deferred sites up on its fresh scan). Deterministic, train/encode
+    * self-consistent, and mirrored verbatim by the q131/q132/q141
+    * oracles; repairing it to textbook semantics would need a
+    * double-separator representation changed in lockstep across the
+    * operator and all three oracle transcriptions. At `batch` = N a
     * 32k-merge tokenizer run schedules ~N× fewer Spark jobs (one
     * count+collect and one checkpoint per ROUND instead of per merge) —
     * the difference between 32k sequential job barriers and 4k at N=8.

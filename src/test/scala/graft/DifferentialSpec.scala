@@ -492,6 +492,99 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain (batch=1) ≡ driver walk of the engine's spaced-replace " +
+       "contract; bpeEncodeCounts ≡ per-word merge application") {
+    val vocab = IndexedSeq("aba", "abab", "bab", "aabb", "ba", "abba", "bb")
+    (1 to 4).foreach { round =>
+      val docs = (0 until (4 + rng.nextInt(8))).map { i =>
+        (i.toLong,
+          Seq.fill(1 + rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+            .mkString(" "))
+      }
+      val merges = 3 + rng.nextInt(5)
+      val df = docs.toDF("doc_id", "text")
+      val table = graft.operators.TextAnalysis.bpeTrain(df, "text", merges)
+      val got = table.orderBy("step")
+        .select("step", "left_tok", "right_tok", "merged", "n")
+        .as[(Int, String, String, String, Long)].collect().toSeq
+
+      // driver reference of the ENGINE'S contract, same tie-break
+      // (n desc, l asc, r asc). One deliberate deviation from textbook
+      // BPE, found BY this differential and pinned here: the engine
+      // merges via sequential non-overlapping replace of " l r " on the
+      // space-joined symbol string, and each match CONSUMES the
+      // separator space after r — so at a back-to-back site (e.g.
+      // "abab" under (a,b)) the second occurrence loses its leading
+      // space and does NOT merge this step; the site stays for a later
+      // round's recount (and a re-learned pair or the encode-time
+      // replay of the same table catches it). Textbook BPE merges both
+      // occurrences in one pass. The q131/q132/q141 oracles MIRROR the
+      // spaced-replace form, so this differential is the only
+      // independent check; the deviation is documented at
+      // TextAnalysis.bpeTrainBatched and in PERFNOTES r20.
+      def mergeSeq(seq: Vector[String], l: String, r: String): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < seq.length) {
+          if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+            out += (l + r); i += 2
+            // barred position: the token right after a match lost its
+            // leading space and cannot START the next match
+            if (i + 1 < seq.length && seq(i) == l && seq(i + 1) == r) {
+              out += seq(i); i += 1
+            }
+          } else { out += seq(i); i += 1 }
+        }
+        out.result()
+      }
+      val wordFreq = docs.flatMap(_._2.split(" ").filter(_.nonEmpty))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var wseqs: Map[String, Vector[String]] = wordFreq.keys
+        .map(w => w -> (w.map(_.toString).toVector :+ "</w>")).toMap
+      val want = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, String, Long)]
+      var step = 1
+      var dry = false
+      while (step <= merges && !dry) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+          .withDefaultValue(0L)
+        wseqs.foreach { case (w, seq) =>
+          seq.sliding(2).foreach {
+            case Seq(l, r) => counts((l, r)) += wordFreq(w)
+            case _ => ()
+          }
+        }
+        if (counts.isEmpty) dry = true
+        else {
+          val ((l, r), n) = counts.toSeq
+            .sortBy { case ((l, r), n) => (-n, l, r) }.head
+          want += ((step, l, r, l + r, n))
+          wseqs = wseqs.map { case (w, seq) => w -> mergeSeq(seq, l, r) }
+          step += 1
+        }
+      }
+      assert(got == want.toSeq, s"round $round merges=$merges:\n" +
+        s"got  $got\nwant ${want.toSeq}")
+
+      // encode counts: whole-doc nested-replace ≡ per-word application
+      val encGot = graft.operators.TextAnalysis
+        .bpeEncodeCounts(df, "doc_id", "text", table)
+        .select("doc_id", "n_words", "n_bpe_tokens")
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, w, t) => id -> ((w, t)) }.toMap
+      docs.foreach { case (id, text) =>
+        val words = text.split(" ").filter(_.nonEmpty)
+        val nTok = words.map { w =>
+          var seq = w.map(_.toString).toVector :+ "</w>"
+          want.foreach { case (_, l, r, _, _) => seq = mergeSeq(seq, l, r) }
+          seq.length.toLong
+        }.sum
+        assert(encGot(id) == ((words.length.toLong, nTok)),
+          s"round $round doc $id: got ${encGot(id)}, want (${words.length}, $nTok)")
+      }
+    }
+  }
+
   test("outlierFlags ≡ driver exact integer k-sigma test") {
     (1 to 10).foreach { round =>
       val k = 1 + rng.nextInt(3)
