@@ -585,6 +585,56 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("eventPaths + touchAttribution ≡ driver prefix walks under (time, id) " +
+       "tie-breaks") {
+    val types = Seq("ad", "email", "visit", "buy", "noise")
+    (1 to 10).foreach { round =>
+      val k = 2 + rng.nextInt(4)
+      val events = (0 until (10 + rng.nextInt(100))).map { i =>
+        (i.toLong, s"u${rng.nextInt(6)}", types(rng.nextInt(types.length)),
+          new Timestamp(rng.nextInt(40) * 1000L)) // dense ties
+      }
+      val df = events.toDF("event_id", "user", "etype", "t")
+      val sortedByUser = events.groupBy(_._2).view
+        .mapValues(_.sortBy(e => (e._4.getTime, e._1))).toMap
+
+      val gotPaths = graft.operators.Analysis
+        .eventPaths(df, "user", "etype", "t", "event_id", k)
+        .as[(String, Long)].collect().toMap
+      val wantPaths = sortedByUser.values
+        .map(_.take(k).map(_._3).mkString(">"))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(gotPaths == wantPaths, s"round $round k=$k paths")
+
+      val touches = Set("ad", "email", "visit")
+      val gotAttr = graft.operators.Analysis
+        .touchAttribution(df, "user", "etype", "t", "event_id",
+          conversionType = "buy", touchTypes = touches.toSeq)
+        .select("conversion_id", "first_touch_type", "first_touch_us",
+          "last_touch_type", "last_touch_us")
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+        .toMap
+      sortedByUser.values.foreach { evs =>
+        evs.zipWithIndex.foreach { case ((id, _, t, ts), idx) =>
+          if (t == "buy") {
+            val prefix = evs.take(idx + 1).filter(e => touches(e._3))
+            val want =
+              if (prefix.isEmpty) (None, None, None, None)
+              else {
+                val f = prefix.head; val l = prefix.last
+                (Some(f._3), Some(f._4.getTime * 1000L),
+                  Some(l._3), Some(l._4.getTime * 1000L))
+              }
+            assert(gotAttr(id) == want, s"round $round conversion $id")
+          }
+        }
+      }
+      assert(gotAttr.size == events.count(_._3 == "buy"), s"round $round rows")
+    }
+  }
+
   test("outlierFlags ≡ driver exact integer k-sigma test") {
     (1 to 10).foreach { round =>
       val k = 1 + rng.nextInt(3)
