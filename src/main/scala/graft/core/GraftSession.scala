@@ -55,7 +55,12 @@ object GraftSession {
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
     if (rawLocalFs)
-      b.config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // NioLocalFileSystem = RawLocalFileSystem minus the fork-per-created-
+      // file chmod that Hadoop's Shell fallback pays without libhadoop —
+      // see the class scaladoc (r21 jstack find: multi-second per-query tax
+      // on file-churny lifecycle/streaming gates)
+      b.config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.NioLocalFileSystem].getName)
     else b
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Distributed iterative graph algorithms over edge-list DataFrames.
   *
@@ -24,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Materialize one iteration's frame with a TRUNCATED logical plan and
+    * free the previous round's blocks. Eager localCheckpoint, serialized
+    * storage — the same posture as [[Dedup.connectedComponents]], and for
+    * the same measured reason (r21): with per-round `persist()` the plan
+    * NESTS (round k's plan embeds round k−1's plus fresh copies of the
+    * edge/node subplans), so Catalyst re-analyzes an exponentially
+    * growing tree every round — at 3 iterations the q177/q205 gate plans
+    * formatted to 0.9–1.6 MB and the optimizer pass, not the jobs, owned
+    * the wall. The recomputability trade is the documented CC one: a
+    * lost cached block on a real cluster fails the job instead of slowly
+    * re-deriving — acceptable for bounded-round loops whose restart cost
+    * is one round, not the whole lineage. */
+  private def checkpointRound(df: DataFrame, prev: Option[DataFrame])
+      : DataFrame = {
+    val out = df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
+    prev.foreach(p => p.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(false)))
+    out
+  }
+
   /** PageRank over a directed edge list `(src BIGINT, dst BIGINT)`.
     *
     * Returns (node, rank_scaled): rank × `scale`, integer-floored at
@@ -33,16 +55,15 @@ object Graph {
     * Scale shape: per iteration, ranks join edges on `src` (shuffle
     * hash join keyed by src — co-partitioned with the out-degree join
     * on the same key) and partial-aggregate contributions by `dst`
-    * (map-side combined). Each round persists + materializes its ranks
-    * so round k+1 reads cached blocks, then unpersists round k's.
-    * persist (not localCheckpoint, which [[Dedup.connectedComponents]]
-    * uses) is the deliberate choice here: the rank plan nests only
-    * LINEARLY per round (one join chain — no self-join blow-up to
-    * truncate), so keeping lineage costs O(iterations) analyzer work at
-    * bounded iteration counts while preserving recomputability — a lost
-    * cached block on a real cluster re-derives (slowly, through the
-    * unpersisted chain) instead of failing the job the way a truncated
-    * local checkpoint would. */
+    * (map-side combined). Each round materializes its ranks with an
+    * EAGER localCheckpoint so round k+1 reads cached blocks off a
+    * truncated plan, then frees round k's blocks. The r20 rationale for
+    * persist-over-checkpoint ("the rank plan nests only linearly")
+    * turned out wrong when measured (r21): each round's plan embeds the
+    * previous round's PLUS fresh copies of the edge/node subplans, so
+    * the tree Catalyst re-analyzes grows geometrically — the 3-iteration
+    * gate's final plan formatted to 0.9 MB and the optimizer pass owned
+    * the wall. See [[checkpointRound]] for the recomputability trade. */
   def pageRank(edges: DataFrame, iterations: Int,
                scale: Long = 1000000000000L,
                dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
@@ -53,19 +74,28 @@ object Graph {
       col("dst").cast("long").as("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg")).persist()
+    // out-degree is loop-INVARIANT: join it onto the edges ONCE here
+    // instead of re-running edges⋈outDeg inside every round (r21 — one
+    // shuffle join per iteration removed; the cached eDeg frame is
+    // already hash-partitioned by src from this join, so each round
+    // exchanges only the rank side). Same integer arithmetic: `r div
+    // __deg` reads the identical __deg either way.
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
+      .persist()
     val n = nodes.count()
     require(n > 0, "empty graph")
     // exact integer constants, identical arithmetic in the SQL oracle
     val r0 = scale / n
     val base = (dampDen - dampNum).toLong * scale / (dampDen.toLong * n)
 
-    var ranks = nodes.withColumn("r", lit(r0)).persist()
-    ranks.count() // materialize before the loop so each round is one stage
+    // eager localCheckpoint per round (plan truncation — see
+    // checkpointRound; the old per-round persist kept the whole nested
+    // lineage and Catalyst re-analyzed an exponentially growing plan)
+    var ranks = checkpointRound(nodes.withColumn("r", lit(r0)), None)
     var i = 0
     while (i < iterations) {
-      val contribs = e
-        .join(outDeg, "src")
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div __deg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
@@ -74,14 +104,13 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen"))
             .as("r"))
-        .persist()
-      next.count() // cut lineage: each round reads materialized ranks
-      ranks.unpersist()
-      ranks = next
+      ranks = checkpointRound(next, Some(ranks))
       i += 1
     }
-    // final ranks are materialized (last next.count()); drop the helpers
-    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    // final ranks are materialized (eager checkpoint); drop the helpers.
+    // The final frame's blocks back the returned DataFrame and stay —
+    // their lifetime is the caller's (ContextCleaner reclaims them).
+    e.unpersist(); nodes.unpersist(); eDeg.unpersist()
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
@@ -112,21 +141,22 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct()
       .join(seedSet.withColumn("__seed", lit(1)), Seq("node"), "left")
       .persist()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg")).persist()
+    // loop-invariant out-degree pre-joined once — see pageRank (r21)
+    val eDeg = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), "src")
+      .persist()
     val nS = seedSet.count()
     require(nS > 0, "empty seed set")
     val r0 = scale / nS
     val base = (dampDen - dampNum).toLong * scale / (dampDen.toLong * nS)
 
-    var ranks = nodes
+    var ranks = checkpointRound(nodes
       .select(col("node"),
-        when(col("__seed").isNotNull, lit(r0)).otherwise(lit(0L)).as("r"))
-      .persist()
-    ranks.count()
+        when(col("__seed").isNotNull, lit(r0)).otherwise(lit(0L)).as("r")),
+      None)
     var i = 0
     while (i < iterations) {
-      val contribs = e
-        .join(outDeg, "src")
+      val contribs = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div __deg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
@@ -135,13 +165,10 @@ object Graph {
         .select(col("node"),
           (when(col("__seed").isNotNull, lit(base)).otherwise(lit(0L)) +
             expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen")).as("r"))
-        .persist()
-      next.count()
-      ranks.unpersist()
-      ranks = next
+      ranks = checkpointRound(next, Some(ranks))
       i += 1
     }
-    e.unpersist(); nodes.unpersist(); outDeg.unpersist(); seedSet.unpersist()
+    e.unpersist(); nodes.unpersist(); eDeg.unpersist(); seedSet.unpersist()
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
@@ -177,8 +204,7 @@ object Graph {
     require(n > 0, "empty graph")
     val r0 = scale / n
     val base = (dampDen - dampNum).toLong * scale / (dampDen.toLong * n)
-    var ranks = nodes.withColumn("r", lit(r0)).persist()
-    ranks.count()
+    var ranks = checkpointRound(nodes.withColumn("r", lit(r0)), None)
     var i = 0
     while (i < iterations) {
       val contribs = e
@@ -191,10 +217,7 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr(s"($dampNum * coalesce(__s, 0L)) div $dampDen"))
             .as("r"))
-        .persist()
-      next.count()
-      ranks.unpersist()
-      ranks = next
+      ranks = checkpointRound(next, Some(ranks))
       i += 1
     }
     e.unpersist(); nodes.unpersist()
@@ -217,8 +240,7 @@ object Graph {
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     val nodes = sym.select(col("src").as("node")).distinct().persist()
-    var labels = nodes.withColumn("lbl", col("node")).persist()
-    labels.count()
+    var labels = checkpointRound(nodes.withColumn("lbl", col("node")), None)
     var i = 0
     while (i < rounds) {
       val nbrMin = sym
@@ -227,10 +249,7 @@ object Graph {
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
-        .persist()
-      next.count()
-      labels.unpersist()
-      labels = next
+      labels = checkpointRound(next, Some(labels))
       i += 1
     }
     sym.unpersist(); nodes.unpersist()

@@ -1540,6 +1540,10 @@ object PipelineQueries extends QueryModule {
       }
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE off in the micro-batch session — same rationale as q147 (the
+      // per-batch search is query-batch-bounded; the index side prunes by
+      // cell and broadcasts the query side, neither AQE-chosen)
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
       val schema = s.read.parquet(qsrc).schema
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(qsrc)
@@ -1827,6 +1831,18 @@ object PipelineQueries extends QueryModule {
       // gate scale, so fewer tasks beats more parallelism here
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE off in the micro-batch session: Spark disables AQE inside
+      // streaming plans for latency; foreachBatch bodies re-enable it and
+      // every per-batch action then submits one job PER QUERY STAGE. A
+      // micro-batch is small by construction (trigger-bounded), so AQE's
+      // runtime re-planning buys nothing here and its per-stage job
+      // rounds are pure driver latency (r21 JobProfile: 90 jobs / 3.5 s
+      // of inter-job gap at ~39 ms each on this gate). Batch-side index
+      // scans keep their explicit broadcast hints, so no join strategy
+      // depends on AQE. Scale-independent: the batch stays micro at any
+      // corpus size — the INDEX side grows, and its joins are
+      // hint-pinned, never AQE-chosen.
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
       val docs = Tables(ss, dir, "documents")
       graft.sources.DedupIndex.save(docs.where($"doc_id" % 2 === 1),
         "text", "doc_id", idxDir, shingleK = 8, numHashes = 8, bands = 4)
@@ -1861,6 +1877,10 @@ object PipelineQueries extends QueryModule {
       Seq(idxDir, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE off in the micro-batch session — same rationale as q147 (the
+      // per-batch append chain is trigger-bounded; AQE's per-stage job
+      // rounds are pure driver latency at micro-batch size)
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
       val docs = Tables(ss, dir, "documents")
       graft.sources.TextIndex.save(docs.where($"doc_id" % 4 === 0),
         "text", "doc_id", idxDir, nBuckets = 16)
@@ -2083,6 +2103,10 @@ object PipelineQueries extends QueryModule {
       Seq(sink, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE off in the micro-batch session — q147's rationale (trigger-
+      // bounded batches; AQE's per-stage job rounds are pure driver
+      // latency at micro-batch size)
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
       val q = graft.sources.Csv.readStream(ss, s"$stage/data",
           jsonlDocSchema, maxFilesPerTrigger = Some(8))
         .writeStream.format("parquet")
@@ -2100,6 +2124,10 @@ object PipelineQueries extends QueryModule {
       Seq(sink, ckpt).foreach(graft.sources.BucketFs.deleteRecursive)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE off in the micro-batch session — q147's rationale (trigger-
+      // bounded batches; AQE's per-stage job rounds are pure driver
+      // latency at micro-batch size)
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
       val q = graft.sources.Jsonl.readStream(ss, s"$stage/data",
           jsonlDocSchema, maxFilesPerTrigger = Some(8))
         .writeStream.format("parquet")
@@ -2156,6 +2184,10 @@ object PipelineQueries extends QueryModule {
         labeledNbQuality(s, dir), "text", "__hq", mDir)
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "4")
+      // AQE off in the micro-batch session — q147's rationale (trigger-
+      // bounded batches; AQE's per-stage job rounds are pure driver
+      // latency at micro-batch size)
+      ss.conf.set("spark.sql.adaptive.enabled", "false")
       val q = graft.streaming.StreamingOps.qualityFilterIngest(ss,
           s"$stage/data", jsonlDocSchema, mDir, sink, ckpt,
           "doc_id", "text", maxFilesPerTrigger = Some(8))
