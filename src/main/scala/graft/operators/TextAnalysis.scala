@@ -478,11 +478,30 @@ object TextAnalysis {
   final case class CharLmCounts(ngrams: DataFrame, contexts: DataFrame,
                                 n: Int)
 
-  /** Both count orders of [[charLmScore]]'s model in one pass contract. */
+  /** Both count orders of [[charLmScore]]'s model in ONE corpus pass
+    * (r21 — previously two independent [[charLmCounts]] scans, each
+    * re-normalizing and re-exploding the corpus): order-n and
+    * order-(n−1) grams explode together and share one hash aggregation;
+    * gram LENGTH is the disambiguator (an n-gram and an (n−1)-gram can
+    * never be the same string), so splitting the combined counts by
+    * length reproduces the two [[charLmCounts]] frames row-for-row. The
+    * combined result is charset-bounded (≤ charset^n + charset^(n−1)
+    * rows, never corpus-sized), so the eager checkpoint that lets both
+    * returned frames — and any number of downstream actions (the model
+    * store writes each order separately) — read it without re-scanning
+    * the corpus costs O(model), not O(corpus). */
   def charLmTrain(df: DataFrame, textCol: String, n: Int = 3): CharLmCounts = {
     require(n >= 2, "conditional scoring needs n >= 2")
-    CharLmCounts(charLmCounts(df, textCol, n),
-      charLmCounts(df, textCol, n - 1), n)
+    val combined = Dedup.fanOut(df)
+      .select(Dedup.normalizedText(coalesce(col(textCol), lit(""))).as("__norm"))
+      .select(explode(concat(
+        gramsWithMultiplicity(col("__norm"), n),
+        gramsWithMultiplicity(col("__norm"), n - 1))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    CharLmCounts(
+      combined.where(length(col("gram")) === n),
+      combined.where(length(col("gram")) === n - 1), n)
   }
 
   /** Char-n-gram language-model fluency score (the CCNet-style quality

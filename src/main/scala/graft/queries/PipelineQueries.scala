@@ -674,6 +674,13 @@ object PipelineQueries extends QueryModule {
     // charset-bounded broadcasts; the corpus never shuffles.
     "q118_lm_score" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // Deliberately the LAZY two-frame form, not charLmTrain's combined
+      // checkpoint (r21, measured): both model frames feed broadcast
+      // exchanges whose corpus scans materialize CONCURRENTLY in the
+      // broadcast threads, overlapping with each other — the eager
+      // combined pass serializes an extra action and benched 0.57→0.97 s.
+      // charLmTrain keeps the one-pass shape for the model-store paths,
+      // where each order is a separate WRITE action and nothing overlaps.
       val m3 = TextAnalysis.charLmCounts(docs, "text", 3)
       val m2 = TextAnalysis.charLmCounts(docs, "text", 2)
       TextAnalysis.charLmScore(docs, "doc_id", "text", m3, m2,

@@ -55,39 +55,54 @@ object TextIndex {
 
   private def tokens(textCol: String) = tokensOf(col(textCol))
 
-  /** (id, term, tf, dl) for every non-empty term occurrence. */
+  /** (id, term, tf, dl) for every term occurrence. Normalized-EMPTY
+    * documents keep their single `""` row (split("", " ") = [""]) so the
+    * frame carries one row per corpus document — [[corpusStats]] derives
+    * nDocs/sumDl/idRange from it in one cached aggregation instead of a
+    * second corpus tokenize pass (r21). [[writeGen]] filters the ""
+    * sentinel rows before anything lands on disk, so the persisted
+    * postings/termstats are byte-identical to the pre-r21 layout. */
   private def postingsOf(corpus: DataFrame, textCol: String,
                          idCol: String): DataFrame =
     Dedup.fanOut(corpus)
       .select(col(idCol).cast("long").as("id"), tokens(textCol).as("__toks"))
       .select(col("id"), size(col("__toks")).cast("long").as("dl"),
         explode(col("__toks")).as("term"))
-      .where(col("term") =!= "")
       .groupBy(col("id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
   private def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
     df.withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
 
-  /** Corpus-level constants: (n_docs, sum_dl, id range). Empty-text docs
-    * count toward both (dl 0), mirroring the inline [[graft.operators
-    * .TextAnalysis.bm25]] statistics. */
-  private def corpusStats(corpus: DataFrame, textCol: String,
-                          idCol: String): (Long, Long, Option[(Long, Long)]) = {
-    val r = corpus
-      .select(size(tokens(textCol)).cast("long").as("__dl"),
-        col(idCol).cast("long").as("__id"))
-      .agg(count(lit(1)), sum(col("__dl")),
-        min(col("__id")), max(col("__id"))).head()
+  /** Corpus-level constants: (n_docs, sum_dl, id range), derived from
+    * the already-materialized postings frame in ONE cached aggregation —
+    * no second corpus pass (r21: the old form re-ran the normalize+split
+    * regexp over every document just to sum dl, doubling the corpus-side
+    * CPU of every save/append; at index-build scale the tokenize IS the
+    * cost). [[postingsOf]] keeps one `""` row per normalized-empty
+    * document precisely so this frame sees EVERY corpus doc (dl = 1 for
+    * those, same as the old size(split) arithmetic — spec-pinned in
+    * TextIndexSpec incl. null/whitespace texts). Ids are keys (the
+    * family-wide contract append enforces); duplicated ids already
+    * corrupt the postings themselves, so stats make no attempt to mirror
+    * that corruption. */
+  private def corpusStats(posts: DataFrame): (Long, Long, Option[(Long, Long)]) = {
+    val r = posts
+      .groupBy(col("id")).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)), sum(col("__dl")), min(col("id")), max(col("id")))
+      .head()
     val n = r.getLong(0)
     (n,
       if (r.isNullAt(1)) 0L else r.getLong(1),
       if (n == 0 || r.isNullAt(2)) None else Some((r.getLong(2), r.getLong(3))))
   }
 
-  /** Write one generation of postings + termstats delta rows. */
+  /** Write one generation of postings + termstats delta rows. The ""
+    * sentinel rows [[postingsOf]] keeps for empty documents (corpus
+    * stats bookkeeping) are dropped HERE, so the on-disk layout is
+    * unchanged from pre-r21 indexes. */
   private def writeGen(posts: DataFrame, indexDir: String, gen: Int): Unit = {
-    val g = posts.withColumn("gen", lit(gen))
+    val g = posts.where(col("term") =!= "").withColumn("gen", lit(gen))
     g.select(col("gen"), col("bucket"), col("term"), col("id"),
         col("tf"), col("dl"))
       .write.mode("append").partitionBy("gen", "bucket")
@@ -143,7 +158,7 @@ object TextIndex {
     val posts = withBucket(postingsOf(corpus, textCol, idCol), nBuckets)
       .localCheckpoint(true) // postings feed both writes; tokenize once
     writeGen(posts, indexDir, gen = 0)
-    val (nDocs, sumDl, idRange) = corpusStats(corpus, textCol, idCol)
+    val (nDocs, sumDl, idRange) = corpusStats(posts)
     // ownership re-assert right before the commit point (manifest write)
     GenerationLock.verify(claim)
     writeManifest(indexDir, nDocs, sumDl, nBuckets, 1, idCol, idRange,
@@ -316,7 +331,7 @@ object TextIndex {
       dropUncommittedGens(indexDir, nGens)
       val posts = withBucket(postingsOf(batch, textCol, idCol), nBuckets)
         .localCheckpoint(true)
-      val (bN, bDl, bRange) = corpusStats(batch, textCol, idCol)
+      val (bN, bDl, bRange) = corpusStats(posts)
       val overlaps = (idRange, bRange) match {
         case (Some((lo, hi)), Some((bLo, bHi))) => bLo <= hi && bHi >= lo
         case _ => false

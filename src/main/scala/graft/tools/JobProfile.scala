@@ -32,11 +32,17 @@ object JobProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    final case class J(id: Int, t0: Long, var t1: Long)
+    final case class J(id: Int, t0: Long, var t1: Long, what: String)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        jobs.put(e.jobId, J(e.jobId, e.time, -1L))
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        // attribute the job: the final stage's callsite is the most
+        // readable one-liner Spark gives us without the UI
+        val what = e.stageInfos.lastOption.map(_.name).getOrElse("?")
+          .replaceAll("\\s+", " ").take(70)
+        jobs.put(e.jobId, J(e.jobId, e.time, -1L, what))
+        ()
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val j = jobs.get(e.jobId); if (j != null) j.t1 = e.time
       }
@@ -75,8 +81,8 @@ object JobProfile {
           val gapBefore = if (prevEnd < 0) j.t0 - w0 else math.max(0L, j.t0 - prevEnd)
           (j, gapBefore)
       }
-      withGaps.sortBy { case (j, _) => j.t0 - j.t1 }.take(8).foreach { case (j, g) =>
-        println(f"  job ${j.id}%4d dur=${(j.t1 - j.t0) / 1e3}%6.2fs gapBefore=${g / 1e3}%5.2fs")
+      withGaps.sortBy { case (j, _) => j.t0 - j.t1 }.take(12).foreach { case (j, g) =>
+        println(f"  job ${j.id}%4d dur=${(j.t1 - j.t0) / 1e3}%6.2fs gapBefore=${g / 1e3}%5.2fs  ${j.what}")
       }
       val gapSum = withGaps.map(_._2).sum
       println(f"  sum(gapBefore)=${gapSum / 1e3}%.2fs over ${js.size} jobs " +

@@ -42,6 +42,43 @@ class TextIndexSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("corpus stats derive from postings without a second tokenize pass: " +
+      "empty/whitespace/null docs each count dl = 1 (r21 optimization)") {
+    // the r21 corpusStats reads per-doc dl back from the postings and
+    // corrects for posting-less docs (normalized-empty → split("") =
+    // [""] → dl 1); this case pins that correction against the old
+    // tokenize-twice formula's values on every degenerate text shape
+    val docs = Seq(
+      (10L, "alpha beta alpha"), // dl 3
+      (11L, ""),                 // dl 1 (split("") = [""])
+      // trim strips spaces but NOT the tab, so this normalizes to " "
+      // and splits to ["", ""] — dl 2, zero postings: the exact shape
+      // a stats path that guessed "posting-less docs have dl 1" would
+      // get wrong (the kept "" row carries the true size instead)
+      (12L, "   \t  "),          // dl 2
+      (13L, null.asInstanceOf[String]), // dl 1
+      (14L, "gamma")             // dl 1
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_stats").toString
+    try {
+      TextIndex.save(docs.where($"doc_id" <= 12), "text", "doc_id", dir,
+        nBuckets = 4)
+      val base = TextIndex.load(spark, dir)
+      assert(base.nDocs == 3 && base.sumDl == 6, // 3 + 1 + 2
+        s"save stats: ${(base.nDocs, base.sumDl)}")
+      assert(base.idRange.contains((10L, 12L)))
+      // the "" bookkeeping rows must never reach disk: gen 0 postings
+      // hold only doc 10's two real terms
+      val onDisk = spark.read.parquet(s"$dir/postings")
+      assert(onDisk.where(col("term") === "").count() == 0)
+      assert(onDisk.select("id").distinct().count() == 1)
+      val grown = base.append(docs.where($"doc_id" > 12), "text")
+      assert(grown.nDocs == 5 && grown.sumDl == 8, // + 1 + 1
+        s"append stats: ${(grown.nDocs, grown.sumDl)}")
+      assert(grown.idRange.contains((10L, 14L)))
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("as-of: historical search equals the pre-append index, read-only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ti_tt").toString
     val ref = java.nio.file.Files.createTempDirectory("graft_ti_ttr").toString
