@@ -74,7 +74,9 @@ object AnnIndex {
                               nGens: Int, indexDir: String,
                               centroids: DataFrame, codebook: DataFrame,
                               codes: DataFrame, asOf: Boolean = false,
-                              baseGen: Int = 0, asOfFence: Int = 0) {
+                              baseGen: Int = 0, asOfFence: Int = 0,
+                              codesSchema: Option[
+                                org.apache.spark.sql.types.StructType] = None) {
 
     /** The handle-local preconditions of the batch mutation verbs —
       * everything EXCEPT the head re-check, which the generation-staging
@@ -141,12 +143,13 @@ object AnnIndex {
             col("centroid").as("__c")),
           dims, m, k, nList, residual, quantizeScale,
           integerCb = trainUpdates == 0)
-        writeCodes(exploded, idCol, indexDir, gen = nGens)
+        val written = writeCodes(exploded, idCol, indexDir, gen = nGens)
         // ownership re-assert right before the commit point: a falsely
         // stale-swept claim aborts here instead of co-committing
         GenerationLock.verify(claim)
         writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-          quantizeScale, idCol, nGens + 1, baseGen, asOfFence)
+          quantizeScale, idCol, nGens + 1, baseGen, asOfFence,
+          codesSchema = Some(written))
         loadIvfPq(newCorpus.sparkSession, indexDir)
       } finally GenerationLock.release(claim)
     }
@@ -183,13 +186,17 @@ object AnnIndex {
         requireFreshHead()
         val spark = codes.sparkSession
         BucketFs.dropGensAtOrAbove(s"$indexDir/codes", nGens)
-        codes.withColumn("gen", lit(nGens))
-          .write.mode("append").partitionBy("gen", "cell")
+        val folded = codes.withColumn("gen", lit(nGens))
+        folded.write.mode("append").partitionBy("gen", "cell")
           .parquet(s"$indexDir/codes")
         GenerationLock.verify(claim)
+        // schema recomputed from the frame just written — identical for
+        // an r21 handle, and upgrades a pre-r21 manifest on compaction
         writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
           quantizeScale, idCol, nGens + 1, baseGen = nGens,
-          asOfFence = asOfFence)
+          asOfFence = asOfFence,
+          codesSchema = Some(ReadBackSchema.of(folded.schema,
+            Seq("gen", "cell"))))
         if (vacuum) BucketFs.dropGensBelow(s"$indexDir/codes", nGens)
         loadIvfPq(spark, indexDir)
       } finally GenerationLock.release(claim)
@@ -256,7 +263,8 @@ object AnnIndex {
       // generation, and the rewrite must land back in the SAME one.
       // Both partition columns get their types pinned — read-back type
       // depends on session inference settings
-      val raw = spark.read.parquet(s"$indexDir/codes")
+      val raw = codesSchema.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(s"$indexDir/codes")
         .withColumn("gen", col("gen").cast("int"))
         .where(col("gen") >= lit(baseGen) && col("gen") < lit(nGens))
         .withColumn("cell", col("cell").cast("long"))
@@ -338,7 +346,8 @@ object AnnIndex {
           // stale and readers resume).
           GenerationLock.verify(claim)
           writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-            quantizeScale, idCol, nGens, baseGen, asOfFence = nGens)
+            quantizeScale, idCol, nGens, baseGen, asOfFence = nGens,
+            codesSchema = codesSchema) // layout untouched: carry through
           BucketFs.deleteRecursive(tmp)
           val pairs = affected.map { case (g, c) =>
             col("gen") === g && col("cell") === c }.reduce(_ || _)
@@ -467,11 +476,14 @@ object AnnIndex {
     // n_gens = 0 marks a codes-free build (stream-managed codes never
     // use generations — their sink log is the transaction mechanism)
     BucketFs.deleteRecursive(s"$indexDir/codes")
-    if (includeCodes) writeCodes(codesExploded, idCol, indexDir, gen = 0)
+    val codesSchema =
+      if (includeCodes) Some(writeCodes(codesExploded, idCol, indexDir, gen = 0))
+      else None
     // ownership re-assert right before the commit point (manifest write)
     GenerationLock.verify(claim)
     writeManifest(indexDir, residual, dims, m, k, nList, trainUpdates,
-      quantizeScale, idCol, if (includeCodes) 1 else 0)
+      quantizeScale, idCol, if (includeCodes) 1 else 0,
+      codesSchema = codesSchema)
     } finally GenerationLock.release(claim)
   }
 
@@ -479,14 +491,23 @@ object AnnIndex {
                             m: Int, k: Int, nList: Int, trainUpdates: Int,
                             quantizeScale: Option[Double], idCol: String,
                             nGens: Int, baseGen: Int = 0,
-                            asOfFence: Int = 0): Unit = {
+                            asOfFence: Int = 0,
+                            codesSchema: Option[
+                              org.apache.spark.sql.types.StructType] = None)
+      : Unit = {
     val manifest: Map[String, Any] = Map(
       "index_type" -> "ivf_pq", "residual" -> residual,
       "dims" -> dims, "m" -> m, "k" -> k, "n_list" -> nList,
       "train_updates" -> trainUpdates,
       "quantize_scale" -> quantizeScale.map(_.asInstanceOf[Any]).orNull,
       "id_col" -> idCol, "n_gens" -> nGens, "base_gen" -> baseGen,
-      "as_of_fence" -> asOfFence)
+      "as_of_fence" -> asOfFence) ++
+      // read-back schema of the batch-managed generational codes layout
+      // (r21): loads pass it instead of paying listing+footer inference
+      // per resolution; absent on pre-r21 manifests and stream-managed
+      // codes (their sink-log read keeps inference)
+      codesSchema.map(s => "codes_schema" ->
+        (ReadBackSchema.toJsonString(s): Any)).toMap
     BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(toJValue(manifest))))
   }
@@ -555,10 +576,10 @@ object AnnIndex {
       s"codes under $indexDir are already batch-managed")
     val tmp = s"$indexDir/codes_compact_tmp"
     BucketFs.deleteRecursive(tmp)
-    spark.read.parquet(codesDir)
+    val handedOff = spark.read.parquet(codesDir)
       .withColumn("cell", col("cell").cast("long"))
       .withColumn("gen", lit(0))
-      .write.mode("overwrite").partitionBy("gen", "cell").parquet(tmp)
+    handedOff.write.mode("overwrite").partitionBy("gen", "cell").parquet(tmp)
     // crash-safe swap: live moves ASIDE (not deleted) before tmp moves in,
     // so a crash in the window always leaves one complete copy on disk
     val old = s"$indexDir/codes_old"
@@ -573,31 +594,40 @@ object AnnIndex {
     // the handoff commit: codes are now generation 0 of the batch layout
     val mt = readMeta(indexDir)
     writeManifest(indexDir, mt.residual, mt.dims, mt.m, mt.k, mt.nList,
-      mt.trainUpdates, mt.scale, mt.idCol, 1)
+      mt.trainUpdates, mt.scale, mt.idCol, 1,
+      codesSchema = Some(ReadBackSchema.of(handedOff.schema,
+        Seq("gen", "cell"))))
   }
 
   /** Pack exploded codes to one array row per vector (position =
     * subspace) and write them into one generation of the gen/cell
     * layout — shared by the initial save (gen 0) and incremental
-    * appends (gen = nGens). */
+    * appends (gen = nGens). Returns the directory's READ-BACK schema
+    * (manifest-persisted so loads skip footer inference — r21, see
+    * [[ReadBackSchema]]). */
   private def writeCodes(codesExploded: DataFrame, idCol: String,
-                         indexDir: String, gen: Int): Unit =
-    codesExploded
+                         indexDir: String, gen: Int)
+      : org.apache.spark.sql.types.StructType = {
+    val g = codesExploded
       .groupBy(col("neighbor_id"), col("centroid_id"))
       .agg(transform(array_sort(collect_list(struct(col("__s"), col("__code")))),
         s => s.getField("__code")).as("pq_code"))
       .select(col("neighbor_id").as(idCol), col("centroid_id").as("cell"),
         col("pq_code"))
       .withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("gen", "cell")
+    g.write.mode("append").partitionBy("gen", "cell")
       .parquet(s"$indexDir/codes")
+    ReadBackSchema.of(g.schema, Seq("gen", "cell"))
+  }
 
   /** Manifest fields, parsed once — shared by the full load and the
     * codes-free paths (streamingCodesWriter runs before codes exist). */
   private final case class Meta(dims: Int, m: Int, k: Int, nList: Int,
                                 scale: Option[Double], idCol: String,
                                 residual: Boolean, trainUpdates: Int,
-                                nGens: Int, baseGen: Int, asOfFence: Int)
+                                nGens: Int, baseGen: Int, asOfFence: Int,
+                                codesSchema: Option[
+                                  org.apache.spark.sql.types.StructType])
 
   private def readMeta(indexDir: String): Meta = {
     val p = s"$indexDir/$ManifestFile"
@@ -655,9 +685,15 @@ object AnnIndex {
       case other => throw new IllegalArgumentException(
         s"bad as_of_fence in manifest: $other")
     }
+    // read-back schema of the batch codes layout (r21): absent on
+    // pre-r21 manifests → loads fall back to footer inference
+    val codesSchema = mf \ "codes_schema" match {
+      case JString(s) => Some(ReadBackSchema.fromJsonString(s))
+      case _ => None
+    }
     Meta(num("dims").toInt, num("m").toInt, num("k").toInt,
       num("n_list").toInt, scale, idCol, residual, trainUpdates, nGens,
-      baseGen, asOfFence)
+      baseGen, asOfFence, codesSchema)
   }
 
   /** Reload a persisted IVF-PQ index (manifest + lazy parquet frames).
@@ -822,7 +858,7 @@ object AnnIndex {
       GenerationLock.verify(claim)
       writeManifest(indexDir, mt.residual, mt.dims, mt.m, mt.k, mt.nList,
         mt.trainUpdates, mt.scale, mt.idCol, mt.nGens, mt.baseGen,
-        asOfFence = mt.nGens)
+        asOfFence = mt.nGens, codesSchema = mt.codesSchema)
     } finally GenerationLock.release(claim)
   }
 
@@ -858,8 +894,15 @@ object AnnIndex {
     // cell is a directory-partition column: its read-back type depends on
     // session inference settings (string with inference off), so pin it.
     // Stream-managed codes read through the sink log (flat layout, the
-    // log IS the commit filter); batch codes filter committed generations
-    val raw = spark.read.parquet(s"$indexDir/codes")
+    // log IS the commit filter); batch codes filter committed generations.
+    // Batch-managed generational codes with a manifest-persisted schema
+    // (r21) skip the eager listing+footer inference — ~100 ms per
+    // resolution on a generation-partitioned dir (ResolveBench), paid on
+    // every load otherwise
+    val schemaFastPath =
+      if (mt.nGens >= 0 && !streamManaged) mt.codesSchema else None
+    val raw = schemaFastPath.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(s"$indexDir/codes")
     val codes =
       (if (mt.nGens >= 0 && !streamManaged)
          raw.where(col("gen") >= lit(mt.baseGen) && col("gen") < lit(effGens))
@@ -870,7 +913,8 @@ object AnnIndex {
       mt.residual, mt.trainUpdates, effGens, indexDir,
       spark.read.parquet(s"$indexDir/centroids"),
       spark.read.parquet(s"$indexDir/codebook"), codes,
-      asOf = asOfGen >= 0, baseGen = mt.baseGen, asOfFence = mt.asOfFence)
+      asOf = asOfGen >= 0, baseGen = mt.baseGen, asOfFence = mt.asOfFence,
+      codesSchema = schemaFastPath)
   }
 
   private def toJValue(v: Any): JValue = v match {

@@ -46,26 +46,42 @@ object DedupIndex {
   private def packedSig(numHashes: Int) =
     array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig")
 
-  /** Write one generation of band postings + signatures. */
+  /** Write one generation of band postings + signatures; returns the
+    * READ-BACK schemas of the two directories (manifest-persisted so
+    * loaders skip per-resolution footer inference — see
+    * [[ReadBackSchema]], r21). */
   private def writeGen(sigs: DataFrame, banded: DataFrame, idCol: String,
-                       numHashes: Int, indexDir: String, gen: Int): Unit = {
-    banded.withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("gen", "band")
+                       numHashes: Int, indexDir: String, gen: Int)
+      : (org.apache.spark.sql.types.StructType,
+         org.apache.spark.sql.types.StructType) = {
+    val b = banded.withColumn("gen", lit(gen))
+    b.write.mode("append").partitionBy("gen", "band")
       .parquet(s"$indexDir/bands")
-    sigs.select(col(idCol), packedSig(numHashes))
+    val sg = sigs.select(col(idCol), packedSig(numHashes))
       .withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("gen")
+    sg.write.mode("append").partitionBy("gen")
       .parquet(s"$indexDir/signatures")
+    (ReadBackSchema.of(b.schema, Seq("gen", "band")),
+      ReadBackSchema.of(sg.schema, Seq("gen")))
   }
 
   private def writeManifest(indexDir: String, shingleK: Int, numHashes: Int,
                             bands: Int, nGens: Int, idCol: String,
-                            baseGen: Int = 0): Unit = {
-    val j: JValue = JObject(List(
+                            baseGen: Int = 0,
+                            schemas: Map[String,
+                              org.apache.spark.sql.types.StructType] =
+                                Map.empty): Unit = {
+    val base = List(
       "index_type" -> JString("minhash_lsh"), "shingle_k" -> JInt(shingleK),
       "num_hashes" -> JInt(numHashes), "bands" -> JInt(bands),
       "n_gens" -> JInt(nGens), "base_gen" -> JInt(baseGen),
-      "id_col" -> JString(idCol)))
+      "id_col" -> JString(idCol))
+    val withSchemas =
+      if (schemas.isEmpty) base
+      else base :+ ("schemas" -> JObject(schemas.toList.sortBy(_._1).map {
+        case (k, v) => k -> (JString(ReadBackSchema.toJsonString(v)): JValue)
+      }))
+    val j: JValue = JObject(withSchemas)
     BucketFs.writeStringAtomic(s"$indexDir/$ManifestFile",
       JsonMethods.pretty(JsonMethods.render(j)))
   }
@@ -99,28 +115,37 @@ object DedupIndex {
       BucketFs.deleteRecursive(s"$indexDir/$sub"))
     val sigs = Dedup.minHashSignature(corpus, textCol, idCol, shingleK, numHashes)
     val banded = Dedup.lshBands(sigs, idCol, numHashes, bands)
-    writeGen(sigs, banded, idCol, numHashes, indexDir, gen = 0)
+    val (bandsSchema, sigsSchema) =
+      writeGen(sigs, banded, idCol, numHashes, indexDir, gen = 0)
     // stats from the WRITTEN postings (not a recompute) — guarantees the
     // counts and the band files can never disagree
     val spark = corpus.sparkSession
-    bandsOf(spark, indexDir, maxGen = 1)
+    val stats = bandsOf(spark, indexDir, maxGen = 1, schema = Some(bandsSchema))
       .groupBy("band", "band_sig")
       .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep_id"))
       .withColumn("gen", lit(0))
-      .write.mode("append").partitionBy("gen")
+    stats.write.mode("append").partitionBy("gen")
       .parquet(s"$indexDir/bucket_stats")
     // ownership re-assert right before the commit point (manifest write)
     GenerationLock.verify(claim)
-    writeManifest(indexDir, shingleK, numHashes, bands, 1, idCol)
+    writeManifest(indexDir, shingleK, numHashes, bands, 1, idCol,
+      schemas = Map(
+        "bands" -> bandsSchema, "signatures" -> sigsSchema,
+        "bucket_stats" -> ReadBackSchema.of(stats.schema, Seq("gen"))))
     } finally GenerationLock.release(claim)
   }
 
   // band/gen are directory-partition columns: pin band's read-back type,
   // keep only committed generations, hide the bookkeeping column. A
   // pre-generational index (maxGen < 0, flat layout) reads as-is.
+  // `schema`: the manifest-persisted read-back schema (skips footer
+  // inference); None falls back to plain inference (pre-r21 manifests).
   private def bandsOf(spark: SparkSession, indexDir: String,
-                      maxGen: Int, baseGen: Int = 0): DataFrame = {
-    val raw = spark.read.parquet(s"$indexDir/bands")
+                      maxGen: Int, baseGen: Int = 0,
+                      schema: Option[org.apache.spark.sql.types.StructType] =
+                        None): DataFrame = {
+    val raw = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(s"$indexDir/bands")
     (if (maxGen < 0) raw
      else raw.where(col("gen") >= lit(baseGen) && col("gen") < lit(maxGen))
        .drop("gen"))
@@ -181,18 +206,40 @@ object DedupIndex {
             s"base $baseGen in $indexDir — that history has been folded away")
         asOfGen
       } else nGens
+    // manifest-persisted read-back schemas (r21): present on indexes
+    // written at or after this round; absent → loaders fall back to
+    // plain footer inference (pre-r21 indexes keep working unchanged)
+    val schemas: Map[String, org.apache.spark.sql.types.StructType] =
+      mf \ "schemas" match {
+        case JObject(fields) => fields.collect {
+          case (k, JString(v)) => k -> ReadBackSchema.fromJsonString(v)
+        }.toMap
+        case _ => Map.empty
+      }
     MinHashIndex(spark, indexDir, int("shingle_k"), int("num_hashes"),
-      int("bands"), effGens, idCol, asOf = asOfGen >= 0, baseGen = baseGen)
+      int("bands"), effGens, idCol, asOf = asOfGen >= 0, baseGen = baseGen,
+      schemas = schemas)
   }
 
   final case class MinHashIndex(spark: SparkSession, indexDir: String,
                                 shingleK: Int, numHashes: Int, bands: Int,
                                 nGens: Int, idCol: String,
-                                asOf: Boolean = false, baseGen: Int = 0) {
+                                asOf: Boolean = false, baseGen: Int = 0,
+                                schemas: Map[String,
+                                  org.apache.spark.sql.types.StructType] =
+                                    Map.empty) {
 
-    def bandPostings: DataFrame = bandsOf(spark, indexDir, nGens, baseGen)
+    // explicit-schema reads skip the eager listing+footer inference that
+    // spark.read.parquet pays per RESOLUTION (~100 ms vs ~18 ms on the
+    // bench host, ResolveBench) — the ingest path re-loads this index
+    // every micro-batch, so the tax compounded (r21)
+    private def readSub(sub: String): org.apache.spark.sql.DataFrameReader =
+      schemas.get(sub).map(spark.read.schema(_)).getOrElse(spark.read)
+
+    def bandPostings: DataFrame =
+      bandsOf(spark, indexDir, nGens, baseGen, schema = schemas.get("bands"))
     def signatures: DataFrame = {
-      val raw = spark.read.parquet(s"$indexDir/signatures")
+      val raw = readSub("signatures").parquet(s"$indexDir/signatures")
       if (nGens < 0) raw
       else raw.where(col("gen") >= lit(baseGen) && col("gen") < lit(nGens))
         .drop("gen")
@@ -201,7 +248,7 @@ object DedupIndex {
       * writes the full merged copy into its generation, and only the
       * NEWEST committed generation is live. */
     def bucketStats: DataFrame = {
-      val raw = spark.read.parquet(s"$indexDir/bucket_stats")
+      val raw = readSub("bucket_stats").parquet(s"$indexDir/bucket_stats")
       if (nGens < 0) raw
       else raw.where(col("gen") === lit(nGens - 1)).drop("gen")
     }
@@ -251,20 +298,26 @@ object DedupIndex {
           s"[$baseGen, $nGens) — reload before compacting")
       Seq("bands", "signatures", "bucket_stats").foreach(sub =>
         BucketFs.dropGensAtOrAbove(s"$indexDir/$sub", nGens))
-      bandPostings.withColumn("gen", lit(nGens))
-        .write.mode("append").partitionBy("gen", "band")
+      val bW = bandPostings.withColumn("gen", lit(nGens))
+      bW.write.mode("append").partitionBy("gen", "band")
         .parquet(s"$indexDir/bands")
-      signatures.withColumn("gen", lit(nGens))
-        .write.mode("append").partitionBy("gen")
+      val sW = signatures.withColumn("gen", lit(nGens))
+      sW.write.mode("append").partitionBy("gen")
         .parquet(s"$indexDir/signatures")
-      bucketStats.withColumn("gen", lit(nGens))
-        .write.mode("append").partitionBy("gen")
+      val stW = bucketStats.withColumn("gen", lit(nGens))
+      stW.write.mode("append").partitionBy("gen")
         .parquet(s"$indexDir/bucket_stats")
       // ownership re-assert right before the commit point: a falsely
       // stale-swept claim aborts here instead of co-committing
       GenerationLock.verify(claim)
+      // schemas recomputed from the frames just written (not carried):
+      // identical for an r21 handle, and UPGRADES a pre-r21 index's
+      // manifest on its first compaction
       writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol,
-        baseGen = nGens)
+        baseGen = nGens, schemas = Map(
+          "bands" -> ReadBackSchema.of(bW.schema, Seq("gen", "band")),
+          "signatures" -> ReadBackSchema.of(sW.schema, Seq("gen")),
+          "bucket_stats" -> ReadBackSchema.of(stW.schema, Seq("gen"))))
       if (vacuum)
         Seq("bands", "signatures", "bucket_stats").foreach(sub =>
           BucketFs.dropGensBelow(s"$indexDir/$sub", nGens))
@@ -342,24 +395,30 @@ object DedupIndex {
       val sigs = sigsRaw
         .localCheckpoint(true) // feeds bands + signatures writes: hash once
       val banded = Dedup.lshBands(sigs, idCol, numHashes, bands)
-      writeGen(sigs, banded, idCol, numHashes, indexDir, gen = nGens)
+      val (bandsSchema, sigsSchema) =
+        writeGen(sigs, banded, idCol, numHashes, indexDir, gen = nGens)
       // incremental stats merge: old stats ∪ batch stats → sum n, min rep.
       // The batch side re-derives from `banded` (batch-sized recompute)
       // rather than rescanning the appended files — cheaper and append-
       // atomicity-independent.
       val batchStats = banded.groupBy("band", "band_sig")
         .agg(count(lit(1)).as("n"), min(col(idCol)).as("rep_id"))
-      bucketStats.unionByName(batchStats)
+      val mergedStats = bucketStats.unionByName(batchStats)
         .groupBy("band", "band_sig")
         .agg(sum(col("n")).as("n"), min(col("rep_id")).as("rep_id"))
         .withColumn("gen", lit(nGens))
-        .write.mode("append").partitionBy("gen")
+      mergedStats.write.mode("append").partitionBy("gen")
         .parquet(s"$indexDir/bucket_stats")
       // ownership re-assert right before the commit point: a falsely
       // stale-swept claim aborts here instead of co-committing
       GenerationLock.verify(claim)
+      // schemas from the frames just written — identical to the save-time
+      // entries for an r21 index, and upgrades a pre-r21 manifest on its
+      // first append
       writeManifest(indexDir, shingleK, numHashes, bands, nGens + 1, idCol,
-        baseGen)
+        baseGen, schemas = Map(
+          "bands" -> bandsSchema, "signatures" -> sigsSchema,
+          "bucket_stats" -> ReadBackSchema.of(mergedStats.schema, Seq("gen"))))
       load(spark, indexDir)
       } finally GenerationLock.release(claim)
       // released in finally even on failure: the thrower is this live

@@ -113,6 +113,29 @@ object TextIndex {
       .parquet(s"$indexDir/termstats")
   }
 
+  /** Read-back schemas of the two generational sub-datasets — static by
+    * layout ([[writeGen]]'s explicit select; ids cast long at write), in
+    * parquet read-back order: data columns in file order, then the
+    * `gen`/`bucket` partition columns as directory-inferred ints, all
+    * nullable (parquet reads force nullability). Passing these skips the
+    * per-resolution footer-inference pass; parity with a fresh inference
+    * is spec-pinned. */
+  private[graft] def readBackSchema(sub: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def f(n: String, t: DataType) = StructField(n, t, nullable = true)
+    sub match {
+      case "postings" => StructType(Seq(
+        f("term", StringType), f("id", LongType), f("tf", LongType),
+        f("dl", LongType), f("gen", IntegerType), f("bucket", IntegerType)))
+      case "termstats" => StructType(Seq(
+        f("term", StringType), f("df", LongType),
+        f("gen", IntegerType), f("bucket", IntegerType)))
+      case other => throw new IllegalArgumentException(
+        s"no static read-back schema for sub-dataset '$other'")
+    }
+  }
+
   /** Delete generation directories the manifest never committed (debris
     * of a crashed append) so a retry cannot double-write into them. */
   private def dropUncommittedGens(indexDir: String, committed: Int): Unit =
@@ -203,9 +226,21 @@ object TextIndex {
       * `baseGen <= gen < nGens` hides crashed-append debris above and
       * compacted-away (vacuumable) generations below. A pre-generational
       * index (nGens < 0, flat layout without a gen column) reads as-is —
-      * searchable, but append is refused. */
+      * searchable, but append is refused.
+      *
+      * Generational reads pass the layout's STATIC schema (r21): ids are
+      * cast long at write time and every other column's type is fixed by
+      * [[TextIndex.writeGen]]'s explicit select, so `spark.read.parquet`'s
+      * eager listing+footer inference (~100 ms/resolution vs ~18 ms with
+      * a schema, ResolveBench) buys nothing — and the streaming ingest
+      * re-resolves these per micro-batch. Read-back parity is spec-pinned
+      * (TextIndexSpec). The flat pre-generational layout keeps
+      * inference. */
     private def committed(sub: String): DataFrame = {
-      val raw = spark.read.parquet(s"$indexDir/$sub")
+      val raw =
+        if (nGens < 0) spark.read.parquet(s"$indexDir/$sub")
+        else spark.read.schema(TextIndex.readBackSchema(sub))
+          .parquet(s"$indexDir/$sub")
       if (nGens < 0) raw
       else raw.where(col("gen") >= lit(baseGen) && col("gen") < lit(nGens))
     }

@@ -344,6 +344,41 @@ class DedupIndexSpec extends AnyFunSuite {
     } finally BucketFs.deleteRecursive(dir)
   }
 
+  test("manifest read-back schemas equal a fresh footer inference for every " +
+       "sub-dataset, across save/append/compact (r21 resolution fast path)") {
+    // the loader trusts these schemas INSTEAD of inferring — if the
+    // reconstruction ever drifted from what spark.read.parquet would
+    // return (column order, partition-col typing, recursive nullability
+    // of the packed sig array), index scans would silently mis-read
+    val dir = java.nio.file.Files.createTempDirectory("dedupidx_rbs").toString
+    def check(stage: String): Unit = {
+      val idx = DedupIndex.load(spark, dir)
+      assert(idx.schemas.keySet == Set("bands", "signatures", "bucket_stats"),
+        s"$stage: schemas missing from manifest")
+      idx.schemas.foreach { case (sub, stored) =>
+        val inferred = spark.read.parquet(s"$dir/$sub").schema
+        assert(stored == inferred,
+          s"$stage/$sub: stored $stored != inferred $inferred")
+      }
+    }
+    try {
+      DedupIndex.save(corpus, "text", "id", dir,
+        shingleK = 3, numHashes = 8, bands = 4)
+      check("save")
+      DedupIndex.load(spark, dir).append(batch, "text")
+      check("append")
+      DedupIndex.load(spark, dir).compact()
+      check("compact")
+      // and the fast-path frames answer exactly like inference would
+      val cands = DedupIndex.load(spark, dir)
+        .candidates(docs(20L -> "the quick brown fox jumps over the lazy dog again and again"),
+          "text", maxBucketSize = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(cands.exists { case (_, c, m) => (c == 1L || c == 10L) && m == 8 },
+        s"duplicate failed to surface through schema-fast-path scans: $cands")
+    } finally BucketFs.deleteRecursive(dir)
+  }
+
   test("save takes the whole-dir writer claim: a racing provisioner is " +
        "refused loudly and the slot serves the eventual winner exactly") {
     val dir = java.nio.file.Files.createTempDirectory("dedupidx_savclm").toString

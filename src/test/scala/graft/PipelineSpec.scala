@@ -296,6 +296,44 @@ class PipelineSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("AnnIndex manifest codes schema equals a fresh footer inference " +
+       "across save/append/delete/compactGens (r21 resolution fast path)") {
+    // loadIvfPq trusts the manifest schema instead of inferring; drift in
+    // column order, partition-col typing, or recursive nullability of
+    // pq_code would silently mis-read every search
+    val rnd = new scala.util.Random(32)
+    val vecs = (0L until 48L).map(i =>
+      i -> Array.fill(8)(rnd.nextFloat() * 2f - 1f)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annidx_rbs").toString
+    def check(stage: String): Unit = {
+      val mf = org.json4s.jackson.JsonMethods.parse(
+        graft.sources.BucketFs.readString(s"$dir/_ann_index.json"))
+      val stored = mf \ "codes_schema" match {
+        case org.json4s.JString(s) =>
+          org.apache.spark.sql.types.DataType.fromJson(s)
+        case other => fail(s"$stage: codes_schema missing: $other")
+      }
+      val inferred = spark.read.parquet(s"$dir/codes").schema
+      assert(stored == inferred, s"$stage: stored $stored != inferred $inferred")
+    }
+    try {
+      graft.sources.AnnIndex.saveIvfPq(vecs.where($"vec_id" < 32),
+        "vec_id", "embedding", dir, dims = 8, m = 2, k = 4, nList = 4)
+      check("save")
+      graft.sources.AnnIndex.loadIvfPq(spark, dir)
+        .append(vecs.where($"vec_id" >= 32), "embedding")
+      check("append")
+      graft.sources.AnnIndex.loadIvfPq(spark, dir).delete(Seq(1L, 2L))
+      check("delete")
+      val compacted = graft.sources.AnnIndex.loadIvfPq(spark, dir).compactGens()
+      check("compactGens")
+      // and the fast-path scan still answers: exact self-match survives
+      val hit = compacted.search(vecs.where($"vec_id" === 5L), "embedding",
+        topK = 1).collect()
+      assert(hit.nonEmpty, "search through schema-fast-path scan returned nothing")
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("randomProjection: wrong-length vectors fail loudly, not null") {
     import graft.operators.Similarity
     val bad = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))

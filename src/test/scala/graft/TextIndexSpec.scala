@@ -79,6 +79,25 @@ class TextIndexSpec extends AnyFunSuite {
     } finally graft.sources.BucketFs.deleteRecursive(dir)
   }
 
+  test("static read-back schemas equal a fresh footer inference for both " +
+      "sub-datasets (r21 resolution fast path)") {
+    // committed() trusts these schemas instead of inferring; drift in
+    // column order, partition-col typing, or nullability would silently
+    // mis-read every index scan
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti_rbs").toString
+    try {
+      TextIndex.save(docs, "text", "doc_id", dir, nBuckets = 4)
+      TextIndex.load(spark, dir)
+        .append(Seq((3L, "gamma delta")).toDF("doc_id", "text"), "text")
+      Seq("postings", "termstats").foreach { sub =>
+        val inferred = spark.read.parquet(s"$dir/$sub").schema
+        val static = graft.sources.TextIndex.readBackSchema(sub)
+        assert(static == inferred, s"$sub: static $static != inferred $inferred")
+      }
+    } finally graft.sources.BucketFs.deleteRecursive(dir)
+  }
+
   test("as-of: historical search equals the pre-append index, read-only") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ti_tt").toString
     val ref = java.nio.file.Files.createTempDirectory("graft_ti_ttr").toString
