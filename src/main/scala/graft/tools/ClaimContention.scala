@@ -268,20 +268,39 @@ object ClaimContention {
       (lines.head,
         lines.find(_.startsWith("beat=")).map(_.drop(5).toLong).getOrElse(0L))
     }
+    // Poll the claim file until the beat line reaches a TARGET count
+    // instead of sleeping a fixed interval (r20 ADVICE: this runner
+    // suffers minutes-scale steal bursts that can delay the heartbeat
+    // thread arbitrarily — fixed 1900/700 ms sleeps made the diagnostic
+    // throw spuriously even though the per-acquisition counter contract
+    // held). Generous 30 s deadline, then the usual loud failure.
+    def awaitBeat(target: Long, what: String): String = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      var content = BucketFs.readString(claimFile)
+      while (parse(content)._2 < target && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        content = BucketFs.readString(claimFile)
+      }
+      require(parse(content)._2 >= target,
+        s"$what never reached rewrite-beat $target " +
+          s"(k=${parse(content)._2}) — is this store really setTimes-less?")
+      content
+    }
     val c1 = GenerationLock.claimDir(dir, staleness)
-    Thread.sleep(1900) // ~4 rewrite-beats
-    val content1 = BucketFs.readString(claimFile)
+    // first incarnation: let it beat well clear of the restart floor, so
+    // the k2 < k1 restart assertion below has margin even if the second
+    // read is delayed by one beat
+    val content1 = awaitBeat(3, "first incarnation")
     GenerationLock.release(c1)
     val c2 = GenerationLock.claimDir(dir, staleness)
-    Thread.sleep(700) // ~1 rewrite-beat
-    val content2 = BucketFs.readString(claimFile)
+    // second incarnation: read at its FIRST observed beat — a restarted
+    // counter is caught low, a carried-over counter reads >= k1
+    val content2 = awaitBeat(1, "re-acquired incarnation")
     GenerationLock.release(c2)
     val (n1, k1) = parse(content1)
     val (n2, k2) = parse(content2)
     require(n1 == c1.nonce && n2 == c2.nonce,
       "claim content's nonce line does not match the acquiring session")
-    require(k1 >= 2, s"first incarnation never rewrite-beat (k1=$k1) — " +
-      "is this store really setTimes-less?")
     require(k2 >= 1 && k2 < k1,
       s"re-acquired claim did not restart its beat counter: k1=$k1 k2=$k2")
     require(n1 != n2 && content1 != content2,

@@ -56,7 +56,13 @@ object ScaleStage {
       }
       s"$t:${files.size}:${files.map(_.getLen).sum}:" +
         files.map(_.getModificationTime).foldLeft(0L)(math.max) + ":" +
-        files.map(_.getPath.getName).sorted.mkString(",").hashCode
+        // md5 of the joined name list, not String.hashCode (r20 ADVICE):
+        // 32 bits over a comma-joined string is far weaker than the
+        // md5/xxhash64 posture the repo standardizes on, and this digest
+        // is the ONLY component that catches a same-size regeneration
+        // within mtime granularity
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(
+          files.map(_.getPath.getName).sorted.mkString(","))
     }.mkString("\n")
 
   def ensure(spark: SparkSession, base: String, factor: Int): String = {
